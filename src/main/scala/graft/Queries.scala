@@ -1,0 +1,442 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.operators.{Features, Sessionize}
+import graft.functions.GraftFunctions._
+
+/** The engine's named query surface — one entry per operator class in
+  * `SURVEY.md` §2 (reference parity) plus the LLM-data-pipeline
+  * extensions (§2 H). Each query has a DuckDB-oracle SQL twin over the
+  * same parquet tables (omitted only for ops SQL cannot express, e.g.
+  * ML training), hash-compared by the driver at sf0.01.
+  *
+  * Oracle-parity conventions used throughout:
+  *  - double outputs go through the PORTABLE rounding
+  *    `floor(x·10^d + 0.5)/10^d` (`GraftFunctions.r`) on BOTH sides —
+  *    built-in `round` tie-breaking differs between Spark (BigDecimal
+  *    HALF_UP on the exact expansion) and DuckDB (multiply-then-round);
+  *  - every result has a deterministic total ORDER BY;
+  *  - `events.ts` arithmetic uses an exact epoch-MICROSECOND long basis:
+  *    Spark reads parquet nanos as long (`nanosAsLong`) and floor-divides
+  *    by 1000; DuckDB 1.x truncates parquet nanos to µs on read, exposed
+  *    exactly by `epoch_us`. Integer math end to end — no double
+  *    division of epoch-scale longs (precision dies above 2^53);
+  *  - variance uses the portable (Σx²−(Σx)²/n)/(n−1) op sequence — the
+  *    engines' native `var_samp` implementations (central-moment merge
+  *    vs Welford) disagree in the last ulps;
+  *  - hashes are the portable 31-polynomial mod 1e9+7
+  *    (`GraftFunctions.polyHash`) or `md5`, never engine-specific
+  *    murmur3.
+  */
+object Queries {
+
+  /** Session gap 30 min, window width 15 min, in MICROSECONDS — the
+    * reference's gap/width constants (`Constants.java:8-9`) scaled to
+    * the events table's timestamp resolution. */
+  val SessionGapUs: Long = 1800000000L
+  val WindowWidthUs: Long = 900000000L
+
+  final case class Q(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = false)
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** events with exact epoch-µs `ts_us` (see class doc). */
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").withColumn("ts_us", longDiv(col("ts"), 1000L))
+
+  // ---------------------------------------------------------------- //
+  // A/B/D: scans, projection & predicate pushdown, aggregation        //
+  // ---------------------------------------------------------------- //
+
+  /** D2-D4,D8 + A1/A2: TPC-H-Q1-style pricing summary. One scan, one
+    * shuffle; partial aggregation map-side. Filter + 6-column read
+    * schema reach the parquet scan (PushedFilters/ReadSchema). */
+  private val q01 = Q("q01_agg_pricing_summary",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r(sum(col("l_quantity")), 2).as("sum_qty"),
+        r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        r(avg(col("l_quantity")), 4).as("avg_qty"),
+        r(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+      floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+      floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+      floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+      floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  /** A2/A3/B: projection + selective filter, pushed to the scan. */
+  private val q02 = Q("q02_filter_project",
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .filter(col("l_quantity") < 3 && col("l_extendedprice") > 1500)
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity < 3 AND l_extendedprice > 1500
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** D1: distinct (shuffle dedup). */
+  private val q03 = Q("q03_distinct_custkeys",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_custkey")).distinct()
+      .orderBy(col("o_custkey")),
+    Some("SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey"))
+
+  // ---------------------------------------------------------------- //
+  // C: joins                                                          //
+  // ---------------------------------------------------------------- //
+
+  /** C: 3-way star join. nation/region are broadcast (dimension-sized
+    * at any scale factor) — no shuffle of the customer side beyond the
+    * final groupBy. */
+  private val q04 = Q("q04_join_star_broadcast",
+    (s, d) => t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        r(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("r_name")),
+    Some("""SELECT r_name, count(*) AS n_cust,
+      floor(sum(c_acctbal) * 100.0 + 0.5) / 100.0 AS total_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""),
+    bench = true)
+
+  /** C: large-table equi-join (orders ⨝ lineitem). Shuffles both sides
+    * on the join key; AQE may convert to broadcast at small SF — at
+    * 100 TB it stays a co-partitioned sort-merge join. */
+  private val q05 = Q("q05_join_revenue_by_priority",
+    (s, d) => t(s, d, "orders")
+      .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+      floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+      count(*) AS n_items
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    bench = true)
+
+  /** C: left-semi join (EXISTS). */
+  private val q06 = Q("q06_semi_join",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS n_active FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** C: left-anti join (NOT EXISTS). */
+  private val q07 = Q("q07_anti_join",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy(col("c_nationkey")),
+    Some("""SELECT c_nationkey, count(*) AS n_inactive FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
+  // ---------------------------------------------------------------- //
+  // G: sort / top-k / set ops / scalar & string functions             //
+  // ---------------------------------------------------------------- //
+
+  /** G1/G2: top-k per group via ranked window — the scalable form of
+    * "sort then take" (no global single-partition sort). */
+  private val q08 = Q("q08_window_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+    Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+      ORDER BY o_orderpriority, rn"""))
+
+  /** Set ops: union / intersect / except of key sets, tagged. */
+  private val q12 = Q("q12_set_ops",
+    (s, d) => {
+      val rich = t(s, d, "customer").filter(col("c_acctbal") > 7000)
+        .select(col("c_custkey").as("k"))
+      val active = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+      val both = rich.intersect(active).withColumn("tag", lit("both"))
+      val richOnly = rich.except(active).withColumn("tag", lit("rich_only"))
+      both.unionAll(richOnly).orderBy(col("tag"), col("k"))
+    },
+    Some("""WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 7000),
+      active AS (SELECT DISTINCT o_custkey AS k FROM orders)
+      SELECT k, 'both' AS tag FROM (SELECT k FROM rich INTERSECT SELECT k FROM active)
+      UNION ALL
+      SELECT k, 'rich_only' AS tag FROM (SELECT k FROM rich EXCEPT SELECT k FROM active)
+      ORDER BY tag, k"""))
+
+  /** G7: scalar math (abs/pow/sqrt/mod/int-div) — reference's
+    * `Math.abs/pow/sqrt/round` usage (`ExtractFeature.java:57-77`,
+    * `PrepareData.java:44`), incl. the floor-div semantics. */
+  private val q15 = Q("q15_scalar_math",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r(sum(abs(col("l_discount") - lit(0.05))), 4).as("sum_abs_dev"),
+        r(sum(sqrt(col("l_quantity"))), 4).as("sum_sqrt_qty"),
+        r(sum(pow(col("l_discount"), 2)), 4).as("sum_disc_sq"),
+        sum(longDiv(col("l_partkey"), 100L)).as("sum_pk_div"),
+        sum(pmod(col("l_orderkey"), lit(7L))).as("sum_ok_mod"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      floor(sum(abs(l_discount - 0.05)) * 10000.0 + 0.5) / 10000.0 AS sum_abs_dev,
+      floor(sum(sqrt(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_sqrt_qty,
+      floor(sum(pow(l_discount, 2)) * 10000.0 + 0.5) / 10000.0 AS sum_disc_sq,
+      CAST(sum(l_partkey // 100) AS BIGINT) AS sum_pk_div,
+      CAST(sum(l_orderkey % 7) AS BIGINT) AS sum_ok_mod
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** G8: string ops — split/lower/substring/concat (reference's
+    * `line.split(",")` CSV handling and label string matching). */
+  private val q16 = Q("q16_string_ops",
+    (s, d) => t(s, d, "part")
+      .select(
+        col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        lower(substring(col("p_brand"), 1, 5)).as("brand_lc"),
+        length(col("p_type")).as("type_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("tagged"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      split_part(p_name, ' ', 1) AS first_word,
+      lower(substring(p_brand, 1, 5)) AS brand_lc,
+      length(p_type) AS type_len,
+      concat_ws('|', p_brand, p_type) AS tagged
+      FROM part ORDER BY p_partkey"""))
+
+  /** F8: label encode — the reference's activity→ordinal `when` chain
+    * (`RecognizeActivity.java:187-200`), applied to event_type. */
+  private val q17 = Q("q17_label_encode",
+    (s, d) => t(s, d, "events")
+      .withColumn("label",
+        when(col("event_type") === "click", 0.0)
+          .when(col("event_type") === "view", 1.0)
+          .when(col("event_type") === "purchase", 2.0)
+          .when(col("event_type") === "signup", 3.0)
+          .when(col("event_type") === "error", 4.0)
+          .otherwise(5.0))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label")),
+    Some("""SELECT CAST(CASE event_type WHEN 'click' THEN 0.0 WHEN 'view' THEN 1.0
+      WHEN 'purchase' THEN 2.0 WHEN 'signup' THEN 3.0 WHEN 'error' THEN 4.0
+      ELSE 5.0 END AS DOUBLE) AS label, count(*) AS n
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
+  /** D8: count guard — groups kept only above a support threshold (the
+    * reference's `count > 100` gate, `RecognizeActivity.java:74`). */
+  private val q18 = Q("q18_count_guard_having",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r(sum(col("value")), 2).as("sum_value"))
+      .filter(col("n") > 100)
+      .orderBy(col("user_id"), col("event_type")),
+    Some("""SELECT user_id, event_type, count(*) AS n,
+      floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      FROM events GROUP BY user_id, event_type HAVING count(*) > 100
+      ORDER BY user_id, event_type"""))
+
+  /** D9/B9: error-rate aggregation — the reference's mispredict ratio
+    * (`DecisionTrees.java:39-43`), over a deterministic pseudo-label. */
+  private val q19 = Q("q19_error_rate",
+    (s, d) => t(s, d, "events")
+      .withColumn("pred", when(col("value") > 50, "purchase").otherwise("click"))
+      .agg(r(avg(when(col("pred") =!= col("event_type"), 1.0).otherwise(0.0)), 4)
+        .as("error_rate"), count(lit(1)).as("n")),
+    Some("""SELECT floor(avg(CAST(CASE WHEN (CASE WHEN value > 50 THEN 'purchase' ELSE 'click' END)
+      <> event_type THEN 1.0 ELSE 0.0 END AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS error_rate,
+      count(*) AS n FROM events"""))
+
+  // ---------------------------------------------------------------- //
+  // E: sessionization / windowing (the reference's core query)        //
+  // ---------------------------------------------------------------- //
+
+  /** E1/C1: per-key successive-difference (lag), aggregated. Replaces
+    * the reference's single-partition zip-shift (`PrepareData.java:17-25`)
+    * with a partitioned ordered window; all math is exact long µs. */
+  private val q09 = Q("q09_lag_deltas",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      eventsUs(s, d)
+        .withColumn("delta", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("delta").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_deltas"), sum(col("delta")).as("sum_delta"),
+          min(col("delta")).as("min_delta"), max(col("delta")).as("max_delta"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH d AS (SELECT user_id,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+      FROM events)
+      SELECT user_id, count(*) AS n_deltas, CAST(sum(delta) AS BIGINT) AS sum_delta,
+        min(delta) AS min_delta, max(delta) AS max_delta
+      FROM d WHERE delta IS NOT NULL GROUP BY user_id ORDER BY user_id"""),
+    bench = true)
+
+  /** E2/E3: gap-detection sessionization, one row per session. */
+  private val q10 = Q("q10_sessionize",
+    (s, d) => Sessionize.sessionBounds(
+        eventsUs(s, d), Seq(col("user_id")), col("ts_us"),
+        SessionGapUs, WindowWidthUs, tieBreak = Seq(col("event_id")))
+      .orderBy(col("user_id"), col("session_id")),
+    Some(s"""WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+      FROM events),
+      s AS (SELECT *, CAST(sum(CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM d)
+      SELECT user_id, session_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
+        count(*) AS n_rows, (max(ts_us) - min(ts_us)) // ${WindowWidthUs} AS n_windows
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""),
+    bench = true)
+
+  /** E4: global tumbling windows by exact integer floor-div bucketing
+    * (1-hour buckets over epoch µs). */
+  private val q11 = Q("q11_tumbling_window_agg",
+    (s, d) => eventsUs(s, d)
+      .withColumn("window_id", longDiv(col("ts_us"), 3600000000L))
+      .groupBy(col("event_type"), col("window_id"))
+      .agg(count(lit(1)).as("n"), r(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("window_id")),
+    Some("""SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+      count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- //
+  // Flagship: full sessionize → window → 11-feature pipeline          //
+  // ---------------------------------------------------------------- //
+
+  /** Derived 3-axis accelerometer columns from the events stream: the
+    * multipliers are powers of two so the derivation is bit-exact in
+    * both engines. */
+  private def withAxes(e: DataFrame): DataFrame = e
+    .withColumn("ax", col("value"))
+    .withColumn("ay", col("value") * 0.5 - 10.0)
+    .withColumn("az", lit(20.0) - col("value") * 0.25)
+
+  /** D2-D7 + E1-E4 end to end: the reference's whole
+    * `RecognizeActivity` feature job as ONE DataFrame chain. */
+  private val q20 = Q("q20_feature_pipeline",
+    (s, d) => {
+      val feats = Features.pipeline(
+        withAxes(eventsUs(s, d)),
+        user = "user_id", activity = "event_type", tsName = "ts_us",
+        axes = Features.Axes(col("ax"), col("ay"), col("az")),
+        gap = SessionGapUs, width = WindowWidthUs,
+        tieBreak = Seq(col("event_id")),
+        portableVariance = true)
+      feats.select(
+        col("user_id"), col("event_type"), col("session_id"), col("window_id"),
+        col("n_samples"),
+        r(col("mean_x"), 4).as("mean_x"),
+        r(col("mean_y"), 4).as("mean_y"),
+        r(col("mean_z"), 4).as("mean_z"),
+        r(col("var_x"), 4).as("var_x"),
+        r(col("var_y"), 4).as("var_y"),
+        r(col("var_z"), 4).as("var_z"),
+        r(col("avg_abs_diff_x"), 4).as("avg_abs_diff_x"),
+        r(col("avg_abs_diff_y"), 4).as("avg_abs_diff_y"),
+        r(col("avg_abs_diff_z"), 4).as("avg_abs_diff_z"),
+        r(col("res"), 4).as("res"),
+        r(col("peak_avg_interval"), 4).as("peak_avg_interval"))
+        .orderBy(col("user_id"), col("event_type"), col("session_id"), col("window_id"))
+    },
+    Some(s"""WITH e AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+          value AS ax, value * 0.5 - 10.0 AS ay, 20.0 - value * 0.25 AS az
+        FROM events),
+      del AS (SELECT *,
+          ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS delta
+        FROM e),
+      ses AS (SELECT *,
+          CAST(sum(CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM del),
+      win AS (SELECT *,
+          (ts_us - min(ts_us) OVER (PARTITION BY user_id, event_type, session_id)) // ${WindowWidthUs} AS window_id
+        FROM ses),
+      sup AS (SELECT *,
+          avg(ax) OVER g AS mx, avg(ay) OVER g AS my, avg(az) OVER g AS mz,
+          max(ay) OVER g AS max_y
+        FROM win
+        WINDOW g AS (PARTITION BY user_id, event_type, session_id, window_id)),
+      pk AS (SELECT *, CASE WHEN ay > 0.9 * max_y THEN ts_us END AS peak_ts FROM sup),
+      pv AS (SELECT *,
+          max(peak_ts) OVER (PARTITION BY user_id, event_type, session_id, window_id
+            ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_peak
+        FROM pk),
+      gp AS (SELECT *,
+          CASE WHEN peak_ts IS NOT NULL AND peak_ts - prev_peak > 0
+            THEN peak_ts - prev_peak END AS peak_gap
+        FROM pv)
+      SELECT user_id, event_type, session_id, window_id,
+        count(*) AS n_samples,
+        floor(avg(ax) * 10000.0 + 0.5) / 10000.0 AS mean_x,
+        floor(avg(ay) * 10000.0 + 0.5) / 10000.0 AS mean_y,
+        floor(avg(az) * 10000.0 + 0.5) / 10000.0 AS mean_z,
+        floor((CASE WHEN count(*) > 1 THEN (sum(ax*ax) - sum(ax)*sum(ax)/count(*)) / (count(*) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_x,
+        floor((CASE WHEN count(*) > 1 THEN (sum(ay*ay) - sum(ay)*sum(ay)/count(*)) / (count(*) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_y,
+        floor((CASE WHEN count(*) > 1 THEN (sum(az*az) - sum(az)*sum(az)/count(*)) / (count(*) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_z,
+        floor(avg(abs(ax - mx)) * 10000.0 + 0.5) / 10000.0 AS avg_abs_diff_x,
+        floor(avg(abs(ay - my)) * 10000.0 + 0.5) / 10000.0 AS avg_abs_diff_y,
+        floor(avg(abs(az - mz)) * 10000.0 + 0.5) / 10000.0 AS avg_abs_diff_z,
+        floor(avg(sqrt(ax*ax + ay*ay + az*az)) * 10000.0 + 0.5) / 10000.0 AS res,
+        floor(coalesce(avg(peak_gap), 0.0) * 10000.0 + 0.5) / 10000.0 AS peak_avg_interval
+      FROM gp
+      GROUP BY user_id, event_type, session_id, window_id
+      ORDER BY user_id, event_type, session_id, window_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- //
+  // registry                                                          //
+  // ---------------------------------------------------------------- //
+
+  val defs: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q15, q16, q17, q18, q19, q20)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.run).toMap
+  def oracleSql: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  def benchNames: Seq[String] = defs.filter(_.bench).map(_.name)
+}

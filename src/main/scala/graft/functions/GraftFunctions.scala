@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level helpers shared across graft operators.
+  *
+  * Everything here composes built-in (codegen'd) Catalyst expressions —
+  * no Scala UDFs in hot paths, so whole-stage codegen spans stay wide
+  * and the DuckDB oracle can reproduce each computation exactly.
+  */
+object GraftFunctions {
+
+  /** Exact integral division (SQL `div`, Catalyst `IntegralDivide`).
+    * `a / b` on Columns is double division, which silently loses
+    * precision for longs above 2^53 — epoch-nanosecond timestamps are
+    * ~1.7e18, so window bucketing MUST use this, never `/`. */
+  def longDiv(a: Column, b: Column): Column = call_function("div", a, b)
+  def longDiv(a: Column, b: Long): Column = longDiv(a, lit(b))
+
+  /** 31-based polynomial rolling hash of a string, mod 1e9+7 — the
+    * deterministic, dialect-portable hash used for document
+    * fingerprinting, MinHash token hashing and SimHash. Pure integer
+    * arithmetic over codepoints, so Spark and the DuckDB oracle compute
+    * bit-identical values (Spark murmur3 `hash()` would not be
+    * reproducible in SQL). 31*h + c stays < 2^35, far from long
+    * overflow. Empty string hashes to 0. */
+  val HashMod = 1000000007L
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c)),
+      lit(0L),
+      (h, c) => pmod(h * lit(31L) + c.cast("long"), lit(HashMod)))
+
+  /** Cross-engine-deterministic rounding to `d` decimals:
+    * floor(x·10^d + 0.5) / 10^d. Unlike `round`, whose tie-breaking
+    * differs between engines (Spark rounds the exact decimal expansion
+    * HALF_UP, DuckDB multiplies then rounds), this is a fixed IEEE op
+    * sequence — identical inputs give bit-identical outputs in Spark
+    * and the DuckDB oracle. Half-way cases round toward +infinity. */
+  def r(c: Column, d: Int): Column = {
+    val k = math.pow(10.0, d)
+    floor(c * lit(k) + lit(0.5)) / lit(k)
+  }
+
+  /** Universal-hash family over an already-hashed long token:
+    * h_i(t) = (a_i * t + b_i) mod p, with a_i/b_i derived from the seed
+    * index. Used for MinHash signatures. */
+  def affineHash(t: Column, i: Int): Column = {
+    val a = 2L * i + 1          // odd multipliers
+    val b = 1000003L * (i + 1)
+    pmod(t * lit(a) + lit(b), lit(HashMod))
+  }
+
+  /** Dot product of two numeric arrays as a left-fold — sequential
+    * accumulation, so the result is order-deterministic and matches a
+    * sequential SQL list_sum. Elements are cast to double first. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2 norm via the same sequential fold. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dotProduct(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Whitespace tokenizer matching the oracle's split semantics:
+    * single-space split (testdata documents are single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word-`n`-gram shingles of a token array, joined by a
+    * space: the input unit for MinHash / Jaccard dedup. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0)) ),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+}

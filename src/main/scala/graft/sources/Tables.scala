@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema'd readers for the driver-generated parquet testdata
+  * (`TESTDATA.md`) — the engine's batch sources.
+  *
+  * The reference scans Cassandra (`job/RecognizeActivity.java:49`
+  * `cassandraTable("actitracker","users")`) with hand-written column
+  * projection and predicate pushdown (`:50,60-69`). Here sources are
+  * declarative `spark.read.parquet` DataFrames: Catalyst's
+  * `ColumnPruning` / `PushDownPredicates` push projections and filters
+  * into the parquet scan automatically (visible as `ReadSchema` /
+  * `PushedFilters` in `.explain("formatted")`), and the vectorized
+  * parquet reader + whole-stage codegen replace the row-at-a-time
+  * `CassandraRow.toMap` access path (`data/DataManager.java:12-22`).
+  *
+  * 100 TB notes: parquet scans split by row-group, so parallelism
+  * scales with data size; no scan here materializes on the driver.
+  * A Cassandra deployment would swap `format("parquet")` for the
+  * connector format string — the plan shape is unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table. `events.ts` is physically parquet
+    * TIMESTAMP(NANOS), which Spark's reader rejects by default; we read
+    * it as a long (nanoseconds since epoch) via the legacy flag. That
+    * matches the reference's data model — timestamps are opaque long
+    * ticks (`RecognizeActivity.java:64`) and all session/window math is
+    * exact integer arithmetic (never double division, which loses
+    * precision above 2^53 — epoch-nanos are ~1.7e18).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

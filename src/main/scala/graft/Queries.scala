@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Features, Sessionize}
+import graft.operators.{Dedup, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions._
 
 /** The engine's named query surface — one entry per operator class in
@@ -427,12 +427,299 @@ object Queries {
     bench = true)
 
   // ---------------------------------------------------------------- //
+  // H1/H2: deduplication family (documents table)                     //
+  // ---------------------------------------------------------------- //
+
+  /** SQL fragment: the portable 31-polynomial hash of expression `x`
+    * (DuckDB dialect) — mirrors `GraftFunctions.polyHash` exactly. */
+  private def sqlPolyHash(x: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($x,''), c -> unicode(c)::BIGINT)), (h,c) -> (h*31+c) % 1000000007)"
+
+  /** SQL fragment: sequential left-fold dot product of two `dim`-dim
+    * float lists — mirrors `GraftFunctions.dotProduct`. */
+  private def sqlDot(a: String, b: String, dim: Int = 64): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1,${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
+
+  /** H1: exact dedup by content hash; keeper = lowest doc_id. */
+  private val q30 = Q("q30_dedup_exact",
+    (s, d) => Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("content_hash"), col("rn"), col("is_dup"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(text) AS content_hash,
+      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+      FROM documents ORDER BY doc_id"""))
+
+  /** H2: exact-scored near-dup — word-3-gram shingle Jaccard over
+    * language-blocked pairs. */
+  private val q31 = Q("q31_dedup_jaccard_pairs",
+    (s, d) => Dedup.jaccardPairs(
+        Dedup.withShingles(t(s, d, "documents"), col("text"), 3),
+        id = "doc_id", blockKey = "lang", threshold = 0.8)
+      .withColumn("n_common", col("n_common").cast("long"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH sh AS (SELECT doc_id, lang,
+        list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS s
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents))
+      SELECT a.lang AS bk, a.doc_id AS id_a, b.doc_id AS id_b,
+        len(list_intersect(a.s, b.s)) AS n_common,
+        floor((len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+      ORDER BY id_a, id_b"""),
+    bench = true)
+
+  /** H2: MinHash(16) + LSH(4 bands × 4 rows) candidate pairs — the
+    * 100 TB-scale near-dup path (band-bucket equality join, no O(n²)). */
+  private val q32 = Q("q32_dedup_minhash_lsh",
+    (s, d) => Dedup.lshCandidates(
+        Dedup.withLshBands(
+          Dedup.withMinHash(t(s, d, "documents"), col("text"), k = 16),
+          k = 16, bands = 4),
+        id = "doc_id", k = 16)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH th AS (SELECT doc_id,
+        list_transform(list_distinct(string_split(text, ' ')), t -> ${sqlPolyHash("t")}) AS hs
+      FROM documents),
+      sig AS (SELECT doc_id,
+        list_transform(range(0, 16), i -> list_min(list_transform(hs,
+          h -> (h * (2*i + 1) + 1000003 * (i + 1)) % 1000000007))) AS mh
+      FROM th),
+      bands AS (SELECT doc_id, mh, b,
+        list_reduce(list_prepend(0::BIGINT, mh[b*4+1:b*4+4]), (x,y) -> (x*31 + y) % 1000000007) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS b))
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        floor((len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i]))::DOUBLE / 16.0) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      ORDER BY id_a, id_b"""))
+
+  /** H2: SimHash(24-bit) near-dup pairs, Hamming ≤ 6, language-blocked. */
+  private val q33 = Q("q33_dedup_simhash_pairs",
+    (s, d) => Dedup.simHashPairs(
+        Dedup.withSimHash(t(s, d, "documents"), col("text"), bits = 24),
+        id = "doc_id", blockKey = "lang", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH th AS (SELECT doc_id, lang,
+        list_transform(list_distinct(string_split(text, ' ')), t -> ${sqlPolyHash("t")}) AS hs
+      FROM documents),
+      sh AS (SELECT doc_id, lang,
+        CAST(list_sum(list_transform(range(0, 24), b ->
+          CASE WHEN 2 * len(list_filter(hs, h -> ((h // (1::BIGINT << b)) % 2) = 1)) > len(hs)
+            THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sim
+      FROM th)
+      SELECT a.lang AS bk, a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 6
+      ORDER BY id_a, id_b"""))
+
+  /** H2: embedding-cosine near-dup pairs, label-blocked. */
+  private val q34 = Q("q34_dedup_embedding_pairs",
+    (s, d) => Dedup.embeddingPairs(
+        t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+        blockKey = "label", threshold = 0.4)
+      .withColumn("bk", col("bk").cast("long"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH p AS (SELECT a.label AS bk, a.vec_id AS id_a, b.vec_id AS id_b,
+        ${sqlDot("a.embedding", "b.embedding")} AS dt,
+        sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b.embedding", "b.embedding")}) AS nn
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+      c AS (SELECT CAST(bk AS BIGINT) AS bk, id_a, id_b,
+        CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END AS cos FROM p)
+      SELECT bk, id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
+
+  // ---------------------------------------------------------------- //
+  // H3: similarity search                                             //
+  // ---------------------------------------------------------------- //
+
+  /** H3: exact brute-force top-5 cosine neighbors for 20 query vectors
+    * (broadcast queries × streamed corpus + per-query rank). */
+  private val q35 = Q("q35_similarity_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+      c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+      p AS (SELECT q_id, c_id, ${sqlDot("qv", "cv")} AS dt,
+        sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")}) AS nn
+      FROM q, c WHERE q_id <> c_id),
+      sc AS (SELECT q_id, c_id, CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END AS cos FROM p),
+      rk AS (SELECT q_id, c_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+      SELECT q_id, rank, c_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""),
+    bench = true)
+
+  /** H3: LSH-bucketed ANN (8 random hyperplanes → 256 buckets;
+    * candidates only from the query's bucket, then exact re-rank) —
+    * the scale path that replaces the cross product with an equality
+    * join on bucket ids. */
+  private val q36 = Q("q36_similarity_lsh_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, planes = 8, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH bq AS (SELECT vec_id AS q_id, embedding AS qv,
+        CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
+          list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
+            qv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
+          THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM (SELECT vec_id, embedding, embedding AS qv0 FROM embeddings WHERE vec_id < 20)),
+      bc AS (SELECT vec_id AS c_id, embedding AS cv,
+        CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
+          list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
+            cv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
+          THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM (SELECT vec_id, embedding, embedding AS cv0 FROM embeddings)),
+      p AS (SELECT q_id, c_id, bq.bucket, ${sqlDot("qv", "cv")} AS dt,
+        sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")}) AS nn
+      FROM bq JOIN bc ON bq.bucket = bc.bucket AND q_id <> c_id),
+      sc AS (SELECT q_id, c_id, bucket, CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END AS cos FROM p),
+      rk AS (SELECT q_id, c_id, bucket, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+      SELECT q_id, rank, c_id, bucket, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  // ---------------------------------------------------------------- //
+  // H4: text analysis                                                 //
+  // ---------------------------------------------------------------- //
+
+  /** H4: per-document token/char stats + composite quality score. */
+  private val q40 = Q("q40_text_stats",
+    (s, d) => TextAnalysis.withTextStats(t(s, d, "documents"), col("text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("n_punct"), col("n_stopwords"),
+        r(col("ttr"), 4).as("ttr"),
+        r(col("stop_ratio"), 4).as("stop_ratio"),
+        r(col("quality_score"), 4).as("quality_score"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+      st AS (SELECT doc_id,
+        len(tk) AS n_tokens,
+        len(list_distinct(tk)) AS n_distinct_tokens,
+        len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+        len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+      FROM t)
+      SELECT doc_id, n_tokens, n_distinct_tokens, n_punct, n_stopwords,
+        floor((n_distinct_tokens::DOUBLE / n_tokens) * 10000.0 + 0.5) / 10000.0 AS ttr,
+        floor((n_stopwords::DOUBLE / n_tokens) * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+        floor((least(1.0, n_tokens / 200.0) * 0.5 + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3
+          + (n_stopwords::DOUBLE / n_tokens) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality_score
+      FROM st ORDER BY doc_id"""),
+    bench = true)
+
+  /** H4: stopword-overlap language ID, reported as a confusion matrix
+    * against the labeled lang column. */
+  private val q41 = Q("q41_langid_confusion",
+    (s, d) => t(s, d, "documents")
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang")),
+    Some("""WITH t AS (SELECT lang, string_split(text, ' ') AS tk FROM documents),
+      sc AS (SELECT lang,
+        len(list_filter(tk, x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(tk, x -> x IN ('de','la','el','en','y'))) AS s_es,
+        len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(tk, x -> x IN ('le','la','de','et','les'))) AS s_fr
+      FROM t)
+      SELECT lang, CASE
+        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        WHEN s_de >= s_fr THEN 'de'
+        ELSE 'fr' END AS pred_lang, count(*) AS n
+      FROM sc GROUP BY 1, 2 ORDER BY lang, pred_lang"""))
+
+  /** H4: document fingerprints — rolling polynomial hash + 1-hash
+    * min-shingle sketch. */
+  private val q42 = Q("q42_fingerprints",
+    (s, d) => TextAnalysis.withFingerprints(t(s, d, "documents"), col("text"))
+      .select(col("doc_id"), col("fingerprint"), col("min_shingle_fp"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
+      SELECT doc_id, ${sqlPolyHash("text")} AS fingerprint,
+        list_min(list_transform(
+          list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]),
+          s -> ${sqlPolyHash("s")})) AS min_shingle_fp
+      FROM t ORDER BY doc_id"""))
+
+  /** H4: token counting — whitespace, BPE-ish regex pre-split, and the
+    * chars/4 rule of thumb. */
+  private val q43 = Q("q43_token_counts",
+    (s, d) => TextAnalysis.withTokenCounts(t(s, d, "documents"), col("text"))
+      .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("est_tokens_len4"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      len(string_split(text, ' ')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+      CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens_len4
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- //
+  // H: multimodal column plumbing                                     //
+  // ---------------------------------------------------------------- //
+
+  /** Multimodal metadata over opaque binary payloads: byte length,
+    * digest, deterministic pseudo decode attributes (decode itself is
+    * the stubbed mapPartitions path in operators.Multimodal). */
+  private val q50 = Q("q50_multimodal_meta",
+    (s, d) => Multimodal.withPayloadMeta(
+        Multimodal.withPayload(t(s, d, "documents"), "text"))
+      .select(col("doc_id"), col("byte_len"), col("content_md5"),
+        col("fake_width"), col("fake_height"), col("fake_n_frames"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text, ${sqlPolyHash("text")} AS ph FROM documents)
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        md5(text) AS content_md5,
+        64 + ph % 1857 AS fake_width,
+        64 + (ph // 1857) % 1017 AS fake_height,
+        1 + ph % 30 AS fake_n_frames
+      FROM t ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- //
+  // E/H5: sliding event-time windows                                  //
+  // ---------------------------------------------------------------- //
+
+  /** H5: sliding window (1 h size, 30 min slide) — each event lands in
+    * exactly two windows, generated by an explode over the hop index
+    * (the batch twin of Structured Streaming's sliding `window()`). */
+  private val q61 = Q("q61_sliding_window_agg",
+    (s, d) => eventsUs(s, d)
+      .withColumn("hop", explode(sequence(lit(0), lit(1))))
+      .withColumn("w_start",
+        (longDiv(col("ts_us"), 1800000000L) - col("hop")) * 1800000000L)
+      .groupBy(col("event_type"), col("w_start"))
+      .agg(count(lit(1)).as("n"), r(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("w_start")),
+    Some("""SELECT event_type, (epoch_us(ts) // 1800000000 - k) * 1800000000 AS w_start,
+      count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
+      FROM events, (SELECT unnest(range(0, 2)) AS k)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q15, q16, q17, q18, q19, q20)
+    q11, q12, q15, q16, q17, q18, q19, q20,
+    q30, q31, q32, q33, q34, q35, q36,
+    q40, q41, q42, q43, q50, q61)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

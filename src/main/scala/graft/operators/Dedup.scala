@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for training-data pipelines (`SURVEY.md`
+  * §2 H1/H2): exact, shingle-Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design: exact dedup is one hash-partitioned groupBy. The
+  * near-dup operators never do an unblocked O(n²) cross join — pairs
+  * are generated inside blocks (LSH band buckets, or a caller-chosen
+  * blocking key such as language), which is the standard way these run
+  * over 100 TB corpora: candidate generation by equality join on
+  * band/bucket keys (shuffle on the bucket key, skew-safe because
+  * bucket cardinality is controlled by the signature parameters), then
+  * exact re-scoring only of candidates.
+  *
+  * All hashing is the portable 31-polynomial (`GraftFunctions.polyHash`)
+  * + affine universal family, pure integer expressions — deterministic
+  * across engines, codegen-friendly, and reproducible by the SQL oracle.
+  */
+object Dedup {
+
+  /** H1 exact dedup: md5 content hash; `rn` = 1 marks the keeper (the
+    * lowest id per hash group), `is_dup` the rest. One shuffle on the
+    * content hash — at 100 TB this is the only way exact dedup can run
+    * (hash-partition by digest, never collect). */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(id)
+    df.withColumn("content_hash", md5(text))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("is_dup", col("rn") > 1)
+  }
+
+  /** Distinct word-n-gram shingle set per document (the unit of
+    * near-dup comparison). */
+  def withShingles(df: DataFrame, text: Column, n: Int = 3): DataFrame =
+    df.withColumn("sh", shingles(tokens(text), n))
+
+  /** H2a pairwise shingle-Jaccard within blocks: join on `blockKey`
+    * (e.g. language, length bucket, or an LSH band), score
+    * |A∩B| / (|A|+|B|−|A∩B|), keep pairs ≥ threshold. Block sizes
+    * bound the quadratic term; at scale the caller feeds LSH-band
+    * blocks (see [[lshCandidates]]) instead of coarse attributes. */
+  def jaccardPairs(shingled: DataFrame, id: String, blockKey: String,
+                   threshold: Double): DataFrame = {
+    val a = shingled.select(col(blockKey).as("bk"), col(id).as("id_a"),
+      col("sh").as("sh_a"))
+    val b = shingled.select(col(blockKey).as("bk"), col(id).as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("bk"), col("id_a"), col("id_b"), col("n_common"),
+        r(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** H2b MinHash signature: k minimums of affine universal hashes over
+    * the token-polyhash set. `sig[i] = min_t (2i+1)·h(t) + 1000003·(i+1)
+    * mod p`. */
+  def withMinHash(df: DataFrame, text: Column, k: Int = 16): DataFrame = {
+    val tokHashes = transform(array_distinct(tokens(text)), t => polyHash(t))
+    df.withColumn("minhash",
+      transform(sequence(lit(0), lit(k - 1)), i =>
+        array_min(transform(tokHashes, h =>
+          pmod(h * (i.cast("long") * 2 + 1) + lit(1000003L) * (i.cast("long") + 1),
+            lit(HashMod))))))
+  }
+
+  /** LSH banding: split the k-length signature into `bands` bands of
+    * k/bands rows each; a band key is the (bandIdx, polyhash-of-band)
+    * pair. Docs sharing ANY band key become candidates — the classic
+    * s-curve trade-off. Returns one row per (doc, band). */
+  def withLshBands(df: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    df.withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_hash",
+        aggregate(
+          slice(col("minhash"), col("band_idx") * rows + 1, lit(rows)),
+          lit(0L),
+          (h, v) => pmod(h * lit(31L) + v, lit(HashMod))))
+  }
+
+  /** H2b candidate pairs: equality join on band keys, deduplicated.
+    * `est_jaccard` = fraction of equal signature positions. */
+  def lshCandidates(banded: DataFrame, id: String, k: Int = 16): DataFrame = {
+    val a = banded.select(col("band_idx"), col("band_hash"),
+      col(id).as("id_a"), col("minhash").as("mh_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"),
+      col(id).as("id_b"), col("minhash").as("mh_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        r(size(filter(zip_with(col("mh_a"), col("mh_b"),
+            (x, y) => when(x === y, lit(1))), c => c.isNotNull))
+          .cast("double") / lit(k.toDouble), 4).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** H2c SimHash: 24-bit signature; bit b is the majority vote of bit b
+    * across the token hashes. Near-dups have small Hamming distance. */
+  def withSimHash(df: DataFrame, text: Column, bits: Int = 24): DataFrame = {
+    val tokHashes = transform(array_distinct(tokens(text)), t => polyHash(t))
+    df.withColumn("_th", tokHashes)
+      .withColumn("simhash",
+        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) => {
+          // portable bit extraction: h < 2^30 and 2^b exact in double,
+          // so floor(h / 2^b) is the exact shift (no shiftright with a
+          // non-literal distance in Spark's DSL)
+          val pow2 = pow(lit(2.0), b.cast("double"))
+          val cnt = size(filter(col("_th"),
+            h => pmod(floor(h / pow2).cast("long"), lit(2L)) === 1L))
+          acc + when(cnt * 2 > size(col("_th")), pow2.cast("long")).otherwise(0L)
+        }))
+      .drop("_th")
+  }
+
+  /** SimHash near-dup pairs within blocks: Hamming distance via
+    * bit_count(xor) ≤ maxHamming. */
+  def simHashPairs(df: DataFrame, id: String, blockKey: String,
+                   maxHamming: Int): DataFrame = {
+    val a = df.select(col(blockKey).as("bk"), col(id).as("id_a"),
+      col("simhash").as("sh_a"))
+    val b = df.select(col(blockKey).as("bk"), col(id).as("id_b"),
+      col("simhash").as("sh_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("bk"), col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** H2d embedding near-dup: cosine ≥ threshold pairs inside blocks
+    * (label, or an IVF/LSH bucket at scale). */
+  def embeddingPairs(df: DataFrame, id: String, vec: String,
+                     blockKey: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockKey).as("bk"), col(id).as("id_a"),
+      col(vec).as("v_a"))
+    val b = df.select(col(blockKey).as("bk"), col(id).as("id_b"),
+      col(vec).as("v_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("bk"), col("id_a"), col("id_b"), r(col("cos"), 4).as("cos"))
+  }
+}

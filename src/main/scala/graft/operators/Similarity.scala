@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`SURVEY.md` §2 H3).
+  *
+  * Two strategies:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set
+  *    against the full corpus, rank per query. The right plan when
+  *    |queries| is small: the corpus streams through one scan, no
+  *    corpus-side shuffle except the final per-query top-k.
+  *  - [[lshTopK]] — scale path: random-hyperplane LSH buckets both
+  *    sides, candidates come only from the query's bucket, then exact
+  *    re-rank. At 100 TB the equality join on bucket ids replaces the
+  *    O(|Q|·|C|) cross product; recall is tuned by `planes` (bucket
+  *    granularity 2^planes).
+  *
+  * The dot product is `GraftFunctions.dotProduct` — a sequential
+  * left-fold of built-in higher-order functions, deterministic and
+  * oracle-reproducible. For ultimate throughput a custom codegen'd
+  * Catalyst Expression would fuse the loop; the fold already stays
+  * inside whole-stage codegen.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus` need (id, vec) columns; result: one row per
+    * (query, rank ≤ k). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+    val pairs = broadcast(queries).crossJoin(corpus)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component d of plane p:
+    * integer-derived value in [-1, 1) with exact decimal construction —
+    * identical in any engine. */
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(p * 37L + d * 101L + 17L, lit(1000L)).cast("double") / 500.0) - 1.0
+
+  /** Sign-of-projection LSH bucket id over `planes` hyperplanes:
+    * bit p = [vec · plane_p > 0]. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (s, d) =>
+        s + element_at(vec, d).cast("double") * planeComponent(p.cast("long"), d.cast("long")))
+      acc + when(proj > 0.0, pow(lit(2.0), p.cast("double")).cast("long")).otherwise(0L)
+    })
+
+  /** ANN top-k: bucket-join candidates then exact cosine re-rank.
+    * Queries whose bucket holds fewer than k neighbors return fewer
+    * rows (recall/latency trade-off of single-probe LSH). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
+              dim: Int, qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
+    val cb = corpus.withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
+    val pairs = qb.join(cb, Seq("bucket"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId), col("bucket"), r(col("cos"), 4).as("cos"))
+  }
+}

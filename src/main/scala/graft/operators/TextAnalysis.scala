@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (`SURVEY.md` §2 H4): token statistics, quality scoring, language
+  * identification, document fingerprinting.
+  *
+  * Every operator is a pure column expression (codegen'd, no UDFs) so
+  * the whole stage stays in one WholeStageCodegen span and the DuckDB
+  * oracle reproduces each value exactly. All are embarrassingly
+  * parallel per-row maps — at 100 TB they pipeline behind the scan with
+  * zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Stopword list used for both quality scoring and language ID.
+    * Deliberately small + deterministic; swap for a real per-language
+    * lexicon in production. */
+  val EnStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-language marker lexicons for the n-gram/stopword language-ID
+    * heuristic (standard stopword-overlap scoring; ties broken in
+    * en > es > de > fr order). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("de", "la", "el", "en", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+
+  /** Token/char statistics + a composite quality score:
+    * 0.5·min(1, n_tokens/200) + 0.3·type-token-ratio + 0.2·stopword
+    * ratio — the length/diversity/stopword shape used by web-scale
+    * corpus filters. Adds columns; keeps input columns. */
+  def withTextStats(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_chars_calc", length(text).cast("long"))
+      .withColumn("n_punct",
+        size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("long"))
+      .withColumn("n_stopwords", countIn(toks, EnStop).cast("long"))
+      .withColumn("ttr",
+        col("n_distinct_tokens").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / lit(200.0)) * 0.5
+          + col("ttr") * 0.3 + col("stop_ratio") * 0.2)
+  }
+
+  /** Whitespace vs BPE-ish token counts: `\w+|[^\w\s]` approximates a
+    * byte-pair tokenizer's pre-split (words + isolated punctuation);
+    * `est_tokens_len4` is the chars/4 rule of thumb. */
+  def withTokenCounts(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(text)).cast("long"))
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long"))
+      .withColumn("est_tokens_len4",
+        ceil(length(text) / lit(4.0)).cast("long"))
+
+  /** Stopword-overlap language ID. Scores each candidate language by
+    * marker-token hits; argmax with fixed tie order. Returns the
+    * prediction column. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val s = LangMarkers.view.mapValues(m => countIn(toks, m)).toMap
+    when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr"), "es")
+      .when(s("de") >= s("fr"), "de")
+      .otherwise("fr")
+  }
+
+  /** Document fingerprints: full-text rolling polynomial hash plus the
+    * minimum word-3-gram shingle hash (a 1-hash winnowing sketch —
+    * equal min-shingle-fp is a cheap near-dup candidate signal). */
+  def withFingerprints(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("fingerprint", polyHash(text))
+      .withColumn("min_shingle_fp",
+        array_min(transform(shingles(tokens(text), 3), s => polyHash(s))))
+}

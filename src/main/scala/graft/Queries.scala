@@ -712,6 +712,98 @@ object Queries {
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
   // ---------------------------------------------------------------- //
+  // E (streaming twin): native session_window                         //
+  // ---------------------------------------------------------------- //
+
+  /** E3 via Spark's native `session_window` (the Structured Streaming
+    * operator, exercised in batch): a session closes when no event
+    * arrives within the gap; end = last event + gap. */
+  private val q62 = Q("q62_session_window_native",
+    (s, d) => graft.streaming.EventStreams.withEventTime(t(s, d, "events"))
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start_us"),
+        unix_micros(col("session_window.end")).as("s_end_us"),
+        col("n"))
+      .orderBy(col("user_id"), col("s_start_us")),
+    Some("""WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
+      FROM events),
+      s AS (SELECT *, CAST(sum(CASE WHEN delta >= 1800000000 THEN 1 ELSE 0 END)
+        OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      FROM d)
+      SELECT user_id, min(ts_us) AS s_start_us, max(ts_us) + 1800000000 AS s_end_us,
+        count(*) AS n
+      FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"""))
+
+  // ---------------------------------------------------------------- //
+  // F: ML train/eval (no SQL twin — rows-only checks)                 //
+  // ---------------------------------------------------------------- //
+
+  private val EventVocab = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Labeled feature table for the classifiers: the flagship feature
+    * pipeline + F8 ordinal labels. Cached per query run (each model
+    * training iterates over it repeatedly). */
+  private def mlFeatures(s: SparkSession, d: String): DataFrame =
+    Features.pipeline(
+      withAxes(eventsUs(s, d)),
+      user = "user_id", activity = "event_type", tsName = "ts_us",
+      axes = Features.Axes(col("ax"), col("ay"), col("az")),
+      gap = SessionGapUs, width = WindowWidthUs,
+      tieBreak = Seq(col("event_id")))
+      .withColumn("label", graft.ml.Models.encodeLabel(col("event_type"), EventVocab))
+
+  private def evalRow(s: SparkSession, name: String,
+                      e: graft.ml.Models.Eval): DataFrame = {
+    import s.implicits._
+    Seq((name, e.nTrain, e.nTest, math.floor(e.accuracy * 10000.0 + 0.5) / 10000.0,
+      math.floor(e.errorRate * 10000.0 + 0.5) / 10000.0))
+      .toDF("model", "n_train", "n_test", "accuracy", "error_rate")
+  }
+
+  /** F2: decision tree (gini, depth 9, bins 32) on the 11 features. */
+  private val q70 = Q("q70_ml_decision_tree",
+    (s, d) => evalRow(s, "decision_tree",
+      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.decisionTree)),
+    None)
+
+  /** F3: random forest (10 trees, seed 12345). */
+  private val q71 = Q("q71_ml_random_forest",
+    (s, d) => evalRow(s, "random_forest",
+      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.randomForest)),
+    None)
+
+  /** F5: multinomial logistic regression. */
+  private val q72 = Q("q72_ml_logistic_regression",
+    (s, d) => evalRow(s, "logistic_regression",
+      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.logisticRegression)),
+    None)
+
+  /** F6: naive Bayes (gaussian — accelerometer-style features are
+    * negative; see Models scaladoc). */
+  private val q73 = Q("q73_ml_naive_bayes",
+    (s, d) => evalRow(s, "naive_bayes",
+      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.naiveBayes)),
+    None)
+
+  /** F7 + A7/A8: model persistence round-trip then batch scoring —
+    * save, load, transform, report per-class prediction counts. */
+  private val q74 = Q("q74_ml_save_load_predict",
+    (s, d) => {
+      val feats = mlFeatures(s, d).cache()
+      val e = graft.ml.Models.trainEval(feats, graft.ml.Models.decisionTree)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_model_").resolve("dt").toString
+      val reloaded = graft.ml.Models.saveLoad(e.model, path)
+      reloaded.transform(feats)
+        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+        .orderBy(col("prediction"))
+    },
+    None)
+
+  // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
 
@@ -719,7 +811,8 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q15, q16, q17, q18, q19, q20,
     q30, q31, q32, q33, q34, q35, q36,
-    q40, q41, q42, q43, q50, q61)
+    q40, q41, q42, q43, q50, q61, q62,
+    q70, q71, q72, q73, q74)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

@@ -1,0 +1,103 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's model zoo (`SURVEY.md` §2 F) on spark.ml DataFrame
+  * pipelines (the RDD-based spark.mllib API it used is deprecated).
+  *
+  * Reference parity choices:
+  *  - DecisionTree: gini / maxDepth 9 / maxBins 32
+  *    (`model/DecisionTrees.java:27-31`)
+  *  - RandomForest: 10 trees, gini, depth 9, bins 32, "auto" feature
+  *    subset, seed 12345 (`model/RandomForests.java:29-36`)
+  *  - LogisticRegression: multinomial (LBFGS under the hood)
+  *    (`model/MultinomialLogisticRegression.java:30`)
+  *  - NaiveBayes: smoothing 1.0 — but spark.ml multinomial NB requires
+  *    nonnegative features and the reference's accelerometer means are
+  *    negative (`SURVEY.md` §7.4), so the usable surface here is
+  *    gaussian NB; multinomial remains constructible for parity.
+  *  - GBT: defined but never invoked by the reference main, and
+  *    multiclass would throw (binary-only) — surfaced as a constructor,
+  *    gated exactly like the reference leaves it unused.
+  *  - 60/40 random split, SEEDED (the reference's unseeded split,
+  *    `RecognizeActivity.java:133`, makes its error rates
+  *    irreproducible — we fix that).
+  *  - error rate = 1 − accuracy via MulticlassClassificationEvaluator
+  *    (the reference's filter(pred≠label)/count,
+  *    `DecisionTrees.java:39-43`).
+  *
+  * Scale: training data stays a distributed DataFrame end to end (the
+  * reference collected every feature row to a driver list,
+  * `RecognizeActivity.java:115-117`). Cache the feature table once
+  * before the multi-model fan-out.
+  */
+object Models {
+
+  val FeatureCols: Seq[String] = Seq(
+    "mean_x", "mean_y", "mean_z", "var_x", "var_y", "var_z",
+    "avg_abs_diff_x", "avg_abs_diff_y", "avg_abs_diff_z", "res",
+    "peak_avg_interval")
+
+  val Seed = 12345L
+
+  /** F8 label encoding: fixed string→ordinal map (reference's `when`
+    * chain, `RecognizeActivity.java:187-200`). Unknown strings → max+1
+    * (the reference defaulted unknowns to 0, conflating them with the
+    * first class — fixed here). */
+  def encodeLabel(c: Column, vocab: Seq[String]): Column =
+    vocab.zipWithIndex.foldLeft(lit(vocab.size.toDouble)) {
+      case (acc, (v, i)) => when(c === v, i.toDouble).otherwise(acc)
+    }
+
+  private def assembler = new VectorAssembler()
+    .setInputCols(FeatureCols.toArray).setOutputCol("features")
+
+  def decisionTree: DecisionTreeClassifier = new DecisionTreeClassifier()
+    .setImpurity("gini").setMaxDepth(9).setMaxBins(32).setSeed(Seed)
+
+  def randomForest: RandomForestClassifier = new RandomForestClassifier()
+    .setNumTrees(10).setImpurity("gini").setMaxDepth(9).setMaxBins(32)
+    .setFeatureSubsetStrategy("auto").setSeed(12345L)
+
+  def logisticRegression: LogisticRegression = new LogisticRegression()
+    .setFamily("multinomial").setMaxIter(100)
+
+  def naiveBayes: NaiveBayes = new NaiveBayes()
+    .setSmoothing(1.0).setModelType("gaussian")
+
+  /** Binary-only in spark.ml, exactly as in MLlib — constructible for
+    * surface parity with `model/GradientBoostedTree.java`, not wired
+    * into the multiclass flagship (would throw, as the reference's
+    * would have). */
+  def gradientBoostedTrees: GBTClassifier = new GBTClassifier()
+    .setMaxIter(3).setMaxDepth(5).setSeed(Seed)
+
+  final case class Eval(model: PipelineModel, accuracy: Double,
+                        errorRate: Double, nTrain: Long, nTest: Long)
+
+  /** Train + evaluate one classifier on a feature DataFrame with a
+    * `label` column: seeded 60/40 split, fit on train, accuracy on
+    * test. The feature table should be cached by the caller when
+    * several models share it. */
+  def trainEval(features: DataFrame,
+                stage: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]): Eval = {
+    val Array(train, test) = features.randomSplit(Array(0.6, 0.4), Seed)
+    val pipeline = new Pipeline().setStages(Array(assembler, stage))
+    val model = pipeline.fit(train)
+    val predictions = model.transform(test)
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(predictions)
+    Eval(model, acc, 1.0 - acc, train.count(), test.count())
+  }
+
+  /** A7/A8 parity: MLWriter round-trip. */
+  def saveLoad(model: PipelineModel, path: String): PipelineModel = {
+    model.write.overwrite().save(path)
+    PipelineModel.load(path)
+  }
+}

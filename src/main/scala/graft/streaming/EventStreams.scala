@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions.longDiv
+
+/** Structured Streaming surface (`SURVEY.md` §2 E "streaming twin",
+  * H5). The reference is batch-only; these give the engine genuine
+  * stream semantics — event-time tumbling/sliding windows, gap-based
+  * session windows, watermarked late-data handling — while every
+  * transform also runs identically in batch mode (same functions, same
+  * plans), which is how the DuckDB oracle exercises them.
+  *
+  * Scale: watermark + windowed aggregation is incremental state in the
+  * HDFS-backed state store, partitioned by group key — no unbounded
+  * state, no driver accumulation.
+  */
+object EventStreams {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),          // epoch nanos (nanosAsLong read)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Proper event-time column from the long-nanos `ts`. */
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros(longDiv(col("ts"), 1000L)))
+
+  /** File-source stream over the events parquet (schema must be
+    * declared for streaming reads). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withEventTime(
+      spark.readStream.schema(EventSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  /** Tumbling event-time window aggregation with a 1-hour watermark:
+    * in streaming mode emits finalized windows; in batch mode computes
+    * the same result in one pass. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window (size/slide), the streaming twin of q61. */
+  def slidingCounts(events: DataFrame, size: String = "1 hour",
+                    slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Gap-based session windows (`session_window`) — Spark's native
+    * operator for what `Sessionize` builds manually; a session closes
+    * when no event arrives within `gap`. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("event_time", "1 hour")
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (0L, "en", "the quick brown fox jumps over the lazy dog"),
+    (1L, "en", "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (2L, "en", "the quick brown fox jumps over the lazy cat"),      // near dup of 0
+    (3L, "en", "completely different words appear in this sentence here"),
+    (4L, "fr", "the quick brown fox jumps over the lazy dog")       // dup, other block
+  ).toDF("doc_id", "lang", "text")
+
+  test("H1 exact dedup: identical texts share a hash; lowest id is keeper") {
+    val out = Dedup.exact(docs, col("doc_id"), col("text"))
+      .select("doc_id", "content_hash", "rn", "is_dup")
+      .as[(Long, String, Long, Boolean)].collect().sortBy(_._1)
+    val h0 = out(0)._2
+    assert(out(1)._2 === h0 && out(4)._2 === h0)   // 0,1,4 identical
+    assert(!out(0)._4 && out(1)._4 && out(4)._4)   // keeper is doc 0
+    assert(out(2)._2 != h0)
+    assert(!out(2)._4)
+  }
+
+  test("H2 shingle-Jaccard: dup pair = 1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(
+      Dedup.withShingles(docs, col("text"), 3), "doc_id", "lang", 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.exists(p => p._1._2 == 3L))      // doc 3 unrelated
+    assert(!pairs.contains((0L, 4L)))              // different block (lang)
+  }
+
+  test("H2 MinHash: identical docs → identical signatures; LSH finds the dup") {
+    val sigs = Dedup.withMinHash(docs, col("text"), k = 16)
+      .select("doc_id", "minhash").as[(Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(3L))
+    val cands = Dedup.lshCandidates(
+      Dedup.withLshBands(Dedup.withMinHash(docs, col("text"), 16), 16, 4),
+      "doc_id", 16)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+    assert(cands.exists(c => c._1 == 0L && c._2 == 1L && c._3 === 1.0))
+    assert(!cands.exists(c => c._2 == 3L || c._1 == 3L))
+  }
+
+  test("H2 SimHash: identical docs at Hamming 0; near-dup within 6") {
+    val pairs = Dedup.simHashPairs(
+      Dedup.withSimHash(docs, col("text"), bits = 24), "doc_id", "lang", 6)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) === 0L)
+    assert(pairs.get((0L, 2L)).forall(_ <= 6L))
+  }
+
+  val vecs = Seq(
+    (0L, 0, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, 0, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, 0, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, 0, Seq(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "label", "embedding")
+
+  test("H2 embedding near-dup pairs above threshold") {
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("H3 brute-force top-k: correct neighbor order, self excluded") {
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = vecs.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val top = Similarity.bruteForceTopK(q, c, k = 3)
+      .orderBy("rank").select("c_id", "cos").as[(Long, Double)].collect()
+    assert(top.head._1 === 1L)                     // closest is the near-dup
+    assert(top.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(!top.map(_._1).contains(0L))
+    assert(top.head._2 > 0.99)
+  }
+
+  test("H3 LSH: identical vectors land in the same bucket") {
+    val b = vecs.withColumn("bucket",
+        Similarity.lshBucket(col("embedding"), planes = 8, dim = 3))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) === b(0L))
+    val dup = vecs.withColumn("embedding", col("embedding"))
+    // near-identical vectors 0 and 1 should usually share the bucket
+    assert(b(0L) === b(1L))
+  }
+}

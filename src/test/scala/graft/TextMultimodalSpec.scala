@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.functions.GraftFunctions
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("H4 text stats: counts and ratios") {
+    val df = Seq((1L, "the cat and the hat is a cat")).toDF("id", "text")
+    val row = TextAnalysis.withTextStats(df, col("text")).collect().head
+    assert(row.getAs[Long]("n_tokens") === 8L)
+    assert(row.getAs[Long]("n_distinct_tokens") === 6L)
+    assert(row.getAs[Long]("n_stopwords") === 5L)   // the ×2, and, is, a
+    assert(row.getAs[Double]("ttr") === 6.0 / 8.0)
+  }
+
+  test("H4 langid: marker-word argmax with tie order") {
+    val df = Seq(
+      (1L, "the cat of a dog and the bird"),
+      (2L, "la casa de el perro y la en"),
+      (3L, "der hund und die katze ist das")).toDF("id", "text")
+    val out = df.withColumn("pred", TextAnalysis.langId(col("text")))
+      .select("id", "pred").as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "de")
+  }
+
+  test("H4 fingerprints: deterministic, dup-sensitive") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"))
+      .toDF("id", "text")
+    val fp = TextAnalysis.withFingerprints(df, col("text"))
+      .select("id", "fingerprint", "min_shingle_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("H4 polyhash matches the documented 31-polynomial") {
+    val got = Seq("hello").toDF("s")
+      .select(GraftFunctions.polyHash(col("s"))).as[Long].collect().head
+    // h("hello") = fold(0, c => 31h+c) mod 1e9+7
+    val expected = "hello".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    assert(got === expected)
+  }
+
+  test("multimodal: payload metadata + stubbed partition-batched decode") {
+    val df = Seq((1L, "some media payload"), (2L, "")).toDF("doc_id", "text")
+    val meta = Multimodal.withPayloadMeta(Multimodal.withPayload(df, "text"))
+      .select("doc_id", "byte_len", "fake_width").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(meta(1L)._1 === "some media payload".getBytes("UTF-8").length.toLong)
+    assert(meta(1L)._2 >= 64L)
+    val decoded = Multimodal.decodeFeatures(spark,
+      Multimodal.withPayload(df, "text")).collect()
+    assert(decoded.length === 2)
+    val r1 = decoded.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) === "some media payload".getBytes("UTF-8").length.toLong)
+    assert(r1.getDouble(2) > 0.0)
+    assert(r1.getSeq[Float](3).length === 8)
+    val r2 = decoded.find(_.getLong(0) == 2L).get
+    assert(r2.getDouble(2) === 0.0)
+  }
+}

@@ -468,8 +468,7 @@ object Queries {
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.s, b.s))::DOUBLE
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
-      ORDER BY id_a, id_b"""),
-    bench = true)
+      ORDER BY id_a, id_b"""))
 
   /** H2: MinHash(16) + LSH(4 bands × 4 rows) candidate pairs — the
     * 100 TB-scale near-dup path (band-bucket equality join, no O(n²)). */
@@ -481,8 +480,8 @@ object Queries {
         id = "doc_id", k = 16)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH th AS (SELECT doc_id,
-        list_transform(list_distinct(string_split(text, ' ')), t -> ${sqlPolyHash("t")}) AS hs
-      FROM documents),
+        list_transform(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]), t -> ${sqlPolyHash("t")}) AS hs
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
       sig AS (SELECT doc_id,
         list_transform(range(0, 16), i -> list_min(list_transform(hs,
           h -> (h * (2*i + 1) + 1000003 * (i + 1)) % 1000000007))) AS mh
@@ -495,6 +494,38 @@ object Queries {
       FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
       ORDER BY id_a, id_b"""))
 
+  /** H2 scale path: LSH candidates → exact Jaccard verify (≥ 0.8).
+    * The benchmarked dedup — near-linear, vs q31's quadratic
+    * within-block baseline. */
+  private val q37 = Q("q37_dedup_lsh_verified",
+    (s, d) => Dedup.lshVerifiedPairs(t(s, d, "documents"), "doc_id",
+        col("text"), k = 16, bands = 4, shingleN = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH th AS (SELECT doc_id,
+        list_transform(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]), t -> ${sqlPolyHash("t")}) AS hs
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      sig AS (SELECT doc_id,
+        list_transform(range(0, 16), i -> list_min(list_transform(hs,
+          h -> (h * (2*i + 1) + 1000003 * (i + 1)) % 1000000007))) AS mh
+      FROM th),
+      bands AS (SELECT doc_id, b,
+        list_reduce(list_prepend(0::BIGINT, mh[b*4+1:b*4+4]), (x,y) -> (x*31 + y) % 1000000007) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id,
+        list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      scored AS (SELECT id_a, id_b,
+        len(list_intersect(sa.s, sb.s)) AS n_common,
+        len(list_intersect(sa.s, sb.s))::DOUBLE
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS j
+      FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id)
+      SELECT id_a, id_b, n_common,
+        floor(j * 10000.0 + 0.5) / 10000.0 AS jaccard
+      FROM scored WHERE j >= 0.8 ORDER BY id_a, id_b"""),
+    bench = true)
+
   /** H2: SimHash(24-bit) near-dup pairs, Hamming ≤ 6, language-blocked. */
   private val q33 = Q("q33_dedup_simhash_pairs",
     (s, d) => Dedup.simHashPairs(
@@ -502,8 +533,8 @@ object Queries {
         id = "doc_id", blockKey = "lang", maxHamming = 6)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH th AS (SELECT doc_id, lang,
-        list_transform(list_distinct(string_split(text, ' ')), t -> ${sqlPolyHash("t")}) AS hs
-      FROM documents),
+        list_transform(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]), t -> ${sqlPolyHash("t")}) AS hs
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)),
       sh AS (SELECT doc_id, lang,
         CAST(list_sum(list_transform(range(0, 24), b ->
           CASE WHEN 2 * len(list_filter(hs, h -> ((h // (1::BIGINT << b)) % 2) = 1)) > len(hs)
@@ -810,7 +841,7 @@ object Queries {
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q15, q16, q17, q18, q19, q20,
-    q30, q31, q32, q33, q34, q35, q36,
+    q30, q31, q32, q33, q34, q35, q36, q37,
     q40, q41, q42, q43, q50, q61, q62,
     q70, q71, q72, q73, q74)
 

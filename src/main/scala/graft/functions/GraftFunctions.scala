@@ -26,7 +26,13 @@ object GraftFunctions {
     * reproducible in SQL). 31*h + c stays < 2^35, far from long
     * overflow. Empty string hashes to 0. */
   val HashMod = 1000000007L
-  def polyHash(s: Column): Column =
+  def polyHash(s: Column): Column = HashExpressions.polyHashNative(s)
+
+  /** The declarative (built-ins only) form of [[polyHash]] — identical
+    * semantics, kept as the readable specification and the fallback if
+    * the native expression is unavailable. Interpreted per char, so
+    * ~100× slower on hot paths. */
+  def polyHashDeclarative(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c)),
       lit(0L),

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd Catalyst expressions for the portable hashing hot
+  * paths. The pure-`functions._` forms (nested `transform`/`aggregate`
+  * lambdas) are semantically identical but interpreted — measured
+  * ~25 ms/doc for a MinHash signature; these compile to a tight Java
+  * loop inside whole-stage codegen (~1000× less per-row overhead).
+  * Semantics are EXACTLY the documented portable forms, so the DuckDB
+  * oracles are unchanged: 31-polynomial over Unicode code points mod
+  * 1e9+7; affine family (2i+1)·h + 1000003·(i+1) mod p; word-n-gram
+  * shingles joined by a single space.
+  */
+object HashUtil {
+  val Mod = 1000000007L
+
+  /** polyhash: fold h = (31·h + codepoint) mod p over the string. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Fused shingle → MinHash signature: for each word-n-gram shingle
+    * (tokens joined by ' ', partial shingle when fewer than n tokens —
+    * matching `GraftFunctions.shingles`), compute its polyhash
+    * incrementally (no shingle string is materialized) and fold it
+    * into the k affine minima. Duplicate shingles don't affect minima,
+    * so the distinct step of the declarative form is unnecessary. */
+  def shingleMinHash(toks: ArrayData, n: Int, k: Int): ArrayData = {
+    val size = toks.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    val last = math.max(size - n, 0)
+    var i = 0
+    while (i <= last) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + n, size)
+      while (j < end) {
+        if (j > i) h = (h * 31 + 32) % Mod            // ' ' separator
+        val s = toks.getUTF8String(j).toString
+        var ci = 0
+        while (ci < s.length) {
+          val cp = s.codePointAt(ci)
+          h = (h * 31 + cp) % Mod
+          ci += Character.charCount(cp)
+        }
+        j += 1
+      }
+      var t = 0
+      while (t < k) {
+        val v = (h * (2L * t + 1) + 1000003L * (t + 1)) % Mod
+        if (v < out(t)) out(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `graft_polyhash(string) -> long` — see [[HashUtil.polyHash]]. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.polyHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.polyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_minhash(array<string>, n, k) -> array<long>` — see
+  * [[HashUtil.shingleMinHash]]. */
+case class ShingleMinHash(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_minhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleMinHash(input.asInstanceOf[ArrayData], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.shingleMinHash($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  /** Column wrappers over the native expressions. */
+  def polyHashNative(c: Column): Column =
+    GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+  def shingleMinHashNative(tokens: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(ShingleMinHash(GraftColumnBridge.expression(tokens), n, k))
+}

@@ -25,6 +25,29 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
+  /** Materialization barrier after an expensive per-row derivation
+    * (shingle sets, MinHash/SimHash signatures): a round-robin
+    * repartition to the session's shuffle parallelism. Two reasons,
+    * both load-bearing at scale:
+    *  1. single-file/single-row-group inputs otherwise run the heavy
+    *     expression on ONE task (parquet splits, not rows, set scan
+    *     parallelism);
+    *  2. higher-order-function expressions are interpreted and lazy —
+    *     without a shuffle boundary Catalyst's projection collapse
+    *     re-evaluates them through downstream explodes and joins
+    *     (measured 2× on the LSH pipeline). Below an Exchange they are
+    *     computed exactly once and the RESULT is shuffled. */
+  private def materialize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Compute-heavy per-row derivation, done right: spread the input
+    * across the session's parallelism FIRST (a single-row-group parquet
+    * scan is otherwise ONE task), evaluate the expression once per row,
+    * then barrier so downstream explodes/joins shuffle the RESULT
+    * instead of re-evaluating the expression tree. */
+  private def derived(df: DataFrame)(add: DataFrame => DataFrame): DataFrame =
+    materialize(add(materialize(df)))
+
   /** H1 exact dedup: md5 content hash; `rn` = 1 marks the keeper (the
     * lowest id per hash group), `is_dup` the rest. One shuffle on the
     * content hash — at 100 TB this is the only way exact dedup can run
@@ -39,7 +62,7 @@ object Dedup {
   /** Distinct word-n-gram shingle set per document (the unit of
     * near-dup comparison). */
   def withShingles(df: DataFrame, text: Column, n: Int = 3): DataFrame =
-    df.withColumn("sh", shingles(tokens(text), n))
+    derived(df)(_.withColumn("sh", shingles(tokens(text), n)))
 
   /** H2a pairwise shingle-Jaccard within blocks: join on `blockKey`
     * (e.g. language, length bucket, or an LSH band), score
@@ -64,16 +87,16 @@ object Dedup {
   }
 
   /** H2b MinHash signature: k minimums of affine universal hashes over
-    * the token-polyhash set. `sig[i] = min_t (2i+1)·h(t) + 1000003·(i+1)
-    * mod p`. */
-  def withMinHash(df: DataFrame, text: Column, k: Int = 16): DataFrame = {
-    val tokHashes = transform(array_distinct(tokens(text)), t => polyHash(t))
-    df.withColumn("minhash",
-      transform(sequence(lit(0), lit(k - 1)), i =>
-        array_min(transform(tokHashes, h =>
-          pmod(h * (i.cast("long") * 2 + 1) + lit(1000003L) * (i.cast("long") + 1),
-            lit(HashMod))))))
-  }
+    * the word-`shingleN`-gram shingle hashes. `sig[i] = min_s
+    * (2i+1)·h(s) + 1000003·(i+1) mod p`. Shingles, NOT unigram tokens:
+    * with a small shared vocabulary, unigram token SETS are nearly
+    * identical across unrelated documents (set-Jaccard ≈ 1), which
+    * collapses every LSH bucket into one giant candidate clique —
+    * word-n-gram shingles keep unrelated documents near-disjoint. */
+  def withMinHash(df: DataFrame, text: Column, k: Int = 16,
+                  shingleN: Int = 3): DataFrame =
+    derived(df)(_.withColumn("minhash",
+      graft.functions.HashExpressions.shingleMinHashNative(tokens(text), shingleN, k)))
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; a band key is the (bandIdx, polyhash-of-band)
@@ -105,11 +128,41 @@ object Dedup {
       .distinct()
   }
 
+  /** H2 at scale: LSH-prefiltered exact near-dup — MinHash band join
+    * proposes candidates, then ONLY those pairs get exact shingle
+    * Jaccard scoring. This is the 100 TB dedup plan: candidate count is
+    * ~(true near-dups + s-curve false positives), so the quadratic
+    * exact-verify step touches a vanishing fraction of the corpus
+    * (vs [[jaccardPairs]]' full within-block cross product, which is
+    * the correctness baseline but O(block²)). */
+  def lshVerifiedPairs(df: DataFrame, id: String, text: Column,
+                       k: Int = 16, bands: Int = 4,
+                       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cands = lshCandidates(
+      withLshBands(withMinHash(df, text, k, shingleN), k, bands), id, k)
+      .select(col("id_a"), col("id_b"))
+    val sh = withShingles(df, text, shingleN)
+      .select(col(id).as("_sid"), col("sh"))
+    cands
+      .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("_sid"))
+      .drop("_sid")
+      .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("_sid"))
+      .drop("_sid")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), r(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** H2c SimHash: 24-bit signature; bit b is the majority vote of bit b
-    * across the token hashes. Near-dups have small Hamming distance. */
-  def withSimHash(df: DataFrame, text: Column, bits: Int = 24): DataFrame = {
-    val tokHashes = transform(array_distinct(tokens(text)), t => polyHash(t))
-    df.withColumn("_th", tokHashes)
+    * across the shingle hashes (shingles for the same reason as
+    * [[withMinHash]]). Near-dups have small Hamming distance. */
+  def withSimHash(df: DataFrame, text: Column, bits: Int = 24,
+                  shingleN: Int = 3): DataFrame = derived(df) { d =>
+    val tokHashes = transform(shingles(tokens(text), shingleN), s => polyHash(s))
+    d.withColumn("_th", tokHashes)
       .withColumn("simhash",
         aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) => {
           // portable bit extraction: h < 2^30 and 2^b exact in double,
@@ -143,13 +196,17 @@ object Dedup {
     * (label, or an IVF/LSH bucket at scale). */
   def embeddingPairs(df: DataFrame, id: String, vec: String,
                      blockKey: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockKey).as("bk"), col(id).as("id_a"),
-      col(vec).as("v_a"))
-    val b = df.select(col(blockKey).as("bk"), col(id).as("id_b"),
-      col(vec).as("v_b"))
+    // norms computed once per vector behind the barrier, not per pair
+    val normed = derived(df)(_.withColumn("_norm", l2Norm(col(vec))))
+    val a = normed.select(col(blockKey).as("bk"), col(id).as("id_a"),
+      col(vec).as("v_a"), col("_norm").as("n_a"))
+    val b = normed.select(col(blockKey).as("bk"), col(id).as("id_b"),
+      col(vec).as("v_b"), col("_norm").as("n_b"))
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("_nn", col("n_a") * col("n_b"))
+      .withColumn("cos", when(col("_nn") === 0.0, 0.0)
+        .otherwise(dotProduct(col("v_a"), col("v_b")) / col("_nn")))
       .filter(col("cos") >= threshold)
       .select(col("bk"), col("id_a"), col("id_b"), r(col("cos"), 4).as("cos"))
   }

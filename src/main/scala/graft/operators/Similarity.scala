@@ -20,22 +20,40 @@ import graft.functions.GraftFunctions._
   *    O(|Q|·|C|) cross product; recall is tuned by `planes` (bucket
   *    granularity 2^planes).
   *
+  * Cost discipline: L2 norms (and LSH buckets) are computed ONCE per
+  * vector on the pre-join side behind a repartition barrier — never
+  * per candidate pair (higher-order-function expressions are
+  * interpreted; letting projection collapse pull them through a join
+  * multiplies their cost by the fan-out). The per-pair work is exactly
+  * one dot product.
+  *
   * The dot product is `GraftFunctions.dotProduct` — a sequential
   * left-fold of built-in higher-order functions, deterministic and
   * oracle-reproducible. For ultimate throughput a custom codegen'd
-  * Catalyst Expression would fuse the loop; the fold already stays
-  * inside whole-stage codegen.
+  * Catalyst Expression would fuse the loop; this is the documented
+  * upgrade path.
   */
 object Similarity {
+
+  private def materialize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** cos from a precomputed norm product; 0.0 for zero norms (same
+    * guarded form the SQL oracle uses). */
+  private def cosFromNorms(dot: Column, nn: Column): Column =
+    when(nn === 0.0, 0.0).otherwise(dot / nn)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus` need (id, vec) columns; result: one row per
     * (query, rank ≤ k). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "q_id", cId: String = "c_id"): DataFrame = {
-    val pairs = broadcast(queries).crossJoin(corpus)
+    val q = queries.withColumn("q_norm", l2Norm(col("q_vec")))
+    val c = materialize(corpus.withColumn("c_norm", l2Norm(col("c_vec"))))
+    val pairs = broadcast(q).crossJoin(c)
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosFromNorms(
+        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -59,14 +77,20 @@ object Similarity {
 
   /** ANN top-k: bucket-join candidates then exact cosine re-rank.
     * Queries whose bucket holds fewer than k neighbors return fewer
-    * rows (recall/latency trade-off of single-probe LSH). */
+    * rows (recall/latency trade-off of single-probe LSH). Buckets and
+    * norms are materialized pre-join. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
               dim: Int, qId: String = "q_id", cId: String = "c_id"): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
-    val cb = corpus.withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
+    val qb = queries
+      .withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
+      .withColumn("q_norm", l2Norm(col("q_vec")))
+    val cb = materialize(corpus
+      .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
+      .withColumn("c_norm", l2Norm(col("c_vec"))))
     val pairs = qb.join(cb, Seq("bucket"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosFromNorms(
+        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -153,15 +153,19 @@ object Queries {
       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
-  /** C: left-anti join (NOT EXISTS). */
+  /** C: left-anti join (NOT EXISTS) — customers with no high-value
+    * order (plain "no order at all" is empty at every test SF, which
+    * would exercise nothing). */
   private val q07 = Q("q07_anti_join",
     (s, d) => t(s, d, "customer")
-      .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 150000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
-      .agg(count(lit(1)).as("n_inactive"))
+      .agg(count(lit(1)).as("n_no_big_order"))
       .orderBy(col("c_nationkey")),
-    Some("""SELECT c_nationkey, count(*) AS n_inactive FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    Some("""SELECT c_nationkey, count(*) AS n_no_big_order FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 150000)
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
   // ---------------------------------------------------------------- //
@@ -186,6 +190,24 @@ object Queries {
           ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders) WHERE rn <= 3
       ORDER BY o_orderpriority, rn"""))
+
+  /** B1-B3: projection with cast semantics — including the reference's
+    * double→long TRUNCATION of acc_y (`DataManager.java:22`
+    * `.longValue()`). Spark `cast(double as long)` truncates toward
+    * zero; DuckDB CAST rounds, so its oracle must spell `trunc()`. */
+  private val q13 = Q("q13_projection_casts",
+    (s, d) => eventsUs(s, d)
+      .select(
+        col("event_id"),
+        col("ts_us"),
+        col("value"),
+        col("value").cast("long").as("value_trunc"),
+        col("user_id").cast("double").as("user_as_double"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, epoch_us(ts) AS ts_us, value,
+      CAST(trunc(value) AS BIGINT) AS value_trunc,
+      CAST(user_id AS DOUBLE) AS user_as_double
+      FROM events ORDER BY event_id"""))
 
   /** Set ops: union / intersect / except of key sets, tagged. */
   private val q12 = Q("q12_set_ops",
@@ -262,18 +284,20 @@ object Queries {
       ELSE 5.0 END AS DOUBLE) AS label, count(*) AS n
       FROM events GROUP BY 1 ORDER BY 1"""))
 
-  /** D8: count guard — groups kept only above a support threshold (the
-    * reference's `count > 100` gate, `RecognizeActivity.java:74`). */
+  /** D8: count guard — groups kept only above a support threshold, the
+    * reference's `count > 100` gate (`RecognizeActivity.java:74`; its
+    * grain is (user, activity) — here event_type so the gate actually
+    * fires at the test row counts: user×type groups never reach 100). */
   private val q18 = Q("q18_count_guard_having",
     (s, d) => t(s, d, "events")
-      .groupBy(col("user_id"), col("event_type"))
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), r(sum(col("value")), 2).as("sum_value"))
       .filter(col("n") > 100)
-      .orderBy(col("user_id"), col("event_type")),
-    Some("""SELECT user_id, event_type, count(*) AS n,
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
-      FROM events GROUP BY user_id, event_type HAVING count(*) > 100
-      ORDER BY user_id, event_type"""))
+      FROM events GROUP BY event_type HAVING count(*) > 100
+      ORDER BY event_type"""))
 
   /** D9/B9: error-rate aggregation — the reference's mispredict ratio
     * (`DecisionTrees.java:39-43`), over a deterministic pseudo-label. */
@@ -840,7 +864,7 @@ object Queries {
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q15, q16, q17, q18, q19, q20,
+    q11, q12, q13, q15, q16, q17, q18, q19, q20,
     q30, q31, q32, q33, q34, q35, q36, q37,
     q40, q41, q42, q43, q50, q61, q62,
     q70, q71, q72, q73, q74)

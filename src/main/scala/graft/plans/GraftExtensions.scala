@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{PolyHash, ShingleMinHash}
+
+/** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
+  * §4.3 calls for. Registers the engine's native expressions as SQL
+  * functions so `spark.sql("SELECT graft_polyhash(text) ...")` works,
+  * and keeps a place to inject optimizer rules / planner strategies as
+  * the engine grows custom operators.
+  *
+  * Use: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` on a cluster;
+  * [[GraftExtensions.register]] bolts the functions onto an existing
+  * session (tests, shells).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      e.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_polyhash"),
+      info("graft_polyhash",
+        "graft_polyhash(str) - portable 31-polynomial hash mod 1e9+7 over code points"),
+      (exprs: Seq[Expression]) => PolyHash(exprs.head)),
+    (FunctionIdentifier("graft_shingle_minhash"),
+      info("graft_shingle_minhash",
+        "graft_shingle_minhash(tokens, n, k) - MinHash signature over word-n-gram shingles"),
+      (exprs: Seq[Expression]) => ShingleMinHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+
+  /** Register the functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+}

@@ -58,10 +58,16 @@ object GraftFunctions {
     pmod(t * lit(a) + lit(b), lit(HashMod))
   }
 
-  /** Dot product of two numeric arrays as a left-fold — sequential
-    * accumulation, so the result is order-deterministic and matches a
-    * sequential SQL list_sum. Elements are cast to double first. */
+  /** Dot product of two numeric arrays — the native codegen'd
+    * sequential left-fold (`HashExpressions.dotNative`), bit-identical
+    * to [[dotProductDeclarative]] and the DuckDB list_reduce oracle. */
   def dotProduct(a: Column, b: Column): Column =
+    HashExpressions.dotNative(a, b)
+
+  /** Declarative (built-ins only) specification of [[dotProduct]]:
+    * sequential accumulation, elements cast to double first. Kept as
+    * the readable spec; interpreted, so slower per pair. */
+  def dotProductDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

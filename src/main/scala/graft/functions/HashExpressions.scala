@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -71,6 +71,22 @@ object HashUtil {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Sequential left-fold dot product; element type per side is float
+    * (true) or double (false). Matches the declarative fold exactly:
+    * double(x)·double(y) added left to right. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
 }
 
 /** `graft_polyhash(string) -> long` — see [[HashUtil.polyHash]]. */
@@ -105,10 +121,40 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** `graft_dot(array<numeric>, array<numeric>) -> double` — sequential
+  * left-fold dot product, bit-identical to the declarative
+  * `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, _+_)` form and the DuckDB
+  * `list_reduce` oracle: each element cast to double, products
+  * accumulated in order. Pairs beyond the shorter length are ignored
+  * (zip semantics). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType,
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.dot($a, $b, $lf, $rf)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   /** Column wrappers over the native expressions. */
   def polyHashNative(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def shingleMinHashNative(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(ShingleMinHash(GraftColumnBridge.expression(tokens), n, k))
+  def dotNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
 }

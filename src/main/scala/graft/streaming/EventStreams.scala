@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.functions.GraftFunctions.longDiv
@@ -60,6 +61,41 @@ object EventStreams {
       .groupBy(window(col("event_time"), size, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Row/state types for the custom-state operator. */
+  final case class UserEvent(user_id: Long, ts_us: Long)
+  final case class UserSessionState(nSessions: Long, lastTsUs: Long)
+  final case class UserSessionCount(user_id: Long, n_sessions: Long,
+                                    n_events_batch: Long)
+
+  /** Custom incremental state via `flatMapGroupsWithState` (the
+    * `KeyValueGroupedDataset` path for semantics the built-in window
+    * operators can't express): a per-user running SESSION COUNTER that
+    * survives across micro-batches. Each batch's events are folded into
+    * (count, last-timestamp) state; a gap > `gapUs` opens a new
+    * session. State is one tiny record per user in the state store —
+    * bounded, partitioned by key, nothing on the driver. Works on a
+    * streaming Dataset; also callable on a batch Dataset for tests. */
+  def statefulSessionCounts(events: Dataset[UserEvent], gapUs: Long)
+      : Dataset[UserSessionCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessionState, UserSessionCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserSessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val init = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue))
+            val next = sorted.foldLeft(init) { (st, e) =>
+              val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
+              UserSessionState(st.nSessions + (if (newSession) 1 else 0), e.ts_us)
+            }
+            state.update(next)
+            Iterator.single(UserSessionCount(user, next.nSessions, sorted.size.toLong))
+          }
+      }
+  }
 
   /** Gap-based session windows (`session_window`) — Spark's native
     * operator for what `Sessionize` builds manually; a session closes

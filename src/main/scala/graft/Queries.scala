@@ -226,6 +226,55 @@ object Queries {
       SELECT k, 'rich_only' AS tag FROM (SELECT k FROM rich EXCEPT SELECT k FROM active)
       ORDER BY tag, k"""))
 
+  /** Grouping sets: ROLLUP over (returnflag, linestatus) with subtotal
+    * rows surfaced via coalesce to 'ALL' (the columns are never null in
+    * data, so the sentinel is unambiguous; dialect-neutral vs relying
+    * on NULL ordering, which Spark and DuckDB default differently). */
+  private val q14 = Q("q14_rollup",
+    (s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status")),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      coalesce(l_linestatus, 'ALL') AS status,
+      count(*) AS n, floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY flag, status"""))
+
+  /** As-of join (operator Spark lacks; composed union + last-ignore-
+    * nulls, one shuffle — `operators.AsOf`): each click enriched with
+    * the user's most recent purchase value at or before it. */
+  private val q22 = Q("q22_asof_join",
+    (s, d) => {
+      val e = eventsUs(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      graft.operators.AsOf.join(clicks, purchases,
+        keys = Seq("user_id"), ts = "ts_us", valueCol = "value",
+        tieBreak = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH u AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side, NULL::DOUBLE AS rv, event_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, epoch_us(ts), 0, value, event_id
+        FROM events WHERE event_type = 'purchase'),
+      lv AS (SELECT *, last_value(rv IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts_us, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        FROM u)
+      SELECT event_id, user_id, ts_us, asof_value
+      FROM lv WHERE side = 1 ORDER BY event_id"""))
+
   /** G7: scalar math (abs/pow/sqrt/mod/int-div) — reference's
     * `Math.abs/pow/sqrt/round` usage (`ExtractFeature.java:57-77`,
     * `PrepareData.java:44`), incl. the floor-div semantics. */
@@ -864,7 +913,7 @@ object Queries {
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q15, q16, q17, q18, q19, q20,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22,
     q30, q31, q32, q33, q34, q35, q36, q37,
     q40, q41, q42, q43, q50, q61, q62,
     q70, q71, q72, q73, q74)

@@ -38,6 +38,13 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** A5: schema'd CSV scan (the reference's test fixture path,
+    * `ExtractFeatureTest.java:25-31` — `textFile` + split replaced by
+    * the declarative reader; schema declared, never inferred). */
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(path)
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -275,6 +275,24 @@ object Queries {
       SELECT event_id, user_id, ts_us, asof_value
       FROM lv WHERE side = 1 ORDER BY event_id"""))
 
+  /** Skew-safe aggregation: two-phase salted sum over the 5 hot
+    * event_type keys (`operators.Salting`) — result identical to a
+    * plain group-by (the oracle IS the plain group-by), but the first
+    * shuffle spreads each hot key over 16 reducers. Long sums, so the
+    * two-phase merge is exact. */
+  private val q23 = Q("q23_salted_agg_skew",
+    (s, d) => graft.operators.Salting.saltedSumCount(
+        eventsUs(s, d),
+        key = col("event_type"),
+        value = col("ts_us") - lit(1700000000000000L),
+        saltSource = col("event_id"), saltBuckets = 16)
+      .withColumnRenamed("k", "event_type")
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      CAST(sum(epoch_us(ts) - 1700000000000000) AS BIGINT) AS sum_value,
+      count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** G7: scalar math (abs/pow/sqrt/mod/int-div) — reference's
     * `Math.abs/pow/sqrt/round` usage (`ExtractFeature.java:57-77`,
     * `PrepareData.java:44`), incl. the floor-div semantics. */
@@ -913,7 +931,7 @@ object Queries {
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23,
     q30, q31, q32, q33, q34, q35, q36, q37,
     q40, q41, q42, q43, q50, q61, q62,
     q70, q71, q72, q73, q74)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Co-located (bucketed) join: both sides pre-bucketed on the join key
+  * → the join plan contains NO shuffle exchange. The 100 TB pattern
+  * for repeatedly-joined fact tables (pay the shuffle once at write
+  * time, never again at read time). */
+class BucketedJoinSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = sf("sf0.001")
+    // at this tiny SF the planner would broadcast; disable so the join
+    // is the shuffle-family kind bucketing is designed to de-shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // the in-memory catalog's DROP TABLE can leave the managed location
+    // behind from a previous JVM — clear it or saveAsTable refuses
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val p = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables.orders(spark, dir).write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(spark, dir).write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+    val plan = joined.queryExecution.executedPlan.toString
+    // the JOIN itself must not shuffle either side (bucket layout is
+    // the partitioning); only the final groupBy may exchange
+    val joinSection = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1)
+    assert(joinSection.nonEmpty, s"expected a shuffle-family join in:\n$plan")
+    assert(!joinSection.mkString.contains("Exchange hashpartitioning(o_orderkey")
+      && !joinSection.mkString.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join inputs must come from bucket layout, not a shuffle:\n$plan")
+
+    // and the result matches the plain (shuffling) join
+    val expected = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+  }
+}

@@ -293,6 +293,62 @@ object Queries {
       count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Semi-structured: JSON field extraction from the events `props`
+    * column (`get_json_object` / DuckDB `json_extract_string`). */
+  private val q24 = Q("q24_json_extract",
+    (s, d) => t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Sliding-frame window aggregate: 7-row moving average of value per
+    * user (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), reported at the
+    * last event of each user to keep output small. */
+  private val q25 = Q("q25_moving_avg",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-6, 0)
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      eventsUs(s, d)
+        .withColumn("mov_avg", avg(col("value")).over(w))
+        .withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), r(col("mov_avg"), 4).as("last_mov_avg"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+      SELECT user_id, floor(mov_avg * 10000.0 + 0.5) / 10000.0 AS last_mov_avg
+      FROM m WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Exact interpolated percentiles (median + p95) per event_type. */
+  private val q27 = Q("q27_percentiles",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        r(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        r(expr("percentile(value, 0.95)"), 4).as("p95_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS median_value,
+      floor(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95_value,
+      count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** G7: scalar math (abs/pow/sqrt/mod/int-div) — reference's
     * `Math.abs/pow/sqrt/round` usage (`ExtractFeature.java:57-77`,
     * `PrepareData.java:44`), incl. the floor-div semantics. */
@@ -833,6 +889,19 @@ object Queries {
       FROM events, (SELECT unnest(range(0, 2)) AS k)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Multimodal decode path (rows-only: mapPartitions with the stubbed
+    * codec — not SQL-expressible): per-payload byte stats + an 8-dim
+    * feature vector, aggregated per source. */
+  private val q51 = Q("q51_multimodal_decode",
+    (s, d) => {
+      val docs = Multimodal.withPayload(t(s, d, "documents"), "text")
+      Multimodal.decodeFeatures(s, docs)
+        .agg(count(lit(1)).as("n_decoded"),
+          r(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+          sum(col("byte_len")).as("total_bytes"))
+    },
+    None)
+
   // ---------------------------------------------------------------- //
   // E (streaming twin): native session_window                         //
   // ---------------------------------------------------------------- //
@@ -931,9 +1000,9 @@ object Queries {
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24, q25, q27,
     q30, q31, q32, q33, q34, q35, q36, q37,
-    q40, q41, q42, q43, q50, q61, q62,
+    q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Quality checks for the approximate operators: HLL distinct error and
+  * LSH-ANN recall against the exact baselines on real testdata. */
+class ApproxRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+    val (exact, approx) = li.agg(
+      countDistinct(col("l_partkey")).cast("double"),
+      approx_count_distinct(col("l_partkey")).cast("double"))
+      .as[(Double, Double)].collect().head
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("LSH ANN: results are true bucket-mates ranked consistently with brute force") {
+    val dir = sf("sf0.001")
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+
+    val brute = Similarity.bruteForceTopK(q, c, k = 5)
+      .select("q_id", "rank", "c_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    val bruteBest = brute.filter(_._2 == 1L).map(r => r._1 -> r._4).toMap
+
+    val lsh = Similarity.lshTopK(q, c, k = 5, planes = 4, dim = 64)
+      .select("q_id", "rank", "c_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+
+    assert(lsh.nonEmpty)
+    // ANN never beats the exact best for the same query
+    lsh.filter(_._2 == 1L).foreach { case (qid, _, _, cos) =>
+      assert(cos <= bruteBest(qid) + 1e-9, s"q$qid: lsh $cos > brute ${bruteBest(qid)}")
+    }
+    // within one query, ranks are ordered by cosine descending
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // recall@5: report-and-floor (single-probe LSH with 16 buckets on
+    // 500 vectors is intentionally coarse; it must still find overlap)
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val lshSets = lsh.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = lshSets.map { case (qid, ids) =>
+      ids.intersect(bruteSets(qid)).size.toDouble / 5.0 }
+    assert(recalls.sum / recalls.size > 0.1,
+      s"mean recall@5 ${recalls.sum / recalls.size}")
+  }
+}

@@ -293,6 +293,23 @@ object Queries {
       count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Custom Catalyst operator (`plans.TopK`): bounded-heap per-group
+    * top-k — same ClusteredDistribution as the window formulation but
+    * O(n log k) with groups×k resident rows instead of a full sort.
+    * Output is (group, score) only: the score multiset is deterministic
+    * even when ties at the k-boundary make the row choice arbitrary. */
+  private val q28 = Q("q28_topk_custom_operator",
+    (s, d) => graft.plans.TopK.perGroup(
+        t(s, d, "orders"), Seq("o_orderpriority"), "o_totalprice", k = 3)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc),
+    Some("""SELECT o_orderpriority, o_totalprice FROM (
+      SELECT o_orderpriority, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rn
+      FROM orders) WHERE rn <= 3
+      ORDER BY o_orderpriority, o_totalprice DESC"""),
+    bench = true)
+
   /** Semi-structured: JSON field extraction from the events `props`
     * column (`get_json_object` / DuckDB `json_extract_string`). */
   private val q24 = Q("q24_json_extract",
@@ -1000,7 +1017,7 @@ object Queries {
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24, q25, q27,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24, q25, q27, q28,
     q30, q31, q32, q33, q34, q35, q36, q37,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)

@@ -20,10 +20,12 @@ import graft.functions.{PolyHash, ShingleMinHash}
   * session (tests, shells).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       e.injectFunction((ident, info, builder))
     }
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.TopK
+import graft.sources.Tables
+
+/** The custom bounded-heap top-k operator vs the built-in
+  * row_number+filter formulation: same per-group score sets, and the
+  * physical plan contains the custom exec with NO sort. */
+class TopKPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TopK.perGroup matches row_number over each group (score sets)") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val got = TopK.perGroup(orders,
+        Seq("o_orderpriority"), "o_totalprice", k = 3)
+      .select("o_orderpriority", "o_totalprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val expected = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "o_totalprice")
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+
+    assert(got === expected)
+  }
+
+  test("plan: custom exec present, no per-partition Sort below it") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val df = TopK.perGroup(orders, Seq("o_orderpriority"),
+      "o_totalprice", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
+  }
+
+  test("k larger than any group returns everything") {
+    val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "g", "s")
+    val out = TopK.perGroup(df, Seq("g"), "s", k = 10)
+    assert(out.count() === 3)
+  }
+}

@@ -789,6 +789,20 @@ object Queries {
       SELECT q_id, rank, c_id, bucket, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
 
+  /** H3: IVF ANN (k-means coarse quantizer, 2-probe) — rows-only: the
+    * quantizer's float centroids are not SQL-reproducible. */
+  private val q38 = Q("q38_similarity_ivf_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, nLists = 16, nProbe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    None)
+
   // ---------------------------------------------------------------- //
   // H4: text analysis                                                 //
   // ---------------------------------------------------------------- //
@@ -1018,7 +1032,7 @@ object Queries {
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24, q25, q27, q28,
-    q30, q31, q32, q33, q34, q35, q36, q37,
+    q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)
 

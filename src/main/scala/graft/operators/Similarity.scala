@@ -75,6 +75,54 @@ object Similarity {
       acc + when(proj > 0.0, pow(lit(2.0), p.cast("double")).cast("long")).otherwise(0L)
     })
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer buckets the
+    * corpus; each query probes its `nProbe` nearest centroids and
+    * exact-ranks only those buckets' vectors. The second classic scale
+    * path next to [[lshTopK]] — bucket sizes are balanced by the
+    * quantizer (vs LSH's hash luck), at the cost of a training pass.
+    * Seeded k-means for reproducibility; centroid count `nLists` is the
+    * recall/latency dial. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+              nProbe: Int, qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusVec = materialize(corpus
+      .withColumn("features", array_to_vector(col("c_vec")))
+      .withColumn("c_norm", l2Norm(col("c_vec"))))
+    val km = new KMeans().setK(nLists).setSeed(12345L).setMaxIter(10)
+    val model = km.fit(corpusVec)
+    val bucketed = model.transform(corpusVec)
+      .withColumnRenamed("prediction", "bucket")
+
+    // query-side probe list: nProbe nearest centroids by euclidean
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = centroids.toDF("bucket", "cent_vec")
+    val qProbed = broadcast(queries.withColumn("q_norm", l2Norm(col("q_vec"))))
+      .crossJoin(broadcast(centDf))
+      .withColumn("dist2",
+        dotProduct(col("q_vec"), col("q_vec"))
+          - lit(2.0) * dotProduct(col("q_vec"), col("cent_vec"))
+          + dotProduct(col("cent_vec"), col("cent_vec")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col(qId)).orderBy(col("dist2"), col("bucket"))))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col(qId), col("q_vec"), col("q_norm"), col("bucket"))
+
+    val pairs = qProbed.join(bucketed, Seq("bucket"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosFromNorms(
+        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
+  }
+
   /** ANN top-k: bucket-join candidates then exact cosine re-rank.
     * Queries whose bucket holds fewer than k neighbors return fewer
     * rows (recall/latency trade-off of single-probe LSH). Buckets and

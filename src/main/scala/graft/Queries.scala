@@ -310,6 +310,25 @@ object Queries {
       ORDER BY o_orderpriority, o_totalprice DESC"""),
     bench = true)
 
+  /** PIVOT: per-user event counts spread across event-type columns
+    * (Spark `pivot` with an explicit value list — never the implicit
+    * distinct-scan form at scale; oracle spells the equivalent
+    * conditional aggregation). */
+  private val q29 = Q("q29_pivot",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+      count(*) FILTER (event_type = 'click') AS click,
+      count(*) FILTER (event_type = 'error') AS error,
+      count(*) FILTER (event_type = 'purchase') AS purchase,
+      count(*) FILTER (event_type = 'signup') AS signup,
+      count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   /** Semi-structured: JSON field extraction from the events `props`
     * column (`get_json_object` / DuckDB `json_extract_string`). */
   private val q24 = Q("q24_json_extract",
@@ -1031,7 +1050,7 @@ object Queries {
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24, q25, q27, q28,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24, q25, q27, q28, q29,
     q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)

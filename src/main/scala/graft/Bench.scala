@@ -28,13 +28,14 @@ object Bench {
     }
     val results = names.map { n =>
       val t0 = System.nanoTime()
-      try Queries.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      n -> (System.nanoTime() - t0) / 1e9
+      val ok = try { Queries.queries(n)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // failures are reported as -1, never as a timing
+      n -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -958,7 +958,9 @@ object Queries {
 
   /** E3 via Spark's native `session_window` (the Structured Streaming
     * operator, exercised in batch): a session closes when no event
-    * arrives within the gap; end = last event + gap. */
+    * arrives within the gap; end = last event + gap. Boundary law
+    * (verified empirically): a delta EXACTLY equal to the gap still
+    * MERGES — the oracle's new-session test is strict `delta > gap`. */
   private val q62 = Q("q62_session_window_native",
     (s, d) => graft.streaming.EventStreams.withEventTime(t(s, d, "events"))
       .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
@@ -971,7 +973,7 @@ object Queries {
     Some("""WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
       FROM events),
-      s AS (SELECT *, CAST(sum(CASE WHEN delta >= 1800000000 THEN 1 ELSE 0 END)
+      s AS (SELECT *, CAST(sum(CASE WHEN delta > 1800000000 THEN 1 ELSE 0 END)
         OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       FROM d)
       SELECT user_id, min(ts_us) AS s_start_us, max(ts_us) + 1800000000 AS s_end_us,
@@ -996,9 +998,16 @@ object Queries {
       tieBreak = Seq(col("event_id")))
       .withColumn("label", graft.ml.Models.encodeLabel(col("event_type"), EventVocab))
 
-  private def evalRow(s: SparkSession, name: String,
-                      e: graft.ml.Models.Eval): DataFrame = {
+  /** Cache the feature table only for the duration of training (the
+    * evaluation is eager), then release — five ML queries in one
+    * Verify session must not pin five copies of the pipeline. */
+  private def trainQuery(s: SparkSession, d: String, name: String,
+      stage: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]])
+      : DataFrame = {
     import s.implicits._
+    val feats = mlFeatures(s, d).cache()
+    val e = try graft.ml.Models.trainEval(feats, stage)
+    finally feats.unpersist()
     Seq((name, e.nTrain, e.nTest, math.floor(e.accuracy * 10000.0 + 0.5) / 10000.0,
       math.floor(e.errorRate * 10000.0 + 0.5) / 10000.0))
       .toDF("model", "n_train", "n_test", "accuracy", "error_rate")
@@ -1006,41 +1015,43 @@ object Queries {
 
   /** F2: decision tree (gini, depth 9, bins 32) on the 11 features. */
   private val q70 = Q("q70_ml_decision_tree",
-    (s, d) => evalRow(s, "decision_tree",
-      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.decisionTree)),
+    (s, d) => trainQuery(s, d, "decision_tree", graft.ml.Models.decisionTree),
     None)
 
   /** F3: random forest (10 trees, seed 12345). */
   private val q71 = Q("q71_ml_random_forest",
-    (s, d) => evalRow(s, "random_forest",
-      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.randomForest)),
+    (s, d) => trainQuery(s, d, "random_forest", graft.ml.Models.randomForest),
     None)
 
   /** F5: multinomial logistic regression. */
   private val q72 = Q("q72_ml_logistic_regression",
-    (s, d) => evalRow(s, "logistic_regression",
-      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.logisticRegression)),
+    (s, d) => trainQuery(s, d, "logistic_regression", graft.ml.Models.logisticRegression),
     None)
 
   /** F6: naive Bayes (gaussian — accelerometer-style features are
     * negative; see Models scaladoc). */
   private val q73 = Q("q73_ml_naive_bayes",
-    (s, d) => evalRow(s, "naive_bayes",
-      graft.ml.Models.trainEval(mlFeatures(s, d).cache(), graft.ml.Models.naiveBayes)),
+    (s, d) => trainQuery(s, d, "naive_bayes", graft.ml.Models.naiveBayes),
     None)
 
   /** F7 + A7/A8: model persistence round-trip then batch scoring —
-    * save, load, transform, report per-class prediction counts. */
+    * save, load, transform, report per-class prediction counts
+    * (materialized eagerly so the cache can be released). */
   private val q74 = Q("q74_ml_save_load_predict",
     (s, d) => {
+      import s.implicits._
       val feats = mlFeatures(s, d).cache()
-      val e = graft.ml.Models.trainEval(feats, graft.ml.Models.decisionTree)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_model_").resolve("dt").toString
-      val reloaded = graft.ml.Models.saveLoad(e.model, path)
-      reloaded.transform(feats)
-        .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
-        .orderBy(col("prediction"))
+      try {
+        val e = graft.ml.Models.trainEval(feats, graft.ml.Models.decisionTree)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_model_").resolve("dt").toString
+        val reloaded = graft.ml.Models.saveLoad(e.model, path)
+        val counts = reloaded.transform(feats)
+          .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+          .orderBy(col("prediction"))
+          .as[(Double, Long)].collect().toSeq
+        counts.toDF("prediction", "n")
+      } finally feats.unpersist()
     },
     None)
 

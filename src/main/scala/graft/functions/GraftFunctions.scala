@@ -66,7 +66,9 @@ object GraftFunctions {
 
   /** Declarative (built-ins only) specification of [[dotProduct]]:
     * sequential accumulation, elements cast to double first. Kept as
-    * the readable spec; interpreted, so slower per pair. */
+    * the readable spec; interpreted, so slower per pair. Equal-length
+    * inputs only: `zip_with` null-pads ragged pairs (fold → NULL)
+    * where the native form folds to the shorter length. */
   def dotProductDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -88,10 +90,15 @@ object GraftFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word-`n`-gram shingles of a token array, joined by a
-    * space: the input unit for MinHash / Jaccard dedup. */
+    * space: the input unit for MinHash / Jaccard dedup. A document with
+    * fewer than `n` tokens has NO shingles (empty array) — the same law
+    * the SQL oracles' comprehension yields, so short documents cannot
+    * silently diverge between engines. */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(toks) - n, lit(0)) ),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
 }

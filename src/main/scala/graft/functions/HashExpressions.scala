@@ -43,8 +43,14 @@ object HashUtil {
     * so the distinct step of the declarative form is unnecessary. */
   def shingleMinHash(toks: ArrayData, n: Int, k: Int): ArrayData = {
     val size = toks.numElements()
+    if (size < n) {
+      // no shingles → no minima: null signature positions, exactly what
+      // the SQL list_min over an empty list yields (GraftFunctions
+      // .shingles' empty-array law)
+      return new GenericArrayData(Array.fill[Any](k)(null))
+    }
     val out = Array.fill(k)(Long.MaxValue)
-    val last = math.max(size - n, 0)
+    val last = size - n
     var i = 0
     while (i <= last) {
       var h = 0L
@@ -108,7 +114,7 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   * [[HashUtil.shingleMinHash]]. */
 case class ShingleMinHash(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_shingle_minhash"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -50,10 +50,14 @@ object Features {
     * of `Sessionize.withWindows`: user, activity, session_id,
     * window_id). `keyNames` are column names so the result keeps them. */
   def aggregate(df: DataFrame, keyNames: Seq[String], ts: Column,
-                axes: Axes, portableVariance: Boolean = false): DataFrame = {
+                axes: Axes, portableVariance: Boolean = false,
+                tieBreak: Seq[Column] = Nil): DataFrame = {
     val keys = keyNames.map(col)
     val byKey = Window.partitionBy(keys: _*)
-    val ordered = byKey.orderBy(ts)
+    // tieBreak makes the peak-interval scan deterministic when
+    // timestamps collide (equal-ts rows otherwise order arbitrarily,
+    // flipping which peak counts as "previous")
+    val ordered = byKey.orderBy(ts +: tieBreak: _*)
 
     // group means via unordered window over the SAME partitioning the
     // groupBy below shuffles on — Catalyst reuses one Exchange.
@@ -108,6 +112,6 @@ object Features {
       df, Seq(col(user), col(activity)), col(tsName), gap, width, tieBreak)
     aggregate(windowed,
       Seq(user, activity, "session_id", "window_id"), col(tsName), axes,
-      portableVariance)
+      portableVariance, tieBreak)
   }
 }

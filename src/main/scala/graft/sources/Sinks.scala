@@ -39,6 +39,9 @@ object Sinks {
     props.setProperty("user", user)
     props.setProperty("password", password)
     props.setProperty("batchsize", batchSize.toString)
-    df.coalesce(numPartitions).write.mode(mode).jdbc(url, table, props)
+    // repartition, not coalesce: coalesce would collapse the UPSTREAM
+    // computation to numPartitions tasks; a shuffle caps only the
+    // connection count while the compute keeps its parallelism
+    df.repartition(numPartitions).write.mode(mode).jdbc(url, table, props)
   }
 }

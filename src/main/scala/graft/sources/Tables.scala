@@ -34,7 +34,10 @@ object Tables {
     * precision above 2^53 — epoch-nanos are ~1.7e18).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // defensive for sessions that didn't set it at build time (the
+    // graft mains all do); guarded to avoid mutating conf on every read
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -59,6 +59,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.get((0L, 2L)).forall(_ <= 6L))
   }
 
+  test("shingle law: fewer tokens than n → no shingles, null minhash positions") {
+    import graft.functions.GraftFunctions
+    val short = Seq((9L, "en", "two words")).toDF("doc_id", "lang", "text")
+    val sh = short.select(GraftFunctions.shingles(
+      GraftFunctions.tokens(col("text")), 3)).as[Seq[String]].collect().head
+    assert(sh === Seq.empty)
+    val sig = Dedup.withMinHash(short, col("text"), k = 4)
+      .select("minhash").as[Seq[Option[Long]]].collect().head
+    assert(sig === Seq(None, None, None, None))
+  }
+
   val vecs = Seq(
     (0L, 0, Seq(1.0f, 0.0f, 0.0f)),
     (1L, 0, Seq(0.9f, 0.1f, 0.0f)),

@@ -49,8 +49,9 @@ class ApproxRecallSpec extends SparkSpec {
     // 500 vectors is intentionally coarse; it must still find overlap)
     val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     val lshSets = lsh.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
-    val recalls = lshSets.map { case (qid, ids) =>
-      ids.intersect(bruteSets(qid)).size.toDouble / 5.0 }
+    // every query counts — one with no bucket-mates contributes 0
+    val recalls = bruteSets.map { case (qid, ids) =>
+      lshSets.getOrElse(qid, Set.empty[Long]).intersect(ids).size.toDouble / 5.0 }
     assert(recalls.sum / recalls.size > 0.1,
       s"mean recall@5 ${recalls.sum / recalls.size}")
   }

@@ -12,9 +12,11 @@ class BucketedJoinSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     val dir = sf("sf0.001")
     // at this tiny SF the planner would broadcast; disable so the join
-    // is the shuffle-family kind bucketing is designed to de-shuffle
+    // is the shuffle-family kind bucketing is designed to de-shuffle.
+    // Session is JVM-shared across suites → restore in finally.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
     // the in-memory catalog's DROP TABLE can leave the managed location
@@ -56,7 +58,9 @@ class BucketedJoinSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === expected)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 }

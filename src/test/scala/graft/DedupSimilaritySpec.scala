@@ -32,7 +32,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs((0L, 1L)) === 1.0)
     assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
-    assert(!pairs.exists(p => p._1._2 == 3L))      // doc 3 unrelated
+    assert(!pairs.exists(p => p._1._1 == 3L || p._1._2 == 3L)) // doc 3 unrelated
     assert(!pairs.contains((0L, 4L)))              // different block (lang)
   }
 
@@ -95,13 +95,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.head._2 > 0.99)
   }
 
-  test("H3 LSH: identical vectors land in the same bucket") {
-    val b = vecs.withColumn("bucket",
+  test("H3 LSH: bucket assignment is deterministic and locality-preserving") {
+    def buckets = vecs.withColumn("bucket",
         Similarity.lshBucket(col("embedding"), planes = 8, dim = 3))
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
-    assert(b(0L) === b(0L))
-    val dup = vecs.withColumn("embedding", col("embedding"))
-    // near-identical vectors 0 and 1 should usually share the bucket
+    // deterministic across independent evaluations
+    assert(buckets === buckets)
+    // near-identical vectors share the bucket; orthogonal ones don't
+    val b = buckets
     assert(b(0L) === b(1L))
+    assert(Set(b(0L), b(2L), b(3L)).size > 1)
   }
 }

@@ -30,7 +30,11 @@ class ExtensionsSinksSpec extends SparkSpec {
     val back = spark.read.parquet(s"$dir/out")
     assert(back.count() === 3)
     assert(back.filter(col("part") === "a").count() === 2)
-    // partition pruning: only one directory read for part=a
+    // partition pruning: the partition predicate reaches the scan as a
+    // PartitionFilter (directory-level pruning, not a post-scan filter)
+    val plan = back.filter(col("part") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
     assert(new java.io.File(s"$dir/out/part=a").exists())
   }
 }

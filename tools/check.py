@@ -5,11 +5,14 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
 
 Reads each <out>/<name>/ parquet result (written by graft.Verify), runs the
 matching oracle SQL from <out>/oracle_sql.json in DuckDB against the sf_dir
-parquet tables, then compares: column names (sorted), row counts, and values
-(rows sorted, exact for ints/strings, tiny-epsilon report for floats so we
-can see how close we are if not bit-equal).
+parquet tables, then compares: column names (sorted), row counts, and values.
+Comparison is deliberately EXACT (graft engineers bit-equality via portable
+rounding/variance/hash rules — see Queries.scala); float columns report the
+max absolute diff on mismatch so near-misses are visible. Rows are sorted
+with floats rounded to 9 decimals as sort keys so ulp-level engine noise
+cannot misalign the positional compare.
 """
-import json, math, sys
+import json, sys
 from pathlib import Path
 
 import duckdb
@@ -21,8 +24,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    sort_keys = {}
+    for c in df.columns:
+        sort_keys[c] = df[c].round(9) if df[c].dtype.kind == "f" else df[c]
+    order = pd.DataFrame(sort_keys).sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
+
+def compare_columns(a: pd.DataFrame, b: pd.DataFrame, bad: list) -> None:
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64"); bv = bv.astype("float64")
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if neq.any():
+                diffs = (av[neq] - bv[neq]).abs()
+                bad.append(f"{c}: {int(neq.sum())} diffs, max {diffs.max():.3e}")
+        else:
+            try:
+                eq = (av.astype(str) == bv.astype(str))
+            except Exception:
+                eq = av == bv
+            if not eq.all():
+                i = (~eq).idxmax()
+                bad.append(f"{c}: {int((~eq).sum())} diffs, e.g. {av[i]!r} vs {bv[i]!r}")
 
 def main(out_dir: str, sf_dir: str) -> None:
     out = Path(out_dir)
@@ -44,7 +68,12 @@ def main(out_dir: str, sf_dir: str) -> None:
             print(f"FAIL  {name}: exec error: {e}")
             n_fail += 1
             continue
-        a, b = norm(spark_df), norm(duck_df)
+        try:
+            a, b = norm(spark_df), norm(duck_df)
+        except Exception as e:
+            print(f"FAIL  {name}: normalize error: {e}")
+            n_fail += 1
+            continue
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
             n_fail += 1
@@ -54,22 +83,10 @@ def main(out_dir: str, sf_dir: str) -> None:
             n_fail += 1
             continue
         bad = []
-        for c in a.columns:
-            av, bv = a[c], b[c]
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                av = av.astype("float64"); bv = bv.astype("float64")
-                neq = ~((av == bv) | (av.isna() & bv.isna()))
-                if neq.any():
-                    diffs = (av[neq] - bv[neq]).abs()
-                    bad.append(f"{c}: {int(neq.sum())} diffs, max {diffs.max():.3e}")
-            else:
-                try:
-                    eq = (av.astype(str) == bv.astype(str))
-                except Exception:
-                    eq = av == bv
-                if not eq.all():
-                    i = (~eq).idxmax()
-                    bad.append(f"{c}: {int((~eq).sum())} diffs, e.g. {av[i]!r} vs {bv[i]!r}")
+        try:
+            compare_columns(a, b, bad)
+        except Exception as e:
+            bad.append(f"compare error: {e}")
         if bad:
             print(f"FAIL  {name}: " + "; ".join(bad))
             n_fail += 1
@@ -80,4 +97,7 @@ def main(out_dir: str, sf_dir: str) -> None:
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        print(__doc__)
+        sys.exit(2)
     main(sys.argv[1], sys.argv[2])

@@ -273,7 +273,8 @@ object Queries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
         FROM u)
       SELECT event_id, user_id, ts_us, asof_value
-      FROM lv WHERE side = 1 ORDER BY event_id"""))
+      FROM lv WHERE side = 1 ORDER BY event_id"""),
+    bench = true)
 
   /** Skew-safe aggregation: two-phase salted sum over the 5 hot
     * event_type keys (`operators.Salting`) — result identical to a
@@ -522,7 +523,8 @@ object Queries {
       .orderBy(col("event_type"), col("window_id")),
     Some("""SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
       count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
 
   // ---------------------------------------------------------------- //
   // Flagship: full sessionize → window → 11-feature pipeline          //
@@ -675,7 +677,8 @@ object Queries {
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
         floor((len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i]))::DOUBLE / 16.0) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
       FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""),
+    bench = true)
 
   /** H2 scale path: LSH candidates → exact Jaccard verify (≥ 0.8).
     * The benchmarked dedup — near-linear, vs q31's quadratic

@@ -450,14 +450,14 @@ object Queries {
     * fires at the test row counts: user×type groups never reach 100). */
   private val q18 = Q("q18_count_guard_having",
     (s, d) => t(s, d, "events")
-      .groupBy(col("event_type"))
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), r(sum(col("value")), 2).as("sum_value"))
-      .filter(col("n") > 100)
-      .orderBy(col("event_type")),
-    Some("""SELECT event_type, count(*) AS n,
+      .filter(col("n") > 67)
+      .orderBy(col("user_id")),
+    Some("""SELECT user_id, count(*) AS n,
       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
-      FROM events GROUP BY event_type HAVING count(*) > 100
-      ORDER BY event_type"""))
+      FROM events GROUP BY user_id HAVING count(*) > 67
+      ORDER BY user_id"""))
 
   /** D9/B9: error-rate aggregation — the reference's mispredict ratio
     * (`DecisionTrees.java:39-43`), over a deterministic pseudo-label. */
@@ -620,6 +620,11 @@ object Queries {
   private def sqlPolyHash(x: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($x,''), c -> unicode(c)::BIGINT)), (h,c) -> (h*31+c) % 1000000007)"
 
+  /** SQL fragment: distinct word-`n`-gram shingles of token list `tk`
+    * — mirrors `GraftFunctions.shingles` (empty for < n tokens). */
+  private def sqlShingles(tk: String, n: Int = 3): String =
+    s"list_distinct([array_to_string($tk[i:i+${n - 1}], ' ') for i in range(1, len($tk) - ${n - 2})])"
+
   /** SQL fragment: sequential left-fold dot product of two `dim`-dim
     * float lists — mirrors `GraftFunctions.dotProduct`. */
   private def sqlDot(a: String, b: String, dim: Int = 64): String =
@@ -643,8 +648,8 @@ object Queries {
         id = "doc_id", blockKey = "lang", threshold = 0.8)
       .withColumn("n_common", col("n_common").cast("long"))
       .orderBy(col("id_a"), col("id_b")),
-    Some("""WITH sh AS (SELECT doc_id, lang,
-        list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS s
+    Some(s"""WITH sh AS (SELECT doc_id, lang,
+        ${sqlShingles("tk")} AS s
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents))
       SELECT a.lang AS bk, a.doc_id AS id_a, b.doc_id AS id_b,
         len(list_intersect(a.s, b.s)) AS n_common,
@@ -665,7 +670,7 @@ object Queries {
         id = "doc_id", k = 16)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH th AS (SELECT doc_id,
-        list_transform(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]), t -> ${sqlPolyHash("t")}) AS hs
+        list_transform(${sqlShingles("tk")}, t -> ${sqlPolyHash("t")}) AS hs
       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
       sig AS (SELECT doc_id,
         list_transform(range(0, 16), i -> list_min(list_transform(hs,
@@ -688,7 +693,7 @@ object Queries {
         col("text"), k = 16, bands = 4, shingleN = 3, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH th AS (SELECT doc_id,
-        list_transform(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]), t -> ${sqlPolyHash("t")}) AS hs
+        list_transform(${sqlShingles("tk")}, t -> ${sqlPolyHash("t")}) AS hs
       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
       sig AS (SELECT doc_id,
         list_transform(range(0, 16), i -> list_min(list_transform(hs,
@@ -700,7 +705,7 @@ object Queries {
       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
       sh AS (SELECT doc_id,
-        list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]) AS s
+        ${sqlShingles("tk")} AS s
       FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
       scored AS (SELECT id_a, id_b,
         len(list_intersect(sa.s, sb.s)) AS n_common,
@@ -719,7 +724,7 @@ object Queries {
         id = "doc_id", blockKey = "lang", maxHamming = 6)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH th AS (SELECT doc_id, lang,
-        list_transform(list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]), t -> ${sqlPolyHash("t")}) AS hs
+        list_transform(${sqlShingles("tk")}, t -> ${sqlPolyHash("t")}) AS hs
       FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents)),
       sh AS (SELECT doc_id, lang,
         CAST(list_sum(list_transform(range(0, 24), b ->
@@ -884,7 +889,7 @@ object Queries {
     Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
       SELECT doc_id, ${sqlPolyHash("text")} AS fingerprint,
         list_min(list_transform(
-          list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]),
+          ${sqlShingles("tk")},
           s -> ${sqlPolyHash("s")})) AS min_shingle_fp
       FROM t ORDER BY doc_id"""))
 
@@ -966,20 +971,21 @@ object Queries {
     * MERGES — the oracle's new-session test is strict `delta > gap`. */
   private val q62 = Q("q62_session_window_native",
     (s, d) => graft.streaming.EventStreams.withEventTime(t(s, d, "events"))
-      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .groupBy(session_window(col("event_time"),
+        s"${SessionGapUs / 60000000L} minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("s_start_us"),
         unix_micros(col("session_window.end")).as("s_end_us"),
         col("n"))
       .orderBy(col("user_id"), col("s_start_us")),
-    Some("""WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    Some(s"""WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
       FROM events),
-      s AS (SELECT *, CAST(sum(CASE WHEN delta > 1800000000 THEN 1 ELSE 0 END)
+      s AS (SELECT *, CAST(sum(CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END)
         OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       FROM d)
-      SELECT user_id, min(ts_us) AS s_start_us, max(ts_us) + 1800000000 AS s_end_us,
+      SELECT user_id, min(ts_us) AS s_start_us, max(ts_us) + ${SessionGapUs} AS s_end_us,
         count(*) AS n
       FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"""))
 
@@ -1046,14 +1052,19 @@ object Queries {
       val feats = mlFeatures(s, d).cache()
       try {
         val e = graft.ml.Models.trainEval(feats, graft.ml.Models.decisionTree)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_model_").resolve("dt").toString
-        val reloaded = graft.ml.Models.saveLoad(e.model, path)
-        val counts = reloaded.transform(feats)
-          .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
-          .orderBy(col("prediction"))
-          .as[(Double, Long)].collect().toSeq
-        counts.toDF("prediction", "n")
+        val tmp = java.nio.file.Files.createTempDirectory("graft_model_")
+        try {
+          val reloaded = graft.ml.Models.saveLoad(e.model, tmp.resolve("dt").toString)
+          val counts = reloaded.transform(feats)
+            .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
+            .orderBy(col("prediction"))
+            .as[(Double, Long)].collect().toSeq
+          counts.toDF("prediction", "n")
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       } finally feats.unpersist()
     },
     None)

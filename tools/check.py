@@ -56,7 +56,13 @@ def main(out_dir: str, sf_dir: str) -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
-    for name in sorted(p.name for p in out.iterdir() if p.is_dir()):
+    result_dirs = {p.name for p in out.iterdir() if p.is_dir()}
+    # a query whose Spark side crashed writes no result dir — that must
+    # FAIL here, not silently vanish from the comparison
+    for name in sorted(set(oracles) - result_dirs):
+        print(f"FAIL  {name}: oracle present but no Spark result (query crashed?)")
+        n_fail += 1
+    for name in sorted(result_dirs):
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP  {name}: no oracle (rows-only check)")

@@ -371,6 +371,60 @@ object Queries {
       SELECT user_id, floor(mov_avg * 10000.0 + 0.5) / 10000.0 AS last_mov_avg
       FROM m WHERE rn = 1 ORDER BY user_id"""))
 
+  /** Ranking-function family: rank / dense_rank / percent_rank /
+    * cume_dist over a per-group ordering (ties share ranks — both
+    * engines implement SQL-standard semantics). Restricted to one
+    * nation's customers to keep output small. */
+  private val q26 = Q("q26_rank_functions",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+      t(s, d, "customer")
+        .filter(col("c_nationkey") < 5)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          r(percent_rank().over(w), 4).as("prnk"),
+          r(cume_dist().over(w), 4).as("cdist"))
+        .orderBy(col("c_nationkey"), col("c_custkey"))
+    },
+    Some("""SELECT c_nationkey, c_custkey, c_acctbal,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS prnk,
+      floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cdist
+      FROM customer WHERE c_nationkey < 5
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+      ORDER BY c_nationkey, c_custkey"""))
+
+  /** Statistical co-aggregates: Pearson correlation and sample
+    * covariance between the event value and its JSON k field. */
+  private val q46 = Q("q46_corr_covar",
+    (s, d) => t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(
+        r(corr(col("value"), col("k")), 4).as("corr_vk"),
+        r(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      floor(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS corr_vk,
+      floor(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS covar_vk,
+      count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Edit distance (classic DP levenshtein — integer, deterministic in
+    * both engines): each part name's first word vs a fixed probe. */
+  private val q47 = Q("q47_edit_distance",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"),
+        levenshtein(split_part(col("p_name"), lit(" "), lit(1)), lit("spark"))
+          .cast("long").as("lev"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      CAST(levenshtein(split_part(p_name, ' ', 1), 'spark') AS BIGINT) AS lev
+      FROM part ORDER BY p_partkey"""))
+
   /** Exact interpolated percentiles (median + p95) per event_type. */
   private val q27 = Q("q27_percentiles",
     (s, d) => t(s, d, "events")
@@ -1075,7 +1129,8 @@ object Queries {
 
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
-    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24, q25, q27, q28, q29,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
+    q25, q26, q27, q28, q29, q46, q47,
     q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)

@@ -41,6 +41,19 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Pluggable source seam (A1): the engine's plans are source-agnostic
+    * DataFrames — swapping parquet for the Cassandra connector is
+    * `loadFormat(spark, "org.apache.spark.sql.cassandra",
+    * Map("keyspace" -> "actitracker", "table" -> "users"))`; predicate
+    * and projection pushdown then flow through the connector's
+    * DataSource V2 capabilities exactly as they reach parquet here. */
+  def loadFormat(spark: SparkSession, format: String,
+                 options: Map[String, String],
+                 path: Option[String] = None): DataFrame = {
+    val r = spark.read.format(format).options(options)
+    path.map(r.load).getOrElse(r.load())
+  }
+
   /** A5: schema'd CSV scan (the reference's test fixture path,
     * `ExtractFeatureTest.java:25-31` — `textFile` + split replaced by
     * the declarative reader; schema declared, never inferred). */

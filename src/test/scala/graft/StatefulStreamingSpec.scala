@@ -42,4 +42,41 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(b2(2L) === 2L)
     } finally q.stop()
   }
+
+  test("watermark drops late data in append-mode tumbling windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    // 10-minute watermark, 5-minute tumbling windows over event_time
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val agg = input.toDS().toDF("id", "event_time")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      // batch 1: events at 10:00 and 10:01 (window 10:00)
+      input.addData((1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      // batch 2: event at 10:30 advances the watermark to 10:20 —
+      // the 10:00 window finalizes and is emitted
+      input.addData((3L, ts(30)))
+      q.processAllAvailable()
+      val afterAdvance = spark.table("late_out")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(afterAdvance(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) === 2L)
+      // batch 3: a LATE event for the finalized 10:00 window — dropped
+      input.addData((4L, ts(2)))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_out")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      assert(afterLate(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")) === 2L,
+        "late event must not reopen the finalized window")
+    } finally q.stop()
+  }
 }

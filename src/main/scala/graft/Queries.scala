@@ -784,7 +784,7 @@ object Queries {
         CAST(list_sum(list_transform(range(0, 24), b ->
           CASE WHEN 2 * len(list_filter(hs, h -> ((h // (1::BIGINT << b)) % 2) = 1)) > len(hs)
             THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sim
-      FROM th)
+      FROM th WHERE len(hs) > 0)
       SELECT a.lang AS bk, a.doc_id AS id_a, b.doc_id AS id_b,
         CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id

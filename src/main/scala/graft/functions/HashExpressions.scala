@@ -127,16 +127,33 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
-/** `graft_dot(array<numeric>, array<numeric>) -> double` — sequential
-  * left-fold dot product, bit-identical to the declarative
+/** `graft_dot(array<float|double>, array<float|double>) -> double` —
+  * sequential left-fold dot product, bit-identical to the declarative
   * `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, _+_)` form and the DuckDB
   * `list_reduce` oracle: each element cast to double, products
   * accumulated in order. Pairs beyond the shorter length are ignored
-  * (zip semantics). */
+  * (zip semantics). Only float/double element types are accepted —
+  * enforced at analysis (reading other widths as doubles would
+  * silently reinterpret bits). Null ELEMENTS read as 0.0 (the
+  * declarative form would instead null the whole result). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float> or array<double> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],

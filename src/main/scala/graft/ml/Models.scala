@@ -62,7 +62,7 @@ object Models {
 
   def randomForest: RandomForestClassifier = new RandomForestClassifier()
     .setNumTrees(10).setImpurity("gini").setMaxDepth(9).setMaxBins(32)
-    .setFeatureSubsetStrategy("auto").setSeed(12345L)
+    .setFeatureSubsetStrategy("auto").setSeed(Seed)
 
   def logisticRegression: LogisticRegression = new LogisticRegression()
     .setFamily("multinomial").setMaxIter(100)

@@ -25,28 +25,7 @@ import graft.functions.GraftFunctions._
   */
 object Dedup {
 
-  /** Materialization barrier after an expensive per-row derivation
-    * (shingle sets, MinHash/SimHash signatures): a round-robin
-    * repartition to the session's shuffle parallelism. Two reasons,
-    * both load-bearing at scale:
-    *  1. single-file/single-row-group inputs otherwise run the heavy
-    *     expression on ONE task (parquet splits, not rows, set scan
-    *     parallelism);
-    *  2. higher-order-function expressions are interpreted and lazy —
-    *     without a shuffle boundary Catalyst's projection collapse
-    *     re-evaluates them through downstream explodes and joins
-    *     (measured 2× on the LSH pipeline). Below an Exchange they are
-    *     computed exactly once and the RESULT is shuffled. */
-  private def materialize(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-
-  /** Compute-heavy per-row derivation, done right: spread the input
-    * across the session's parallelism FIRST (a single-row-group parquet
-    * scan is otherwise ONE task), evaluate the expression once per row,
-    * then barrier so downstream explodes/joins shuffle the RESULT
-    * instead of re-evaluating the expression tree. */
-  private def derived(df: DataFrame)(add: DataFrame => DataFrame): DataFrame =
-    materialize(add(materialize(df)))
+  import OpUtils.{derived, materialize}
 
   /** H1 exact dedup: md5 content hash; `rn` = 1 marks the keeper (the
     * lowest id per hash group), `is_dup` the rest. One shuffle on the
@@ -103,6 +82,9 @@ object Dedup {
     * pair. Docs sharing ANY band key become candidates — the classic
     * s-curve trade-off. Returns one row per (doc, band). */
   def withLshBands(df: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k) — " +
+        "trailing positions would otherwise be silently excluded from banding")
     val rows = k / bands
     df.withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_hash",
@@ -141,7 +123,14 @@ object Dedup {
     val cands = lshCandidates(
       withLshBands(withMinHash(df, text, k, shingleN), k, bands), id, k)
       .select(col("id_a"), col("id_b"))
-    val sh = withShingles(df, text, shingleN)
+    // shingle ONLY the documents that appear in a candidate pair — the
+    // whole point of LSH prefiltering is that this is a vanishing
+    // fraction of the corpus (candIds is tiny → broadcast semi-join)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("_cid")).distinct()
+    val sh = withShingles(
+        df.join(broadcast(candIds), col(id) === col("_cid"), "left_semi"),
+        text, shingleN)
       .select(col(id).as("_sid"), col("sh"))
     cands
       .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("_sid"))
@@ -164,6 +153,10 @@ object Dedup {
     val tokHashes = transform(shingles(tokens(text), shingleN), s => polyHash(s))
     d.withColumn("_th", tokHashes)
       .withColumn("simhash",
+        // shingle-less (sub-n-token) documents get a NULL signature —
+        // an all-zero simhash would collide every short document into
+        // one false-positive near-dup clique
+        when(size(col("_th")) === 0, lit(null).cast("long")).otherwise(
         aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) => {
           // portable bit extraction: h < 2^30 and 2^b exact in double,
           // so floor(h / 2^b) is the exact shift (no shiftright with a
@@ -172,7 +165,7 @@ object Dedup {
           val cnt = size(filter(col("_th"),
             h => pmod(floor(h / pow2).cast("long"), lit(2L)) === 1L))
           acc + when(cnt * 2 > size(col("_th")), pow2.cast("long")).otherwise(0L)
-        }))
+        })))
       .drop("_th")
   }
 
@@ -186,6 +179,7 @@ object Dedup {
       col("simhash").as("sh_b"))
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
@@ -205,8 +199,8 @@ object Dedup {
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("_nn", col("n_a") * col("n_b"))
-      .withColumn("cos", when(col("_nn") === 0.0, 0.0)
-        .otherwise(dotProduct(col("v_a"), col("v_b")) / col("_nn")))
+      .withColumn("cos",
+        OpUtils.cosFromNorms(dotProduct(col("v_a"), col("v_b")), col("_nn")))
       .filter(col("cos") >= threshold)
       .select(col("bk"), col("id_a"), col("id_b"), r(col("cos"), 4).as("cos"))
   }

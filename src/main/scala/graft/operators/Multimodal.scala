@@ -81,7 +81,8 @@ object Multimodal {
       // real decoder: initialize codec context here, once per partition
       rows.map { row =>
         val id = row.getLong(0)
-        val bytes = row.getAs[Array[Byte]](1)
+        // null payload (e.g. encode of a null text) decodes as empty
+        val bytes = Option(row.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         val (mean, feat) = decodeStub(bytes)
         Row(id, bytes.length.toLong, mean, feat)
       }

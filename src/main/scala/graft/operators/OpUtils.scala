@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the operator modules (single-sourced — these
+  * were previously duplicated between Dedup and Similarity). */
+private[operators] object OpUtils {
+
+  /** Materialization barrier after an expensive per-row derivation: a
+    * round-robin repartition to the session's shuffle parallelism.
+    * Two load-bearing reasons:
+    *  1. single-file/single-row-group inputs otherwise run the heavy
+    *     expression on ONE task (parquet splits, not rows, set scan
+    *     parallelism);
+    *  2. higher-order-function expressions are interpreted and lazy —
+    *     without a shuffle boundary Catalyst's projection collapse
+    *     re-evaluates them through downstream explodes and joins
+    *     (measured 2× on the LSH pipeline). Below an Exchange they are
+    *     computed exactly once and the RESULT is shuffled. */
+  def materialize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Compute-heavy per-row derivation, done right: spread the input
+    * across the session's parallelism FIRST, evaluate once per row,
+    * then barrier so downstream explodes/joins shuffle the RESULT. */
+  def derived(df: DataFrame)(add: DataFrame => DataFrame): DataFrame =
+    materialize(add(materialize(df)))
+
+  /** Cosine from a precomputed norm product; 0.0 for zero norms (the
+    * guarded form every SQL oracle mirrors). */
+  def cosFromNorms(dot: Column, nn: Column): Column =
+    when(nn === 0.0, 0.0).otherwise(dot / nn)
+}

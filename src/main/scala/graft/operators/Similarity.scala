@@ -35,13 +35,7 @@ import graft.functions.GraftFunctions._
   */
 object Similarity {
 
-  private def materialize(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-
-  /** cos from a precomputed norm product; 0.0 for zero norms (same
-    * guarded form the SQL oracle uses). */
-  private def cosFromNorms(dot: Column, nn: Column): Column =
-    when(nn === 0.0, 0.0).otherwise(dot / nn)
+  import OpUtils.{cosFromNorms, materialize}
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus` need (id, vec) columns; result: one row per
@@ -104,10 +98,12 @@ object Similarity {
     val centDf = centroids.toDF("bucket", "cent_vec")
     val qProbed = broadcast(queries.withColumn("q_norm", l2Norm(col("q_vec"))))
       .crossJoin(broadcast(centDf))
+      // squared distance minus the per-query-constant q·q term (it
+      // cannot change the per-query probe ranking, and would otherwise
+      // be re-evaluated once per centroid)
       .withColumn("dist2",
-        dotProduct(col("q_vec"), col("q_vec"))
-          - lit(2.0) * dotProduct(col("q_vec"), col("cent_vec"))
-          + dotProduct(col("cent_vec"), col("cent_vec")))
+        dotProduct(col("cent_vec"), col("cent_vec"))
+          - lit(2.0) * dotProduct(col("q_vec"), col("cent_vec")))
       .withColumn("probe_rank", row_number().over(
         Window.partitionBy(col(qId)).orderBy(col("dist2"), col("bucket"))))
       .filter(col("probe_rank") <= nProbe)

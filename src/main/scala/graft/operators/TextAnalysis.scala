@@ -71,7 +71,10 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val toks = tokens(text)
     val s = LangMarkers.view.mapValues(m => countIn(toks, m)).toMap
-    when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
+    // null text → null prediction (a bare when-chain would fall through
+    // every null comparison into the lowest-priority language)
+    when(text.isNull, lit(null).cast("string"))
+      .when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
       .when(s("es") >= s("de") && s("es") >= s("fr"), "es")
       .when(s("de") >= s("fr"), "de")
       .otherwise("fr")

@@ -40,8 +40,17 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_minhash"),
       info("graft_shingle_minhash",
         "graft_shingle_minhash(tokens, n, k) - MinHash signature over word-n-gram shingles"),
-      (exprs: Seq[Expression]) => ShingleMinHash(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        // n and k must be integer literals — a clear error beats the
+        // UnsupportedOperationException a bare eval() on a column throws
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_minhash: $name must be an integer literal, got $other")
+        }
+        ShingleMinHash(exprs.head, intLit(exprs(1), "n"), intLit(exprs(2), "k"))
+      }))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

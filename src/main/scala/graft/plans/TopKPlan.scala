@@ -95,6 +95,7 @@ object TopK {
     * `UnresolvedAttribute`s resolve through the standard path. */
   def perGroup(df: DataFrame, groupCols: Seq[String], score: String,
                k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1 (got $k)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =

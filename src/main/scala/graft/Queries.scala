@@ -425,6 +425,40 @@ object Queries {
       CAST(levenshtein(split_part(p_name, ' ', 1), 'spark') AS BIGINT) AS lev
       FROM part ORDER BY p_partkey"""))
 
+  /** Ordered array aggregation: distinct nation keys per market
+    * segment as a sorted, comma-joined string (set-aggregate →
+    * deterministic scalar — raw collect_list order is engine-defined). */
+  private val q48 = Q("q48_array_agg_sorted",
+    (s, d) => t(s, d, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        array_join(sort_array(collect_set(col("c_nationkey"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment,
+      array_to_string(list_sort(list_distinct(list(c_nationkey))), ',') AS nations,
+      count(*) AS n
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Date/time functions: month truncation + parts extraction over the
+    * orders timeline (year/quarter/month, formatted month bucket). */
+  private val q49 = Q("q49_date_functions",
+    (s, d) => t(s, d, "orders")
+      .withColumn("ym", date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"))
+      .groupBy(col("ym"))
+      .agg(
+        count(lit(1)).as("n"),
+        r(sum(col("o_totalprice")), 2).as("revenue"),
+        min(year(col("o_orderdate"))).cast("long").as("yr"),
+        min(quarter(col("o_orderdate"))).cast("long").as("qtr"))
+      .orderBy(col("ym")),
+    Some("""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+      count(*) AS n,
+      floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS revenue,
+      CAST(min(year(o_orderdate)) AS BIGINT) AS yr,
+      CAST(min(quarter(o_orderdate)) AS BIGINT) AS qtr
+      FROM orders GROUP BY 1 ORDER BY 1"""))
+
   /** Exact interpolated percentiles (median + p95) per event_type. */
   private val q27 = Q("q27_percentiles",
     (s, d) => t(s, d, "events")
@@ -1130,7 +1164,7 @@ object Queries {
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
-    q25, q26, q27, q28, q29, q46, q47,
+    q25, q26, q27, q28, q29, q46, q47, q48, q49,
     q30, q31, q32, q33, q34, q35, q36, q37, q38,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)

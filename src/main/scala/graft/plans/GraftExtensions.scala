@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PolyHash, ShingleMinHash}
+import graft.functions.{DotProduct, PolyHash, ShingleMinHash}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -50,7 +50,11 @@ object GraftExtensions {
             s"graft_shingle_minhash: $name must be an integer literal, got $other")
         }
         ShingleMinHash(exprs.head, intLit(exprs(1), "n"), intLit(exprs(2), "k"))
-      }))
+      }),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot",
+        "graft_dot(a, b) - sequential left-fold dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -20,6 +20,19 @@ class ExtensionsSinksSpec extends SparkSpec {
       "SELECT graft_shingle_minhash(split('a b c d', ' '), 3, 4) AS s")
       .as[Seq[Long]].collect().head
     assert(sig === sig2)
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].collect().head
+    assert(dot === 11.0)
+    // misuse: non-literal n must fail with a clear message
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_shingle_minhash(split('a b', ' '), id, 4) FROM range(1)").collect())
+    assert(err.getMessage.contains("integer literal")
+      || err.getMessage.contains("graft_shingle_minhash"))
+    // misuse: integer arrays must fail analysis, not return garbage
+    val typeErr = intercept[Exception](spark.sql(
+      "SELECT graft_dot(array(1, 2), array(3, 4))").collect())
+    assert(typeErr.getMessage.toLowerCase.contains("array"))
   }
 
   test("sinks: partitioned parquet write round-trips") {

@@ -459,6 +459,53 @@ object Queries {
       CAST(min(quarter(o_orderdate)) AS BIGINT) AS qtr
       FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  /** Frame-edge window functions: first/last/nth value over an
+    * explicit full-partition frame (default frames differ subtly across
+    * engines — the frame is always spelled out). One row per user. */
+  private val q63 = Q("q63_first_last_nth",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      eventsUs(s, d)
+        .withColumn("first_type", first(col("event_type")).over(w))
+        .withColumn("last_type", last(col("event_type")).over(w))
+        .withColumn("third_value", nth_value(col("value"), 3).over(w))
+        .withColumn("rn", row_number().over(wAll))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("first_type"), col("last_type"),
+          col("third_value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH x AS (SELECT user_id, event_type, value, event_id, epoch_us(ts) AS ts_us,
+        first_value(event_type) OVER w AS first_type,
+        last_value(event_type) OVER w AS last_type,
+        nth_value(value, 3) OVER w AS third_value,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      SELECT user_id, first_type, last_type, third_value
+      FROM x WHERE rn = 1 ORDER BY user_id"""))
+
+  /** Conditional aggregation: count_if / conditional sums (the FILTER
+    * clause family). */
+  private val q64 = Q("q64_conditional_agg",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 100).as("n_big"),
+        r(sum(when(col("value") > 100, col("value")).otherwise(0.0)), 2).as("sum_big"),
+        r(avg(when(col("value") <= 100, col("value"))), 4).as("avg_small"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      count(*) FILTER (value > 100) AS n_big,
+      floor(sum(CASE WHEN value > 100 THEN value ELSE 0.0 END) * 100.0 + 0.5) / 100.0 AS sum_big,
+      floor(avg(CASE WHEN value <= 100 THEN value END) * 10000.0 + 0.5) / 10000.0 AS avg_small
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Exact interpolated percentiles (median + p95) per event_type. */
   private val q27 = Q("q27_percentiles",
     (s, d) => t(s, d, "events")
@@ -1227,7 +1274,7 @@ object Queries {
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
-    q25, q26, q27, q28, q29, q46, q47, q48, q49,
+    q25, q26, q27, q28, q29, q46, q47, q48, q49, q63, q64,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)

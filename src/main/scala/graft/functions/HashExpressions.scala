@@ -78,6 +78,56 @@ object HashUtil {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Fused shingle → SimHash signature: majority vote of each hash bit
+    * across the DISTINCT shingles (distinct by STRING, exactly like the
+    * declarative `shingles()` + transform form — dedup by hash would
+    * shift votes on the rare collision). Returns null (boxed) for
+    * shingle-less documents — the no-clique law. */
+  def shingleSimHash(toks: ArrayData, n: Int, bits: Int): Any = {
+    val size = toks.numElements()
+    if (size < n) return null
+    val seen = new java.util.HashSet[String]()
+    val counts = new Array[Int](bits)
+    var total = 0
+    val sb = new java.lang.StringBuilder()
+    val last = size - n
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      var j = i
+      val end = i + n
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      val sstr = sb.toString
+      if (seen.add(sstr)) {
+        var h = 0L
+        var ci = 0
+        while (ci < sstr.length) {
+          val cp = sstr.codePointAt(ci)
+          h = (h * 31 + cp) % Mod
+          ci += Character.charCount(cp)
+        }
+        total += 1
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < bits) {
+      if (2 * counts(b) > total) sim |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
   /** Sequential left-fold dot product; element type per side is float
     * (true) or double (false). Matches the declarative fold exactly:
     * double(x)·double(y) added left to right. */
@@ -124,6 +174,28 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.shingleMinHash($c, $n, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_simhash(array<string>, n, bits) -> long` (nullable:
+  * shingle-less docs) — see [[HashUtil.shingleSimHash]]. */
+case class ShingleSimHash(child: Expression, n: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingleSimHash(input.asInstanceOf[ArrayData], n, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object simRes = graft.functions.HashUtil.shingleSimHash($c, $n, $bits);
+      if (simRes == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) simRes).longValue(); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSimHash =
     copy(child = newChild)
 }
 
@@ -177,6 +249,8 @@ object HashExpressions {
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def shingleMinHashNative(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(ShingleMinHash(GraftColumnBridge.expression(tokens), n, k))
+  def shingleSimHashNative(tokens: Column, n: Int, bits: Int): Column =
+    GraftColumnBridge.column(ShingleSimHash(GraftColumnBridge.expression(tokens), n, bits))
   def dotNative(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))

@@ -149,25 +149,15 @@ object Dedup {
     * across the shingle hashes (shingles for the same reason as
     * [[withMinHash]]). Near-dups have small Hamming distance. */
   def withSimHash(df: DataFrame, text: Column, bits: Int = 24,
-                  shingleN: Int = 3): DataFrame = derived(df) { d =>
-    val tokHashes = transform(shingles(tokens(text), shingleN), s => polyHash(s))
-    d.withColumn("_th", tokHashes)
-      .withColumn("simhash",
-        // shingle-less (sub-n-token) documents get a NULL signature —
-        // an all-zero simhash would collide every short document into
-        // one false-positive near-dup clique
-        when(size(col("_th")) === 0, lit(null).cast("long")).otherwise(
-        aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, b) => {
-          // portable bit extraction: h < 2^30 and 2^b exact in double,
-          // so floor(h / 2^b) is the exact shift (no shiftright with a
-          // non-literal distance in Spark's DSL)
-          val pow2 = pow(lit(2.0), b.cast("double"))
-          val cnt = size(filter(col("_th"),
-            h => pmod(floor(h / pow2).cast("long"), lit(2L)) === 1L))
-          acc + when(cnt * 2 > size(col("_th")), pow2.cast("long")).otherwise(0L)
-        })))
-      .drop("_th")
-  }
+                  shingleN: Int = 3): DataFrame = derived(df)(
+    // native fused expression (graft.functions.ShingleSimHash):
+    // majority vote per bit over DISTINCT shingle hashes; shingle-less
+    // (sub-n-token) documents get a NULL signature — an all-zero
+    // simhash would collide every short document into one
+    // false-positive near-dup clique
+    _.withColumn("simhash",
+      graft.functions.HashExpressions.shingleSimHashNative(
+        tokens(text), shingleN, bits)))
 
   /** SimHash near-dup pairs within blocks: Hamming distance via
     * bit_count(xor) ≤ maxHamming. */

@@ -951,6 +951,44 @@ object Queries {
       SELECT q_id, rank, c_id, bucket, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
 
+  /** H3: multi-probe LSH ANN — the query probes its bucket plus all
+    * Hamming-1 neighbors (9 probes at 8 planes), recovering recall
+    * single-probe loses, still as equality joins. */
+  private val q65 = Q("q65_similarity_multiprobe_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshMultiProbeTopK(
+        emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, planes = 8, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH bq0 AS (SELECT vec_id AS q_id, embedding AS qv,
+        CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
+          list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
+            qv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
+          THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket0
+      FROM (SELECT vec_id, embedding, embedding AS qv0 FROM embeddings WHERE vec_id < 20)),
+      bq AS (SELECT q_id, qv,
+        unnest(list_prepend(bucket0,
+          list_transform(range(0, 8), p -> xor(bucket0, (1::BIGINT << p))))) AS bucket
+      FROM bq0),
+      bc AS (SELECT vec_id AS c_id, embedding AS cv,
+        CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
+          list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
+            cv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
+          THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM (SELECT vec_id, embedding, embedding AS cv0 FROM embeddings)),
+      p AS (SELECT q_id, c_id, ${sqlDot("qv", "cv")} AS dt,
+        sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")}) AS nn
+      FROM bq JOIN bc ON bq.bucket = bc.bucket AND q_id <> c_id),
+      sc AS (SELECT q_id, c_id, CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END AS cos FROM p),
+      rk AS (SELECT q_id, c_id, cos,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
+      SELECT q_id, rank, c_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+
   /** H3: IVF ANN (k-means coarse quantizer, 2-probe) — rows-only: the
     * quantizer's float centroids are not SQL-reproducible. */
   private val q38 = Q("q38_similarity_ivf_topk",
@@ -1275,7 +1313,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q46, q47, q48, q49, q63, q64,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q65,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)
 

@@ -119,6 +119,34 @@ object Similarity {
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
 
+  /** Multi-probe LSH ANN: each query probes its own bucket AND every
+    * Hamming-1 neighbor bucket (one sign-bit flip per hyperplane) —
+    * planes+1 probes recover most of the recall single-probe loses to
+    * near-boundary projections, still as a pure equality join (the
+    * probe fan-out multiplies the query side, which is the small side). */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        planes: Int, dim: Int, qId: String = "q_id",
+                        cId: String = "c_id"): DataFrame = {
+    val qb = queries
+      .withColumn("bucket0", lshBucket(col("q_vec"), planes, dim))
+      .withColumn("q_norm", l2Norm(col("q_vec")))
+      .withColumn("bucket", explode(concat(
+        array(col("bucket0")),
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          col("bucket0").bitwiseXOR(pow(lit(2.0), p.cast("double")).cast("long"))))))
+    val cb = materialize(corpus
+      .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
+      .withColumn("c_norm", l2Norm(col("c_vec"))))
+    val pairs = qb.join(cb, Seq("bucket"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosFromNorms(
+        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
+  }
+
   /** ANN top-k: bucket-join candidates then exact cosine re-rank.
     * Queries whose bucket holds fewer than k neighbors return fewer
     * rows (recall/latency trade-off of single-probe LSH). Buckets and

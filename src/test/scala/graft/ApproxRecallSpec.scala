@@ -54,5 +54,16 @@ class ApproxRecallSpec extends SparkSpec {
       lshSets.getOrElse(qid, Set.empty[Long]).intersect(ids).size.toDouble / 5.0 }
     assert(recalls.sum / recalls.size > 0.1,
       s"mean recall@5 ${recalls.sum / recalls.size}")
+
+    // multi-probe (bucket + all Hamming-1 neighbors) must not lose
+    // recall versus single-probe
+    val multi = Similarity.lshMultiProbeTopK(q, c, k = 5, planes = 4, dim = 64)
+      .select("q_id", "rank", "c_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    val multiSets = multi.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val multiRecalls = bruteSets.map { case (qid, ids) =>
+      multiSets.getOrElse(qid, Set.empty[Long]).intersect(ids).size.toDouble / 5.0 }
+    assert(multiRecalls.sum / multiRecalls.size >= recalls.sum / recalls.size,
+      s"multi-probe recall ${multiRecalls.sum / multiRecalls.size} < single ${recalls.sum / recalls.size}")
   }
 }

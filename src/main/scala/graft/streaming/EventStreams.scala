@@ -62,6 +62,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Stream-stream interval join: each left event matched with the
+    * right-side events for the same key within the trailing `within`
+    * interval. Watermarks on BOTH sides bound the join state (Spark
+    * evicts right-side state once the left watermark passes
+    * `event_time + within`) — without them a stream-stream inner join
+    * would buffer forever. Also runs identically in batch. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   within: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("event_time", watermark).alias("l")
+    val r = right.withWatermark("event_time", watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND " +
+        s"r.event_time BETWEEN l.event_time - INTERVAL $within AND l.event_time"),
+      "inner")
+      .select(col(s"l.$key").as(key),
+        col("l.event_time").as("left_time"),
+        col("r.event_time").as("right_time"))
+  }
+
   /** Row/state types for the custom-state operator. */
   final case class UserEvent(user_id: Long, ts_us: Long)
   final case class UserSessionState(nSessions: Long, lastTsUs: Long)

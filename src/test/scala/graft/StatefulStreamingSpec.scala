@@ -43,6 +43,38 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the bound, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val clicks = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    val joined = EventStreams.intervalJoin(
+      clicks.toDS().toDF("user_id", "event_time"),
+      buys.toDS().toDF("user_id", "event_time"),
+      key = "user_id", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      // purchase arrives in an EARLIER batch than the click that joins it
+      buys.addData((1L, ts(0)), (2L, ts(0)))
+      q.processAllAvailable()
+      clicks.addData((1L, ts(5)),   // joins: 5 min after user 1's buy
+        (2L, ts(30)),               // no join: 30 min > bound
+        (3L, ts(6)))                // no join: no buy for user 3
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out")
+        .select("user_id", "left_time", "right_time")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+      assert(rows === Set((1L, ts(5), ts(0))))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode tumbling windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

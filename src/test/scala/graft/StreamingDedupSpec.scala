@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingDedup
+
+/** Incremental dedup end to end: docs stream in over two micro-batches;
+  * a near-copy arriving later is flagged against the PERSISTED index
+  * (not just its own batch) and kept out of the index. */
+class StreamingDedupSpec extends SparkSpec {
+
+  test("streaming near-dup index flags cross-batch duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      input.toDS().toDF("doc_id", "text"), textCol = "text", idCol = "doc_id",
+      indexDir = s"$base/index", dupDir = s"$base/dups",
+      checkpoint = s"$base/ckpt")
+    try {
+      val textA = "the quick brown fox jumps over the lazy dog again and again"
+      val textB = "completely different content with many unrelated words inside here"
+      input.addData((1L, textA), (2L, textB))
+      q.processAllAvailable()
+
+      // batch 2: doc 3 is an exact copy of doc 1 (arrived in batch 1),
+      // doc 4 is new
+      input.addData((3L, textA), (4L, "yet another brand new piece of text entirely"))
+      q.processAllAvailable()
+
+      val dups = spark.read.parquet(s"$base/dups")
+        .select("new_id", "matched_id").as[(Long, Long)].collect().toSet
+      assert(dups === Set((3L, 1L)))
+
+      val indexed = spark.read.parquet(s"$base/index")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(indexed === Set(1L, 2L, 4L))   // dup doc 3 never admitted
+    } finally q.stop()
+  }
+}

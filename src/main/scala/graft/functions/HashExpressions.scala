@@ -128,6 +128,40 @@ object HashUtil {
     java.lang.Long.valueOf(sim)
   }
 
+  /** Random-hyperplane LSH bucket id: bit p = [vec · plane_p > 0] over
+    * `planes` deterministic pseudo-random hyperplanes whose component d
+    * is ((p·37 + d·101 + 17) mod 1000)/500 − 1 ∈ [−1, 1). EXACTLY the
+    * declarative nested-fold spec (`Similarity.lshBucketDeclarative`)
+    * and the DuckDB `list_reduce` oracle: per plane, a sequential
+    * left-fold from 0.0 of double(vec[d])·component(p,d) for d = 1..dim
+    * — same IEEE ops in the same order, so bucket ids are bit-identical
+    * across all three forms. A vector shorter than `dim` (or with a
+    * null element) yields bucket 0, matching the declarative form's
+    * null-propagated projections (every plane's `when` falls through). */
+  def lshBucket(vec: ArrayData, isFloat: Boolean, planes: Int, dim: Int): Long = {
+    if (vec.numElements() < dim) return 0L
+    var d0 = 0
+    while (d0 < dim) {                   // null element → all planes null
+      if (vec.isNullAt(d0)) return 0L
+      d0 += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 1
+      while (d <= dim) {
+        val x = if (isFloat) vec.getFloat(d - 1).toDouble else vec.getDouble(d - 1)
+        val m = (p.toLong * 37L + d.toLong * 101L + 17L) % 1000L
+        proj += x * (m.toDouble / 500.0 - 1.0)
+        d += 1
+      }
+      if (proj > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Sequential left-fold dot product; element type per side is float
     * (true) or double (false). Matches the declarative fold exactly:
     * double(x)·double(y) added left to right. */
@@ -243,6 +277,42 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_lsh_bucket(array<float|double>, planes, dim) -> long` — see
+  * [[HashUtil.lshBucket]]. Replaces the interpreted nested
+  * `aggregate` fold (8 planes × 64 dims of lambda dispatch per row)
+  * with one codegen'd Java loop — the corpus-side bucket computation
+  * is the ANN hot path at scale. */
+case class LshBucket(child: Expression, planes: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float> or array<double> input, " +
+            s"got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.lshBucket(input.asInstanceOf[ArrayData], isFloat, planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.lshBucket($c, $f, $planes, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   /** Column wrappers over the native expressions. */
   def polyHashNative(c: Column): Column =
@@ -254,4 +324,6 @@ object HashExpressions {
   def dotNative(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
+  def lshBucketNative(vec: Column, planes: Int, dim: Int): Column =
+    GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(vec), planes, dim))
 }

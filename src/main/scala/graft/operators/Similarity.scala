@@ -27,11 +27,12 @@ import graft.functions.GraftFunctions._
   * multiplies their cost by the fan-out). The per-pair work is exactly
   * one dot product.
   *
-  * The dot product is `GraftFunctions.dotProduct` — a sequential
-  * left-fold of built-in higher-order functions, deterministic and
-  * oracle-reproducible. For ultimate throughput a custom codegen'd
-  * Catalyst Expression would fuse the loop; this is the documented
-  * upgrade path.
+  * Both per-row kernels — the dot product and the LSH bucket — are
+  * native codegen'd Catalyst expressions (`graft.functions.DotProduct`
+  * / `LshBucket`): tight Java loops inside whole-stage codegen,
+  * bit-identical to their declarative higher-order-function specs and
+  * the DuckDB oracles. No interpreted expression remains on any ANN
+  * query path.
   */
 object Similarity {
 
@@ -61,8 +62,17 @@ object Similarity {
     (pmod(p * 37L + d * 101L + 17L, lit(1000L)).cast("double") / 500.0) - 1.0
 
   /** Sign-of-projection LSH bucket id over `planes` hyperplanes:
-    * bit p = [vec · plane_p > 0]. */
+    * bit p = [vec · plane_p > 0]. Native codegen'd expression
+    * (`graft.functions.LshBucket`) — one tight Java loop per row inside
+    * whole-stage codegen; bit-identical to [[lshBucketDeclarative]]
+    * (the readable spec) and the DuckDB oracle's `list_reduce` form. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    graft.functions.HashExpressions.lshBucketNative(vec, planes, dim)
+
+  /** Declarative (built-ins only) specification of [[lshBucket]] —
+    * identical semantics, nested interpreted `aggregate` folds, kept as
+    * the readable spec and differential-test twin. */
+  def lshBucketDeclarative(vec: Column, planes: Int, dim: Int): Column =
     aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
       val proj = aggregate(sequence(lit(1), lit(dim)), lit(0.0), (s, d) =>
         s + element_at(vec, d).cast("double") * planeComponent(p.cast("long"), d.cast("long")))

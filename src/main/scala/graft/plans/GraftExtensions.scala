@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, PolyHash, ShingleMinHash}
+import graft.functions.{DotProduct, LshBucket, PolyHash, ShingleMinHash}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -32,6 +32,16 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** n/k/planes/dim-style arguments must be integer literals — a clear
+    * error beats the UnsupportedOperationException a bare eval() on a
+    * non-literal column throws. */
+  private def intLit(e: Expression, fn: String, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_polyhash"),
       info("graft_polyhash",
@@ -40,21 +50,19 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_minhash"),
       info("graft_shingle_minhash",
         "graft_shingle_minhash(tokens, n, k) - MinHash signature over word-n-gram shingles"),
-      (exprs: Seq[Expression]) => {
-        // n and k must be integer literals — a clear error beats the
-        // UnsupportedOperationException a bare eval() on a column throws
-        def intLit(e: Expression, name: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"graft_shingle_minhash: $name must be an integer literal, got $other")
-        }
-        ShingleMinHash(exprs.head, intLit(exprs(1), "n"), intLit(exprs(2), "k"))
-      }),
+      (exprs: Seq[Expression]) => ShingleMinHash(exprs.head,
+        intLit(exprs(1), "graft_shingle_minhash", "n"),
+        intLit(exprs(2), "graft_shingle_minhash", "k"))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot",
         "graft_dot(a, b) - sequential left-fold dot product of two float/double arrays"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(vec, planes, dim) - random-hyperplane LSH bucket id of a float/double array"),
+      (exprs: Seq[Expression]) => LshBucket(exprs.head,
+        intLit(exprs(1), "graft_lsh_bucket", "planes"),
+        intLit(exprs(2), "graft_lsh_bucket", "dim"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -95,6 +95,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.head._2 > 0.99)
   }
 
+  test("H3 LSH: native bucket expression matches the declarative spec on real embeddings") {
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val diff = emb
+      .withColumn("nat", Similarity.lshBucket(col("embedding"), planes = 8, dim = 64))
+      .withColumn("dec", Similarity.lshBucketDeclarative(col("embedding"), planes = 8, dim = 64))
+      .filter(col("nat") =!= col("dec"))
+    assert(diff.count() === 0L)
+    // short/null-element vectors take the declarative null-propagation path: bucket 0
+    val degenerate = Seq(
+      (0L, Seq(1.0f, 2.0f)),                        // shorter than dim
+      (1L, (1 to 64).map(_.toFloat))                // full length
+    ).toDF("vec_id", "embedding")
+    val b = degenerate.withColumn("nat",
+        Similarity.lshBucket(col("embedding"), planes = 8, dim = 64))
+      .select("vec_id", "nat").as[(Long, Long)].collect().toMap
+    assert(b(0L) === 0L)
+    assert(b(1L) !== 0L)
+  }
+
   test("H3 LSH: bucket assignment is deterministic and locality-preserving") {
     def buckets = vecs.withColumn("bucket",
         Similarity.lshBucket(col("embedding"), planes = 8, dim = 3))

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((ident, info, builder))
     }
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => TopKRewrite)
   }
 }
 

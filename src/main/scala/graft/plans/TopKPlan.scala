@@ -5,18 +5,20 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Cast, Expression, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, AttributeSet, Cast, CurrentRow, Descending, EqualTo, Expression, GenericInternalRow, GreaterThan, GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, Literal, PredicateHelper, RowFrame, RowNumber, RowOrdering, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.GraftColumnBridge
 import org.apache.spark.sql.types.DoubleType
 
 /** Whole-operator Catalyst extension (`SURVEY.md` §4.3 option c):
-  * per-group top-k by score with a BOUNDED HEAP.
+  * per-group top-k under a SortOrder with a BOUNDED HEAP.
   *
   * The built-in formulation — `row_number().over(partitionBy(keys)
-  * .orderBy(score))` then `filter(rn <= k)` — hash-partitions AND FULLY
+  * .orderBy(...))` then `filter(rn <= k)` — hash-partitions AND FULLY
   * SORTS every group, O(n log n) comparisons and a complete sort buffer
   * per partition. This operator declares the same ClusteredDistribution
   * requirement (so Catalyst still plans the single exchange, or reuses
@@ -25,74 +27,156 @@ import org.apache.spark.sql.types.DoubleType
   * between spilling a 100 TB sort and never materializing more than the
   * answer.
   *
-  * Pieces: [[TopKPerGroup]] (logical, analyzer-resolved expressions),
+  * Pieces: [[TopKPerGroup]] (logical; carries the full `Seq[SortOrder]`
+  * so composite orderings — score desc, id asc — rank exactly like
+  * `row_number`, and optionally emits the rank column itself),
   * [[TopKStrategy]] (planner rule), [[TopKPerGroupExec]] (physical,
-  * heap-per-group over `mapPartitionsInternal`). Registered through
-  * `GraftExtensions` (cluster path) or self-registered on first use via
-  * `experimental.extraStrategies` (ad-hoc path). Ties on the score are
-  * broken arbitrarily (like the RDD `top` idiom); pass a composite
-  * score for determinism.
+  * heap-per-group with a codegen'd `RowOrdering`), and [[TopKRewrite]]
+  * (optimizer rule: user-written `filter(row_number().over(...) <= k)`
+  * plans become this operator automatically — no Window, no Sort).
+  * Registered through `GraftExtensions` (cluster path) or
+  * self-registered on first use via `experimental.extraStrategies`
+  * (ad-hoc path).
   */
 case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
-                        scoreExpr: Expression, child: LogicalPlan)
+                        order: Seq[SortOrder], rankOutput: Option[Attribute],
+                        child: LogicalPlan)
     extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerGroup =
     copy(child = c)
 }
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(k, g, s, child) =>
-      TopKPerGroupExec(k, g, s, planLater(child)) :: Nil
+    case TopKPerGroup(k, g, o, r, child) =>
+      TopKPerGroupExec(k, g, o, r, planLater(child)) :: Nil
     case _ => Nil
   }
 }
 
+/** Optimizer rule: rewrite `Filter(rn <= k)` over a single-expression
+  * `row_number()` Window into [[TopKPerGroup]] emitting the rank
+  * column under the window output's ExprId. The Filter is kept (it
+  * still prunes when the predicate carries extra conjuncts, and costs
+  * nothing on ≤ groups×k rows); the Window — and with it the full
+  * per-group sort — disappears. Only `row_number` qualifies: `rank`/
+  * `dense_rank` admit more than k rows on boundary ties, which a
+  * bounded heap of k cannot represent. */
+object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case other => other
+  }
+
+  private def intVal(l: Literal): Option[Int] = l.value match {
+    case i: Int => Some(i)
+    case v: Long if v <= Int.MaxValue && v >= Int.MinValue => Some(v.toInt)
+    case s: Short => Some(s.toInt)
+    case _ => None
+  }
+
+  /** The tightest `rank ≤ K` bound implied by the predicate's
+    * conjuncts, if any constrain the rank attribute from above. */
+  private def rankLimit(cond: Expression, rank: Attribute): Option[Int] = {
+    def isRank(e: Expression): Boolean = stripCast(e) match {
+      case a: AttributeReference => a.exprId == rank.exprId
+      case _ => false
+    }
+    val bounds = splitConjunctivePredicates(cond).flatMap {
+      case LessThanOrEqual(l, lt: Literal) if isRank(l) => intVal(lt)
+      case LessThan(l, lt: Literal) if isRank(l) => intVal(lt).map(_ - 1)
+      case GreaterThanOrEqual(lt: Literal, r) if isRank(r) => intVal(lt)
+      case GreaterThan(lt: Literal, r) if isRank(r) => intVal(lt).map(_ - 1)
+      case EqualTo(l, lt: Literal) if isRank(l) => intVal(lt)
+      case EqualTo(lt: Literal, r) if isRank(r) => intVal(lt)
+      case _ => None
+    }
+    bounds.reduceOption(math.min)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, Window(
+        Seq(alias @ Alias(WindowExpression(RowNumber(),
+          WindowSpecDefinition(part, order,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
+        _, _, child, _)) if part.nonEmpty && order.nonEmpty =>
+      rankLimit(cond, alias.toAttribute) match {
+        case Some(k) if k >= 1 =>
+          Filter(cond, TopKPerGroup(k, part, order, Some(alias.toAttribute), child))
+        case _ => f
+      }
+  }
+}
+
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
-                            scoreExpr: Expression, child: SparkPlan)
+                            order: Seq[SortOrder], rankOutput: Option[Attribute],
+                            child: SparkPlan)
     extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankOutput
+  override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
 
   /** One hash exchange on the group keys — or none, if the child is
     * already co-partitioned (e.g. bucketed input). */
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] =
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val outAttrs = output
+    val (kL, groupL, orderL, rankL) = (k, groupExprs, order, rankOutput)
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(groupExprs, child.output)
-      val score = BindReferences.bindReference(scoreExpr, child.output)
-      // min-heap of size k per group: head = weakest kept row
-      implicit val ord: Ordering[(Double, InternalRow)] =
-        Ordering.by[(Double, InternalRow), Double](_._1).reverse
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Double, InternalRow)]]
+      val keyProj = UnsafeProjection.create(groupL, childOutput)
+      // codegen'd comparator for the FULL SortOrder sequence — composite
+      // orderings and null-ordering semantics match row_number exactly
+      val ord = RowOrdering.create(orderL, childOutput)
+      // max-heap under ord: head = the currently-weakest kept row
+      val heaps = mutable.LinkedHashMap
+        .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
-        val sv = score.eval(row)
-        if (sv != null) {                    // null scores never rank
-          val s = sv.asInstanceOf[Double]
-          val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-            mutable.PriorityQueue.empty[(Double, InternalRow)])
-          if (heap.size < k) heap.enqueue((s, row.copy()))
-          else if (s > heap.head._1) {
-            heap.dequeue()
-            heap.enqueue((s, row.copy()))
-          }
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](ord))
+        if (heap.size < kL) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
         }
       }
-      heaps.valuesIterator.flatMap(_.toSeq.sortBy(-_._1).map(_._2).iterator)
+      // dequeueAll drains worst-first; reverse = rank order (best first)
+      def ranked(heap: mutable.PriorityQueue[InternalRow]): Seq[InternalRow] = {
+        val worstFirst: Seq[InternalRow] = heap.dequeueAll
+        worstFirst.reverse
+      }
+      rankL match {
+        case None =>
+          heaps.valuesIterator.flatMap(h => ranked(h).iterator)
+        case Some(rankAttr) =>
+          val joined = new JoinedRow
+          val rankRow = new GenericInternalRow(1)
+          val proj = UnsafeProjection.create(outAttrs, childOutput :+ rankAttr)
+          heaps.valuesIterator.flatMap { heap =>
+            ranked(heap).iterator.zipWithIndex.map { case (r, i) =>
+              rankRow.setInt(0, i + 1)
+              proj(joined(r, rankRow))
+            }
+          }
+      }
     }
+  }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
     copy(child = c)
 }
 
 object TopK {
-  /** Top-`k` rows per group by `score` (descending). Score is cast to
-    * double. Column NAMES (not Columns): Spark 4's Column→Expression
-    * wrapper (`ColumnNodeExpression`) reports itself resolved, so the
-    * analyzer would not rewrite it inside a custom logical node —
-    * `UnresolvedAttribute`s resolve through the standard path. */
+  /** Top-`k` rows per group by `score` (descending, SQL null-ordering:
+    * nulls last). Score is cast to double. Column NAMES (not Columns):
+    * Spark 4's Column→Expression wrapper (`ColumnNodeExpression`)
+    * reports itself resolved, so the analyzer would not rewrite it
+    * inside a custom logical node — `UnresolvedAttribute`s resolve
+    * through the standard path. */
   def perGroup(df: DataFrame, groupCols: Seq[String], score: String,
                k: Int): DataFrame = {
     require(k >= 1, s"top-k requires k >= 1 (got $k)")
@@ -102,9 +186,10 @@ object TopK {
         spark.experimental.extraStrategies :+ TopKStrategy
     GraftColumnBridge.ofRows(spark,
       TopKPerGroup(k,
-        groupCols.map(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted),
-        Cast(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(score),
-          DoubleType),
+        groupCols.map(UnresolvedAttribute.quoted),
+        SortOrder(Cast(UnresolvedAttribute.quoted(score), DoubleType),
+          Descending) :: Nil,
+        None,
         df.queryExecution.logical))
   }
 }

@@ -19,6 +19,7 @@ object AsOfProps extends Properties("AsOf") {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 
   private val gen = for {

@@ -21,6 +21,7 @@ object SessionizeProps extends Properties("Sessionize") {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 
   private val seriesGen: Gen[(List[Long], Long, Long)] = for {

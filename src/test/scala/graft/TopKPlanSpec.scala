@@ -39,6 +39,42 @@ class TopKPlanSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
   }
 
+  test("rewrite: filter(row_number <= k) plans as TopKPerGroup — no Window, no Sort") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def query = orders.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+
+    val plan = query.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), s"rewrite must remove the Window:\n$plan")
+    assert(!plan.contains("Sort "), s"rewrite must remove the per-group sort:\n$plan")
+
+    // identical rows (incl. rank values) to the un-rewritten plan — the
+    // ordering is total, so this is exact row equality
+    val got = query.collect().map(_.toSeq).sortBy(_.toString)
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKRewrite")
+    try {
+      val vanilla = query.queryExecution.executedPlan.toString
+      assert(vanilla.contains("Window"), s"exclusion must restore the Window:\n$vanilla")
+      val expected = query.collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq === expected.toSeq)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  test("rewrite guard: rank()/dense_rank() filters keep the Window (ties exceed k rows)") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    val plan = orders.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("k larger than any group returns everything") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
       .toDF("id", "g", "s")

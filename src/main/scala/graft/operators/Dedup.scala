@@ -43,15 +43,42 @@ object Dedup {
   def withShingles(df: DataFrame, text: Column, n: Int = 3): DataFrame =
     derived(df)(_.withColumn("sh", shingles(tokens(text), n)))
 
+  /** Default cap for the within-block all-pairs operators: a block at
+    * the cap costs ~cap²/2 ≈ 5·10⁹ comparisons across the cluster —
+    * the line between "expensive" and "monopolizes the job". */
+  val DefaultMaxBlock = 100000
+
+  /** Runtime guardrail for the quadratic pair generators: every block's
+    * row count must stay ≤ `cap`, or the job FAILS with a message
+    * naming the hot block and the scale-safe alternative — a silent
+    * O(block²) explosion on a 10⁷-row block would otherwise melt a
+    * cluster. One cheap partial aggregate on the already-shuffled block
+    * key; when all blocks are within the cap the result rows are
+    * unchanged (the assertion column is always-null and dropped). */
+  private def guardBlocks(side: DataFrame, cap: Int, op: String): DataFrame = {
+    val counts = side.groupBy(col("bk")).agg(count(lit(1)).as("_bk_cnt"))
+    side.join(counts, Seq("bk"))
+      .filter(assert_true(col("_bk_cnt") <= cap,
+        concat(lit(s"$op: block '"), col("bk").cast("string"),
+          lit("' has "), col("_bk_cnt").cast("string"),
+          lit(s" rows > maxBlock=$cap; the all-pairs comparison is " +
+            "quadratic per block - use the LSH path (lshVerifiedPairs / " +
+            "Similarity.lshTopK) or raise maxBlock explicitly"))).isNull)
+      .drop("_bk_cnt")
+  }
+
   /** H2a pairwise shingle-Jaccard within blocks: join on `blockKey`
     * (e.g. language, length bucket, or an LSH band), score
     * |A∩B| / (|A|+|B|−|A∩B|), keep pairs ≥ threshold. Block sizes
     * bound the quadratic term; at scale the caller feeds LSH-band
-    * blocks (see [[lshCandidates]]) instead of coarse attributes. */
+    * blocks (see [[lshCandidates]]) instead of coarse attributes.
+    * Blocks larger than `maxBlock` fail fast (see [[guardBlocks]]). */
   def jaccardPairs(shingled: DataFrame, id: String, blockKey: String,
-                   threshold: Double): DataFrame = {
-    val a = shingled.select(col(blockKey).as("bk"), col(id).as("id_a"),
-      col("sh").as("sh_a"))
+                   threshold: Double,
+                   maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    val a = guardBlocks(
+      shingled.select(col(blockKey).as("bk"), col(id).as("id_a"),
+        col("sh").as("sh_a")), maxBlock, "jaccardPairs")
     val b = shingled.select(col(blockKey).as("bk"), col(id).as("id_b"),
       col("sh").as("sh_b"))
     a.join(b, Seq("bk"))
@@ -125,11 +152,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     // shingle ONLY the documents that appear in a candidate pair — the
     // whole point of LSH prefiltering is that this is a vanishing
-    // fraction of the corpus (candIds is tiny → broadcast semi-join)
+    // fraction of the corpus. No broadcast hint: when the candidate set
+    // IS small, AQE converts the semi-join to a broadcast join from the
+    // runtime shuffle statistics; when a pathological corpus makes it
+    // large, the plan degrades to a shuffled semi-join instead of
+    // OOM-ing the driver on an unconditional broadcast.
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("_cid")).distinct()
     val sh = withShingles(
-        df.join(broadcast(candIds), col(id) === col("_cid"), "left_semi"),
+        df.join(candIds, col(id) === col("_cid"), "left_semi"),
         text, shingleN)
       .select(col(id).as("_sid"), col("sh"))
     cands
@@ -160,11 +191,14 @@ object Dedup {
         tokens(text), shingleN, bits)))
 
   /** SimHash near-dup pairs within blocks: Hamming distance via
-    * bit_count(xor) ≤ maxHamming. */
+    * bit_count(xor) ≤ maxHamming. Blocks larger than `maxBlock` fail
+    * fast (see [[guardBlocks]]). */
   def simHashPairs(df: DataFrame, id: String, blockKey: String,
-                   maxHamming: Int): DataFrame = {
-    val a = df.select(col(blockKey).as("bk"), col(id).as("id_a"),
-      col("simhash").as("sh_a"))
+                   maxHamming: Int,
+                   maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    val a = guardBlocks(
+      df.select(col(blockKey).as("bk"), col(id).as("id_a"),
+        col("simhash").as("sh_a")), maxBlock, "simHashPairs")
     val b = df.select(col(blockKey).as("bk"), col(id).as("id_b"),
       col("simhash").as("sh_b"))
     a.join(b, Seq("bk"))
@@ -177,13 +211,16 @@ object Dedup {
   }
 
   /** H2d embedding near-dup: cosine ≥ threshold pairs inside blocks
-    * (label, or an IVF/LSH bucket at scale). */
+    * (label, or an IVF/LSH bucket at scale). Blocks larger than
+    * `maxBlock` fail fast (see [[guardBlocks]]). */
   def embeddingPairs(df: DataFrame, id: String, vec: String,
-                     blockKey: String, threshold: Double): DataFrame = {
+                     blockKey: String, threshold: Double,
+                     maxBlock: Int = DefaultMaxBlock): DataFrame = {
     // norms computed once per vector behind the barrier, not per pair
     val normed = derived(df)(_.withColumn("_norm", l2Norm(col(vec))))
-    val a = normed.select(col(blockKey).as("bk"), col(id).as("id_a"),
-      col(vec).as("v_a"), col("_norm").as("n_a"))
+    val a = guardBlocks(
+      normed.select(col(blockKey).as("bk"), col(id).as("id_a"),
+        col(vec).as("v_a"), col("_norm").as("n_a")), maxBlock, "embeddingPairs")
     val b = normed.select(col(blockKey).as("bk"), col(id).as("id_b"),
       col(vec).as("v_b"), col("_norm").as("n_b"))
     a.join(b, Seq("bk"))

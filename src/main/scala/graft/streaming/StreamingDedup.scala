@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -19,18 +20,28 @@ import graft.operators.Dedup
   *  3. confirmed dup (new_id, indexed_id) pairs append to `dupDir`;
   *  4. non-duplicate docs' band rows append to `indexDir`.
   *
-  * Scale: the index is parquet partitioned by band key on read
-  * (equality join), state grows with unique docs only, and each batch
-  * touches index rows sharing a band with the batch — the streaming
-  * twin of the batch LSH plan. Intra-batch duplicates are both
+  * Scale: the index parquet is PARTITIONED by (band_idx, band_bucket)
+  * — band_bucket = band_hash mod [[BucketCount]] — and each batch
+  * reads ONLY the partitions its own band keys touch (the touched key
+  * set is tiny and driver-known: at most bands × BucketCount values),
+  * so per-batch work scales with the batch, not with the accumulated
+  * index. State grows with unique docs only. All filesystem probes go
+  * through the Hadoop FileSystem API, so the same code runs on local
+  * disk, HDFS, or object stores. Intra-batch duplicates are both
   * admitted (checked only against the index); run the batch dedup
   * inside the micro-batch first if that matters.
   */
 object StreamingDedup {
 
+  /** Partition fan-out per band for the persisted index: band_hash mod
+    * 64 — enough selectivity that a batch prunes most of a large
+    * index, few enough directories that listing stays cheap. */
+  val BucketCount = 64
+
   val IndexSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("band_idx", IntegerType),
+    StructField("band_bucket", IntegerType),
     StructField("band_hash", LongType),
     StructField("minhash", ArrayType(LongType))))
 
@@ -45,13 +56,32 @@ object StreamingDedup {
         val banded = Dedup.withLshBands(
             Dedup.withMinHash(batch, col(textCol), k, shingleN), k, bands)
           .select(col(idCol).cast("long").as("doc_id"),
-            col("band_idx"), col("band_hash"), col("minhash"))
+            col("band_idx"),
+            pmod(col("band_hash"), lit(BucketCount.toLong)).cast("int")
+              .as("band_bucket"),
+            col("band_hash"), col("minhash"))
           .cache()
         try {
+          // Hadoop FS probe — java.io.File would always miss on HDFS/S3
+          // and silently disable cross-batch detection
+          val indexPath = new Path(indexDir)
+          val fs = indexPath.getFileSystem(
+            spark.sessionState.newHadoopConf())
           val index =
-            if (new java.io.File(indexDir).exists())
-              spark.read.schema(IndexSchema).parquet(indexDir)
-            else spark.createDataFrame(
+            if (fs.exists(indexPath)) {
+              // prune the index read to the partitions this batch's band
+              // keys can possibly match: the touched (band_idx,
+              // band_bucket) set is at most bands × BucketCount values —
+              // a tiny, bounded driver-side collect
+              val touched = banded
+                .select(col("band_idx"), col("band_bucket")).distinct()
+                .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+              val prune = touched
+                .map { case (bi, bb) =>
+                  col("band_idx") === bi && col("band_bucket") === bb }
+                .reduceOption(_ || _).getOrElse(lit(false))
+              spark.read.schema(IndexSchema).parquet(indexDir).filter(prune)
+            } else spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], IndexSchema)
 
           val dups = banded.alias("n")
@@ -71,7 +101,9 @@ object StreamingDedup {
           banded
             .join(dups.select(col("new_id")).distinct(),
               col("doc_id") === col("new_id"), "left_anti")
-            .write.mode(SaveMode.Append).parquet(indexDir)
+            .write.mode(SaveMode.Append)
+            .partitionBy("band_idx", "band_bucket")
+            .parquet(indexDir)
           dups.unpersist()
         } finally banded.unpersist()
         ()

@@ -70,6 +70,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sig === Seq(None, None, None, None))
   }
 
+  test("guardrail: a block above maxBlock fails fast instead of going quadratic") {
+    // all five docs share one block → block size 5 > cap 4
+    val ex = intercept[Exception] {
+      Dedup.jaccardPairs(
+        Dedup.withShingles(docs.withColumn("blk", lit("all")), col("text"), 3),
+        "doc_id", "blk", 0.5, maxBlock = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("maxBlock=4")), ex.getMessage)
+    // …and within the cap nothing changes
+    val ok = Dedup.jaccardPairs(
+      Dedup.withShingles(docs, col("text"), 3), "doc_id", "lang", 0.5,
+      maxBlock = 4)
+    assert(ok.count() === 3)   // (0,1)=1.0, (0,2) and (1,2) near-dups
+    val ex2 = intercept[Exception] {
+      Dedup.simHashPairs(
+        Dedup.withSimHash(docs, col("text"), bits = 24), "doc_id", "lang", 6,
+        maxBlock = 2).collect()
+    }
+    assert(msgs(ex2).exists(m => m != null && m.contains("simHashPairs")), ex2.getMessage)
+  }
+
   val vecs = Seq(
     (0L, 0, Seq(1.0f, 0.0f, 0.0f)),
     (1L, 0, Seq(0.9f, 0.1f, 0.0f)),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.streaming.StreamingDedup
 
 /** Incremental dedup end to end: docs stream in over two micro-batches;
@@ -36,6 +37,22 @@ class StreamingDedupSpec extends SparkSpec {
       val indexed = spark.read.parquet(s"$base/index")
         .select("doc_id").distinct().as[Long].collect().toSet
       assert(indexed === Set(1L, 2L, 4L))   // dup doc 3 never admitted
+
+      // the index is laid out partitioned by (band_idx, band_bucket) …
+      val dirs = new java.io.File(s"$base/index").listFiles()
+        .filter(_.isDirectory).map(_.getName)
+      assert(dirs.nonEmpty && dirs.forall(_.startsWith("band_idx=")), dirs.toSeq)
+
+      // … so a band-key lookup PRUNES at the scan: the band_idx/
+      // band_bucket predicates land in PartitionFilters (directory
+      // pruning), not in the row-level data filters — the property
+      // each micro-batch's pruned index join relies on
+      val one = spark.read.parquet(s"$base/index")
+        .filter(col("band_idx") === 0 && col("band_bucket") === 7)
+      val plan = one.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*".r.findFirstIn(plan).getOrElse("")
+      assert(pf.contains("band_idx") && pf.contains("band_bucket"),
+        s"band keys must prune partitions, not filter rows:\n$plan")
     } finally q.stop()
   }
 }

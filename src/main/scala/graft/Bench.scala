@@ -5,8 +5,35 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries (Queries.benchNames) on
   * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query seconds.
   * Each query is forced with .count() (full plan execution, no result
-  * materialization on the driver beyond the count). */
+  * materialization on the driver beyond the count).
+  *
+  * Failures are NEVER silently absorbed into a better-looking total: a
+  * query that throws is timed as -1, listed in the `failed` array, and
+  * makes the process exit nonzero — a crashing bench query must look
+  * like a failure, not like a speedup. */
 object Bench {
+
+  /** Warm-up once (JIT + codegen + file listing), then two timed passes
+    * per query reporting the min (GC/scheduling noise damping). Returns
+    * (per-query seconds in input order, -1 for failures; failed names). */
+  def timeAll(names: Seq[String], runOne: String => Unit)
+      : (Seq[(String, Double)], Seq[String]) = {
+    names.foreach { n =>
+      try runOne(n)
+      catch { case _: Throwable => () }              // timed passes report it
+    }
+    def timeOnce(n: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { runOne(n); true } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val results = names.map { n =>
+      val (a, b) = (timeOnce(n), timeOnce(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    (results, results.collect { case (n, t) if t < 0 => n })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -21,28 +48,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val names = Queries.benchNames
-    // one warm-up pass (JIT + codegen + file listing), then two timed
-    // passes per query, reporting the min (GC/scheduling noise damping)
-    names.foreach { n =>
-      try Queries.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    def timeOnce(n: String): Double = {
-      val t0 = System.nanoTime()
-      val ok = try { Queries.queries(n)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      // failures are reported as -1, never as a timing
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-    }
-    val results = names.map { n =>
-      val (a, b) = (timeOnce(n), timeOnce(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+    val (results, failed) =
+      timeAll(Queries.benchNames, n => { Queries.queries(n)(spark, sfDir).count(); () })
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -294,6 +294,90 @@ object Queries {
       count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Skewed fact side for q44/q45: 90% of lineitem rows collapse onto
+    * order key 1 — the deliberate hot key. l_partkey rides along as the
+    * deterministic salt source. */
+  private def skewedLineitem(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      when(pmod(col("l_orderkey"), lit(100L)) < 90, lit(1L))
+        .otherwise(col("l_orderkey")).as("k"),
+      col("l_quantity"), col("l_partkey"))
+
+  private val SkewJoinOracle = """SELECT o_orderpriority,
+      floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+      count(*) AS n
+      FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 1
+              ELSE l_orderkey END AS k, l_quantity FROM lineitem) f
+      JOIN orders ON o_orderkey = f.k
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** Skewed-key join, plain sort-merge (the `merge` hint keeps the
+    * planner from broadcasting the dim, so the skew actually hits the
+    * shuffle): one reducer receives 90% of the fact side and AQE's
+    * skew-join splitting is what saves it. The measured twin of q45. */
+  private val q44 = Q("q44_skew_join_plain",
+    (s, d) => skewedLineitem(s, d).hint("merge")
+      .join(t(s, d, "orders"), col("k") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(r(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority")),
+    Some(SkewJoinOracle),
+    bench = true)
+
+  /** The same skewed join, manually salted (`operators.Salting
+    * .saltedEquiJoin`): fact rows spread over 16 (key, salt) sub-keys,
+    * dim replicated ×16 — identical result (same oracle), but the hot
+    * key occupies 16 reducers by construction instead of relying on
+    * runtime re-planning. The static-plan insurance when AQE can't
+    * help (streaming joins, map-side-skew). */
+  private val q45 = Q("q45_skew_join_salted",
+    (s, d) => graft.operators.Salting.saltedEquiJoin(
+        skewedLineitem(s, d), t(s, d, "orders"),
+        factKey = col("k"), dimKey = col("o_orderkey"),
+        saltSource = col("l_partkey"), saltBuckets = 16)
+      .groupBy(col("o_orderpriority"))
+      .agg(r(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority")),
+    Some(SkewJoinOracle),
+    bench = true)
+
+  /** C+ at rest: co-located BUCKETED join — both sides pre-bucketed on
+    * the join key at write time (`Tables.bucketed`), so the sort-merge
+    * join reads bucket layout directly: ZERO exchange on either join
+    * input. Same result as q05; the oracle is the plain join. */
+  private val q52 = Q("q52_bucketed_join_revenue",
+    (s, d) => {
+      val o = s.table(sources.Tables.bucketed(s, d, "orders", "o_orderkey"))
+      val l = s.table(sources.Tables.bucketed(s, d, "lineitem", "l_orderkey"))
+      o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+      floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+      count(*) AS n_items
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+    bench = true)
+
+  /** Bucketed left-semi: customer/orders both bucketed on the customer
+    * key — the zero-exchange form of q06. */
+  private val q53 = Q("q53_bucketed_semi_active",
+    (s, d) => {
+      val c = s.table(sources.Tables.bucketed(s, d, "customer", "c_custkey"))
+      val o = s.table(sources.Tables.bucketed(s, d, "orders", "o_custkey"))
+      c.hint("merge").join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_active FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   /** Custom Catalyst operator (`plans.TopK`): bounded-heap per-group
     * top-k — same ClusteredDistribution as the window formulation but
     * O(n log k) with groups×k resident rows instead of a full sort.
@@ -1312,7 +1396,7 @@ object Queries {
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
-    q25, q26, q27, q28, q29, q46, q47, q48, q49, q63, q64,
+    q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
     q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q65,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)

@@ -28,4 +28,29 @@ object Salting {
       .agg(sum(value).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col("k"))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pn")).as("n"))
+
+  /** Salted shuffle equi-join for a skewed fact key: the fact side gets
+    * a deterministic salt in [0, saltBuckets), the dimension side is
+    * replicated once per salt value, and the join runs on
+    * (key, salt) — a hot fact key's rows spread over `saltBuckets`
+    * reducers instead of melting one. Results are identical to the
+    * plain join (the oracle proves it).
+    *
+    * Trade-off vs AQE's skew-join splitting: AQE needs no dim
+    * replication and is the first tool to reach for; manual salting
+    * still wins when the skew is inside a single map task's output or
+    * the engine must plan statically (streaming joins, AQE off). The
+    * dim side is replicated ×saltBuckets, so keep saltBuckets modest
+    * and the dim the smaller side. */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
+                     dimKey: Column, saltSource: Column,
+                     saltBuckets: Int): DataFrame = {
+    val f = fact.withColumn("_fsalt",
+      pmod(saltSource, lit(saltBuckets.toLong)).cast("int"))
+    val d = dim.withColumn("_dsalt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    f.join(d.hint("merge"),
+        col("_fsalt") === col("_dsalt") && factKey === dimKey)
+      .drop("_fsalt", "_dsalt")
+  }
 }

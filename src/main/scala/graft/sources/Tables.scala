@@ -54,6 +54,31 @@ object Tables {
     path.map(r.load).getOrElse(r.load())
   }
 
+  /** Idempotently materialize testdata table `name` as a BUCKETED
+    * managed table (`bucketBy`/`sortBy` on `key`) and return its
+    * catalog name. Bucketing is the at-rest half of the co-located
+    * join: both sides of a repeated equi-join pre-partitioned at write
+    * time, so the join plans with ZERO exchange on its inputs — pay
+    * the shuffle once when the table is written, never again per
+    * query. The name is suffixed with the source dir so different
+    * scale factors can't alias each other's data. */
+  def bucketed(spark: SparkSession, dir: String, name: String, key: String,
+               buckets: Int = 8): String = {
+    val tbl = s"${name}_${key}_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    if (!spark.catalog.tableExists(tbl)) {
+      // the in-memory catalog forgets tables across JVMs but the
+      // managed location survives — clear it or saveAsTable refuses
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(warehouse, tbl)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+      load(spark, dir, name).write
+        .bucketBy(buckets, key).sortBy(key)
+        .mode("overwrite").saveAsTable(tbl)
+    }
+    tbl
+  }
+
   /** A5: schema'd CSV scan (the reference's test fixture path,
     * `ExtractFeatureTest.java:25-31` — `textFile` + split replaced by
     * the declarative reader; schema declared, never inferred). */

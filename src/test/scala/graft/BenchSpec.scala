@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness must surface failures, never absorb them into a
+  * better-looking total. */
+class BenchSpec extends AnyFunSuite {
+
+  test("timeAll: a crashing query reports -1 and lands in the failed list") {
+    val (res, failed) = Bench.timeAll(Seq("ok", "boom"), {
+      case "boom" => throw new RuntimeException("deliberately broken")
+      case _ => ()
+    })
+    assert(failed === Seq("boom"))
+    val m = res.toMap
+    assert(m("ok") >= 0.0)
+    assert(m("boom") === -1.0)
+    // the total must exclude the sentinel, not subtract it
+    assert(res.map(_._2).filter(_ >= 0).sum >= 0.0)
+  }
+
+  test("timeAll: all-green run has an empty failed list") {
+    val (res, failed) = Bench.timeAll(Seq("a", "b"), _ => ())
+    assert(failed.isEmpty)
+    assert(res.forall(_._2 >= 0.0))
+  }
+}

@@ -63,4 +63,36 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("registered bucketed queries (q52/q53): no exchange on the join inputs, q05/q06 results") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q52 = Queries.queries("q52_bucketed_join_revenue")(spark, dir)
+      val plan = q52.queryExecution.executedPlan.toString
+      val joinSection = plan.split("SortMergeJoin").drop(1)
+      assert(joinSection.nonEmpty, s"expected a sort-merge join in:\n$plan")
+      assert(!joinSection.mkString.contains("Exchange hashpartitioning(o_orderkey")
+        && !joinSection.mkString.contains("Exchange hashpartitioning(l_orderkey"),
+        s"join inputs must come from bucket layout, not a shuffle:\n$plan")
+      assert(q52.collect().map(_.toSeq).toSeq ===
+        Queries.queries("q05_join_revenue_by_priority")(spark, dir)
+          .collect().map(_.toSeq).toSeq)
+
+      val q53 = Queries.queries("q53_bucketed_semi_active")(spark, dir)
+      val plan53 = q53.queryExecution.executedPlan.toString
+      val semiSection = plan53.split("SortMergeJoin").drop(1)
+      assert(semiSection.nonEmpty, s"expected a sort-merge semi join in:\n$plan53")
+      assert(!semiSection.mkString.contains("Exchange hashpartitioning(c_custkey")
+        && !semiSection.mkString.contains("Exchange hashpartitioning(o_custkey"),
+        s"semi-join inputs must come from bucket layout:\n$plan53")
+      assert(q53.collect().map(_.toSeq).toSeq ===
+        Queries.queries("q06_semi_join")(spark, dir)
+          .collect().map(_.toSeq).toSeq)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -263,14 +263,15 @@ object Queries {
         .orderBy(col("event_id"))
     },
     Some("""WITH u AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side, NULL::DOUBLE AS rv, event_id
+        SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side,
+          NULL::STRUCT(v DOUBLE) AS rvs, event_id
         FROM events WHERE event_type = 'click'
         UNION ALL
-        SELECT user_id, epoch_us(ts), 0, value, event_id
+        SELECT user_id, epoch_us(ts), 0, struct_pack(v := value), event_id
         FROM events WHERE event_type = 'purchase'),
-      lv AS (SELECT *, last_value(rv IGNORE NULLS) OVER (
+      lv AS (SELECT *, (last_value(rvs IGNORE NULLS) OVER (
           PARTITION BY user_id ORDER BY ts_us, side, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS asof_value
         FROM u)
       SELECT event_id, user_id, ts_us, asof_value
       FROM lv WHERE side = 1 ORDER BY event_id"""),

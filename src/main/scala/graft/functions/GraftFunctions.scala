@@ -28,10 +28,14 @@ object GraftFunctions {
   val HashMod = 1000000007L
   def polyHash(s: Column): Column = HashExpressions.polyHashNative(s)
 
-  /** The declarative (built-ins only) form of [[polyHash]] — identical
-    * semantics, kept as the readable specification and the fallback if
-    * the native expression is unavailable. Interpreted per char, so
-    * ~100× slower on hot paths. */
+  /** The declarative (built-ins only) form of [[polyHash]], kept as
+    * the readable specification. EQUIVALENT ON THE BASIC MULTILINGUAL
+    * PLANE ONLY: this form folds per UTF-16 code unit (`split` +
+    * `ascii`), while the native expression and the DuckDB oracle fold
+    * per Unicode CODE POINT — for supplementary-plane characters
+    * (emoji, rare CJK) the two diverge, and the code-point form is the
+    * portable one. Interpreted per char, so ~100× slower on hot paths;
+    * never use on a query path. */
   def polyHashDeclarative(s: Column): Column =
     aggregate(
       transform(split(s, ""), c => ascii(c)),

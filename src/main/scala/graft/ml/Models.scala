@@ -70,10 +70,11 @@ object Models {
   def naiveBayes: NaiveBayes = new NaiveBayes()
     .setSmoothing(1.0).setModelType("gaussian")
 
-  /** Binary-only in spark.ml, exactly as in MLlib — constructible for
-    * surface parity with `model/GradientBoostedTree.java`, not wired
-    * into the multiclass flagship (would throw, as the reference's
-    * would have). */
+  /** Binary-only in spark.ml, exactly as in MLlib — surface parity
+    * with `model/GradientBoostedTree.java`. Not wired into the
+    * multiclass flagship (would throw, as the reference's would have),
+    * but fully runnable on a binary label through [[trainEval]] —
+    * demonstrated end-to-end in PipelineE2ESpec. */
   def gradientBoostedTrees: GBTClassifier = new GBTClassifier()
     .setMaxIter(3).setMaxDepth(5).setSeed(Seed)
 

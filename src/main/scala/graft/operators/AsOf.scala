@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) join — an operator Spark SQL lacks natively,
   * composed from built-ins per the preference order (compose > custom
@@ -10,13 +11,19 @@ import org.apache.spark.sql.functions._
   * or before its timestamp, per key.
   *
   * Plan shape: tag both sides, UNION, one hash partition on the key,
-  * one sort by (ts, side, tie), then `last(value, ignoreNulls)` over
+  * one sort by (ts, side, tie), then `last(marker, ignoreNulls)` over
   * the unbounded-preceding frame; left rows are then filtered back out.
   * That is ONE shuffle + ONE sort regardless of the right side's size —
   * the classic scalable as-of plan (vs a range join, which explodes, or
   * a per-row subquery, which is quadratic). Right rows at an equal
   * timestamp sort BEFORE left rows, so "at or before" includes ties.
-  */
+  *
+  * The carried marker is a one-field STRUCT wrapping the value, not the
+  * value itself: a right row whose value is genuinely NULL still wins
+  * as "the most recent observation" (its struct is non-null), instead
+  * of being skipped in favor of an older non-null value. Internal
+  * column names are uniquified against both inputs, so left frames that
+  * already have `_side`/`_ts`-style columns can't silently collide. */
 object AsOf {
 
   /** @param left      rows to enrich
@@ -29,26 +36,38 @@ object AsOf {
            valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
     val lCols = left.columns
+
+    // internal names, uniquified against every user column on either side
+    val taken = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      if (!taken.contains(base)) base
+      else Iterator.from(0).map(i => s"$base$i").filterNot(taken).next()
+    val sideC = fresh("_side")
+    val tsC = fresh("_ts")
+    val rvC = fresh("_rv")
+
+    val markerType = new StructType().add("v", right.schema(valueCol).dataType)
     val unioned = left
-      .withColumn("_side", lit(1))
-      .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
-      .select((keys.map(col) ++ Seq(col(ts).as("_ts"), col("_side"), col("_rv"))
+      .withColumn(sideC, lit(1))
+      .withColumn(rvC, lit(null).cast(markerType))
+      .select((keys.map(col) ++ Seq(col(ts).as(tsC), col(sideC), col(rvC))
         ++ tieBreak.map(col) ++ lCols.filterNot(c => keys.contains(c) || c == ts || tieBreak.contains(c)).map(col)): _*)
       .unionByName(
         right
-          .withColumn("_side", lit(0))
-          .withColumn("_rv", col(valueCol))
-          .select((keys.map(col) ++ Seq(col(ts).as("_ts"), col("_side"), col("_rv"))
+          .withColumn(sideC, lit(0))
+          .withColumn(rvC, struct(col(valueCol).as("v")))
+          .select((keys.map(col) ++ Seq(col(ts).as(tsC), col(sideC), col(rvC))
             ++ tieBreak.map(col)): _*),
         allowMissingColumns = true)
 
-    val order = Seq(col("_ts"), col("_side")) ++ tieBreak.map(col)
+    val order = Seq(col(tsC), col(sideC)) ++ tieBreak.map(col)
     val w = Window.partitionBy(keyCols: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn(s"asof_$valueCol", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-      .drop("_side", "_rv")
-      .withColumnRenamed("_ts", ts)
+      .withColumn(s"asof_$valueCol",
+        last(col(rvC), ignoreNulls = true).over(w).getField("v"))
+      .filter(col(sideC) === 1)
+      .drop(sideC, rvC)
+      .withColumnRenamed(tsC, ts)
   }
 }

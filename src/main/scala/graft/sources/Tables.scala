@@ -34,10 +34,17 @@ object Tables {
     * precision above 2^53 — epoch-nanos are ~1.7e18).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // defensive for sessions that didn't set it at build time (the
-    // graft mains all do); guarded to avoid mutating conf on every read
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The flag must be set at session BUILD time (the graft mains and
+    // test sessions all do). Mutating shared session conf from inside a
+    // read would silently change behavior for concurrent users of the
+    // same session reading other nanos-timestamp parquet — so reads of
+    // the nanos table FAIL FAST with instructions instead.
+    if (name == "events" &&
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      throw new IllegalStateException(
+        "graft.Tables.load: events.ts is parquet TIMESTAMP(NANOS); build the " +
+          "session with spark.sql.legacy.parquet.nanosAsLong=true (see the " +
+          "graft mains' builders) — load() will not mutate shared session conf")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

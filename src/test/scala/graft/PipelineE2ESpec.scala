@@ -62,4 +62,18 @@ class PipelineE2ESpec extends SparkSpec {
     assert(eval.accuracy === 1.0)
     assert(eval.nTrain + eval.nTest === 8L)
   }
+
+  test("GBT trains end-to-end on a binary label (F4's runnable surface)") {
+    // spark.ml GBT is binary-only (as was the reference's MLlib GBT);
+    // the two synthesized activities give it a legitimate binary task
+    val feats = Features.pipeline(raw,
+      user = "user_id", activity = "activity", tsName = "ts",
+      axes = Features.Axes(col("acc_x"), col("acc_y"), col("acc_z")),
+      gap = gap, width = width)
+      .withColumn("label", when(col("activity") === "Walking", 0.0).otherwise(1.0))
+      .cache()
+    val eval = Models.trainEval(feats, Models.gradientBoostedTrees)
+    assert(eval.accuracy === 1.0)
+    assert(eval.nTrain + eval.nTest === 8L)
+  }
 }

@@ -326,16 +326,18 @@ object Queries {
     bench = true)
 
   /** The same skewed join, manually salted (`operators.Salting
-    * .saltedEquiJoin`): fact rows spread over 16 (key, salt) sub-keys,
-    * dim replicated ×16 — identical result (same oracle), but the hot
-    * key occupies 16 reducers by construction instead of relying on
-    * runtime re-planning. The static-plan insurance when AQE can't
-    * help (streaming joins, map-side-skew). */
+    * .saltedEquiJoin`): the known-hot key's fact rows spread over 16
+    * (key, salt) sub-keys, only its dim rows replicated ×16 —
+    * identical result (same oracle), but the hot key occupies 16
+    * reducers by construction instead of relying on runtime
+    * re-planning. The static-plan insurance when AQE can't help
+    * (streaming joins, map-side-skew). */
   private val q45 = Q("q45_skew_join_salted",
     (s, d) => graft.operators.Salting.saltedEquiJoin(
         skewedLineitem(s, d), t(s, d, "orders"),
         factKey = col("k"), dimKey = col("o_orderkey"),
-        saltSource = col("l_partkey"), saltBuckets = 16)
+        saltSource = col("l_partkey"), saltBuckets = 16,
+        hotKeys = Seq(1L))
       .groupBy(col("o_orderpriority"))
       .agg(r(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority")),
@@ -850,6 +852,15 @@ object Queries {
   private def sqlDot(a: String, b: String, dim: Int = 64): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1,${dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
 
+  /** SQL fragment: random-hyperplane LSH bucket id of a `dim`-dim
+    * float list — mirrors `Similarity.lshBucket` / the native
+    * `graft.functions.LshBucket` expression fold for fold. */
+  private def sqlLshBucket(v: String, planes: Int = 8, dim: Int = 64): String =
+    s"""CAST(list_sum(list_transform(range(0, $planes), p -> CASE WHEN
+      list_reduce(list_prepend(0.0, list_transform(range(1, ${dim + 1}), d ->
+        $v[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
+      THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT)"""
+
   /** H1: exact dedup by content hash; keeper = lowest doc_id. */
   private val q30 = Q("q30_dedup_exact",
     (s, d) => Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))
@@ -973,6 +984,26 @@ object Queries {
       SELECT bk, id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
       FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
 
+  /** H2 at scale: embedding near-dup blocked by the vectors' OWN
+    * geometry — LSH hyperplane buckets (codegen'd) as the block key
+    * instead of a natural attribute, so block sizes are ~n/256 whatever
+    * the label/language skew. The 100 TB twin of q34. */
+  private val q54 = Q("q54_dedup_embedding_lsh",
+    (s, d) => Dedup.embeddingPairsLsh(
+        t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+        planes = 8, dim = 64, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("e0")} AS bk
+        FROM (SELECT vec_id, embedding, embedding AS e0 FROM embeddings)),
+      p AS (SELECT a.bk, a.vec_id AS id_a, b2.vec_id AS id_b,
+          ${sqlDot("a.embedding", "b2.embedding")} AS dt,
+          sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b2.embedding", "b2.embedding")}) AS nn
+        FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id),
+      c AS (SELECT bk, id_a, id_b, CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END AS cos FROM p)
+      SELECT bk, id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // H3: similarity search                                             //
   // ---------------------------------------------------------------- //
@@ -1034,7 +1065,8 @@ object Queries {
       rk AS (SELECT q_id, c_id, bucket, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
       SELECT q_id, rank, c_id, bucket, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
-      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""),
+    bench = true)
 
   /** H3: multi-probe LSH ANN — the query probes its bucket plus all
     * Hamming-1 neighbors (9 probes at 8 planes), recovering recall
@@ -1072,7 +1104,8 @@ object Queries {
       rk AS (SELECT q_id, c_id, cos,
         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank FROM sc)
       SELECT q_id, rank, c_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
-      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""),
+    bench = true)
 
   /** H3: IVF ANN (k-means coarse quantizer, 2-probe) — rows-only: the
     * quantizer's float centroids are not SQL-reproducible. */
@@ -1398,7 +1431,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
-    q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q65,
+    q30, q31, q32, q33, q34, q54, q35, q36, q37, q38, q39, q65,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)
 

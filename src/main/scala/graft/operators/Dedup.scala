@@ -210,9 +210,28 @@ object Dedup {
       .select(col("bk"), col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** H2d at scale: embedding near-dup with LSH-BUCKET blocking — the
+    * random-hyperplane bucket (`Similarity.lshBucket`, codegen'd)
+    * replaces the caller-chosen attribute as the block key, so block
+    * sizes are ~n/2^planes regardless of any skewed natural attribute
+    * and the pair join is a pure equality join on bucket ids. This is
+    * the 100 TB twin of [[embeddingPairs]]: same scoring, blocks from
+    * the data's own geometry. Single-probe recall: a true pair
+    * splitting on ≥1 hyperplane is missed — raise recall by lowering
+    * `planes` (bigger blocks) exactly like single-probe [[Similarity
+    * .lshTopK]]. */
+  def embeddingPairsLsh(df: DataFrame, id: String, vec: String,
+                        planes: Int, dim: Int, threshold: Double,
+                        maxBlock: Int = DefaultMaxBlock): DataFrame =
+    embeddingPairs(
+      df.withColumn("_lsh_bk",
+        graft.functions.HashExpressions.lshBucketNative(col(vec), planes, dim)),
+      id, vec, "_lsh_bk", threshold, maxBlock)
+
   /** H2d embedding near-dup: cosine ≥ threshold pairs inside blocks
-    * (label, or an IVF/LSH bucket at scale). Blocks larger than
-    * `maxBlock` fail fast (see [[guardBlocks]]). */
+    * (label, or an IVF/LSH bucket at scale — see
+    * [[embeddingPairsLsh]]). Blocks larger than `maxBlock` fail fast
+    * (see [[guardBlocks]]). */
   def embeddingPairs(df: DataFrame, id: String, vec: String,
                      blockKey: String, threshold: Double,
                      maxBlock: Int = DefaultMaxBlock): DataFrame = {

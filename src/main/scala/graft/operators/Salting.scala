@@ -29,26 +29,37 @@ object Salting {
       .groupBy(col("k"))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pn")).as("n"))
 
-  /** Salted shuffle equi-join for a skewed fact key: the fact side gets
-    * a deterministic salt in [0, saltBuckets), the dimension side is
-    * replicated once per salt value, and the join runs on
-    * (key, salt) — a hot fact key's rows spread over `saltBuckets`
+  /** Salted shuffle equi-join for a skewed fact key: hot fact rows get
+    * a deterministic salt in [0, saltBuckets), the dimension rows for
+    * those hot keys are replicated once per salt value, and the join
+    * runs on (key, salt) — a hot key's rows spread over `saltBuckets`
     * reducers instead of melting one. Results are identical to the
     * plain join (the oracle proves it).
     *
-    * Trade-off vs AQE's skew-join splitting: AQE needs no dim
-    * replication and is the first tool to reach for; manual salting
-    * still wins when the skew is inside a single map task's output or
-    * the engine must plan statically (streaming joins, AQE off). The
-    * dim side is replicated ×saltBuckets, so keep saltBuckets modest
-    * and the dim the smaller side. */
+    * `hotKeys` TARGETS the salt: only the named keys are salted and
+    * replicated (the production shape — hot keys are known from AQE
+    * stats or a pre-count, and replicating the whole dim ×saltBuckets
+    * would cost more than the skew). Empty `hotKeys` salts every key:
+    * the blunt fallback when the hot set is unknown, priced at a full
+    * ×saltBuckets dim blow-up.
+    *
+    * Trade-off vs AQE's skew-join splitting: AQE needs no replication
+    * and is the first tool to reach for; manual salting is the static-
+    * plan insurance when AQE can't help (streaming joins, skew inside
+    * a single map task's output, engines planning without runtime
+    * stats). */
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
                      dimKey: Column, saltSource: Column,
-                     saltBuckets: Int): DataFrame = {
-    val f = fact.withColumn("_fsalt",
-      pmod(saltSource, lit(saltBuckets.toLong)).cast("int"))
-    val d = dim.withColumn("_dsalt",
-      explode(sequence(lit(0), lit(saltBuckets - 1))))
+                     saltBuckets: Int, hotKeys: Seq[Long] = Nil): DataFrame = {
+    val salt = pmod(saltSource, lit(saltBuckets.toLong)).cast("int")
+    val allSalts = sequence(lit(0), lit(saltBuckets - 1))
+    val (fSalt, dSalts) =
+      if (hotKeys.isEmpty) (salt, allSalts)
+      else (
+        when(factKey.isin(hotKeys: _*), salt).otherwise(lit(0)),
+        when(dimKey.isin(hotKeys: _*), allSalts).otherwise(array(lit(0))))
+    val f = fact.withColumn("_fsalt", fSalt)
+    val d = dim.withColumn("_dsalt", explode(dSalts))
     f.join(d.hint("merge"),
         col("_fsalt") === col("_dsalt") && factKey === dimKey)
       .drop("_fsalt", "_dsalt")

@@ -106,6 +106,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))
   }
 
+  test("H2 embedding near-dup with LSH-bucket blocking finds the near pair") {
+    val pairs = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding",
+        planes = 8, dim = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((0L, 1L)))   // same bucket AND cos ≥ 0.9
+  }
+
   test("H3 brute-force top-k: correct neighbor order, self excluded") {
     val q = vecs.filter(col("vec_id") === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

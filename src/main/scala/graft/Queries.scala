@@ -1004,6 +1004,28 @@ object Queries {
       FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b"""),
     bench = true)
 
+  /** Multi-probe twin of q54: Hamming-1 probe fan-out recovers pairs a
+    * single hyperplane split, still as one equality join (probes
+    * multiply the probing side ×9, never the pair count). */
+  private val q55 = Q("q55_dedup_embedding_multiprobe",
+    (s, d) => Dedup.embeddingPairsLshMultiProbe(
+        t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+        planes = 8, dim = 64, threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH b0 AS (SELECT vec_id, embedding, ${sqlLshBucket("e0")} AS bk0
+        FROM (SELECT vec_id, embedding, embedding AS e0 FROM embeddings)),
+      pa AS (SELECT vec_id AS id_a, embedding AS va,
+          unnest(list_prepend(bk0,
+            list_transform(range(0, 8), p -> xor(bk0, (1::BIGINT << p))))) AS bk
+        FROM b0),
+      pb AS (SELECT vec_id AS id_b, embedding AS vb, bk0 AS bk FROM b0),
+      p AS (SELECT id_a, id_b, ${sqlDot("va", "vb")} AS dt,
+          sqrt(${sqlDot("va", "va")}) * sqrt(${sqlDot("vb", "vb")}) AS nn
+        FROM pa JOIN pb ON pa.bk = pb.bk AND id_a < id_b),
+      c AS (SELECT id_a, id_b, CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END AS cos FROM p)
+      SELECT id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
+      FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
+
   // ---------------------------------------------------------------- //
   // H3: similarity search                                             //
   // ---------------------------------------------------------------- //
@@ -1431,7 +1453,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
-    q30, q31, q32, q33, q34, q54, q35, q36, q37, q38, q39, q65,
+    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65,
     q40, q41, q42, q43, q50, q51, q61, q62,
     q70, q71, q72, q73, q74)
 

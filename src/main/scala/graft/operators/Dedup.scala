@@ -228,6 +228,42 @@ object Dedup {
         graft.functions.HashExpressions.lshBucketNative(col(vec), planes, dim)),
       id, vec, "_lsh_bk", threshold, maxBlock)
 
+  /** Multi-probe twin of [[embeddingPairsLsh]]: one side probes its own
+    * bucket plus every Hamming-1 neighbor (one sign-bit flip per
+    * hyperplane), so a true pair split by exactly one hyperplane is
+    * still found — the recall recovery of `Similarity
+    * .lshMultiProbeTopK` applied to dedup. Probing is symmetric
+    * (bucket_b ∈ probes(a) ⟺ hamming ≤ 1 ⟺ bucket_a ∈ probes(b)), so
+    * with the id_a < id_b orientation every qualifying pair appears
+    * EXACTLY once: no distinct pass needed. Cost: ×(planes+1) rows on
+    * the probing side of the equality join. */
+  def embeddingPairsLshMultiProbe(df: DataFrame, id: String, vec: String,
+                                  planes: Int, dim: Int, threshold: Double,
+                                  maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    val base = derived(df)(_
+      .withColumn("_bk0",
+        graft.functions.HashExpressions.lshBucketNative(col(vec), planes, dim))
+      .withColumn("_norm", l2Norm(col(vec))))
+    val a = base
+      .withColumn("bk", explode(concat(
+        array(col("_bk0")),
+        transform(sequence(lit(0), lit(planes - 1)), p =>
+          col("_bk0").bitwiseXOR(pow(lit(2.0), p.cast("double")).cast("long"))))))
+      .select(col("bk"), col(id).as("id_a"), col(vec).as("v_a"),
+        col("_norm").as("n_a"))
+    val b = guardBlocks(
+      base.select(col("_bk0").as("bk"), col(id).as("id_b"),
+        col(vec).as("v_b"), col("_norm").as("n_b")),
+      maxBlock, "embeddingPairsLshMultiProbe")
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        OpUtils.cosFromNorms(dotProduct(col("v_a"), col("v_b")),
+          col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), r(col("cos"), 4).as("cos"))
+  }
+
   /** H2d embedding near-dup: cosine ≥ threshold pairs inside blocks
     * (label, or an IVF/LSH bucket at scale — see
     * [[embeddingPairsLsh]]). Blocks larger than `maxBlock` fail fast

@@ -33,14 +33,29 @@ object EventStreams {
     df.withColumn("event_time", timestamp_micros(longDiv(col("ts"), 1000L)))
 
   /** File-source stream over the events parquet (schema must be
-    * declared for streaming reads). */
+    * declared for streaming reads). Like `Tables.load`, refuses to
+    * mutate shared session conf: the nanos flag must be set at session
+    * build time. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      throw new IllegalStateException(
+        "EventStreams.readEventStream: events.ts is parquet TIMESTAMP(NANOS); " +
+          "build the session with spark.sql.legacy.parquet.nanosAsLong=true")
     withEventTime(
       spark.readStream.schema(EventSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }
+
+  /** Stream-static enrichment: left-join the stream against a batch
+    * dimension frame on `key`. Stateless on the stream side — no
+    * watermark, no state store; the static side is executed afresh
+    * each micro-batch (a dim whose SOURCE changes between batches is
+    * re-scanned, the standard slowly-changing-dimension pattern). At
+    * scale the dim either broadcasts (small) or the join co-partitions
+    * per batch — the same plan menu as any batch join. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
 
   /** Tumbling event-time window aggregation with a 1-hour watermark:
     * in streaming mode emits finalized windows; in batch mode computes

@@ -113,6 +113,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.toSeq === Seq((0L, 1L)))   // same bucket AND cos ≥ 0.9
   }
 
+  test("H2 multi-probe embedding dedup ⊇ single-probe, no duplicate pairs") {
+    val emb = graft.sources.Tables.embeddings(spark, sf("sf0.001"))
+    val single = Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+        planes = 8, dim = 64, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multiRows = Dedup.embeddingPairsLshMultiProbe(emb, "vec_id", "embedding",
+        planes = 8, dim = 64, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val multi = multiRows.toSet
+    assert(multiRows.length === multi.size, "pairs must appear exactly once")
+    assert(single.subsetOf(multi), "Hamming-1 probes can only add recall")
+  }
+
   test("H3 brute-force top-k: correct neighbor order, self excluded") {
     val q = vecs.filter(col("vec_id") === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

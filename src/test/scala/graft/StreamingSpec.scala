@@ -30,6 +30,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamResult === batch)
   }
 
+  test("H5 stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val enriched = EventStreams.enrich(
+      input.toDS().toDF("event_id", "user_id"), dim, "user_id")
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out").outputMode("append")
+      .start()
+    try {
+      input.addData((10L, 1L), (11L, 3L))
+      q.processAllAvailable()
+      input.addData((12L, 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("enrich_out")
+      .select("event_id", "tier").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out === Map(10L -> Some("gold"), 11L -> None, 12L -> Some("silver")))
+  }
+
   test("H5 session windows close after the gap (batch mode)") {
     val dir = sf("sf0.001")
     val sessions = EventStreams.sessionCounts(

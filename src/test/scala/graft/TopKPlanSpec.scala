@@ -64,6 +64,24 @@ class TopKPlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("rewrite: the rn = 1 latest-record-per-key pattern plans as TopKPerGroup") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id"))
+    def latest = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts")
+    val plan = latest.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), plan)
+    val got = latest.collect().map(_.toSeq).sortBy(_.toString)
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKRewrite")
+    try {
+      val expected = latest.collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq === expected.toSeq)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
   test("rewrite guard: rank()/dense_rank() filters keep the Window (ties exceed k rows)") {
     val orders = Tables.orders(spark, sf("sf0.001"))
     val w = Window.partitionBy(col("o_orderpriority"))

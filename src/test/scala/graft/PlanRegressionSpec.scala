@@ -1,0 +1,53 @@
+package graft
+
+/** Pins the plan-shape properties the engine's 100 TB design claims
+  * rest on (SCALE.md / PLANS.md). A refactor that silently adds a
+  * shuffle, drops a pushdown, or falls back to an interpreted
+  * expression fails HERE, not in a production profile. */
+class PlanRegressionSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q20 feature pipeline: ONE hash exchange feeds windows + aggregate") {
+    val p = plan("q20_feature_pipeline")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"the 11-feature pipeline must cost exactly one shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("q01/q02: filters and projections reach the parquet scan") {
+    val p1 = plan("q01_agg_pricing_summary")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"q01 filter must push to the scan:\n$p1")
+    val p2 = plan("q02_filter_project")
+    assert(p2.contains("PushedFilters: [") && p2.contains("LessThan(l_quantity"),
+      s"q02 filters must push to the scan:\n$p2")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p2).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length === 5,
+      s"q02 must read exactly its 5 projected columns, got: $read")
+  }
+
+  test("q04 star join: dimensions broadcast, fact side never shuffles for the join") {
+    val p = plan("q04_join_star_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 2, p)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1,   // only the final groupBy
+      s"fact side must not shuffle for the dimension joins:\n$p")
+  }
+
+  test("ANN paths carry the native bucket/dot expressions, no interpreted folds") {
+    val p = plan("q36_similarity_lsh_topk")
+    assert(p.contains("graft_lsh_bucket"), s"native bucket expression missing:\n$p")
+    assert(p.contains("graft_dot"), s"native dot product missing:\n$p")
+    assert(!p.contains("aggregate(sequence"),
+      s"no interpreted HOF fold may remain on the ANN path:\n$p")
+  }
+
+  test("q30 exact dedup: single hash exchange on the content digest") {
+    val p = plan("q30_dedup_exact")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 1, s"exact dedup is one shuffle by definition:\n$p")
+  }
+}

@@ -1026,6 +1026,82 @@ object Queries {
       SELECT id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
       FROM c WHERE cos >= 0.4 ORDER BY id_a, id_b"""))
 
+  /** H4: PII redaction — deterministic synthetic PII appended to every
+    * document so each row exercises all three patterns; the redaction
+    * chain (emails → IPv4 → phone) is a pure codegen'd regexp_replace
+    * pipeline behind the scan. Regexes live in the RE2 ∩ java.regex
+    * subset so both engines replace byte-for-byte identically. */
+  private val q56 = Q("q56_pii_redact",
+    (s, d) => t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.redact(concat_ws(" ", col("text"),
+          lit("contact:"),
+          concat(lit("user"), col("doc_id"), lit("@example.com")),
+          lit("10.0.0.1 555-123-4567"))).as("clean_text"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        concat_ws(' ', text, 'contact:', 'user' || doc_id || '@example.com',
+          '10.0.0.1 555-123-4567'),
+        '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+        '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+        '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
+      FROM documents ORDER BY doc_id"""))
+
+  /** H4: document chunking — 50-token windows advancing by 40 (10-token
+    * overlap), trailing partial kept. Chunk text compared by portable
+    * hash (the driver hashes values anyway; this keeps the dump small). */
+  private val q57 = Q("q57_chunking",
+    (s, d) => graft.operators.Chunking.chunk(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        col("text"), chunkTokens = 50, overlap = 10)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        polyHash(col("chunk_text")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      starts AS (SELECT doc_id, t,
+          unnest(range(0, CASE WHEN len(t) = 0 THEN 1 ELSE ((len(t) - 1) // 40) + 1 END)) AS chunk_idx
+        FROM tk),
+      ch AS (SELECT doc_id, chunk_idx,
+          t[chunk_idx*40 + 1 : chunk_idx*40 + 50] AS ct
+        FROM starts)
+      SELECT doc_id, chunk_idx, len(ct) AS chunk_tokens,
+        ${sqlPolyHash("array_to_string(ct, ' ')")} AS chunk_hash
+      FROM ch WHERE len(ct) > 0 ORDER BY doc_id, chunk_idx"""))
+
+  /** H4: sequence packing (concat-and-cut) — chunks ordered within 8
+    * deterministic shards, cumulative token count, bins cut every 512
+    * tokens. Sharding keeps the packing window hash-partitioned (no
+    * global single-partition window); bins are (shard, bin_id). */
+  private val q58 = Q("q58_packing",
+    (s, d) => {
+      val C = graft.operators.Chunking
+      val chunks = C.chunk(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          col("text"), chunkTokens = 50, overlap = 10)
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      val packed = C.packSequential(chunks, col("chunk_tokens"), budget = 512,
+        order = Seq(col("doc_id"), col("chunk_idx")),
+        shard = Seq(col("shard")))
+      C.binStats(packed, col("chunk_tokens"),
+          keys = Seq(col("shard"), col("bin_id")))
+        .orderBy(col("shard"), col("bin_id"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      starts AS (SELECT doc_id, t,
+          unnest(range(0, CASE WHEN len(t) = 0 THEN 1 ELSE ((len(t) - 1) // 40) + 1 END)) AS chunk_idx
+        FROM tk),
+      ch AS (SELECT doc_id, chunk_idx,
+          len(t[chunk_idx*40 + 1 : chunk_idx*40 + 50]) AS n
+        FROM starts WHERE len(t[chunk_idx*40 + 1 : chunk_idx*40 + 50]) > 0),
+      p AS (SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n,
+          sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM ch)
+      SELECT shard, CAST((cum - n) // 512 AS BIGINT) AS bin_id,
+        count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS n_tokens
+      FROM p GROUP BY shard, bin_id ORDER BY shard, bin_id"""))
+
   // ---------------------------------------------------------------- //
   // H3: similarity search                                             //
   // ---------------------------------------------------------------- //
@@ -1454,7 +1530,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65,
-    q40, q41, q42, q43, q50, q51, q61, q62,
+    q40, q41, q42, q43, q50, q51, q56, q57, q58, q61, q62,
     q70, q71, q72, q73, q74)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

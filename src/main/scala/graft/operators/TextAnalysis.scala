@@ -87,4 +87,25 @@ object TextAnalysis {
     df.withColumn("fingerprint", polyHash(text))
       .withColumn("min_shingle_fp",
         array_min(transform(shingles(tokens(text), 3), s => polyHash(s))))
+
+  /** PII patterns for [[redact]] — deliberately written in the regex
+    * subset RE2 and java.util.regex agree on (character classes,
+    * bounded repetition, word boundaries; no backrefs or lookaround) so
+    * the SQL oracle reproduces the replacement byte for byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** PII redaction — the scrub pass every training-data pipeline runs
+    * before anything else sees the text: emails, IPv4 addresses, and
+    * NNN-NNN-NNNN phone numbers replaced with typed placeholder tags.
+    * Pure codegen'd `regexp_replace` chain (global replacement), zero
+    * shuffles. Order matters: emails first, so `user@[1.2.3.4]`-style
+    * strings redact as one email rather than leaking the IP. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

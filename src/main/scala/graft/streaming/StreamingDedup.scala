@@ -88,8 +88,8 @@ object StreamingDedup {
             .join(index.alias("i"), Seq("band_idx", "band_hash"))
             .filter(col("n.doc_id") =!= col("i.doc_id"))
             .withColumn("agreement",
-              size(filter(zip_with(col("n.minhash"), col("i.minhash"),
-                (x, y) => when(x === y, lit(1))), c => c.isNotNull))
+              graft.functions.HashExpressions
+                .arrayEqCountNative(col("n.minhash"), col("i.minhash"))
                 .cast("double") / k.toDouble)
             .filter(col("agreement") >= minAgreement)
             .select(col("n.doc_id").as("new_id"),

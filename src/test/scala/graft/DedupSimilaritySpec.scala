@@ -70,6 +70,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sig === Seq(None, None, None, None))
   }
 
+  test("native band hashes / agreement count match their declarative folds") {
+    import graft.functions.GraftFunctions.HashMod
+    val sigs = Dedup.withMinHash(docs, col("text"), k = 16)
+    // band hashes: native array vs the aggregate(slice(...)) fold per band
+    val diff = sigs
+      .withColumn("nat", graft.functions.HashExpressions
+        .bandHashesNative(col("minhash"), 4))
+      .withColumn("dec", transform(sequence(lit(0), lit(3)), b =>
+        aggregate(slice(col("minhash"), b * 4 + 1, lit(4)), lit(0L),
+          (h, v) => pmod(h * lit(31L) + v, lit(HashMod)))))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(diff.count() === 0L)
+    // shingle-less doc → all-null signature → all-null band hashes
+    val short = Seq((9L, "en", "two words")).toDF("doc_id", "lang", "text")
+    val nb = Dedup.withLshBands(Dedup.withMinHash(short, col("text"), 16), 16, 4)
+      .select("band_hash").as[Option[Long]].collect()
+    assert(nb.length === 4 && nb.forall(_.isEmpty))
+    // agreement count: native vs zip_with filter size
+    val pairs = sigs.select(col("doc_id"), col("minhash").as("a"))
+      .crossJoin(sigs.select(col("minhash").as("b")))
+      .withColumn("nat", graft.functions.HashExpressions
+        .arrayEqCountNative(col("a"), col("b")))
+      .withColumn("dec", size(filter(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, lit(1))), c => c.isNotNull)))
+      .filter(col("nat") =!= col("dec"))
+    assert(pairs.count() === 0L)
+  }
+
   test("guardrail: a block above maxBlock fails fast instead of going quadratic") {
     // all five docs share one block → block size 5 > cap 4
     val ex = intercept[Exception] {

@@ -1102,6 +1102,41 @@ object Queries {
         count(*) AS n_chunks, CAST(sum(n) AS BIGINT) AS n_tokens
       FROM p GROUP BY shard, bin_id ORDER BY shard, bin_id"""))
 
+  /** H4: deterministic hash-keyed 20% subsample — the reproducible
+    * replacement for seed/partitioning-dependent `sample()`. A pure
+    * pushed-down filter; the oracle selects the identical row set from
+    * the portable hash. */
+  private val q59 = Q("q59_hash_sample",
+    (s, d) => graft.operators.Sampling.hashSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), fraction = 0.2)
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, lang FROM documents
+      WHERE ${sqlPolyHash("CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 2000
+      ORDER BY doc_id"""))
+
+  /** H4: stratified deterministic sampling — per-language keep rates
+    * (downsample the dominant stratum, keep all of a rare one, drop
+    * the rest), plus the deterministic train/test assignment from the
+    * same hash. */
+  private val q60 = Q("q60_stratified_sample",
+    (s, d) => graft.operators.Sampling.withSplit(
+        graft.operators.Sampling.stratifiedHashSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "fr" -> 1.0, "de" -> 0.1)),
+        col("doc_id"), trainFraction = 0.6)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH b AS (SELECT doc_id, lang,
+        ${sqlPolyHash("CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 AS bk
+      FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN bk < 6000 THEN 'train' ELSE 'test' END AS split
+      FROM b
+      WHERE bk < CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 10000
+        WHEN 'de' THEN 1000 ELSE 0 END
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // H3: similarity search                                             //
   // ---------------------------------------------------------------- //
@@ -1530,7 +1565,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65,
-    q40, q41, q42, q43, q50, q51, q56, q57, q58, q61, q62,
+    q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62,
     q70, q71, q72, q73, q74)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample(fraction)` is seed-dependent AND partitioning-dependent —
+  * re-running after a repartition (or on another engine) selects a
+  * different subset, which poisons ablations and dedup-before/after
+  * comparisons. These samplers decide membership from a PORTABLE hash
+  * of a stable key (`GraftFunctions.polyHash`), so the same row set is
+  * selected on every run, every cluster layout, and in the SQL oracle.
+  * Pure per-row filters: they push down to the scan's output and cost
+  * zero shuffles.
+  */
+object Sampling {
+
+  /** Hash denominator: membership threshold granularity of 0.01%. */
+  val Denom = 10000L
+
+  /** Constant salt appended to the key before hashing: a bare short
+    * key (1-2 digit ids) rolls the polynomial only a few steps, so its
+    * hash is small and mod-Denom buckets skew low — every key must
+    * pass through enough hash rounds to mix. Same suffix in the SQL
+    * oracles. */
+  val Salt = "#graft-sample"
+
+  private def bucket(key: Column): Column =
+    pmod(polyHash(concat(key.cast("string"), lit(Salt))), lit(Denom))
+
+  /** Keep each row iff hash(key) mod [[Denom]] < fraction·[[Denom]] —
+    * a reproducible Bernoulli-style sample keyed on a stable id. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    df.filter(bucket(key) < (fraction * Denom).toLong)
+  }
+
+  /** Per-stratum fractions (unlisted strata drop): the reproducible
+    * form of stratified subsampling — e.g. downsample boilerplate
+    * languages, keep all of a rare one. */
+  def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
+                           fractions: Map[String, Double]): DataFrame = {
+    val thr = fractions.foldLeft(lit(0L)) { case (acc, (s, f)) =>
+      when(stratum === s, lit((f * Denom).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(key) < thr)
+  }
+
+  /** Deterministic train/test assignment from the same hash — the
+    * reproducible alternative to `randomSplit` when the split must
+    * survive re-runs and engine changes: rows with bucket <
+    * trainFraction·[[Denom]] are "train", the rest "test". */
+  def withSplit(df: DataFrame, key: Column, trainFraction: Double,
+                splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol,
+      when(bucket(key) < (trainFraction * Denom).toLong, "train")
+        .otherwise("test"))
+}

@@ -47,6 +47,31 @@ class ChunkingSpec extends SparkSpec {
     assert(packed((2L, 0L)) === 2L)     // cum−n = 1100
   }
 
+  test("hash sampling: deterministic, partitioning-independent, stratified rates honored") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("lang"))
+    val s1 = Sampling.hashSample(docs, col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // identical selection after a different physical layout
+    val s2 = Sampling.hashSample(docs.repartition(7), col("doc_id"), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2 && s1.nonEmpty)
+    // roughly the requested fraction
+    val total = docs.count().toDouble
+    assert(math.abs(s1.size / total - 0.2) < 0.1)
+    // stratified: fr fully kept, unlisted langs fully dropped
+    val strat = Sampling.stratifiedHashSample(docs, col("doc_id"), col("lang"),
+        Map("fr" -> 1.0, "de" -> 0.0))
+      .select("lang").distinct().as[String].collect().toSet
+    assert(strat === Set("fr"))
+    // split column partitions the sample, deterministically
+    val split = Sampling.withSplit(docs, col("doc_id"), 0.6)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(split.keySet === Set("train", "test"))
+    assert(split("train") > split("test"))
+  }
+
   test("redact: emails, IPv4, and phone numbers become typed placeholders") {
     val out = Seq("mail a.b+c@ex-ample.co.uk from 10.0.0.1 or call 555-123-4567 ok")
       .toDF("t").select(TextAnalysis.redact(col("t"))).as[String].collect().head

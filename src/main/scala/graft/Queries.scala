@@ -1137,6 +1137,32 @@ object Queries {
         WHEN 'de' THEN 1000 ELSE 0 END
       ORDER BY doc_id"""))
 
+  /** H multimodal: deterministic frame sampling over binary payloads —
+    * every 4th 256-byte frame, trailing partial kept. The explicit
+    * ASCII guard (byte length = char length) makes the oracle's
+    * string-slice twin EXACT semantics, not a data accident: DuckDB
+    * cannot slice BLOBs, so the oracle slices the text and hashes its
+    * UTF-8 bytes — identical to the binary slice only when 1 char =
+    * 1 byte, which the guard enforces on both sides. */
+  private val q66 = Q("q66_frame_sample",
+    (s, d) => Multimodal.frameSample(
+        Multimodal.withPayload(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+          .filter(length(col("payload")) === length(col("text"))),
+        frameBytes = 256, everyN = 4)
+      .select(col("doc_id"), col("frame_idx"), col("frame_len"), col("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+        WHERE octet_length(encode(text)) = length(text)),
+      f AS (SELECT doc_id, text, length(text) AS n FROM d WHERE length(text) > 0),
+      idx AS (SELECT doc_id, text,
+          unnest(range(0, (n + 255) // 256, 4)) AS frame_idx FROM f),
+      fr AS (SELECT doc_id, frame_idx,
+          substring(text, CAST(frame_idx*256 + 1 AS INT), 256) AS frame FROM idx)
+      SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS frame_len,
+        md5(frame) AS frame_md5
+      FROM fr ORDER BY doc_id, frame_idx"""))
+
   // ---------------------------------------------------------------- //
   // H3: similarity search                                             //
   // ---------------------------------------------------------------- //
@@ -1565,7 +1591,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65,
-    q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62,
+    q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66,
     q70, q71, q72, q73, q74)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -70,6 +70,29 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling over a binary payload: treat the payload as a
+    * sequence of `frameBytes`-sized frames and keep every `everyN`-th
+    * one (a video keyframe-sampling shape), as pure codegen'd
+    * expressions — integer frame count, stepped `sequence`, `explode`,
+    * binary `substr` slice, digest. No UDF, no shuffle; one output row
+    * per sampled frame with (frame_idx, frame, frame_len, frame_md5).
+    * The trailing partial frame is kept (its `frame_len` is short). */
+  def frameSample(df: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
+    require(frameBytes > 0 && everyN > 0, s"frameBytes ($frameBytes) and everyN ($everyN) must be positive")
+    val nf = longDiv(
+      length(col("payload")).cast("long") + (frameBytes - 1).toLong,
+      frameBytes.toLong)
+    df.withColumn("_nf", nf)
+      .withColumn("frame_idx", explode(when(col("_nf") > 0,
+          sequence(lit(0L), col("_nf") - 1, lit(everyN.toLong)))
+        .otherwise(array().cast("array<long>"))))
+      .withColumn("frame", col("payload").substr(
+        (col("frame_idx") * frameBytes + 1).cast("int"), lit(frameBytes)))
+      .withColumn("frame_len", length(col("frame")).cast("long"))
+      .withColumn("frame_md5", md5(col("frame")))
+      .drop("_nf")
+  }
+
   /** Partition-batched decode: one decoder context per partition, rows
     * streamed through it — the Spark-idiomatic shape for expensive
     * per-row native calls (never a per-row UDF re-initializing codecs). */

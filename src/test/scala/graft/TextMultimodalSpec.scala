@@ -7,6 +7,26 @@ import graft.functions.GraftFunctions
 class TextMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("H multimodal: frame sampling slices, steps, and keeps the partial tail") {
+    // 600-byte payload, 256-byte frames → frames 0,1,2 (88-byte tail);
+    // everyN=2 keeps frames 0 and 2
+    val df = Multimodal.withPayload(
+      Seq((1L, "ab" * 300)).toDF("doc_id", "text"), "text")
+    val frames = Multimodal.frameSample(df, frameBytes = 256, everyN = 2)
+      .select("frame_idx", "frame_len").as[(Long, Long)].collect().sortBy(_._1)
+    assert(frames.toSeq === Seq((0L, 256L), (2L, 88L)))
+    // frame content is the right byte window
+    val f2 = Multimodal.frameSample(df, 256, 2)
+      .filter(col("frame_idx") === 2)
+      .select(col("frame").cast("string")).as[String].collect().head
+    assert(f2 === "ab" * 44)
+    // empty payload → no frames
+    val none = Multimodal.frameSample(
+      Multimodal.withPayload(Seq((2L, "")).toDF("doc_id", "text"), "text"),
+      256, 2)
+    assert(none.count() === 0L)
+  }
+
   test("H4 text stats: counts and ratios") {
     val df = Seq((1L, "the cat and the hat is a cat")).toDF("id", "text")
     val row = TextAnalysis.withTextStats(df, col("text")).collect().head

@@ -35,7 +35,7 @@ object Sampling {
     * a reproducible Bernoulli-style sample keyed on a stable id. */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
-    df.filter(bucket(key) < (fraction * Denom).toLong)
+    df.filter(bucket(key) < math.round(fraction * Denom))
   }
 
   /** Per-stratum fractions (unlisted strata drop): the reproducible
@@ -44,7 +44,7 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
                            fractions: Map[String, Double]): DataFrame = {
     val thr = fractions.foldLeft(lit(0L)) { case (acc, (s, f)) =>
-      when(stratum === s, lit((f * Denom).toLong)).otherwise(acc)
+      when(stratum === s, lit(math.round(f * Denom))).otherwise(acc)
     }
     df.filter(bucket(key) < thr)
   }
@@ -56,6 +56,6 @@ object Sampling {
   def withSplit(df: DataFrame, key: Column, trainFraction: Double,
                 splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol,
-      when(bucket(key) < (trainFraction * Denom).toLong, "train")
+      when(bucket(key) < math.round(trainFraction * Denom), "train")
         .otherwise("test"))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, LshBucket, PolyHash, ShingleMinHash}
+import graft.functions.{ArrayEqCount, BandHashes, DotProduct, LshBucket, PolyHash, ShingleMinHash}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -63,7 +63,16 @@ object GraftExtensions {
         "graft_lsh_bucket(vec, planes, dim) - random-hyperplane LSH bucket id of a float/double array"),
       (exprs: Seq[Expression]) => LshBucket(exprs.head,
         intLit(exprs(1), "graft_lsh_bucket", "planes"),
-        intLit(exprs(2), "graft_lsh_bucket", "dim"))))
+        intLit(exprs(2), "graft_lsh_bucket", "dim"))),
+    (FunctionIdentifier("graft_band_hashes"),
+      info("graft_band_hashes",
+        "graft_band_hashes(minhash, bands) - per-band 31-polynomial hashes of a MinHash signature"),
+      (exprs: Seq[Expression]) => BandHashes(exprs.head,
+        intLit(exprs(1), "graft_band_hashes", "bands"))),
+    (FunctionIdentifier("graft_array_eq_count"),
+      info("graft_array_eq_count",
+        "graft_array_eq_count(a, b) - count of equal non-null positions of two bigint arrays"),
+      (exprs: Seq[Expression]) => ArrayEqCount(exprs.head, exprs(1))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -33,6 +33,21 @@ class ExtensionsSinksSpec extends SparkSpec {
     val typeErr = intercept[Exception](spark.sql(
       "SELECT graft_dot(array(1, 2), array(3, 4))").collect())
     assert(typeErr.getMessage.toLowerCase.contains("array"))
+    // band hashes + agreement count through the SQL surface
+    val bh = spark.sql(
+      "SELECT graft_band_hashes(array(1L, 2L, 3L, 4L), 2) AS b")
+      .as[Seq[Long]].collect().head
+    assert(bh === Seq((1L * 31 + 2) % 1000000007L, (3L * 31 + 4) % 1000000007L))
+    val eq = spark.sql(
+      "SELECT graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c")
+      .as[Int].collect().head
+    assert(eq === 2)
+    val bucket = spark.sql(
+      "SELECT graft_lsh_bucket(array(1.0D, -1.0D), 4, 2) AS b")
+      .as[Long].collect().head
+    assert(bucket === spark.sql(
+      "SELECT graft_lsh_bucket(array(1.0D, -1.0D), 4, 2) AS b")
+      .as[Long].collect().head)
   }
 
   test("sinks: partitioned parquet write round-trips") {

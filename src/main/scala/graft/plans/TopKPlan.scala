@@ -30,13 +30,15 @@ import org.apache.spark.sql.types.DoubleType
   * Pieces: [[TopKPerGroup]] (logical; carries the full `Seq[SortOrder]`
   * so composite orderings — score desc, id asc — rank exactly like
   * `row_number`, and optionally emits the rank column itself),
-  * [[TopKStrategy]] (planner rule), [[TopKPerGroupExec]] (physical,
-  * heap-per-group with a codegen'd `RowOrdering`), and [[TopKRewrite]]
-  * (optimizer rule: user-written `filter(row_number().over(...) <= k)`
-  * plans become this operator automatically — no Window, no Sort).
-  * Registered through `GraftExtensions` (cluster path) or
-  * self-registered on first use via `experimental.extraStrategies`
-  * (ad-hoc path).
+  * [[TopKStrategy]] (planner rule: plans a PARTIAL map-side pass below
+  * the exchange and a FINAL merging pass above it, like partial
+  * aggregation — the shuffle carries per-partition survivors, not the
+  * input), [[TopKPerGroupExec]] (physical, heap-per-group with a
+  * codegen'd `RowOrdering`), and [[TopKRewrite]] (optimizer rule:
+  * user-written `filter(row_number().over(...) <= k)` plans become
+  * this operator automatically — no Window, no Sort). Registered
+  * through `GraftExtensions` (cluster path) or self-registered on
+  * first use via `experimental.extraStrategies` (ad-hoc path).
   */
 case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
                         order: Seq[SortOrder], rankOutput: Option[Attribute],
@@ -49,9 +51,20 @@ case class TopKPerGroup(k: Int, groupExprs: Seq[Expression],
 }
 
 object TopKStrategy extends SparkStrategy {
+  /** Two-stage plan, exactly like partial aggregation: a PARTIAL pass
+    * with no distribution requirement keeps each map partition's own
+    * top-k per group, so the exchange ships ≤ partitions × groups × k
+    * candidate rows instead of the whole input — at 100 TB the
+    * difference between shuffling the table and shuffling the answer.
+    * The FINAL pass (clustered on the group keys) merges candidates
+    * and emits ranks. The global top-k of a union is the top-k of the
+    * per-partition top-ks, so results are identical. On an already
+    * co-partitioned child (bucketed input) the partial pass is a
+    * cheap extra scan, not a plan change. */
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(k, g, o, r, child) =>
-      TopKPerGroupExec(k, g, o, r, planLater(child)) :: Nil
+      TopKPerGroupExec(k, g, o, r, partial = false,
+        TopKPerGroupExec(k, g, o, None, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -113,15 +126,20 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
                             order: Seq[SortOrder], rankOutput: Option[Attribute],
-                            child: SparkPlan)
+                            partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output ++ rankOutput
   override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
 
-  /** One hash exchange on the group keys — or none, if the child is
-    * already co-partitioned (e.g. bucketed input). */
+  /** Final: one hash exchange on the group keys — or none, if the
+    * child is already co-partitioned (e.g. bucketed input). Partial:
+    * runs wherever the data already is. */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    if (partial)
+      org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

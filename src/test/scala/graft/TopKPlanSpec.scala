@@ -39,6 +39,19 @@ class TopKPlanSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"heap operator must not sort:\n$plan")
   }
 
+  test("plan: partial pass below the exchange, final above (shuffle carries survivors)") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val plan = TopK.perGroup(orders, Seq("o_orderpriority"),
+      "o_totalprice", k = 3).queryExecution.executedPlan.toString
+    val iPartial = plan.indexOf("TopKPerGroupPartial")
+    val iExchange = plan.indexOf("Exchange hashpartitioning(o_orderpriority")
+    val iFinal = plan.indexOf("TopKPerGroup ")
+    assert(iPartial >= 0 && iExchange >= 0 && iFinal >= 0, plan)
+    // plan trees print top-down: final < exchange < partial
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"expected final → exchange → partial ordering:\n$plan")
+  }
+
   test("rewrite: filter(row_number <= k) plans as TopKPerGroup — no Window, no Sort") {
     val orders = Tables.orders(spark, sf("sf0.001"))
     val w = Window.partitionBy(col("o_orderpriority"))

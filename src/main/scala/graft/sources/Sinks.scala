@@ -28,6 +28,16 @@ object Sinks {
       .parquet(path)
   }
 
+  /** ORC sink — parquet's sibling columnar format, same partitioned
+    * layout options. */
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
   /** A6: distributed, batched JDBC sink (vs the reference's row-at-a-
     * time driver loop). `batchsize` controls rows per executeBatch;
     * `numPartitions` caps concurrent connections against the database. */

@@ -86,6 +86,22 @@ object Tables {
     tbl
   }
 
+  /** Append an increment into an existing bucketed table WITHOUT
+    * rewriting it: new files land in the same bucket layout (hash of
+    * the key → bucket id is stable), so co-located joins keep their
+    * zero-exchange plans over base + increment — the incremental
+    * maintenance story for write-once-bucketed fact tables. */
+  def bucketedAppend(spark: SparkSession, table: String, df: DataFrame,
+                     key: String, buckets: Int = 8): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
+
+  /** ORC scan — Spark's second first-class columnar format; same
+    * pushdown behavior as parquet (PushedFilters/ReadSchema flow into
+    * the ORC reader). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** A5: schema'd CSV scan (the reference's test fixture path,
     * `ExtractFeatureTest.java:25-31` — `textFile` + split replaced by
     * the declarative reader; schema declared, never inferred). */

@@ -64,6 +64,58 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed append: increment lands in the layout, join stays exchange-free") {
+    val dir = sf("sf0.001")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tbl = "orders_append_b"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val p = java.nio.file.Paths.get(s"spark-warehouse/$tbl")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val orders = Tables.orders(spark, dir)
+      orders.filter(col("o_orderkey") % 2 === 0).write
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(tbl)
+      Tables.bucketedAppend(spark, tbl,
+        orders.filter(col("o_orderkey") % 2 === 1), "o_orderkey")
+
+      assert(spark.table(tbl).count() === orders.count())
+      val lTbl = Tables.bucketed(spark, dir, "lineitem", "l_orderkey")
+      val joined = spark.table(tbl).hint("merge")
+        .join(spark.table(lTbl), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinSection = plan.split("SortMergeJoin").drop(1)
+      assert(joinSection.nonEmpty, plan)
+      assert(!joinSection.mkString.contains("Exchange hashpartitioning(o_orderkey")
+        && !joinSection.mkString.contains("Exchange hashpartitioning(l_orderkey"),
+        s"append must preserve the zero-exchange join:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("ORC source/sink round-trip preserves rows and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    graft.sources.Sinks.writeOrc(orders, s"$dir/orders_orc")
+    val back = Tables.orc(spark, s"$dir/orders_orc")
+    assert(back.count() === orders.count())
+    val filtered = back.filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_totalprice")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_totalprice"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+    assert(filtered.count() ===
+      orders.filter(col("o_totalprice") > 100000).count())
+  }
+
   test("registered bucketed queries (q52/q53): no exchange on the join inputs, q05/q06 results") {
     val dir = sf("sf0.001")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -170,6 +170,10 @@ object HashUtil {
     * null-propagating declarative fold. */
   def bandHashes(mh: ArrayData, bands: Int): ArrayData = {
     val n = mh.numElements()
+    if (n % bands != 0)
+      throw new IllegalArgumentException(
+        s"graft_band_hashes: signature length $n is not divisible by " +
+          s"bands=$bands — trailing positions would be silently excluded")
     val rows = n / bands
     val out = new Array[Any](bands)
     var b = 0

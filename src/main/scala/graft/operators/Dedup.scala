@@ -110,7 +110,10 @@ object Dedup {
     * s-curve trade-off. Returns one row per (doc, band). All band
     * hashes come from ONE codegen'd pass over the signature
     * (`graft.functions.BandHashes`) and are then position-exploded —
-    * no interpreted fold per band row. */
+    * no interpreted fold per band row. A document whose `minhash`
+    * column is NULL (null text) produces NO band rows (there is
+    * nothing to index or match); shingle-less documents keep their
+    * `bands` rows with NULL band hashes, which match nothing. */
   def withLshBands(df: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0,
       s"bands ($bands) must divide the signature length k ($k) — " +
@@ -245,10 +248,9 @@ object Dedup {
         graft.functions.HashExpressions.lshBucketNative(col(vec), planes, dim))
       .withColumn("_norm", l2Norm(col(vec))))
     val a = base
-      .withColumn("bk", explode(concat(
-        array(col("_bk0")),
-        transform(sequence(lit(0), lit(planes - 1)), p =>
-          col("_bk0").bitwiseXOR(pow(lit(2.0), p.cast("double")).cast("long"))))))
+      .withColumn("bk", explode(array(
+        col("_bk0") +:
+          (0 until planes).map(p => col("_bk0").bitwiseXOR(lit(1L << p))): _*)))
       .select(col("bk"), col(id).as("id_a"), col(vec).as("v_a"),
         col("_norm").as("n_a"))
     val b = guardBlocks(

@@ -51,7 +51,9 @@ object Salting {
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
                      dimKey: Column, saltSource: Column,
                      saltBuckets: Int, hotKeys: Seq[Long] = Nil): DataFrame = {
-    val salt = pmod(saltSource, lit(saltBuckets.toLong)).cast("int")
+    // NULL salt sources fall into bucket 0 — a null salt would null the
+    // join condition and silently DROP fact rows the plain join keeps
+    val salt = pmod(coalesce(saltSource, lit(0L)), lit(saltBuckets.toLong)).cast("int")
     val allSalts = sequence(lit(0), lit(saltBuckets - 1))
     val (fSalt, dSalts) =
       if (hotKeys.isEmpty) (salt, allSalts)

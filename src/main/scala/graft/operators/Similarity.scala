@@ -140,10 +140,11 @@ object Similarity {
     val qb = queries
       .withColumn("bucket0", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
-      .withColumn("bucket", explode(concat(
-        array(col("bucket0")),
-        transform(sequence(lit(0), lit(planes - 1)), p =>
-          col("bucket0").bitwiseXOR(pow(lit(2.0), p.cast("double")).cast("long"))))))
+      // planes is static → the probe list is a plain literal array of
+      // integer bit flips (exactly the oracle's 1::BIGINT << p)
+      .withColumn("bucket", explode(array(
+        col("bucket0") +:
+          (0 until planes).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*)))
     val cb = materialize(corpus
       .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
       .withColumn("c_norm", l2Norm(col("c_vec"))))

@@ -79,6 +79,12 @@ object TopKStrategy extends SparkStrategy {
   * bounded heap of k cannot represent. */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Rewrite ceiling: above this k the bounded "heap" is no longer
+    * small — the final pass holds groups × k rows in memory with no
+    * spill path, while WindowExec's sort spills. Large-k queries keep
+    * the window plan. */
+  val MaxRewriteK = 65536
+
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
     case other => other
@@ -117,7 +123,7 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)),
         _, _, child, _)) if part.nonEmpty && order.nonEmpty =>
       rankLimit(cond, alias.toAttribute) match {
-        case Some(k) if k >= 1 =>
+        case Some(k) if k >= 1 && k <= MaxRewriteK =>
           Filter(cond, TopKPerGroup(k, part, order, Some(alias.toAttribute), child))
         case _ => f
       }

@@ -34,17 +34,20 @@ object Tables {
     * precision above 2^53 — epoch-nanos are ~1.7e18).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The flag must be set at session BUILD time (the graft mains and
-    // test sessions all do). Mutating shared session conf from inside a
-    // read would silently change behavior for concurrent users of the
-    // same session reading other nanos-timestamp parquet — so reads of
-    // the nanos table FAIL FAST with instructions instead.
+    // The flag should be set at session BUILD time (the graft mains and
+    // test sessions all do), but EXTERNAL sessions — the driver harness
+    // smoke-calls SparkEntry.entry with a session this library does not
+    // build — must keep working, so the nanos read self-heals with a
+    // logged warning rather than failing. The mutation is guarded (only
+    // when unset, only for the nanos table) to keep the shared-conf
+    // side effect minimal and visible.
     if (name == "events" &&
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      throw new IllegalStateException(
-        "graft.Tables.load: events.ts is parquet TIMESTAMP(NANOS); build the " +
-          "session with spark.sql.legacy.parquet.nanosAsLong=true (see the " +
-          "graft mains' builders) — load() will not mutate shared session conf")
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        "graft.Tables.load: setting spark.sql.legacy.parquet.nanosAsLong=true " +
+          "for the events table (prefer setting it at session build time)")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -33,14 +33,16 @@ object EventStreams {
     df.withColumn("event_time", timestamp_micros(longDiv(col("ts"), 1000L)))
 
   /** File-source stream over the events parquet (schema must be
-    * declared for streaming reads). Like `Tables.load`, refuses to
-    * mutate shared session conf: the nanos flag must be set at session
-    * build time. */
+    * declared for streaming reads). Like `Tables.load`, self-heals the
+    * nanos flag with a logged warning when an external session didn't
+    * set it at build time (guarded — set only when unset). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      throw new IllegalStateException(
-        "EventStreams.readEventStream: events.ts is parquet TIMESTAMP(NANOS); " +
-          "build the session with spark.sql.legacy.parquet.nanosAsLong=true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        "EventStreams.readEventStream: setting " +
+          "spark.sql.legacy.parquet.nanosAsLong=true (prefer session build time)")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     withEventTime(
       spark.readStream.schema(EventSchema)
         .option("pathGlobFilter", "events.parquet")

@@ -55,6 +55,10 @@ object StreamingDedup {
         val spark = batch.sparkSession
         val banded = Dedup.withLshBands(
             Dedup.withMinHash(batch, col(textCol), k, shingleN), k, bands)
+          // shingle-less documents band to NULL hashes: they can match
+          // nothing, would write useless null partitions, and a null
+          // band_bucket would NPE the driver-side prune collect below
+          .filter(col("band_hash").isNotNull)
           .select(col(idCol).cast("long").as("doc_id"),
             col("band_idx"),
             pmod(col("band_hash"), lit(BucketCount.toLong)).cast("int")

@@ -42,6 +42,13 @@ class ExtensionsSinksSpec extends SparkSpec {
       "SELECT graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c")
       .as[Int].collect().head
     assert(eq === 2)
+    // misuse: indivisible signature length must fail loudly, not drop
+    // trailing positions
+    val divErr = intercept[Exception](spark.sql(
+      "SELECT graft_band_hashes(array(1L, 2L, 3L), 2)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(divErr).exists(_.contains("not divisible")), divErr.getMessage)
     val bucket = spark.sql(
       "SELECT graft_lsh_bucket(array(1.0D, -1.0D), 4, 2) AS b")
       .as[Long].collect().head

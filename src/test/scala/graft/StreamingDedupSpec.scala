@@ -26,8 +26,11 @@ class StreamingDedupSpec extends SparkSpec {
       q.processAllAvailable()
 
       // batch 2: doc 3 is an exact copy of doc 1 (arrived in batch 1),
-      // doc 4 is new
-      input.addData((3L, textA), (4L, "yet another brand new piece of text entirely"))
+      // doc 4 is new, doc 5 is shingle-less (< 3 tokens → null band
+      // hashes; must neither crash the prune collect nor be indexed)
+      input.addData((3L, textA),
+        (4L, "yet another brand new piece of text entirely"),
+        (5L, "too short"))
       q.processAllAvailable()
 
       val dups = spark.read.parquet(s"$base/dups")
@@ -36,7 +39,8 @@ class StreamingDedupSpec extends SparkSpec {
 
       val indexed = spark.read.parquet(s"$base/index")
         .select("doc_id").distinct().as[Long].collect().toSet
-      assert(indexed === Set(1L, 2L, 4L))   // dup doc 3 never admitted
+      // dup doc 3 never admitted; shingle-less doc 5 has nothing to index
+      assert(indexed === Set(1L, 2L, 4L))
 
       // the index is laid out partitioned by (band_idx, band_bucket) …
       val dirs = new java.io.File(s"$base/index").listFiles()

@@ -95,6 +95,17 @@ class TopKPlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
+  test("rewrite guard: k above the ceiling keeps the spillable Window plan") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val plan = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.plans.TopKRewrite.MaxRewriteK + 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerGroup"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("rewrite guard: rank()/dense_rank() filters keep the Window (ties exceed k rows)") {
     val orders = Tables.orders(spark, sf("sf0.001"))
     val w = Window.partitionBy(col("o_orderpriority"))

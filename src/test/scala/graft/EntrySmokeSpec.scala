@@ -15,4 +15,17 @@ class EntrySmokeSpec extends SparkSpec {
     // bench set is a subset of queries
     assert(Queries.benchNames.toSet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("external sessions without the nanos flag self-heal (driver contract)") {
+    // the driver smoke-calls entry() with a session this library did not
+    // build — if the flag is missing, the events read must set it (with
+    // a warning) rather than fail
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      val n = graft.sources.Tables.events(spark, sf("sf0.001")).count()
+      assert(n > 0)
+      assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") === "true")
+    } finally
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
 }

@@ -328,10 +328,15 @@ case class DotProduct(left: Expression, right: Expression)
   * [[HashUtil.lshBucket]]. Replaces the interpreted nested
   * `aggregate` fold (8 planes × 64 dims of lambda dispatch per row)
   * with one codegen'd Java loop — the corpus-side bucket computation
-  * is the ANN hot path at scale. */
+  * is the ANN hot path at scale. A NULL input vector yields bucket 0
+  * (never NULL), exactly like the declarative twin, where the null
+  * projection makes every plane's `when` fall through to
+  * `otherwise(0L)` — so null-vector rows bucket (and join) the same
+  * way through both forms. */
 case class LshBucket(child: Expression, planes: Int, dim: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_lsh_bucket"
 
   override def checkInputDataTypes()
@@ -348,12 +353,21 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(input: Any): Any =
-    HashUtil.lshBucket(input.asInstanceOf[ArrayData], isFloat, planes, dim)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else HashUtil.lshBucket(v.asInstanceOf[ArrayData], isFloat, planes, dim)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val f = isFloat
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.lshBucket($c, $f, $planes, $dim)")
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      long ${ev.value} = ${childGen.isNull} ? 0L :
+        graft.functions.HashUtil.lshBucket(${childGen.value}, $f, $planes, $dim);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucket =

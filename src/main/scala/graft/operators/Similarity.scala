@@ -65,7 +65,10 @@ object Similarity {
     * bit p = [vec · plane_p > 0]. Native codegen'd expression
     * (`graft.functions.LshBucket`) — one tight Java loop per row inside
     * whole-stage codegen; bit-identical to [[lshBucketDeclarative]]
-    * (the readable spec) and the DuckDB oracle's `list_reduce` form. */
+    * (the readable spec) and the DuckDB oracle's `list_reduce` form,
+    * INCLUDING the null case: a NULL vector buckets to 0 in both forms
+    * (the declarative null projection falls through every `when` to
+    * `otherwise(0L)`), never to NULL. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column =
     graft.functions.HashExpressions.lshBucketNative(vec, planes, dim)
 

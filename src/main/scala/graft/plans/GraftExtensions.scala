@@ -38,7 +38,11 @@ object GraftExtensions {
     * non-literal column throws. */
   private def intLit(e: Expression, fn: String, name: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+        if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      throw new IllegalArgumentException(
+        s"$fn: $name is out of int range: $v")
     case other => throw new IllegalArgumentException(
       s"$fn: $name must be an integer literal, got $other")
   }

@@ -76,14 +76,31 @@ object TopKStrategy extends SparkStrategy {
   * nothing on ≤ groups×k rows); the Window — and with it the full
   * per-group sort — disappears. Only `row_number` qualifies: `rank`/
   * `dense_rank` admit more than k rows on boundary ties, which a
-  * bounded heap of k cannot represent. */
+  * bounded heap of k cannot represent.
+  *
+  * Memory safety: the replaced WindowExec sort spills to disk; the
+  * heap operator's resident set is bounded instead by
+  * [[TopKPerGroupExec.MaxResidentRowsKey]] — the partial pass FLUSHES
+  * its heaps at the cap (correct: the top-k of a union is contained
+  * in the union of the parts' top-ks), and the final pass fails
+  * loudly with remediation rather than OOM when a task's groups × k
+  * exceeds it (e.g. rn=1 latest-per-key over extreme-cardinality
+  * keys). Escape hatches, both honored and documented:
+  * `spark.graft.topk.rewrite=false` (this flag) or the standard
+  * `spark.sql.optimizer.excludedRules=graft.plans.TopKRewrite`. */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Conf flag gating the rewrite (default on). */
+  val RewriteEnabledKey = "spark.graft.topk.rewrite"
 
   /** Rewrite ceiling: above this k the bounded "heap" is no longer
     * small — the final pass holds groups × k rows in memory with no
     * spill path, while WindowExec's sort spills. Large-k queries keep
     * the window plan. */
   val MaxRewriteK = 65536
+
+  private def enabled: Boolean =
+    conf.getConfString(RewriteEnabledKey, "true").toBoolean
 
   private def stripCast(e: Expression): Expression = e match {
     case c: Cast => stripCast(c.child)
@@ -116,7 +133,7 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     bounds.reduceOption(math.min)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else plan.transformUp {
     case f @ Filter(cond, Window(
         Seq(alias @ Alias(WindowExpression(RowNumber(),
           WindowSpecDefinition(part, order,
@@ -128,6 +145,19 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
         case _ => f
       }
   }
+}
+
+object TopKPerGroupExec {
+  /** Per-task cap on rows resident across all heaps. The partial pass
+    * flushes (emits and clears) its heaps at the cap — downstream
+    * consumes the flushed rows streaming, so task memory stays
+    * bounded regardless of group cardinality. The final pass cannot
+    * flush (a group's candidates may span flushes → duplicate ranks),
+    * so it raises a clear error naming the escape hatches instead of
+    * OOMing. Default 4M rows ≈ a few hundred MB of UnsafeRow copies
+    * per task — sized for a 4-8 core executor with 8 GB heap. */
+  val MaxResidentRowsKey = "spark.graft.topk.maxResidentRows"
+  val DefaultMaxResidentRows = 4 * 1024 * 1024
 }
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
@@ -150,42 +180,81 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val outAttrs = output
-    val (kL, groupL, orderL, rankL) = (k, groupExprs, order, rankOutput)
+    val (kL, groupL, orderL, rankL, partialL) = (k, groupExprs, order, rankOutput, partial)
+    val maxResident = math.max(1,
+      org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        TopKPerGroupExec.MaxResidentRowsKey,
+        TopKPerGroupExec.DefaultMaxResidentRows.toString).toInt)
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupL, childOutput)
       // codegen'd comparator for the FULL SortOrder sequence — composite
       // orderings and null-ordering semantics match row_number exactly
       val ord = RowOrdering.create(orderL, childOutput)
-      // max-heap under ord: head = the currently-weakest kept row
-      val heaps = mutable.LinkedHashMap
-        .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](ord))
-        if (heap.size < kL) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+      new Iterator[InternalRow] {
+        // max-heap under ord: head = the currently-weakest kept row
+        private val heaps = mutable.LinkedHashMap
+          .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        private var resident = 0
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private val joined = new JoinedRow
+        private val rankRow = new GenericInternalRow(1)
+        private val projOpt = rankL.map(rankAttr =>
+          UnsafeProjection.create(outAttrs, childOutput :+ rankAttr))
+
+        // dequeueAll drains worst-first; reverse = rank order (best first)
+        private def ranked(heap: mutable.PriorityQueue[InternalRow]): Seq[InternalRow] = {
+          val worstFirst: Seq[InternalRow] = heap.dequeueAll
+          worstFirst.reverse
         }
-      }
-      // dequeueAll drains worst-first; reverse = rank order (best first)
-      def ranked(heap: mutable.PriorityQueue[InternalRow]): Seq[InternalRow] = {
-        val worstFirst: Seq[InternalRow] = heap.dequeueAll
-        worstFirst.reverse
-      }
-      rankL match {
-        case None =>
-          heaps.valuesIterator.flatMap(h => ranked(h).iterator)
-        case Some(rankAttr) =>
-          val joined = new JoinedRow
-          val rankRow = new GenericInternalRow(1)
-          val proj = UnsafeProjection.create(outAttrs, childOutput :+ rankAttr)
-          heaps.valuesIterator.flatMap { heap =>
-            ranked(heap).iterator.zipWithIndex.map { case (r, i) =>
-              rankRow.setInt(0, i + 1)
-              proj(joined(r, rankRow))
+
+        /** Emit and forget everything held: the resident set goes to
+          * the downstream consumer (shuffle write / parent operator),
+          * which drains it streaming — task memory drops back to 0. */
+        private def drain(): Iterator[InternalRow] = {
+          val snapshot = heaps.values.toSeq
+          heaps.clear()
+          resident = 0
+          projOpt match {
+            case None => snapshot.iterator.flatMap(h => ranked(h).iterator)
+            case Some(proj) => snapshot.iterator.flatMap { heap =>
+              ranked(heap).iterator.zipWithIndex.map { case (r, i) =>
+                rankRow.setInt(0, i + 1)
+                proj(joined(r, rankRow))
+              }
             }
           }
+        }
+
+        override def hasNext: Boolean = {
+          while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+            var flush = !iter.hasNext // input exhausted: final drain
+            while (iter.hasNext && !flush) {
+              val row = iter.next()
+              val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+                mutable.PriorityQueue.empty[InternalRow](ord))
+              if (heap.size < kL) { heap.enqueue(row.copy()); resident += 1 }
+              else if (ord.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap.enqueue(row.copy())
+              }
+              if (resident >= maxResident) flush = true
+            }
+            if (flush && resident >= maxResident && !partialL)
+              // A mid-stream flush on the FINAL pass would split a
+              // group's candidates across flushes (duplicate ranks,
+              // >k rows) — fail with the remedies instead of OOMing.
+              throw new org.apache.spark.SparkException(
+                s"TopKPerGroup final pass exceeded ${TopKPerGroupExec.MaxResidentRowsKey}" +
+                  s"=$maxResident resident rows (groups x k too large for one task). " +
+                  s"Remedies: raise ${TopKPerGroupExec.MaxResidentRowsKey}; or keep the " +
+                  s"window plan via ${TopKRewrite.RewriteEnabledKey}=false or " +
+                  "spark.sql.optimizer.excludedRules=graft.plans.TopKRewrite.")
+            if (flush) out = drain()
+          }
+          out.hasNext
+        }
+
+        override def next(): InternalRow = out.next()
       }
     }
   }

@@ -81,7 +81,16 @@ object Tables {
       val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       val p = new org.apache.hadoop.fs.Path(warehouse, tbl)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(p)) {
+        // leftover managed location from a previous JVM (the in-memory
+        // catalog forgot the table). Deleting is the only way to let
+        // saveAsTable proceed, but name it loudly: a concurrent session
+        // mid-write to the same derived name would lose its data here.
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"graft.Tables.bucketed: deleting leftover managed location $p " +
+            s"before rebuilding bucketed table $tbl")
+        fs.delete(p, true)
+      }
       load(spark, dir, name).write
         .bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(tbl)

@@ -73,6 +73,24 @@ object StreamingDedup {
             spark.sessionState.newHadoopConf())
           val index =
             if (fs.exists(indexPath)) {
+              // A pre-partitioning index layout (parquet files at the
+              // root instead of band_idx=*/ dirs) would read back with
+              // NULL partition columns: the prune predicate would match
+              // nothing and every indexed doc would silently stop
+              // matching. Fail loudly with the remedy instead.
+              val entries = fs.listStatus(indexPath)
+              val partitioned = entries.exists(e =>
+                e.isDirectory && e.getPath.getName.startsWith("band_idx="))
+              val rootFiles = entries.exists(e =>
+                e.isFile && e.getPath.getName.endsWith(".parquet"))
+              if (rootFiles && !partitioned)
+                throw new IllegalStateException(
+                  s"StreamingDedup: $indexDir holds a legacy UNPARTITIONED " +
+                    "band index (parquet files at the root, no band_idx=* " +
+                    "directories). Cross-batch matches against it would be " +
+                    "silently dropped. Rebuild the index: delete the " +
+                    "directory and re-ingest, or rewrite it partitioned by " +
+                    "(band_idx, band_bucket).")
               // prune the index read to the partitions this batch's band
               // keys can possibly match: the touched (band_idx,
               // band_bucket) set is at most bands × BucketCount values —

@@ -185,6 +185,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(b(1L) !== 0L)
   }
 
+  test("H3 LSH: NULL vector buckets to 0 in both native and declarative forms") {
+    val df = Seq(
+      (0L, Option.empty[Seq[Float]]),
+      (1L, Some((1 to 64).map(_.toFloat).toSeq))
+    ).toDF("vec_id", "embedding")
+    val rows = df
+      .withColumn("nat", Similarity.lshBucket(col("embedding"), planes = 8, dim = 64))
+      .withColumn("dec", Similarity.lshBucketDeclarative(col("embedding"), planes = 8, dim = 64))
+      .select("vec_id", "nat", "dec").collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(1), s"native bucket must never be NULL: $r")
+      assert(r.getLong(1) === r.getLong(2), s"forms disagree: $r")
+    }
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(0L) === 0L)
+    assert(byId(1L) !== 0L)
+  }
+
   test("H3 LSH: bucket assignment is deterministic and locality-preserving") {
     def buckets = vecs.withColumn("bucket",
         Similarity.lshBucket(col("embedding"), planes = 8, dim = 3))

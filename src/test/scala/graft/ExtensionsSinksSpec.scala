@@ -55,6 +55,12 @@ class ExtensionsSinksSpec extends SparkSpec {
     assert(bucket === spark.sql(
       "SELECT graft_lsh_bucket(array(1.0D, -1.0D), 4, 2) AS b")
       .as[Long].collect().head)
+    // misuse: a bigint literal beyond int range must error, not
+    // silently truncate (4294967297 would wrap to planes=1)
+    val rangeErr = intercept[Exception](spark.sql(
+      "SELECT graft_lsh_bucket(array(1.0D, -1.0D), 4294967297, 2)").collect())
+    assert(msgs(rangeErr).exists(_.contains("out of int range")),
+      rangeErr.getMessage)
   }
 
   test("sinks: partitioned parquet write round-trips") {

@@ -59,4 +59,29 @@ class StreamingDedupSpec extends SparkSpec {
         s"band keys must prune partitions, not filter rows:\n$plan")
     } finally q.stop()
   }
+
+  test("legacy unpartitioned index layout fails loudly with a rebuild message") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_legacy_").toString
+    // simulate an index written by the pre-partitioning layout: parquet
+    // data files at the directory root, no band_idx=* partition dirs
+    Seq((1L, 0, 0, 123L, Seq(1L, 2L)))
+      .toDF("doc_id", "band_idx", "band_bucket", "band_hash", "minhash")
+      .coalesce(1).write.parquet(s"$base/index")
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      input.toDS().toDF("doc_id", "text"), textCol = "text", idCol = "doc_id",
+      indexDir = s"$base/index", dupDir = s"$base/dups",
+      checkpoint = s"$base/ckpt")
+    try {
+      input.addData((7L, "the quick brown fox jumps over the lazy dog again"))
+      val e = intercept[Throwable](q.processAllAvailable())
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("UNPARTITIONED")), e.toString)
+    } finally q.stop()
+  }
 }

@@ -117,6 +117,57 @@ class TopKPlanSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("conf flag spark.graft.topk.rewrite=false keeps the spillable Window plan") {
+    val orders = Tables.orders(spark, sf("sf0.001"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def query = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    spark.conf.set(graft.plans.TopKRewrite.RewriteEnabledKey, "false")
+    try {
+      val plan = query.queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerGroup"), plan)
+      assert(plan.contains("Window"), plan)
+    } finally spark.conf.unset(graft.plans.TopKRewrite.RewriteEnabledKey)
+  }
+
+  test("partial pass flushes at the resident-row cap and stays exact") {
+    // one input partition holding all 200 groups (resident would reach
+    // 200 x k without flushing) against a cap of 100: the partial pass
+    // must flush mid-stream; the final tasks (4 shuffle partitions,
+    // ~50 groups each) stay under the cap and merge the flushed
+    // candidate supersets back to the exact per-group maxima
+    val df = (1 to 4000).map(i => (i % 200, i)).toDF("g", "v").repartition(1)
+    spark.conf.set(graft.plans.TopKPerGroupExec.MaxResidentRowsKey, "100")
+    // keep the 4 shuffle partitions: AQE would coalesce this tiny
+    // shuffle into ONE final task holding all 200 groups — at real
+    // scale the shuffle is large and final tasks stay plentiful
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val got = TopK.perGroup(df, Seq("g"), "v", k = 1)
+        .select("g", "v").as[(Int, Int)].collect().toMap
+      val expected = (0 until 200)
+        .map(g => g -> (if (g == 0) 4000 else 3800 + g)).toMap
+      assert(got === expected)
+    } finally {
+      spark.conf.unset(graft.plans.TopKPerGroupExec.MaxResidentRowsKey)
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("final pass over the cap fails loudly, naming the escape hatches") {
+    val df = (1 to 4000).map(i => (i % 200, i)).toDF("g", "v")
+    spark.conf.set(graft.plans.TopKPerGroupExec.MaxResidentRowsKey, "10")
+    try {
+      val e = intercept[Throwable](
+        TopK.perGroup(df, Seq("g"), "v", k = 1).collect())
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(m => m.contains("maxResidentRows")
+        && m.contains("excludedRules")), e.toString)
+    } finally spark.conf.unset(graft.plans.TopKPerGroupExec.MaxResidentRowsKey)
+  }
+
   test("k larger than any group returns everything") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
       .toDF("id", "g", "s")

@@ -101,8 +101,13 @@ object Dedup {
     * word-n-gram shingles keep unrelated documents near-disjoint. */
   def withMinHash(df: DataFrame, text: Column, k: Int = 16,
                   shingleN: Int = 3): DataFrame =
-    derived(df)(_.withColumn("minhash",
-      graft.functions.HashExpressions.shingleMinHashNative(tokens(text), shingleN, k)))
+    // spread-only (no trailing barrier): the signature kernel is a
+    // native codegen'd expression evaluated once in the projection, and
+    // every consumer (band join, streaming index write) immediately
+    // shuffles or writes — a trailing repartition would shuffle the
+    // full text+signature rows a second time for nothing
+    materialize(df).withColumn("minhash",
+      graft.functions.HashExpressions.shingleMinHashNative(tokens(text), shingleN, k))
 
   /** LSH banding: split the k-length signature into `bands` bands of
     * k/bands rows each; a band key is the (bandIdx, polyhash-of-band)
@@ -127,6 +132,10 @@ object Dedup {
   /** H2b candidate pairs: equality join on band keys, deduplicated.
     * `est_jaccard` = fraction of equal signature positions. */
   def lshCandidates(banded: DataFrame, id: String, k: Int = 16): DataFrame = {
+    // the two sides of the self-join are canonically identical up to
+    // aliases, so AQE's ReuseExchange computes the signature chain once
+    // and replays the shuffle for the other side — measured faster than
+    // an explicit persistence barrier here (no storage round-trip)
     val a = banded.select(col("band_idx"), col("band_hash"),
       col(id).as("id_a"), col("minhash").as("mh_a"))
     val b = banded.select(col("band_idx"), col("band_hash"),
@@ -150,9 +159,21 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, id: String, text: Column,
                        k: Int = 16, bands: Int = 4,
                        shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // the candidate set is consumed TWICE (id extraction below, final
+    // scoring join) and the shingled candidates twice more (sh_a,
+    // sh_b) — without a persistence barrier Catalyst replans the whole
+    // corpus-sized MinHash+band chain under every consumer (measured
+    // 3 full document scans in the q37 plan). Both intermediates are
+    // candidate-sized (vanishing vs the corpus), so localCheckpoint is
+    // cheap at any scale; unlike plan-keyed .cache() it dies with this
+    // DataFrame (no cross-query cache pollution, and a re-built query
+    // honestly recomputes). On executor loss the truncated lineage
+    // cannot replay — rerun the query (or swap in reliable
+    // checkpointing) on long-lived clusters.
     val cands = lshCandidates(
       withLshBands(withMinHash(df, text, k, shingleN), k, bands), id, k)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false)
     // shingle ONLY the documents that appear in a candidate pair — the
     // whole point of LSH prefiltering is that this is a vanishing
     // fraction of the corpus. No broadcast hint: when the candidate set
@@ -166,6 +187,7 @@ object Dedup {
         df.join(candIds, col(id) === col("_cid"), "left_semi"),
         text, shingleN)
       .select(col(id).as("_sid"), col("sh"))
+      .localCheckpoint(false)
     cands
       .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("_sid"))
       .drop("_sid")

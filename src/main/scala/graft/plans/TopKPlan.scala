@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.DoubleType
   * an existing co-partitioning) but replaces the sort with an O(n log k)
   * streaming pass holding only `groups × k` rows — the difference
   * between spilling a 100 TB sort and never materializing more than the
-  * answer.
+  * answer. When even `groups × k` exceeds the per-task resident cap,
+  * the operator degrades gracefully (partial: flush downstream; final:
+  * sorted-run disk spill + streaming merge) instead of OOMing.
   *
   * Pieces: [[TopKPerGroup]] (logical; carries the full `Seq[SortOrder]`
   * so composite orderings — score desc, id asc — rank exactly like
@@ -79,13 +81,14 @@ object TopKStrategy extends SparkStrategy {
   * bounded heap of k cannot represent.
   *
   * Memory safety: the replaced WindowExec sort spills to disk; the
-  * heap operator's resident set is bounded instead by
+  * heap operator's resident set is bounded by
   * [[TopKPerGroupExec.MaxResidentRowsKey]] — the partial pass FLUSHES
   * its heaps at the cap (correct: the top-k of a union is contained
-  * in the union of the parts' top-ks), and the final pass fails
-  * loudly with remediation rather than OOM when a task's groups × k
-  * exceeds it (e.g. rn=1 latest-per-key over extreme-cardinality
-  * keys). Escape hatches, both honored and documented:
+  * in the union of the parts' top-ks), and the final pass SPILLS
+  * sorted runs to local disk and streaming-merges them, so extreme
+  * groups × k (e.g. rn=1 latest-per-key over extreme-cardinality
+  * keys) degrades to disk exactly like the window sort would, never
+  * to OOM. Escape hatches, both honored and documented:
   * `spark.graft.topk.rewrite=false` (this flag) or the standard
   * `spark.sql.optimizer.excludedRules=graft.plans.TopKRewrite`. */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
@@ -93,10 +96,10 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Conf flag gating the rewrite (default on). */
   val RewriteEnabledKey = "spark.graft.topk.rewrite"
 
-  /** Rewrite ceiling: above this k the bounded "heap" is no longer
-    * small — the final pass holds groups × k rows in memory with no
-    * spill path, while WindowExec's sort spills. Large-k queries keep
-    * the window plan. */
+  /** Rewrite ceiling: above this k the heap's O(n log k) advantage
+    * over the window sort's O(n log n) fades while its per-group
+    * bookkeeping overhead doesn't — large-k queries keep the window
+    * plan. */
   val MaxRewriteK = 65536
 
   private def enabled: Boolean =
@@ -151,13 +154,59 @@ object TopKPerGroupExec {
   /** Per-task cap on rows resident across all heaps. The partial pass
     * flushes (emits and clears) its heaps at the cap — downstream
     * consumes the flushed rows streaming, so task memory stays
-    * bounded regardless of group cardinality. The final pass cannot
-    * flush (a group's candidates may span flushes → duplicate ranks),
-    * so it raises a clear error naming the escape hatches instead of
-    * OOMing. Default 4M rows ≈ a few hundred MB of UnsafeRow copies
-    * per task — sized for a 4-8 core executor with 8 GB heap. */
+    * bounded regardless of group cardinality. The final pass SPILLS
+    * at the cap: each overflow writes one run to local disk — groups
+    * in key-byte order, each group's ≤k survivors in rank order — and
+    * the runs are streaming-merged at the end (resident: one ≤k group
+    * list per run), so extreme groups × k degrades to disk exactly
+    * like the WindowExec sort it replaces, instead of OOMing. Default
+    * 4M rows ≈ a few hundred MB of UnsafeRow copies per task — sized
+    * for a 4-8 core executor with 8 GB heap. */
   val MaxResidentRowsKey = "spark.graft.topk.maxResidentRows"
   val DefaultMaxResidentRows = 4 * 1024 * 1024
+}
+
+/** Spilled-run plumbing for the final pass: a run holds groups in
+  * unsigned key-byte order (UnsafeRow group keys compare equal iff
+  * their bytes do — the same equality the in-memory hash map uses, so
+  * byte order is a total order consistent with grouping), each group's
+  * ≤k survivors in rank order. */
+private[plans] object TopKSpill {
+  def compareKeys(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Sequential reader over one run file; `key`/`rows` hold the
+    * current group until [[advance]]. */
+  final class Reader(file: java.io.File, nFields: Int) {
+    private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file), 1 << 16))
+    var key: Array[Byte] = _
+    var rows: Array[InternalRow] = _
+    advance()
+    def advance(): Unit = {
+      val kl = try in.readInt() catch { case _: java.io.EOFException => -1 }
+      if (kl < 0) { key = null; rows = null; in.close(); return }
+      key = new Array[Byte](kl)
+      in.readFully(key)
+      rows = Array.tabulate(in.readInt()) { _ =>
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val r = new UnsafeRow(nFields)
+        r.pointTo(bytes, len)
+        r
+      }
+    }
+    def done: Boolean = key == null
+  }
 }
 
 case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
@@ -168,6 +217,10 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
   override def producedAttributes: AttributeSet = AttributeSet(rankOutput.toSeq)
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroup"
+
+  override lazy val metrics = Map(
+    "spillRuns" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "spilled runs"))
 
   /** Final: one hash exchange on the group keys — or none, if the
     * child is already co-partitioned (e.g. bucketed input). Partial:
@@ -185,21 +238,26 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       org.apache.spark.sql.internal.SQLConf.get.getConfString(
         TopKPerGroupExec.MaxResidentRowsKey,
         TopKPerGroupExec.DefaultMaxResidentRows.toString).toInt)
+    val spillMetric = longMetric("spillRuns")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupL, childOutput)
       // codegen'd comparator for the FULL SortOrder sequence — composite
       // orderings and null-ordering semantics match row_number exactly
       val ord = RowOrdering.create(orderL, childOutput)
+      // identity projection: spilled rows must be UnsafeRow bytes
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       new Iterator[InternalRow] {
         // max-heap under ord: head = the currently-weakest kept row
         private val heaps = mutable.LinkedHashMap
           .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
         private var resident = 0
         private var out: Iterator[InternalRow] = Iterator.empty
+        private var done = false
         private val joined = new JoinedRow
         private val rankRow = new GenericInternalRow(1)
         private val projOpt = rankL.map(rankAttr =>
           UnsafeProjection.create(outAttrs, childOutput :+ rankAttr))
+        private val spillFiles = mutable.ArrayBuffer.empty[java.io.File]
 
         // dequeueAll drains worst-first; reverse = rank order (best first)
         private def ranked(heap: mutable.PriorityQueue[InternalRow]): Seq[InternalRow] = {
@@ -207,49 +265,110 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           worstFirst.reverse
         }
 
-        /** Emit and forget everything held: the resident set goes to
-          * the downstream consumer (shuffle write / parent operator),
-          * which drains it streaming — task memory drops back to 0. */
+        private def emit(rows: Iterator[InternalRow]): Iterator[InternalRow] =
+          projOpt match {
+            case None => rows
+            case Some(proj) => rows.zipWithIndex.map { case (r, i) =>
+              rankRow.setInt(0, i + 1)
+              proj(joined(r, rankRow))
+            }
+          }
+
+        /** PARTIAL pass overflow/end: emit and forget everything held —
+          * the resident set goes to the downstream consumer (shuffle
+          * write / parent operator), which drains it streaming, so task
+          * memory drops back to 0. */
         private def drain(): Iterator[InternalRow] = {
           val snapshot = heaps.values.toSeq
           heaps.clear()
           resident = 0
-          projOpt match {
-            case None => snapshot.iterator.flatMap(h => ranked(h).iterator)
-            case Some(proj) => snapshot.iterator.flatMap { heap =>
-              ranked(heap).iterator.zipWithIndex.map { case (r, i) =>
-                rankRow.setInt(0, i + 1)
-                proj(joined(r, rankRow))
-              }
+          snapshot.iterator.flatMap(h => emit(ranked(h).iterator))
+        }
+
+        /** FINAL pass overflow: write one sorted run (groups in
+          * key-byte order, rows in rank order) to local disk and keep
+          * ingesting — the merge recombines groups split across runs. */
+        private def spill(): Unit = {
+          val file = java.io.File.createTempFile("graft-topk-spill-", ".run")
+          file.deleteOnExit()
+          spillFiles += file
+          spillMetric += 1
+          val entries = heaps.toArray.map { case (kb, h) => (kb.getBytes, ranked(h)) }
+            .sortWith((x, y) => TopKSpill.compareKeys(x._1, y._1) < 0)
+          heaps.clear()
+          resident = 0
+          val outS = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(file), 1 << 16))
+          val writeBuf = new Array[Byte](1 << 16)
+          try entries.foreach { case (kb, rows) =>
+            outS.writeInt(kb.length)
+            outS.write(kb)
+            outS.writeInt(rows.length)
+            rows.foreach { r =>
+              val u = toUnsafe(r)
+              outS.writeInt(u.getSizeInBytes)
+              u.writeToStream(outS, writeBuf)
             }
+          } finally outS.close()
+        }
+
+        /** Streaming k-way merge of the spilled runs: resident memory
+          * is one ≤k group list per run, independent of group count. */
+        private def mergeSpills(): Iterator[InternalRow] = {
+          if (heaps.nonEmpty) spill() // remainder becomes the last run
+          val files = spillFiles.toArray
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => files.foreach(_.delete())))
+          val active = mutable.ArrayBuffer.from(
+            files.map(f => new TopKSpill.Reader(f, childOutput.length)).filterNot(_.done))
+          new Iterator[InternalRow] {
+            private var cur: Iterator[InternalRow] = Iterator.empty
+            override def hasNext: Boolean = {
+              while (!cur.hasNext && active.nonEmpty) {
+                var minKey: Array[Byte] = null
+                active.foreach { r =>
+                  if (minKey == null || TopKSpill.compareKeys(r.key, minKey) < 0)
+                    minKey = r.key
+                }
+                val merged = mutable.ArrayBuffer.empty[InternalRow]
+                active.foreach { r =>
+                  if (TopKSpill.compareKeys(r.key, minKey) == 0) {
+                    merged ++= r.rows
+                    r.advance()
+                  }
+                }
+                active.filterInPlace(!_.done)
+                cur = emit(merged.sortWith((x, y) => ord.compare(x, y) < 0)
+                  .take(kL).iterator)
+              }
+              cur.hasNext
+            }
+            override def next(): InternalRow = cur.next()
           }
         }
 
         override def hasNext: Boolean = {
-          while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) {
-            var flush = !iter.hasNext // input exhausted: final drain
-            while (iter.hasNext && !flush) {
-              val row = iter.next()
-              val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-                mutable.PriorityQueue.empty[InternalRow](ord))
-              if (heap.size < kL) { heap.enqueue(row.copy()); resident += 1 }
-              else if (ord.compare(row, heap.head) < 0) {
-                heap.dequeue()
-                heap.enqueue(row.copy())
+          while (!out.hasNext && !done) {
+            if (!iter.hasNext) {
+              out = if (!partialL && spillFiles.nonEmpty) mergeSpills() else drain()
+              done = true
+            } else {
+              var flush = false
+              while (iter.hasNext && !flush) {
+                val row = iter.next()
+                val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+                  mutable.PriorityQueue.empty[InternalRow](ord))
+                if (heap.size < kL) { heap.enqueue(row.copy()); resident += 1 }
+                else if (ord.compare(row, heap.head) < 0) {
+                  heap.dequeue()
+                  heap.enqueue(row.copy())
+                }
+                if (resident >= maxResident) flush = true
               }
-              if (resident >= maxResident) flush = true
+              if (flush) {
+                if (partialL) out = drain() else spill()
+              }
             }
-            if (flush && resident >= maxResident && !partialL)
-              // A mid-stream flush on the FINAL pass would split a
-              // group's candidates across flushes (duplicate ranks,
-              // >k rows) — fail with the remedies instead of OOMing.
-              throw new org.apache.spark.SparkException(
-                s"TopKPerGroup final pass exceeded ${TopKPerGroupExec.MaxResidentRowsKey}" +
-                  s"=$maxResident resident rows (groups x k too large for one task). " +
-                  s"Remedies: raise ${TopKPerGroupExec.MaxResidentRowsKey}; or keep the " +
-                  s"window plan via ${TopKRewrite.RewriteEnabledKey}=false or " +
-                  "spark.sql.optimizer.excludedRules=graft.plans.TopKRewrite.")
-            if (flush) out = drain()
           }
           out.hasNext
         }

@@ -155,16 +155,39 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
-  test("final pass over the cap fails loudly, naming the escape hatches") {
+  test("final pass over the cap spills sorted runs and stays exact") {
+    // cap of 10 against 200 groups: the final pass must spill ~20 runs
+    // per task and recombine groups split across runs in the merge —
+    // exact results regardless of how AQE carves the shuffle
     val df = (1 to 4000).map(i => (i % 200, i)).toDF("g", "v")
     spark.conf.set(graft.plans.TopKPerGroupExec.MaxResidentRowsKey, "10")
     try {
-      val e = intercept[Throwable](
-        TopK.perGroup(df, Seq("g"), "v", k = 1).collect())
-      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
-        .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-      assert(msgs(e).exists(m => m.contains("maxResidentRows")
-        && m.contains("excludedRules")), e.toString)
+      val got = TopK.perGroup(df, Seq("g"), "v", k = 3)
+        .select("g", "v").as[(Int, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val expected = (0 until 200).map { g =>
+        val top = (1 to 4000).filter(_ % 200 == g).sorted.takeRight(3)
+        g -> top
+      }.toMap
+      assert(got === expected)
+    } finally spark.conf.unset(graft.plans.TopKPerGroupExec.MaxResidentRowsKey)
+  }
+
+  test("rewritten rn query over the cap spills and matches the window plan exactly") {
+    val events = Tables.events(spark, sf("sf0.001"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id"))
+    def latest = events.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("user_id", "event_id", "ts", "rn")
+    spark.conf.set(graft.plans.TopKPerGroupExec.MaxResidentRowsKey, "7")
+    try {
+      val got = latest.collect().map(_.toSeq).sortBy(_.toString)
+      spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKRewrite")
+      try {
+        val expected = latest.collect().map(_.toSeq).sortBy(_.toString)
+        assert(got.toSeq === expected.toSeq)
+      } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
     } finally spark.conf.unset(graft.plans.TopKPerGroupExec.MaxResidentRowsKey)
   }
 

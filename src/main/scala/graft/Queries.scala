@@ -948,6 +948,69 @@ object Queries {
       FROM scored WHERE j >= 0.8 ORDER BY id_a, id_b"""),
     bench = true)
 
+  /** H2: near-dup PAIRS → duplicate CLUSTERS (connected components by
+    * min-label propagation) with one keeper per cluster — transitive
+    * duplicates (A≈B≈C, A≉C) resolve to a single keeper, which the
+    * pairwise q37 output alone cannot express. Oracle: recursive-CTE
+    * transitive closure over the same verified pair set. */
+  private val q67 = Q("q67_dedup_clusters",
+    (s, d) => Dedup.connectedComponents(
+        Dedup.lshVerifiedPairs(t(s, d, "documents"), "doc_id", col("text"),
+          k = 16, bands = 4, shingleN = 3, threshold = 0.8),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE th AS (SELECT doc_id,
+        list_transform(${sqlShingles("tk")}, t -> ${sqlPolyHash("t")}) AS hs
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      sig AS (SELECT doc_id,
+        list_transform(range(0, 16), i -> list_min(list_transform(hs,
+          h -> (h * (2*i + 1) + 1000003 * (i + 1)) % 1000000007))) AS mh
+      FROM th),
+      bands AS (SELECT doc_id, b,
+        list_reduce(list_prepend(0::BIGINT, mh[b*4+1:b*4+4]), (x,y) -> (x*31 + y) % 1000000007) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id, ${sqlShingles("tk")} AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      pairs AS (SELECT id_a, id_b
+        FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8),
+      und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (SELECT src, dst FROM und
+        UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id,
+        src = least(src, min(dst)) AS is_keeper
+      FROM reach GROUP BY src ORDER BY doc_id"""),
+    bench = true)
+
+  /** H4 + G3 + the top-k rewrite on a corpus query: per-language token
+    * heavy hitters — explode → count → row_number ≤ 5, which
+    * `TopKRewrite` plans as the bounded-heap operator (no Window, no
+    * per-group sort). Deterministic tie-break: (count desc, token). */
+  private val q68 = Q("q68_token_heavy_hitters",
+    (s, d) => {
+      val counts = t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("token"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("lang"), col("rn"))
+    },
+    Some("""WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      cnt AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token)
+      SELECT lang, token, cnt, rn FROM (
+        SELECT lang, token, cnt,
+          row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+        FROM cnt) WHERE rn <= 5 ORDER BY lang, rn"""),
+    bench = true)
+
   /** H2: SimHash(24-bit) near-dup pairs, Hamming ≤ 6, language-blocked. */
   private val q33 = Q("q33_dedup_simhash_pairs",
     (s, d) => Dedup.simHashPairs(
@@ -1590,7 +1653,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
-    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65,
+    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68,
     q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66,
     q70, q71, q72, q73, q74)
 

@@ -201,6 +201,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), r(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-dup PAIRS → duplicate CLUSTERS: connected components of the
+    * pair graph by iterative min-label propagation. Every vertex
+    * starts labeled with itself; each round it adopts the minimum
+    * label among itself and its neighbors; at the fixpoint the label
+    * is the component's minimum member id — the canonical cluster id.
+    * This is the step production dedup needs after [[lshVerifiedPairs]]:
+    * transitive duplicates (A≈B, B≈C but A≉C) must share ONE keeper,
+    * which pairwise output alone cannot express.
+    *
+    * Scale: each round is one equi-join + one aggregation, both
+    * hash-partitioned on the vertex id; rounds = graph diameter.
+    * Near-dup clusters are near-cliques (diameter 1-2), so 2-3 rounds
+    * in practice; per-round `localCheckpoint` keeps the plan flat
+    * (no O(rounds)-deep lineage) and the per-round `count` action that
+    * detects convergence doubles as the materialization point. For
+    * adversarial long-chain graphs the published alternating
+    * large-star/small-star algorithm converges in O(log n) rounds with
+    * the same per-round plan shape — worth swapping in if a corpus
+    * ever produces chain-like dup graphs. Fails loudly (with that
+    * advice) if `maxRounds` is hit.
+    *
+    * Output: (id, cluster_id, is_keeper = id == cluster_id), one row
+    * per vertex that appears in ≥1 pair; singleton documents are their
+    * own trivial clusters and are not emitted. */
+  def connectedComponents(pairs: DataFrame, idA: String, idB: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val und = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
+    var labels = und.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("label"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dlabel")).as("nlabel"))
+      // every vertex came from an edge, so the join is total (inner)
+      val step = labels.join(nbrMin, "id")
+        .select(col("id"), col("label"),
+          least(col("label"), col("nlabel")).as("next_label"))
+        .localCheckpoint(false)
+      changed = step.filter(col("next_label") < col("label")).count()
+      labels = step.select(col("id"), col("next_label").as("label"))
+      round += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxRounds rounds — the " +
+        "pair graph has extreme diameter; raise maxRounds or switch to " +
+        "alternating large-star/small-star propagation for O(log n) rounds")
+    labels.select(col("id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_keeper"))
+  }
+
   /** H2c SimHash: 24-bit signature; bit b is the majority vote of bit b
     * across the shingle hashes (shingles for the same reason as
     * [[withMinHash]]). Near-dups have small Hamming distance. */

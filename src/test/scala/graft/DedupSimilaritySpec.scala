@@ -185,6 +185,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(b(1L) !== 0L)
   }
 
+  test("H2 connected components: transitive clusters, keepers, multi-round chains") {
+    // two clusters: a 6-vertex CHAIN 10-11-...-15 (diameter 5 — forces
+    // multiple propagation rounds) and a triangle 20-21-22; pair
+    // (30,31) is its own 2-cluster
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    (10L to 15L).foreach(v => assert(got(v) === (10L, v == 10L), s"vertex $v"))
+    (20L to 22L).foreach(v => assert(got(v) === (20L, v == 20L), s"vertex $v"))
+    assert(got(30L) === (30L, true) && got(31L) === (30L, false))
+    assert(got.size === 11)
+    // exactly one keeper per cluster
+    assert(got.count(_._2._2) === 3)
+  }
+
+  test("H2 connected components: non-convergence fails loudly with advice") {
+    val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxRounds = 2).collect())
+    assert(e.getMessage.contains("not converged"), e.getMessage)
+  }
+
   test("H3 LSH: NULL vector buckets to 0 in both native and declarative forms") {
     val df = Seq(
       (0L, Option.empty[Seq[Float]]),

@@ -1011,6 +1011,30 @@ object Queries {
         FROM cnt) WHERE rn <= 5 ORDER BY lang, rn"""),
     bench = true)
 
+  /** H2/H4: decontamination — corpus docs sharing ≥ 3 distinct
+    * 3-gram shingles with a (deterministically hash-sampled) eval set.
+    * Inverted-index join on the shingle, never all-pairs. */
+  private val q69 = Q("q69_decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val evalSet = graft.operators.Sampling.hashSample(
+        docs, col("doc_id"), fraction = 0.1)
+      Dedup.decontaminate(docs, evalSet, "doc_id", col("text"),
+          shingleN = 3, minOverlap = 3)
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+    Some(s"""WITH sh AS (SELECT doc_id, ${sqlShingles("tk")} AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      ev AS (SELECT doc_id FROM documents
+        WHERE ${sqlPolyHash("CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 1000)
+      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+        len(list_intersect(c.s, se.s))::BIGINT AS n_overlap
+      FROM sh c JOIN ev e ON c.doc_id != e.doc_id
+      JOIN sh se ON se.doc_id = e.doc_id
+      WHERE len(list_intersect(c.s, se.s)) >= 3
+      ORDER BY doc_id, eval_id"""),
+    bench = true)
+
   /** H2: SimHash(24-bit) near-dup pairs, Hamming ≤ 6, language-blocked. */
   private val q33 = Q("q33_dedup_simhash_pairs",
     (s, d) => Dedup.simHashPairs(
@@ -1653,7 +1677,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
-    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68,
+    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69,
     q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66,
     q70, q71, q72, q73, q74)
 

@@ -94,11 +94,20 @@ object GraftFunctions {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word-`n`-gram shingles of a token array, joined by a
-    * space: the input unit for MinHash / Jaccard dedup. A document with
-    * fewer than `n` tokens has NO shingles (empty array) — the same law
-    * the SQL oracles' comprehension yields, so short documents cannot
-    * silently diverge between engines. */
+    * space: the input unit for MinHash / Jaccard dedup and
+    * decontamination. A document with fewer than `n` tokens has NO
+    * shingles (empty array) — the same law the SQL oracles'
+    * comprehension yields, so short documents cannot silently diverge
+    * between engines. Native codegen'd expression
+    * (`graft.functions.Shingles`), element-identical to
+    * [[shinglesDeclarative]]. */
   def shingles(toks: Column, n: Int): Column =
+    HashExpressions.shinglesNative(toks, n)
+
+  /** Declarative (built-ins only) specification of [[shingles]] — kept
+    * as the readable spec and differential-test twin; interpreted
+    * per shingle, so never on a query path. */
+  def shinglesDeclarative(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(
         transform(

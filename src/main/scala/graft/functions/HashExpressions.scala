@@ -128,6 +128,33 @@ object HashUtil {
     java.lang.Long.valueOf(sim)
   }
 
+  /** Distinct word-n-gram shingles joined by a single space, in first-
+    * occurrence order — EXACTLY `GraftFunctions.shinglesDeclarative`
+    * (`array_distinct` + `transform`/`slice`/`concat_ws`) and the SQL
+    * oracles' `list_distinct` comprehension: fewer than n tokens → an
+    * EMPTY array (the short-document law). */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    if (size < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder()
+    val last = size - n
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      var j = i
+      val end = i + n
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+  }
+
   /** Random-hyperplane LSH bucket id: bit p = [vec · plane_p > 0] over
     * `planes` deterministic pseudo-random hyperplanes whose component d
     * is ((p·37 + d·101 + 17) mod 1000)/500 − 1 ∈ [−1, 1). EXACTLY the
@@ -277,6 +304,35 @@ case class ShingleSimHash(child: Expression, n: Int, bits: Int)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSimHash =
+    copy(child = newChild)
+}
+
+/** `graft_shingles(array<string>, n) -> array<string>` — see
+  * [[HashUtil.shingles]]. One tight loop per document instead of an
+  * interpreted `transform`/`slice`/`concat_ws`/`array_distinct` chain
+  * (measured ~6 s for 260k shingles at sf0.1 — the decontamination and
+  * exact-verify hot path). */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
 
@@ -439,6 +495,8 @@ object HashExpressions {
   /** Column wrappers over the native expressions. */
   def polyHashNative(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+  def shinglesNative(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(Shingles(GraftColumnBridge.expression(tokens), n))
   def shingleMinHashNative(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(ShingleMinHash(GraftColumnBridge.expression(tokens), n, k))
   def shingleSimHashNative(tokens: Column, n: Int, bits: Int): Column =

@@ -201,6 +201,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_common"), r(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Training-data DECONTAMINATION: flag corpus documents sharing at
+    * least `minOverlap` distinct word-`shingleN`-gram shingles with an
+    * eval-set document — the benchmark-leakage guard run before
+    * training. Inverted-index shape, NOT all-pairs: both sides explode
+    * to (doc, shingle) postings and equality-join on the shingle;
+    * shingles are distinct per document on both sides, so the per-pair
+    * match count IS the intersection size. The eval side is benchmarks
+    * (thousands of docs) against a corpus of billions — AQE broadcasts
+    * the exploded eval postings from runtime stats while the corpus
+    * side streams; at 100 TB, bucket the join on a 64-bit hash of the
+    * shingle and keep the string as payload for exactness. Self-pairs
+    * are excluded (a doc sampled into the eval set trivially overlaps
+    * itself). Output: (doc_id, eval_id, n_overlap). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, id: String,
+                    text: Column, shingleN: Int = 3,
+                    minOverlap: Int = 3): DataFrame = {
+    val c = withShingles(corpus, text, shingleN)
+      .select(col(id).as("c_id"), explode(col("sh")).as("shingle"))
+    val e = withShingles(evalSet, text, shingleN)
+      .select(col(id).as("e_id"), explode(col("sh")).as("shingle"))
+    c.join(e, "shingle")
+      .filter(col("c_id") =!= col("e_id"))
+      .groupBy(col("c_id"), col("e_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("c_id").as("doc_id"), col("e_id").as("eval_id"),
+        col("n_overlap"))
+  }
+
   /** Near-dup PAIRS → duplicate CLUSTERS: connected components of the
     * pair graph by iterative min-label propagation. Every vertex
     * starts labeled with itself; each round it adopts the minimum

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayEqCount, BandHashes, DotProduct, LshBucket, PolyHash, ShingleMinHash}
+import graft.functions.{ArrayEqCount, BandHashes, DotProduct, LshBucket, PolyHash, ShingleMinHash, Shingles}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -76,7 +76,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_array_eq_count"),
       info("graft_array_eq_count",
         "graft_array_eq_count(a, b) - count of equal non-null positions of two bigint arrays"),
-      (exprs: Seq[Expression]) => ArrayEqCount(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => ArrayEqCount(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles(tokens, n) - distinct word-n-gram shingles joined by a space"),
+      (exprs: Seq[Expression]) => Shingles(exprs.head,
+        intLit(exprs(1), "graft_shingles", "n"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

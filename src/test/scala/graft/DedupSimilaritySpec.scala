@@ -185,6 +185,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(b(1L) !== 0L)
   }
 
+  test("native shingles expression matches the declarative spec on real documents") {
+    import graft.functions.GraftFunctions
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val diff = docs
+      .withColumn("nat", GraftFunctions.shingles(
+        GraftFunctions.tokens(col("text")), 3))
+      .withColumn("dec", GraftFunctions.shinglesDeclarative(
+        GraftFunctions.tokens(col("text")), 3))
+      .filter(not(col("nat") === col("dec")))
+    assert(diff.count() === 0L)
+    // the short-document empty-array law holds in the native form too
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+    val empty = short.select(GraftFunctions.shingles(
+      GraftFunctions.tokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(empty === Seq.empty)
+  }
+
+  test("H2 decontamination: shingle-overlap pairs vs eval set, self excluded") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares 4 shingles with eval doc 10
+      (2L, "alpha beta gamma delta other words"),    // shares 2 shingles with eval doc 10
+      (3L, "totally unrelated text goes right here") // shares none
+    ).toDF("doc_id", "text")
+    val evalSet = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta")    // same id as corpus doc 1: self-pair must drop
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, evalSet, "doc_id", col("text"),
+        shingleN = 3, minOverlap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 vs eval 10: identical 6-token docs → 4 distinct 3-gram shingles
+    assert(got === Set((1L, 10L, 4L)))
+  }
+
   test("H2 connected components: transitive clusters, keepers, multi-round chains") {
     // two clusters: a 6-vertex CHAIN 10-11-...-15 (diameter 5 — forces
     // multiple propagation rounds) and a triangle 20-21-22; pair

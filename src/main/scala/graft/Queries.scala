@@ -1035,6 +1035,56 @@ object Queries {
       ORDER BY doc_id, eval_id"""),
     bench = true)
 
+  /** H4: repetition quality signal — duplicate word-2-gram fraction
+    * from the native shingle expression plus size arithmetic; a pure
+    * per-row map (no per-gram explode). */
+  private val q75 = Q("q75_repetition",
+    (s, d) => TextAnalysis.withRepetition(t(s, d, "documents"), col("text"), n = 2)
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        r(col("rep_ratio"), 4).as("rep_ratio"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH g AS (SELECT doc_id,
+        greatest(len(string_split(text, ' ')) - 1, 0)::BIGINT AS n_grams,
+        len(${sqlShingles("string_split(text, ' ')", 2)})::BIGINT AS n_distinct_grams
+      FROM documents)
+      SELECT doc_id, n_grams, n_distinct_grams,
+        floor((CASE WHEN n_grams = 0 THEN 0.0
+          ELSE 1.0 - n_distinct_grams::DOUBLE / n_grams END) * 10000.0 + 0.5)
+          / 10000.0 AS rep_ratio
+      FROM g ORDER BY doc_id"""))
+
+  /** H4 curation: per-source document caps (domain caps) — keep the 20
+    * highest-quality docs per source, rank ties broken by doc_id. The
+    * row_number filter plans through `TopKRewrite` as the bounded-heap
+    * operator: domain caps over a trillion-row crawl never sort a
+    * source's documents. */
+  private val q76 = Q("q76_source_caps",
+    (s, d) => {
+      val scored = TextAnalysis.withTextStats(t(s, d, "documents"), col("text"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("source"), col("doc_id"),
+          r(col("quality_score"), 4).as("quality_score"), col("rn"))
+        .orderBy(col("source"), col("rn"))
+    },
+    Some("""WITH t2 AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        FROM documents),
+      st AS (SELECT doc_id, source,
+          len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+          len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+        FROM t2),
+      sc AS (SELECT doc_id, source,
+          least(1.0, n_tokens / 200.0) * 0.5 + (n_distinct::DOUBLE / n_tokens) * 0.3
+            + (n_stop::DOUBLE / n_tokens) * 0.2 AS q
+        FROM st),
+      rk AS (SELECT source, doc_id, q,
+          row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+        FROM sc)
+      SELECT source, doc_id, floor(q * 10000.0 + 0.5) / 10000.0 AS quality_score, rn
+      FROM rk WHERE rn <= 20 ORDER BY source, rn"""))
+
   /** H2: SimHash(24-bit) near-dup pairs, Hamming ≤ 6, language-blocked. */
   private val q33 = Q("q33_dedup_simhash_pairs",
     (s, d) => Dedup.simHashPairs(
@@ -1678,7 +1728,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69,
-    q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66,
+    q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
     q70, q71, q72, q73, q74)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -88,6 +88,25 @@ object TextAnalysis {
       .withColumn("min_shingle_fp",
         array_min(transform(shingles(tokens(text), 3), s => polyHash(s))))
 
+  /** Repetition quality signal: the duplicate word-`n`-gram fraction,
+    * `1 − distinct_ngrams / total_ngrams` — high values flag the
+    * boilerplate/spam/looping text every web-scale filter drops.
+    * Computed entirely from the native shingle expression plus size
+    * arithmetic (total n-grams of an m-token doc = m−n+1): a pure
+    * per-row map, zero shuffles, no per-gram explode. Documents too
+    * short to have n-grams score 0.0 (nothing repeats). */
+  def withRepetition(df: DataFrame, text: Column, n: Int = 2): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_grams",
+        greatest(size(toks) - lit(n - 1), lit(0)).cast("long"))
+      .withColumn("n_distinct_grams",
+        size(shingles(toks, n)).cast("long"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") === 0L, 0.0)
+          .otherwise(lit(1.0)
+            - col("n_distinct_grams").cast("double") / col("n_grams")))
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

@@ -36,6 +36,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(row.getAs[Double]("ttr") === 6.0 / 8.0)
   }
 
+  test("H4 repetition: duplicate 2-gram fraction; short docs score 0") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),     // 4 bigrams, 1 distinct → 0.75
+      (2L, "all words here are different"), // 4 bigrams, 4 distinct → 0.0
+      (3L, "one")                           // no bigrams → 0.0 (not NaN/null)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetition(docs, col("text"), n = 2)
+      .select("doc_id", "n_grams", "n_distinct_grams", "rep_ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 1L, 0.75)))
+    assert(got(2L) === ((2L, 4L, 4L, 0.0)))
+    assert(got(3L) === ((3L, 0L, 0L, 0.0)))
+  }
+
   test("H4 langid: marker-word argmax with tie order") {
     val df = Seq(
       (1L, "the cat of a dog and the bird"),

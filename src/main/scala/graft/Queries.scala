@@ -1035,6 +1035,18 @@ object Queries {
       ORDER BY doc_id, eval_id"""),
     bench = true)
 
+  /** H2: same clusters via the O(log n)-round alternating large-star/
+    * small-star algorithm — the adversarial-graph-safe twin of q67,
+    * sharing its recursive-CTE oracle (identical output contract). */
+  private val q77 = Q("q77_dedup_clusters_star",
+    (s, d) => Dedup.connectedComponentsStar(
+        Dedup.lshVerifiedPairs(t(s, d, "documents"), "doc_id", col("text"),
+          k = 16, bands = 4, shingleN = 3, threshold = 0.8),
+        "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("is_keeper"))
+      .orderBy(col("doc_id")),
+    q67.oracle)
+
   /** H4: repetition quality signal — duplicate word-2-gram fraction
     * from the native shingle expression plus size arithmetic; a pure
     * per-row map (no per-gram explode). */
@@ -1727,7 +1739,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
-    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69,
+    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77,
     q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
     q70, q71, q72, q73, q74)
 

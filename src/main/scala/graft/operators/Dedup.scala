@@ -289,6 +289,84 @@ object Dedup {
       (col("id") === col("label")).as("is_keeper"))
   }
 
+  /** O(log n)-round twin of [[connectedComponents]]: alternating
+    * large-star / small-star edge rewriting (the published MapReduce
+    * connected-components algorithm). Where min-label propagation
+    * needs diameter rounds (a 10⁶-vertex chain = 10⁶ rounds), the
+    * star operations halve star heights geometrically — logarithmic
+    * rounds on ANY graph shape, each round one aggregation + one join
+    * + distinct over the edge set only:
+    *  - large-star(u): every neighbor v > u re-points to
+    *    m = min(Γ(u) ∪ u);
+    *  - small-star(u): every neighbor v ≤ u (and u itself) re-points
+    *    to m = min(Γ≤(u) ∪ u).
+    * Both preserve connectivity and only decrease edge endpoints, so
+    * the fixpoint is a star per component rooted at its minimum; the
+    * convergence check is an exact symmetric set difference (the edge
+    * set is pair-sized, vanishing vs the corpus). Use this form when a
+    * dup graph may be chain-like; output contract is identical to
+    * [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, idA: String, idB: String,
+                              maxRounds: Int = 50): DataFrame = {
+    val verts = pairs
+      .select(col(idA).cast("long").as("id"))
+      .union(pairs.select(col(idB).cast("long").as("id")))
+      .distinct().localCheckpoint(false)
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: every edge, processed at its SMALLER endpoint u,
+    // re-points the larger endpoint v to m = min(Γ(u) ∪ u). v > u ≥ m,
+    // so no self-loops arise.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = bidir(e)
+      val m = nb.groupBy("u").agg(min(col("v")).as("nmin"))
+        .select(col("u"), least(col("u"), col("nmin")).as("m"))
+      nb.filter(col("v") > col("u")).join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: every edge, processed at its LARGER endpoint u,
+    // re-points u and each smaller neighbor to m = min(Γ≤(u) ∪ u).
+    def smallStar(e: DataFrame): DataFrame = {
+      val nb = bidir(e)
+      val sm = nb.filter(col("v") < col("u"))
+      val m = sm.groupBy("u").agg(min(col("v")).as("m"))
+      sm.join(m, "u")
+        .select(explode(array(
+            struct(col("v").as("a"), col("m").as("b")),
+            struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(false)
+    var round = 0
+    var stable = false
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      // exact symmetric set-difference convergence check — the edge
+      // set is pair-sized, so the two extra jobs are cheap at any SF
+      stable = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"connectedComponentsStar: not converged after $maxRounds rounds " +
+        "(expected O(log n)) — raise maxRounds")
+    // fixpoint is a star per component rooted at its minimum: each
+    // vertex's min neighbor (or itself, for roots) IS the cluster id
+    val labels = verts.join(
+        bidir(edges).groupBy(col("u").as("id")).agg(min(col("v")).as("nmin")),
+        Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("nmin"), col("id"))).as("cluster_id"))
+    labels.select(col("id"), col("cluster_id"),
+      (col("id") === col("cluster_id")).as("is_keeper"))
+  }
+
   /** H2c SimHash: 24-bit signature; bit b is the majority vote of bit b
     * across the shingle hashes (shingles for the same reason as
     * [[withMinHash]]). Near-dups have small Hamming distance. */

@@ -240,6 +240,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.count(_._2._2) === 3)
   }
 
+  test("H2 connected components (star): a long chain converges in O(log n) rounds") {
+    // diameter 63: min-propagation would need ~63 rounds; the
+    // alternating star operations must finish well within 12
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(chain, "id_a", "id_b", maxRounds = 12)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length === 64)
+    assert(got.forall(_._2 == 0L), "all vertices must label to the chain min")
+    assert(got.count(_._3) === 1)
+  }
+
+  test("H2 connected components: star and min-propagation agree on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nV = 30 + trial * 10
+      val edges = Seq.fill(nV)((rnd.nextInt(nV).toLong, rnd.nextInt(nV).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("id_a", "id_b")
+      val prop = Dedup.connectedComponents(df, "id_a", "id_b")
+        .as[(Long, Long, Boolean)].collect().toSet
+      val star = Dedup.connectedComponentsStar(df, "id_a", "id_b")
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(prop === star, s"trial $trial: implementations disagree")
+    }
+  }
+
   test("H2 connected components: non-convergence fails loudly with advice") {
     val chain = (0L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException](

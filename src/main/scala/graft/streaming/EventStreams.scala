@@ -98,6 +98,20 @@ object EventStreams {
         col("r.event_time").as("right_time"))
   }
 
+  /** Streaming EXACT dedup: drop rows whose `keys` were already seen,
+    * keeping state only within the watermark delay —
+    * `dropDuplicatesWithinWatermark` evicts a key's dedup state once
+    * the watermark passes its event time, so state is bounded by the
+    * key arrival rate × delay instead of growing with the stream's
+    * lifetime (plain `dropDuplicates` on a stream never evicts).
+    * The exact-dedup twin of [[StreamingDedup]]'s near-dup index: use
+    * this for replays/at-least-once sources, the index for content
+    * near-duplicates. */
+  def dedupWithinWatermark(events: DataFrame, delay: String,
+                           keys: String*): DataFrame =
+    events.withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark(keys.toSeq)
+
   /** Row/state types for the custom-state operator. */
   final case class UserEvent(user_id: Long, ts_us: Long)
   final case class UserSessionState(nSessions: Long, lastTsUs: Long)

@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map(10L -> Some("gold"), 11L -> None, 12L -> Some("silver")))
   }
 
+  test("H5 streaming exact dedup drops cross-batch replays within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = EventStreams.dedupWithinWatermark(
+      input.toDS().toDF("event_id", "event_time"), "10 minutes", "event_id")
+    val q = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(2))) // intra-batch replay
+      q.processAllAvailable()
+      input.addData((2L, ts(3)), (3L, ts(4)))              // cross-batch replay
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().toSeq
+    // each id exactly once, replays dropped while their state is live
+    assert(out.sorted === Seq(1L, 2L, 3L))
+  }
+
   test("H5 session windows close after the gap (batch mode)") {
     val dir = sf("sf0.001")
     val sessions = EventStreams.sessionCounts(

@@ -191,6 +191,27 @@ class TopKPlanSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.TopKPerGroupExec.MaxResidentRowsKey)
   }
 
+  test("property: spilled top-k equals a pure-Scala reference on seeded random data") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 500 + trial * 300
+      val groups = 40 * trial
+      val data = (1 to n).map(i => (rnd.nextInt(groups), rnd.nextDouble(), i))
+      val k = 1 + rnd.nextInt(5)
+      // tiny cap: every trial forces partial flushes AND final spills
+      spark.conf.set(graft.plans.TopKPerGroupExec.MaxResidentRowsKey,
+        (5 + trial * 7).toString)
+      try {
+        val got = TopK.perGroup(data.toDF("g", "s", "id"), Seq("g"), "s", k)
+          .select("g", "s").as[(Int, Double)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+        val expected = data.groupBy(_._1).view
+          .mapValues(_.map(_._2).sortBy(-_).take(k).sorted.toSeq).toMap
+        assert(got === expected, s"trial $trial k=$k")
+      } finally spark.conf.unset(graft.plans.TopKPerGroupExec.MaxResidentRowsKey)
+    }
+  }
+
   test("k larger than any group returns everything") {
     val df = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
       .toDF("id", "g", "s")

@@ -1047,6 +1047,78 @@ object Queries {
       .orderBy(col("doc_id")),
     q67.oracle)
 
+  /** H composite: the transitively-correct curation pipeline — q39's
+    * pair-based loser removal keeps every LOCAL minimum of the dup
+    * graph (a path 2–9–1 keeps both 1 and 2), while this variant
+    * clusters first and keeps exactly ONE doc per component, then
+    * quality-gates and fingerprints the survivors. */
+  private val q78 = Q("q78_curation_clustered",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = Dedup.exact(docs, col("doc_id"), col("text"))
+        .filter(!col("is_dup"))
+      val losers = Dedup.connectedComponents(
+          Dedup.lshVerifiedPairs(docs, "doc_id", col("text"),
+            k = 16, bands = 4, shingleN = 3, threshold = 0.8),
+          "id_a", "id_b")
+        .filter(!col("is_keeper")).select(col("id").as("_loser"))
+      val surviving = keepers
+        .join(losers, col("doc_id") === col("_loser"), "left_anti")
+      TextAnalysis.withFingerprints(
+          TextAnalysis.withTextStats(surviving, col("text")), col("text"))
+        .filter(col("quality_score") >= 0.3)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          r(col("quality_score"), 4).as("quality_score"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE keepers AS (
+        SELECT doc_id, lang, text FROM (
+          SELECT doc_id, lang, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      th AS (SELECT doc_id,
+        list_transform(${sqlShingles("tk")}, t -> ${sqlPolyHash("t")}) AS hs
+      FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      sig AS (SELECT doc_id,
+        list_transform(range(0, 16), i -> list_min(list_transform(hs,
+          h -> (h * (2*i + 1) + 1000003 * (i + 1)) % 1000000007))) AS mh
+      FROM th),
+      bands AS (SELECT doc_id, b,
+        list_reduce(list_prepend(0::BIGINT, mh[b*4+1:b*4+4]), (x,y) -> (x*31 + y) % 1000000007) AS bh
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      sh AS (SELECT doc_id, ${sqlShingles("tk")} AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      pairs AS (SELECT id_a, id_b
+        FROM cand JOIN sh sa ON id_a = sa.doc_id JOIN sh sb ON id_b = sb.doc_id
+        WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8),
+      und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(src, dst) AS (SELECT src, dst FROM und
+        UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      comp AS (SELECT src AS v, least(src, min(dst)) AS cid
+        FROM reach GROUP BY src),
+      losers AS (SELECT v AS _loser FROM comp WHERE v != cid),
+      surviving AS (SELECT k.* FROM keepers k
+        WHERE NOT EXISTS (SELECT 1 FROM losers WHERE _loser = k.doc_id)),
+      stats AS (SELECT doc_id, lang, text,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_distinct,
+          len(list_filter(string_split(text, ' '),
+            x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+        FROM surviving),
+      scored AS (SELECT doc_id, lang, n_tokens,
+          least(1.0, n_tokens / 200.0) * 0.5 + (n_distinct::DOUBLE / n_tokens) * 0.3
+            + (n_stop::DOUBLE / n_tokens) * 0.2 AS q,
+          ${sqlPolyHash("text")} AS fingerprint
+        FROM stats)
+      SELECT doc_id, lang, n_tokens,
+        floor(q * 10000.0 + 0.5) / 10000.0 AS quality_score, fingerprint
+      FROM scored WHERE q >= 0.3 ORDER BY doc_id"""),
+    bench = true)
+
   /** H4: repetition quality signal — duplicate word-2-gram fraction
     * from the native shingle expression plus size arithmetic; a pure
     * per-row map (no per-gram explode). */
@@ -1739,7 +1811,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64,
-    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77,
+    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78,
     q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
     q70, q71, q72, q73, q74)
 

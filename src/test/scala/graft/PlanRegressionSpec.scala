@@ -50,4 +50,20 @@ class PlanRegressionSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges === 1, s"exact dedup is one shuffle by definition:\n$p")
   }
+
+  test("q68/q76: corpus top-k queries plan through the rewrite (no Window, no group sort)") {
+    Seq("q68_token_heavy_hitters", "q76_source_caps").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup "),
+        s"$name must plan as the two-stage bounded-heap operator:\n$p")
+      assert(!p.contains("Window"), s"$name must not plan a Window:\n$p")
+    }
+  }
+
+  test("q69 decontamination: native shingle extraction, no interpreted chain") {
+    val p = plan("q69_decontaminate")
+    assert(p.contains("graft_shingles"), s"native shingles expression missing:\n$p")
+    assert(!p.contains("array_distinct(transform"),
+      s"no interpreted shingle chain may remain on the decontamination path:\n$p")
+  }
 }

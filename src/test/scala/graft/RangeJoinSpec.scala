@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Binned point-in-interval join: boundary semantics (lo inclusive,
+  * hi exclusive), overlap multiplicity, negative values, empty
+  * intervals, and the no-nested-loop plan claim. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  val points = Seq((1L, 0.0), (2L, 10.0), (3L, 25.0), (4L, -5.0), (5L, 30.0))
+    .toDF("pid", "v")
+  val intervals = Seq(
+    (100L, 0.0, 10.0),    // [0,10): catches 1, NOT 2 (hi exclusive)
+    (101L, 5.0, 30.0),    // catches 2, 3
+    (102L, 20.0, 40.0),   // catches 3, 5 (overlaps 101)
+    (103L, -10.0, 0.0),   // negative range: catches 4, NOT 1
+    (104L, 50.0, 50.0)    // empty [50,50): catches nothing
+  ).toDF("iid", "lo", "hi")
+
+  test("boundary, overlap, and negative-range semantics match the naive join") {
+    val got = RangeJoin.pointInInterval(points, col("v"),
+        intervals, col("lo"), col("hi"), binWidth = 7.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val expected = Set((1L, 100L), (2L, 101L), (3L, 101L), (3L, 102L),
+      (5L, 102L), (4L, 103L))
+    assert(got === expected)
+    // exactly once per qualifying pair — the point meets each interval
+    // only in its own bin, so no dedup pass exists to hide duplicates
+    val rows = RangeJoin.pointInInterval(points, col("v"),
+      intervals, col("lo"), col("hi"), binWidth = 7.0).count()
+    assert(rows === expected.size)
+    // differential vs the naive (nested-loop) formulation
+    val naive = points.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+  }
+
+  test("plan: equality join on bins, no nested-loop join") {
+    val p = RangeJoin.pointInInterval(points, col("v"),
+        intervals, col("lo"), col("hi"), binWidth = 7.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoopJoin"),
+      s"the bin rewrite must avoid the nested-loop plan:\n$p")
+    val naive = points.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(naive.contains("NestedLoopJoin"),
+      s"(sanity) the naive formulation nested-loops:\n$naive")
+  }
+}

@@ -128,25 +128,34 @@ object HashUtil {
     java.lang.Long.valueOf(sim)
   }
 
+  /** Shared empty result for shingle-less / null-input documents. */
+  def emptyStringArray(): ArrayData = new GenericArrayData(Array.empty[Any])
+
   /** Distinct word-n-gram shingles joined by a single space, in first-
     * occurrence order — EXACTLY `GraftFunctions.shinglesDeclarative`
     * (`array_distinct` + `transform`/`slice`/`concat_ws`) and the SQL
     * oracles' `list_distinct` comprehension: fewer than n tokens → an
-    * EMPTY array (the short-document law). */
+    * EMPTY array (the short-document law); null ELEMENTS are skipped
+    * inside their window exactly like `concat_ws` skips nulls (the
+    * window still counts toward position). */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val size = toks.numElements()
-    if (size < n) return new GenericArrayData(Array.empty[Any])
+    if (size < n) return emptyStringArray()
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val sb = new java.lang.StringBuilder()
     val last = size - n
     var i = 0
     while (i <= last) {
       sb.setLength(0)
+      var appended = false
       var j = i
       val end = i + n
       while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(toks.getUTF8String(j).toString)
+        if (!toks.isNullAt(j)) {
+          if (appended) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          appended = true
+        }
         j += 1
       }
       seen.add(UTF8String.fromString(sb.toString))
@@ -311,9 +320,13 @@ case class ShingleSimHash(child: Expression, n: Int, bits: Int)
   * [[HashUtil.shingles]]. One tight loop per document instead of an
   * interpreted `transform`/`slice`/`concat_ws`/`array_distinct` chain
   * (measured ~6 s for 260k shingles at sf0.1 — the decontamination and
-  * exact-verify hot path). */
+  * exact-verify hot path). A NULL input array yields an EMPTY array
+  * (never NULL), exactly like the declarative twin's
+  * `when(size(toks) >= n, ...).otherwise(array())` — a null condition
+  * falls through to the empty-array branch. */
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_shingles"
 
   override def checkInputDataTypes()
@@ -326,11 +339,22 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
           s"$prettyName requires an array<string> input, got ${other.simpleString}")
     }
 
-  override protected def nullSafeEval(input: Any): Any =
-    HashUtil.shingles(input.asInstanceOf[ArrayData], n)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) HashUtil.emptyStringArray()
+    else HashUtil.shingles(v.asInstanceOf[ArrayData], n)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.shingles($c, $n)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull}
+        ? graft.functions.HashUtil.emptyStringArray()
+        : graft.functions.HashUtil.shingles(${childGen.value}, $n);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)

@@ -34,17 +34,25 @@ object RangeJoin {
                       intervals: DataFrame, lo: Column, hi: Column,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0.0, s"binWidth must be positive: $binWidth")
+    // internal working columns are namespaced AND guarded — silently
+    // overwriting (then dropping) a caller column of the same name
+    // would corrupt the documented all-columns-of-both-sides output
+    val reserved = Seq("__rj_bin", "__rj_p", "__rj_lo", "__rj_hi")
+    (points.columns ++ intervals.columns).intersect(reserved).foreach(c =>
+      throw new IllegalArgumentException(
+        s"pointInInterval: input column '$c' collides with an internal " +
+          "working column — rename it before the join"))
     val binned = intervals
-      .withColumn("_lo", lo).withColumn("_hi", hi)
-      .filter(col("_lo") <= col("_hi"))
-      .withColumn("_bin", explode(sequence(
-        floor(col("_lo") / binWidth).cast("long"),
-        floor(col("_hi") / binWidth).cast("long"))))
+      .withColumn("__rj_lo", lo).withColumn("__rj_hi", hi)
+      .filter(col("__rj_lo") <= col("__rj_hi"))
+      .withColumn("__rj_bin", explode(sequence(
+        floor(col("__rj_lo") / binWidth).cast("long"),
+        floor(col("__rj_hi") / binWidth).cast("long"))))
     points
-      .withColumn("_p", p)
-      .withColumn("_bin", floor(col("_p") / binWidth).cast("long"))
-      .join(binned, Seq("_bin"))
-      .filter(col("_p") >= col("_lo") && col("_p") < col("_hi"))
-      .drop("_bin", "_p", "_lo", "_hi")
+      .withColumn("__rj_p", p)
+      .withColumn("__rj_bin", floor(col("__rj_p") / binWidth).cast("long"))
+      .join(binned, Seq("__rj_bin"))
+      .filter(col("__rj_p") >= col("__rj_lo") && col("__rj_p") < col("__rj_hi"))
+      .drop("__rj_bin", "__rj_p", "__rj_lo", "__rj_hi")
   }
 }

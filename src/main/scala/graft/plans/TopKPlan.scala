@@ -206,6 +206,25 @@ private[plans] object TopKSpill {
       }
     }
     def done: Boolean = key == null
+    /** Idempotent close for abandoned merges (e.g. a LIMIT above the
+      * operator stops consuming mid-stream) — without it a
+      * deleted-while-open run file pins its fd and disk space. */
+    def close(): Unit = if (!done) { key = null; rows = null; in.close() }
+  }
+
+  /** Spill target: Spark's configured local dirs (sized, monitored
+    * volumes — where the window sort this operator replaces would
+    * spill), falling back to java.io.tmpdir outside a SparkEnv (unit
+    * tests). `spark.local.dir` may be a comma list; the first entry
+    * is used. */
+  def spillDir(): java.io.File = {
+    val base = Option(org.apache.spark.SparkEnv.get)
+      .flatMap(e => e.conf.getOption("spark.local.dir"))
+      .map(_.split(",").head.trim)
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val d = new java.io.File(base, "graft-topk-spill")
+    d.mkdirs()
+    d
   }
 }
 
@@ -258,6 +277,20 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         private val projOpt = rankL.map(rankAttr =>
           UnsafeProjection.create(outAttrs, childOutput :+ rankAttr))
         private val spillFiles = mutable.ArrayBuffer.empty[java.io.File]
+        private val openReaders = mutable.ArrayBuffer.empty[TopKSpill.Reader]
+        private var cleanupRegistered = false
+
+        /** Registered at the FIRST spill (not at merge time): a task
+          * killed mid-ingest still deletes its runs and closes any
+          * readers. */
+        private def registerCleanup(): Unit = if (!cleanupRegistered) {
+          cleanupRegistered = true
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              openReaders.foreach(_.close())
+              spillFiles.foreach(_.delete())
+            })
+        }
 
         // dequeueAll drains worst-first; reverse = rank order (best first)
         private def ranked(heap: mutable.PriorityQueue[InternalRow]): Seq[InternalRow] = {
@@ -289,8 +322,8 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           * key-byte order, rows in rank order) to local disk and keep
           * ingesting — the merge recombines groups split across runs. */
         private def spill(): Unit = {
-          val file = java.io.File.createTempFile("graft-topk-spill-", ".run")
-          file.deleteOnExit()
+          registerCleanup()
+          val file = java.io.File.createTempFile("topk-", ".run", TopKSpill.spillDir())
           spillFiles += file
           spillMetric += 1
           val entries = heaps.toArray.map { case (kb, h) => (kb.getBytes, ranked(h)) }
@@ -316,11 +349,9 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           * is one ≤k group list per run, independent of group count. */
         private def mergeSpills(): Iterator[InternalRow] = {
           if (heaps.nonEmpty) spill() // remainder becomes the last run
-          val files = spillFiles.toArray
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => files.foreach(_.delete())))
-          val active = mutable.ArrayBuffer.from(
-            files.map(f => new TopKSpill.Reader(f, childOutput.length)).filterNot(_.done))
+          val readers = spillFiles.map(f => new TopKSpill.Reader(f, childOutput.length))
+          openReaders ++= readers // task-completion cleanup closes leftovers
+          val active = mutable.ArrayBuffer.from(readers.filterNot(_.done))
           new Iterator[InternalRow] {
             private var cur: Iterator[InternalRow] = Iterator.empty
             override def hasNext: Boolean = {

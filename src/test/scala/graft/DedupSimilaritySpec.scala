@@ -193,7 +193,9 @@ class DedupSimilaritySpec extends SparkSpec {
         GraftFunctions.tokens(col("text")), 3))
       .withColumn("dec", GraftFunctions.shinglesDeclarative(
         GraftFunctions.tokens(col("text")), 3))
-      .filter(not(col("nat") === col("dec")))
+      // null-safe compare: a plain === would null out (and silently
+      // drop) exactly the rows where one side diverged to NULL
+      .filter(not(col("nat") <=> col("dec")))
     assert(diff.count() === 0L)
     // the short-document empty-array law holds in the native form too
     val short = Seq((1L, "just two")).toDF("doc_id", "text")
@@ -201,6 +203,29 @@ class DedupSimilaritySpec extends SparkSpec {
       GraftFunctions.tokens(col("text")), 3).as("sh"))
       .as[Seq[String]].collect().head
     assert(empty === Seq.empty)
+  }
+
+  test("native shingles: null array and null elements match the declarative spec") {
+    import graft.functions.GraftFunctions
+    // null ARRAY → empty shingle list (the declarative otherwise(array())
+    // law); null ELEMENTS skip inside their window like concat_ws
+    val edge = Seq(
+      (1L, Seq("a", null, "b", "c")),
+      (2L, null.asInstanceOf[Seq[String]]),
+      (3L, Seq[String](null, null, null))
+    ).toDF("id", "toks")
+    val rows = edge
+      .withColumn("nat", GraftFunctions.shingles(col("toks"), 3))
+      .withColumn("dec", GraftFunctions.shinglesDeclarative(col("toks"), 3))
+      .select("id", "nat", "dec")
+      .as[(Long, Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L)._2 === Seq("a b", "b c"))     // nulls dropped in-window
+    assert(rows(1L)._2 === rows(1L)._3)
+    assert(rows(2L)._2 === Seq.empty)             // null array → empty, not NULL
+    assert(rows(2L)._2 === rows(2L)._3)
+    assert(rows(3L)._2 === Seq(""))               // all-null window → "" shingle
+    assert(rows(3L)._2 === rows(3L)._3)
   }
 
   test("H2 decontamination: shingle-overlap pairs vs eval set, self excluded") {

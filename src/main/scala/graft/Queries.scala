@@ -1140,6 +1140,28 @@ object Queries {
       FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
       ORDER BY event_id, band_id"""))
 
+  /** Binned interval-overlap join: event value-intervals
+    * [value, value+20) against overlapping bands — exactly-once via
+    * the first-overlapping-bin filter, no dedup shuffle, no
+    * nested-loop plan. */
+  private val q80 = Q("q80_interval_overlap_binned",
+    (s, d) => {
+      val bands = s.range(0, 12).select(col("id").as("band_id"),
+        (col("id") * 40.0).as("lo"), (col("id") * 40.0 + 60.0).as("hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          t(s, d, "events").select(col("event_id"), col("value")),
+          col("value"), col("value") + 20.0,
+          bands, col("lo"), col("hi"), binWidth = 50.0)
+        .select(col("event_id"), col("band_id"), col("value"))
+        .orderBy(col("event_id"), col("band_id"))
+    },
+    Some("""WITH bands AS (SELECT b AS band_id, b * 40.0 AS lo, b * 40.0 + 60.0 AS hi
+        FROM (SELECT unnest(range(0, 12)) AS b))
+      SELECT e.event_id, b.band_id, e.value
+      FROM events e JOIN bands b
+        ON e.value < b.hi AND b.lo < e.value + 20.0
+      ORDER BY event_id, band_id"""))
+
   /** H4: repetition quality signal — duplicate word-2-gram fraction
     * from the native shingle expression plus size arithmetic; a pure
     * per-row map (no per-gram explode). */
@@ -1831,7 +1853,7 @@ object Queries {
   val defs: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
-    q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79,
+    q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78,
     q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
     q70, q71, q72, q73, q74)

@@ -55,4 +55,37 @@ object RangeJoin {
       .filter(col("__rj_p") >= col("__rj_lo") && col("__rj_p") < col("__rj_hi"))
       .drop("__rj_bin", "__rj_p", "__rj_lo", "__rj_hi")
   }
+
+  /** Interval × interval overlap join: pairs whose half-open intervals
+    * [lLo, lHi) and [rLo, rHi) intersect (`lLo < rHi AND rLo < lHi` —
+    * again no equality conjunct, again a nested-loop plan naively).
+    * Both sides bin-explode; an overlapping pair meets in every shared
+    * bin, so instead of a dedup shuffle the join keeps only the FIRST
+    * overlapping bin — `bin == floor(max(lLo, rLo) / w)`, which both
+    * sides provably cover — making each qualifying pair appear exactly
+    * once. Empty intervals (lo >= hi) match nothing. */
+  def intervalOverlap(left: DataFrame, lLo: Column, lHi: Column,
+                      right: DataFrame, rLo: Column, rHi: Column,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0.0, s"binWidth must be positive: $binWidth")
+    val reserved = Seq("__rj_bin", "__rj_llo", "__rj_lhi", "__rj_rlo", "__rj_rhi")
+    (left.columns ++ right.columns).intersect(reserved).foreach(c =>
+      throw new IllegalArgumentException(
+        s"intervalOverlap: input column '$c' collides with an internal " +
+          "working column — rename it before the join"))
+    def binned(df: DataFrame, lo: Column, hi: Column,
+               loName: String, hiName: String): DataFrame = df
+      .withColumn(loName, lo).withColumn(hiName, hi)
+      .filter(col(loName) < col(hiName))
+      .withColumn("__rj_bin", explode(sequence(
+        floor(col(loName) / binWidth).cast("long"),
+        floor(col(hiName) / binWidth).cast("long"))))
+    binned(left, lLo, lHi, "__rj_llo", "__rj_lhi")
+      .join(binned(right, rLo, rHi, "__rj_rlo", "__rj_rhi"), Seq("__rj_bin"))
+      .filter(col("__rj_llo") < col("__rj_rhi")
+        && col("__rj_rlo") < col("__rj_lhi")
+        && col("__rj_bin") === floor(
+          greatest(col("__rj_llo"), col("__rj_rlo")) / binWidth).cast("long"))
+      .drop("__rj_bin", "__rj_llo", "__rj_lhi", "__rj_rlo", "__rj_rhi")
+  }
 }

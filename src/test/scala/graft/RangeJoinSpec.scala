@@ -38,6 +38,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("interval overlap: half-open touch excluded, nesting, multi-bin exactly-once") {
+    val lefts = Seq(
+      (1L, 0.0, 10.0),    // touches 200 at 10 (no overlap), overlaps 201
+      (2L, 15.0, 50.0),   // spans many bins; overlaps 200, 201, 202
+      (3L, 60.0, 61.0),   // inside 202
+      (4L, 70.0, 70.0)    // empty: matches nothing
+    ).toDF("lid", "llo", "lhi")
+    val rights = Seq(
+      (200L, 10.0, 20.0),
+      (201L, 5.0, 16.0),
+      (202L, 40.0, 65.0)
+    ).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(lefts, col("llo"), col("lhi"),
+        rights, col("rlo"), col("rhi"), binWidth = 7.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expected = Set((1L, 201L), (2L, 200L), (2L, 201L), (2L, 202L), (3L, 202L))
+    assert(got.toSet === expected)
+    // exactly once per pair despite meeting in multiple shared bins
+    assert(got.length === expected.size)
+    // differential vs the naive nested-loop formulation
+    val naive = lefts.join(rights,
+        col("llo") < col("rhi") && col("rlo") < col("lhi")
+          && col("llo") < col("lhi") && col("rlo") < col("rhi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.toSet === naive)
+  }
+
   test("plan: equality join on bins, no nested-loop join") {
     val p = RangeJoin.pointInInterval(points, col("v"),
         intervals, col("lo"), col("hi"), binWidth = 7.0)

@@ -65,6 +65,38 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSet === naive)
   }
 
+  test("property: both range joins equal the naive join on seeded random data") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val w = Seq(3.0, 7.5, 20.0)(trial - 1)
+      val ps = (1 to 150).map(i => (i.toLong, rnd.nextDouble() * 200 - 50))
+        .toDF("pid", "v")
+      val ivs = (1 to 40).map { i =>
+        val lo = rnd.nextDouble() * 200 - 50
+        (i.toLong, lo, lo + rnd.nextDouble() * 30)
+      }.toDF("iid", "lo", "hi")
+      val gotP = RangeJoin.pointInInterval(ps, col("v"), ivs,
+          col("lo"), col("hi"), w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSeq
+      val naiveP = ps.join(ivs, col("v") >= col("lo") && col("v") < col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(gotP.toSet === naiveP && gotP.length === naiveP.size, s"point trial $trial")
+
+      val ls = (1 to 60).map { i =>
+        val lo = rnd.nextDouble() * 200 - 50
+        (i.toLong, lo, lo + rnd.nextDouble() * 25)
+      }.toDF("lid", "llo", "lhi")
+      val gotO = RangeJoin.intervalOverlap(ls, col("llo"), col("lhi"),
+          ivs, col("lo"), col("hi"), w)
+        .select("lid", "iid").as[(Long, Long)].collect().toSeq
+      val naiveO = ls.join(ivs,
+          col("llo") < col("hi") && col("lo") < col("lhi")
+            && col("llo") < col("lhi") && col("lo") < col("hi"))
+        .select("lid", "iid").as[(Long, Long)].collect().toSet
+      assert(gotO.toSet === naiveO && gotO.length === naiveO.size, s"overlap trial $trial")
+    }
+  }
+
   test("plan: equality join on bins, no nested-loop join") {
     val p = RangeJoin.pointInInterval(points, col("v"),
         intervals, col("lo"), col("hi"), binWidth = 7.0)

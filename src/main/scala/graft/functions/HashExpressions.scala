@@ -54,16 +54,22 @@ object HashUtil {
     var i = 0
     while (i <= last) {
       var h = 0L
+      var appended = false
       var j = i
       val end = math.min(i + n, size)
       while (j < end) {
-        if (j > i) h = (h * 31 + 32) % Mod            // ' ' separator
-        val s = toks.getUTF8String(j).toString
-        var ci = 0
-        while (ci < s.length) {
-          val cp = s.codePointAt(ci)
-          h = (h * 31 + cp) % Mod
-          ci += Character.charCount(cp)
+        // null tokens skip inside their window (the concat_ws law) —
+        // the hash must equal polyhash(shingles()) of the same window
+        if (!toks.isNullAt(j)) {
+          if (appended) h = (h * 31 + 32) % Mod        // ' ' separator
+          val s = toks.getUTF8String(j).toString
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            h = (h * 31 + cp) % Mod
+            ci += Character.charCount(cp)
+          }
+          appended = true
         }
         j += 1
       }
@@ -94,11 +100,15 @@ object HashUtil {
     var i = 0
     while (i <= last) {
       sb.setLength(0)
+      var appended = false
       var j = i
       val end = i + n
       while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(toks.getUTF8String(j).toString)
+        if (!toks.isNullAt(j)) {                       // concat_ws null-skip
+          if (appended) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          appended = true
+        }
         j += 1
       }
       val sstr = sb.toString
@@ -128,8 +138,11 @@ object HashUtil {
     java.lang.Long.valueOf(sim)
   }
 
-  /** Shared empty result for shingle-less / null-input documents. */
-  def emptyStringArray(): ArrayData = new GenericArrayData(Array.empty[Any])
+  /** Shared empty result for shingle-less / null-input documents —
+    * one immutable instance, never a per-row allocation (consumers
+    * copy; nothing mutates it). */
+  private val EmptyStringArray: ArrayData = new GenericArrayData(Array.empty[Any])
+  def emptyStringArray(): ArrayData = EmptyStringArray
 
   /** Distinct word-n-gram shingles joined by a single space, in first-
     * occurrence order — EXACTLY `GraftFunctions.shinglesDeclarative`

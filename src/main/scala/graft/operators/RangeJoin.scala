@@ -26,6 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Internal working columns are namespaced AND guarded — silently
+    * overwriting (then dropping) a caller column of the same name
+    * would corrupt the documented all-columns-of-both-sides output. */
+  private def guardReserved(cols: Seq[String], reserved: Seq[String],
+                            op: String): Unit =
+    cols.intersect(reserved).foreach(c =>
+      throw new IllegalArgumentException(
+        s"$op: input column '$c' collides with an internal working " +
+          "column — rename it before the join"))
+
+  /** Explode `df` to one row per bin its [lo, hi] interval overlaps;
+    * `strict` drops empty half-open intervals (lo >= hi). */
+  private def binRange(df: DataFrame, lo: Column, hi: Column,
+                       loName: String, hiName: String, strict: Boolean,
+                       binWidth: Double): DataFrame = df
+    .withColumn(loName, lo).withColumn(hiName, hi)
+    .filter(if (strict) col(loName) < col(hiName) else col(loName) <= col(hiName))
+    .withColumn("__rj_bin", explode(sequence(
+      floor(col(loName) / binWidth).cast("long"),
+      floor(col(hiName) / binWidth).cast("long"))))
+
   /** Join `points` to the `intervals` whose [lo, hi) contains `p`.
     * Returns all columns of both sides. `lo`/`hi`/`p` are doubles;
     * intervals must satisfy lo <= hi (empty intervals match nothing).
@@ -34,24 +55,13 @@ object RangeJoin {
                       intervals: DataFrame, lo: Column, hi: Column,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0.0, s"binWidth must be positive: $binWidth")
-    // internal working columns are namespaced AND guarded — silently
-    // overwriting (then dropping) a caller column of the same name
-    // would corrupt the documented all-columns-of-both-sides output
-    val reserved = Seq("__rj_bin", "__rj_p", "__rj_lo", "__rj_hi")
-    (points.columns ++ intervals.columns).intersect(reserved).foreach(c =>
-      throw new IllegalArgumentException(
-        s"pointInInterval: input column '$c' collides with an internal " +
-          "working column — rename it before the join"))
-    val binned = intervals
-      .withColumn("__rj_lo", lo).withColumn("__rj_hi", hi)
-      .filter(col("__rj_lo") <= col("__rj_hi"))
-      .withColumn("__rj_bin", explode(sequence(
-        floor(col("__rj_lo") / binWidth).cast("long"),
-        floor(col("__rj_hi") / binWidth).cast("long"))))
+    guardReserved(points.columns.toSeq ++ intervals.columns,
+      Seq("__rj_bin", "__rj_p", "__rj_lo", "__rj_hi"), "pointInInterval")
     points
       .withColumn("__rj_p", p)
       .withColumn("__rj_bin", floor(col("__rj_p") / binWidth).cast("long"))
-      .join(binned, Seq("__rj_bin"))
+      .join(binRange(intervals, lo, hi, "__rj_lo", "__rj_hi",
+        strict = false, binWidth), Seq("__rj_bin"))
       .filter(col("__rj_p") >= col("__rj_lo") && col("__rj_p") < col("__rj_hi"))
       .drop("__rj_bin", "__rj_p", "__rj_lo", "__rj_hi")
   }
@@ -68,20 +78,12 @@ object RangeJoin {
                       right: DataFrame, rLo: Column, rHi: Column,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0.0, s"binWidth must be positive: $binWidth")
-    val reserved = Seq("__rj_bin", "__rj_llo", "__rj_lhi", "__rj_rlo", "__rj_rhi")
-    (left.columns ++ right.columns).intersect(reserved).foreach(c =>
-      throw new IllegalArgumentException(
-        s"intervalOverlap: input column '$c' collides with an internal " +
-          "working column — rename it before the join"))
-    def binned(df: DataFrame, lo: Column, hi: Column,
-               loName: String, hiName: String): DataFrame = df
-      .withColumn(loName, lo).withColumn(hiName, hi)
-      .filter(col(loName) < col(hiName))
-      .withColumn("__rj_bin", explode(sequence(
-        floor(col(loName) / binWidth).cast("long"),
-        floor(col(hiName) / binWidth).cast("long"))))
-    binned(left, lLo, lHi, "__rj_llo", "__rj_lhi")
-      .join(binned(right, rLo, rHi, "__rj_rlo", "__rj_rhi"), Seq("__rj_bin"))
+    guardReserved(left.columns.toSeq ++ right.columns,
+      Seq("__rj_bin", "__rj_llo", "__rj_lhi", "__rj_rlo", "__rj_rhi"),
+      "intervalOverlap")
+    binRange(left, lLo, lHi, "__rj_llo", "__rj_lhi", strict = true, binWidth)
+      .join(binRange(right, rLo, rHi, "__rj_rlo", "__rj_rhi",
+        strict = true, binWidth), Seq("__rj_bin"))
       .filter(col("__rj_llo") < col("__rj_rhi")
         && col("__rj_rlo") < col("__rj_lhi")
         && col("__rj_bin") === floor(

@@ -214,16 +214,23 @@ private[plans] object TopKSpill {
 
   /** Spill target: Spark's configured local dirs (sized, monitored
     * volumes — where the window sort this operator replaces would
-    * spill), falling back to java.io.tmpdir outside a SparkEnv (unit
-    * tests). `spark.local.dir` may be a comma list; the first entry
-    * is used. */
-  def spillDir(): java.io.File = {
-    val base = Option(org.apache.spark.SparkEnv.get)
-      .flatMap(e => e.conf.getOption("spark.local.dir"))
-      .map(_.split(",").head.trim)
+    * spill). Resolution mirrors Spark's own order: the cluster
+    * manager's env (`LOCAL_DIRS` on YARN, `SPARK_LOCAL_DIRS` on
+    * standalone/K8s — where `spark.local.dir` is ignored), then the
+    * conf, then java.io.tmpdir (unit tests). Comma lists use the
+    * first entry. One UNIQUE per-JVM subdirectory (creation checked,
+    * not silently ignored) — a fixed shared name under a world-shared
+    * tmpdir would collide across users. */
+  lazy val spillDir: java.io.File = {
+    val base = sys.env.get("LOCAL_DIRS")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .orElse(Option(org.apache.spark.SparkEnv.get)
+        .flatMap(_.conf.getOption("spark.local.dir")))
       .getOrElse(System.getProperty("java.io.tmpdir"))
-    val d = new java.io.File(base, "graft-topk-spill")
-    d.mkdirs()
+      .split(",").head.trim
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(base), "graft-topk-spill-").toFile
+    d.deleteOnExit() // one JVM-global entry for the dir, not per run file
     d
   }
 }
@@ -323,7 +330,10 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           * ingesting — the merge recombines groups split across runs. */
         private def spill(): Unit = {
           registerCleanup()
-          val file = java.io.File.createTempFile("topk-", ".run", TopKSpill.spillDir())
+          val file = java.io.File.createTempFile("topk-", ".run", TopKSpill.spillDir)
+          // outside a Spark task (no TaskContext to clean up) fall back
+          // to JVM-exit deletion so runs cannot accumulate forever
+          if (org.apache.spark.TaskContext.get() == null) file.deleteOnExit()
           spillFiles += file
           spillMetric += 1
           val entries = heaps.toArray.map { case (kb, h) => (kb.getBytes, ranked(h)) }

@@ -228,6 +228,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows(3L)._2 === rows(3L)._3)
   }
 
+  test("fused minhash/simhash kernels skip null tokens like shingles() (no NPE)") {
+    import graft.functions.HashExpressions
+    val toks = Seq((1L, Seq("a", null, "b", "c"))).toDF("id", "toks")
+    // shingle windows of [a, NULL, b, c] at n=3: "a b", "b c"
+    def ph(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val hs = Seq("a b", "b c").map(ph)
+    val expectedSig = (0 until 4).map(t =>
+      hs.map(h => (h * (2 * t + 1) + 1000003L * (t + 1)) % 1000000007L).min)
+    val sig = toks.select(HashExpressions
+        .shingleMinHashNative(col("toks"), 3, 4).as("s"))
+      .as[Seq[Long]].collect().head
+    assert(sig === expectedSig)
+    val expectedSim = (0 until 24).map { b =>
+      if (2 * hs.count(h => ((h >> b) & 1L) == 1L) > hs.size) 1L << b else 0L
+    }.sum
+    val sim = toks.select(HashExpressions
+        .shingleSimHashNative(col("toks"), 3, 24).as("s"))
+      .as[Long].collect().head
+    assert(sim === expectedSim)
+  }
+
   test("H2 decontamination: shingle-overlap pairs vs eval set, self excluded") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // shares 4 shingles with eval doc 10

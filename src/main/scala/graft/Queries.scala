@@ -1737,6 +1737,20 @@ object Queries {
     },
     None)
 
+  /** H multimodal: partition-batched resize (stubbed codec, real
+    * plumbing — same contract as q51's decode). Rows-only: binary
+    * decimation is not SQL-expressible; per-row determinism is pinned
+    * by TextMultimodalSpec instead. */
+  private val q81 = Q("q81_multimodal_resize",
+    (s, d) => {
+      val docs = Multimodal.withPayload(t(s, d, "documents"), "text")
+      Multimodal.resize(s, docs, targetW = 16, targetH = 16)
+        .select(col("doc_id"), col("src_len"), col("resized_len"),
+          col("resized_md5"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
   // ---------------------------------------------------------------- //
   // E (streaming twin): native session_window                         //
   // ---------------------------------------------------------------- //
@@ -1855,7 +1869,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78,
-    q40, q41, q42, q43, q50, q51, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
+    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
     q70, q71, q72, q73, q74)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

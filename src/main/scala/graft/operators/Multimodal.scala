@@ -93,6 +93,58 @@ object Multimodal {
       .drop("_nf")
   }
 
+  /** Resized-payload schema produced by [[resize]]. */
+  val ResizedSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_len", LongType, nullable = false),
+    StructField("resized", BinaryType, nullable = false),
+    StructField("resized_len", LongType, nullable = false),
+    StructField("resized_md5", StringType, nullable = false)))
+
+  /** STUB resizer: a real implementation decodes, scales to
+    * targetW×targetH, and re-encodes. Here: deterministic byte
+    * decimation to (at most) targetW·targetH bytes — stride sampling,
+    * the 1-D shape of nearest-neighbor downscaling. Empty/short
+    * payloads pass through whole. */
+  private[operators] def resizeStub(bytes: Array[Byte], outLen: Int): Array[Byte] =
+    if (bytes.length <= outLen) bytes
+    else {
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) {
+        out(i) = bytes(((i.toLong * bytes.length) / outLen).toInt)
+        i += 1
+      }
+      out
+    }
+
+  /** Partition-batched resize over binary payloads — the same
+    * one-codec-context-per-partition `mapPartitions` shape as
+    * [[decodeFeatures]]; only [[resizeStub]] changes when a real
+    * image library is available. No shuffle; payload bytes never
+    * touch the driver. */
+  def resize(spark: SparkSession, df: DataFrame,
+             targetW: Int, targetH: Int,
+             idCol: String = "doc_id"): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"target dims must be positive: ${targetW}x$targetH")
+    val outLen = targetW * targetH
+    val input = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+    implicit val enc = RowEncoder.encoderFor(ResizedSchema)
+    input.mapPartitions { rows =>
+      // real resizer: initialize the codec context here, once per partition
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(0)
+        val bytes = Option(row.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        val resized = resizeStub(bytes, outLen)
+        md.reset()
+        val digest = md.digest(resized).map("%02x".format(_)).mkString
+        Row(id, bytes.length.toLong, resized, resized.length.toLong, digest)
+      }
+    }
+  }
+
   /** Partition-batched decode: one decoder context per partition, rows
     * streamed through it — the Spark-idiomatic shape for expensive
     * per-row native calls (never a per-row UDF re-initializing codecs). */

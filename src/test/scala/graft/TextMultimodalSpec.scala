@@ -80,6 +80,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("multimodal: partition-batched resize decimates deterministically") {
+    val docs = Seq(
+      (1L, "x" * 1000),   // 1000 bytes → decimated to 256
+      (2L, "short"),      // 5 bytes ≤ 256 → passes through whole
+      (3L, "")            // empty stays empty
+    ).toDF("doc_id", "text")
+    val out = Multimodal.resize(spark,
+        Multimodal.withPayload(docs, "text"), targetW = 16, targetH = 16)
+      .select("doc_id", "src_len", "resized_len", "resized_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 1000L && out(1L)._3 === 256L)
+    assert(out(2L)._2 === 5L && out(2L)._3 === 5L)
+    assert(out(3L)._3 === 0L)
+    // deterministic: same payload → same digest on every run
+    val again = Multimodal.resize(spark,
+        Multimodal.withPayload(docs, "text"), 16, 16)
+      .select("doc_id", "resized_md5").as[(Long, String)].collect().toMap
+    assert(again === out.view.mapValues(_._4).toMap)
+  }
+
   test("multimodal: payload metadata + stubbed partition-batched decode") {
     val df = Seq((1L, "some media payload"), (2L, "")).toDF("doc_id", "text")
     val meta = Multimodal.withPayloadMeta(Multimodal.withPayload(df, "text"))

@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   * like a failure, not like a speedup. */
 object Bench {
 
-  /** Warm-up once (JIT + codegen + file listing), then two timed passes
-    * per query reporting the min (GC/scheduling noise damping). Returns
-    * (per-query seconds in input order, -1 for failures; failed names). */
+  /** Warm-up once (JIT + codegen + file listing), then three timed
+    * passes per query reporting the min — this host shows ±50%
+    * noisy-neighbor swings between runs minutes apart, and min-of-3
+    * damps what min-of-2 let through. Returns (per-query seconds in
+    * input order, -1 for failures; failed names). */
   def timeAll(names: Seq[String], runOne: String => Unit)
       : (Seq[(String, Double)], Seq[String]) = {
     names.foreach { n =>
@@ -28,8 +30,8 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val results = names.map { n =>
-      val (a, b) = (timeOnce(n), timeOnce(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val ts = Seq.fill(3)(timeOnce(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     (results, results.collect { case (n, t) if t < 0 => n })
   }

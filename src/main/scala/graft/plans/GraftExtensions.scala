@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   /** n/k/planes/dim-style arguments must be integer literals — a clear
     * error beats the UnsupportedOperationException a bare eval() on a

@@ -1860,6 +1860,24 @@ object Queries {
     },
     None)
 
+  /** F+: seeded k-fold model selection over the tree depth — the
+    * model-selection surface the reference lacked (one unseeded fit
+    * per model). Small grid/folds: selection = folds × grid
+    * distributed fits. Rows-only (CV internals aren't
+    * SQL-expressible). */
+  private val q82 = Q("q82_ml_cross_validation",
+    (s, d) => {
+      import s.implicits._
+      val feats = mlFeatures(s, d).cache()
+      val e = try graft.ml.Models.crossValidateTree(feats,
+          depths = Seq(3, 6), folds = 2)
+        finally feats.unpersist()
+      Seq((e.bestMaxDepth.toLong, e.avgMetrics.size.toLong,
+        math.floor(e.testAccuracy * 10000.0 + 0.5) / 10000.0))
+        .toDF("best_max_depth", "n_candidates", "test_accuracy")
+    },
+    None)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1870,7 +1888,7 @@ object Queries {
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
-    q70, q71, q72, q73, q74)
+    q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

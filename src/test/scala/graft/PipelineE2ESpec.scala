@@ -63,6 +63,25 @@ class PipelineE2ESpec extends SparkSpec {
     assert(eval.nTrain + eval.nTest === 8L)
   }
 
+  test("seeded cross-validation selects a depth and refits (model selection)") {
+    val feats = Features.pipeline(raw,
+      user = "user_id", activity = "activity", tsName = "ts",
+      axes = Features.Axes(col("acc_x"), col("acc_y"), col("acc_z")),
+      gap = gap, width = width)
+      .withColumn("label",
+        Models.encodeLabel(col("activity"),
+          Seq("Walking", "Jogging", "Standing", "Sitting", "Upstairs", "Downstairs")))
+      .cache()
+    val e = Models.crossValidateTree(feats, depths = Seq(2, 3), folds = 2)
+    assert(Seq(2, 3).contains(e.bestMaxDepth))
+    assert(e.avgMetrics.size === 2)          // one mean metric per grid point
+    // linearly separable by construction → the refit winner is perfect
+    assert(e.testAccuracy === 1.0)
+    // determinism: the seeded CV picks the same depth on a second run
+    assert(Models.crossValidateTree(feats, depths = Seq(2, 3), folds = 2)
+      .bestMaxDepth === e.bestMaxDepth)
+  }
+
   test("GBT trains end-to-end on a binary label (F4's runnable surface)") {
     // spark.ml GBT is binary-only (as was the reference's MLlib GBT);
     // the two synthesized activities give it a legitimate binary task

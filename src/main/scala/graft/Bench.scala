@@ -13,12 +13,17 @@ import org.apache.spark.sql.SparkSession
   * like a failure, not like a speedup. */
 object Bench {
 
-  /** Warm-up once (JIT + codegen + file listing), then three timed
-    * passes per query reporting the min — this host shows ±50%
-    * noisy-neighbor swings between runs minutes apart, and min-of-3
-    * damps what min-of-2 let through. Returns (per-query seconds in
-    * input order, -1 for failures; failed names). */
-  def timeAll(names: Seq[String], runOne: String => Unit)
+  /** Warm-up once (JIT + codegen + file listing), then timed passes
+    * INTERLEAVED round-robin — the full query list three times
+    * (q1..qN, q1..qN, q1..qN), reporting each query's min. This host
+    * shows ±50% noisy-neighbor swings lasting seconds-to-minutes;
+    * back-to-back passes of one query land all its samples inside a
+    * single noisy window (round 3→4 showed 3.7× swings on identical
+    * code), while round-robin spreads the three samples across the
+    * whole run so at most one is likely contaminated. Returns
+    * (per-query seconds in input order, -1 for failures; failed
+    * names). */
+  def timeAll(names: Seq[String], runOne: String => Unit, passes: Int = 3)
       : (Seq[(String, Double)], Seq[String]) = {
     names.foreach { n =>
       try runOne(n)
@@ -29,8 +34,10 @@ object Bench {
       val ok = try { runOne(n); true } catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    val samples = Seq.fill(passes)(names.map(n => n -> timeOnce(n))).flatten
+    val byName = samples.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = names.map { n =>
-      val ts = Seq.fill(3)(timeOnce(n))
+      val ts = byName(n)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     (results, results.collect { case (n, t) if t < 0 => n })

@@ -1138,7 +1138,8 @@ object Queries {
         FROM (SELECT unnest(range(0, 12)) AS b))
       SELECT e.event_id, b.band_id, e.value
       FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
-      ORDER BY event_id, band_id"""))
+      ORDER BY event_id, band_id"""),
+    bench = true)
 
   /** Binned interval-overlap join: event value-intervals
     * [value, value+20) against overlapping bands — exactly-once via
@@ -1160,7 +1161,8 @@ object Queries {
       SELECT e.event_id, b.band_id, e.value
       FROM events e JOIN bands b
         ON e.value < b.hi AND b.lo < e.value + 20.0
-      ORDER BY event_id, band_id"""))
+      ORDER BY event_id, band_id"""),
+    bench = true)
 
   /** H4: repetition quality signal — duplicate word-2-gram fraction
     * from the native shingle expression plus size arithmetic; a pure
@@ -1531,15 +1533,21 @@ object Queries {
     bench = true)
 
   /** H3: IVF ANN (k-means coarse quantizer, 2-probe) — rows-only: the
-    * quantizer's float centroids are not SQL-reproducible. */
+    * quantizer's float centroids are not SQL-reproducible. Quality IS
+    * driver-visible though: per-query `recall` and query-set
+    * `mean_recall` vs the in-plan brute-force twin ride every output
+    * row, and a mean below 0.3 fails the query loudly (`assert_true`)
+    * instead of silently degrading. (Measured at sf0.01: mean 0.42
+    * for 16 lists / 2 probes — the gate has ~40% headroom while still
+    * catching a mis-sized quantizer.) */
   private val q38 = Q("q38_similarity_ivf_topk",
     (s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(
+      Similarity.ivfTopKWithRecall(
         emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
         emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
-        k = 5, nLists = 16, nProbe = 2)
+        k = 5, nLists = 16, nProbe = 2, minMeanRecall = 0.3)
         .orderBy(col("q_id"), col("rank"))
     },
     None)
@@ -1724,18 +1732,30 @@ object Queries {
       FROM events, (SELECT unnest(range(0, 2)) AS k)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  /** Multimodal decode path (rows-only: mapPartitions with the stubbed
-    * codec — not SQL-expressible): per-payload byte stats + an 8-dim
-    * feature vector, aggregated per source. */
+  /** Multimodal decode path, HASH-CHECKED: the partition-batched
+    * decoder runs for real (`javax.imageio` dispatch, stub fallback for
+    * text), and its per-doc byte metadata is oracle-twinned. Same ASCII
+    * guard as q66 (byte length = char length) so DuckDB — which cannot
+    * iterate BLOB bytes — reproduces `mean_byte` exactly from per-char
+    * code points. The decoded 8-dim feature stays test-covered
+    * (MultimodalImageSpec / TextMultimodalSpec), not oracle-covered. */
   private val q51 = Q("q51_multimodal_decode",
     (s, d) => {
       val docs = Multimodal.withPayload(t(s, d, "documents"), "text")
+        .filter(length(col("payload")) === length(col("text")))
       Multimodal.decodeFeatures(s, docs)
-        .agg(count(lit(1)).as("n_decoded"),
-          r(avg(col("mean_byte")), 4).as("avg_mean_byte"),
-          sum(col("byte_len")).as("total_bytes"))
+        .select(col("doc_id"), col("byte_len"),
+          r(col("mean_byte"), 4).as("mean_byte"))
+        .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+        WHERE octet_length(encode(text)) = length(text))
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        CASE WHEN length(text) = 0 THEN 0.0
+          ELSE floor(list_avg(list_transform(regexp_extract_all(text, '(?s).'),
+            c -> unicode(c))) * 10000 + 0.5) / 10000.0
+        END AS mean_byte
+      FROM d ORDER BY doc_id"""))
 
   /** H multimodal: partition-batched resize (stubbed codec, real
     * plumbing — same contract as q51's decode). Rows-only: binary

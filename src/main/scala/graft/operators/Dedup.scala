@@ -158,22 +158,31 @@ object Dedup {
     * the correctness baseline but O(block²)). */
   def lshVerifiedPairs(df: DataFrame, id: String, text: Column,
                        k: Int = 16, bands: Int = 4,
-                       shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
     // the candidate set is consumed TWICE (id extraction below, final
     // scoring join) and the shingled candidates twice more (sh_a,
     // sh_b) — without a persistence barrier Catalyst replans the whole
     // corpus-sized MinHash+band chain under every consumer (measured
     // 3 full document scans in the q37 plan). Both intermediates are
-    // candidate-sized (vanishing vs the corpus), so localCheckpoint is
-    // cheap at any scale; unlike plan-keyed .cache() it dies with this
-    // DataFrame (no cross-query cache pollution, and a re-built query
-    // honestly recomputes). On executor loss the truncated lineage
-    // cannot replay — rerun the query (or swap in reliable
-    // checkpointing) on long-lived clusters.
-    val cands = lshCandidates(
+    // candidate-sized (vanishing vs the corpus), so checkpointing is
+    // cheap at any scale; unlike plan-keyed .cache() the barrier dies
+    // with this DataFrame (no cross-query cache pollution, and a
+    // re-built query honestly recomputes). Default localCheckpoint
+    // (executor-local blocks) cannot replay on executor loss — set
+    // `reliableCheckpoint` on long-lived clusters to write the barriers
+    // to the (fault-tolerant) `spark.sparkContext.setCheckpointDir`
+    // filesystem instead; requires that dir to be set.
+    def barrier(d: DataFrame): DataFrame =
+      if (reliableCheckpoint) {
+        require(d.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+          "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
+            "(a fault-tolerant location, e.g. HDFS/S3)")
+        d.checkpoint(eager = false)
+      } else d.localCheckpoint(false)
+    val cands = barrier(lshCandidates(
       withLshBands(withMinHash(df, text, k, shingleN), k, bands), id, k)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(false)
+      .select(col("id_a"), col("id_b")))
     // shingle ONLY the documents that appear in a candidate pair — the
     // whole point of LSH prefiltering is that this is a vanishing
     // fraction of the corpus. No broadcast hint: when the candidate set
@@ -183,11 +192,10 @@ object Dedup {
     // OOM-ing the driver on an unconditional broadcast.
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("_cid")).distinct()
-    val sh = withShingles(
+    val sh = barrier(withShingles(
         df.join(candIds, col(id) === col("_cid"), "left_semi"),
         text, shingleN)
-      .select(col(id).as("_sid"), col("sh"))
-      .localCheckpoint(false)
+      .select(col(id).as("_sid"), col("sh")))
     cands
       .join(sh.withColumnRenamed("sh", "sh_a"), col("id_a") === col("_sid"))
       .drop("_sid")

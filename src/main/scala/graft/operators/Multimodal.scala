@@ -15,11 +15,12 @@ import graft.functions.GraftFunctions._
   * explicit result schema, partition-batched iteration via
   * `mapPartitions` (the JVM analogue of arrow-batched UDFs — one
   * decoder init per partition, not per row), and deterministic
-  * metadata extraction as pure expressions. The actual codec call is
-  * STUBBED (no image/audio libraries in this container): see
-  * [[decodeStub]], which derives deterministic fake pixel features
-  * from the payload bytes. Swapping in a real decoder changes only
-  * that one function.
+  * metadata extraction as pure expressions. IMAGE payloads decode and
+  * resize for REAL via the JDK's own `javax.imageio` codecs
+  * (PNG/JPEG/BMP/GIF — zero extra dependencies); payloads the JDK
+  * cannot decode (text blobs, audio/video this container has no codec
+  * for) fall back to the deterministic [[decodeStub]]/[[resizeStub]]
+  * byte-level paths so the pipeline stays total.
   *
   * 100 TB notes: payloads stay distributed end to end; decode is a
   * per-partition map with no shuffle; metadata-only queries never
@@ -45,19 +46,77 @@ object Multimodal {
       .withColumn("fake_n_frames", (lit(1L) + pmod(ph, lit(30L))).cast("long"))
   }
 
-  /** Decoded-frame feature schema produced by [[decodeFeatures]]. */
+  /** Decoded-frame feature schema produced by [[decodeFeatures]].
+    * `is_image`/`width`/`height`/`mean_lum` come from the real
+    * [[decodeImage]] path (zeros for non-image payloads); `mean_byte`
+    * is always the raw-byte mean so text payloads keep their oracle
+    * semantics regardless of codec dispatch. */
   val DecodedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("byte_len", LongType, nullable = false),
     StructField("mean_byte", DoubleType, nullable = false),
+    StructField("is_image", BooleanType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("mean_lum", DoubleType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false),
       nullable = false)))
 
-  /** STUB decoder: a real implementation would call an image/audio
-    * codec here (libjpeg / ffmpeg / soundfile). This container has no
-    * media libraries, so it derives a deterministic 8-dim "feature"
-    * from the raw bytes — the distributed plumbing around it (batching,
-    * schema, encoders) is exactly what a real decoder needs. */
+  /** REAL image decoder on the JDK's own codecs: `javax.imageio`
+    * reads PNG/JPEG/BMP/GIF with zero extra dependencies. Returns
+    * (width, height, mean luminance 0-255, 8-dim feature) or None when
+    * the bytes are not a decodable image (caller falls back to
+    * [[decodeStub]]). The feature packs per-channel means (R,G,B),
+    * 2x2 quadrant luminance means, and the luminance std — all in
+    * [0,1], deterministic for a given payload.
+    *
+    * The reference's feature-extraction consumer
+    * (`ExtractFeature.java:33-116`) computes exactly this kind of
+    * per-record numeric summary; here the record is a media payload. */
+  private[operators] def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Double, Array[Float])] = {
+    if (bytes.length < 4) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null } // corrupt payload ≠ job failure
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      val quad = new Array[Double](4); val quadN = new Array[Long](4)
+      var sumLum = 0.0; var sumLum2 = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          val lum = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b
+          sumLum += lum; sumLum2 += lum * lum
+          val qi = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+          quad(qi) += lum; quadN(qi) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      val meanLum = sumLum / n
+      val std = math.sqrt(math.max(0.0, sumLum2 / n - meanLum * meanLum))
+      val feat = Array(
+        (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+        (if (quadN(0) > 0) quad(0) / quadN(0) / 255.0 else 0.0).toFloat,
+        (if (quadN(1) > 0) quad(1) / quadN(1) / 255.0 else 0.0).toFloat,
+        (if (quadN(2) > 0) quad(2) / quadN(2) / 255.0 else 0.0).toFloat,
+        (if (quadN(3) > 0) quad(3) / quadN(3) / 255.0 else 0.0).toFloat,
+        (std / 255.0).toFloat)
+      Some((w, h, meanLum, feat))
+    }
+  }
+
+  /** Fallback decoder for non-image payloads (text/audio blobs this
+    * container has no codec for): derives a deterministic 8-dim
+    * "feature" from the raw bytes so the pipeline shape stays total. */
   private[operators] def decodeStub(bytes: Array[Byte]): (Double, Array[Float]) = {
     if (bytes.isEmpty) (0.0, Array.fill(8)(0.0f))
     else {
@@ -93,16 +152,45 @@ object Multimodal {
       .drop("_nf")
   }
 
-  /** Resized-payload schema produced by [[resize]]. */
+  /** Resized-payload schema produced by [[resize]]. `codec` records
+    * which path handled each row: "imageio" (real decode → scale →
+    * PNG re-encode) or "stride" (non-image byte-decimation fallback). */
   val ResizedSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("src_len", LongType, nullable = false),
+    StructField("codec", StringType, nullable = false),
     StructField("resized", BinaryType, nullable = false),
     StructField("resized_len", LongType, nullable = false),
     StructField("resized_md5", StringType, nullable = false)))
 
-  /** STUB resizer: a real implementation decodes, scales to
-    * targetW×targetH, and re-encodes. Here: deterministic byte
+  /** REAL image resize on JDK codecs: decode via `javax.imageio`,
+    * nearest-neighbor scale to targetW×targetH on a `Graphics2D`
+    * (explicit `RenderingHints` so the kernel is deterministic, not
+    * implementation-chosen), re-encode as PNG. None when the payload
+    * is not a decodable image. */
+  private[operators] def resizeImage(bytes: Array[Byte], targetW: Int,
+                                     targetH: Int): Option[Array[Byte]] = {
+    if (bytes.length < 4) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    }
+  }
+
+  /** Fallback resizer for non-image payloads: deterministic byte
     * decimation to (at most) targetW·targetH bytes — stride sampling,
     * the 1-D shape of nearest-neighbor downscaling. Empty/short
     * payloads pass through whole. */
@@ -118,11 +206,12 @@ object Multimodal {
       out
     }
 
-  /** Partition-batched resize over binary payloads — the same
-    * one-codec-context-per-partition `mapPartitions` shape as
-    * [[decodeFeatures]]; only [[resizeStub]] changes when a real
-    * image library is available. No shuffle; payload bytes never
-    * touch the driver. */
+  /** Partition-batched resize over binary payloads — one codec context
+    * per partition, rows streamed through it. Image payloads take the
+    * real [[resizeImage]] path (JDK `javax.imageio` + `Graphics2D`);
+    * anything the JDK codecs reject falls back to the deterministic
+    * [[resizeStub]] decimation. No shuffle; payload bytes never touch
+    * the driver. */
   def resize(spark: SparkSession, df: DataFrame,
              targetW: Int, targetH: Int,
              idCol: String = "doc_id"): DataFrame = {
@@ -132,34 +221,51 @@ object Multimodal {
     val input = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
     implicit val enc = RowEncoder.encoderFor(ResizedSchema)
     input.mapPartitions { rows =>
-      // real resizer: initialize the codec context here, once per partition
+      // per-partition codec init: no ImageIO disk-cache temp files on
+      // executors (pure in-memory streams), one digest instance reused
+      javax.imageio.ImageIO.setUseCache(false)
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { row =>
         val id = row.getLong(0)
         val bytes = Option(row.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val resized = resizeStub(bytes, outLen)
+        val (codec, resized) = resizeImage(bytes, targetW, targetH) match {
+          case Some(png) => ("imageio", png)
+          case None      => ("stride", resizeStub(bytes, outLen))
+        }
         md.reset()
         val digest = md.digest(resized).map("%02x".format(_)).mkString
-        Row(id, bytes.length.toLong, resized, resized.length.toLong, digest)
+        Row(id, bytes.length.toLong, codec, resized, resized.length.toLong, digest)
       }
     }
   }
 
   /** Partition-batched decode: one decoder context per partition, rows
     * streamed through it — the Spark-idiomatic shape for expensive
-    * per-row native calls (never a per-row UDF re-initializing codecs). */
+    * per-row native calls (never a per-row UDF re-initializing codecs).
+    * Image payloads decode for real via [[decodeImage]]; non-image
+    * payloads keep the deterministic [[decodeStub]] features. */
   def decodeFeatures(spark: SparkSession, df: DataFrame,
                      idCol: String = "doc_id"): DataFrame = {
     val input = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
     implicit val enc = RowEncoder.encoderFor(DecodedSchema)
     input.mapPartitions { rows =>
-      // real decoder: initialize codec context here, once per partition
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
         val id = row.getLong(0)
         // null payload (e.g. encode of a null text) decodes as empty
         val bytes = Option(row.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        val (mean, feat) = decodeStub(bytes)
-        Row(id, bytes.length.toLong, mean, feat)
+        // mean_byte stays the raw-byte mean on BOTH paths (oracle-stable)
+        val rawMean =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        decodeImage(bytes) match {
+          case Some((w, h, meanLum, feat)) =>
+            Row(id, bytes.length.toLong, rawMean, true, w.toLong, h.toLong,
+              meanLum, feat)
+          case None =>
+            val (_, feat) = decodeStub(bytes)
+            Row(id, bytes.length.toLong, rawMean, false, 0L, 0L, 0.0, feat)
+        }
       }
     }
   }

@@ -132,6 +132,45 @@ object Similarity {
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
 
+  /** [[ivfTopK]] with its quality pinned IN-PLAN: the exact
+    * brute-force top-k is computed in the same plan, per-query recall
+    * (|IVF ∩ brute| / k) is emitted as a `recall` column on every
+    * result row alongside the query-set-wide `mean_recall`, and a mean
+    * below `minMeanRecall` fails the whole query loudly via
+    * `assert_true` — approximate-index quality becomes a driver-visible
+    * artifact instead of a test-only number. The gate is on the MEAN,
+    * not the per-query min: single-probe-family ANN legitimately
+    * strands an occasional query in a sparse cell (per-query recall 0
+    * is a property of the index family, not a defect), while a sagging
+    * mean means the index is mis-sized for the data.
+    *
+    * Scale note: the extra cost is the brute-force twin, which is the
+    * deliberate exact baseline (broadcast query set × corpus scan). On
+    * a 100 TB corpus one runs this gated variant on a SAMPLED corpus
+    * slice as a canary, and the ungated [[ivfTopK]] on the full data —
+    * the operator contract (recall columns, assert as the gate) is
+    * identical at both scales. */
+  def ivfTopKWithRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                        nLists: Int, nProbe: Int, minMeanRecall: Double,
+                        qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+    val ivf = ivfTopK(queries, corpus, k, nLists, nProbe, qId, cId)
+    val brute = bruteForceTopK(queries, corpus, k, qId, cId)
+      .select(col(qId), col(cId), lit(1L).as("_hit"))
+    val w = Window.partitionBy(col(qId))
+    val perQuery = ivf.join(brute, Seq(qId, cId), "left")
+      .withColumn("recall",
+        r(sum(coalesce(col("_hit"), lit(0L))).over(w).cast("double") / k, 4))
+      .drop("_hit")
+    // one mean over the (tiny) distinct per-query recalls, broadcast
+    // back onto every row — the global quality number rides the output
+    val mean = perQuery.select(col(qId), col("recall")).distinct()
+      .agg(r(avg(col("recall")), 4).as("mean_recall"))
+    perQuery.crossJoin(broadcast(mean))
+      .filter(assert_true(col("mean_recall") >= minMeanRecall,
+        concat(lit(s"IVF mean recall below $minMeanRecall: "),
+          col("mean_recall").cast("string"))).isNull)
+  }
+
   /** Multi-probe LSH ANN: each query probes its own bucket AND every
     * Hamming-1 neighbor bucket (one sign-bit flip per hyperplane) —
     * planes+1 probes recover most of the recall single-probe loses to

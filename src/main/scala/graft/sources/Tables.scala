@@ -65,35 +65,71 @@ object Tables {
   }
 
   /** Idempotently materialize testdata table `name` as a BUCKETED
-    * managed table (`bucketBy`/`sortBy` on `key`) and return its
-    * catalog name. Bucketing is the at-rest half of the co-located
-    * join: both sides of a repeated equi-join pre-partitioned at write
-    * time, so the join plans with ZERO exchange on its inputs — pay
-    * the shuffle once when the table is written, never again per
-    * query. The name is suffixed with the source dir so different
-    * scale factors can't alias each other's data. */
+    * table (`bucketBy`/`sortBy` on `key`) and return its catalog name.
+    * Bucketing is the at-rest half of the co-located join: both sides
+    * of a repeated equi-join pre-partitioned at write time, so the
+    * join plans with ZERO exchange on its inputs — pay the shuffle
+    * once when the table is written, never again per query. The name
+    * is suffixed with the source dir so different scale factors can't
+    * alias each other's data.
+    *
+    * Concurrency protocol (temp-write-and-rename — multiple sessions
+    * may derive the same name):
+    *  1. each session writes its build under a UNIQUE temp table name;
+    *  2. the finished build is atomically `rename`d into the final
+    *     location — first writer wins, a losing rename just discards
+    *     its own temp data;
+    *  3. a final location that already exists (this or a previous JVM)
+    *     is ADOPTED, never deleted: the catalog entry is re-registered
+    *     over it via bucketed-DDL `CREATE TABLE ... LOCATION`.
+    * A complete build is marked by its `_SUCCESS` file; a location
+    * without one can only be a crashed build (in-flight builds live
+    * under temp names), so ONLY those are cleared and rebuilt. */
   def bucketed(spark: SparkSession, dir: String, name: String, key: String,
                buckets: Int = 8): String = {
     val tbl = s"${name}_${key}_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-    if (!spark.catalog.tableExists(tbl)) {
-      // the in-memory catalog forgets tables across JVMs but the
-      // managed location survives — clear it or saveAsTable refuses
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(warehouse, tbl)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) {
-        // leftover managed location from a previous JVM (the in-memory
-        // catalog forgot the table). Deleting is the only way to let
-        // saveAsTable proceed, but name it loudly: a concurrent session
-        // mid-write to the same derived name would lose its data here.
-        org.apache.log4j.Logger.getLogger(getClass).warn(
-          s"graft.Tables.bucketed: deleting leftover managed location $p " +
-            s"before rebuilding bucketed table $tbl")
-        fs.delete(p, true)
-      }
+    if (spark.catalog.tableExists(tbl)) return tbl
+    val log = org.apache.log4j.Logger.getLogger(getClass)
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val finalPath = new org.apache.hadoop.fs.Path(warehouse, tbl)
+    val fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+    val leftover = fs.exists(finalPath)
+    val complete = leftover &&
+      fs.exists(new org.apache.hadoop.fs.Path(finalPath, "_SUCCESS"))
+    if (leftover && !complete) {
+      // no _SUCCESS marker → a crashed previous build (live builds are
+      // under temp names and never partially visible here)
+      log.warn(s"graft.Tables.bucketed: clearing incomplete build at " +
+        s"$finalPath (no _SUCCESS) before rebuilding $tbl")
+      fs.delete(finalPath, true)
+    }
+    if (!complete) {
+      val tmpTbl = tbl + "_tmp_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
       load(spark, dir, name).write
         .bucketBy(buckets, key).sortBy(key)
-        .mode("overwrite").saveAsTable(tbl)
+        .mode("overwrite").saveAsTable(tmpTbl)
+      val tmpPath = new org.apache.hadoop.fs.Path(warehouse, tmpTbl)
+      if (!fs.rename(tmpPath, finalPath))
+        // another session renamed first — its data is equivalent; ours
+        // is surplus. DROP removes only OUR temp location + entry.
+        log.info(s"graft.Tables.bucketed: lost the build race for $tbl, " +
+          "discarding this session's temp build")
+      spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
+    }
+    // register (or re-register after a JVM restart) the catalog entry
+    // over the final location, preserving the bucket spec via DDL
+    try
+      spark.sql(
+        s"""CREATE TABLE `$tbl` (${load(spark, dir, name).schema.toDDL})
+           |USING PARQUET
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+           |LOCATION '${finalPath.toUri}'""".stripMargin)
+    catch {
+      // concurrent registration in this session — same table, same data
+      case e: org.apache.spark.sql.AnalysisException
+        if spark.catalog.tableExists(tbl) => ()
     }
     tbl
   }

@@ -66,4 +66,48 @@ class ApproxRecallSpec extends SparkSpec {
     assert(multiRecalls.sum / multiRecalls.size >= recalls.sum / recalls.size,
       s"multi-probe recall ${multiRecalls.sum / multiRecalls.size} < single ${recalls.sum / recalls.size}")
   }
+
+  test("IVF with in-plan recall: column agrees with an external recompute; gate trips") {
+    val dir = sf("sf0.001")
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+
+    val gatedRows = Similarity.ivfTopKWithRecall(q, c, k = 5, nLists = 8,
+        nProbe = 2, minMeanRecall = 0.0)
+      .select("q_id", "c_id", "recall", "mean_recall")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(gatedRows.nonEmpty)
+    val gated = gatedRows.map(r => (r._1, r._2, r._3))
+
+    // mean_recall is constant and equals the mean of per-query recalls
+    val meanCol = gatedRows.map(_._4).distinct
+    assert(meanCol.length === 1)
+    val perQ = gated.map(r => r._1 -> r._3).distinct
+    val expectedMean = math.floor(
+      perQ.map(_._2).sum / perQ.length * 10000 + 0.5) / 10000.0
+    assert(math.abs(meanCol.head - expectedMean) < 1e-9)
+
+    // the recall column must equal what an external compare computes
+    val brute = Similarity.bruteForceTopK(q, c, k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    gated.groupBy(_._1).foreach { case (qid, rows) =>
+      val ids = rows.map(_._2).toSet
+      val expected = math.floor(
+        ids.intersect(brute.getOrElse(qid, Set.empty)).size.toDouble / 5.0
+          * 10000 + 0.5) / 10000.0
+      rows.foreach { case (_, _, got) =>
+        assert(got === expected, s"q$qid recall column $got != recomputed $expected")
+      }
+    }
+
+    // an unreachable threshold must fail the query loudly, not degrade
+    val boom = intercept[Exception] {
+      Similarity.ivfTopKWithRecall(q, c, k = 5, nLists = 8,
+        nProbe = 2, minMeanRecall = 1.01).count()
+    }
+    assert(boom.getMessage != null)
+  }
 }

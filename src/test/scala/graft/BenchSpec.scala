@@ -24,4 +24,11 @@ class BenchSpec extends AnyFunSuite {
     assert(failed.isEmpty)
     assert(res.forall(_._2 >= 0.0))
   }
+
+  test("timeAll: passes are interleaved round-robin, not back-to-back") {
+    val order = collection.mutable.ArrayBuffer[String]()
+    Bench.timeAll(Seq("a", "b", "c"), order += _, passes = 3)
+    // 1 warm-up + 3 timed passes, each a full a,b,c sweep
+    assert(order.toSeq === Seq.fill(4)(Seq("a", "b", "c")).flatten)
+  }
 }

@@ -101,6 +101,53 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed build race: two concurrent sessions, no data loss, adoption on rebuild") {
+    val dir = sf("sf0.001")
+    val tbl = "customer_c_custkey_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(warehouse, tbl)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+
+    // two "sessions" racing to build the same derived name: the
+    // temp-write-and-rename protocol must leave exactly one complete
+    // build and lose no rows, whoever wins
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val builds = Seq(
+      Future(Tables.bucketed(spark, dir, "customer", "c_custkey")),
+      Future(Tables.bucketed(spark, dir, "customer", "c_custkey")))
+    val names = Await.result(Future.sequence(builds), 120.seconds)
+    assert(names.toSet === Set(tbl))
+
+    val expected = Tables.customer(spark, dir).count()
+    assert(spark.table(tbl).count() === expected)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")),
+      "winning build must carry its _SUCCESS marker")
+    // no stray temp locations left in the warehouse
+    val strays = fs.listStatus(new org.apache.hadoop.fs.Path(warehouse))
+      .map(_.getPath.getName).filter(_.startsWith(s"${tbl}_tmp_"))
+    assert(strays.isEmpty, s"leftover temp builds: ${strays.mkString(",")}")
+
+    // a later JVM (catalog forgot the table) ADOPTS the existing
+    // complete build instead of deleting it: same location, same rows
+    spark.sql(s"DROP TABLE `$tbl`") // external → data stays
+    assert(fs.exists(p), "external drop must keep the data")
+    val t0 = fs.getFileStatus(p).getModificationTime
+    assert(Tables.bucketed(spark, dir, "customer", "c_custkey") === tbl)
+    assert(spark.table(tbl).count() === expected)
+    assert(fs.getFileStatus(p).getModificationTime === t0,
+      "adoption must not rewrite the existing build")
+
+    // an INCOMPLETE leftover (no _SUCCESS — crashed build) is rebuilt
+    spark.sql(s"DROP TABLE `$tbl`")
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
+    assert(Tables.bucketed(spark, dir, "customer", "c_custkey") === tbl)
+    assert(spark.table(tbl).count() === expected)
+  }
+
   test("ORC source/sink round-trip preserves rows and pushes filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
     val orders = Tables.orders(spark, sf("sf0.001"))

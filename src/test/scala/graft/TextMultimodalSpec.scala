@@ -114,7 +114,8 @@ class TextMultimodalSpec extends SparkSpec {
     val r1 = decoded.find(_.getLong(0) == 1L).get
     assert(r1.getLong(1) === "some media payload".getBytes("UTF-8").length.toLong)
     assert(r1.getDouble(2) > 0.0)
-    assert(r1.getSeq[Float](3).length === 8)
+    assert(r1.getAs[Seq[Float]]("feature").length === 8)
+    assert(!r1.getAs[Boolean]("is_image")) // text payload → stub path
     val r2 = decoded.find(_.getLong(0) == 2L).get
     assert(r2.getDouble(2) === 0.0)
   }

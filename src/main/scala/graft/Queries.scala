@@ -296,26 +296,37 @@ object Queries {
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Skewed fact side for q44/q45: 90% of lineitem rows collapse onto
-    * order key 1 — the deliberate hot key. l_partkey rides along as the
-    * deterministic salt source. */
+    * order key 1 — the deliberate hot key — and the fact is amplified
+    * ×10 (a deterministic explode) so the hot partition is big enough
+    * at sf0.1 for skew to MEASURABLY hurt a single reducer (≈5.4M
+    * rows, still under AQE's 256MB skew-split threshold — exactly the
+    * regime where runtime re-planning does not fire and manual salting
+    * is the only lever). l_partkey rides along as the deterministic
+    * salt source. */
   private def skewedLineitem(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem").select(
-      when(pmod(col("l_orderkey"), lit(100L)) < 90, lit(1L))
-        .otherwise(col("l_orderkey")).as("k"),
-      col("l_quantity"), col("l_partkey"))
+    t(s, d, "lineitem")
+      .withColumn("_amp", explode(sequence(lit(0), lit(9))))
+      .select(
+        when(pmod(col("l_orderkey"), lit(100L)) < 90, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"), col("l_partkey"))
 
   private val SkewJoinOracle = """SELECT o_orderpriority,
       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
       count(*) AS n
       FROM (SELECT CASE WHEN l_orderkey % 100 < 90 THEN 1
-              ELSE l_orderkey END AS k, l_quantity FROM lineitem) f
+              ELSE l_orderkey END AS k, l_quantity
+            FROM lineitem CROSS JOIN (SELECT unnest(range(0, 10)) AS a)) f
       JOIN orders ON o_orderkey = f.k
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
   /** Skewed-key join, plain sort-merge (the `merge` hint keeps the
     * planner from broadcasting the dim, so the skew actually hits the
-    * shuffle): one reducer receives 90% of the fact side and AQE's
-    * skew-join splitting is what saves it. The measured twin of q45. */
+    * shuffle): one reducer receives 90% of the fact side, below AQE's
+    * skew-split byte threshold, so it stays one task. The measured
+    * twin of q45 — at sf0.1 this runs ~1.4× slower (3.3-3.7 s vs
+    * 2.4-2.6 s measured over repeated passes), the cost of the single
+    * hot reducer. */
   private val q44 = Q("q44_skew_join_plain",
     (s, d) => skewedLineitem(s, d).hint("merge")
       .join(t(s, d, "orders"), col("k") === col("o_orderkey"))
@@ -331,7 +342,8 @@ object Queries {
     * identical result (same oracle), but the hot key occupies 16
     * reducers by construction instead of relying on runtime
     * re-planning. The static-plan insurance when AQE can't help
-    * (streaming joins, map-side-skew). */
+    * (streaming joins, map-side-skew, partitions under AQE's skew
+    * thresholds — q44's regime). */
   private val q45 = Q("q45_skew_join_salted",
     (s, d) => graft.operators.Salting.saltedEquiJoin(
         skewedLineitem(s, d), t(s, d, "orders"),

@@ -1769,19 +1769,35 @@ object Queries {
         END AS mean_byte
       FROM d ORDER BY doc_id"""))
 
-  /** H multimodal: partition-batched resize (stubbed codec, real
-    * plumbing — same contract as q51's decode). Rows-only: binary
-    * decimation is not SQL-expressible; per-row determinism is pinned
-    * by TextMultimodalSpec instead. */
+  /** H multimodal: partition-batched resize, HASH-CHECKED. Text
+    * payloads are not decodable images, so every row rides the stride
+    * decimation path — whose byte selection IS SQL-expressible under
+    * the q66/q51 ASCII guard (1 char = 1 byte): DuckDB rebuilds the
+    * decimated string position by position and md5s it. The `codec`
+    * column doubles as an oracle-checked assertion that the
+    * `javax.imageio` dispatch never misfires on non-image bytes (real
+    * image payloads are exercised by MultimodalImageSpec). */
   private val q81 = Q("q81_multimodal_resize",
     (s, d) => {
       val docs = Multimodal.withPayload(t(s, d, "documents"), "text")
+        .filter(length(col("payload")) === length(col("text")))
       Multimodal.resize(s, docs, targetW = 16, targetH = 16)
-        .select(col("doc_id"), col("src_len"), col("resized_len"),
-          col("resized_md5"))
+        .select(col("doc_id"), col("src_len"), col("codec"),
+          col("resized_len"), col("resized_md5"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+        WHERE octet_length(encode(text)) = length(text)),
+      dec AS (SELECT doc_id, n,
+        CASE WHEN n <= 256 THEN text
+          ELSE list_aggregate(list_transform(range(0, 256),
+            i -> substring(text, CAST((i * n) // 256 AS INT) + 1, 1)),
+            'string_agg', '')
+        END AS rz
+      FROM d)
+      SELECT doc_id, CAST(n AS BIGINT) AS src_len, 'stride' AS codec,
+        CAST(length(rz) AS BIGINT) AS resized_len, md5(rz) AS resized_md5
+      FROM dec ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------- //
   // E (streaming twin): native session_window                         //
@@ -1910,6 +1926,31 @@ object Queries {
     },
     None)
 
+  /** H4: corpus-trained unigram LM quality scoring — the
+    * perplexity-style filter (TextAnalysis.unigramLogProb): train
+    * token frequencies on the corpus in one aggregation, score every
+    * doc by mean smoothed token log-probability. The "model" is a
+    * DataFrame (no driver round-trip), so the identical plan trains
+    * on a trillion tokens. Benched: two aggs + one equality join is
+    * the at-scale shape worth watching. */
+  private val q83 = Q("q83_unigram_logprob",
+    (s, d) => TextAnalysis.unigramLogProb(
+        t(s, d, "documents"), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("n_tokens"),
+        r(col("avg_logprob"), 4).as("avg_logprob"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+        FROM counts),
+      lp AS (SELECT doc_id, ln((c + 1.0) / (t + 1.0 * v)) AS l
+        FROM toks JOIN counts USING (tok) CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        floor(avg(l) * 10000 + 0.5) / 10000.0 AS avg_logprob
+      FROM lp GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1919,7 +1960,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78,
-    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76,
+    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -107,6 +107,45 @@ object TextAnalysis {
             - col("n_distinct_grams").cast("double") / col("n_grams")))
   }
 
+  /** Corpus-trained unigram language-model scoring — the
+    * perplexity-style quality filter web-scale pipelines run after the
+    * cheap heuristics: train token frequencies ON the corpus itself
+    * (one aggregation), then score each document by its mean token
+    * log-probability under add-`alpha` (Laplace) smoothing,
+    * `lp(t) = ln((count(t) + α) / (T + α·V))` with `T` total tokens
+    * and `V` vocabulary size. Low scorers are gibberish/boilerplate
+    * outliers relative to the corpus distribution.
+    *
+    * Shape at 100 TB: one explode → count aggregation builds the
+    * unigram table (vocab-sized, shuffled on token), the (tiny) T/V
+    * totals broadcast onto the postings, one equality join scores
+    * every posting (AQE broadcasts the count table when vocab is
+    * small, shuffles both sides when it is not), one final
+    * aggregation per doc. No driver-side model object — the "model"
+    * stays a DataFrame end to end, so the same code trains on a
+    * trillion tokens. Returns (id, n_tokens, avg_logprob) per doc. */
+  def unigramLogProb(df: DataFrame, id: Column, text: Column,
+                     alpha: Double = 1.0): DataFrame = {
+    val toks = df.select(id.as("_doc"), explode(tokens(text)).as("tok"))
+    // barrier the vocab-sized count table: it feeds BOTH the T/V totals
+    // and the scoring join, and without it Catalyst replans the full
+    // corpus scan+explode+aggregate under each consumer (measured: a
+    // third corpus scan and no AQE exchange reuse). Vocab-sized, so
+    // the checkpoint is cheap at any corpus scale.
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val totals = counts.agg(
+      sum(col("c")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    toks.join(counts, Seq("tok"))              // self-trained → inner join total
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp",
+        log((col("c") + alpha) / (col("t") + lit(alpha) * col("v"))))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_lp")).as("avg_logprob"))
+      .withColumnRenamed("_doc", "doc_id")
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

@@ -62,6 +62,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(3L) === "de")
   }
 
+  test("H4 unigram LM: corpus-trained smoothed log-probs match hand computation") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(df, col("doc_id"), col("text"))
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // counts: a=2, b=2, c=1; T=5, V=3; lp(t) = ln((c+1)/(5+3))
+    val lpA = math.log(3.0 / 8.0); val lpB = lpA; val lpC = math.log(2.0 / 8.0)
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - (lpA + lpA + lpB) / 3.0) < 1e-12)
+    assert(got(2L)._1 === 2L)
+    assert(math.abs(got(2L)._2 - (lpB + lpC) / 2.0) < 1e-12)
+    // rarer tokens score lower: doc 2 (contains the hapax) below doc 1
+    assert(got(2L)._2 < got(1L)._2)
+  }
+
   test("H4 fingerprints: deterministic, dup-sensitive") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d f"))
       .toDF("id", "text")

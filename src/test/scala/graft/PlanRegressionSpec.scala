@@ -66,4 +66,15 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("array_distinct(transform"),
       s"no interpreted shingle chain may remain on the decontamination path:\n$p")
   }
+
+  test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
+    // force execution so the AQE plan is final and the checkpoint exists
+    val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"unscoped count reuse regressed — the totals/join sides must read the " +
+        s"checkpointed vocab table, not rescan the corpus (got $scans scans):\n$p")
+  }
 }

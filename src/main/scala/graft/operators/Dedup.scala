@@ -168,18 +168,10 @@ object Dedup {
     // candidate-sized (vanishing vs the corpus), so checkpointing is
     // cheap at any scale; unlike plan-keyed .cache() the barrier dies
     // with this DataFrame (no cross-query cache pollution, and a
-    // re-built query honestly recomputes). Default localCheckpoint
-    // (executor-local blocks) cannot replay on executor loss — set
-    // `reliableCheckpoint` on long-lived clusters to write the barriers
-    // to the (fault-tolerant) `spark.sparkContext.setCheckpointDir`
-    // filesystem instead; requires that dir to be set.
-    def barrier(d: DataFrame): DataFrame =
-      if (reliableCheckpoint) {
-        require(d.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
-          "reliableCheckpoint=true needs spark.sparkContext.setCheckpointDir " +
-            "(a fault-tolerant location, e.g. HDFS/S3)")
-        d.checkpoint(eager = false)
-      } else d.localCheckpoint(false)
+    // re-built query honestly recomputes). `reliableCheckpoint` swaps
+    // in fault-tolerant checkpointing for long-lived clusters
+    // (OpUtils.barrier).
+    def barrier(d: DataFrame): DataFrame = OpUtils.barrier(d, reliableCheckpoint)
     val cands = barrier(lshCandidates(
       withLshBands(withMinHash(df, text, k, shingleN), k, bands), id, k)
       .select(col("id_a"), col("id_b")))

@@ -114,19 +114,26 @@ object Multimodal {
     }
   }
 
+  /** Raw-byte mean in one allocation-free pass (the hot decode path
+    * sees every payload byte exactly once here). */
+  private[operators] def rawByteMean(bytes: Array[Byte]): Double =
+    if (bytes.isEmpty) 0.0
+    else {
+      var s = 0.0; var i = 0
+      while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+      s / bytes.length
+    }
+
   /** Fallback decoder for non-image payloads (text/audio blobs this
     * container has no codec for): derives a deterministic 8-dim
     * "feature" from the raw bytes so the pipeline shape stays total. */
-  private[operators] def decodeStub(bytes: Array[Byte]): (Double, Array[Float]) = {
-    if (bytes.isEmpty) (0.0, Array.fill(8)(0.0f))
-    else {
-      val mean = bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-      val feat = Array.tabulate(8) { i =>
+  private[operators] def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    if (bytes.isEmpty) Array.fill(8)(0.0f)
+    else
+      Array.tabulate(8) { i =>
         val slice = bytes.iterator.drop(i).sliding(1, 8).flatten
         (slice.map(b => (b & 0xff).toInt).sum % 997).toFloat / 997.0f
       }
-      (mean, feat)
-    }
   }
 
   /** Frame sampling over a binary payload: treat the payload as a
@@ -255,16 +262,14 @@ object Multimodal {
         // null payload (e.g. encode of a null text) decodes as empty
         val bytes = Option(row.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         // mean_byte stays the raw-byte mean on BOTH paths (oracle-stable)
-        val rawMean =
-          if (bytes.isEmpty) 0.0
-          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+        val rawMean = rawByteMean(bytes)
         decodeImage(bytes) match {
           case Some((w, h, meanLum, feat)) =>
             Row(id, bytes.length.toLong, rawMean, true, w.toLong, h.toLong,
               meanLum, feat)
           case None =>
-            val (_, feat) = decodeStub(bytes)
-            Row(id, bytes.length.toLong, rawMean, false, 0L, 0L, 0.0, feat)
+            Row(id, bytes.length.toLong, rawMean, false, 0L, 0L, 0.0,
+              decodeStub(bytes))
         }
       }
     }

@@ -44,4 +44,20 @@ private[operators] object OpUtils {
     * guarded form every SQL oracle mirrors). */
   def cosFromNorms(dot: Column, nn: Column): Column =
     when(nn === 0.0, 0.0).otherwise(dot / nn)
+
+  /** Persistence barrier for a multiply-consumed, intermediate-sized
+    * frame (candidate pairs, vocab tables): without one Catalyst
+    * replans the whole upstream chain under every consumer. Default
+    * `localCheckpoint` (executor-local blocks, dies with the
+    * DataFrame) cannot replay on executor loss — `reliable = true`
+    * writes the barrier to `spark.sparkContext.setCheckpointDir`'s
+    * fault-tolerant filesystem instead, the right mode on long-lived
+    * clusters; it requires that dir to be set. */
+  def barrier(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+        "reliable barrier needs spark.sparkContext.setCheckpointDir " +
+          "(a fault-tolerant location, e.g. HDFS/S3)")
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(false)
 }

@@ -157,15 +157,25 @@ object Similarity {
     val brute = bruteForceTopK(queries, corpus, k, qId, cId)
       .select(col(qId), col(cId), lit(1L).as("_hit"))
     val w = Window.partitionBy(col(qId))
-    val perQuery = ivf.join(brute, Seq(qId, cId), "left")
+    val scored = ivf.join(brute, Seq(qId, cId), "left")
       .withColumn("recall",
         r(sum(coalesce(col("_hit"), lit(0L))).over(w).cast("double") / k, 4))
       .drop("_hit")
+    // anchor at the FULL query set: a query whose probed cells hold no
+    // candidates produces zero ivf rows and would otherwise vanish from
+    // the mean — exactly the mis-sized-quantizer signal the gate exists
+    // to catch. Stranded queries surface as one row with null result
+    // columns and recall 0.0, so they drag the mean and (in the
+    // all-stranded case) the output is non-empty and the gate still
+    // evaluates instead of passing vacuously.
+    val anchored = queries.select(col(qId)).distinct()
+      .join(scored, Seq(qId), "left")
+      .withColumn("recall", coalesce(col("recall"), lit(0.0)))
     // one mean over the (tiny) distinct per-query recalls, broadcast
     // back onto every row — the global quality number rides the output
-    val mean = perQuery.select(col(qId), col("recall")).distinct()
+    val mean = anchored.select(col(qId), col("recall")).distinct()
       .agg(r(avg(col("recall")), 4).as("mean_recall"))
-    perQuery.crossJoin(broadcast(mean))
+    anchored.crossJoin(broadcast(mean))
       .filter(assert_true(col("mean_recall") >= minMeanRecall,
         concat(lit(s"IVF mean recall below $minMeanRecall: "),
           col("mean_recall").cast("string"))).isNull)

@@ -125,15 +125,18 @@ object TextAnalysis {
     * stays a DataFrame end to end, so the same code trains on a
     * trillion tokens. Returns (id, n_tokens, avg_logprob) per doc. */
   def unigramLogProb(df: DataFrame, id: Column, text: Column,
-                     alpha: Double = 1.0): DataFrame = {
+                     alpha: Double = 1.0,
+                     reliableCheckpoint: Boolean = false): DataFrame = {
     val toks = df.select(id.as("_doc"), explode(tokens(text)).as("tok"))
     // barrier the vocab-sized count table: it feeds BOTH the T/V totals
     // and the scoring join, and without it Catalyst replans the full
     // corpus scan+explode+aggregate under each consumer (measured: a
     // third corpus scan and no AQE exchange reuse). Vocab-sized, so
-    // the checkpoint is cheap at any corpus scale.
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+    // the checkpoint is cheap at any corpus scale; `reliableCheckpoint`
+    // swaps in fault-tolerant checkpointing for long-lived clusters
+    // (OpUtils.barrier, same knob as Dedup.lshVerifiedPairs).
+    val counts = OpUtils.barrier(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("c")), reliableCheckpoint)
     val totals = counts.agg(
       sum(col("c")).cast("double").as("t"),
       count(lit(1)).cast("double").as("v"))

@@ -76,46 +76,66 @@ object Tables {
     * Concurrency protocol (temp-write-and-rename — multiple sessions
     * may derive the same name):
     *  1. each session writes its build under a UNIQUE temp table name;
-    *  2. the finished build is atomically `rename`d into the final
-    *     location — first writer wins, a losing rename just discards
-    *     its own temp data;
-    *  3. a final location that already exists (this or a previous JVM)
-    *     is ADOPTED, never deleted: the catalog entry is re-registered
-    *     over it via bucketed-DDL `CREATE TABLE ... LOCATION`.
-    * A complete build is marked by its `_SUCCESS` file; a location
-    * without one can only be a crashed build (in-flight builds live
-    * under temp names), so ONLY those are cleared and rebuilt. */
+    *  2. the finished build is `rename`d into the final location ONLY
+    *     when that location does not exist — first writer wins. Hadoop
+    *     `rename` onto an existing directory does NOT fail (it nests
+    *     the source inside it), so losing is detected by a pre-check
+    *     plus a post-rename nesting check, and a nested loser build is
+    *     removed; the loser discards only its own temp data.
+    *  3. a COMPLETE final location (its job-commit `_SUCCESS` marker
+    *     present) is ADOPTED, never deleted: the catalog entry is
+    *     re-registered over it via bucketed-DDL `CREATE TABLE ...
+    *     LOCATION`. A location without `_SUCCESS` is a crashed build
+    *     (live builds are under temp names) and is cleared — with a
+    *     completeness re-check right before the swap, shrinking the
+    *     crash-cleanup race window from build-length to milliseconds.
+    *     (True mutual exclusion needs a transactional catalog/lock
+    *     service; this protocol is the strongest filesystem-only
+    *     version.) */
   def bucketed(spark: SparkSession, dir: String, name: String, key: String,
                buckets: Int = 8): String = {
-    val tbl = s"${name}_${key}_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // saveAsTable lowercases identifiers; derive the name lowercased so
+    // catalog names and filesystem paths never diverge by case
+    val tbl = (s"${name}_${key}_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      .toLowerCase(java.util.Locale.ROOT)
     if (spark.catalog.tableExists(tbl)) return tbl
     val log = org.apache.log4j.Logger.getLogger(getClass)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val finalPath = new org.apache.hadoop.fs.Path(warehouse, tbl)
     val fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
-
-    val leftover = fs.exists(finalPath)
-    val complete = leftover &&
+    def isComplete =
       fs.exists(new org.apache.hadoop.fs.Path(finalPath, "_SUCCESS"))
-    if (leftover && !complete) {
-      // no _SUCCESS marker → a crashed previous build (live builds are
-      // under temp names and never partially visible here)
-      log.warn(s"graft.Tables.bucketed: clearing incomplete build at " +
-        s"$finalPath (no _SUCCESS) before rebuilding $tbl")
-      fs.delete(finalPath, true)
-    }
-    if (!complete) {
+
+    if (!isComplete) {
       val tmpTbl = tbl + "_tmp_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       load(spark, dir, name).write
         .bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(tmpTbl)
       val tmpPath = new org.apache.hadoop.fs.Path(warehouse, tmpTbl)
-      if (!fs.rename(tmpPath, finalPath))
-        // another session renamed first — its data is equivalent; ours
-        // is surplus. DROP removes only OUR temp location + entry.
+      // swap: re-check completeness (a racer may have finished during
+      // our build — adopt theirs), clear a crashed leftover, rename.
+      val won =
+        if (isComplete) false
+        else {
+          if (fs.exists(finalPath)) {
+            log.warn(s"graft.Tables.bucketed: clearing incomplete build " +
+              s"at $finalPath (no _SUCCESS) before installing $tbl")
+            fs.delete(finalPath, true)
+          }
+          fs.rename(tmpPath, finalPath)
+        }
+      // Hadoop rename onto a directory that appeared between the check
+      // and the call NESTS tmp inside it and still returns true — detect
+      // and remove the nested copy (it would double rows for any
+      // recursive reader and leak disk)
+      val nested = new org.apache.hadoop.fs.Path(finalPath, tmpTbl)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      if (!won)
         log.info(s"graft.Tables.bucketed: lost the build race for $tbl, " +
           "discarding this session's temp build")
+      // DROP removes only OUR temp catalog entry (+ its location if the
+      // rename never happened)
       spark.sql(s"DROP TABLE IF EXISTS `$tmpTbl`")
     }
     // register (or re-register after a JVM restart) the catalog entry

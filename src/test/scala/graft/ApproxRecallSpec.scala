@@ -74,17 +74,23 @@ class ApproxRecallSpec extends SparkSpec {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val c = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
 
+    // Row-based collect: a stranded query (empty probed cells) appears
+    // as one row with NULL c_id and recall 0.0 — must not NPE a typed
+    // primitive encoder
     val gatedRows = Similarity.ivfTopKWithRecall(q, c, k = 5, nLists = 8,
         nProbe = 2, minMeanRecall = 0.0)
-      .select("q_id", "c_id", "recall", "mean_recall")
-      .as[(Long, Long, Double, Double)].collect()
+      .select("q_id", "c_id", "recall", "mean_recall").collect()
+      .map(row => (row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)),
+        row.getDouble(2), row.getDouble(3)))
     assert(gatedRows.nonEmpty)
-    val gated = gatedRows.map(r => (r._1, r._2, r._3))
+    // every query is represented, stranded or not
+    assert(gatedRows.map(_._1).distinct.sorted.toSeq === (0L until 10L).toSeq)
 
     // mean_recall is constant and equals the mean of per-query recalls
     val meanCol = gatedRows.map(_._4).distinct
     assert(meanCol.length === 1)
-    val perQ = gated.map(r => r._1 -> r._3).distinct
+    val perQ = gatedRows.map(r => r._1 -> r._3).distinct
     val expectedMean = math.floor(
       perQ.map(_._2).sum / perQ.length * 10000 + 0.5) / 10000.0
     assert(math.abs(meanCol.head - expectedMean) < 1e-9)
@@ -93,12 +99,12 @@ class ApproxRecallSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(q, c, k = 5)
       .select("q_id", "c_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    gated.groupBy(_._1).foreach { case (qid, rows) =>
-      val ids = rows.map(_._2).toSet
+    gatedRows.groupBy(_._1).foreach { case (qid, rows) =>
+      val ids = rows.flatMap(_._2).toSet
       val expected = math.floor(
         ids.intersect(brute.getOrElse(qid, Set.empty)).size.toDouble / 5.0
           * 10000 + 0.5) / 10000.0
-      rows.foreach { case (_, _, got) =>
+      rows.foreach { case (_, _, got, _) =>
         assert(got === expected, s"q$qid recall column $got != recomputed $expected")
       }
     }

@@ -130,6 +130,13 @@ class BucketedJoinSpec extends SparkSpec {
     val strays = fs.listStatus(new org.apache.hadoop.fs.Path(warehouse))
       .map(_.getPath.getName).filter(_.startsWith(s"${tbl}_tmp_"))
     assert(strays.isEmpty, s"leftover temp builds: ${strays.mkString(",")}")
+    // Hadoop rename onto an existing dir NESTS the source inside it and
+    // returns true — the loser's whole build would hide inside the table
+    // location (invisible to a non-recursive count, doubling rows for
+    // recursive readers). The protocol must have removed any such copy.
+    val nestedDirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+    assert(nestedDirs.isEmpty,
+      s"loser build nested inside the table location: ${nestedDirs.mkString(",")}")
 
     // a later JVM (catalog forgot the table) ADOPTS the existing
     // complete build instead of deleting it: same location, same rows

@@ -1951,6 +1951,27 @@ object Queries {
       FROM lp GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** H4: seeded n-way weighted split (90/5/5 train/val/test) — the
+    * assignment a training pipeline pins before anything else runs.
+    * Disjoint+exhaustive cumulative hash ranges over the portable
+    * polyhash; per-row assignment depends only on (doc_id, seed), so
+    * the identical split reproduces on any engine — which the oracle
+    * proves literally, re-deriving every assignment in SQL. */
+  private val q84 = Q("q84_seeded_split",
+    (s, d) => graft.operators.Sampling.seededSplit(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), seed = "r6",
+        weights = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, lang,
+        CASE
+          WHEN ${sqlPolyHash("'r6' || CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 9000 THEN 'train'
+          WHEN ${sqlPolyHash("'r6' || CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 9500 THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM documents ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1960,7 +1981,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78,
-    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83,
+    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -58,4 +58,36 @@ object Sampling {
     df.withColumn(splitCol,
       when(bucket(key) < math.round(trainFraction * Denom), "train")
         .otherwise("test"))
+
+  /** Seeded n-way weighted split — the full train/val/test assignment a
+    * training pipeline pins before anything else runs. Disjoint and
+    * exhaustive by construction (cumulative hash-bucket ranges; the
+    * last split absorbs rounding). Per-row assignment depends only on
+    * (key, seed): stable under reruns, repartitions, data growth, and
+    * engine changes — properties `randomSplit` has none of — and a new
+    * seed is a fresh independent split without touching the data.
+    * Zero shuffles: a pure per-row projection. */
+  def seededSplit(df: DataFrame, key: Column, seed: String,
+                  weights: Seq[(String, Double)],
+                  splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0),
+      s"weights must be non-negative: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: $weights")
+    // seed PREPENDED: it then multiplies through every key character in
+    // the rolling polynomial, so two seeds give independent splits. A
+    // suffix seed would only shift buckets by a few positions (two
+    // seeds differing in the last char land every row ±1 bucket —
+    // near-identical splits). Salt stays a suffix for short-key mixing.
+    val b = pmod(polyHash(concat(lit(seed), key.cast("string"), lit(Salt))),
+      lit(Denom))
+    val uppers = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * Denom))
+    val assigned = weights.init.zip(uppers.init)
+      .foldLeft(when(lit(false), lit(null).cast("string"))) {
+        case (acc, ((name, _), ub)) => acc.when(b < ub, name)
+      }
+      .otherwise(weights.last._1)
+    df.withColumn(splitCol, assigned)
+  }
 }

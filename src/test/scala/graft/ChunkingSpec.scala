@@ -72,6 +72,34 @@ class ChunkingSpec extends SparkSpec {
     assert(split("train") > split("test"))
   }
 
+  test("seeded split: disjoint+exhaustive, layout-stable, seed gives an independent split") {
+    import graft.operators.Sampling
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"))
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val a = Sampling.seededSplit(docs, col("doc_id"), "s1", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // exhaustive (every doc assigned) and only the declared splits appear
+    assert(a.size === docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.values.toSet.contains("train"))
+    // identical assignment after a different physical layout
+    val b = Sampling.seededSplit(docs.repartition(7), col("doc_id"), "s1", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(b === a)
+    // a different seed reassigns SOME rows (independent split), but the
+    // weights still roughly hold
+    val c = Sampling.seededSplit(docs, col("doc_id"), "s2", w)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(c.exists { case (k, v) => a(k) != v })
+    val trainFrac = c.values.count(_ == "train").toDouble / c.size
+    assert(math.abs(trainFrac - 0.8) < 0.1, s"train fraction $trainFrac")
+    // invalid weights refuse loudly
+    intercept[IllegalArgumentException] {
+      Sampling.seededSplit(docs, col("doc_id"), "s1", Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
   test("redact: emails, IPv4, and phone numbers become typed placeholders") {
     val out = Seq("mail a.b+c@ex-ample.co.uk from 10.0.0.1 or call 555-123-4567 ok")
       .toDF("t").select(TextAnalysis.redact(col("t"))).as[String].collect().head

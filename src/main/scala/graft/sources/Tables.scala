@@ -103,8 +103,32 @@ object Tables {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val finalPath = new org.apache.hadoop.fs.Path(warehouse, tbl)
     val fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
-    def isComplete =
-      fs.exists(new org.apache.hadoop.fs.Path(finalPath, "_SUCCESS"))
+
+    // source fingerprint (file names + sizes + mtimes): adoption is only
+    // safe while the source parquet is byte-identical to what the build
+    // read — if the testdata is ever regenerated in place, a stale
+    // adopted build would silently serve old rows. The fingerprint is
+    // written beside _SUCCESS (underscore-prefixed → invisible to
+    // readers) and must match for a leftover to count as complete.
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val srcFp = fs.listStatus(srcPath).filter(_.isFile)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+    val fpFile = "_GRAFT_SRC_FINGERPRINT"
+    def isComplete = {
+      val fp = new org.apache.hadoop.fs.Path(finalPath, fpFile)
+      fs.exists(new org.apache.hadoop.fs.Path(finalPath, "_SUCCESS")) &&
+        fs.exists(fp) && {
+          val in = fs.open(fp)
+          val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val ok = got == srcFp
+          if (!ok) log.warn(s"graft.Tables.bucketed: build at $finalPath " +
+            s"was built from different source data (fingerprint mismatch) " +
+            "— rebuilding")
+          ok
+        }
+    }
 
     if (!isComplete) {
       val tmpTbl = tbl + "_tmp_" +
@@ -113,6 +137,8 @@ object Tables {
         .bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(tmpTbl)
       val tmpPath = new org.apache.hadoop.fs.Path(warehouse, tmpTbl)
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmpPath, fpFile), true)
+      try out.write(srcFp.getBytes("UTF-8")) finally out.close()
       // swap: re-check completeness (a racer may have finished during
       // our build — adopt theirs), clear a crashed leftover, rename.
       val won =

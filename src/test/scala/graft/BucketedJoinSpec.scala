@@ -153,6 +153,21 @@ class BucketedJoinSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), false)
     assert(Tables.bucketed(spark, dir, "customer", "c_custkey") === tbl)
     assert(spark.table(tbl).count() === expected)
+
+    // a leftover built from DIFFERENT source data (fingerprint mismatch
+    // — the regenerated-testdata hazard) is rebuilt, not adopted
+    spark.sql(s"DROP TABLE `$tbl`")
+    val fp = new org.apache.hadoop.fs.Path(p, "_GRAFT_SRC_FINGERPRINT")
+    val out = fs.create(fp, true)
+    try out.write("stale-build-from-old-source".getBytes("UTF-8"))
+    finally out.close()
+    assert(Tables.bucketed(spark, dir, "customer", "c_custkey") === tbl)
+    assert(spark.table(tbl).count() === expected)
+    val in = fs.open(fp)
+    val back = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(back != "stale-build-from-old-source",
+      "stale-fingerprint leftover must have been rebuilt with a fresh marker")
   }
 
   test("ORC source/sink round-trip preserves rows and pushes filters") {

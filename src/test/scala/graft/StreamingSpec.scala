@@ -78,6 +78,55 @@ class StreamingSpec extends SparkSpec {
     assert(out.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("H4×H5 curation expressions run unchanged in a streaming micro-batch") {
+    // quality stats, language ID, PII redaction, fingerprints, and the
+    // seeded split are pure per-row expressions — the SAME operator
+    // calls must lift from batch to readStream with no code change
+    // (stateless projections need no watermark or state store)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val input = MemoryStream[(Long, String)]
+    val curated = graft.operators.Sampling.seededSplit(
+      graft.operators.TextAnalysis.withFingerprints(
+        graft.operators.TextAnalysis.withTextStats(
+          input.toDS().toDF("doc_id", "text")
+            .withColumn("text", graft.operators.TextAnalysis.redact(col("text"))),
+          col("text")),
+        col("text")),
+      col("doc_id"), "s1", Seq(("train", 0.8), ("test", 0.2)))
+    val q = curated.writeStream
+      .format("memory").queryName("curate_out").outputMode("append")
+      .start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox mails fox@example.com all day"),
+        (2L, "la casa de el perro y la en la casa"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("curate_out")
+    val rows = out.select("doc_id", "text", "n_tokens", "fingerprint", "split")
+      .as[(Long, String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._2.contains("<EMAIL>") && !rows(1L)._2.contains("example.com"))
+    assert(rows.values.forall(r => r._3 > 0))
+    assert(rows.values.map(_._5).forall(Set("train", "test")))
+
+    // batch twin on the identical input produces identical values
+    val batch = graft.operators.Sampling.seededSplit(
+      graft.operators.TextAnalysis.withFingerprints(
+        graft.operators.TextAnalysis.withTextStats(
+          Seq((1L, "the quick brown fox mails fox@example.com all day"),
+            (2L, "la casa de el perro y la en la casa")).toDF("doc_id", "text")
+            .withColumn("text", graft.operators.TextAnalysis.redact(col("text"))),
+          col("text")),
+        col("text")),
+      col("doc_id"), "s1", Seq(("train", 0.8), ("test", 0.2)))
+      .select("doc_id", "text", "n_tokens", "fingerprint", "split")
+      .as[(Long, String, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(batch === rows)
+  }
+
   test("H5 session windows close after the gap (batch mode)") {
     val dir = sf("sf0.001")
     val sessions = EventStreams.sessionCounts(

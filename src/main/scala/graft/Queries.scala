@@ -1026,6 +1026,21 @@ object Queries {
   /** H2/H4: decontamination — corpus docs sharing ≥ 3 distinct
     * 3-gram shingles with a (deterministically hash-sampled) eval set.
     * Inverted-index join on the shingle, never all-pairs. */
+  /** Shared oracle for q69/q85 — the two decontamination paths have an
+    * identical output contract (the hashed variant is a lossless prune
+    * + the exact pass), so ONE SQL twin checks both. */
+  private val decontamOracleSql: String =
+    s"""WITH sh AS (SELECT doc_id, ${sqlShingles("tk")} AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      ev AS (SELECT doc_id FROM documents
+        WHERE ${sqlPolyHash("CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 1000)
+      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
+        len(list_intersect(c.s, se.s))::BIGINT AS n_overlap
+      FROM sh c JOIN ev e ON c.doc_id != e.doc_id
+      JOIN sh se ON se.doc_id = e.doc_id
+      WHERE len(list_intersect(c.s, se.s)) >= 3
+      ORDER BY doc_id, eval_id"""
+
   private val q69 = Q("q69_decontaminate",
     (s, d) => {
       val docs = t(s, d, "documents")
@@ -1035,16 +1050,23 @@ object Queries {
           shingleN = 3, minOverlap = 3)
         .orderBy(col("doc_id"), col("eval_id"))
     },
-    Some(s"""WITH sh AS (SELECT doc_id, ${sqlShingles("tk")} AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
-      ev AS (SELECT doc_id FROM documents
-        WHERE ${sqlPolyHash("CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 1000)
-      SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
-        len(list_intersect(c.s, se.s))::BIGINT AS n_overlap
-      FROM sh c JOIN ev e ON c.doc_id != e.doc_id
-      JOIN sh se ON se.doc_id = e.doc_id
-      WHERE len(list_intersect(c.s, se.s)) >= 3
-      ORDER BY doc_id, eval_id"""),
+    Some(decontamOracleSql),
+    bench = true)
+
+  /** H2 at the 100 TB shuffle diet: [[Dedup.decontaminateHashed]] —
+    * corpus postings shuffle as 8-byte xxhash64 values, exact
+    * string-join re-verification only on the pruned candidate slice.
+    * Same output contract as q69, proven by sharing its oracle. */
+  private val q85 = Q("q85_decontaminate_hashed",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val evalSet = graft.operators.Sampling.hashSample(
+        docs, col("doc_id"), fraction = 0.1)
+      Dedup.decontaminateHashed(docs, evalSet, "doc_id", col("text"),
+          shingleN = 3, minOverlap = 3)
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+    Some(decontamOracleSql),
     bench = true)
 
   /** H2: same clusters via the O(log n)-round alternating large-star/
@@ -1972,6 +1994,83 @@ object Queries {
         END AS split
       FROM documents ORDER BY doc_id"""))
 
+  /** C+: Bloom-prefiltered semi-join ([[graft.operators.BloomJoin]]) —
+    * lineitem rows kept only when their order is URGENT, revenue rolled
+    * up per return flag. The Bloom pass drops non-matching lineitem
+    * rows BEFORE the semi-join exchange (the explicit twin of
+    * Catalyst's InjectRuntimeFilter); the exact join after it makes the
+    * result identical to a plain semi-join, which is what the oracle
+    * states. */
+  private val q86 = Q("q86_bloom_semi_join",
+    (s, d) => {
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.operators.BloomJoin.semiJoin(
+          t(s, d, "lineitem"), urgent, col("l_orderkey"), col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(r(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+        floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        count(*) AS n_items
+      FROM lineitem
+      WHERE l_orderkey IN
+        (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    bench = true)
+
+  /** H4: top-3 TF-IDF terms per document
+    * ([[TextAnalysis.topTfIdfTerms]]) — keyword extraction with the
+    * df-by-window-over-postings plan (no corpus rescan, no barrier).
+    * Deterministic tie-break (rounded score desc, term asc) keeps both
+    * engines' rankings identical. */
+  private val q87 = Q("q87_tfidf_topterms",
+    (s, d) => TextAnalysis.topTfIdfTerms(
+        t(s, d, "documents"), col("doc_id"), col("text"), k = 3)
+      .orderBy(col("doc_id"), col("term")),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term),
+      dft AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      scored AS (SELECT doc_id, term, tf,
+        floor(tf * ln((1.0 + n.n) / (1.0 + df)) * 10000 + 0.5) / 10000.0 AS score
+        FROM dft CROSS JOIN n),
+      ranked AS (SELECT *, row_number()
+        OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
+      SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, term"""))
+
+  /** A1/A2 layout round-trip: documents written partitioned by `lang`
+    * (`Sinks.writeParquet` — the 100 TB layout move: partition by the
+    * low-cardinality predicate column), read back through a partition
+    * filter. Directory pruning is plan-asserted in LayoutSpec; the
+    * oracle proves VALUE fidelity through the partitioned layout
+    * (partition values round-trip the directory encoding). */
+  private val q88 = Q("q88_partitioned_layout",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_layout_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }))
+      graft.sources.Sinks.writeParquet(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        tmp.toString, partitionBy = Seq("lang"))
+      s.read.parquet(tmp.toString)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, n_chars FROM documents
+      WHERE lang = 'en' ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -1980,8 +2079,8 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
-    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78,
-    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84,
+    q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
+    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -230,6 +230,38 @@ object Dedup {
         col("n_overlap"))
   }
 
+  /** [[decontaminate]] with the 100 TB shuffle diet the class doc
+    * promises: the corpus postings shuffle as `(c_id, xxhash64(shingle))`
+    * — 16 bytes per posting instead of the full shingle string (a
+    * 3-gram of words is ~20-40 bytes, and the string otherwise rides
+    * every exchange). The prune is LOSSLESS: equal strings always hash
+    * equal, so a hash-count per (corpus doc, eval doc) pair is >= the
+    * true shingle intersection — filtering on it can only keep false
+    * candidates (hash collisions), never drop a true one. Exactness is
+    * then restored the LSH-verify way: the surviving corpus slice —
+    * contaminated docs are a vanishing fraction of a real corpus —
+    * re-runs the exact string-join [[decontaminate]], whose shuffles
+    * are candidate-sized. Output contract identical to
+    * [[decontaminate]]: (doc_id, eval_id, n_overlap). */
+  def decontaminateHashed(corpus: DataFrame, evalSet: DataFrame,
+                          id: String, text: Column, shingleN: Int = 3,
+                          minOverlap: Int = 3): DataFrame = {
+    val cH = withShingles(corpus, text, shingleN)
+      .select(col(id).as("c_id"), explode(col("sh")).as("shingle"))
+      .select(col("c_id"), xxhash64(col("shingle")).as("h"))
+    val eH = withShingles(evalSet, text, shingleN)
+      .select(col(id).as("e_id"), explode(col("sh")).as("shingle"))
+      .select(col("e_id"), xxhash64(col("shingle")).as("h"))
+    val candidates = cH.join(eH, "h")
+      .filter(col("c_id") =!= col("e_id"))
+      .groupBy(col("c_id"), col("e_id"))
+      .agg(count(lit(1)).as("n_hash"))
+      .filter(col("n_hash") >= minOverlap)
+      .select(col("c_id").as(id)).distinct()
+    decontaminate(corpus.join(candidates, Seq(id), "left_semi"),
+      evalSet, id, text, shingleN, minOverlap)
+  }
+
   /** Near-dup PAIRS → duplicate CLUSTERS: connected components of the
     * pair graph by iterative min-label propagation. Every vertex
     * starts labeled with itself; each round it adopts the minimum

@@ -149,6 +149,45 @@ object TextAnalysis {
       .withColumnRenamed("_doc", "doc_id")
   }
 
+  /** Top-k TF-IDF terms per document — the classic keyword extractor a
+    * corpus pipeline runs for indexing, topic tagging, and similarity
+    * features. tf = term count within the doc; idf = ln((1+N)/(1+df))
+    * (smoothed, so corpus-universal terms score ~0 instead of
+    * dividing by zero on unseen df); score = tf·idf.
+    *
+    * Plan shape at 100 TB: explode → ONE aggregation to the (doc,term)
+    * posting table, then df via a window over `term` ON THAT TABLE — a
+    * second exchange over the postings, but zero recomputation of the
+    * corpus scan (the window reads the aggregate's output; no
+    * double-consumption, so no barrier needed — contrast
+    * [[unigramLogProb]]'s vocab-table checkpoint). The 1-row doc count
+    * broadcasts onto the postings; ranking reuses the doc-partitioned
+    * side of the first exchange. Ties rank deterministically
+    * (rounded score desc, then term) so results reproduce across
+    * engines. Returns (doc_id, term, tf, score), k rows per doc. */
+  def topTfIdfTerms(df: DataFrame, id: Column, text: Column,
+                    k: Int = 3, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df.select(id.as("doc_id"), text.as("_t"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("_n")))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("_t"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(nDocs)
+      .withColumn("score",
+        r(col("tf") * log((lit(1.0) + col("_n")) / (lit(1.0) + col("df"))),
+          roundTo))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("_rk", row_number().over(byDoc))
+      .filter(col("_rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

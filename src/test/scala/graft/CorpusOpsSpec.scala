@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-6 corpus operators: hashed decontamination (differential vs
+  * the exact string-join form), TF-IDF keyword extraction (hand-checked
+  * values + deterministic ranking), and the partitioned-layout
+  * round-trip (directory pruning asserted on the plan). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminateHashed ≡ decontaminate on real documents") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val evalSet = Sampling.hashSample(docs, col("doc_id"), fraction = 0.2)
+    val exact = Dedup.decontaminate(docs, evalSet, "doc_id", col("text"))
+      .orderBy("doc_id", "eval_id")
+      .as[(Long, Long, Long)].collect()
+    val hashed = Dedup.decontaminateHashed(docs, evalSet, "doc_id", col("text"))
+      .orderBy("doc_id", "eval_id")
+      .as[(Long, Long, Long)].collect()
+    assert(exact.nonEmpty, "fixture must produce contamination hits")
+    assert(hashed.toSeq == exact.toSeq)
+  }
+
+  test("decontaminateHashed: empty eval set → empty result") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val empty = docs.filter(lit(false))
+    assert(Dedup.decontaminateHashed(docs, empty, "doc_id", col("text")).count() == 0)
+  }
+
+  test("topTfIdfTerms: hand-computed scores, smoothed idf, k cap") {
+    // 3 docs; "common" appears in all → idf = ln(4/4) = 0
+    val docs = Seq(
+      (1L, "apple apple common banana"),
+      (2L, "banana common"),
+      (3L, "cherry common")).toDF("id", "text")
+    val got = TextAnalysis.topTfIdfTerms(docs, col("id"), col("text"), k = 2)
+      .orderBy("doc_id", "term")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    def s(tf: Long, df: Long): Double = {
+      val raw = tf * math.log(4.0 / (1.0 + df))
+      math.floor(raw * 10000 + 0.5) / 10000
+    }
+    // doc1: apple tf=2 df=1 beats banana tf=1 df=2; common (idf=0) never ranks
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3, r._4)).toSet ==
+      Set(("apple", 2L, s(2, 1)), ("banana", 1L, s(1, 2))))
+    // doc2: only banana + common exist; k=2 returns both, common scored 0
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._4)).toSet ==
+      Set(("banana", s(1, 2)), ("common", 0.0)))
+    assert(got.groupBy(_._1).forall(_._2.size <= 2))
+  }
+
+  test("topTfIdfTerms: equal scores tie-break by term ascending") {
+    // two docs so nothing is corpus-universal; in doc 1, b/c/d all have
+    // tf=1, df=1 → identical scores; k=2 must keep b and c, drop d
+    val docs = Seq((1L, "b c d"), (2L, "x y z")).toDF("id", "text")
+    val got = TextAnalysis.topTfIdfTerms(docs, col("id"), col("text"), k = 2)
+      .filter(col("doc_id") === 1L).select("term")
+      .as[String].collect().sorted.toSeq
+    assert(got == Seq("b", "c"))
+  }
+
+  test("partitioned layout: read-back values survive and pruning reaches the scan") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout_spec_")
+    try {
+      graft.sources.Sinks.writeParquet(docs, tmp.toString,
+        partitionBy = Seq("lang"))
+      val rb = spark.read.parquet(tmp.toString).filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+      val plan = rb.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+        s"lang filter must prune directories, not scan rows:\n$plan")
+      val expected = docs.filter(col("lang") === "en")
+        .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+      val got = rb.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+      assert(expected.nonEmpty && got == expected)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}

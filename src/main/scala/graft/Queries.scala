@@ -2048,7 +2048,7 @@ object Queries {
   /** A1/A2 layout round-trip: documents written partitioned by `lang`
     * (`Sinks.writeParquet` — the 100 TB layout move: partition by the
     * low-cardinality predicate column), read back through a partition
-    * filter. Directory pruning is plan-asserted in LayoutSpec; the
+    * filter. Directory pruning is plan-asserted in CorpusOpsSpec; the
     * oracle proves VALUE fidelity through the partitioned layout
     * (partition values round-trip the directory encoding). */
   private val q88 = Q("q88_partitioned_layout",

@@ -67,6 +67,39 @@ class PlanRegressionSpec extends SparkSpec {
       s"no interpreted shingle chain may remain on the decontamination path:\n$p")
   }
 
+  test("q85 hashed decontamination: postings shuffle 8-byte hashes, never all-pairs") {
+    val p = plan("q85_decontaminate_hashed")
+    assert(p.contains("xxhash64"),
+      s"the candidate pass must join on shingle hashes:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must stay an equality join:\n$p")
+  }
+
+  test("q86 bloom semi-join: the prefilter predicate sits on the probe scan, below the join") {
+    val p = plan("q86_bloom_semi_join")
+    val joinPos = p.indexOf("Join LeftSemi") match {
+      case -1 => p.indexOf("BroadcastHashJoin")
+      case i  => i
+    }
+    val probePredicate = p.indexOf("might_contain")
+    assert(probePredicate >= 0, s"Bloom predicate missing from the plan:\n$p")
+    assert(joinPos >= 0 && probePredicate > joinPos,
+      s"might_contain must filter BELOW the semi-join (tree prints top-down):\n$p")
+  }
+
+  test("q87 TF-IDF: one corpus scan for postings, zero-column scan for N, ranking via top-k rewrite") {
+    val p = plan("q87_tfidf_topterms")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(reads.count(_.nonEmpty) === 1,
+      s"exactly one scan may read text (postings); got schemas $reads:\n$p")
+    assert(reads.count(_.isEmpty) === 1,
+      s"the doc-count scan must read ZERO columns (metadata count); got $reads:\n$p")
+    assert(p.contains("TopKPerGroupPartial"),
+      s"per-doc ranking must ride the bounded-heap rewrite:\n$p")
+    assert("Window".r.findAllIn(p).length === 1,
+      s"exactly one Window (df over term) may remain:\n$p")
+  }
+
   test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
     // force execution so the AQE plan is final and the checkpoint exists
     val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))

@@ -2071,6 +2071,70 @@ object Queries {
     Some("""SELECT doc_id, lang, source, n_chars FROM documents
       WHERE lang = 'en' ORDER BY doc_id"""))
 
+  /** D+ sketches with an IN-PLAN accuracy gate (the q38-recall-gate
+    * pattern): HyperLogLog distinct counts and a t-digest-style
+    * quantile sketch computed alongside their exact twins, exposed as
+    * bounded-error BOOLEANS — the oracle pins the exact values and
+    * asserts the sketch error bound held, so a silently degraded
+    * sketch flips a hash-checked row. At 100 TB the sketches are the
+    * only affordable path (mergeable, fixed-size state vs exact
+    * distinct's shuffle of every key); this query keeps them honest. */
+  private val q89 = Q("q89_sketch_accuracy",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_hll"),
+        r(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_median"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_apx_med"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("_hll") - col("exact_parts")) / col("exact_parts")
+          <= 0.10).as("hll_ok"),
+        col("exact_median"),
+        (abs(col("_apx_med") - col("exact_median")) / col("exact_median")
+          <= 0.02).as("quantile_ok"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        count(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS hll_ok,
+        floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0
+          AS exact_median,
+        TRUE AS quantile_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A+ layout: Z-order (Morton) clustering round-trip
+    * ([[graft.sources.ZOrder]]) — lineitem rewritten clustered on
+    * (l_partkey, l_suppkey), then a two-dimensional box query over the
+    * clustered copy. The oracle runs the same box over the ORIGINAL
+    * table: identical results prove the Morton rewrite is lossless;
+    * the per-file bounding-box tightness that makes the layout prune
+    * is asserted in ZOrderSpec. */
+  private val q90 = Q("q90_zorder_box_query",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }))
+      graft.sources.ZOrder.writeZOrdered(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"), col("l_quantity")),
+        tmp.toString, zCols = Seq("l_partkey", "l_suppkey"), numFiles = 8)
+      s.read.parquet(tmp.toString)
+        .filter(col("l_partkey").between(50, 150) &&
+          col("l_suppkey").between(5, 15))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          r(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_items,
+        floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+      FROM lineitem
+      WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 5 AND 15
+      GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2080,7 +2144,7 @@ object Queries {
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q22, q23, q24,
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
-    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88,
+    q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

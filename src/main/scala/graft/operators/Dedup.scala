@@ -246,12 +246,19 @@ object Dedup {
   def decontaminateHashed(corpus: DataFrame, evalSet: DataFrame,
                           id: String, text: Column, shingleN: Int = 3,
                           minOverlap: Int = 3): DataFrame = {
-    val cH = withShingles(corpus, text, shingleN)
-      .select(col(id).as("c_id"), explode(col("sh")).as("shingle"))
-      .select(col("c_id"), xxhash64(col("shingle")).as("h"))
-    val eH = withShingles(evalSet, text, shingleN)
-      .select(col(id).as("e_id"), explode(col("sh")).as("shingle"))
-      .select(col("e_id"), xxhash64(col("shingle")).as("h"))
+    // NO materialization barrier on the hash pass, deliberately: the
+    // hashed postings have exactly ONE consumer (the candidate join),
+    // so there is no recomputation to guard against, and a barrier
+    // here would itself shuffle the corpus text/shingle STRINGS —
+    // defeating the whole byte diet (measured: barrier bytes dominated
+    // both variants identically). Shingle → hash runs fused behind the
+    // scan; the first exchange this side ever sees carries (long,
+    // long) postings.
+    def hashed(df: DataFrame, as: String) = df
+      .select(col(id).as(as), explode(shingles(tokens(text), shingleN)).as("shingle"))
+      .select(col(as), xxhash64(col("shingle")).as("h"))
+    val cH = hashed(corpus, "c_id")
+    val eH = hashed(evalSet, "e_id")
     val candidates = cH.join(eH, "h")
       .filter(col("c_id") =!= col("e_id"))
       .groupBy(col("c_id"), col("e_id"))

@@ -24,6 +24,77 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hashed.toSeq == exact.toSeq)
   }
 
+  test("decontaminateHashed shuffles fewer bytes than the string join on a long-doc corpus") {
+    // The operator's reason to exist is shuffle BYTES, not toy-scale
+    // wall-clock: postings ride the exchange as 8-byte hashes instead
+    // of word-3-gram strings. Measure both variants' total shuffle
+    // writes via task metrics on a corpus with long shingles.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 800).map(i => s"verylongtokenword$i")
+    val docs = (0 until 120).map { i =>
+      val words = Seq.fill(300)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val evalSet = docs.filter(col("doc_id") < 12)
+
+    def shuffleBytes(run: => Unit): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong
+      val seen = new java.util.concurrent.atomic.AtomicLong
+      val l = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+          seen.incrementAndGet()
+          val m = e.taskMetrics
+          if (m != null) total.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        run
+        // listener bus is async: wait until the task-end count settles
+        var last = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val now = seen.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      total.get()
+    }
+
+    // force the shuffle-join regime the operator exists for (at toy
+    // scale AQE broadcasts the eval postings and neither side
+    // shuffles for the join; at 100 TB an eval set can exceed any
+    // broadcast threshold)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = scala.util.Try(
+      spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.filter(_ != null)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val (exactBytes, hashedBytes) =
+      try {
+        (shuffleBytes {
+          Dedup.decontaminate(docs, evalSet, "doc_id", col("text")).count()
+        },
+        shuffleBytes {
+          Dedup.decontaminateHashed(docs, evalSet, "doc_id", col("text")).count()
+        })
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        prevAqe match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+          case None =>
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
+    assert(hashedBytes < exactBytes,
+      s"hashed variant must shuffle fewer bytes: hashed=$hashedBytes exact=$exactBytes")
+    info(f"shuffle bytes: exact=$exactBytes%,d hashed=$hashedBytes%,d " +
+      f"(${100.0 * hashedBytes / exactBytes}%.0f%% of exact)")
+  }
+
   test("decontaminateHashed: empty eval set → empty result") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val empty = docs.filter(lit(false))

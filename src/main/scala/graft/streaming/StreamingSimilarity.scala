@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions.{dotProduct, r}
+import graft.operators.Similarity
+
+/** Incremental (streaming) similarity search: a `foreachBatch`
+  * pipeline that maintains a persistent LSH-bucketed vector index and
+  * answers each arriving embedding's top-k nearest neighbors against
+  * EVERYTHING previously ingested — the online twin of
+  * [[graft.operators.Similarity.lshTopK]], sharing its native bucket /
+  * dot-product expressions (an offline re-run of the batch operator
+  * over the same ingestion order reproduces the stream's answers,
+  * which the spec asserts differentially).
+  *
+  * Per micro-batch:
+  *  1. bucket + L2 norm for the batch's vectors (codegen'd
+  *     expressions, computed once);
+  *  2. bucket-equality join against the persisted index, exact cosine
+  *     on bucket-mates only, top-k per new vector → append to
+  *     `resultDir`;
+  *  3. the batch's vectors append to `indexDir`.
+  *
+  * Scale: the index parquet is PARTITIONED by `bucket` (at most
+  * 2^planes directories) and each batch reads ONLY the buckets its
+  * own vectors hash to — the touched set is driver-known and bounded
+  * by min(batch size, 2^planes) — so per-batch work scales with the
+  * batch, not the accumulated index. Within-batch pairs are NOT
+  * matched (each vector scores against strictly earlier ingests);
+  * run the batch operator inside the micro-batch first if that
+  * matters. All filesystem probes use the Hadoop FileSystem API
+  * (local disk / HDFS / object stores alike).
+  */
+object StreamingSimilarity {
+
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("bucket", LongType),
+    StructField("vec", ArrayType(FloatType)),
+    StructField("norm", DoubleType)))
+
+  def start(vectors: DataFrame, idCol: String, vecCol: String,
+            indexDir: String, resultDir: String, checkpoint: String,
+            k: Int = 5, planes: Int = 4, dim: Int = 64): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val banded = batch
+          // a NULL vector buckets to 0 but cannot score; drop it here
+          // rather than index dead rows
+          .filter(col(vecCol).isNotNull)
+          .select(col(idCol).cast("long").as("vec_id"),
+            Similarity.lshBucket(col(vecCol), planes, dim).as("bucket"),
+            col(vecCol).cast(ArrayType(FloatType)).as("vec"))
+          .withColumn("norm", sqrt(dotProduct(col("vec"), col("vec"))))
+          .cache()
+        try {
+          val indexPath = new Path(indexDir)
+          val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
+          val index =
+            if (fs.exists(indexPath)) {
+              // same legacy-layout guard as StreamingDedup: an
+              // unpartitioned index would read back NULL bucket
+              // columns and silently match nothing
+              val entries = fs.listStatus(indexPath)
+              val partitioned = entries.exists(e =>
+                e.isDirectory && e.getPath.getName.startsWith("bucket="))
+              val rootFiles = entries.exists(e =>
+                e.isFile && e.getPath.getName.endsWith(".parquet"))
+              if (rootFiles && !partitioned)
+                throw new IllegalStateException(
+                  s"StreamingSimilarity: $indexDir holds a legacy " +
+                    "UNPARTITIONED vector index (parquet files at the " +
+                    "root, no bucket=* directories). Matches against it " +
+                    "would be silently dropped. Delete the directory and " +
+                    "re-ingest, or rewrite it partitioned by bucket.")
+              // prune to the buckets this batch actually touches —
+              // bounded by min(batch, 2^planes) values, driver-known
+              val touched = banded.select(col("bucket")).distinct()
+                .collect().map(_.getLong(0))
+              spark.read.schema(IndexSchema).parquet(indexDir)
+                .filter(col("bucket").isin(touched: _*))
+            } else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], IndexSchema)
+
+          val results = banded.alias("q")
+            .join(index.alias("i"), Seq("bucket"))
+            .filter(col("q.vec_id") =!= col("i.vec_id"))
+            // zero-norm-guarded cosine, same spec as the batch path
+            .withColumn("_nn", col("q.norm") * col("i.norm"))
+            .withColumn("cos", when(col("_nn") === 0.0, 0.0)
+              .otherwise(dotProduct(col("q.vec"), col("i.vec")) / col("_nn")))
+            .withColumn("rank", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("q.vec_id"))
+                .orderBy(col("cos").desc, col("i.vec_id"))).cast("long"))
+            .filter(col("rank") <= k)
+            .select(col("q.vec_id").as("q_id"), col("rank"),
+              col("i.vec_id").as("c_id"), r(col("cos"), 4).as("cos"))
+
+          results.write.mode(SaveMode.Append).parquet(resultDir)
+          banded.write.mode(SaveMode.Append)
+            .partitionBy("bucket").parquet(indexDir)
+        } finally banded.unpersist()
+        ()
+      }
+      .start()
+}

@@ -2135,6 +2135,101 @@ object Queries {
       WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 5 AND 15
       GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** H4: BM25 ranked retrieval ([[TextAnalysis.bm25TopDocs]]) — top-10
+    * documents for a 3-term query. The explode filters to the query's
+    * terms before any exchange; the final cut is a bounded-heap
+    * sort-limit. Both engines rank on the ROUNDED score with doc_id
+    * tie-break, so the top-10 boundary is engine-stable. */
+  private val q91 = Q("q91_bm25_retrieval",
+    (s, d) => TextAnalysis.bm25TopDocs(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        terms = Seq("spark", "window", "hash"), k = 10)
+      .orderBy(col("score").desc, col("doc_id")),
+    Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents),
+      dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM docs),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
+        WHERE tok IN ('spark', 'window', 'hash') GROUP BY doc_id, tok),
+      dft AS (SELECT *, (count(*) OVER (PARTITION BY term))::DOUBLE AS df
+        FROM tf),
+      w AS (SELECT doc_id,
+          ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        FROM dft JOIN dl USING (doc_id) CROSS JOIN stats)
+      SELECT doc_id, floor(sum(w) * 10000 + 0.5) / 10000.0 AS score,
+        count(*) AS n_terms_hit
+      FROM w GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10"""),
+    bench = true)
+
+  /** H4: weighted sample without replacement
+    * ([[Sampling.weightedSample]], Efraimidis–Spirakis) — 50 documents
+    * drawn with probability ∝ n_chars from a portable seeded hash. The
+    * oracle re-derives every selection key in SQL, proving the sample
+    * is engine- and layout-independent. */
+  private val q92 = Q("q92_weighted_sample",
+    (s, d) => graft.operators.Sampling.weightedSample(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        key = col("doc_id"), weight = col("n_chars"), k = 50, seed = "w6")
+      .orderBy(col("es_key"), col("doc_id")),
+    Some(s"""SELECT doc_id, lang, n_chars,
+        floor(-ln(((${sqlPolyHash("'w6' || CAST(doc_id AS VARCHAR) || '#graft-sample'")}) % 10000 + 0.5) / 10000.0)
+          / n_chars * 1000000 + 0.5) / 1000000.0 AS es_key
+      FROM documents ORDER BY es_key, doc_id LIMIT 50"""))
+
+  /** H4/D+: robust per-language length-outlier gate
+    * ([[TextAnalysis.robustOutliers]], median/MAD, z=2) — the
+    * truncation/concatenation anomaly filter. z=2 flags ~4% of the
+    * synthetic corpus (z=3 flags none — an empty result would verify
+    * nothing). Integer inputs make median and MAD exact binary
+    * doubles, so the UNROUNDED z·MAD comparison reproduces
+    * bit-for-bit in DuckDB. */
+  private val q93 = Q("q93_mad_outliers",
+    (s, d) => TextAnalysis.robustOutliers(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        group = col("lang"), value = col("n_chars"), z = 2.0)
+      .filter(col("is_outlier"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        r(col("med"), 4).as("med"), r(col("mad"), 4).as("mad"))
+      .orderBy(col("doc_id")),
+    Some("""WITH med AS (SELECT lang,
+        quantile_cont(n_chars::DOUBLE, 0.5) AS med
+        FROM documents GROUP BY lang),
+      mad AS (SELECT d.lang, m.med,
+          quantile_cont(abs(d.n_chars::DOUBLE - m.med), 0.5) AS mad
+        FROM documents d JOIN med m USING (lang) GROUP BY d.lang, m.med)
+      SELECT doc_id, d.lang, n_chars,
+        floor(m.med * 10000 + 0.5) / 10000.0 AS med,
+        floor(m.mad * 10000 + 0.5) / 10000.0 AS mad
+      FROM documents d JOIN mad m ON d.lang = m.lang
+      WHERE abs(d.n_chars::DOUBLE - m.med) > 2.0 * m.mad
+      ORDER BY doc_id"""))
+
+  /** H4: training-mix construction ([[Sampling.trainingMix]]) — a
+    * 100-doc mix targeted at en 50% / zh 30% / de 20%, each language
+    * quota filled by longest-document-first rank (doc_id tie-break).
+    * es/fr are deliberately unlisted and must drop. */
+  private val q94 = Q("q94_training_mix",
+    (s, d) => graft.operators.Sampling.trainingMix(
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        stratum = col("lang"), rankBy = col("n_chars"),
+        tieBreak = col("doc_id"), budget = 100L,
+        shares = Seq(("en", 0.5), ("zh", 0.3), ("de", 0.2)))
+      .orderBy(col("doc_id")),
+    Some("""WITH ranked AS (SELECT doc_id, lang, n_chars,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY n_chars DESC, doc_id) AS mix_rank
+        FROM documents)
+      SELECT doc_id, lang, n_chars, mix_rank FROM ranked
+      WHERE mix_rank <= CASE lang
+        WHEN 'en' THEN 50 WHEN 'zh' THEN 30 WHEN 'de' THEN 20 ELSE 0 END
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2145,6 +2240,7 @@ object Queries {
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
+    q91, q92, q93, q94,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

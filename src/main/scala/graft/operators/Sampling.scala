@@ -90,4 +90,63 @@ object Sampling {
       .otherwise(weights.last._1)
     df.withColumn(splitCol, assigned)
   }
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-RES):
+    * each row draws u ∈ (0,1) from the portable hash of (seed, key)
+    * and keys on −ln(u)/w; the k smallest keys are the sample. Rows
+    * with weight w are selected with probability proportional to w —
+    * the quality-weighted subset pass of a training-mix builder —
+    * yet membership depends only on (key, seed, weight), so the same
+    * sample reproduces across reruns, repartitions, and engines
+    * (which the SQL oracle proves literally, re-deriving every key).
+    *
+    * Plan shape: a pure per-row projection followed by a global
+    * sort-limit → `TakeOrderedAndProject` (bounded per-partition
+    * heaps; the driver merges k·partitions rows, never sorts the
+    * corpus). u = (bucket+½)/[[Denom]] keeps u strictly inside (0,1),
+    * so ln never sees 0 or 1. The key is rounded before ranking so
+    * last-ulp ln differences between engines cannot flip the cut;
+    * `key` breaks remaining ties. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     seed: String, keyCol: String = "es_key",
+                     roundTo: Int = 6): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val b = pmod(polyHash(concat(lit(seed), key.cast("string"), lit(Salt))),
+      lit(Denom))
+    val u = (b.cast("double") + 0.5) / Denom.toDouble
+    df.withColumn(keyCol, r(-log(u) / weight.cast("double"), roundTo))
+      .orderBy(col(keyCol), key)
+      .limit(k)
+  }
+
+  /** Training-mix construction: allocate a total row budget across
+    * strata by target share (e.g. languages at 50/30/20), fill each
+    * stratum's quota with its best rows by `rankBy` — the final
+    * assembly step of a curation pipeline, run after dedup and quality
+    * gating. Strata absent from `shares` are dropped; a stratum with
+    * fewer rows than its quota underfills (no silent backfill from
+    * other strata — a mix that can't hit its targets should be visible,
+    * not papered over).
+    *
+    * Plan shape: one rank window per stratum (the shuffle carries the
+    * stratum key; skew bounded by the largest stratum — salt upstream
+    * if one language dominates) and a per-row quota lookup folded into
+    * a literal CASE. No joins, no driver state. */
+  def trainingMix(df: DataFrame, stratum: Column, rankBy: Column,
+                  tieBreak: Column, budget: Long,
+                  shares: Seq[(String, Double)],
+                  rankCol: String = "mix_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, s"budget must be positive: $budget")
+    require(shares.nonEmpty && shares.forall(_._2 >= 0.0),
+      s"shares must be non-negative: $shares")
+    require(shares.map(_._2).sum <= 1.0 + 1e-9,
+      s"shares must sum to at most 1: $shares")
+    val quota = shares.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(math.round(p * budget))).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratum).orderBy(rankBy.desc, tieBreak)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= quota)
+  }
 }

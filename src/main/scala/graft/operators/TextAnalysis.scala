@@ -188,6 +188,87 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("score"))
   }
 
+  /** BM25 ranked retrieval: top-k documents for a fixed bag of query
+    * terms — the retrieval primitive behind quality-targeted corpus
+    * slicing, decontamination triage ("which training docs answer this
+    * eval question?") and seed-set expansion. Standard Okapi scoring:
+    * idf = ln(1 + (N − df + ½)/(df + ½)), tf saturation with `k1`,
+    * length normalization with `b`.
+    *
+    * Plan shape at 100 TB: the explode is filtered to the query's own
+    * terms IMMEDIATELY, so the only postings that reach the exchange
+    * are the |terms| query terms' — a sliver, never the corpus posting
+    * table. df comes from a window over `term` on that sliver (query
+    * terms only; at most |terms| window partitions); N and avgdl are
+    * one broadcast 1-row aggregate over a doc-length projection. The
+    * final top-k is a global sort-limit → `TakeOrderedAndProject`
+    * (per-partition bounded heaps, driver merges k·partitions rows —
+    * never a full sort). Scoring math is portable (ln + doubles +
+    * the shared rounding) so the SQL oracle reproduces it term for
+    * term; the rounded score ranks BEFORE the limit, with doc_id as
+    * tie-break, so the cut is engine-stable. */
+  def bm25TopDocs(df: DataFrame, id: Column, text: Column,
+                  terms: Seq[String], k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
+    require(k > 0, s"k must be positive: $k")
+    val docs = df.select(id.as("doc_id"), tokens(text).as("_tk"))
+      .withColumn("_dl", size(col("_tk")).cast("double"))
+    val stats = broadcast(docs.agg(
+      count(lit(1)).cast("double").as("_n"), avg(col("_dl")).as("_avgdl")))
+    val tf = docs
+      .select(col("doc_id"), col("_dl"), explode(col("_tk")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy(col("doc_id"), col("_dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    tf.withColumn("_df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .crossJoin(stats)
+      .withColumn("_idf",
+        log((col("_n") - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0))
+      .withColumn("_w", col("_idf") * col("_tf") * (k1 + 1.0)
+        / (col("_tf")
+          + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(r(sum(col("_w")), roundTo).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Robust per-group outlier detection (median/MAD): flags rows whose
+    * value sits more than z·MAD from its group's median — the
+    * length-anomaly gate corpus pipelines run to catch truncated and
+    * concatenated documents, where mean/stddev would be dragged by the
+    * very outliers being hunted.
+    *
+    * Plan shape: two group-sized aggregates (median, then MAD over the
+    * re-joined residuals) broadcast back onto the corpus — the corpus
+    * itself is never sorted and shuffles only on the (low-cardinality)
+    * group key. The exact `percentile` aggregate buffers each group's
+    * values, so per-group cardinality bounds executor memory; at
+    * 100 TB swap in `approx_percentile` (fixed-size mergeable state,
+    * same call shape) and keep this exact twin as the accuracy gate —
+    * the q89 sketch-vs-exact pattern. Median/MAD of integer-valued
+    * inputs are exact in binary doubles (x or x.5), so the z·MAD
+    * comparison reproduces bit-for-bit in the SQL oracle. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+                     z: Double = 3.0): DataFrame = {
+    val med = df.select(group.as("_g"), value.cast("double").as("_v"))
+      .groupBy(col("_g"))
+      .agg(expr("percentile(_v, 0.5)").as("med"))
+    val mad = df.select(group.as("_g2"), value.cast("double").as("_v"))
+      .join(broadcast(med), col("_g2") === col("_g"))
+      .groupBy(col("_g"), col("med"))
+      .agg(expr("percentile(abs(_v - med), 0.5)").as("mad"))
+    df.join(broadcast(mad), group === col("_g"))
+      .withColumn("is_outlier",
+        abs(value.cast("double") - col("med")) > lit(z) * col("mad"))
+      .drop("_g")
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

@@ -2230,6 +2230,38 @@ object Queries {
         WHEN 'en' THEN 50 WHEN 'zh' THEN 30 WHEN 'de' THEN 20 ELSE 0 END
       ORDER BY doc_id"""))
 
+  /** H1+: corpus snapshot diff ([[Dedup.snapshotDiff]]) — two corpus
+    * versions derived deterministically from `documents` (v1 drops
+    * doc_id%10==3; v2 drops %10==7 and edits %13==0 texts), classified
+    * added/removed/changed by content hash through ONE full-outer
+    * id join. Only the non-unchanged slice is returned — the rows an
+    * incremental pipeline would reprocess. */
+  private val q95 = Q("q95_snapshot_diff",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13L)) === 0,
+            concat(col("text"), lit(" r6"))).otherwise(col("text")))
+      Dedup.snapshotDiff(v1, v2, col("doc_id"), col("text"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy(col("id"))
+    },
+    Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS ho
+        FROM documents WHERE doc_id % 10 <> 3),
+      n AS (SELECT doc_id AS id,
+          md5(CASE WHEN doc_id % 13 = 0 THEN text || ' r6' ELSE text END) AS hn
+        FROM documents WHERE doc_id % 10 <> 7),
+      diff AS (SELECT coalesce(o.id, n.id) AS id,
+          CASE WHEN o.id IS NULL THEN 'added'
+               WHEN n.id IS NULL THEN 'removed'
+               WHEN ho <> hn THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.id = n.id)
+      SELECT id, status FROM diff WHERE status <> 'unchanged'
+      ORDER BY id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2240,7 +2272,7 @@ object Queries {
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
-    q91, q92, q93, q94,
+    q91, q92, q93, q94, q95,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -38,6 +38,32 @@ object Sinks {
       .orc(path)
   }
 
+  /** Size-targeted parquet sink — the small-files guard. A 100 TB
+    * pipeline that writes through whatever partitioning the last
+    * shuffle left behind produces either thousands of KB-sized files
+    * (metadata pressure, slow listings, tiny row groups that defeat
+    * min/max pruning) or a handful of multi-GB ones (no read
+    * parallelism, whole-file retries). This sink sizes the file count
+    * from the OPTIMIZER'S estimate of the output bytes
+    * (`optimizedPlan.stats.sizeInBytes` — free: no extra scan, no
+    * count job, available on any plan) and round-robin repartitions to
+    * ceil(bytes / targetBytes) before writing, so every output file
+    * lands near the target regardless of what upstream did.
+    * The estimate is in-memory bytes and parquet compresses, so files
+    * land under target (safe side: more, smaller files — never the
+    * multi-GB failure mode); callers with a known compression ratio
+    * fold it into `targetBytes`. Returns the file count chosen. */
+  def writeParquetSized(df: DataFrame, path: String,
+                        targetBytes: Long = 128L << 20,
+                        mode: SaveMode = SaveMode.Overwrite): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = (estBytes + targetBytes - 1) / targetBytes
+    val n = files.min(BigInt(1 << 20)).max(BigInt(1)).toInt
+    df.repartition(n).write.mode(mode).parquet(path)
+    n
+  }
+
   /** A6: distributed, batched JDBC sink (vs the reference's row-at-a-
     * time driver loop). `batchsize` controls rows per executeBatch;
     * `numPartitions` caps concurrent connections against the database. */

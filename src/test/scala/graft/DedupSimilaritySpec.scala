@@ -15,6 +15,15 @@ class DedupSimilaritySpec extends SparkSpec {
     (4L, "fr", "the quick brown fox jumps over the lazy dog")       // dup, other block
   ).toDF("doc_id", "lang", "text")
 
+  test("snapshotDiff classifies added/removed/changed/unchanged by content hash") {
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val v2 = Seq((2L, "b"), (3L, "x"), (4L, "d")).toDF("id", "text")
+    val got = Dedup.snapshotDiff(v1, v2, col("id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("H1 exact dedup: identical texts share a hash; lowest id is keeper") {
     val out = Dedup.exact(docs, col("doc_id"), col("text"))
       .select("doc_id", "content_hash", "rn", "is_dup")

@@ -78,4 +78,19 @@ class ExtensionsSinksSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(part"), plan)
     assert(new java.io.File(s"$dir/out/part=a").exists())
   }
+
+  test("sinks: size-targeted parquet write fixes upstream partitioning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized_").toString
+    // badly partitioned upstream: 64 partitions for a small table would
+    // write 64 tiny files through the naive sink
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("payload", concat_ws("-", col("id"), lit("x" * 64)))
+      .repartition(64)
+    val n = Sinks.writeParquetSized(df, s"$dir/out", targetBytes = 512L << 10)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files === n, s"wrote $files files, chose $n")
+    assert(n < 64, s"sized writer must collapse the 64-way layout, chose $n")
+    assert(spark.read.parquet(s"$dir/out").count() === 20000)
+  }
 }

@@ -100,6 +100,38 @@ class PlanRegressionSpec extends SparkSpec {
       s"exactly one Window (df over term) may remain:\n$p")
   }
 
+  test("q91 BM25: query-term filter sits below the first exchange; bounded-heap cut") {
+    val p = plan("q91_bm25_retrieval")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be a bounded-heap sort-limit, not a full sort:\n$p")
+    // the IN-filter on the query terms must run before any exchange —
+    // the shuffle carries the query-term posting sliver, not the corpus
+    val firstExchange = p.indexOf("Exchange hashpartitioning")
+    val termFilter = p.indexOf(" IN (spark,window,hash)")
+    assert(termFilter >= 0 && firstExchange >= 0 && termFilter > firstExchange,
+      // executedPlan prints top-down: a LATER string offset = LOWER in
+      // the plan = runs EARLIER; the filter must print after (below)
+      // the first exchange
+      s"term filter must sit below the first exchange:\n$p")
+  }
+
+  test("q92 weighted sample: pure projection + bounded-heap cut, zero shuffles") {
+    val p = plan("q92_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"),
+      s"the weighted sample must not shuffle:\n$p")
+  }
+
+  test("q95 snapshot diff: digests join co-partitioned, payloads stay off the exchange") {
+    val p = plan("q95_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    // both exchanges must carry (id, md5) projections, never text
+    val exchanges = "Exchange hashpartitioning\\(id#\\d+L".r.findAllIn(p).length
+    assert(exchanges === 2, s"both version sides co-partition on id:\n$p")
+    assert("md5".r.findAllIn(p).nonEmpty && !p.contains("text#1]: string"),
+      s"the join input must be digests, not payloads:\n$p")
+  }
+
   test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
     // force execution so the AQE plan is final and the checkpoint exists
     val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))

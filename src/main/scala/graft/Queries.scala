@@ -2262,6 +2262,196 @@ object Queries {
       SELECT id, status FROM diff WHERE status <> 'unchanged'
       ORDER BY id"""))
 
+  /** The q96/q99 synthetic link graph: 3 out-links per document,
+    * dst = (doc_id² + 7 + j·97) mod n for j ∈ {0,1,2} (doc_ids are
+    * contiguous 0..n−1 in the testdata, so every target is a real
+    * document and every vertex has out-degree 3 — no dangling mass,
+    * which the oracle relies on; the dangling path is covered by
+    * GraphSpec's hand-computed graph). The QUADRATIC map is the point:
+    * a linear a·doc_id+b with gcd(a,n)=1 is a permutation per j, the
+    * graph comes out in-degree-regular, and PageRank degenerates to
+    * the uniform fixpoint — verifying nothing. Squares mod n are
+    * non-bijective, so in-degrees (and therefore ranks) spread. */
+  private def linkEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array((0 to 2).map(j =>
+          pmod(col("doc_id") * col("doc_id") + 7 + j * 97, col("n_docs"))): _*)).as("dst"))
+  }
+
+  /** Shared oracle CTE chain for q96/q99: the same link graph and
+    * PageRank's 3 damped iterations unrolled (no dangling term — the
+    * derived graph has none, and Spark's in-plan dangling aggregate is
+    * exactly 0.0 there, so `m + 0.0` mirrors bit for bit). */
+  private val pageRankOracleCte: String =
+    """WITH cnt AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      e AS (SELECT doc_id AS src,
+          (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+        FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      pr0 AS (SELECT id, 1.0 / n AS rank FROM v CROSS JOIN cnt),
+      m1 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
+        FROM e JOIN deg USING (src) JOIN pr0 p ON e.src = p.id GROUP BY e.dst),
+      pr1 AS (SELECT v.id, (1.0 - 0.85) / n + 0.85 * (coalesce(m1.m, 0.0) + 0.0) AS rank
+        FROM v CROSS JOIN cnt LEFT JOIN m1 ON v.id = m1.id),
+      m2 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
+        FROM e JOIN deg USING (src) JOIN pr1 p ON e.src = p.id GROUP BY e.dst),
+      pr2 AS (SELECT v.id, (1.0 - 0.85) / n + 0.85 * (coalesce(m2.m, 0.0) + 0.0) AS rank
+        FROM v CROSS JOIN cnt LEFT JOIN m2 ON v.id = m2.id),
+      m3 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
+        FROM e JOIN deg USING (src) JOIN pr2 p ON e.src = p.id GROUP BY e.dst),
+      pr3 AS (SELECT v.id, (1.0 - 0.85) / n + 0.85 * (coalesce(m3.m, 0.0) + 0.0) AS rank
+        FROM v CROSS JOIN cnt LEFT JOIN m3 ON v.id = m3.id)"""
+
+  /** H+ graph: PageRank over the synthetic document link graph
+    * ([[graft.operators.Graph.pageRank]], 3 iterations, d = 0.85) —
+    * the link-centrality quality prior of web-corpus curation. The
+    * oracle unrolls all three iterations in SQL; ranks reproduce to
+    * 8 decimals (FP divergence between engines is summation-order
+    * ulps, ~1e-16, eight orders below the rounding step). */
+  private val q96 = Q("q96_pagerank",
+    (s, d) => graft.operators.Graph.pageRank(
+        linkEdges(s, d), col("src"), col("dst"),
+        iterations = 3, damping = 0.85,
+        // every doc emits 3 links by construction → no dangling mass;
+        // the contract drops a per-round left-anti + broadcast job
+        assumeNoDangling = true)
+      .select(col("id").as("doc_id"), col("out_deg"),
+        r(col("rank"), 8).as("rank"))
+      .orderBy(col("doc_id")),
+    Some(s"""$pageRankOracleCte
+      SELECT v.id AS doc_id,
+        CAST(coalesce(deg.od, 0.0) AS BIGINT) AS out_deg,
+        floor(pr3.rank * 100000000 + 0.5) / 100000000.0 AS rank
+      FROM v JOIN pr3 ON v.id = pr3.id LEFT JOIN deg ON v.id = deg.src
+      ORDER BY doc_id"""),
+    bench = true)
+
+  /** H2+: graded contamination scoring
+    * ([[Dedup.contaminationScore]]) — the fraction of each corpus
+    * doc's distinct 3-gram shingles found anywhere in the eval set
+    * (q69's 10% hash sample). The membership check rides a broadcast
+    * of the eval set's distinct shingles; corpus postings never
+    * shuffle for the join. */
+  private val q97 = Q("q97_contamination_score",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val evalSet = graft.operators.Sampling.hashSample(
+        docs, col("doc_id"), fraction = 0.1)
+      Dedup.contaminationScore(docs, evalSet, "doc_id", col("text"),
+          shingleN = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          r(col("contamination"), 4).as("contamination"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents),
+      sh AS (SELECT doc_id, unnest(${sqlShingles("tk")}) AS shingle FROM tk),
+      ev AS (SELECT DISTINCT shingle FROM sh
+        WHERE ${sqlPolyHash("CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 1000),
+      agg AS (SELECT s.doc_id, count(*) AS n_shingles,
+          count(ev.shingle) AS n_hit
+        FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+        GROUP BY s.doc_id)
+      SELECT doc_id, n_shingles, n_hit,
+        floor(n_hit::DOUBLE / n_shingles::DOUBLE * 10000 + 0.5) / 10000.0
+          AS contamination
+      FROM agg ORDER BY doc_id"""),
+    bench = true)
+
+  /** H4+: token co-occurrence PMI ([[TextAnalysis.tokenPmi]]) — the
+    * collocation signal over distinct per-doc tokens, pairs generated
+    * as a pure projection (no postings self-join; the oracle USES the
+    * self-join, making the two plans' agreement a differential test of
+    * the pair-expansion expression). Ranking is on the ROUNDED score
+    * with (term_a, term_b) tie-break, so the top-25 boundary is
+    * engine-stable. */
+  private val q98 = Q("q98_token_pmi",
+    (s, d) => TextAnalysis.tokenPmi(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        minPairDocs = 50L)
+      .select(col("term_a"), col("term_b"), col("df_ab"),
+        r(col("pmi"), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+      .limit(25),
+    Some("""WITH tk AS (SELECT doc_id,
+        list_distinct(string_split(text, ' ')) AS tok FROM documents),
+      cnt AS (SELECT count(*)::DOUBLE AS n FROM tk),
+      post AS (SELECT doc_id, unnest(tok) AS term FROM tk),
+      dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+          count(*) AS df_ab
+        FROM post a JOIN post b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2 HAVING count(*) >= 50)
+      SELECT term_a, term_b, df_ab,
+        floor(ln(df_ab * n / (da.df * db.df)) * 10000 + 0.5) / 10000.0
+          AS pmi
+      FROM pairs JOIN dft da ON pairs.term_a = da.term
+        JOIN dft db ON pairs.term_b = db.term CROSS JOIN cnt
+      ORDER BY pmi DESC, term_a, term_b LIMIT 25"""))
+
+  /** H+ composite: centrality-weighted corpus sampling — q96's
+    * PageRank feeds [[Sampling.weightedSample]] as the weight column
+    * (P(selected) ∝ link-graph rank), the RefinedWeb-style "sample the
+    * reputable web harder" draw, chained entirely in-plan. The oracle
+    * re-derives both the unrolled ranks and every Efraimidis–Spirakis
+    * key; rank FP divergence (~1e-16 relative) is six orders below the
+    * rounded key's step at the cut boundary. */
+  private val q99 = Q("q99_pagerank_weighted_sample",
+    (s, d) => graft.operators.Sampling.weightedSample(
+        graft.operators.Graph.pageRank(
+            linkEdges(s, d), col("src"), col("dst"),
+            iterations = 3, damping = 0.85, assumeNoDangling = true)
+          .select(col("id").as("doc_id"), col("rank")),
+        key = col("doc_id"), weight = col("rank"), k = 50, seed = "pr6")
+      .select(col("doc_id"), r(col("rank"), 8).as("rank"), col("es_key"))
+      .orderBy(col("es_key"), col("doc_id")),
+    Some(s"""$pageRankOracleCte
+      SELECT p.id AS doc_id,
+        floor(p.rank * 100000000 + 0.5) / 100000000.0 AS rank,
+        floor(-ln(((${sqlPolyHash("'pr6' || CAST(p.id AS VARCHAR) || '#graft-sample'")}) % 10000 + 0.5) / 10000.0)
+          / p.rank * 1000000 + 0.5) / 1000000.0 AS es_key
+      FROM pr3 p ORDER BY es_key, doc_id LIMIT 50"""))
+
+  /** H4+: per-language quality-quantile gate
+    * ([[TextAnalysis.quantileGate]], top 20% by q40's composite
+    * quality score, doc_id tie-break) — the FineWeb-style per-stratum
+    * keep that an absolute threshold can't express. The ranking runs
+    * on the UNROUNDED score: both engines compute the identical IEEE
+    * op sequence (q40 pins the formula), so order — and therefore the
+    * percent_rank cut — cannot diverge. */
+  private val q100 = Q("q100_quality_gate",
+    (s, d) => TextAnalysis.quantileGate(
+        TextAnalysis.withTextStats(t(s, d, "documents"), col("text")),
+        stratum = col("lang"), score = col("quality_score"),
+        tieBreak = col("doc_id"), keepFrac = 0.2)
+      .select(col("doc_id"), col("lang"),
+        r(col("quality_score"), 4).as("quality_score"),
+        r(col("pct_rank"), 6).as("pct_rank"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        FROM documents),
+      st AS (SELECT doc_id, lang,
+          len(tk) AS n_tokens,
+          len(list_distinct(tk)) AS n_dt,
+          len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS n_sw
+        FROM t),
+      sc AS (SELECT doc_id, lang,
+          least(1.0, n_tokens / 200.0) * 0.5 + (n_dt::DOUBLE / n_tokens) * 0.3
+            + (n_sw::DOUBLE / n_tokens) * 0.2 AS q
+        FROM st),
+      rk AS (SELECT doc_id, lang, q,
+          percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS pr
+        FROM sc)
+      SELECT doc_id, lang,
+        floor(q * 10000 + 0.5) / 10000.0 AS quality_score,
+        floor(pr * 1000000 + 0.5) / 1000000.0 AS pct_rank
+      FROM rk WHERE pr <= 0.2 ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2272,7 +2462,7 @@ object Queries {
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95,
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

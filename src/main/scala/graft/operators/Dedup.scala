@@ -256,6 +256,38 @@ object Dedup {
         col("n_overlap"))
   }
 
+  /** Per-document contamination SCORE: the fraction of a corpus
+    * document's distinct word-`shingleN`-gram shingles that appear
+    * anywhere in the eval set. [[decontaminate]] answers "which docs
+    * leak?" with a pairwise threshold; this answers the graded
+    * question real pipelines act on — "HOW contaminated is each doc?"
+    * — which is what gets thresholded, audited, and reported per
+    * benchmark release.
+    *
+    * Scale: the eval side collapses to its DISTINCT shingle set
+    * (benchmarks are thousands of docs — the set is tiny next to the
+    * corpus), so AQE broadcasts it and the corpus postings NEVER
+    * shuffle for the join; the only corpus-sized exchange is the
+    * per-doc re-aggregation, which map-side partial counting reduces
+    * to one row per (doc, partition). Docs with fewer than `shingleN`
+    * tokens have no shingles and are absent from the output (the same
+    * no-shingles law as the dedup family).
+    *
+    * Output: (id, n_shingles, n_hit, contamination ∈ [0,1]). */
+  def contaminationScore(corpus: DataFrame, evalSet: DataFrame, id: String,
+                         text: Column, shingleN: Int = 3): DataFrame = {
+    val evalShingles = withShingles(evalSet, text, shingleN)
+      .select(explode(col("sh")).as("shingle")).distinct()
+      .withColumn("_hit", lit(1L))
+    withShingles(corpus, text, shingleN)
+      .select(col(id), explode(col("sh")).as("shingle"))
+      .join(evalShingles, Seq("shingle"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** [[decontaminate]] with the 100 TB shuffle diet the class doc
     * promises: the corpus postings shuffle as `(c_id, xxhash64(shingle))`
     * — 16 bytes per posting instead of the full shingle string (a

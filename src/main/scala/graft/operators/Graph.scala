@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for corpus curation (`SURVEY.md` §2 H+): the
+  * web-graph centrality signal that production pretraining pipelines
+  * attach to every crawled page (a page's link-graph standing is one
+  * of the strongest document-quality priors available before any
+  * content model runs). The reference engine has no graph surface at
+  * all; this is a graft addition in the same spirit as the dedup and
+  * sampling families.
+  *
+  * Scale design (the Pregel-on-DataFrames shape):
+  *  - The EDGE table — the 100 TB side — is hash-partitioned on `src`
+  *    exactly once, fused with the out-degree lookup, and pinned
+  *    behind a `localCheckpoint` barrier. Every iteration reuses that
+  *    layout; the only thing that moves per round is the VERTEX-sized
+  *    rank table (shuffled to the edge layout for the contribution
+  *    join, then re-aggregated on `dst`).
+  *  - N and the per-round dangling mass are 1-row aggregates joined
+  *    into the plan (broadcast), never driver actions — the loop runs
+  *    without collecting anything.
+  *  - Each round ends in a `localCheckpoint` so lineage stays flat
+  *    (no O(iterations)-deep plan for Catalyst to re-derive). Lazy
+  *    checkpoints: materialization happens when the round's frame is
+  *    first consumed, and executor loss re-runs from the previous
+  *    barrier. On long-lived clusters swap `reliable = true` barriers
+  *    (see [[OpUtils.barrier]]) for replayable rounds.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list, damped uniform teleport.
+    *
+    * Per iteration, with damping `d` and vertex count `N`:
+    * {{{
+    *   pr'(v) = (1 - d)/N + d * ( Σ_{u→v} pr(u)/out(u) + dangling/N )
+    * }}}
+    * where `dangling` is the total rank mass parked on vertices with
+    * no out-edges (redistributed uniformly — the standard correction
+    * that keeps Σ pr = 1 without materializing N self-loops).
+    *
+    * Parallel edges are honored as repeated contributions (callers
+    * wanting simple-graph semantics `.distinct()` their edge list
+    * first); the vertex set is `src ∪ dst`, so sink-only vertices
+    * participate and accumulate rank.
+    *
+    * Fixed `iterations` rather than convergence-test rounds: rank
+    * deltas shrink geometrically (factor `d`), so small fixed budgets
+    * are the production norm and keep the oracle expressible as an
+    * unrolled SQL chain. The per-round shuffles are: rank → edge
+    * layout (vertex-sized), contribution re-agg on `dst`
+    * (edge-sized with map-side partial combine), and the left join
+    * back to the vertex set (vertex-sized).
+    *
+    * `assumeNoDangling = true` is the caller's CONTRACT that every
+    * vertex has at least one out-edge (true of link graphs that were
+    * pre-filtered to resolvable targets, and of any synthetic graph
+    * built by mapping each node to targets). It removes the per-round
+    * dangling aggregate — a left-anti join plus a broadcast
+    * materialization job per iteration that would compute exactly 0.0
+    * — from the plan. If the contract is violated, the dropped mass
+    * makes Σ rank < 1 (detectable; GraphSpec pins both modes).
+    *
+    * Output: one row per vertex — (id, out_deg, rank), Σ rank = 1. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iterations: Int = 3, damping: Double = 0.85,
+               assumeNoDangling: Boolean = false): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+
+    // Out-degree fused onto the edge table ONCE, partitioned on src,
+    // pinned: the big side of every round's join never moves again.
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("out_deg"))
+    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint(false)
+
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    // N as an in-plan 1-row broadcast (checkpointed so each consumer
+    // does not replan the distinct behind it).
+    val nRow = verts.agg(count(lit(1)).cast("double").as("n")).localCheckpoint(false)
+    val srcIds = deg.select(col("src").as("id")).localCheckpoint(false)
+
+    var ranks = verts.crossJoin(broadcast(nRow))
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val inMass = ed
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("contrib"))
+        .groupBy(col("id")).agg(sum(col("contrib")).as("in_mass"))
+      val withMass = verts
+        .join(inMass, Seq("id"), "left")
+        .crossJoin(broadcast(nRow))
+      val joined =
+        if (assumeNoDangling) withMass.withColumn("dangling_mass", lit(0.0))
+        else withMass.crossJoin(broadcast(
+          ranks.join(srcIds, Seq("id"), "left_anti")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))))
+      ranks = joined
+        .select(col("id"),
+          ((lit(1.0 - damping) / col("n")) + lit(damping) *
+            (coalesce(col("in_mass"), lit(0.0)) + col("dangling_mass") / col("n")))
+            .as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks
+      .join(deg.select(col("src").as("id"), col("out_deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("out_deg"), lit(0.0)).cast("long").as("out_deg"),
+        col("rank"))
+  }
+}

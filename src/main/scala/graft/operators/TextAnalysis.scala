@@ -269,6 +269,79 @@ object TextAnalysis {
       .drop("_g")
   }
 
+  /** Per-stratum quality-quantile gate: keep each group's best
+    * `keepFrac` fraction by `score` — the "keep the top p% per
+    * language" filter web-corpus curation applies after scoring,
+    * where an absolute threshold would gut low-resource languages
+    * (their score distributions sit lower) but a per-stratum quantile
+    * keeps every language's own best.
+    *
+    * Cut rule: `percent_rank() ≤ keepFrac` under (score DESC,
+    * tieBreak) — rank ties are impossible given a total tie-break, so
+    * the cut is deterministic and engine-reproducible; `pct_rank` is
+    * emitted for auditability. One rank window per stratum: the
+    * shuffle carries the stratum key; skew is bounded by the largest
+    * stratum (salt upstream if one language dominates — same law as
+    * [[graft.operators.Sampling.trainingMix]]). */
+  def quantileGate(df: DataFrame, stratum: Column, score: Column,
+                   tieBreak: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(score.desc, tieBreak)
+    df.withColumn("pct_rank", percent_rank().over(w))
+      .filter(col("pct_rank") <= keepFrac)
+  }
+
+  /** Token co-occurrence PMI over the corpus: for every pair of terms
+    * that co-occur (both present, once each counted) in at least
+    * `minPairDocs` documents,
+    * {{{ pmi(a,b) = ln( df(a,b) · N / (df(a) · df(b)) ) }}}
+    * with document frequencies over DISTINCT per-doc tokens — the
+    * classic collocation / phrase-mining signal (and the building
+    * block for n-gram vocabulary induction over a pretraining corpus).
+    *
+    * Scale: the pair table is generated as a PURE PROJECTION — the
+    * sorted distinct-token array expands to ordered pairs via nested
+    * array transforms, so there is NO per-doc self-join (the naive
+    * postings⋈postings plan shuffles the posting table twice and
+    * joins it against itself; this shape shuffles only the exploded
+    * pair rows, once, straight into a map-side-combined count). Pair
+    * volume is Σ_doc (k choose 2) for k distinct tokens per doc —
+    * at 100 TB cap per-doc distinct tokens upstream (standard
+    * practice) and raise `minPairDocs` so the post-agg table is
+    * vocabulary²-bounded, not corpus-bounded. The df lookup join is
+    * vocabulary-sized — AQE broadcasts it.
+    *
+    * Output: (term_a, term_b, df_ab, pmi) with term_a < term_b. */
+  def tokenPmi(df: DataFrame, id: Column, text: Column,
+               minPairDocs: Long = 2L): DataFrame = {
+    val toks = OpUtils.derived(
+      df.select(id.as("_id"), text.as("_text")))(
+      _.withColumn("tok", array_sort(array_distinct(tokens(col("_text"))))))
+      .select(col("_id"), col("tok"))
+    // In-plan (not checkpointed): all three consumers of `toks` sit in
+    // ONE final plan, so the repartition exchange behind the token
+    // derivation is computed once and ReusedExchange feeds the rest.
+    val nRow = toks.agg(count(lit(1)).cast("double").as("n"))
+    val dfT = toks.select(explode(col("tok")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val pairs = toks
+      .select(explode(flatten(transform(col("tok"), (a, i) =>
+        transform(slice(col("tok"), i + lit(2), greatest(size(col("tok")) - i - 1, lit(0))),
+          b => struct(a.as("term_a"), b.as("term_b")))))).as("p"))
+      .select(col("p.term_a"), col("p.term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= minPairDocs)
+    pairs
+      .join(dfT.select(col("term").as("term_a"), col("df").as("df_a")), "term_a")
+      .join(dfT.select(col("term").as("term_b"), col("df").as("df_b")), "term_b")
+      .crossJoin(broadcast(nRow))
+      .select(col("term_a"), col("term_b"), col("df_ab"),
+        log(col("df_ab") * col("n") / (col("df_a") * col("df_b"))).as("pmi"))
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

@@ -155,4 +155,90 @@ class CorpusOpsSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("contaminationScore: hand-computed fractions; no-shingle docs drop") {
+    // c1 shares 1 of its 2 shingles with the eval set; c2 shares none;
+    // c3 is too short to shingle and must be absent.
+    val corpus = Seq(
+      (1L, "x y z w"),        // shingles {x y z, y z w}
+      (2L, "p q r s"),        // shingles {p q r, q r s}
+      (3L, "a b")             // no 3-gram shingles
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((10L, "x y z q")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, evalSet, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_hit", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("contaminationScore ≡ 1.0 for an eval doc scored against itself") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val evalSet = Sampling.hashSample(docs, col("doc_id"), fraction = 0.1)
+    val scored = Dedup.contaminationScore(docs, evalSet, "doc_id", col("text"))
+    val evalScores = scored.join(evalSet.select("doc_id"), "doc_id")
+      .select("contamination").as[Double].collect()
+    assert(evalScores.nonEmpty && evalScores.forall(_ == 1.0),
+      "every eval doc's own shingles are all in the eval set")
+  }
+
+  test("tokenPmi: hand-computed PMI; within-doc repeats count once") {
+    // N=3. a,b co-occur in 2 docs (df_a=2, df_b=2); c,d in 1 (df 1,1).
+    // pmi(a,b) = ln(2·3/(2·2)) = ln 1.5 ; pmi(c,d) = ln(1·3/1) = ln 3.
+    val docs = Seq(
+      (1L, "a a b"),          // repeated 'a' counts once
+      (2L, "b a"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenPmi(docs, col("doc_id"), col("text"),
+        minPairDocs = 1L)
+      .orderBy("term_a", "term_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("a", "b", 2L), ("c", "d", 1L)))
+    assert(math.abs(got(0)._4 - math.log(1.5)) < 1e-12)
+    assert(math.abs(got(1)._4 - math.log(3.0)) < 1e-12)
+  }
+
+  test("quantileGate: per-stratum cut at percent_rank ≤ keepFrac, inclusive") {
+    // Group A: 6 rows, keepFrac .2 → pct = (rank−1)/5 keeps ranks 1
+    // (0.0) and 2 (0.2, boundary INCLUSIVE); group B: 1 row → pct 0.
+    val df = (Seq((1L, "A", 60.0), (2L, "A", 50.0), (3L, "A", 40.0),
+      (4L, "A", 30.0), (5L, "A", 20.0), (6L, "A", 10.0),
+      (7L, "B", 1.0))).toDF("id", "g", "score")
+    val kept = TextAnalysis.quantileGate(df, col("g"), col("score"),
+        col("id"), keepFrac = 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 7L))
+  }
+
+  test("quantileGate: score ties break on the tie-break column") {
+    val df = Seq((1L, "A", 5.0), (2L, "A", 5.0), (3L, "A", 5.0),
+      (4L, "A", 5.0), (5L, "A", 5.0), (6L, "A", 5.0))
+      .toDF("id", "g", "score")
+    // All-equal scores: rank order is the tie-break (id), so the 20%
+    // cut keeps exactly ids 1 and 2 — deterministically.
+    val kept = TextAnalysis.quantileGate(df, col("g"), col("score"),
+        col("id"), keepFrac = 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("tokenPmi pair expansion has no self-join below the pair aggregate") {
+    // The operator's scale claim: ordered pairs come from a pure array
+    // projection, so the plan up to the first aggregate contains no
+    // join at all (the only joins are the vocabulary-sized df lookups
+    // ABOVE it). Count joins in the whole plan: exactly 3 (df_a, df_b,
+    // and the 1-row N cross join) — a postings self-join would add a
+    // fourth.
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val plan = TextAnalysis.tokenPmi(docs, col("doc_id"), col("text"),
+        minPairDocs = 50L)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.length == 3,
+      s"expected exactly the 2 df lookups + 1-row N join, got " +
+        s"${joins.length}:\n$plan")
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** [[graft.operators.Graph.pageRank]]: hand-computed ranks on tiny
+  * graphs (including the dangling-mass path the q96 oracle's graph
+  * never exercises), conservation + fixpoint invariants, and the
+  * multiset edge law. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranksOf(edges: Seq[(Long, Long)], iters: Int,
+                      damping: Double = 0.85): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("s", "t"), col("s"), col("t"),
+        iterations = iters, damping = damping)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+
+  test("dangling vertex: hand-computed one-iteration ranks") {
+    // 1 → 2; vertex 2 has no out-edges, so its entire mass re-enters
+    // uniformly. pr1(1) = .15/2 + .85·(0 + .5/2)        = 0.2875
+    //           pr1(2) = .15/2 + .85·(.5 + .5/2)        = 0.7125
+    val pr = ranksOf(Seq((1L, 2L)), iters = 1)
+    assert(math.abs(pr(1L) - 0.2875) < 1e-12)
+    assert(math.abs(pr(2L) - 0.7125) < 1e-12)
+  }
+
+  test("rank mass is conserved across iterations (dangling included)") {
+    // Chain with a dangling tail and a sink-only vertex: 1→2→3.
+    for (iters <- Seq(0, 1, 3, 5)) {
+      val pr = ranksOf(Seq((1L, 2L), (2L, 3L)), iters)
+      assert(math.abs(pr.values.sum - 1.0) < 1e-9,
+        s"mass drifted at $iters iterations: ${pr.values.sum}")
+    }
+  }
+
+  test("symmetric cycle is a fixpoint at exactly 1/n") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val pr = ranksOf(cycle, iters = 4)
+    cycle.foreach { case (v, _) =>
+      assert(math.abs(pr(v) - 1.0 / 3) < 1e-12) }
+  }
+
+  test("parallel edges contribute repeated mass; out_deg counts the multiset") {
+    // 1 has two parallel edges to 2 and one to 3: two thirds of 1's
+    // mass must flow to 2 (out_deg 3), versus the simple-graph split.
+    val out = Graph.pageRank(
+        Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("s", "t"),
+        col("s"), col("t"), iterations = 1)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 3L)           // multiset out-degree
+    assert(out(2L)._1 == 0L)           // sink-only vertex surfaces
+    // in_mass(2) = 2·(1/3)/3, in_mass(3) = (1/3)/3; dangling = 2/3.
+    val n = 3.0; val d = 0.85; val dang = 2.0 / 3
+    val exp2 = 0.15 / n + d * (2.0 / 9 + dang / n)
+    val exp3 = 0.15 / n + d * (1.0 / 9 + dang / n)
+    assert(math.abs(out(2L)._2 - exp2) < 1e-12)
+    assert(math.abs(out(3L)._2 - exp3) < 1e-12)
+  }
+
+  test("assumeNoDangling ≡ full mode on a dangling-free graph; drops mass when violated") {
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+    def run(edges: Seq[(Long, Long)], assume: Boolean) =
+      Graph.pageRank(edges.toDF("s", "t"), col("s"), col("t"),
+          iterations = 3, assumeNoDangling = assume)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(cycle, assume = true) == run(cycle, assume = false))
+    // Violating the contract (2 is dangling) must surface as Σ rank < 1,
+    // not as a silently re-normalized wrong answer.
+    val broken = run(Seq((0L, 1L), (1L, 2L)), assume = true)
+    assert(broken.map(_._3).sum < 0.999)
+  }
+
+  test("q96 fixture graph: every doc has out_deg 3 and ranks sum to 1") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val n = docs.count()
+    val edges = docs
+      .select(col("doc_id").as("s"),
+        explode(array((0 to 2).map(j =>
+          pmod(col("doc_id") * col("doc_id") + 7 + j * 97, lit(n))): _*)).as("t"))
+    val pr = Graph.pageRank(edges, col("s"), col("t"), iterations = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(pr.length == n)
+    assert(pr.forall(_._2 == 3L))
+    assert(math.abs(pr.map(_._3).sum - 1.0) < 1e-9)
+    // The graph is non-regular in IN-degree, so ranks must spread.
+    assert(pr.map(_._3).distinct.length > 1)
+  }
+}

@@ -2281,17 +2281,22 @@ object Queries {
           pmod(col("doc_id") * col("doc_id") + 7 + j * 97, col("n_docs"))): _*)).as("dst"))
   }
 
-  /** Shared oracle CTE chain for q96/q99: the same link graph and
-    * PageRank's 3 damped iterations unrolled (no dangling term — the
-    * derived graph has none, and Spark's in-plan dangling aggregate is
-    * exactly 0.0 there, so `m + 0.0` mirrors bit for bit). */
-  private val pageRankOracleCte: String =
+  /** Shared oracle CTE prefix for q96/q99/q101: the synthetic link
+    * graph, its out-degrees, and the vertex set. */
+  private val linkGraphCte: String =
     """WITH cnt AS (SELECT count(*)::DOUBLE AS n FROM documents),
       e AS (SELECT doc_id AS src,
           (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
         FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
       deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src),
-      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)"""
+
+  /** q96/q99: PageRank's 3 damped iterations unrolled (no dangling
+    * term — the derived graph has none, and Spark's in-plan dangling
+    * aggregate is exactly 0.0 there, so `m + 0.0` mirrors bit for
+    * bit). */
+  private val pageRankOracleCte: String =
+    s"""$linkGraphCte,
       pr0 AS (SELECT id, 1.0 / n AS rank FROM v CROSS JOIN cnt),
       m1 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
         FROM e JOIN deg USING (src) JOIN pr0 p ON e.src = p.id GROUP BY e.dst),
@@ -2417,6 +2422,207 @@ object Queries {
           / p.rank * 1000000 + 0.5) / 1000000.0 AS es_key
       FROM pr3 p ORDER BY es_key, doc_id LIMIT 50"""))
 
+  /** H+ graph: personalized PageRank
+    * ([[graft.operators.Graph.pageRank]] with `teleportTo`) — the
+    * topic-focused walk: teleport (and dangling redistribution)
+    * concentrates on a trusted seed set (every 20th doc) instead of
+    * all of V, ranking the corpus by link proximity to the seeds.
+    * Oracle unrolls the seeded iterations like q96's. */
+  private val q101 = Q("q101_personalized_pagerank",
+    (s, d) => {
+      val seeds = t(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(20L)) === 0)
+        .select(col("doc_id").as("id"))
+      graft.operators.Graph.pageRank(
+          linkEdges(s, d), col("src"), col("dst"),
+          iterations = 3, damping = 0.85, assumeNoDangling = true,
+          teleportTo = Some(seeds))
+        .select(col("id").as("doc_id"), col("out_deg"),
+          r(col("rank"), 8).as("rank"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$linkGraphCte,
+      sc AS (SELECT count(*)::DOUBLE AS ns FROM v WHERE id % 20 = 0),
+      tele AS (SELECT id,
+          CASE WHEN id % 20 = 0 THEN 1.0 / ns ELSE 0.0 END AS tele
+        FROM v CROSS JOIN sc),
+      pp0 AS (SELECT id, tele AS rank FROM tele),
+      pm1 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
+        FROM e JOIN deg USING (src) JOIN pp0 p ON e.src = p.id GROUP BY e.dst),
+      pp1 AS (SELECT v.id, (1.0 - 0.85) * t.tele + 0.85 * (coalesce(pm1.m, 0.0) + 0.0) AS rank
+        FROM v JOIN tele t ON v.id = t.id LEFT JOIN pm1 ON v.id = pm1.id),
+      pm2 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
+        FROM e JOIN deg USING (src) JOIN pp1 p ON e.src = p.id GROUP BY e.dst),
+      pp2 AS (SELECT v.id, (1.0 - 0.85) * t.tele + 0.85 * (coalesce(pm2.m, 0.0) + 0.0) AS rank
+        FROM v JOIN tele t ON v.id = t.id LEFT JOIN pm2 ON v.id = pm2.id),
+      pm3 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
+        FROM e JOIN deg USING (src) JOIN pp2 p ON e.src = p.id GROUP BY e.dst),
+      pp3 AS (SELECT v.id, (1.0 - 0.85) * t.tele + 0.85 * (coalesce(pm3.m, 0.0) + 0.0) AS rank
+        FROM v JOIN tele t ON v.id = t.id LEFT JOIN pm3 ON v.id = pm3.id)
+      SELECT v.id AS doc_id,
+        CAST(coalesce(deg.od, 0.0) AS BIGINT) AS out_deg,
+        floor(pp3.rank * 100000000 + 0.5) / 100000000.0 AS rank
+      FROM v JOIN pp3 ON v.id = pp3.id LEFT JOIN deg ON v.id = deg.src
+      ORDER BY doc_id"""))
+
+  /** H1+/H4 composite: INCREMENTAL curation — the plan shape crawl
+    * refreshes actually need: v1's gate results are a materialized
+    * artifact (written + read back in-query, q88-style); the v2 run
+    * classifies docs via [[Dedup.snapshotDiff]], recomputes the
+    * quality gate ONLY for added/changed docs, and carries unchanged
+    * docs' scores from the artifact. The oracle gates ALL of v2 from
+    * scratch — agreement proves the incremental shortcut is exactly
+    * equivalent to the full recompute (gate determinism + unchanged
+    * text ⇒ identical doubles through the parquet round-trip). */
+  private val q102 = Q("q102_incremental_curation",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 3)
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 7)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(13L)) === 0,
+            concat(col("text"), lit(" r6"))).otherwise(col("text")))
+      def gate(df: DataFrame): DataFrame =
+        TextAnalysis.withTextStats(df, col("text"))
+          .select(col("doc_id"), col("quality_score"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incr_")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }))
+      graft.sources.Sinks.writeParquet(gate(v1), tmp.toString)
+      val prior = s.read.parquet(tmp.toString)
+      val diff = Dedup.snapshotDiff(v1, v2, col("doc_id"), col("text"))
+        .filter(col("status") =!= "removed")
+        .select(col("id").as("doc_id"), col("status"))
+      val freshIds = diff.filter(col("status") =!= "unchanged")
+        .select(col("doc_id"))
+      val fresh = gate(v2.join(freshIds, Seq("doc_id"), "left_semi"))
+      val carried = prior.join(
+        diff.filter(col("status") === "unchanged").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      fresh.unionByName(carried)
+        .join(diff, "doc_id")
+        .withColumn("kept", col("quality_score") >= 0.3)
+        .select(col("doc_id"), col("status"),
+          r(col("quality_score"), 4).as("quality_score"), col("kept"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS ho
+        FROM documents WHERE doc_id % 10 <> 3),
+      n AS (SELECT doc_id AS id,
+          md5(CASE WHEN doc_id % 13 = 0 THEN text || ' r6' ELSE text END) AS hn,
+          CASE WHEN doc_id % 13 = 0 THEN text || ' r6' ELSE text END AS text2
+        FROM documents WHERE doc_id % 10 <> 7),
+      diff AS (SELECT n.id,
+          CASE WHEN o.id IS NULL THEN 'added'
+               WHEN ho <> hn THEN 'changed'
+               ELSE 'unchanged' END AS status, n.text2
+        FROM n LEFT JOIN o ON n.id = o.id),
+      st AS (SELECT id, status, string_split(text2, ' ') AS tk FROM diff),
+      sc AS (SELECT id, status,
+          least(1.0, len(tk) / 200.0) * 0.5
+            + (len(list_distinct(tk))::DOUBLE / len(tk)) * 0.3
+            + (len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is')))::DOUBLE / len(tk)) * 0.2 AS q
+        FROM st)
+      SELECT id AS doc_id, status,
+        floor(q * 10000 + 0.5) / 10000.0 AS quality_score,
+        q >= 0.3 AS kept
+      FROM sc ORDER BY doc_id"""))
+
+  /** H4+/H1+: cross-document frequent-n-gram pruning
+    * ([[TextAnalysis.pruneFrequentNgrams]], n=3, minDocs=5) — the
+    * corpus-level boilerplate scrub (C4 repeated-line removal / Lee
+    * et al. exact-substring dedup at n-gram granularity): every token
+    * covered by a trigram occurring in ≥ 5 distinct docs is removed
+    * and the text reconstructed in order. The oracle rebuilds the
+    * frequent set, the covered positions, and every document's
+    * surviving text word for word. */
+  private val q103 = Q("q103_prune_frequent_ngrams",
+    (s, d) => TextAnalysis.pruneFrequentNgrams(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        n = 3, minDocs = 5L)
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      ng AS (SELECT doc_id, p, array_to_string(t[p:p+2], ' ') AS g
+             FROM tk, unnest(range(1, len(t) - 1)) AS u(p)),
+      fr AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+             GROUP BY g HAVING count(*) >= 5),
+      cov AS (SELECT DISTINCT s.doc_id, v.q
+              FROM (SELECT ng.doc_id, ng.p FROM ng JOIN fr USING (g)) s,
+              unnest(range(s.p, s.p + 3)) AS v(q)),
+      tok AS (SELECT doc_id, w.q, t[w.q] AS tok FROM tk, unnest(range(1, len(t) + 1)) AS w(q)),
+      kept AS (SELECT tok.doc_id, tok.q, tok.tok FROM tok ANTI JOIN cov
+               ON tok.doc_id = cov.doc_id AND tok.q = cov.q),
+      agg AS (SELECT doc_id, count(*) AS n_after,
+              string_agg(tok, ' ' ORDER BY q) AS text_clean FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+        (len(t.t) - coalesce(a.n_after, 0))::BIGINT AS n_removed,
+        coalesce(a.text_clean, '') AS text_clean
+      FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
+    bench = true)
+
+  /** H4+: epoch-seeded deterministic shuffle + sharding
+    * ([[Sampling.epochShuffle]], 8 shards) — the reproducible "global
+    * shuffle before training" permutation: shard and dense
+    * within-shard position derive only from (epochSeed, doc_id), so
+    * the oracle re-derives every position with the same portable
+    * hash; a different epoch seed is an independent permutation
+    * (pinned in SamplingSpec, not here). */
+  private val q104 = Q("q104_epoch_shuffle",
+    (s, d) => graft.operators.Sampling.epochShuffle(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), epochSeed = "epoch-0", numShards = 8)
+      .orderBy(col("shard"), col("shard_pos")),
+    Some(s"""WITH h AS (SELECT doc_id, lang,
+        ${sqlPolyHash("'epoch-0' || CAST(doc_id AS VARCHAR) || '#graft-sample'")} AS hh
+      FROM documents)
+      SELECT doc_id, lang, hh % 8 AS shard,
+        row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) AS shard_pos
+      FROM h ORDER BY shard, shard_pos"""))
+
+  /** H2+/H3 composite: SemDeDup-style semantic dedup keep-list —
+    * embedding LSH near-dup pairs ([[Dedup.embeddingPairsLsh]], the
+    * q54 path) → connected components → one keeper (min id) per
+    * semantic cluster, emitted as a corpus-wide (vec_id, cluster_id,
+    * kept) verdict with singletons kept. The oracle recomputes the
+    * pairs AND the transitive closure (recursive CTE), so agreement
+    * certifies the whole chain end to end. */
+  private val q105 = Q("q105_semantic_dedup_keeplist",
+    (s, d) => {
+      val pairs = Dedup.embeddingPairsLsh(
+          t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+          planes = 8, dim = 64, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      t(s, d, "embeddings").select(col("vec_id"))
+        .join(comp.select(col("id").as("vec_id"), col("cluster_id"),
+          col("is_keeper")), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+          coalesce(col("is_keeper"), lit(true)).as("kept"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlLshBucket("e0")} AS bk
+        FROM (SELECT vec_id, embedding, embedding AS e0 FROM embeddings)),
+      p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+          ${sqlDot("a.embedding", "b2.embedding")} AS dt,
+          sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b2.embedding", "b2.embedding")}) AS nn
+        FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id),
+      pr AS (SELECT id_a, id_b FROM p
+        WHERE (CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END) >= 0.4),
+      und AS (SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr),
+      reach(src, dst) AS (SELECT src, dst FROM und
+        UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      cl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src)
+      SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id,
+        coalesce(e.vec_id = cl.cluster_id, TRUE) AS kept
+      FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id
+      ORDER BY e.vec_id"""))
+
   /** H4+: per-language quality-quantile gate
     * ([[TextAnalysis.quantileGate]], top 20% by q40's composite
     * quality score, doc_id tie-break) — the FineWeb-style per-stratum
@@ -2462,7 +2668,7 @@ object Queries {
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100,
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -62,10 +62,19 @@ object Graph {
     * — from the plan. If the contract is violated, the dropped mass
     * makes Σ rank < 1 (detectable; GraphSpec pins both modes).
     *
+    * `teleportTo` personalizes the walk: the teleport distribution
+    * (and the dangling redistribution) concentrates uniformly on the
+    * given seed vertex set instead of all of V — the topic-focused
+    * variant curation uses to expand from a trusted seed list ("rank
+    * the web by proximity to these domains"). With seeds = V the two
+    * modes agree (up to the last ulp: the uniform path computes
+    * (1−d)/N where the seeded path computes (1−d)·(1/N)).
+    *
     * Output: one row per vertex — (id, out_deg, rank), Σ rank = 1. */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iterations: Int = 3, damping: Double = 0.85,
-               assumeNoDangling: Boolean = false): DataFrame = {
+               assumeNoDangling: Boolean = false,
+               teleportTo: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
@@ -85,27 +94,47 @@ object Graph {
     val nRow = verts.agg(count(lit(1)).cast("double").as("n")).localCheckpoint(false)
     val srcIds = deg.select(col("src").as("id")).localCheckpoint(false)
 
-    var ranks = verts.crossJoin(broadcast(nRow))
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    // Per-vertex teleport probability, seeded mode only: 1/|S| on
+    // seeds, 0 elsewhere (vertex-sized, computed once, pinned).
+    val teleOpt = teleportTo.map { sd =>
+      val sids = sd.select(col(sd.columns.head).cast("long").as("id"))
+        .distinct().localCheckpoint(false)
+      val sCount = sids.agg(count(lit(1)).cast("double").as("ns")).localCheckpoint(false)
+      verts.join(sids.withColumn("_s", lit(1)), Seq("id"), "left")
+        .crossJoin(broadcast(sCount))
+        .select(col("id"),
+          when(col("_s").isNotNull, lit(1.0) / col("ns")).otherwise(lit(0.0)).as("tele"))
+        .localCheckpoint(false)
+    }
+
+    var ranks = teleOpt match {
+      case Some(tele) => tele.select(col("id"), col("tele").as("rank"))
+      case None => verts.crossJoin(broadcast(nRow))
+        .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    }
     for (_ <- 1 to iterations) {
       val inMass = ed
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("rank") / col("out_deg")).as("contrib"))
         .groupBy(col("id")).agg(sum(col("contrib")).as("in_mass"))
-      val withMass = verts
-        .join(inMass, Seq("id"), "left")
-        .crossJoin(broadcast(nRow))
-      val joined =
-        if (assumeNoDangling) withMass.withColumn("dangling_mass", lit(0.0))
-        else withMass.crossJoin(broadcast(
+      val base = verts.join(inMass, Seq("id"), "left")
+      val withDangling = (df: DataFrame) =>
+        if (assumeNoDangling) df.withColumn("dangling_mass", lit(0.0))
+        else df.crossJoin(broadcast(
           ranks.join(srcIds, Seq("id"), "left_anti")
             .agg(coalesce(sum(col("rank")), lit(0.0)).as("dangling_mass"))))
-      ranks = joined
-        .select(col("id"),
-          ((lit(1.0 - damping) / col("n")) + lit(damping) *
-            (coalesce(col("in_mass"), lit(0.0)) + col("dangling_mass") / col("n")))
-            .as("rank"))
-        .localCheckpoint(false)
+      ranks = (teleOpt match {
+        case Some(tele) => withDangling(base.join(tele, Seq("id")))
+          .select(col("id"),
+            ((lit(1.0 - damping) * col("tele")) + lit(damping) *
+              (coalesce(col("in_mass"), lit(0.0)) + col("dangling_mass") * col("tele")))
+              .as("rank"))
+        case None => withDangling(base.crossJoin(broadcast(nRow)))
+          .select(col("id"),
+            ((lit(1.0 - damping) / col("n")) + lit(damping) *
+              (coalesce(col("in_mass"), lit(0.0)) + col("dangling_mass") / col("n")))
+              .as("rank"))
+      }).localCheckpoint(false)
     }
     ranks
       .join(deg.select(col("src").as("id"), col("out_deg")), Seq("id"), "left")

@@ -119,6 +119,39 @@ object Sampling {
       .limit(k)
   }
 
+  /** Epoch-seeded deterministic global shuffle + sharding — the
+    * "shuffle the corpus before training" step, reproducibly: each row
+    * gets a shard (`hash mod numShards`) and a dense within-shard
+    * position from the portable hash of (epochSeed, key), so the full
+    * permutation depends ONLY on (key, epochSeed). Re-running, adding
+    * executors, or switching engines reproduces byte-identical shard
+    * files; a new epoch seed is a fresh independent permutation with
+    * zero data movement decisions made by the engine. `orderBy(rand())`
+    * has none of these properties (and a global sort besides).
+    *
+    * Plan shape: a pure per-row projection, then ONE exchange on the
+    * shard key feeding a per-shard sort for `row_number` — no global
+    * sort, no driver state. The hash is uniform, so shards are
+    * balanced by construction (no skew salting needed). At 100 TB
+    * pick `numShards` ≈ the target output-file count (typically
+    * thousands), which also sets the reduce-side parallelism; writing
+    * `partitionBy(shardCol)` then lays each shard out as one file in
+    * within-shard order. */
+  def epochShuffle(df: DataFrame, key: Column, epochSeed: String,
+                   numShards: Int, shardCol: String = "shard",
+                   posCol: String = "shard_pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    // hash ties (distinct keys, same hash) broken by the key itself:
+    // the within-shard order is total, so positions are deterministic.
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("_h"), key)
+    df.withColumn("_h",
+        polyHash(concat(lit(epochSeed), key.cast("string"), lit(Salt))))
+      .withColumn(shardCol, pmod(col("_h"), lit(numShards.toLong)))
+      .withColumn(posCol, row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Training-mix construction: allocate a total row budget across
     * strata by target share (e.g. languages at 50/30/20), fill each
     * stratum's quota with its best rows by `rankBy` — the final

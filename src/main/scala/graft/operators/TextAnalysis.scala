@@ -301,45 +301,112 @@ object TextAnalysis {
     * classic collocation / phrase-mining signal (and the building
     * block for n-gram vocabulary induction over a pretraining corpus).
     *
-    * Scale: the pair table is generated as a PURE PROJECTION — the
-    * sorted distinct-token array expands to ordered pairs via nested
-    * array transforms, so there is NO per-doc self-join (the naive
-    * postings⋈postings plan shuffles the posting table twice and
-    * joins it against itself; this shape shuffles only the exploded
-    * pair rows, once, straight into a map-side-combined count). Pair
-    * volume is Σ_doc (k choose 2) for k distinct tokens per doc —
+    * Scale — ONE corpus pass, no self-join: the naive plan
+    * postings⋈postings shuffles the posting table twice and joins it
+    * against itself, and even the projection form pays three corpus
+    * scans if N, df, and pair counts are derived independently
+    * (measured: Catalyst plans three scan+tokenize stacks — column
+    * pruning makes the subtrees non-identical, so exchange reuse
+    * never fires). Here ONE generator per doc emits a doc marker
+    * (null, null), the unary terms (t, null), and the ordered pairs
+    * (a, b) from nested array transforms; ONE map-side-combined
+    * aggregate counts them all, and N / df / df_ab are then sliced
+    * from that vocabulary²-bounded counts table behind a barrier.
+    * Pair volume is Σ_doc (k choose 2) for k distinct tokens per doc —
     * at 100 TB cap per-doc distinct tokens upstream (standard
-    * practice) and raise `minPairDocs` so the post-agg table is
-    * vocabulary²-bounded, not corpus-bounded. The df lookup join is
-    * vocabulary-sized — AQE broadcasts it.
+    * practice) and raise `minPairDocs`. The df lookup joins are
+    * vocabulary-sized — AQE broadcasts them.
     *
     * Output: (term_a, term_b, df_ab, pmi) with term_a < term_b. */
   def tokenPmi(df: DataFrame, id: Column, text: Column,
                minPairDocs: Long = 2L): DataFrame = {
-    val toks = OpUtils.derived(
-      df.select(id.as("_id"), text.as("_text")))(
+    val nullTerm = lit(null).cast("string")
+    val gen = OpUtils.derived(
+      df.select(text.as("_text")))(
       _.withColumn("tok", array_sort(array_distinct(tokens(col("_text"))))))
-      .select(col("_id"), col("tok"))
-    // In-plan (not checkpointed): all three consumers of `toks` sit in
-    // ONE final plan, so the repartition exchange behind the token
-    // derivation is computed once and ReusedExchange feeds the rest.
-    val nRow = toks.agg(count(lit(1)).cast("double").as("n"))
-    val dfT = toks.select(explode(col("tok")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val pairs = toks
-      .select(explode(flatten(transform(col("tok"), (a, i) =>
-        transform(slice(col("tok"), i + lit(2), greatest(size(col("tok")) - i - 1, lit(0))),
-          b => struct(a.as("term_a"), b.as("term_b")))))).as("p"))
-      .select(col("p.term_a"), col("p.term_b"))
-      .groupBy(col("term_a"), col("term_b"))
-      .agg(count(lit(1)).as("df_ab"))
-      .filter(col("df_ab") >= minPairDocs)
-    pairs
+      .select(explode(concat(
+        array(struct(nullTerm.as("term_a"), nullTerm.as("term_b"))),
+        transform(col("tok"),
+          t => struct(t.as("term_a"), nullTerm.as("term_b"))),
+        flatten(transform(col("tok"), (a, i) =>
+          transform(slice(col("tok"), i + lit(2), greatest(size(col("tok")) - i - 1, lit(0))),
+            b => struct(a.as("term_a"), b.as("term_b"))))))).as("p"))
+    val counts = OpUtils.barrier(gen
+      .groupBy(col("p.term_a").as("term_a"), col("p.term_b").as("term_b"))
+      .agg(count(lit(1)).as("c")), reliable = false)
+    val nRow = counts.filter(col("term_a").isNull)
+      .select(col("c").cast("double").as("n"))
+    val dfT = counts.filter(col("term_a").isNotNull && col("term_b").isNull)
+      .select(col("term_a").as("term"), col("c").as("df"))
+    counts.filter(col("term_b").isNotNull)
+      .filter(col("c") >= minPairDocs)
+      .select(col("term_a"), col("term_b"), col("c").as("df_ab"))
       .join(dfT.select(col("term").as("term_a"), col("df").as("df_a")), "term_a")
       .join(dfT.select(col("term").as("term_b"), col("df").as("df_b")), "term_b")
       .crossJoin(broadcast(nRow))
       .select(col("term_a"), col("term_b"), col("df_ab"),
         log(col("df_ab") * col("n") / (col("df_a") * col("df_b"))).as("pmi"))
+  }
+
+  /** Cross-document frequent-n-gram pruning — the corpus-level
+    * boilerplate scrub (the n-gram-granular cousin of C4's repeated-line
+    * removal and the exact-substring dedup of Lee et al. 2022): any
+    * token covered by an n-gram that occurs in at least `minDocs`
+    * DISTINCT documents is removed, and each document's text is
+    * reconstructed from the surviving tokens in original order.
+    * Headers, footers, license blurbs, and templated spans that repeat
+    * across the corpus vanish from every document at once — per-doc
+    * repetition gates ([[withRepetition]]) cannot see them.
+    *
+    * Plan shape at 100 TB — two corpus passes, no corpus-sized
+    * barriers (the [[unigramLogProb]] law):
+    *  1. frequent set: per-doc DISTINCT n-grams (native `Shingles`,
+    *     so document frequency needs no (doc, gram) dedup shuffle) →
+    *     one map-side-combined count → filter ≥ `minDocs`. The
+    *     result is vocabulary-bounded and barriered — every later
+    *     consumer reads the checkpoint, never the corpus.
+    *  2. occurrences: every n-gram START position (pure array
+    *     projection, no self-join) semi-joined against the frequent
+    *     set — AQE broadcasts the (small) boilerplate set, so the
+    *     corpus posting table never shuffles for the join; the
+    *     surviving (doc, pos) rows — boilerplate occurrences only, a
+    *     sliver — are the ONLY thing the per-doc regroup shuffles.
+    * Reconstruction is a pure projection: the covered-start list
+    * joins back (left; most docs have none) and a codegen'd
+    * filter-with-index drops tokens inside any [s, s+n−1] window.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean). */
+  def pruneFrequentNgrams(df: DataFrame, id: Column, text: Column,
+                          n: Int = 3, minDocs: Long = 3L,
+                          reliableCheckpoint: Boolean = false): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val docs = OpUtils.derived(df.select(id.as("doc_id"), text.as("_text")))(
+      _.withColumn("_tk", tokens(col("_text"))))
+      .select(col("doc_id"), col("_tk"))
+    val fr = OpUtils.barrier(
+      docs.select(explode(shingles(col("_tk"), n)).as("ng"))
+        .groupBy(col("ng")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDocs)
+        .select(col("ng")), reliableCheckpoint)
+    val posting = docs.select(col("doc_id"),
+      explode(when(size(col("_tk")) >= n,
+        transform(sequence(lit(0), size(col("_tk")) - n),
+          i => struct(i.as("pos"),
+            concat_ws(" ", slice(col("_tk"), i + lit(1), lit(n))).as("ng"))))
+        .otherwise(array().cast("array<struct<pos:int,ng:string>>"))).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.ng").as("ng"))
+    val starts = posting.join(fr, Seq("ng"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("_st", coalesce(col("_starts"), array().cast("array<int>")))
+      .withColumn("_kept", filter(col("_tk"), (t, p) =>
+        !exists(col("_st"), s => p >= s && p <= s + lit(n - 1))))
+      .select(col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        (size(col("_tk")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("text_clean"))
   }
 
   /** PII patterns for [[redact]] — deliberately written in the regex

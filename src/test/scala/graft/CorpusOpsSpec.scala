@@ -224,13 +224,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
-  test("tokenPmi pair expansion has no self-join below the pair aggregate") {
-    // The operator's scale claim: ordered pairs come from a pure array
-    // projection, so the plan up to the first aggregate contains no
-    // join at all (the only joins are the vocabulary-sized df lookups
-    // ABOVE it). Count joins in the whole plan: exactly 3 (df_a, df_b,
-    // and the 1-row N cross join) — a postings self-join would add a
-    // fourth.
+  test("tokenPmi: one corpus pass, no postings self-join") {
+    // The operator's scale claims, read off the plan: (1) every join
+    // above the barrier is vocabulary-sized — exactly 3 (df_a, df_b,
+    // and the 1-row N cross join); a postings self-join would add a
+    // fourth. (2) The corpus appears NOWHERE in the final plan — all
+    // corpus work (marker+term+pair generation and the single count
+    // aggregate) sits below ONE checkpoint barrier, so the corpus is
+    // scanned once however many slices consume the counts table
+    // (the naive three-consumer form measurably planned three
+    // scan+tokenize stacks).
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val plan = TextAnalysis.tokenPmi(docs, col("doc_id"), col("text"),
         minPairDocs = 50L)
@@ -240,5 +243,66 @@ class CorpusOpsSpec extends SparkSpec {
     assert(joins.length == 3,
       s"expected exactly the 2 df lookups + 1-row N join, got " +
         s"${joins.length}:\n$plan")
+    val relations = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r }
+    assert(relations.isEmpty,
+      s"corpus scan leaked above the counts barrier:\n$plan")
+  }
+
+  test("pruneFrequentNgrams: hand-built corpus, overlap union, full wipe") {
+    // "a b c" lives in d0,d1,d2 and "b c d" in d0,d3,d4 — both hit
+    // minDocs=3. d0 "a b c d" is covered by the UNION of both windows
+    // (positions 0..3) and reconstructs to the empty string; the other
+    // docs lose exactly their one trigram window; d5 is clean and d6 is
+    // too short to have trigrams at all.
+    val docs = Seq(
+      0L -> "a b c d", 1L -> "a b c x", 2L -> "y a b c",
+      3L -> "b c d x", 4L -> "y b c d", 5L -> "p q r s t",
+      6L -> "a b").toDF("doc_id", "text")
+    val out = TextAnalysis.pruneFrequentNgrams(
+        docs, col("doc_id"), col("text"), n = 3, minDocs = 3L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (0L, 4L, 4L, ""), (1L, 4L, 3L, "x"), (2L, 4L, 3L, "y"),
+      (3L, 4L, 3L, "x"), (4L, 4L, 3L, "y"), (5L, 5L, 0L, "p q r s t"),
+      (6L, 2L, 0L, "a b")))
+  }
+
+  test("pruneFrequentNgrams: only vocab-sized joins above the frequent-set barrier") {
+    // Plan law: the frequent set is checkpointed, so the final plan
+    // holds exactly 2 joins — the posting semi-join against it and the
+    // covered-starts left join back onto the token table. A (doc,gram)
+    // dedup self-join or a third corpus consumer would add more.
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val plan = TextAnalysis.pruneFrequentNgrams(
+        docs, col("doc_id"), col("text"), n = 3, minDocs = 5L)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.length == 2,
+      s"expected the frequent-set semi-join + starts left join, got " +
+        s"${joins.length}:\n$plan")
+  }
+
+  test("epochShuffle: dense per-shard positions, layout-independent, epoch-sensitive") {
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+      .select(col("doc_id"))
+    val e0 = Sampling.epochShuffle(docs, col("doc_id"), "epoch-0", 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // every shard's positions are exactly 1..count (a true permutation)
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) }
+    assert(e0.map(_._2).distinct.forall(s => s >= 0 && s < 8))
+    // identical assignment after a physical re-layout
+    val relaid = Sampling.epochShuffle(docs.repartition(7), col("doc_id"),
+        "epoch-0", 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(relaid.toSeq == e0.toSeq)
+    // a new epoch seed is a different permutation of the same rows
+    val e1 = Sampling.epochShuffle(docs, col("doc_id"), "epoch-1", 8)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(e1.map(_._1).toSeq == e0.map(_._1).toSeq)
+    assert(e1.toSeq != e0.toSeq)
   }
 }

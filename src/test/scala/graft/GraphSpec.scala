@@ -74,6 +74,39 @@ class GraphSpec extends SparkSpec {
     assert(broken.map(_._3).sum < 0.999)
   }
 
+  test("personalized: seeds = V agrees with uniform mode to the last ulp") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L))
+    val uniform = ranksOf(edges, iters = 3)
+    val seeded = Graph.pageRank(edges.toDF("s", "t"), col("s"), col("t"),
+        iterations = 3,
+        teleportTo = Some(Seq(0L, 1L, 2L).toDF("id")))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    uniform.foreach { case (v, r) =>
+      assert(math.abs(seeded(v) - r) < 1e-12) }
+  }
+
+  test("personalized: mass never leaks into components unreachable from the seeds") {
+    // Two disconnected cycles; seeding {0} must leave 2/3 at exactly 0
+    // (they start at 0, receive nothing, and get no teleport).
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L))
+    val pr = Graph.pageRank(edges.toDF("s", "t"), col("s"), col("t"),
+        iterations = 3, teleportTo = Some(Seq(0L).toDF("id")))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(pr(2L) == 0.0 && pr(3L) == 0.0)
+    assert(math.abs(pr(0L) + pr(1L) - 1.0) < 1e-12)
+  }
+
+  test("personalized + dangling: hand-computed two-iteration ranks, mass conserved") {
+    // 0 → 1, 1 dangling, seed {0}: dangling mass teleports to the SEED.
+    // pr1 = (0.15, 0.85); pr2(0) = .15 + .85·(0 + .85·1) = 0.8725,
+    // pr2(1) = .85·.15 = 0.1275.
+    val pr = Graph.pageRank(Seq((0L, 1L)).toDF("s", "t"), col("s"), col("t"),
+        iterations = 2, teleportTo = Some(Seq(0L).toDF("id")))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(pr(0L) - 0.8725) < 1e-12)
+    assert(math.abs(pr(1L) - 0.1275) < 1e-12)
+  }
+
   test("q96 fixture graph: every doc has out_deg 3 and ranks sum to 1") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val n = docs.count()

@@ -114,4 +114,22 @@ object GraftFunctions {
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
+
+  /** Every word-`n`-gram occurrence with its 0-based start position —
+    * the positional, NON-distinct twin of [[shingles]] (the posting
+    * generator for occurrence-level corpus scans, e.g. frequent-n-gram
+    * pruning). Native codegen'd expression
+    * (`graft.functions.PositionedShingles`). */
+  def positionedShingles(toks: Column, n: Int): Column =
+    HashExpressions.positionedShinglesNative(toks, n)
+
+  /** Declarative (built-ins only) specification of
+    * [[positionedShingles]] — readable spec and differential-test
+    * twin; interpreted, never on a query path. */
+  def positionedShinglesDeclarative(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => struct(i.as("pos"), concat_ws(" ", slice(toks, i + 1, lit(n))).as("ng"))))
+      .otherwise(array().cast("array<struct<pos:int,ng:string>>"))
 }

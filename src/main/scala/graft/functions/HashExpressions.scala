@@ -177,6 +177,38 @@ object HashUtil {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
   }
 
+  /** EVERY word-n-gram occurrence with its 0-based start position (the
+    * positional, non-distinct twin of [[shingles]]): the posting
+    * generator for occurrence-level scans. Same concat_ws law (null
+    * tokens skip inside their window, single-space join); < n tokens →
+    * empty array. */
+  def positionedShingles(toks: ArrayData, n: Int): ArrayData = {
+    val size = toks.numElements()
+    if (size < n) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](size - n + 1)
+    val sb = new java.lang.StringBuilder()
+    val last = size - n
+    var i = 0
+    while (i <= last) {
+      sb.setLength(0)
+      var appended = false
+      var j = i
+      val end = i + n
+      while (j < end) {
+        if (!toks.isNullAt(j)) {
+          if (appended) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          appended = true
+        }
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, UTF8String.fromString(sb.toString)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Random-hyperplane LSH bucket id: bit p = [vec · plane_p > 0] over
     * `planes` deterministic pseudo-random hyperplanes whose component d
     * is ((p·37 + d·101 + 17) mod 1000)/500 − 1 ∈ [−1, 1). EXACTLY the
@@ -373,6 +405,54 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_pos_shingles(array<string>, n) -> array<struct<pos:int,ng:string>>`
+  * — every word-n-gram occurrence with its 0-based start position: the
+  * positional, NON-distinct twin of [[Shingles]], generating the
+  * posting rows occurrence-level scans explode (frequent-n-gram
+  * pruning). Same null-token concat_ws law; < n tokens → empty array.
+  * Replaces the interpreted `transform(sequence)` + `slice` +
+  * `concat_ws` generator stack with one codegen'd Java loop. */
+case class PositionedShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("ng", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_pos_shingles"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> input, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(new Array[AnyRef](0))
+    else HashUtil.positionedShingles(v.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull}
+        ? new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0])
+        : graft.functions.HashUtil.positionedShingles(${childGen.value}, $n);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionedShingles =
+    copy(child = newChild)
+}
+
 /** `graft_dot(array<float|double>, array<float|double>) -> double` —
   * sequential left-fold dot product, bit-identical to the declarative
   * `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, _+_)` form and the DuckDB
@@ -534,6 +614,8 @@ object HashExpressions {
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def shinglesNative(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(Shingles(GraftColumnBridge.expression(tokens), n))
+  def positionedShinglesNative(tokens: Column, n: Int): Column =
+    GraftColumnBridge.column(PositionedShingles(GraftColumnBridge.expression(tokens), n))
   def shingleMinHashNative(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(ShingleMinHash(GraftColumnBridge.expression(tokens), n, k))
   def shingleSimHashNative(tokens: Column, n: Int, bits: Int): Column =

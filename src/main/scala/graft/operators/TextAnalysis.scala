@@ -390,11 +390,7 @@ object TextAnalysis {
         .filter(col("df") >= minDocs)
         .select(col("ng")), reliableCheckpoint)
     val posting = docs.select(col("doc_id"),
-      explode(when(size(col("_tk")) >= n,
-        transform(sequence(lit(0), size(col("_tk")) - n),
-          i => struct(i.as("pos"),
-            concat_ws(" ", slice(col("_tk"), i + lit(1), lit(n))).as("ng"))))
-        .otherwise(array().cast("array<struct<pos:int,ng:string>>"))).as("p"))
+      explode(positionedShingles(col("_tk"), n)).as("p"))
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.ng").as("ng"))
     val starts = posting.join(fr, Seq("ng"), "left_semi")
       .groupBy(col("doc_id"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayEqCount, BandHashes, DotProduct, LshBucket, PolyHash, ShingleMinHash, Shingles}
+import graft.functions.{ArrayEqCount, BandHashes, DotProduct, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, Shingles}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -81,7 +81,12 @@ object GraftExtensions {
       info("graft_shingles",
         "graft_shingles(tokens, n) - distinct word-n-gram shingles joined by a space"),
       (exprs: Seq[Expression]) => Shingles(exprs.head,
-        intLit(exprs(1), "graft_shingles", "n"))))
+        intLit(exprs(1), "graft_shingles", "n"))),
+    (FunctionIdentifier("graft_pos_shingles"),
+      info("graft_pos_shingles",
+        "graft_pos_shingles(tokens, n) - every word-n-gram occurrence with its 0-based start position"),
+      (exprs: Seq[Expression]) => PositionedShingles(exprs.head,
+        intLit(exprs(1), "graft_pos_shingles", "n"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -246,6 +246,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(empty === Seq.empty)
   }
 
+  test("native positioned shingles match the declarative spec, including edges") {
+    import graft.functions.GraftFunctions
+    // real corpus: every (pos, ng) struct identical to the interpreted
+    // transform/slice/concat_ws generator it replaces
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val diff = docs
+      .withColumn("nat", GraftFunctions.positionedShingles(
+        GraftFunctions.tokens(col("text")), 3))
+      .withColumn("dec", GraftFunctions.positionedShinglesDeclarative(
+        GraftFunctions.tokens(col("text")), 3))
+      .filter(not(col("nat") <=> col("dec")))
+    assert(diff.count() === 0L)
+    // edges: repeated n-grams keep EVERY occurrence (non-distinct law),
+    // null elements skip in-window, short/null arrays → empty
+    val edge = Seq(
+      (1L, Seq("a", "b", "a", "b", "a")),
+      (2L, Seq("a", null, "b", "c")),
+      (3L, null.asInstanceOf[Seq[String]]),
+      (4L, Seq("x", "y"))
+    ).toDF("id", "toks")
+    val rows = edge
+      .withColumn("nat", GraftFunctions.positionedShingles(col("toks"), 3))
+      .select("id", "nat")
+      .as[(Long, Seq[(Int, String)])].collect().map(r => r._1 -> r._2).toMap
+    assert(rows(1L) === Seq(0 -> "a b a", 1 -> "b a b", 2 -> "a b a"))
+    assert(rows(2L) === Seq(0 -> "a b", 1 -> "b c"))
+    assert(rows(3L) === Seq.empty)
+    assert(rows(4L) === Seq.empty)
+  }
+
   test("native shingles: null array and null elements match the declarative spec") {
     import graft.functions.GraftFunctions
     // null ARRAY → empty shingle list (the declarative otherwise(array())

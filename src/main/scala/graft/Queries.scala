@@ -2623,6 +2623,63 @@ object Queries {
       FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id
       ORDER BY e.vec_id"""))
 
+  /** H4+: BPE merge-candidate mining — the first step of byte-pair /
+    * wordpiece vocabulary induction: count every ADJACENT token pair
+    * occurrence (occurrence-level, NOT document frequency — a looping
+    * doc legitimately votes many times, unlike q68's per-language df
+    * heavy hitters) and rank the top merge candidates. The native
+    * `graft_pos_shingles(n=2)` generator emits the pairs in one
+    * codegen'd loop; one map-side-combined count and a bounded-heap
+    * global cut (`TakeOrderedAndProject`) finish it — the shuffle
+    * carries vocabulary²-bounded partial counts, never postings. */
+  private val q106 = Q("q106_bigram_merge_candidates",
+    (s, d) => t(s, d, "documents")
+      .select(explode(positionedShingles(tokens(col("text")), 2)).as("p"))
+      .groupBy(col("p.ng").as("pair"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("pair"))
+      .limit(25),
+    Some("""WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+      bg AS (SELECT array_to_string(t[p:p+1], ' ') AS pair
+             FROM tk, unnest(range(1, len(t))) AS u(p)),
+      c AS (SELECT pair, count(*) AS occurrences FROM bg GROUP BY pair)
+      SELECT pair, occurrences FROM c
+      ORDER BY occurrences DESC, pair LIMIT 25"""),
+    bench = true)
+
+  /** H1+/H4: cross-source duplication audit — the |sources|×|sources|
+    * shared-distinct-shingle matrix ("how much does source A overlap
+    * source B?"), the triage table a corpus team reads before deciding
+    * which source to dedup against which. NO posting self-join: shingle
+    * postings aggregate to a per-shingle sorted source set (≤ |sources|
+    * elements, map-side-deduped `collect_set`), ordered source pairs
+    * expand as a pure array projection (the PMI trick), and one
+    * map-side-combined count yields the matrix. The ORACLE uses the
+    * naive postings⋈postings form — agreement is a differential proof
+    * of the projection rewrite. */
+  private val q107 = Q("q107_source_overlap_matrix",
+    (s, d) => {
+      val srcSets = t(s, d, "documents")
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+        .groupBy(col("ng"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      srcSets
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + lit(2),
+              greatest(size(col("srcs")) - i - 1, lit(0))),
+            b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("shared_shingles"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""WITH sh AS (SELECT DISTINCT source, ng
+        FROM (SELECT source, unnest(${sqlShingles("tk")}) AS ng
+          FROM (SELECT source, string_split(text, ' ') AS tk FROM documents))),
+      p AS (SELECT a.source AS source_a, b.source AS source_b
+        FROM sh a JOIN sh b ON a.ng = b.ng AND a.source < b.source)
+      SELECT source_a, source_b, count(*) AS shared_shingles
+      FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b"""))
+
   /** H4+: per-language quality-quantile gate
     * ([[TextAnalysis.quantileGate]], top 20% by q40's composite
     * quality score, doc_id tie-break) — the FineWeb-style per-stratum
@@ -2668,7 +2725,7 @@ object Queries {
     q25, q26, q27, q28, q29, q44, q45, q46, q47, q48, q49, q52, q53, q63, q64, q79, q80,
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
-    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105,
+    q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -285,6 +285,19 @@ class CorpusOpsSpec extends SparkSpec {
         s"${joins.length}:\n$plan")
   }
 
+  test("bigram merge mining plans as a bounded-heap cut, never a global sort") {
+    import graft.functions.GraftFunctions
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val df = docs
+      .select(explode(GraftFunctions.positionedShingles(
+        GraftFunctions.tokens(col("text")), 2)).as("p"))
+      .groupBy(col("p.ng").as("pair")).agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("pair")).limit(25)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"expected the sort-limit to plan as TakeOrderedAndProject:\n$phys")
+  }
+
   test("epochShuffle: dense per-shard positions, layout-independent, epoch-sensitive") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
       .select(col("doc_id"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Dedup, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions._
 
 /** The engine's named query surface — one entry per operator class in
@@ -2715,6 +2715,242 @@ object Queries {
         floor(pr * 1000000 + 0.5) / 1000000.0 AS pct_rank
       FROM rk WHERE pr <= 0.2 ORDER BY doc_id"""))
 
+  /** SQL fragment: per-vector symmetric int8 quantization of double
+    * list `x` with scale `s` — mirrors `Similarity.withInt8` (zero
+    * vector → zeros). */
+  private def sqlQ8(x: String, s: String): String =
+    s"""CASE WHEN $s = 0.0 THEN list_transform($x, v -> 0.0)
+       ELSE list_transform($x, v -> floor(v / $s + 0.5)) END"""
+
+  /** H2/H3+: portable quantized k-means ([[Clustering.kMeans]], k=4,
+    * 2 Lloyd iterations, seeded init) — the semantic-clustering /
+    * IVF-training primitive whose EVERY step the oracle re-derives:
+    * integral-double quantization makes centroid sums
+    * order-independent-exact, so the full iterative algorithm — init,
+    * two assignment+update rounds, final assignment — reproduces
+    * bit-for-bit in DuckDB (the unrolled CTE below IS the algorithm).
+    * Assignment is a narrow per-row argmin over broadcast centroid
+    * literals: the corpus never shuffles, any iteration, at any scale. */
+  private val q108 = Q("q108_kmeans_embeddings",
+    (s, d) => Clustering.kMeans(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), k = 4, iters = 2, seed = "km6", dim = 64)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        r(col("dist2") / lit(1.0e8), 6).as("dist2"))
+      .orderBy(col("vec_id")),
+    {
+      val dvv = sqlDot("v", "v"); val dvc = sqlDot("v", "c"); val dcc = sqlDot("c", "c")
+      Some(s"""WITH xq AS (SELECT vec_id,
+          list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
+        FROM embeddings),
+      sd AS (SELECT vec_id, v,
+          row_number() OVER (ORDER BY
+            ${sqlPolyHash("'km6' || CAST(vec_id AS VARCHAR) || '#graft-kmeans'")} % 10000,
+            vec_id) - 1 AS cid
+        FROM xq),
+      c0 AS (SELECT cid, v AS c FROM sd WHERE cid < 4),
+      p1 AS (SELECT x.vec_id, x.v, c.cid,
+          ($dvv - 2.0 * $dvc + $dcc) AS dist2
+        FROM xq x CROSS JOIN c0 c),
+      a1 AS (SELECT vec_id, v, cid FROM p1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+      u1 AS (SELECT cid, d, sum(v[d]) / count(*) AS m
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY cid, d),
+      c1 AS (SELECT c0.cid, coalesce(u.c, c0.c) AS c
+        FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS c FROM u1 GROUP BY cid) u
+          ON c0.cid = u.cid),
+      p2 AS (SELECT x.vec_id, x.v, c.cid,
+          ($dvv - 2.0 * $dvc + $dcc) AS dist2
+        FROM xq x CROSS JOIN c1 c),
+      a2 AS (SELECT vec_id, v, cid FROM p2
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+      u2 AS (SELECT cid, d, sum(v[d]) / count(*) AS m
+        FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY cid, d),
+      c2 AS (SELECT c1.cid, coalesce(u.c, c1.c) AS c
+        FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS c FROM u2 GROUP BY cid) u
+          ON c1.cid = u.cid),
+      p3 AS (SELECT x.vec_id, c.cid,
+          ($dvv - 2.0 * $dvc + $dcc) AS dist2
+        FROM xq x CROSS JOIN c2 c),
+      a3 AS (SELECT vec_id, cid, dist2 FROM p3
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1)
+      SELECT vec_id, cid AS cluster_id,
+        floor(dist2 / 100000000.0 * 1000000 + 0.5) / 1000000.0 AS dist2
+      FROM a3 ORDER BY vec_id""")
+    },
+    bench = true)
+
+  /** H4+: DSIR importance log-ratio ([[TextAnalysis.dsirLogRatio]],
+    * target = the English slice) — "how much more does this document
+    * look like the target domain than like the average of the crawl?"
+    * One corpus explode feeds both unigram models (the target count is
+    * a conditional sum on the same vocab table); smoothing shares the
+    * raw vocabulary so the ratio is total. The oracle rebuilds both
+    * models and every per-token ratio. */
+  private val q109 = Q("q109_dsir_importance",
+    (s, d) => TextAnalysis.dsirLogRatio(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        isTarget = col("lang") === "en")
+      .select(col("doc_id"), col("n_tokens"),
+        r(col("avg_log_ratio"), 4).as("avg_log_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+          unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      counts AS (SELECT tok, count(*) AS cr,
+          sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr,
+          CAST(sum(ct) AS DOUBLE) AS tt,
+          CAST(count(*) AS DOUBLE) AS v
+        FROM counts),
+      lr AS (SELECT doc_id,
+          ln((ct + 1.0) / (tt + 1.0 * v)) - ln((cr + 1.0) / (tr + 1.0 * v)) AS l
+        FROM toks JOIN counts USING (tok) CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        floor(avg(l) * 10000 + 0.5) / 10000.0 AS avg_log_ratio
+      FROM lr GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  /** H3/H4+: hybrid retrieval via reciprocal-rank fusion
+    * ([[TextAnalysis.rrfFuse]]): the BM25 lexical ranking (q91's
+    * terms) ⊕ the dense cosine ranking around query document 7
+    * (doc_id ≡ vec_id in the testdata) — the standard two-tower
+    * retrieval combiner, needing no score calibration. Both rank
+    * lists are top-50 slivers; the fusion aggregates 100 rows — the
+    * corpus is touched once per tower and never again. Two-list RRF
+    * sums are commutative-exact, so the fused ordering is
+    * bit-portable. */
+  private val q110 = Q("q110_rrf_hybrid",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val bm = TextAnalysis.bm25TopDocs(docs, col("doc_id"), col("text"),
+          terms = Seq("spark", "window", "hash"), k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 7)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          k = 50)
+        .select(col("c_id").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(Seq(bm, vec), k0 = 60)
+        .select(col("doc_id"), r(col("rrf_score"), 6).as("rrf_score"),
+          col("n_lists"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents),
+      dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM docs),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
+        WHERE tok IN ('spark', 'window', 'hash') GROUP BY doc_id, tok),
+      dft AS (SELECT *, (count(*) OVER (PARTITION BY term))::DOUBLE AS df
+        FROM tf),
+      w AS (SELECT doc_id,
+          ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+            / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        FROM dft JOIN dl USING (doc_id) CROSS JOIN stats),
+      bm AS (SELECT doc_id, floor(sum(w) * 10000 + 0.5) / 10000.0 AS score
+        FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+      bmr AS (SELECT doc_id,
+          row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+      qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 7),
+      cs AS (SELECT vec_id,
+          CASE WHEN sqrt(${sqlDot("q", "q")}) * sqrt(${sqlDot("embedding", "embedding")}) = 0.0
+            THEN 0.0
+            ELSE ${sqlDot("q", "embedding")}
+              / (sqrt(${sqlDot("q", "q")}) * sqrt(${sqlDot("embedding", "embedding")})) END AS cos
+        FROM embeddings CROSS JOIN qv WHERE vec_id <> 7),
+      vr AS (SELECT vec_id AS doc_id,
+          row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+        FROM cs QUALIFY rank <= 50),
+      un AS (SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM vr),
+      f AS (SELECT doc_id, sum(1.0 / (60.0 + rank)) AS s0,
+          count(*) AS n_lists
+        FROM un GROUP BY doc_id)
+      SELECT doc_id, floor(s0 * 1000000 + 0.5) / 1000000.0 AS rrf_score, n_lists
+      FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20"""),
+    bench = true)
+
+  /** H3+: int8 quantization fidelity ([[Similarity.int8Metrics]]) —
+    * per-vector scale, squared reconstruction error and
+    * reconstruction cosine for the 4×-memory embedding store. Every
+    * lane is a fixed IEEE op sequence (max/127 scale, half-up
+    * quantize, dot-identity SSE), so the oracle reproduces all 500
+    * rows exactly. Narrow per-row pass — no shuffle at any scale. */
+  private val q111 = Q("q111_int8_metrics",
+    (s, d) => Similarity.int8Metrics(
+        t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+      .select(col("id").as("vec_id"), r(col("q_scale"), 6).as("q_scale"),
+        r(col("sse"), 6).as("sse"), r(col("cos_recon"), 6).as("cos_recon"))
+      .orderBy(col("vec_id")),
+    {
+      val dxx = sqlDot("x", "x"); val dxh = sqlDot("x", "xh"); val dhh = sqlDot("xh", "xh")
+      Some(s"""WITH xd AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings),
+      sc AS (SELECT vec_id, x,
+          list_max(list_transform(x, v -> abs(v))) / 127.0 AS s FROM xd),
+      q AS (SELECT vec_id, x, s, ${sqlQ8("x", "s")} AS q8 FROM sc),
+      h AS (SELECT vec_id, x, s,
+          list_transform(q8, v -> v * s) AS xh FROM q)
+      SELECT vec_id,
+        floor(s * 1000000 + 0.5) / 1000000.0 AS q_scale,
+        floor(($dxx - 2.0 * $dxh + $dhh) * 1000000 + 0.5) / 1000000.0 AS sse,
+        floor((CASE WHEN sqrt($dxx) * sqrt($dhh) = 0.0 THEN 0.0
+          ELSE $dxh / (sqrt($dxx) * sqrt($dhh)) END) * 1000000 + 0.5) / 1000000.0
+          AS cos_recon
+      FROM h ORDER BY vec_id""")
+    })
+
+  /** H3+: brute-force ANN in QUANTIZED space
+    * ([[Similarity.int8BruteForceTopK]], 5 queries × top-10) with the
+    * exact cosine of every surviving pair alongside — per-pair
+    * quantization error as a driver-visible artifact (q38's recall
+    * pattern applied to quantization). The quantized ranking runs on
+    * integral doubles, so rank order is bit-portable by construction,
+    * not merely by shared op sequence. */
+  private val q112 = Q("q112_similarity_quantized_topk",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.int8BruteForceTopK(
+          emb.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    {
+      val dqq = sqlDot("qq", "qq"); val dcc = sqlDot("cq", "cq")
+      val dqc = sqlDot("qq", "cq")
+      val dxq = sqlDot("qx", "qx"); val dxc = sqlDot("cx", "cx")
+      val dqx = sqlDot("qx", "cx")
+      Some(s"""WITH xd AS (SELECT vec_id,
+          list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings),
+      sc AS (SELECT vec_id, x,
+          list_max(list_transform(x, v -> abs(v))) / 127.0 AS s FROM xd),
+      q8t AS (SELECT vec_id, x, ${sqlQ8("x", "s")} AS q8 FROM sc),
+      qs AS (SELECT vec_id AS q_id, x AS qx, q8 AS qq FROM q8t WHERE vec_id < 5),
+      cs AS (SELECT vec_id AS c_id, x AS cx, q8 AS cq FROM q8t),
+      p AS (SELECT q_id, c_id,
+          CASE WHEN sqrt($dqq) * sqrt($dcc) = 0.0 THEN 0.0
+            ELSE $dqc / (sqrt($dqq) * sqrt($dcc)) END AS cq8,
+          CASE WHEN sqrt($dxq) * sqrt($dxc) = 0.0 THEN 0.0
+            ELSE $dqx / (sqrt($dxq) * sqrt($dxc)) END AS ce
+        FROM qs CROSS JOIN cs WHERE q_id <> c_id),
+      rk AS (SELECT q_id, c_id, cq8, ce,
+          row_number() OVER (PARTITION BY q_id ORDER BY cq8 DESC, c_id) AS rank
+        FROM p)
+      SELECT q_id, rank, c_id,
+        floor(cq8 * 10000 + 0.5) / 10000.0 AS cos_q8,
+        floor(ce * 10000 + 0.5) / 10000.0 AS cos_exact
+      FROM rk WHERE rank <= 10 ORDER BY q_id, rank""")
+    },
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2726,6 +2962,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
+    q108, q109, q110, q111, q112,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Portable k-means clustering over an embedding column
+  * (`SURVEY.md` §2 H2/H3 adjunct) — the semantic-clustering primitive
+  * a corpus pipeline uses for topic bucketing, cluster-balanced
+  * sampling, and IVF coarse-quantizer training
+  * ([[Similarity.ivfTopK]] wraps spark.ml's KMeans; THIS one is the
+  * engine-checkable twin whose every arithmetic step an external SQL
+  * engine can reproduce bit-for-bit).
+  *
+  * Why it is exactly reproducible, when floating-point k-means
+  * normally is not: a distributed centroid mean sums doubles in
+  * whatever order the shuffle delivers, so two runs — let alone two
+  * engines — disagree in the last ulps, and near-boundary points then
+  * flip clusters. We remove the order dependence instead of rounding
+  * it away: coordinates are quantized once to INTEGRAL doubles
+  * (`floor(x·scale + 0.5)`, exact in IEEE for |x·scale| < 2^53), so
+  * per-dimension member sums are integer-valued and therefore
+  * associative-exact in ANY summation order, and each centroid
+  * coordinate `sum/count` is a single exact division. Distances on
+  * (integral member, rational centroid) pairs use one fixed op
+  * sequence — the sequential-fold dot identity
+  * `x·x − 2·x·c + c·c` — shared with the DuckDB oracle. Every engine
+  * computes the identical assignment every iteration; ties break to
+  * the lowest cluster id.
+  *
+  * Scale shape (better than spark.ml's loop): centroids are k·dim
+  * driver literals (the same tiny-metadata contract as
+  * [[Similarity.ivfTopK]]'s cluster centers), so the assignment step
+  * is a NARROW per-row expression — k codegen'd `graft_dot` calls and
+  * an argmin over a k-element struct array, no join, no shuffle of
+  * the corpus, ever. Per iteration the only exchange is the
+  * map-side-combined (cluster, dim) partial-sum aggregation:
+  * k·dim·partitions tiny rows. Empty clusters keep their previous
+  * centroid (the standard Lloyd fallback, and the only deterministic
+  * choice that needs no re-seeding pass).
+  *
+  * Seeding: the k rows with the smallest portable seeded hash
+  * `polyHash(seed ∥ id ∥ "#graft-kmeans") mod 10000` (id tie-break)
+  * — engine- and layout-independent, and cheap: one bounded top-k
+  * pass, no distance computations (k-means++ would cost k corpus
+  * passes; the fixed-iteration budget recovers the quality).
+  *
+  * Reference analogue: the reference clusters activity windows only
+  * implicitly via its classifiers (`RecognizeActivity.java:49-77`);
+  * corpus-scale clustering is a graft extension.
+  */
+object Clustering {
+
+  /** Lloyd's k-means, engine-portable (see class doc).
+    *
+    * @param df    input with `id` and `vec` (array&lt;float|double&gt;)
+    * @param scale quantization factor (coordinates become
+    *              `floor(x·scale + 0.5)`); 10000 keeps 4 decimals of
+    *              a unit-scale embedding, far inside the 2^53 window
+    * @return one row per input: (id, cluster_id, dist2) where
+    *         `cluster_id` ∈ [0, k) is the seed rank and `dist2` the
+    *         quantized-space squared distance to the final centroid
+    */
+  def kMeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+             seed: String, dim: Int, scale: Long = 10000L): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val spark = df.sparkSession
+
+    // quantize once; integral doubles make every downstream sum exact.
+    // x·x is per-row constant across iterations — compute it behind the
+    // same barrier.
+    val xq = OpUtils.materialize(
+      df.select(
+        id.as("_id"),
+        transform(vec, x =>
+          floor(x.cast("double") * lit(scale.toDouble) + lit(0.5)).cast("double"))
+          .as("_xq"))
+        .withColumn("_xx", dotProduct(col("_xq"), col("_xq"))))
+      .localCheckpoint(false) // consumed once per iteration + final pass
+
+    // seed: k smallest (portable hash, id tie-break) → cluster ids 0..k-1
+    var centroids: Seq[(Int, Seq[Double])] = xq
+      .withColumn("_h",
+        pmod(polyHash(concat(lit(seed), col("_id").cast("string"),
+          lit("#graft-kmeans"))), lit(10000L)))
+      .orderBy(col("_h"), col("_id"))
+      .limit(k)
+      .select(col("_xq"))
+      .collect()
+      .zipWithIndex
+      .map { case (row, i) => (i, row.getSeq[Double](0)) }
+      .toSeq
+
+    // narrow argmin: k distances per row from centroid LITERALS, best =
+    // lexicographic min of (dist2, cid) structs — no join, no shuffle.
+    def assigned(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val distCols = cents.map { case (cid, cv) =>
+        // c·c on the driver with the SAME left fold over products the
+        // engines' sequential dot uses — one canonical value everywhere
+        val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+        struct(
+          (col("_xx") - lit(2.0) * dotProduct(col("_xq"), typedLit(cv)) + lit(cc))
+            .as("_dist2"),
+          lit(cid).as("_cid"))
+      }
+      xq.withColumn("_best", array_sort(array(distCols: _*)).getItem(0))
+        .select(col("_id"), col("_xq"),
+          col("_best").getField("_cid").as("_cid"),
+          col("_best").getField("_dist2").as("_dist2"))
+    }
+
+    for (_ <- 1 to iters) {
+      // new centroid = per-dimension mean of integral coords: the sums
+      // are integer-valued doubles (order-independent-exact), the
+      // division a single exact IEEE op. Shuffle carries k·dim partials.
+      val updated = assigned(centroids)
+        .select(col("_cid"), posexplode(col("_xq")).as(Seq("_pos", "_v")))
+        .groupBy(col("_cid"), col("_pos"))
+        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
+        .groupBy(col("_cid"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_s"), col("_n")))),
+          s => s.getField("_s") / s.getField("_n").cast("double")).as("_cvec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toMap
+      centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
+    }
+
+    assigned(centroids)
+      .select(col("_id").as("id"), col("_cid").as("cluster_id"),
+        col("_dist2").as("dist2"))
+  }
+}

@@ -210,6 +210,79 @@ object Similarity {
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
 
+  /** Per-vector symmetric int8 quantization: `q8 = floor(x/s + 0.5)`
+    * with `s = max|x|/127` — the 4× memory move that lets a 100 TB
+    * embedding store fit 4× more vectors per executor (and per
+    * broadcast) before any index structure is involved. Adds `q8`
+    * (INTEGRAL doubles in [-127, 127] — integral so downstream dot
+    * products and sums stay order-independent-exact, see
+    * [[Clustering]]) and `q_scale`. An all-zero vector quantizes to
+    * zeros with scale 0. Pure codegen'd per-row expressions; the SQL
+    * oracle reproduces each lane exactly. */
+  def withInt8(df: DataFrame, vec: Column): DataFrame = {
+    val xd = transform(vec, x => x.cast("double"))
+    val scale = array_max(transform(xd, x => abs(x))) / lit(127.0)
+    df.withColumn("q_scale", scale)
+      .withColumn("q8",
+        when(col("q_scale") === 0.0,
+          transform(xd, _ => lit(0.0)))
+          .otherwise(transform(xd, x =>
+            floor(x / col("q_scale") + lit(0.5)).cast("double"))))
+  }
+
+  /** Quantization-fidelity metrics, per vector: reconstruction
+    * `x̂ = q8·s`, squared reconstruction error `sse = Σ(x−x̂)²` (via
+    * the same fixed-op-sequence dot identity x·x − 2·x·x̂ + x̂·x̂ the
+    * oracle uses), and `cos_recon = cos(x, x̂)` — the dashboard a
+    * pipeline checks before switching its ANN tier to the quantized
+    * store. Narrow per-row pass, no shuffle. */
+  def int8Metrics(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val q = withInt8(df.select(id.as("id"), vec.as("_v")), col("_v"))
+      .withColumn("_xd", transform(col("_v"), x => x.cast("double")))
+      .withColumn("_xh", transform(col("q8"), v => v * col("q_scale")))
+    q.withColumn("sse",
+        dotProduct(col("_xd"), col("_xd"))
+          - lit(2.0) * dotProduct(col("_xd"), col("_xh"))
+          + dotProduct(col("_xh"), col("_xh")))
+      .withColumn("cos_recon", cosFromNorms(
+        dotProduct(col("_xd"), col("_xh")),
+        l2Norm(col("_xd")) * l2Norm(col("_xh"))))
+      .select(col("id"), col("q_scale"), col("sse"), col("cos_recon"))
+  }
+
+  /** Brute-force top-k in QUANTIZED space, with the exact cosine of
+    * every surviving pair alongside — cosine is scale-invariant, so
+    * the quantized similarity is `cos(q8_a, q8_b)` on integral doubles
+    * (order-independent-exact dot and norms → the RANKING is
+    * bit-portable across engines, stronger than the float-path rank
+    * whose portability rests on identical op sequences). The exact
+    * `cos_exact` column is computed only for the k·|Q| survivors —
+    * per-pair quantization error becomes a driver-visible artifact,
+    * the q38-recall pattern applied to quantization. */
+  def int8BruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                         qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+    val q = withInt8(queries, col("q_vec"))
+      .withColumnRenamed("q8", "q_q8")
+      .withColumn("q_qnorm", l2Norm(col("q_q8")))
+      .drop("q_scale")
+    val c = materialize(withInt8(corpus, col("c_vec"))
+      .withColumnRenamed("q8", "c_q8")
+      .withColumn("c_qnorm", l2Norm(col("c_q8")))
+      .drop("q_scale"))
+    val pairs = broadcast(q).crossJoin(c)
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_q8", cosFromNorms(
+        dotProduct(col("q_q8"), col("c_q8")), col("q_qnorm") * col("c_qnorm")))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_q8").desc, col(cId))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumn("cos_exact", cosFromNorms(
+        dotProduct(col("q_vec"), col("c_vec")),
+        l2Norm(col("q_vec")) * l2Norm(col("c_vec"))))
+      .select(col(qId), col("rank"), col(cId),
+        r(col("cos_q8"), 4).as("cos_q8"), r(col("cos_exact"), 4).as("cos_exact"))
+  }
+
   /** ANN top-k: bucket-join candidates then exact cosine re-rank.
     * Queries whose bucket holds fewer than k neighbors return fewer
     * rows (recall/latency trade-off of single-probe LSH). Buckets and

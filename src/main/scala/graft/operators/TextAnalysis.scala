@@ -149,6 +149,51 @@ object TextAnalysis {
       .withColumnRenamed("_doc", "doc_id")
   }
 
+  /** DSIR-style importance log-ratio (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * domain's unigram model than under the raw-corpus model —
+    * `avg_log_ratio = avg_tok [ln p_target(tok) − ln p_raw(tok)]`.
+    * High scorers "look like" the target domain; importance resampling
+    * keeps raw data in proportion to exp(ratio). The standard
+    * cheap-model data-selection move when a small trusted corpus
+    * (Wikipedia, curated references) should steer what a 100 TB crawl
+    * contributes.
+    *
+    * Both models smooth add-`alpha` over the SHARED raw vocabulary —
+    * essential: tokens unseen in the target still get a finite target
+    * probability, so the ratio is total (no −∞, no dropped tokens).
+    *
+    * Plan shape at 100 TB (same skeleton as [[unigramLogProb]]): ONE
+    * corpus explode feeds one vocab-sized count table carrying BOTH
+    * counts (raw count, and target count as a conditional sum — the
+    * target pass is free, not a second scan); the table is barriered
+    * because totals and the scoring join both consume it; totals
+    * broadcast as one row. The scoring join shuffles postings once on
+    * `tok`. */
+  def dsirLogRatio(df: DataFrame, id: Column, text: Column,
+                   isTarget: Column, alpha: Double = 1.0,
+                   reliableCheckpoint: Boolean = false): DataFrame = {
+    val toks = df.select(id.as("_doc"), isTarget.cast("boolean").as("_tgt"),
+      explode(tokens(text)).as("tok"))
+    val counts = OpUtils.barrier(
+      toks.groupBy(col("tok")).agg(
+        count(lit(1)).as("_cr"),
+        sum(when(col("_tgt"), 1L).otherwise(0L)).as("_ct")), reliableCheckpoint)
+    val totals = counts.agg(
+      sum(col("_cr")).cast("double").as("_tr"),
+      sum(col("_ct")).cast("double").as("_tt"),
+      count(lit(1)).cast("double").as("_v"))
+    toks.join(counts, Seq("tok"))              // raw vocab is total → inner join
+      .crossJoin(broadcast(totals))
+      .withColumn("_lr",
+        log((col("_ct") + alpha) / (col("_tt") + lit(alpha) * col("_v")))
+          - log((col("_cr") + alpha) / (col("_tr") + lit(alpha) * col("_v"))))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_lr")).as("avg_log_ratio"))
+      .withColumnRenamed("_doc", "doc_id")
+  }
+
   /** Top-k TF-IDF terms per document — the classic keyword extractor a
     * corpus pipeline runs for indexing, topic tagging, and similarity
     * features. tf = term count within the doc; idf = ln((1+N)/(1+df))
@@ -236,6 +281,33 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — merge any number of
+    * ranked retrieval lists into one consensus ranking:
+    * `rrf(doc) = Σ_lists 1/(k0 + rank_list(doc))`. The standard hybrid-
+    * retrieval combiner (BM25 ⊕ dense-vector ranks) because it needs
+    * NO score calibration between lists — only ranks.
+    *
+    * Each input needs (doc_id, rank) columns, rank 1-based; a document
+    * absent from a list simply contributes nothing for it (the usual
+    * RRF convention). Returns (doc_id, rrf_score, n_lists).
+    *
+    * Plan shape: union of the (already small, top-k-sized) rank lists,
+    * one map-side-combined aggregation — the corpus is never touched.
+    * Portability: each 1/(k0+rank) is one exact IEEE division of
+    * integers; for TWO lists the sum is order-independent (binary fp
+    * addition is commutative), so the fused score is bit-identical in
+    * any engine. For 3+ lists, round the score before ranking on it. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings
+      .map(_.select(col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("_c",
+        lit(1.0) / (lit(k0.toDouble) + col("rank").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_c")).as("rrf_score"), count(lit(1)).as("n_lists"))
   }
 
   /** Robust per-group outlier detection (median/MAD): flags rows whose

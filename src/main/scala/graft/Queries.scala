@@ -21,10 +21,12 @@ import graft.functions.GraftFunctions._
   *    HALF_UP on the exact expansion) and DuckDB (multiply-then-round);
   *  - every result has a deterministic total ORDER BY;
   *  - `events.ts` arithmetic uses an exact epoch-MICROSECOND long basis:
-  *    Spark reads parquet nanos as long (`nanosAsLong`) and floor-divides
-  *    by 1000; DuckDB 1.x truncates parquet nanos to µs on read, exposed
-  *    exactly by `epoch_us`. Integer math end to end — no double
-  *    division of epoch-scale longs (precision dies above 2^53);
+  *    Spark schema-dispatches the physical encoding (int64 nanos via
+  *    `nanosAsLong`, or TIMESTAMP(_NTZ) µs) onto epoch-µs longs
+  *    (`GraftFunctions.epochMicros`); DuckDB reads the same parquet and
+  *    exposes the identical basis via `epoch_us`. Integer math end to
+  *    end — no double division of epoch-scale longs (precision dies
+  *    above 2^53);
   *  - variance uses the portable (Σx²−(Σx)²/n)/(n−1) op sequence — the
   *    engines' native `var_samp` implementations (central-moment merge
   *    vs Welford) disagree in the last ulps;
@@ -49,9 +51,15 @@ object Queries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
-  /** events with exact epoch-µs `ts_us` (see class doc). */
-  private def eventsUs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events").withColumn("ts_us", longDiv(col("ts"), 1000L))
+  /** events with exact epoch-µs `ts_us` (see class doc). Encoding is
+    * schema-dispatched ([[GraftFunctions.epochMicros]]): legacy int64
+    * nanos and the current TIMESTAMP(_NTZ) µs testdata both land on
+    * the identical epoch-µs long basis the oracles' `epoch_us(ts)`
+    * exposes. */
+  private def eventsUs(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    ev.withColumn("ts_us", epochMicros(ev.schema("ts").dataType, col("ts")))
+  }
 
   // ---------------------------------------------------------------- //
   // A/B/D: scans, projection & predicate pushdown, aggregation        //

@@ -18,6 +18,33 @@ object GraftFunctions {
   def longDiv(a: Column, b: Column): Column = call_function("div", a, b)
   def longDiv(a: Column, b: Long): Column = longDiv(a, lit(b))
 
+  /** Exact epoch-MICROSECOND long from an event-timestamp column,
+    * whatever the parquet writer encoded:
+    *  - int64 nanoseconds (read as `LongType` under the legacy
+    *    `nanosAsLong` flag) → floor-div by 1000;
+    *  - `TIMESTAMP_NTZ` (µs wall-clock, naive-UTC by the testdata
+    *    convention; what Spark infers for un-adjusted parquet µs) →
+    *    a MICROSECOND diff from the epoch — pure wall-clock integer
+    *    math, independent of the session time zone;
+    *  - `TIMESTAMP` (UTC-adjusted µs) → `unix_micros`.
+    * All three are exact integer paths (no double division of
+    * epoch-scale values) and all three agree with DuckDB's
+    * `epoch_us(ts)` on the same parquet. Schema-dispatched, so the
+    * engine keeps running when an upstream re-encodes the table. */
+  def epochMicros(dt: org.apache.spark.sql.types.DataType, ts: Column): Column = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType         => longDiv(ts, 1000L)
+      case TimestampNTZType =>
+        timestamp_diff("MICROSECOND",
+          lit("1970-01-01 00:00:00").cast(TimestampNTZType), ts)
+      case TimestampType    => unix_micros(ts)
+      case other => throw new IllegalArgumentException(
+        s"epochMicros: unsupported event-timestamp type $other " +
+          "(expected LongType nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
+
   /** 31-based polynomial rolling hash of a string, mod 1e9+7 — the
     * deterministic, dialect-portable hash used for document
     * fingerprinting, MinHash token hashing and SimHash. Pure integer

@@ -25,13 +25,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Read one testdata table. `events.ts` is physically parquet
-    * TIMESTAMP(NANOS), which Spark's reader rejects by default; we read
-    * it as a long (nanoseconds since epoch) via the legacy flag. That
-    * matches the reference's data model — timestamps are opaque long
-    * ticks (`RecognizeActivity.java:64`) and all session/window math is
+  /** Read one testdata table. `events.ts` has shipped in two physical
+    * encodings across testdata generations: parquet TIMESTAMP(NANOS)
+    * (Spark's reader rejects it by default → read as an epoch-nanos
+    * long via the legacy flag) and plain TIMESTAMP µs (read as
+    * TIMESTAMP_NTZ). Consumers never branch on this —
+    * `GraftFunctions.epochMicros` schema-dispatches both onto the same
+    * exact epoch-µs long basis, and all session/window math stays
     * exact integer arithmetic (never double division, which loses
-    * precision above 2^53 — epoch-nanos are ~1.7e18).
+    * precision above 2^53 — epoch-nanos are ~1.7e18). Matches the
+    * reference's data model: timestamps as opaque long ticks
+    * (`RecognizeActivity.java:64`).
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The flag should be set at session BUILD time (the graft mains and

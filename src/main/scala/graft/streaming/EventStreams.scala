@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.functions.GraftFunctions.longDiv
+import graft.functions.GraftFunctions.epochMicros
 
 /** Structured Streaming surface (`SURVEY.md` §2 E "streaming twin",
   * H5). The reference is batch-only; these give the engine genuine
@@ -22,32 +22,29 @@ object EventStreams {
 
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),          // epoch nanos (nanosAsLong read)
+    StructField("ts", TimestampNTZType), // µs wall-clock (current testdata)
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Proper event-time column from the long-nanos `ts`. */
+  /** Proper event-time column from `ts`, whatever its encoding
+    * (int64 nanos, TIMESTAMP_NTZ µs, or TIMESTAMP µs — dispatch in
+    * [[graft.functions.GraftFunctions.epochMicros]]); always a
+    * TIMESTAMP instant so watermarks/windows behave identically
+    * regardless of the source encoding. */
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros(longDiv(col("ts"), 1000L)))
+    df.withColumn("event_time",
+      timestamp_micros(epochMicros(df.schema("ts").dataType, col("ts"))))
 
   /** File-source stream over the events parquet (schema must be
-    * declared for streaming reads). Like `Tables.load`, self-heals the
-    * nanos flag with a logged warning when an external session didn't
-    * set it at build time (guarded — set only when unset). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
-      org.apache.log4j.Logger.getLogger(getClass).warn(
-        "EventStreams.readEventStream: setting " +
-          "spark.sql.legacy.parquet.nanosAsLong=true (prefer session build time)")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
+    * declared for streaming reads — [[EventSchema]] matches the
+    * current µs-timestamp testdata encoding). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
     withEventTime(
       spark.readStream.schema(EventSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
-  }
 
   /** Stream-static enrichment: left-join the stream against a batch
     * dimension frame on `key`. Stateless on the stream side — no

@@ -2959,6 +2959,219 @@ object Queries {
     },
     bench = true)
 
+  /** H1+/F1+: leakage-safe train/val/test split
+    * ([[graft.operators.Sampling.leakageSafeSplit]]) — near-dup
+    * components (q105's embedding-LSH pair graph) assigned WHOLE to
+    * one split by hashing the component representative, so no
+    * near-duplicate pair ever straddles train and test. The oracle
+    * re-derives the pair graph, the transitive closure (recursive
+    * CTE), and every hash assignment — certifying both the component
+    * chain and the non-straddle property end to end. */
+  private val q113 = Q("q113_leakage_safe_split",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Dedup.embeddingPairsLsh(
+          emb, id = "vec_id", vec = "embedding",
+          planes = 8, dim = 64, threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Sampling.leakageSafeSplit(
+          emb.select(col("vec_id")), col("vec_id"), pairs,
+          idA = "id_a", idB = "id_b", seed = "r6leak",
+          weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("vec_id"), col("cluster_id"), col("split"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH RECURSIVE b AS (SELECT vec_id, embedding, ${sqlLshBucket("e0")} AS bk
+        FROM (SELECT vec_id, embedding, embedding AS e0 FROM embeddings)),
+      p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+          ${sqlDot("a.embedding", "b2.embedding")} AS dt,
+          sqrt(${sqlDot("a.embedding", "a.embedding")}) * sqrt(${sqlDot("b2.embedding", "b2.embedding")}) AS nn
+        FROM b a JOIN b b2 ON a.bk = b2.bk AND a.vec_id < b2.vec_id),
+      pr AS (SELECT id_a, id_b FROM p
+        WHERE (CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END) >= 0.4),
+      und AS (SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr),
+      reach(src, dst) AS (SELECT src, dst FROM und
+        UNION SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+      cl AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      asg AS (SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id
+        FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id)
+      SELECT vec_id, cluster_id,
+        CASE WHEN ${sqlPolyHash("'r6leak' || CAST(cluster_id AS VARCHAR) || '#graft-sample'")} % 10000 < 8000 THEN 'train'
+             WHEN ${sqlPolyHash("'r6leak' || CAST(cluster_id AS VARCHAR) || '#graft-sample'")} % 10000 < 9000 THEN 'val'
+             ELSE 'test' END AS split
+      FROM asg ORDER BY vec_id"""))
+
+  /** H4+: interpolated bigram-LM quality scoring
+    * ([[TextAnalysis.bigramLogProb]], λ=0.7, add-1 unigram smoothing)
+    * — the perplexity filter one modeling step past q83: word-order
+    * now matters ("the of the of" scores badly even when its unigrams
+    * are common). λ and 1−λ are both spelled as the same IEEE ops in
+    * both engines (the SQL writes `(1.0 - 0.7)`, not `0.3` — those
+    * differ in the last ulp). Benched: two corpus explodes + a
+    * posting-sized scoring join is the at-scale shape to watch. */
+  private val q114 = Q("q114_bigram_logprob",
+    (s, d) => TextAnalysis.bigramLogProb(
+        t(s, d, "documents"), col("doc_id"), col("text"), lambda = 0.7)
+      .select(col("doc_id"), col("n_bigrams"),
+        r(col("avg_logprob"), 4).as("avg_logprob"))
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (SELECT doc_id, t[p] AS w1, t[p+1] AS w2,
+          array_to_string(t[p:p+1], ' ') AS pair
+        FROM tk, unnest(range(1, len(t))) AS u(p)),
+      c2 AS (SELECT pair, count(*) AS c2 FROM bg GROUP BY pair),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      cu AS (SELECT tok, count(*) AS cu
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok),
+      tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v
+        FROM cu),
+      lp AS (SELECT bg.doc_id,
+          ln(0.7 * (c2.c2::DOUBLE / c1.c1)
+            + (1.0 - 0.7) * ((cu.cu + 1.0) / (tot.t + 1.0 * tot.v))) AS l
+        FROM bg JOIN c2 USING (pair) JOIN c1 USING (w1)
+          JOIN cu ON bg.w2 = cu.tok CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        floor(avg(l) * 10000 + 0.5) / 10000.0 AS avg_logprob
+      FROM lp GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  /** H4+: vocabulary-coverage / OOV-rate gate ([[TextAnalysis.oovRate]],
+    * V=200, gate at 50%) — the tokenizer-fit check before committing a
+    * corpus to a fixed vocabulary. The top-V cut rides the bounded-heap
+    * sort-limit; `oov_rate` is an exact small-integer ratio, so the
+    * boolean gate cannot flip between engines. */
+  private val q115 = Q("q115_oov_rate",
+    (s, d) => TextAnalysis.oovRate(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        vocabSize = 200, maxOovRate = 0.5)
+      .select(col("doc_id"), col("n_tokens"),
+        r(col("oov_rate"), 6).as("oov_rate"), col("keep"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      v AS (SELECT tok FROM c ORDER BY c DESC, tok LIMIT 200),
+      j AS (SELECT t.doc_id,
+          CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END AS oov
+        FROM toks t LEFT JOIN v ON t.tok = v.tok)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        floor(avg(oov) * 1000000 + 0.5) / 1000000.0 AS oov_rate,
+        avg(oov) <= 0.5 AS keep
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** H2+/H4+: cluster-balanced sampling — q108's k-means assignments
+    * fed through [[graft.operators.Sampling.stratumSample]] (20 per
+    * cluster, seeded): the topic-balanced subset move (SemDeDup /
+    * cluster-pruning pipelines) that keeps rare clusters represented
+    * no matter how skewed the corpus. The oracle replays the full
+    * unrolled k-means AND the per-cluster hash cut. */
+  private val q116 = Q("q116_cluster_balanced_sample",
+    (s, d) => graft.operators.Sampling.stratumSample(
+        Clustering.kMeans(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), k = 4, iters = 2,
+          seed = "km6", dim = 64),
+        stratum = col("cluster_id"), key = col("id"), n = 20, seed = "cb6")
+      .select(col("id").as("vec_id"), col("cluster_id"), col("smp_rank"))
+      .orderBy(col("vec_id")),
+    {
+      val dvv = sqlDot("v", "v"); val dvc = sqlDot("v", "c"); val dcc = sqlDot("c", "c")
+      Some(s"""WITH xq AS (SELECT vec_id,
+          list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
+        FROM embeddings),
+      sd AS (SELECT vec_id, v,
+          row_number() OVER (ORDER BY
+            ${sqlPolyHash("'km6' || CAST(vec_id AS VARCHAR) || '#graft-kmeans'")} % 10000,
+            vec_id) - 1 AS cid
+        FROM xq),
+      c0 AS (SELECT cid, v AS c FROM sd WHERE cid < 4),
+      p1 AS (SELECT x.vec_id, x.v, c.cid,
+          ($dvv - 2.0 * $dvc + $dcc) AS dist2
+        FROM xq x CROSS JOIN c0 c),
+      a1 AS (SELECT vec_id, v, cid FROM p1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+      u1 AS (SELECT cid, d, sum(v[d]) / count(*) AS m
+        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY cid, d),
+      c1 AS (SELECT c0.cid, coalesce(u.c, c0.c) AS c
+        FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS c FROM u1 GROUP BY cid) u
+          ON c0.cid = u.cid),
+      p2 AS (SELECT x.vec_id, x.v, c.cid,
+          ($dvv - 2.0 * $dvc + $dcc) AS dist2
+        FROM xq x CROSS JOIN c1 c),
+      a2 AS (SELECT vec_id, v, cid FROM p2
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+      u2 AS (SELECT cid, d, sum(v[d]) / count(*) AS m
+        FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY cid, d),
+      c2 AS (SELECT c1.cid, coalesce(u.c, c1.c) AS c
+        FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS c FROM u2 GROUP BY cid) u
+          ON c1.cid = u.cid),
+      p3 AS (SELECT x.vec_id, c.cid,
+          ($dvv - 2.0 * $dvc + $dcc) AS dist2
+        FROM xq x CROSS JOIN c2 c),
+      a3 AS (SELECT vec_id, cid FROM p3
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+      sm AS (SELECT vec_id, cid,
+          row_number() OVER (PARTITION BY cid ORDER BY
+            ${sqlPolyHash("'cb6' || CAST(vec_id AS VARCHAR) || '#graft-sample'")} % 10000,
+            vec_id) AS smp_rank
+        FROM a3)
+      SELECT vec_id, cid AS cluster_id, smp_rank
+      FROM sm WHERE smp_rank <= 20 ORDER BY vec_id""")
+    })
+
+  /** H4+/G+: end-to-end corpus materialization manifest — the capstone
+    * composition a training run actually consumes: absolute quality
+    * gate (q40's score ≥ 0.29 — the synthetic corpus scores 0.20-0.36,
+    * so the gate keeps roughly the upper half) → exact dedup keepers →
+    * seeded 90/5/5
+    * split, train slice → epoch-shuffle shard assignment (8 shards) →
+    * per-shard manifest (docs, tokens). Every stage is one of the
+    * engine's deterministic primitives, so the WHOLE pipeline is
+    * hash-checkable — the oracle recomputes gate, dedup, split, and
+    * shard assignment from scratch. Benched: this is the "write the
+    * training corpus" path whose shape (gate-projection → one dedup
+    * exchange → pure-projection split/shard → shard-sized agg) must
+    * hold at 100 TB. */
+  private val q117 = Q("q117_corpus_manifest",
+    (s, d) => {
+      val gated = TextAnalysis.withTextStats(t(s, d, "documents"), col("text"))
+        .filter(col("quality_score") >= 0.29)
+      val kept = Dedup.exact(gated, col("doc_id"), col("text"))
+        .filter(!col("is_dup"))
+      val train = graft.operators.Sampling.seededSplit(
+          kept, col("doc_id"), seed = "r6mix",
+          weights = Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .filter(col("split") === "train")
+      graft.operators.Sampling.epochShuffle(
+          train, col("doc_id"), epochSeed = "ep1", numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+      st AS (SELECT doc_id, text, len(tk) AS n_tokens,
+          len(list_distinct(tk)) AS n_dt,
+          len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS n_sw
+        FROM t),
+      g AS (SELECT doc_id, text, n_tokens FROM st
+        WHERE least(1.0, n_tokens / 200.0) * 0.5 + (n_dt::DOUBLE / n_tokens) * 0.3
+          + (n_sw::DOUBLE / n_tokens) * 0.2 >= 0.29),
+      k AS (SELECT doc_id, n_tokens FROM (SELECT doc_id, n_tokens,
+          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g)
+        WHERE rn = 1),
+      tr AS (SELECT doc_id, n_tokens FROM k
+        WHERE ${sqlPolyHash("'r6mix' || CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 9000),
+      sh AS (SELECT n_tokens,
+          ${sqlPolyHash("'ep1' || CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 8 AS shard
+        FROM tr)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM sh GROUP BY shard ORDER BY shard"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -2970,7 +3183,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q70, q71, q72, q73, q74, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -182,4 +182,57 @@ object Sampling {
     df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= quota)
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land on the SAME side of a split, or evaluation scores are
+    * contaminated by memorized twins of the test set — the standard
+    * failure [[seededSplit]] alone cannot prevent (it hashes each id
+    * independently). Here the near-dup `pairs` graph collapses to
+    * connected components ([[Dedup.connectedComponents]]) and the
+    * WHOLE component is assigned by hashing its canonical
+    * representative (the component's minimum id), so every member —
+    * and every future member that joins the component under the same
+    * pairs — inherits one split.
+    *
+    * Plan shape at 100 TB: components run on the PAIR set (candidate-
+    * sized, never the corpus); the corpus touches one left equality
+    * join against the component table (vertex-sized — AQE broadcasts
+    * it when small) and a pure projection for the hash assignment.
+    * Rows in no pair keep themselves as representative — zero-pair
+    * corpora degrade to exactly [[seededSplit]].
+    *
+    * Returns `df`'s columns + `cluster_id` (the representative) +
+    * `splitCol`. */
+  def leakageSafeSplit(df: DataFrame, key: Column, pairs: DataFrame,
+                       idA: String, idB: String, seed: String,
+                       weights: Seq[(String, Double)],
+                       splitCol: String = "split"): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, idA, idB)
+      .select(col("id").as("_leak_id"), col("cluster_id").as("_leak_rep"))
+    val withRep = df.join(comp, key === col("_leak_id"), "left")
+      .withColumn("cluster_id", coalesce(col("_leak_rep"), key))
+      .drop("_leak_id", "_leak_rep")
+    seededSplit(withRep, col("cluster_id"), seed, weights, splitCol)
+  }
+
+  /** Per-stratum seeded uniform sample of exactly `n` rows (strata
+    * smaller than `n` keep everything): rank each stratum's rows by
+    * the portable hash of (seed, key) — a reproducible uniform draw —
+    * and keep the first `n`. The cluster-balanced / source-balanced
+    * subset move: equal representation per stratum regardless of how
+    * skewed the strata sizes are, reproducible across engines and
+    * reruns (contrast `sampleBy`, which is none of that).
+    *
+    * Plan shape: ONE rank window per stratum (shuffle carries the
+    * stratum key; skew bounded by the largest stratum) and a pure
+    * hash projection — no joins, no driver state. Ranks are total
+    * (hash bucket, then key), so the cut is engine-stable. */
+  def stratumSample(df: DataFrame, stratum: Column, key: Column, n: Int,
+                    seed: String, rankCol: String = "smp_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"n must be positive: $n")
+    val w = Window.partitionBy(stratum).orderBy(bucket(concat(lit(seed), key.cast("string"))), key)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= n)
+  }
 }

@@ -477,6 +477,115 @@ object TextAnalysis {
         array_join(col("_kept"), " ").as("text_clean"))
   }
 
+  /** Corpus-trained interpolated bigram language model scoring — the
+    * step past [[unigramLogProb]] on the perplexity-filter quality
+    * axis: every document scores by its mean bigram-position
+    * log-probability under
+    * `λ·P(w₂|w₁) + (1−λ)·P_uni(w₂)` where `P(w₂|w₁)` is the corpus
+    * bigram MLE (`c(w₁w₂)/c(w₁·)`, context count = bigram-first
+    * occurrences so the conditional sums to exactly 1 per context)
+    * and `P_uni` is the add-α-smoothed unigram model. Interpolation —
+    * not backoff — keeps the math a single branch-free expression
+    * both engines evaluate in the identical IEEE op order.
+    *
+    * Plan shape at 100 TB: TWO corpus scans (bigram explode via the
+    * codegen'd `graft_pos_shingles(n=2)` generator, token explode for
+    * the unigram model) — deliberately scans, never a posexplode +
+    * re-sort: a second columnar scan of a pruned column is cheap,
+    * shuffling the exploded token stream on doc to re-derive adjacency
+    * is not. Both count tables are vocab(²)-bounded. The model —
+    * bigram counts ⋈ context counts ⋈ unigram counts, all vocab-sized
+    * joins — is barriered once (it feeds totals AND the scoring join,
+    * same double-consumption issue as [[unigramLogProb]]); totals
+    * broadcast as one row; ONE posting-sized equality join on the pair
+    * string scores every bigram position. Docs with fewer than 2
+    * tokens have no bigram positions and drop (documented contract —
+    * a perplexity filter has nothing to say about a 1-token doc).
+    *
+    * Returns (doc_id, n_bigrams, avg_logprob). */
+  def bigramLogProb(df: DataFrame, id: Column, text: Column,
+                    lambda: Double = 0.7, alpha: Double = 1.0,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1]: $lambda")
+    val docs = df.select(id.as("_doc"), text.as("_text"))
+    val bigrams = docs.select(col("_doc"),
+        explode(positionedShingles(tokens(col("_text")), 2)).as("p"))
+      .select(col("_doc"), col("p.ng").as("pair"))
+    val toks = docs.select(explode(tokens(col("_text"))).as("tok"))
+    // both count tables are consumed twice (c2 → context derivation +
+    // scoring join; cu → model join + smoothing totals), so each gets
+    // the vocab-sized barrier — without it Catalyst re-plans the full
+    // corpus explode under every consumer (the unigramLogProb lesson).
+    val c2 = OpUtils.barrier(
+      bigrams.groupBy(col("pair")).agg(count(lit(1)).as("c2")),
+      reliableCheckpoint)
+    // context count from the bigram table itself (= occurrences of w1
+    // in bigram-first position), NOT the raw unigram count — doc-final
+    // tokens never open a bigram, and only this definition makes
+    // Σ_w2 P(w2|w1) = 1 exactly.
+    val c1 = c2
+      .groupBy(substring_index(col("pair"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val cu = OpUtils.barrier(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("cu")),
+      reliableCheckpoint)
+    val model = c2
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+      .join(c1, Seq("w1"))
+      .join(cu.withColumnRenamed("tok", "w2"), Seq("w2"))
+      .select(col("pair"), col("c2"), col("c1"), col("cu"))
+    val totals = cu.agg(sum(col("cu")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    bigrams.join(model, Seq("pair"))           // self-trained → inner join total
+      .crossJoin(broadcast(totals))
+      .withColumn("_lp", log(
+        lit(lambda) * (col("c2").cast("double") / col("c1"))
+          + lit(1.0 - lambda)
+            * ((col("cu") + alpha) / (col("t") + lit(alpha) * col("v")))))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("avg_logprob"))
+      .withColumnRenamed("_doc", "doc_id")
+  }
+
+  /** Vocabulary coverage / out-of-vocabulary-rate gate — "how much of
+    * this document does a size-V corpus vocabulary cover?", the
+    * tokenizer-fit check a pipeline runs before committing a corpus to
+    * a fixed vocab (high OOV rate = the doc is noise, the wrong
+    * language, or the vocab is too small for it). Vocabulary = the top
+    * `vocabSize` tokens by corpus frequency (count desc, token asc —
+    * a total order, so the cut is engine-stable); per doc, `oov_rate` =
+    * fraction of token occurrences outside it; `keep` gates at
+    * `maxOovRate`.
+    *
+    * Plan shape at 100 TB: one corpus explode → vocab-sized count
+    * table → the top-V cut is a global sort-limit
+    * (`TakeOrderedAndProject`, per-partition bounded heaps — the
+    * vocabulary never exists unsorted anywhere); the V-row vocab
+    * BROADCASTS to a left join under the token explode (no shuffle of
+    * the token stream), one per-doc aggregation finishes. `oov_rate`
+    * is an exact small-integer ratio (sum of 0/1 doubles), so engines
+    * cannot disagree on it — or on the boolean gate. */
+  def oovRate(df: DataFrame, id: Column, text: Column,
+              vocabSize: Int, maxOovRate: Double,
+              reliableCheckpoint: Boolean = false): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(maxOovRate >= 0.0 && maxOovRate <= 1.0,
+      s"maxOovRate must be in [0,1]: $maxOovRate")
+    val toks = df.select(id.as("_doc"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("_in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("_oov", when(col("_in_v").isNull, 1.0).otherwise(0.0))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(col("_oov")).as("oov_rate"))
+      .withColumn("keep", col("oov_rate") <= maxOovRate)
+      .withColumnRenamed("_doc", "doc_id")
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextAnalysis}
+
+/** Round-6 additions: bigram-LM scoring (hand-computed interpolated
+  * probabilities), OOV-rate gating (hand-computed vocab cut),
+  * leakage-safe splitting (the no-straddle property plus singleton
+  * parity with seededSplit), and per-stratum sampling (quota, underfill,
+  * layout independence). */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ //
+  // bigramLogProb                                                  //
+  // ------------------------------------------------------------ //
+
+  test("bigramLogProb: hand-computed interpolated probabilities") {
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, col("doc_id"), col("text"),
+        lambda = 0.7)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // corpus: c2("a b")=2, c2("b a")=1; contexts c1(a)=2, c1(b)=1;
+    // unigrams a:3 b:2, T=5, V=2 → Pu(a)=4/7, Pu(b)=3/7 (add-1).
+    val lam = 0.7
+    val pAB = lam * (2.0 / 2.0) + (1.0 - lam) * ((2.0 + 1.0) / (5.0 + 2.0))
+    val pBA = lam * (1.0 / 1.0) + (1.0 - lam) * ((3.0 + 1.0) / (5.0 + 2.0))
+    val exp1 = (math.log(pAB) + math.log(pBA)) / 2.0
+    val exp2 = math.log(pAB)
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(out(0)._3 - exp1) < 1e-12, s"${out(0)._3} vs $exp1")
+    assert(math.abs(out(1)._3 - exp2) < 1e-12, s"${out(1)._3} vs $exp2")
+  }
+
+  test("bigramLogProb: conditional sums to 1 per context; 1-token docs drop") {
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect()
+    // doc 3 has no bigram position → absent, not a null row
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    // P(b|a)=P(c|a)=1/2: with λ=0.7, α=1 both docs score identically
+    assert(math.abs(out(0)._3 - out(1)._3) < 1e-12)
+  }
+
+  // ------------------------------------------------------------ //
+  // oovRate                                                        //
+  // ------------------------------------------------------------ //
+
+  test("oovRate: hand-computed vocab cut and gate") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    // counts: x:2 y:2 z:1 → top-2 vocab (count desc, tok asc) = {x, y}
+    val out = TextAnalysis.oovRate(docs, col("doc_id"), col("text"),
+        vocabSize = 2, maxOovRate = 0.4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0.0, true), (2L, 2L, 0.5, false)))
+  }
+
+  test("oovRate: vocab larger than the corpus → zero OOV everywhere") {
+    val docs = Seq((1L, "p q"), (2L, "q r s")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, col("doc_id"), col("text"),
+        vocabSize = 100, maxOovRate = 0.0)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.forall(r => r._3 == 0.0 && r._4))
+  }
+
+  // ------------------------------------------------------------ //
+  // leakageSafeSplit                                               //
+  // ------------------------------------------------------------ //
+
+  test("leakageSafeSplit: components never straddle; singletons ≡ seededSplit") {
+    val ids = (1L to 200L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (150L, 151L))
+      .toDF("id_a", "id_b")
+    val weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val out = Sampling.leakageSafeSplit(ids, col("id"), pairs,
+        idA = "id_a", idB = "id_b", seed = "t6", weights = weights)
+      .select(col("id"), col("cluster_id"), col("split"))
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == 200)
+    // whole chain 1-2-3 under representative 1, one split
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).toSet == Set(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).toSet.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).toSet.size == 1)
+    assert(Seq(150L, 151L).map(byId(_)._3).toSet.size == 1)
+    // rows in no pair: identical assignment to plain seededSplit
+    val paired = Set(1L, 2L, 3L, 10L, 11L, 150L, 151L)
+    val plain = Sampling.seededSplit(ids, col("id"), "t6", weights)
+      .as[(Long, String)].collect().toMap
+    out.filterNot(r => paired(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._3 == plain(r._1))
+    }
+    // the fixture is big enough that all three splits appear
+    assert(out.map(_._3).toSet == Set("train", "val", "test"))
+  }
+
+  // ------------------------------------------------------------ //
+  // stratumSample                                                  //
+  // ------------------------------------------------------------ //
+
+  test("stratumSample: exact quota, honest underfill, layout independence") {
+    val rows = ((1L to 50L).map(i => ("a", i)) ++ (101L to 105L).map(i => ("b", i)))
+      .toDF("src", "id")
+    val out = Sampling.stratumSample(rows, col("src"), col("id"),
+        n = 10, seed = "s6")
+      .as[(String, Long, Long)].collect()
+    val bySrc = out.groupBy(_._1)
+    assert(bySrc("a").length == 10)
+    assert(bySrc("b").length == 5)                 // underfills, no backfill
+    assert(out.forall(_._3 <= 10))
+    // same sample regardless of physical layout
+    val again = Sampling.stratumSample(rows.repartition(7), col("src"),
+        col("id"), n = 10, seed = "s6")
+      .as[(String, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+    // a different seed draws a different subset (50C10 ≫ collision odds)
+    val other = Sampling.stratumSample(rows, col("src"), col("id"),
+        n = 10, seed = "s7")
+      .as[(String, Long, Long)].collect()
+    assert(other.filter(_._1 == "a").map(_._2).toSet !=
+      bySrc("a").map(_._2).toSet)
+  }
+
+  // ------------------------------------------------------------ //
+  // q117 composition smoke on real testdata                        //
+  // ------------------------------------------------------------ //
+
+  test("corpus manifest: shards bounded, docs and tokens positive") {
+    val out = Queries.queries("q117_corpus_manifest")(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 >= 0 && r._1 < 8))
+    assert(out.forall(r => r._2 > 0 && r._3 > 0))
+  }
+}

@@ -132,6 +132,41 @@ class PlanRegressionSpec extends SparkSpec {
       s"the join input must be digests, not payloads:\n$p")
   }
 
+  test("q114 bigram LM: both model tables barriered — ONE corpus scan in the scoring plan") {
+    val df = Queries.queries("q114_bigram_logprob")(spark, sf("sf0.001"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"the scoring join must read the checkpointed bigram/unigram models, " +
+        s"leaving one corpus scan for the posting side (got $scans):\n$p")
+    assert(p.contains("graft_pos_shingles"),
+      s"bigram generation must stay on the native expression:\n$p")
+  }
+
+  test("q115 OOV rate: vocab cut is a bounded heap that BROADCASTS to the token stream") {
+    val p = plan("q115_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-V vocabulary cut must be per-partition bounded heaps:\n$p")
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(p).nonEmpty,
+      s"the V-row vocab must broadcast — the token stream never shuffles " +
+        s"for the membership join:\n$p")
+  }
+
+  test("q117 corpus manifest: dedup keeper rides the top-k rewrite; pruned shuffle diet") {
+    val p = plan("q117_corpus_manifest")
+    assert(p.contains("TopKPerGroupPartial"),
+      s"the exact-dedup keeper (rn=1 per digest) must plan as the " +
+        s"bounded-heap operator, not a Window:\n$p")
+    assert(!p.contains("Window"),
+      s"no Window may survive — the unused epoch-shuffle position must be " +
+        s"pruned along with its sort:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 2,
+      s"gate and split are projections; only the dedup digest exchange and " +
+        s"the shard aggregation may shuffle (got $hashExchanges):\n$p")
+  }
+
   test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
     // force execution so the AQE plan is final and the checkpoint exists
     val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))

@@ -1943,6 +1943,25 @@ object Queries {
     * per model). Small grid/folds: selection = folds × grid
     * distributed fits. Rows-only (CV internals aren't
     * SQL-expressible). */
+  /** F+/H4+: fastText-style quality classifier
+    * ([[graft.ml.Models.trainTextClassifier]]) — hashed
+    * unigram+bigram features into binomial LR, trained to recognize
+    * the English slice, reported as a confusion matrix over the whole
+    * corpus. The learned curation filter (GPT-3-lineage classifier
+    * filtering) beside q109's fixed DSIR ratio. Rows-only (LBFGS
+    * training isn't SQL-expressible); the separability and accuracy
+    * contracts live in MlClassifierSpec. */
+  private val q118 = Q("q118_ml_quality_classifier",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val (_, scored) = graft.ml.Models.trainTextClassifier(
+        docs, col("text"), (col("lang") === "en").cast("double"))
+      scored.groupBy(col("label"), col("prediction"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("prediction"))
+    },
+    None)
+
   private val q82 = Q("q82_ml_cross_validation",
     (s, d) => {
       import s.implicits._
@@ -3184,7 +3203,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q70, q71, q72, q73, q74, q82)
+    q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

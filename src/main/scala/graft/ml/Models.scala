@@ -96,6 +96,57 @@ object Models {
     Eval(model, acc, 1.0 - acc, train.count(), test.count())
   }
 
+  /** Unigram + adjacent-bigram token stream for hashed text features —
+    * the fastText-style feature recipe. Pure expressions
+    * (`graft_pos_shingles` for the bigrams), so feature extraction
+    * rides whole-stage codegen and never shuffles. */
+  def withClassifierTokens(df: DataFrame, text: Column,
+                           out: String = "clf_toks"): DataFrame = {
+    import graft.functions.GraftFunctions.{positionedShingles, tokens}
+    df.withColumn(out,
+      concat(tokens(text),
+        transform(positionedShingles(tokens(text), 2), p => p.getField("ng"))))
+  }
+
+  /** fastText-style text classifier: hashed unigram+bigram
+    * term-frequency features (`HashingTF`, feature hashing — no vocab
+    * table, no driver state, fixed width at any corpus size) into
+    * binomial logistic regression. This is the classifier-based
+    * curation filter of the GPT-3/LLaMA lineage: train on "looks like
+    * the trusted corpus" vs "random crawl" labels, then score every
+    * document — the learned alternative to [[graft.operators.TextAnalysis.dsirLogRatio]]'s
+    * fixed unigram ratio.
+    *
+    * Scale: tokenize+hash is a per-row map; LR training is
+    * spark.ml's distributed LBFGS (gradient aggregation, no
+    * per-feature driver state beyond the 2^`hashBits`-dim coefficient
+    * vector); scoring is a broadcast of that vector. */
+  def textClassifier(hashBits: Int = 12): (org.apache.spark.ml.feature.HashingTF, LogisticRegression) = {
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("clf_toks").setOutputCol("features")
+      .setNumFeatures(1 << hashBits)
+    val lr = new LogisticRegression()
+      .setFamily("binomial").setMaxIter(50).setRegParam(1e-3)
+    (tf, lr)
+  }
+
+  /** Train + evaluate the text classifier on (text, label): seeded
+    * 60/40 split, accuracy on the held-out side, and the scored
+    * corpus (prediction per document) from the fitted model. */
+  def trainTextClassifier(df: DataFrame, text: Column, label: Column,
+                          hashBits: Int = 12): (Eval, DataFrame) = {
+    val prepared = withClassifierTokens(
+      df.withColumn("label", label.cast("double")), text)
+    val Array(train, test) = prepared.randomSplit(Array(0.6, 0.4), Seed)
+    val (tf, lr) = textClassifier(hashBits)
+    val pipeline = new Pipeline().setStages(Array(tf, lr))
+    val model = pipeline.fit(train)
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").evaluate(model.transform(test))
+    (Eval(model, acc, 1.0 - acc, train.count(), test.count()),
+      model.transform(prepared))
+  }
+
   /** A7/A8 parity: MLWriter round-trip. */
   def saveLoad(model: PipelineModel, path: String): PipelineModel = {
     model.write.overwrite().save(path)

@@ -3191,6 +3191,44 @@ object Queries {
       FROM sh GROUP BY shard ORDER BY shard"""),
     bench = true)
 
+  /** H4+: token-budget training mix
+    * ([[graft.operators.Sampling.trainingMixTokens]], 8 000 tokens at
+    * en 50 / es 30 / de 20) — quotas in TOKENS, the unit a pretraining
+    * mix is actually specified in. Each language keeps its
+    * best-quality prefix whose inclusive token sum fits the quota
+    * (documents don't split, so the mix underruns rather than
+    * overruns). Ranking runs on the UNROUNDED q40 score (identical
+    * IEEE op sequence both engines — the q100 precedent). */
+  private val q119 = Q("q119_token_budget_mix",
+    (s, d) => graft.operators.Sampling.trainingMixTokens(
+        TextAnalysis.withTextStats(t(s, d, "documents"), col("text")),
+        stratum = col("lang"), weight = col("n_tokens"),
+        rankBy = col("quality_score"), tieBreak = col("doc_id"),
+        budgetTokens = 8000L,
+        shares = Seq(("en", 0.5), ("es", 0.3), ("de", 0.2)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk
+        FROM documents),
+      st AS (SELECT doc_id, lang, len(tk) AS n_tokens,
+          len(list_distinct(tk)) AS n_dt,
+          len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is'))) AS n_sw
+        FROM t),
+      sc AS (SELECT doc_id, lang, n_tokens,
+          least(1.0, n_tokens / 200.0) * 0.5 + (n_dt::DOUBLE / n_tokens) * 0.3
+            + (n_sw::DOUBLE / n_tokens) * 0.2 AS q
+        FROM st),
+      cum AS (SELECT doc_id, lang, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM sc)
+      SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(cum_tokens AS BIGINT) AS cum_tokens
+      FROM cum
+      WHERE cum_tokens <= CASE lang WHEN 'en' THEN 4000
+        WHEN 'es' THEN 2400 WHEN 'de' THEN 1600 ELSE 0 END
+      ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3202,7 +3240,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

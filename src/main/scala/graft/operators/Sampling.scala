@@ -183,6 +183,38 @@ object Sampling {
       .filter(col(rankCol) <= quota)
   }
 
+  /** Token-budget training mix: like [[trainingMix]] but the budget and
+    * per-stratum quotas are measured in TOKENS (`weight`), not rows —
+    * how a pretraining mix is actually specified ("500 B tokens, 50%
+    * web / 30% code / 20% reference"). Each stratum fills best-first
+    * by `rankBy` until the NEXT document would overflow its token
+    * quota: a document is kept iff its inclusive running token sum
+    * fits, so the mix underruns rather than overruns (documents don't
+    * split). Unlisted strata drop; a stratum without enough tokens
+    * underfills honestly.
+    *
+    * Plan shape: ONE rank-ordered running-sum window per stratum and a
+    * literal CASE quota — same single-exchange shape as
+    * [[trainingMix]], no joins, no driver state. */
+  def trainingMixTokens(df: DataFrame, stratum: Column, weight: Column,
+                        rankBy: Column, tieBreak: Column, budgetTokens: Long,
+                        shares: Seq[(String, Double)],
+                        cumCol: String = "cum_tokens"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(shares.nonEmpty && shares.forall(_._2 >= 0.0),
+      s"shares must be non-negative: $shares")
+    require(shares.map(_._2).sum <= 1.0 + 1e-9,
+      s"shares must sum to at most 1: $shares")
+    val quota = shares.foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(math.round(p * budgetTokens))).otherwise(acc)
+    }
+    val w = Window.partitionBy(stratum).orderBy(rankBy.desc, tieBreak)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(cumCol, sum(weight.cast("long")).over(w))
+      .filter(col(cumCol) <= quota)
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents must
     * land on the SAME side of a split, or evaluation scores are
     * contaminated by memorized twins of the test set — the standard

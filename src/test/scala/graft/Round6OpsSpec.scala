@@ -125,6 +125,32 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ //
+  // trainingMixTokens                                              //
+  // ------------------------------------------------------------ //
+
+  test("trainingMixTokens: largest fitting prefix per stratum, token units") {
+    val rows = Seq(
+      ("a", 1L, 5L, 3.0), ("a", 2L, 4L, 2.0), ("a", 3L, 1L, 1.0),
+      ("b", 4L, 2L, 9.0), ("b", 5L, 2L, 8.0))
+      .toDF("src", "id", "n_tok", "score")
+    val out = Sampling.trainingMixTokens(rows, col("src"), col("n_tok"),
+        rankBy = col("score"), tieBreak = col("id"),
+        budgetTokens = 10L, shares = Seq(("a", 0.6), ("b", 0.4)))
+      .select(col("id"), col("cum_tokens"))
+      .as[(Long, Long)].collect().toMap
+    // stratum a (quota 6): prefix 5, 5+4=9 > 6 stops — the cumulative
+    // sum is monotone, so nothing after the first overflow re-enters;
+    // stratum b (quota 4) fits both rows (2, 4)
+    assert(out.keySet == Set(1L, 4L, 5L))
+    assert(out(1L) == 5L && out(4L) == 2L && out(5L) == 4L)
+    // unlisted stratum drops entirely
+    val out2 = Sampling.trainingMixTokens(rows, col("src"), col("n_tok"),
+        col("score"), col("id"), 10L, Seq(("a", 1.0)))
+      .select(col("src")).distinct().as[String].collect()
+    assert(out2.toSeq == Seq("a"))
+  }
+
+  // ------------------------------------------------------------ //
   // q117 composition smoke on real testdata                        //
   // ------------------------------------------------------------ //
 

@@ -3229,6 +3229,47 @@ object Queries {
         WHEN 'es' THEN 2400 WHEN 'de' THEN 1600 ELSE 0 END
       ORDER BY doc_id"""))
 
+  /** H4+: iterative BPE vocabulary induction
+    * ([[TextAnalysis.learnBpeMerges]], 3 merges) — the actual
+    * tokenizer TRAINER (q106 mined one round of candidates; this
+    * loops: count adjacent pairs → argmax → greedy corpus rewrite).
+    * The oracle UNROLLS all three rounds in DuckDB — pair counts,
+    * argmax, and the greedy left-to-right merge fold replayed
+    * list_reduce-for-aggregate — so the learned vocabulary is proven
+    * engine-portable, not just plausible. Benched: 3 × (vocab²-bounded
+    * pair count + narrow rewrite + corpus barrier) is the tokenizer-
+    * training cost shape to watch at scale. */
+  private val q120 = Q("q120_bpe_learn",
+    (s, d) => TextAnalysis.learnBpeMerges(
+        t(s, d, "documents"), col("text"), nMerges = 3)
+      .orderBy(col("merge_rank")),
+    {
+      def count(i: Int) =
+        s"""p$i AS (SELECT tk[p] AS w1, tk[p+1] AS w2
+          FROM t${i - 1}, unnest(range(1, len(tk))) AS u(p)),
+        c$i AS (SELECT w1, w2, count(*) AS c FROM p$i GROUP BY w1, w2),
+        m$i AS (SELECT w1, w2, c FROM c$i ORDER BY c DESC, w1, w2 LIMIT 1)"""
+      def rewrite(i: Int) =
+        s"""t$i AS (SELECT doc_id,
+          list_reduce(list_prepend([]::VARCHAR[], list_transform(tk, x -> [x])),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.w1 AND x[1] = m$i.w2
+              THEN list_concat(acc[1:len(acc)-1], [m$i.w1 || ' ' || m$i.w2])
+              ELSE list_concat(acc, x) END) AS tk
+          FROM t${i - 1} CROSS JOIN m$i)"""
+      Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents),
+        ${count(1)}, ${rewrite(1)},
+        ${count(2)}, ${rewrite(2)},
+        ${count(3)}
+        SELECT 1::BIGINT AS merge_rank, w1 || ' ' || w2 AS pair, c AS occurrences FROM m1
+        UNION ALL
+        SELECT 2::BIGINT, w1 || ' ' || w2, c FROM m2
+        UNION ALL
+        SELECT 3::BIGINT, w1 || ' ' || w2, c FROM m3
+        ORDER BY merge_rank""")
+    },
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3240,7 +3281,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

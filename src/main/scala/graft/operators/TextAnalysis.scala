@@ -586,6 +586,88 @@ object TextAnalysis {
       .withColumnRenamed("_doc", "doc_id")
   }
 
+  /** One greedy left-to-right, non-overlapping merge pass of the
+    * adjacent pair (`w1`,`w2`) over a token array — BPE's rewrite
+    * step as a pure `aggregate` fold (merged token = space-joined
+    * pair, which later rounds treat as one symbol). "a a a" under
+    * (a,a) → ["a a", "a"]: after a merge the new symbol is what the
+    * next comparison sees, so overlaps cannot double-merge — the
+    * standard BPE scan order, and exactly the fold the SQL oracle
+    * replays. */
+  def mergePair(toks: Column, w1: String, w2: String): Column =
+    aggregate(toks, array().cast("array<string>"), (acc, t) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(w1) && t === lit(w2),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(w1 + " " + w2))))
+        .otherwise(concat(acc, array(t))))
+
+  /** Iterative BPE vocabulary induction (Sennrich et al. 2016, over
+    * whitespace tokens): `nMerges` rounds of count-all-adjacent-pairs →
+    * take the single most frequent pair (count desc, then (w1, w2) —
+    * a total order, so the learned vocabulary is engine-stable) →
+    * greedily rewrite the corpus with [[mergePair]]. q106 mined ONE
+    * round of candidates; this is the actual trainer.
+    *
+    * Scale honesty: each merge is genuinely two corpus passes (a
+    * pair-count aggregation whose shuffle is vocab²-bounded with
+    * map-side combine, and a narrow rewrite projection) plus a
+    * corpus-sized barrier so round i+1 reads round i's result instead
+    * of replaying the whole lineage — that IS the algorithm's cost,
+    * on any engine. The per-round driver round-trip is ONE row (the
+    * argmax pair — k-means-centroid-sized metadata, not data). Rounds
+    * stop early when no adjacent pair remains. Returns the learned
+    * merge table (merge_rank, pair, occurrences). */
+  def learnBpeMerges(df: DataFrame, text: Column, nMerges: Int,
+                     reliableCheckpoint: Boolean = false): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var corpus = OpUtils.barrier(df.select(tokens(text).as("_tk")),
+      reliableCheckpoint)
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= nMerges && !exhausted) {
+      val top = corpus
+        .select(explode(adjacentPairs(col("_tk"))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (w1, w2, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((round.toLong, s"$w1 $w2", c))
+        corpus = OpUtils.barrier(
+          corpus.select(mergePair(col("_tk"), w1, w2).as("_tk")),
+          reliableCheckpoint)
+        round += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "pair", "occurrences")
+  }
+
+  /** Tokenizer "encode": apply a learned merge list in order — one
+    * [[mergePair]] fold per merge, all stacked into a single
+    * projection. Zero shuffles, zero driver state beyond the merge
+    * literals: the classic deploy shape (vocabulary learned once on
+    * the corpus, applied as a broadcast-free map everywhere). */
+  def applyBpeMerges(toks: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(toks) { case (c, (w1, w2)) => mergePair(c, w1, w2) }
+
+  /** Adjacent-pair structs (w1, w2) of a token array — order-exact,
+    * no string re-joining ambiguity (symbols may contain spaces after
+    * BPE merges, so pair identity must stay structural). */
+  private def adjacentPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2), i =>
+        struct(element_at(toks, i + 1).as("w1"),
+          element_at(toks, i + 2).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

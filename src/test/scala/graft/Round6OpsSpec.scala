@@ -151,6 +151,44 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ //
+  // BPE learner                                                    //
+  // ------------------------------------------------------------ //
+
+  test("mergePair: greedy left-to-right, non-overlapping") {
+    val df = Seq(Tuple1(Seq("a", "a", "a")), Tuple1(Seq("a", "a", "a", "a")))
+      .toDF("tk")
+    val out = df.select(TextAnalysis.mergePair(col("tk"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("a a", "a"), Seq("a a", "a a")))
+  }
+
+  test("learnBpeMerges: hand-computed two-round vocabulary") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(docs, col("text"), nMerges = 2)
+      .orderBy("merge_rank")
+      .as[(Long, String, Long)].collect().toSeq
+    // round 1: (a,b)×3 wins; corpus → [a b, a b] / [a b, c]
+    // round 2: ("a b","a b")×1 vs ("a b",c)×1 — tie breaks on w2
+    assert(merges == Seq((1L, "a b", 3L), (2L, "a b a b", 1L)))
+  }
+
+  test("learnBpeMerges: stops early when no adjacent pair remains") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val merges = TextAnalysis.learnBpeMerges(docs, col("text"), nMerges = 5)
+    assert(merges.count() == 0)
+  }
+
+  test("applyBpeMerges reproduces the learner's corpus rewrite") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val applied = docs.select(
+        graft.functions.GraftFunctions.tokens(col("text")).as("tk"))
+      .select(TextAnalysis.applyBpeMerges(col("tk"),
+        Seq(("a", "b"), ("a b", "a b"))).as("m"))
+      .as[Seq[String]].collect().toSeq.sortBy(_.length)
+    assert(applied == Seq(Seq("a b a b"), Seq("a b", "c")))
+  }
+
+  // ------------------------------------------------------------ //
   // q117 composition smoke on real testdata                        //
   // ------------------------------------------------------------ //
 

@@ -209,6 +209,33 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** One greedy left-to-right, non-overlapping BPE merge pass: every
+    * adjacent (`w1`, `w2`) occurrence collapses to `merged`, and the
+    * freshly merged symbol is what the NEXT comparison sees (so
+    * "a a a" under (a,a) gives ["a a", "a"], never a double merge).
+    * Bit-identical to `TextAnalysis.mergePairDeclarative`'s aggregate
+    * fold, including null handling: null elements never match and pass
+    * through. Element strings are cloned out of the (possibly reused)
+    * scan buffers before being stored. */
+  def bpeMergeFold(toks: ArrayData, w1: UTF8String, w2: UTF8String,
+                   merged: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val last = out.size() - 1
+      if (last >= 0 && t != null && out.get(last) != null &&
+          out.get(last).equals(w1) && t.equals(w2)) {
+        out.set(last, merged)
+      } else {
+        out.add(if (t == null) null else t.clone())
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Random-hyperplane LSH bucket id: bit p = [vec · plane_p > 0] over
     * `planes` deterministic pseudo-random hyperplanes whose component d
     * is ((p·37 + d·101 + 17) mod 1000)/500 − 1 ∈ [−1, 1). EXACTLY the
@@ -453,6 +480,50 @@ case class PositionedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `graft_bpe_merge(array<string>, 'w1', 'w2') -> array<string>` — one
+  * greedy left-to-right, non-overlapping BPE merge pass (the rewrite
+  * step of `TextAnalysis.learnBpeMerges`, run 2× per learned merge
+  * over the whole corpus — the trainer's hot loop). Identical to the
+  * declarative `aggregate` fold (`TextAnalysis.mergePairDeclarative`,
+  * kept as the differential twin) but a single Java pass instead of an
+  * interpreted per-token lambda allocating an array per step. Null
+  * input → null (the aggregate-fold contract); null elements pass
+  * through unmerged. */
+case class BpeMergeFold(child: Expression, w1: String, w2: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_bpe_merge"
+
+  private lazy val w1U = UTF8String.fromString(w1)
+  private lazy val w2U = UTF8String.fromString(w2)
+  private lazy val mergedU = UTF8String.fromString(w1 + " " + w2)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashUtil.bpeMergeFold(v.asInstanceOf[ArrayData], w1U, w2U, mergedU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.unsafe.types.UTF8String"
+    val w1Ref = ctx.addReferenceObj("bpeW1", w1U, cls)
+    val w2Ref = ctx.addReferenceObj("bpeW2", w2U, cls)
+    val mRef = ctx.addReferenceObj("bpeMerged", mergedU, cls)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashUtil.bpeMergeFold($c, $w1Ref, $w2Ref, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeFold =
+    copy(child = newChild)
+}
+
 /** `graft_dot(array<float|double>, array<float|double>) -> double` —
   * sequential left-fold dot product, bit-identical to the declarative
   * `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, _+_)` form and the DuckDB
@@ -630,4 +701,6 @@ object HashExpressions {
   def arrayEqCountNative(a: Column, b: Column): Column =
     GraftColumnBridge.column(ArrayEqCount(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
+  def bpeMergeFoldNative(toks: Column, w1: String, w2: String): Column =
+    GraftColumnBridge.column(BpeMergeFold(GraftColumnBridge.expression(toks), w1, w2))
 }

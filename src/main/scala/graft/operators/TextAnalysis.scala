@@ -587,14 +587,21 @@ object TextAnalysis {
   }
 
   /** One greedy left-to-right, non-overlapping merge pass of the
-    * adjacent pair (`w1`,`w2`) over a token array — BPE's rewrite
-    * step as a pure `aggregate` fold (merged token = space-joined
-    * pair, which later rounds treat as one symbol). "a a a" under
-    * (a,a) → ["a a", "a"]: after a merge the new symbol is what the
-    * next comparison sees, so overlaps cannot double-merge — the
-    * standard BPE scan order, and exactly the fold the SQL oracle
-    * replays. */
+    * adjacent pair (`w1`,`w2`) over a token array — BPE's rewrite step
+    * (merged token = space-joined pair, which later rounds treat as
+    * one symbol). "a a a" under (a,a) → ["a a", "a"]: after a merge
+    * the new symbol is what the next comparison sees, so overlaps
+    * cannot double-merge — the standard BPE scan order, and exactly
+    * the fold the SQL oracle replays. Native codegen'd expression
+    * (`graft_bpe_merge`) — this runs 2× per merge over the whole
+    * corpus, the trainer's hot loop; [[mergePairDeclarative]] is the
+    * readable spec and differential twin. */
   def mergePair(toks: Column, w1: String, w2: String): Column =
+    graft.functions.HashExpressions.bpeMergeFoldNative(toks, w1, w2)
+
+  /** Declarative (built-ins only) specification of [[mergePair]] —
+    * interpreted, never on a query path. */
+  def mergePairDeclarative(toks: Column, w1: String, w2: String): Column =
     aggregate(toks, array().cast("array<string>"), (acc, t) =>
       when(size(acc) > 0 &&
           element_at(acc, -1) === lit(w1) && t === lit(w2),

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayEqCount, BandHashes, DotProduct, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, Shingles}
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, Shingles}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -45,6 +47,15 @@ object GraftExtensions {
         s"$fn: $name is out of int range: $v")
     case other => throw new IllegalArgumentException(
       s"$fn: $name must be an integer literal, got $other")
+  }
+
+  /** Merge-symbol arguments must be string literals — same rationale
+    * as [[intLit]]. */
+  private def strLit(e: Expression, fn: String, name: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be a string literal, got $other")
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -86,7 +97,13 @@ object GraftExtensions {
       info("graft_pos_shingles",
         "graft_pos_shingles(tokens, n) - every word-n-gram occurrence with its 0-based start position"),
       (exprs: Seq[Expression]) => PositionedShingles(exprs.head,
-        intLit(exprs(1), "graft_pos_shingles", "n"))))
+        intLit(exprs(1), "graft_pos_shingles", "n"))),
+    (FunctionIdentifier("graft_bpe_merge"),
+      info("graft_bpe_merge",
+        "graft_bpe_merge(tokens, w1, w2) - one greedy non-overlapping BPE merge pass of the adjacent pair (w1, w2)"),
+      (exprs: Seq[Expression]) => BpeMergeFold(exprs.head,
+        strLit(exprs(1), "graft_bpe_merge", "w1"),
+        strLit(exprs(2), "graft_bpe_merge", "w2"))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

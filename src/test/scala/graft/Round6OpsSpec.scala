@@ -162,6 +162,40 @@ class Round6OpsSpec extends SparkSpec {
     assert(out == Seq(Seq("a a", "a"), Seq("a a", "a a")))
   }
 
+  test("native graft_bpe_merge ≡ declarative aggregate fold (nulls, overlaps, edges)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "a b", "c", null)
+    val cases: Seq[Seq[String]] =
+      Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "a", "a")) ++
+        (0 until 60).map(_ => Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))))
+    val df = cases.map(Tuple1(_)).toDF("tk")
+    for ((w1, w2) <- Seq(("a", "b"), ("a", "a"), ("a b", "a b"), ("a b", "c"))) {
+      val got = df.select(
+          TextAnalysis.mergePair(col("tk"), w1, w2).as("n"),
+          TextAnalysis.mergePairDeclarative(col("tk"), w1, w2).as("d"))
+        .collect()
+      got.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"case $i diverged for ($w1, $w2): ${cases(i)}")
+      }
+    }
+    // null array → null, matching the fold
+    val nr = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("tk")
+      .select(TextAnalysis.mergePair(col("tk"), "a", "b")).collect()
+    assert(nr(0).isNullAt(0))
+  }
+
+  test("SQL surface: graft_bpe_merge registered with literal-checked args") {
+    val out = spark.sql(
+      "SELECT graft_bpe_merge(array('a','b','c'), 'a', 'b') AS m")
+      .as[Seq[String]].head()
+    assert(out == Seq("a b", "c"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_merge(array('a'), upper('a'), 'b')").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
+
   test("learnBpeMerges: hand-computed two-round vocabulary") {
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val merges = TextAnalysis.learnBpeMerges(docs, col("text"), nMerges = 2)

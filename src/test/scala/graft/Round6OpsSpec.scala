@@ -96,6 +96,20 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.map(_._3).toSet == Set("train", "val", "test"))
   }
 
+  test("leakageSafeSplit: empty pair set degrades to plain seededSplit") {
+    val ids = (1L to 40L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val weights = Seq(("train", 0.9), ("test", 0.1))
+    val out = Sampling.leakageSafeSplit(ids, col("id"), noPairs,
+        "id_a", "id_b", "t6e", weights)
+      .select(col("id"), col("cluster_id"), col("split"))
+      .as[(Long, Long, String)].collect()
+    val plain = Sampling.seededSplit(ids, col("id"), "t6e", weights)
+      .as[(Long, String)].collect().toMap
+    assert(out.length == 40)
+    out.foreach { r => assert(r._2 == r._1 && r._3 == plain(r._1)) }
+  }
+
   // ------------------------------------------------------------ //
   // stratumSample                                                  //
   // ------------------------------------------------------------ //

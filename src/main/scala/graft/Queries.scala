@@ -3242,6 +3242,7 @@ object Queries {
   private val q120 = Q("q120_bpe_learn",
     (s, d) => TextAnalysis.learnBpeMerges(
         t(s, d, "documents"), col("text"), nMerges = 3)
+      .select(col("merge_rank"), col("pair"), col("occurrences"))
       .orderBy(col("merge_rank")),
     {
       def count(i: Int) =
@@ -3270,6 +3271,58 @@ object Queries {
     },
     bench = true)
 
+  /** H4+: BPE encode — q120's learned merges applied back to the
+    * corpus ([[TextAnalysis.applyBpeMerges]], a shuffle-free stack of
+    * native merge folds) and the per-source compression reported:
+    * raw whitespace tokens vs BPE symbols. Closes the tokenizer loop
+    * (learn → encode) as ONE oracle-checked artifact: the oracle
+    * re-learns all three merges and replays the encode, so Spark's
+    * learned vocabulary, its application, and the resulting counts
+    * all have to agree with DuckDB's. The encode itself touches the
+    * corpus once; the 3-row merge table is the only driver traffic. */
+  private val q121 = Q("q121_bpe_encode",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = TextAnalysis.learnBpeMerges(docs, col("text"), nMerges = 3)
+        .orderBy(col("merge_rank"))
+        .select(col("w1"), col("w2"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      docs.select(col("source"),
+          size(tokens(col("text"))).cast("long").as("_n0"),
+          size(TextAnalysis.applyBpeMerges(tokens(col("text")), merges))
+            .cast("long").as("_n1"))
+        .groupBy(col("source"))
+        .agg(sum(col("_n0")).as("tokens_raw"),
+          sum(col("_n1")).as("symbols_bpe"))
+        .orderBy(col("source"))
+    },
+    {
+      def count(i: Int) =
+        s"""p$i AS (SELECT tk[p] AS w1, tk[p+1] AS w2
+          FROM t${i - 1}, unnest(range(1, len(tk))) AS u(p)),
+        c$i AS (SELECT w1, w2, count(*) AS c FROM p$i GROUP BY w1, w2),
+        m$i AS (SELECT w1, w2, c FROM c$i ORDER BY c DESC, w1, w2 LIMIT 1)"""
+      def rewrite(i: Int) =
+        s"""t$i AS (SELECT doc_id,
+          list_reduce(list_prepend([]::VARCHAR[], list_transform(tk, x -> [x])),
+            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.w1 AND x[1] = m$i.w2
+              THEN list_concat(acc[1:len(acc)-1], [m$i.w1 || ' ' || m$i.w2])
+              ELSE list_concat(acc, x) END) AS tk
+          FROM t${i - 1} CROSS JOIN m$i)"""
+      Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM documents),
+        ${count(1)}, ${rewrite(1)},
+        ${count(2)}, ${rewrite(2)},
+        ${count(3)}, ${rewrite(3)}
+        SELECT d.source,
+          CAST(sum(len(t0.tk)) AS BIGINT) AS tokens_raw,
+          CAST(sum(len(t3.tk)) AS BIGINT) AS symbols_bpe
+        FROM documents d
+        JOIN t0 ON d.doc_id = t0.doc_id
+        JOIN t3 ON d.doc_id = t3.doc_id
+        GROUP BY d.source ORDER BY d.source""")
+    })
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3281,7 +3334,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

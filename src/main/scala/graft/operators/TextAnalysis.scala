@@ -624,7 +624,9 @@ object TextAnalysis {
     * on any engine. The per-round driver round-trip is ONE row (the
     * argmax pair — k-means-centroid-sized metadata, not data). Rounds
     * stop early when no adjacent pair remains. Returns the learned
-    * merge table (merge_rank, pair, occurrences). */
+    * merge table (merge_rank, w1, w2, pair, occurrences) — w1/w2 kept
+    * structurally because `pair` is not splittable once symbols
+    * themselves contain spaces. */
   def learnBpeMerges(df: DataFrame, text: Column, nMerges: Int,
                      reliableCheckpoint: Boolean = false): DataFrame = {
     require(nMerges > 0, s"nMerges must be positive: $nMerges")
@@ -632,7 +634,7 @@ object TextAnalysis {
     import spark.implicits._
     var corpus = OpUtils.barrier(df.select(tokens(text).as("_tk")),
       reliableCheckpoint)
-    val merges = Seq.newBuilder[(Long, String, Long)]
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= nMerges && !exhausted) {
@@ -647,14 +649,14 @@ object TextAnalysis {
       else {
         val (w1, w2, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
-        merges += ((round.toLong, s"$w1 $w2", c))
+        merges += ((round.toLong, w1, w2, s"$w1 $w2", c))
         corpus = OpUtils.barrier(
           corpus.select(mergePair(col("_tk"), w1, w2).as("_tk")),
           reliableCheckpoint)
         round += 1
       }
     }
-    merges.result().toDF("merge_rank", "pair", "occurrences")
+    merges.result().toDF("merge_rank", "w1", "w2", "pair", "occurrences")
   }
 
   /** Tokenizer "encode": apply a learned merge list in order — one

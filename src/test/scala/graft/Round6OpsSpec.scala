@@ -214,10 +214,12 @@ class Round6OpsSpec extends SparkSpec {
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     val merges = TextAnalysis.learnBpeMerges(docs, col("text"), nMerges = 2)
       .orderBy("merge_rank")
-      .as[(Long, String, Long)].collect().toSeq
+      .as[(Long, String, String, String, Long)].collect().toSeq
     // round 1: (a,b)×3 wins; corpus → [a b, a b] / [a b, c]
     // round 2: ("a b","a b")×1 vs ("a b",c)×1 — tie breaks on w2
-    assert(merges == Seq((1L, "a b", 3L), (2L, "a b a b", 1L)))
+    assert(merges == Seq(
+      (1L, "a", "b", "a b", 3L),
+      (2L, "a b", "a b", "a b a b", 1L)))
   }
 
   test("learnBpeMerges: stops early when no adjacent pair remains") {

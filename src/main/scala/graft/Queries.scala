@@ -3323,6 +3323,40 @@ object Queries {
         GROUP BY d.source ORDER BY d.source""")
     })
 
+  /** H3+: hard-negative mining ([[Similarity.hardNegatives]], 10
+    * queries × top-3 in the cosine band [0.05, 0.4)) — the
+    * contrastive-training-data recipe: same-LSH-bucket candidates
+    * that are confusable but provably not near-dups (the band's upper
+    * edge IS q105/q113's dedup threshold, so no mined negative can be
+    * something dedup would have fused). The oracle rebuilds buckets,
+    * cosines, band, and the per-query rounded-cosine cut. */
+  private val q122 = Q("q122_hard_negatives",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+          k = 3, loCos = 0.05, hiCos = 0.4, planes = 8, dim = 64)
+        .orderBy(col("q_id"), col("neg_rank"))
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("e0")} AS bk,
+          sqrt(${sqlDot("e0", "e0")}) AS nrm
+        FROM (SELECT vec_id, embedding, embedding AS e0 FROM embeddings)),
+      p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          CASE WHEN q.nrm * c.nrm = 0.0 THEN 0.0
+            ELSE ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) END AS cos
+        FROM b q JOIN b c ON q.bk = c.bk AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10),
+      band AS (SELECT q_id, c_id,
+          floor(cos * 10000 + 0.5) / 10000.0 AS cos_r
+        FROM p WHERE cos >= 0.05 AND cos < 0.4),
+      rk AS (SELECT q_id, c_id, cos_r,
+          row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, c_id) AS neg_rank
+        FROM band)
+      SELECT q_id, neg_rank, c_id, cos_r AS cos
+      FROM rk WHERE neg_rank <= 3 ORDER BY q_id, neg_rank"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3334,7 +3368,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -304,4 +304,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qId), col("rank"), col(cId), col("bucket"), r(col("cos"), 4).as("cos"))
   }
+
+  /** Hard-negative mining for retriever/contrastive training: for each
+    * query vector, the top-`k` SAME-LSH-BUCKET candidates inside the
+    * cosine band [`loCos`, `hiCos`) — similar enough to be confusable
+    * (they collide in the index), dissimilar enough to be true
+    * negatives (below the near-dup threshold, so [[Dedup]] would not
+    * fuse them). The standard mining recipe: random negatives are too
+    * easy; near-dups are false negatives; the band between is where
+    * the training signal lives.
+    *
+    * Plan shape: the same codegen'd-bucket equality join as
+    * [[lshTopK]] (never all-pairs; candidates bucket once behind a
+    * barrier), the band filter drops pairs BEFORE the ranking
+    * exchange, and the per-query cut ranks on the ROUNDED cosine
+    * (hardest first, id tie-break) so the cut is engine-stable. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    loCos: Double, hiCos: Double, planes: Int, dim: Int,
+                    qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(loCos < hiCos, s"need loCos < hiCos: [$loCos, $hiCos)")
+    val qb = queries
+      .withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
+      .withColumn("q_norm", l2Norm(col("q_vec")))
+    val cb = materialize(corpus
+      .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
+      .withColumn("c_norm", l2Norm(col("c_vec"))))
+    val band = qb.join(cb, Seq("bucket"))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos", cosFromNorms(
+        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
+      .filter(col("cos") >= loCos && col("cos") < hiCos)
+      .withColumn("cos_r", r(col("cos"), 4))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos_r").desc, col(cId))
+    band.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col(qId), col("neg_rank"), col(cId), col("cos_r").as("cos"))
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{Sampling, TextAnalysis}
+import graft.sources.Tables
 
 /** Round-6 additions: bigram-LM scoring (hand-computed interpolated
   * probabilities), OOV-rate gating (hand-computed vocab cut),
@@ -236,6 +237,33 @@ class Round6OpsSpec extends SparkSpec {
         Seq(("a", "b"), ("a b", "a b"))).as("m"))
       .as[Seq[String]].collect().toSeq.sortBy(_.length)
     assert(applied == Seq(Seq("a b a b"), Seq("a b", "c")))
+  }
+
+  // ------------------------------------------------------------ //
+  // hardNegatives                                                  //
+  // ------------------------------------------------------------ //
+
+  test("hardNegatives: band excludes near-dups and too-easy negatives; self excluded") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf("sf0.001"), "embeddings")
+    val out = Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 3, loCos = 0.05, hiCos = 0.4, planes = 8, dim = 64)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty, "fixture must mine some negatives")
+    assert(out.forall(r => r._4 >= 0.05 && r._4 < 0.4),
+      "every mined negative must sit inside the band")
+    assert(out.forall(r => r._1 != r._3), "self must never be mined")
+    assert(out.forall(_._2 <= 3))
+    out.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        "per-query ranks must be dense from 1")
+      // hardest (highest cosine) first
+      assert(rs.sortBy(_._2).map(_._4).toSeq ==
+        rs.map(_._4).toSeq.sorted.reverse)
+    }
   }
 
   // ------------------------------------------------------------ //

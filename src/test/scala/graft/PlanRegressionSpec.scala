@@ -167,6 +167,15 @@ class PlanRegressionSpec extends SparkSpec {
         s"the shard aggregation may shuffle (got $hashExchanges):\n$p")
   }
 
+  test("q122 hard negatives: bucket equality join + bounded-heap cut, no Window") {
+    val p = plan("q122_hard_negatives")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup "),
+      s"the per-query cut must ride the two-stage bounded heap:\n$p")
+    assert(!p.contains("Window"), s"no per-query sort window may survive:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"mining must stay a bucket equality join, never all-pairs:\n$p")
+  }
+
   test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
     // force execution so the AQE plan is final and the checkpoint exists
     val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))

@@ -103,9 +103,13 @@ object Models {
   def withClassifierTokens(df: DataFrame, text: Column,
                            out: String = "clf_toks"): DataFrame = {
     import graft.functions.GraftFunctions.{positionedShingles, tokens}
-    df.withColumn(out,
-      concat(tokens(text),
-        transform(positionedShingles(tokens(text), 2), p => p.getField("ng"))))
+    // tokenize ONCE into a bound column — referencing tokens(text) in
+    // both arms of the concat would split every document twice
+    df.withColumn("_clf_tk", tokens(text))
+      .withColumn(out,
+        concat(col("_clf_tk"),
+          transform(positionedShingles(col("_clf_tk"), 2), p => p.getField("ng"))))
+      .drop("_clf_tk")
   }
 
   /** fastText-style text classifier: hashed unigram+bigram

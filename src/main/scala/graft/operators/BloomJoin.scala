@@ -45,9 +45,28 @@ object BloomJoin {
                        expectedItems: Long, fpp: Double = 0.03): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems must be positive: $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val wanted = optimalNumBits(expectedItems, fpp)
+    // BloomFilterAggregate silently Math.min's the requested size
+    // against spark.sql.optimizer.runtime.bloomFilter.maxNumBits
+    // (default 64M bits) — above ~9M keys at 3% the effective fpp
+    // would quietly blow past the requested one and the prefilter
+    // would stop filtering. Surface that instead of hiding it.
+    val confMax = df.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val numBits = math.min(wanted, confMax)
+    if (wanted > confMax) {
+      val effFpp = math.exp(-(numBits.toDouble / expectedItems)
+        * math.log(2.0) * math.log(2.0))
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        f"BloomJoin: requested $wanted bits for $expectedItems keys at fpp=$fpp, " +
+          f"but spark.sql.optimizer.runtime.bloomFilter.maxNumBits caps the " +
+          f"aggregate at $confMax bits — effective fpp ≈ $effFpp%.3f. " +
+          "Raise the conf (or accept the weaker prefilter; correctness is " +
+          "unaffected — the exact join erases false positives).")
+    }
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(expression(key))),
-      Literal(expectedItems), Literal(optimalNumBits(expectedItems, fpp)), 0, 0)
+      Literal(expectedItems), Literal(numBits), 0, 0)
     val row = df.select(column(agg.toAggregateExpression())).head()
     if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
   }

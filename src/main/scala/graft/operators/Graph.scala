@@ -97,8 +97,18 @@ object Graph {
     // Per-vertex teleport probability, seeded mode only: 1/|S| on
     // seeds, 0 elsewhere (vertex-sized, computed once, pinned).
     val teleOpt = teleportTo.map { sd =>
+      // only seeds PRESENT in the graph carry teleport mass — counting
+      // out-of-graph seeds into 1/|S| would leak Σ rank below 1 every
+      // iteration (each absent seed's share simply vanishes). The
+      // semi-join is vertex-sized; an empty intersection means every
+      // rank would be 0.0, which is a caller error, not a result.
       val sids = sd.select(col(sd.columns.head).cast("long").as("id"))
-        .distinct().localCheckpoint(false)
+        .distinct()
+        .join(verts, Seq("id"), "left_semi")
+        .localCheckpoint(false)
+      require(!sids.isEmpty,
+        "Graph.pageRank: teleportTo has no seeds present in the graph's " +
+          "vertex set — every rank would be 0.0")
       val sCount = sids.agg(count(lit(1)).cast("double").as("ns")).localCheckpoint(false)
       verts.join(sids.withColumn("_s", lit(1)), Seq("id"), "left")
         .crossJoin(broadcast(sCount))

@@ -114,7 +114,16 @@ object Sampling {
     val b = pmod(polyHash(concat(lit(seed), key.cast("string"), lit(Salt))),
       lit(Denom))
     val u = (b.cast("double") + 0.5) / Denom.toDouble
-    df.withColumn(keyCol, r(-log(u) / weight.cast("double"), roundTo))
+    // weights must be strictly positive, enforced IN-PLAN and loudly:
+    // -log(u)/0.0 is NULL under non-ANSI division and NULLs sort
+    // FIRST ascending — a zero-weight row would silently take rank 1
+    // of every sample, inverting the P ∝ w contract.
+    val w = weight.cast("double")
+    df.withColumn(keyCol,
+        when(w > 0.0, r(-log(u) / w, roundTo))
+          .otherwise(raise_error(concat(
+            lit("Sampling.weightedSample: weight must be strictly positive, got "),
+            w.cast("string"), lit(" for key "), key.cast("string")))))
       .orderBy(col(keyCol), key)
       .limit(k)
   }

@@ -58,8 +58,17 @@ object Sinks {
                         mode: SaveMode = SaveMode.Overwrite): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // plans without computable stats report defaultSizeInBytes
+    // (Long.MaxValue) or a join-multiplied absurdity — sizing from
+    // that would repartition to the cap and write a blizzard of tiny
+    // files, the exact failure this sink exists to prevent. Fail
+    // loudly instead of trusting a sentinel.
+    require(estBytes < (BigInt(1L) << 50),
+      s"writeParquetSized: the optimizer reports no usable size estimate " +
+        s"($estBytes bytes) for this plan — materialize or cache the " +
+        s"input first, or size the write yourself with repartition(n)")
     val files = (estBytes + targetBytes - 1) / targetBytes
-    val n = files.min(BigInt(1 << 20)).max(BigInt(1)).toInt
+    val n = files.min(BigInt(1 << 16)).max(BigInt(1)).toInt
     df.repartition(n).write.mode(mode).parquet(path)
     n
   }

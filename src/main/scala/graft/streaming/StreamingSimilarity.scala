@@ -22,9 +22,16 @@ import graft.operators.Similarity
   *  1. bucket + L2 norm for the batch's vectors (codegen'd
   *     expressions, computed once);
   *  2. bucket-equality join against the persisted index, exact cosine
-  *     on bucket-mates only, top-k per new vector → append to
-  *     `resultDir`;
-  *  3. the batch's vectors append to `indexDir`.
+  *     on bucket-mates only, top-k per new vector → OVERWRITE
+  *     `resultDir/batch=<id>` (retry-safe: a replayed batch rewrites
+  *     its own directory instead of appending duplicates);
+  *  3. the batch's vectors append to `indexDir` tagged with their
+  *     `ingest_batch`, and a marker file commits the batch LAST.
+  *     foreachBatch is at-least-once; the marker skips a fully
+  *     committed replay, the `ingest_batch < batchId` read filter
+  *     keeps a half-committed attempt of the same batch from
+  *     self-matching, and `dropDuplicates(vec_id)` collapses a
+  *     double-append.
   *
   * Scale: the index parquet is PARTITIONED by `bucket` (at most
   * 2^planes directories) and each batch reads ONLY the buckets its
@@ -42,15 +49,34 @@ object StreamingSimilarity {
     StructField("vec_id", LongType),
     StructField("bucket", LongType),
     StructField("vec", ArrayType(FloatType)),
-    StructField("norm", DoubleType)))
+    StructField("norm", DoubleType),
+    StructField("ingest_batch", LongType)))
 
   def start(vectors: DataFrame, idCol: String, vecCol: String,
             indexDir: String, resultDir: String, checkpoint: String,
             k: Int = 5, planes: Int = 4, dim: Int = 64): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val indexPath = new Path(indexDir)
+        val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
+        // ---- idempotent micro-batch protocol -----------------------
+        // foreachBatch offers at-least-once: a crash between the two
+        // writes and the checkpoint commit REPLAYS this batchId. Three
+        // defenses make the replay harmless:
+        //  1. results write into a per-batch partition directory with
+        //     Overwrite — a retry rewrites the same directory instead
+        //     of appending duplicates;
+        //  2. index rows carry `ingest_batch`; matching reads filter
+        //     ingest_batch < batchId, so rows a half-committed earlier
+        //     attempt of THIS batch appended can never self-match, and
+        //     dropDuplicates(vec_id) collapses a double-append;
+        //  3. a marker file commits the batch LAST — if it exists the
+        //     whole batch is done and the replay skips entirely.
+        val marker = new Path(indexDir, s"_batch_$batchId")
+        if (fs.exists(marker)) ()
+        else {
         val banded = batch
           // a NULL vector buckets to 0 but cannot score; drop it here
           // rather than index dead rows
@@ -59,10 +85,9 @@ object StreamingSimilarity {
             Similarity.lshBucket(col(vecCol), planes, dim).as("bucket"),
             col(vecCol).cast(ArrayType(FloatType)).as("vec"))
           .withColumn("norm", sqrt(dotProduct(col("vec"), col("vec"))))
+          .withColumn("ingest_batch", lit(batchId))
           .cache()
         try {
-          val indexPath = new Path(indexDir)
-          val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
           val index =
             if (fs.exists(indexPath)) {
               // same legacy-layout guard as StreamingDedup: an
@@ -80,12 +105,32 @@ object StreamingSimilarity {
                     "root, no bucket=* directories). Matches against it " +
                     "would be silently dropped. Delete the directory and " +
                     "re-ingest, or rewrite it partitioned by bucket.")
-              // prune to the buckets this batch actually touches —
-              // bounded by min(batch, 2^planes) values, driver-known
-              val touched = banded.select(col("bucket")).distinct()
-                .collect().map(_.getLong(0))
-              spark.read.schema(IndexSchema).parquet(indexDir)
-                .filter(col("bucket").isin(touched: _*))
+              if (!partitioned) {
+                // directory exists (markers, _SUCCESS) but holds no
+                // bucket=* data yet — an empty index, not an error
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row], IndexSchema)
+              } else {
+                // a pre-ingest_batch index would read back NULL batch
+                // ids and the replay guard would silently drop every
+                // entry — detect and fail with a rebuild message
+                val cols = spark.read.parquet(indexDir).columns
+                if (!cols.contains("ingest_batch"))
+                  throw new IllegalStateException(
+                    s"StreamingSimilarity: $indexDir holds a legacy index " +
+                      "without the ingest_batch column; matching would " +
+                      "silently drop it. Delete the directory and re-ingest.")
+                // prune to the buckets this batch actually touches —
+                // bounded by min(batch, 2^planes) values, driver-known
+                val touched = banded.select(col("bucket")).distinct()
+                  .collect().map(_.getLong(0))
+                spark.read.schema(IndexSchema).parquet(indexDir)
+                  .filter(col("bucket").isin(touched: _*))
+                  // replay guards: never match rows this batch's earlier
+                  // attempt appended; collapse any double-append
+                  .filter(col("ingest_batch") < batchId)
+                  .dropDuplicates("vec_id")
+              }
             } else spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], IndexSchema)
 
@@ -104,10 +149,13 @@ object StreamingSimilarity {
             .select(col("q.vec_id").as("q_id"), col("rank"),
               col("i.vec_id").as("c_id"), r(col("cos"), 4).as("cos"))
 
-          results.write.mode(SaveMode.Append).parquet(resultDir)
+          results.write.mode(SaveMode.Overwrite)
+            .parquet(s"$resultDir/batch=$batchId")
           banded.write.mode(SaveMode.Append)
             .partitionBy("bucket").parquet(indexDir)
+          fs.create(marker, true).close()   // commit point: batch done
         } finally banded.unpersist()
+        }
         ()
       }
       .start()

@@ -240,6 +240,55 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ //
+  // review-hardening guards                                        //
+  // ------------------------------------------------------------ //
+
+  test("weightedSample fails loudly on non-positive weights (no silent rank-1 NULLs)") {
+    val rows = Seq((1L, 5.0), (2L, 0.0), (3L, 2.0)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(rows, col("id"), col("w"), k = 2, seed = "g").collect()
+    }
+    assert(e.getMessage.contains("strictly positive")
+      || e.getCause != null && e.getCause.getMessage.contains("strictly positive"))
+    // all-positive weights keep working
+    val ok = Sampling.weightedSample(rows.filter(col("w") > 0),
+      col("id"), col("w"), k = 2, seed = "g").collect()
+    assert(ok.length == 2)
+  }
+
+  test("writeParquetSized refuses a plan with no usable size estimate") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // LogicalRDD reports defaultSizeInBytes (Long.MaxValue) — sizing
+    // from it would mean a ~65k-file write for 3 rows
+    val statless = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(2L), Row(3L))),
+      StructType(Seq(StructField("id", LongType))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sized_").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.writeParquetSized(statless, s"$tmp/out")
+    }
+    assert(e.getMessage.contains("no usable size estimate"))
+  }
+
+  test("pageRank rejects a teleport set disjoint from the graph") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val ghosts = Seq(99L, 100L).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 1, teleportTo = Some(ghosts))
+    }
+    assert(e.getMessage.contains("no seeds present"))
+    // out-of-graph seeds are EXCLUDED from the mass split: with one
+    // real seed + one ghost, Σ rank must still be 1
+    val mixed = Seq(1L, 99L).toDF("id")
+    val ranks = graft.operators.Graph.pageRank(edges, col("src"), col("dst"),
+        iterations = 2, teleportTo = Some(mixed))
+      .agg(sum(col("rank"))).as[Double].head()
+    assert(math.abs(ranks - 1.0) < 1e-9, s"rank mass leaked: $ranks")
+  }
+
+  // ------------------------------------------------------------ //
   // hardNegatives                                                  //
   // ------------------------------------------------------------ //
 

@@ -2749,24 +2749,13 @@ object Queries {
     s"""CASE WHEN $s = 0.0 THEN list_transform($x, v -> 0.0)
        ELSE list_transform($x, v -> floor(v / $s + 0.5)) END"""
 
-  /** H2/H3+: portable quantized k-means ([[Clustering.kMeans]], k=4,
-    * 2 Lloyd iterations, seeded init) — the semantic-clustering /
-    * IVF-training primitive whose EVERY step the oracle re-derives:
-    * integral-double quantization makes centroid sums
-    * order-independent-exact, so the full iterative algorithm — init,
-    * two assignment+update rounds, final assignment — reproduces
-    * bit-for-bit in DuckDB (the unrolled CTE below IS the algorithm).
-    * Assignment is a narrow per-row argmin over broadcast centroid
-    * literals: the corpus never shuffles, any iteration, at any scale. */
-  private val q108 = Q("q108_kmeans_embeddings",
-    (s, d) => Clustering.kMeans(t(s, d, "embeddings"),
-        col("vec_id"), col("embedding"), k = 4, iters = 2, seed = "km6", dim = 64)
-      .select(col("id").as("vec_id"), col("cluster_id"),
-        r(col("dist2") / lit(1.0e8), 6).as("dist2"))
-      .orderBy(col("vec_id")),
-    {
-      val dvv = sqlDot("v", "v"); val dvc = sqlDot("v", "c"); val dcc = sqlDot("c", "c")
-      Some(s"""WITH xq AS (SELECT vec_id,
+  /** Shared oracle WITH-chain for the unrolled portable k-means
+    * (q108 params: k=4, 2 Lloyd iterations, seed "km6") — ends at
+    * `a3(vec_id, cid, dist2)`, the final assignment. Shared by q108
+    * and q116 so their replayed algorithms can never desynchronize. */
+  private def kmeansOracleCte: String = {
+    val dvv = sqlDot("v", "v"); val dvc = sqlDot("v", "c"); val dcc = sqlDot("c", "c")
+    s"""xq AS (SELECT vec_id,
           list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
         FROM embeddings),
       sd AS (SELECT vec_id, v,
@@ -2799,11 +2788,45 @@ object Queries {
           ($dvv - 2.0 * $dvc + $dcc) AS dist2
         FROM xq x CROSS JOIN c2 c),
       a3 AS (SELECT vec_id, cid, dist2 FROM p3
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1)
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1)"""
+  }
+
+  /** Shared oracle builders for the unrolled BPE rounds (q120 learn,
+    * q121 encode): pair count + argmax for round `i`, and the greedy
+    * merge-fold corpus rewrite t(i-1) -> t(i). */
+  private def bpeCountCte(i: Int): String =
+    s"""p$i AS (SELECT tk[p] AS w1, tk[p+1] AS w2
+      FROM t${i - 1}, unnest(range(1, len(tk))) AS u(p)),
+    c$i AS (SELECT w1, w2, count(*) AS c FROM p$i GROUP BY w1, w2),
+    m$i AS (SELECT w1, w2, c FROM c$i ORDER BY c DESC, w1, w2 LIMIT 1)"""
+
+  private def bpeRewriteCte(i: Int): String =
+    s"""t$i AS (SELECT doc_id,
+      list_reduce(list_prepend([]::VARCHAR[], list_transform(tk, x -> [x])),
+        (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.w1 AND x[1] = m$i.w2
+          THEN list_concat(acc[1:len(acc)-1], [m$i.w1 || ' ' || m$i.w2])
+          ELSE list_concat(acc, x) END) AS tk
+      FROM t${i - 1} CROSS JOIN m$i)"""
+
+  /** H2/H3+: portable quantized k-means ([[Clustering.kMeans]], k=4,
+    * 2 Lloyd iterations, seeded init) — the semantic-clustering /
+    * IVF-training primitive whose EVERY step the oracle re-derives:
+    * integral-double quantization makes centroid sums
+    * order-independent-exact, so the full iterative algorithm — init,
+    * two assignment+update rounds, final assignment — reproduces
+    * bit-for-bit in DuckDB (the unrolled CTE below IS the algorithm).
+    * Assignment is a narrow per-row argmin over broadcast centroid
+    * literals: the corpus never shuffles, any iteration, at any scale. */
+  private val q108 = Q("q108_kmeans_embeddings",
+    (s, d) => Clustering.kMeans(t(s, d, "embeddings"),
+        col("vec_id"), col("embedding"), k = 4, iters = 2, seed = "km6", dim = 64)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        r(col("dist2") / lit(1.0e8), 6).as("dist2"))
+      .orderBy(col("vec_id")),
+    Some(s"""WITH $kmeansOracleCte
       SELECT vec_id, cid AS cluster_id,
         floor(dist2 / 100000000.0 * 1000000 + 0.5) / 1000000.0 AS dist2
-      FROM a3 ORDER BY vec_id""")
-    },
+      FROM a3 ORDER BY vec_id"""),
     bench = true)
 
   /** H4+: DSIR importance log-ratio ([[TextAnalysis.dsirLogRatio]],
@@ -3095,50 +3118,14 @@ object Queries {
         stratum = col("cluster_id"), key = col("id"), n = 20, seed = "cb6")
       .select(col("id").as("vec_id"), col("cluster_id"), col("smp_rank"))
       .orderBy(col("vec_id")),
-    {
-      val dvv = sqlDot("v", "v"); val dvc = sqlDot("v", "c"); val dcc = sqlDot("c", "c")
-      Some(s"""WITH xq AS (SELECT vec_id,
-          list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
-        FROM embeddings),
-      sd AS (SELECT vec_id, v,
-          row_number() OVER (ORDER BY
-            ${sqlPolyHash("'km6' || CAST(vec_id AS VARCHAR) || '#graft-kmeans'")} % 10000,
-            vec_id) - 1 AS cid
-        FROM xq),
-      c0 AS (SELECT cid, v AS c FROM sd WHERE cid < 4),
-      p1 AS (SELECT x.vec_id, x.v, c.cid,
-          ($dvv - 2.0 * $dvc + $dcc) AS dist2
-        FROM xq x CROSS JOIN c0 c),
-      a1 AS (SELECT vec_id, v, cid FROM p1
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
-      u1 AS (SELECT cid, d, sum(v[d]) / count(*) AS m
-        FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY cid, d),
-      c1 AS (SELECT c0.cid, coalesce(u.c, c0.c) AS c
-        FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS c FROM u1 GROUP BY cid) u
-          ON c0.cid = u.cid),
-      p2 AS (SELECT x.vec_id, x.v, c.cid,
-          ($dvv - 2.0 * $dvc + $dcc) AS dist2
-        FROM xq x CROSS JOIN c1 c),
-      a2 AS (SELECT vec_id, v, cid FROM p2
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
-      u2 AS (SELECT cid, d, sum(v[d]) / count(*) AS m
-        FROM a2 CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY cid, d),
-      c2 AS (SELECT c1.cid, coalesce(u.c, c1.c) AS c
-        FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS c FROM u2 GROUP BY cid) u
-          ON c1.cid = u.cid),
-      p3 AS (SELECT x.vec_id, c.cid,
-          ($dvv - 2.0 * $dvc + $dcc) AS dist2
-        FROM xq x CROSS JOIN c2 c),
-      a3 AS (SELECT vec_id, cid FROM p3
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+    Some(s"""WITH $kmeansOracleCte,
       sm AS (SELECT vec_id, cid,
           row_number() OVER (PARTITION BY cid ORDER BY
             ${sqlPolyHash("'cb6' || CAST(vec_id AS VARCHAR) || '#graft-sample'")} % 10000,
             vec_id) AS smp_rank
         FROM a3)
       SELECT vec_id, cid AS cluster_id, smp_rank
-      FROM sm WHERE smp_rank <= 20 ORDER BY vec_id""")
-    })
+      FROM sm WHERE smp_rank <= 20 ORDER BY vec_id"""))
 
   /** H4+/G+: end-to-end corpus materialization manifest — the capstone
     * composition a training run actually consumes: absolute quality
@@ -3244,31 +3231,17 @@ object Queries {
         t(s, d, "documents"), col("text"), nMerges = 3)
       .select(col("merge_rank"), col("pair"), col("occurrences"))
       .orderBy(col("merge_rank")),
-    {
-      def count(i: Int) =
-        s"""p$i AS (SELECT tk[p] AS w1, tk[p+1] AS w2
-          FROM t${i - 1}, unnest(range(1, len(tk))) AS u(p)),
-        c$i AS (SELECT w1, w2, count(*) AS c FROM p$i GROUP BY w1, w2),
-        m$i AS (SELECT w1, w2, c FROM c$i ORDER BY c DESC, w1, w2 LIMIT 1)"""
-      def rewrite(i: Int) =
-        s"""t$i AS (SELECT doc_id,
-          list_reduce(list_prepend([]::VARCHAR[], list_transform(tk, x -> [x])),
-            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.w1 AND x[1] = m$i.w2
-              THEN list_concat(acc[1:len(acc)-1], [m$i.w1 || ' ' || m$i.w2])
-              ELSE list_concat(acc, x) END) AS tk
-          FROM t${i - 1} CROSS JOIN m$i)"""
-      Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+    Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
           FROM documents),
-        ${count(1)}, ${rewrite(1)},
-        ${count(2)}, ${rewrite(2)},
-        ${count(3)}
+        ${bpeCountCte(1)}, ${bpeRewriteCte(1)},
+        ${bpeCountCte(2)}, ${bpeRewriteCte(2)},
+        ${bpeCountCte(3)}
         SELECT 1::BIGINT AS merge_rank, w1 || ' ' || w2 AS pair, c AS occurrences FROM m1
         UNION ALL
         SELECT 2::BIGINT, w1 || ' ' || w2, c FROM m2
         UNION ALL
         SELECT 3::BIGINT, w1 || ' ' || w2, c FROM m3
-        ORDER BY merge_rank""")
-    },
+        ORDER BY merge_rank"""),
     bench = true)
 
   /** H4+: BPE encode — q120's learned merges applied back to the
@@ -3296,32 +3269,18 @@ object Queries {
           sum(col("_n1")).as("symbols_bpe"))
         .orderBy(col("source"))
     },
-    {
-      def count(i: Int) =
-        s"""p$i AS (SELECT tk[p] AS w1, tk[p+1] AS w2
-          FROM t${i - 1}, unnest(range(1, len(tk))) AS u(p)),
-        c$i AS (SELECT w1, w2, count(*) AS c FROM p$i GROUP BY w1, w2),
-        m$i AS (SELECT w1, w2, c FROM c$i ORDER BY c DESC, w1, w2 LIMIT 1)"""
-      def rewrite(i: Int) =
-        s"""t$i AS (SELECT doc_id,
-          list_reduce(list_prepend([]::VARCHAR[], list_transform(tk, x -> [x])),
-            (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.w1 AND x[1] = m$i.w2
-              THEN list_concat(acc[1:len(acc)-1], [m$i.w1 || ' ' || m$i.w2])
-              ELSE list_concat(acc, x) END) AS tk
-          FROM t${i - 1} CROSS JOIN m$i)"""
-      Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+    Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
           FROM documents),
-        ${count(1)}, ${rewrite(1)},
-        ${count(2)}, ${rewrite(2)},
-        ${count(3)}, ${rewrite(3)}
+        ${bpeCountCte(1)}, ${bpeRewriteCte(1)},
+        ${bpeCountCte(2)}, ${bpeRewriteCte(2)},
+        ${bpeCountCte(3)}, ${bpeRewriteCte(3)}
         SELECT d.source,
           CAST(sum(len(t0.tk)) AS BIGINT) AS tokens_raw,
           CAST(sum(len(t3.tk)) AS BIGINT) AS symbols_bpe
         FROM documents d
         JOIN t0 ON d.doc_id = t0.doc_id
         JOIN t3 ON d.doc_id = t3.doc_id
-        GROUP BY d.source ORDER BY d.source""")
-    })
+        GROUP BY d.source ORDER BY d.source"""))
 
   /** H3+: hard-negative mining ([[Similarity.hardNegatives]], 10
     * queries × top-3 in the cosine band [0.05, 0.4)) — the

@@ -13,18 +13,30 @@ import org.apache.spark.sql.SparkSession
   * like a failure, not like a speedup. */
 object Bench {
 
+  /** Per-query timing summary over the interleaved passes: `min` (the
+    * least-noise-contaminated sample — the headline number) and `med`
+    * (the median — robust to a single noisy-neighbor window), so a
+    * reader can tell a real regression from one contaminated sample
+    * without re-running. Failures carry -1 in both. */
+  final case class Stat(min: Double, med: Double)
+
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   /** Warm-up once (JIT + codegen + file listing), then timed passes
-    * INTERLEAVED round-robin — the full query list three times
-    * (q1..qN, q1..qN, q1..qN), reporting each query's min. This host
-    * shows ±50% noisy-neighbor swings lasting seconds-to-minutes;
+    * INTERLEAVED round-robin — the full query list `passes` times
+    * (q1..qN, q1..qN, …), reporting each query's min and median. This
+    * host shows ±50% noisy-neighbor swings lasting seconds-to-minutes;
     * back-to-back passes of one query land all its samples inside a
     * single noisy window (round 3→4 showed 3.7× swings on identical
-    * code), while round-robin spreads the three samples across the
-    * whole run so at most one is likely contaminated. Returns
-    * (per-query seconds in input order, -1 for failures; failed
-    * names). */
+    * code), while round-robin spreads the samples across the whole run
+    * so at most one is likely contaminated. Returns (per-query [[Stat]]
+    * in input order, -1s for failures; failed names). */
   def timeAll(names: Seq[String], runOne: String => Unit, passes: Int = 3)
-      : (Seq[(String, Double)], Seq[String]) = {
+      : (Seq[(String, Stat)], Seq[String]) = {
     names.foreach { n =>
       try runOne(n)
       catch { case _: Throwable => () }              // timed passes report it
@@ -38,10 +50,18 @@ object Bench {
     val byName = samples.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val results = names.map { n =>
       val ts = byName(n)
-      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      n -> (if (ts.exists(_ < 0)) Stat(-1.0, -1.0)
+            else Stat(ts.min, median(ts)))
     }
-    (results, results.collect { case (n, t) if t < 0 => n })
+    (results, results.collect { case (n, t) if t.min < 0 => n })
   }
+
+  /** The deliberately-skewed join pair gets EXTRA passes: its whole
+    * point is a measured separation (plain hot reducer vs salted), and
+    * min-of-3 on this host leaves that delta inside noise more often
+    * than not. Five more samples per side pin it. */
+  val ExtraPassNames: Seq[String] = Seq("q44_skew_join_plain", "q45_skew_join_salted")
+  val ExtraPasses = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,13 +77,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (results, failed) =
-      timeAll(Queries.benchNames, n => { Queries.queries(n)(spark, sfDir).count(); () })
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def runOne(n: String): Unit = { Queries.queries(n)(spark, sfDir).count(); () }
+    val (base, failed) = timeAll(Queries.benchNames, runOne)
+    // re-time the skew pair with more samples (interleaved with each
+    // other), REPLACING its base stats: the pair's min/median over 3+5
+    // samples, so the reported separation is the measured one
+    val extraNames = ExtraPassNames.filter(Queries.benchNames.contains)
+    val results =
+      if (extraNames.isEmpty || failed.exists(extraNames.contains)) base
+      else {
+        val (extra, extraFailed) = timeAll(extraNames, runOne, passes = ExtraPasses)
+        if (extraFailed.nonEmpty) base
+        else {
+          val merged = extra.toMap
+          base.map { case (n, s) =>
+            n -> merged.get(n).map(e =>
+              Stat(math.min(s.min, e.min), e.med)).getOrElse(s)
+          }
+        }
+      }
+    def obj(f: Stat => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(_.min)},"queries_med":${obj(_.med)},"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -104,8 +104,13 @@ object Models {
                            out: String = "clf_toks"): DataFrame = {
     import graft.functions.GraftFunctions.{positionedShingles, tokens}
     // tokenize ONCE into a bound column — referencing tokens(text) in
-    // both arms of the concat would split every document twice
-    df.withColumn("_clf_tk", tokens(text))
+    // both arms of the concat would split every document twice. NULL
+    // text coalesces to an empty token array: tokens(null) is null,
+    // null would propagate through the concat, and HashingTF throws an
+    // NPE on a null feature row — a null document must mean "no
+    // features", not a crashed fit.
+    df.withColumn("_clf_tk",
+        coalesce(tokens(text), array().cast("array<string>")))
       .withColumn(out,
         concat(col("_clf_tk"),
           transform(positionedShingles(col("_clf_tk"), 2), p => p.getField("ng"))))

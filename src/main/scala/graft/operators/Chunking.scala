@@ -57,9 +57,17 @@ object Chunking {
     * ALWAYS pass a `shard` at scale: an empty shard means one global
     * cumulative sum — a single-partition window, the one plan shape
     * the engine otherwise bans (SCALE.md rule 2). Sharding keeps the
-    * window hash-partitioned; bins are then (shard, bin_id) pairs. */
+    * window hash-partitioned; bins are then (shard, bin_id) pairs.
+    * The contract is enforced: an empty `shard` THROWS unless the
+    * caller opts in with `allowGlobal = true` (small corpora /
+    * single-shard jobs where a global packing is the explicit intent). */
   def packSequential(chunks: DataFrame, nTokens: Column, budget: Long,
-                     order: Seq[Column], shard: Seq[Column] = Nil): DataFrame = {
+                     order: Seq[Column], shard: Seq[Column] = Nil,
+                     allowGlobal: Boolean = false): DataFrame = {
+    require(shard.nonEmpty || allowGlobal,
+      "packSequential with no shard runs ONE global single-partition " +
+        "window — banned at scale (SCALE.md rule 2). Pass a shard key, " +
+        "or opt in explicitly with allowGlobal = true.")
     val w = (if (shard.isEmpty) Window.orderBy(order: _*)
              else Window.partitionBy(shard: _*).orderBy(order: _*))
       .rowsBetween(Window.unboundedPreceding, 0)

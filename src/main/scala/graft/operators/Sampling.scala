@@ -267,12 +267,20 @@ object Sampling {
     * Plan shape: ONE rank window per stratum (shuffle carries the
     * stratum key; skew bounded by the largest stratum) and a pure
     * hash projection — no joins, no driver state. Ranks are total
-    * (hash bucket, then key), so the cut is engine-stable. */
+    * (hash value, then key), so the cut is engine-stable.
+    *
+    * The rank key is the RAW [[polyHash]] (domain ~10^9), not the
+    * mod-[[Denom]] bucket: a stratum much larger than [[Denom]] rows
+    * would collide ~n/Denom keys per bucket and the key tie-break
+    * would bias the kept prefix toward low ids — exactly the at-scale
+    * regime this sampler targets. Hash collisions at 10^9 granularity
+    * are vanishingly rare, so the draw stays uniform. */
   def stratumSample(df: DataFrame, stratum: Column, key: Column, n: Int,
                     seed: String, rankCol: String = "smp_rank"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, s"n must be positive: $n")
-    val w = Window.partitionBy(stratum).orderBy(bucket(concat(lit(seed), key.cast("string"))), key)
+    val w = Window.partitionBy(stratum)
+      .orderBy(polyHash(concat(lit(seed), key.cast("string"), lit(Salt))), key)
     df.withColumn(rankCol, row_number().over(w).cast("long"))
       .filter(col(rankCol) <= n)
   }

@@ -251,7 +251,18 @@ object TextAnalysis {
     * never a full sort). Scoring math is portable (ln + doubles +
     * the shared rounding) so the SQL oracle reproduces it term for
     * term; the rounded score ranks BEFORE the limit, with doc_id as
-    * tie-break, so the cut is engine-stable. */
+    * tie-break, so the cut is engine-stable.
+    *
+    * The result carries its own 1-based `rank` (same ordering as the
+    * cut), so downstream fusion (RRF) never re-ranks the list with a
+    * global window. The rank is derived WITHOUT any window at all
+    * (a global window — even one partitioned by a constant — survives
+    * as a warned single-partition WindowExec, because the optimizer
+    * eliminates foldable partition expressions): the ≤ k cut rows
+    * collapse into ONE sorted array via a two-phase aggregate
+    * (partial per partition, k-bounded), and `posexplode` of that
+    * array IS the rank. Every step is a codegen'd built-in over at
+    * most k rows. Returns (doc_id, score, n_terms_hit, rank). */
   def bm25TopDocs(df: DataFrame, id: Column, text: Column,
                   terms: Seq[String], k: Int = 10,
                   k1: Double = 1.2, b: Double = 0.75,
@@ -281,6 +292,16 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+      // rank without a window: one sorted ≤k array, position = rank.
+      // The struct's first field is −score so the ASCENDING array sort
+      // ranks score-descending with doc_id as the ascending tie-break
+      // (BM25 scores are > 0, so negation cannot manufacture ±0 ties).
+      .agg(collect_list(struct((col("score") * -1).as("_ns"),
+        col("doc_id"), col("score"), col("n_terms_hit"))).as("_l"))
+      .select(posexplode(sort_array(col("_l"))).as(Seq("_pos", "_r")))
+      .select(col("_r.doc_id").as("doc_id"), col("_r.score").as("score"),
+        col("_r.n_terms_hit").as("n_terms_hit"),
+        (col("_pos") + 1).cast("long").as("rank"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — merge any number of

@@ -30,8 +30,10 @@ import graft.operators.Similarity
   *     foreachBatch is at-least-once; the marker skips a fully
   *     committed replay, the `ingest_batch < batchId` read filter
   *     keeps a half-committed attempt of the same batch from
-  *     self-matching, and `dropDuplicates(vec_id)` collapses a
-  *     double-append.
+  *     self-matching, a per-id latest-ingest-wins collapse absorbs
+  *     double-appends deterministically, and a committed-marker id at
+  *     or above the current batchId fails fast (a fresh checkpoint
+  *     replaying over a retained index).
   *
   * Scale: the index parquet is PARTITIONED by `bucket` (at most
   * 2^planes directories) and each batch reads ONLY the buckets its
@@ -52,6 +54,29 @@ object StreamingSimilarity {
     StructField("norm", DoubleType),
     StructField("ingest_batch", LongType)))
 
+  /** Replay + re-ingest collapse for an index read: drop rows of the
+    * current (possibly half-committed) batch, then keep exactly ONE
+    * row per vec_id — the LATEST committed ingest, chosen
+    * deterministically with `max_by` on `ingest_batch`
+    * (`dropDuplicates` would keep a partition-order-dependent
+    * survivor when an id was legitimately re-ingested, making match
+    * results nondeterministic). Rows a true double-append replayed
+    * share an ingest_batch AND identical content, so any survivor is
+    * the same row. Caveat: when the caller pre-prunes to touched
+    * buckets, survivors are chosen among those buckets only — a
+    * re-ingest that moved an id to an untouched bucket leaves its
+    * stale version eligible; acceptable for append-style ingest,
+    * rebuild the index for true upsert semantics. */
+  private[graft] def latestPerId(index: DataFrame, batchId: Long): DataFrame =
+    index.filter(col("ingest_batch") < batchId)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("bucket"), col("vec"), col("norm"),
+          col("ingest_batch")), col("ingest_batch")).as("_s"))
+      .select(col("vec_id"), col("_s.bucket").as("bucket"),
+        col("_s.vec").as("vec"), col("_s.norm").as("norm"),
+        col("_s.ingest_batch").as("ingest_batch"))
+
   def start(vectors: DataFrame, idCol: String, vecCol: String,
             indexDir: String, resultDir: String, checkpoint: String,
             k: Int = 5, planes: Int = 4, dim: Int = 64): StreamingQuery =
@@ -71,9 +96,59 @@ object StreamingSimilarity {
         //  2. index rows carry `ingest_batch`; matching reads filter
         //     ingest_batch < batchId, so rows a half-committed earlier
         //     attempt of THIS batch appended can never self-match, and
-        //     dropDuplicates(vec_id) collapses a double-append;
+        //     a latest-ingest-wins collapse absorbs double-appends;
         //  3. a marker file commits the batch LAST — if it exists the
         //     whole batch is done and the replay skips entirely.
+        // ---- batchId-regression guards (BEFORE the marker skip) ----
+        // The replay protocol below assumes batch ids only move FORWARD
+        // over one index. Restarting the stream with a FRESH checkpoint
+        // against a RETAINED index resets batchId to 0 — the old
+        // `_batch_0` marker would then silently swallow the new batch
+        // (data loss) and the `ingest_batch < batchId` filter would
+        // hide the whole persisted index from matching. Two loud
+        // defenses, both driver-side filesystem probes (no data scan):
+        //  a. the index records its OWNING checkpoint in a run-identity
+        //     file on first write; any batch arriving from a different
+        //     checkpoint fails fast (catches every fresh-checkpoint
+        //     case, including a single-committed-batch index that
+        //     marker ids alone cannot distinguish from a replay);
+        //  b. a committed `_batch_N` marker with N beyond the current
+        //     batchId fails fast (catches a checkpoint deleted and
+        //     recreated AT THE SAME PATH, which defense (a) cannot).
+        val runMarker = new Path(indexDir, "_stream_checkpoint")
+        if (fs.exists(runMarker)) {
+          val in = fs.open(runMarker)
+          val owner =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          if (owner != checkpoint)
+            throw new IllegalStateException(
+              s"StreamingSimilarity: $indexDir is owned by checkpoint " +
+                s"'$owner' but this stream runs from '$checkpoint' — a " +
+                "fresh checkpoint restarts batch ids at 0, so its batches " +
+                "would be silently swallowed by the old batch markers and " +
+                "the persisted index hidden from matching. Resume from " +
+                "the original checkpoint, or delete the index and " +
+                "re-ingest. (Moved the checkpoint directory on purpose? " +
+                "Update the _stream_checkpoint file to the new path.)")
+        } else {
+          val out = fs.create(runMarker, true)
+          try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+        }
+        if (fs.exists(indexPath)) {
+          val committed = fs.listStatus(indexPath).toSeq
+            .map(_.getPath.getName)
+            .filter(_.startsWith("_batch_"))
+            .flatMap(n => scala.util.Try(n.stripPrefix("_batch_").toLong).toOption)
+          if (committed.nonEmpty && committed.max > batchId)
+            throw new IllegalStateException(
+              s"StreamingSimilarity: $indexDir already holds committed " +
+                s"batches up to ${committed.max} but this stream is at " +
+                s"batch $batchId — a fresh checkpoint is replaying over a " +
+                "retained index, which would silently skip batches and " +
+                "hide the index from matching. Either resume from the " +
+                "original checkpoint or delete the index and re-ingest.")
+        }
         val marker = new Path(indexDir, s"_batch_$batchId")
         if (fs.exists(marker)) ()
         else {
@@ -124,12 +199,10 @@ object StreamingSimilarity {
                 // bounded by min(batch, 2^planes) values, driver-known
                 val touched = banded.select(col("bucket")).distinct()
                   .collect().map(_.getLong(0))
-                spark.read.schema(IndexSchema).parquet(indexDir)
-                  .filter(col("bucket").isin(touched: _*))
-                  // replay guards: never match rows this batch's earlier
-                  // attempt appended; collapse any double-append
-                  .filter(col("ingest_batch") < batchId)
-                  .dropDuplicates("vec_id")
+                latestPerId(
+                  spark.read.schema(IndexSchema).parquet(indexDir)
+                    .filter(col("bucket").isin(touched: _*)),
+                  batchId)
               }
             } else spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], IndexSchema)

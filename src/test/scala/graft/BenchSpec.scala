@@ -13,16 +13,17 @@ class BenchSpec extends AnyFunSuite {
     })
     assert(failed === Seq("boom"))
     val m = res.toMap
-    assert(m("ok") >= 0.0)
-    assert(m("boom") === -1.0)
+    assert(m("ok").min >= 0.0 && m("ok").med >= m("ok").min)
+    assert(m("boom") === Bench.Stat(-1.0, -1.0))
     // the total must exclude the sentinel, not subtract it
-    assert(res.map(_._2).filter(_ >= 0).sum >= 0.0)
+    assert(res.map(_._2.min).filter(_ >= 0).sum >= 0.0)
   }
 
-  test("timeAll: all-green run has an empty failed list") {
+  test("timeAll: all-green run has an empty failed list, median beside min") {
     val (res, failed) = Bench.timeAll(Seq("a", "b"), _ => ())
     assert(failed.isEmpty)
-    assert(res.forall(_._2 >= 0.0))
+    // median of an odd sample count is an actual sample ≥ the min
+    assert(res.forall { case (_, s) => s.min >= 0.0 && s.med >= s.min })
   }
 
   test("timeAll: passes are interleaved round-robin, not back-to-back") {

@@ -47,6 +47,20 @@ class ChunkingSpec extends SparkSpec {
     assert(packed((2L, 0L)) === 2L)     // cum−n = 1100
   }
 
+  test("packSequential: unsharded call refuses unless explicitly allowed") {
+    val chunks = Seq((0L, 0L, 600L), (1L, 0L, 300L)).toDF("doc_id", "chunk_idx", "n")
+    // the global single-partition window is banned by default (SCALE.md)
+    intercept[IllegalArgumentException] {
+      Chunking.packSequential(chunks, col("n"), budget = 512,
+        order = Seq(col("doc_id"), col("chunk_idx")))
+    }
+    // explicit opt-in still packs (small/single-shard jobs)
+    val global = Chunking.packSequential(chunks, col("n"), budget = 512,
+        order = Seq(col("doc_id"), col("chunk_idx")), allowGlobal = true)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().toMap
+    assert(global === Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("hash sampling: deterministic, partitioning-independent, stratified rates honored") {
     import graft.operators.Sampling
     val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))

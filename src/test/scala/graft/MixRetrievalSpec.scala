@@ -18,9 +18,14 @@ class MixRetrievalSpec extends SparkSpec {
       (3L, "other words entirely")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25TopDocs(
         docs, col("doc_id"), col("text"), terms = Seq("spark", "window"), k = 10)
-      .as[(Long, Double, Long)].collect()
+      .as[(Long, Double, Long, Long)].collect()
     val got = out.map(t => t._1 -> t._2).toMap
     val hits = out.map(t => t._1 -> t._3).toMap
+    // the emitted rank must agree with (score desc, doc_id) ordering
+    val byRank = out.sortBy(_._4).map(_._1).toSeq
+    val byScore = out.sortBy(t => (-t._2, t._1)).map(_._1).toSeq
+    assert(out.map(_._4).sorted.toSeq === (1L to out.length).toSeq)
+    assert(byRank === byScore)
 
     // Reference BM25 computed longhand (k1=1.2, b=0.75).
     val n = 3.0

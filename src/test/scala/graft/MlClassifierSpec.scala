@@ -42,6 +42,20 @@ class MlClassifierSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"feature extraction must be codegen'd:\n$plan")
   }
 
+  test("null documents contribute no features instead of crashing the fit") {
+    // a null text row: tokens(null) is null — without the coalesce the
+    // concat propagates null and HashingTF NPEs at fit time
+    val docs = (corpus(13) :+ ((200L, null: String, 0.0)))
+      .toDF("doc_id", "text", "y")
+    val toks = Models.withClassifierTokens(docs, col("text"))
+      .filter(col("doc_id") === 200L)
+      .select(col("clf_toks")).as[Seq[String]].head()
+    assert(toks == Seq.empty, s"null text must yield zero tokens, got $toks")
+    val (eval, scored) = Models.trainTextClassifier(docs, col("text"), col("y"))
+    assert(eval.nTrain + eval.nTest == 201)
+    assert(scored.count() == 201)
+  }
+
   test("bigram features separate order-only classes where unigrams cannot") {
     // both classes use the SAME unigram multiset; only order differs
     val docs = (0 until 200).map { i =>

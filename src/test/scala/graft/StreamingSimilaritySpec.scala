@@ -76,4 +76,53 @@ class StreamingSimilaritySpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("fresh checkpoint over a retained index fails loudly, not silently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val vecs = Seq.tabulate(8)(i => (i.toLong, Seq.fill(8)(i.toFloat + 1)))
+    val base = java.nio.file.Files.createTempDirectory("graft_ssim_rg_").toString
+    def run(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = StreamingSimilarity.start(
+        input.toDS().toDF("vec_id", "embedding"),
+        idCol = "vec_id", vecCol = "embedding",
+        indexDir = s"$base/index", resultDir = s"$base/results",
+        checkpoint = ckpt, k = 3, planes = 2, dim = 8)
+      try { input.addData(vecs: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    try {
+      run(s"$base/ckpt1") // commits _batch_0 into the index
+      // restarting with a FRESH checkpoint resets batchId to 0: the
+      // old marker would silently swallow the batch — must throw
+      val ex = intercept[Exception] { run(s"$base/ckpt2") }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("fresh checkpoint"),
+        s"expected the batchId-regression guard, got:\n$msgs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("latestPerId: re-ingested vec_id keeps the latest committed row, deterministically") {
+    import spark.implicits._
+    val index = Seq(
+      (1L, 0L, Seq(1f, 0f), 1.0, 0L),   // stale version of id 1
+      (1L, 0L, Seq(0f, 1f), 1.0, 2L),   // latest committed version
+      (1L, 0L, Seq(0f, 1f), 1.0, 2L),   // double-append replay of it
+      (2L, 1L, Seq(1f, 1f), 1.4, 4L))   // current batch: must drop
+      .toDF("vec_id", "bucket", "vec", "norm", "ingest_batch")
+    // layout independence: same survivors under any partitioning
+    for (df <- Seq(index, index.repartition(5), index.coalesce(1))) {
+      val got = StreamingSimilarity.latestPerId(df, batchId = 4L)
+        .select("vec_id", "vec", "ingest_batch")
+        .as[(Long, Seq[Float], Long)].collect().toSet
+      assert(got === Set((1L, Seq(0f, 1f), 2L)))
+    }
+  }
 }

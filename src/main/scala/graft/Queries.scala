@@ -3321,6 +3321,56 @@ object Queries {
       SELECT q_id, neg_rank, c_id, cos_r AS cos
       FROM rk WHERE neg_rank <= 3 ORDER BY q_id, neg_rank"""))
 
+  /** D+ sketches, point-query side ([[graft.operators.Sketches]]):
+    * Count-Min heavy hitters — the exact global top-20 tokens (q68's
+    * family) probed against a 3×2048 CMS built from the SAME per-token
+    * count table (one corpus scan feeds both branches; the sketch
+    * aggregation's output is ≤ depth×width cells, the 100 TB path
+    * where the exact count table itself is the bottleneck). Two
+    * in-plan gates, q89-style: CMS must never undercount, and the
+    * overcount must respect the (e/width)·N bound — the oracle pins
+    * both TRUE and recomputes every estimate bit for bit (portable
+    * polyHash + fixed affine mixers), so a degraded sketch flips a
+    * hash-checked row. The gate is live, not vacuous: probed at
+    * width 256 the same query VIOLATES the bound on 1-2 of the 20
+    * keys at every SF (heavy top tokens colliding), so a sketch
+    * misconfiguration would turn this row red. */
+  private val q123 = Q("q123_cms_heavy_hitters",
+    (s, d) => {
+      val width = 2048
+      val counts = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val cms = graft.operators.Sketches.cmsFromCounts(
+        counts, col("tok"), col("cnt"), width = width)
+      val total = broadcast(counts.agg(sum(col("cnt")).cast("double").as("_n")))
+      val topk = counts.orderBy(col("cnt").desc, col("tok")).limit(20)
+      graft.operators.Sketches.cmsEstimate(topk, cms, col("tok"), width = width)
+        .crossJoin(total)
+        .select(col("tok"), col("cnt"), col("cms_est"),
+          (col("cms_est") >= col("cnt")).as("never_under"),
+          ((col("cms_est") - col("cnt")).cast("double")
+            <= lit(2.718281828459045) * col("_n") / width).as("within_bound"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      cnts AS (SELECT tok, count(*)::BIGINT AS cnt FROM tok GROUP BY tok),
+      h AS (SELECT tok, cnt, ${sqlPolyHash("tok")} AS hh FROM cnts),
+      m(i, a, b) AS (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13)),
+      cells AS (SELECT i, ((a * hh + b) % 1000000007) % 2048 AS bucket,
+          sum(cnt)::BIGINT AS ccnt
+        FROM h CROSS JOIN m GROUP BY 1, 2),
+      top AS (SELECT tok, cnt, hh FROM h ORDER BY cnt DESC, tok LIMIT 20),
+      probe AS (SELECT t.tok, t.cnt, min(c.ccnt)::BIGINT AS cms_est
+        FROM top t CROSS JOIN m
+        JOIN cells c ON c.i = m.i
+          AND c.bucket = ((m.a * t.hh + m.b) % 1000000007) % 2048
+        GROUP BY t.tok, t.cnt)
+      SELECT tok, cnt, cms_est, TRUE AS never_under, TRUE AS within_bound
+      FROM probe ORDER BY cnt DESC, tok"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3332,7 +3382,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Count-Min Sketch (Cormode & Muthukrishnan 2005) as a DataFrame —
+  * the fixed-size frequency summary a 100 TB token pipeline keeps when
+  * the exact per-key count table itself becomes the bottleneck
+  * (`SURVEY.md` §2 D+ sketches; the point-query twin of q89's
+  * HLL/quantile sketches).
+  *
+  * The sketch IS a DataFrame of at most depth × width cells
+  * `(row_idx, bucket, cnt)` — no driver state, no custom aggregation
+  * buffer. Cell coordinates come from the PORTABLE
+  * [[graft.functions.GraftFunctions.polyHash]] pushed through `depth`
+  * fixed affine mixers mod [[P]] (the classic pairwise-independent
+  * h_i(x) = (a_i·h(x) + b_i) mod p mod w family), so a SQL oracle
+  * reproduces every cell and every estimate bit for bit.
+  *
+  * Guarantees (standard CMS): estimates NEVER undercount, and with
+  * probability ≥ 1 − (1/2)^depth the overcount is ≤ (e/width)·N where
+  * N is the total stream mass — both surfaced as in-plan gate columns
+  * by q123 so a silently degraded sketch flips a hash-checked row.
+  *
+  * Scale shape: [[cmsFromCounts]] builds the sketch FROM the per-key
+  * count table with one aggregation whose output is ≤ depth × width
+  * rows (map-side combinable; the shuffle carries cells, not keys),
+  * and sketches of shards merge by cell-wise sum — the reason CMS
+  * exists. [[cmsEstimate]] is a broadcast join of the (tiny) sketch
+  * against the query keys, then a min over each key's `depth` cells. */
+object Sketches {
+
+  /** Mixing modulus — the same prime as [[GraftFunctions.HashMod]],
+    * so every intermediate stays far from Long overflow. */
+  val P: Long = 1000000007L
+
+  /** Fixed affine row mixers (a_i, b_i) for up to depth 5:
+    * h_i(x) = ((a_i · polyHash(x) + b_i) mod [[P]]) mod width.
+    * Constants are small odd primes; a_i·h < 2^36, no overflow. */
+  val Mixers: Seq[(Long, Long)] =
+    Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L), (47L, 19L))
+
+  private def cell(h: Column, i: Int, width: Int): Column = {
+    val (a, b) = Mixers(i)
+    struct(lit(i).as("row_idx"),
+      pmod(pmod(h * a + b, lit(P)), lit(width.toLong)).as("bucket"))
+  }
+
+  private def requireShape(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= Mixers.length,
+      s"depth must be in [1, ${Mixers.length}]: $depth")
+    require(width > 0, s"width must be positive: $width")
+  }
+
+  /** Build the sketch from a per-key count table (key `item`, mass
+    * `cnt`): each key deposits its whole count into one bucket per
+    * row. Feeding aggregated counts instead of raw occurrences gives
+    * the IDENTICAL sketch (addition is associative) for one corpus
+    * scan less. Returns ≤ depth × width rows (row_idx, bucket, cnt) —
+    * cells no key hashed to are absent, which [[cmsEstimate]] reads
+    * as zero. Sketches built with the same shape merge by
+    * unionByName → groupBy(row_idx, bucket).sum(cnt). */
+  def cmsFromCounts(counts: DataFrame, item: Column, cnt: Column,
+                    width: Int, depth: Int = 3): DataFrame = {
+    requireShape(depth, width)
+    counts.select(polyHash(item).as("_h"), cnt.as("_c"))
+      .select(explode(array((0 until depth).map(i =>
+        cell(col("_h"), i, width)): _*)).as("_cell"), col("_c"))
+      .groupBy(col("_cell.row_idx").as("row_idx"),
+        col("_cell.bucket").as("bucket"))
+      .agg(sum(col("_c")).as("cnt"))
+  }
+
+  /** Point-query the sketch: append `estCol` = min over the key's
+    * `depth` cells (an absent cell counts as zero mass). The sketch
+    * side is broadcast — it is bounded by depth × width rows no
+    * matter the corpus — so the probe costs no shuffle beyond one
+    * per-key aggregation of `depth` rows. `queries`' columns must not
+    * collide with the internal `_cms_*` names. */
+  def cmsEstimate(queries: DataFrame, cms: DataFrame, item: Column,
+                  width: Int, depth: Int = 3,
+                  estCol: String = "cms_est"): DataFrame = {
+    requireShape(depth, width)
+    val qCols = queries.columns.map(col).toSeq
+    val sk = cms.select(col("row_idx").as("_cms_ri"),
+      col("bucket").as("_cms_bk"), col("cnt").as("_cms_cnt"))
+    queries.withColumn("_cms_h", polyHash(item))
+      .withColumn("_cms_cell", explode(array((0 until depth).map(i =>
+        cell(col("_cms_h"), i, width)): _*)))
+      .join(broadcast(sk),
+        col("_cms_cell.row_idx") === col("_cms_ri") &&
+          col("_cms_cell.bucket") === col("_cms_bk"), "left")
+      .groupBy(qCols: _*)
+      .agg(min(coalesce(col("_cms_cnt"), lit(0L))).as(estCol))
+  }
+}

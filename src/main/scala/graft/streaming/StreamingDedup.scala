@@ -17,8 +17,18 @@ import graft.operators.Dedup
   *     `withLshBands` — the same operators as the batch path);
   *  2. band-equality join against the persisted index → candidates;
   *     signature-agreement fraction ≥ `minAgreement` confirms a dup;
-  *  3. confirmed dup (new_id, indexed_id) pairs append to `dupDir`;
-  *  4. non-duplicate docs' band rows append to `indexDir`.
+  *  3. confirmed dup (new_id, indexed_id) pairs OVERWRITE
+  *     `dupDir/batch=<id>` (retry-safe: a replayed batch rewrites its
+  *     own directory instead of appending duplicates);
+  *  4. non-duplicate docs' band rows append to `indexDir` tagged with
+  *     their `ingest_batch`, and a marker file commits the batch LAST
+  *     — the same at-least-once protocol as [[StreamingSimilarity]]:
+  *     the marker skips a fully committed replay, the
+  *     `ingest_batch < batchId` read filter keeps a half-committed
+  *     attempt of the same batch from self-matching, and a
+  *     run-identity file plus a committed-marker bound fail fast when
+  *     a fresh checkpoint replays over a retained index (batch ids
+  *     restarting at 0 would otherwise silently swallow batches).
   *
   * Scale: the index parquet is PARTITIONED by (band_idx, band_bucket)
   * — band_bucket = band_hash mod [[BucketCount]] — and each batch
@@ -43,7 +53,8 @@ object StreamingDedup {
     StructField("band_idx", IntegerType),
     StructField("band_bucket", IntegerType),
     StructField("band_hash", LongType),
-    StructField("minhash", ArrayType(LongType))))
+    StructField("minhash", ArrayType(LongType)),
+    StructField("ingest_batch", LongType)))
 
   def start(docs: DataFrame, textCol: String, idCol: String,
             indexDir: String, dupDir: String, checkpoint: String,
@@ -51,8 +62,49 @@ object StreamingDedup {
             minAgreement: Double = 0.8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // Hadoop FS probe — java.io.File would always miss on HDFS/S3
+        // and silently disable cross-batch detection
+        val indexPath = new Path(indexDir)
+        val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
+        // ---- batchId-regression guards (see StreamingSimilarity) ----
+        val runMarker = new Path(indexDir, "_stream_checkpoint")
+        if (fs.exists(runMarker)) {
+          val in = fs.open(runMarker)
+          val owner =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          if (owner != checkpoint)
+            throw new IllegalStateException(
+              s"StreamingDedup: $indexDir is owned by checkpoint " +
+                s"'$owner' but this stream runs from '$checkpoint' — a " +
+                "fresh checkpoint restarts batch ids at 0, so its batches " +
+                "would be silently swallowed by the old batch markers and " +
+                "the persisted index hidden from matching. Resume from " +
+                "the original checkpoint, or delete the index and " +
+                "re-ingest. (Moved the checkpoint directory on purpose? " +
+                "Update the _stream_checkpoint file to the new path.)")
+        } else {
+          val out = fs.create(runMarker, true)
+          try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
+        }
+        if (fs.exists(indexPath)) {
+          val committed = fs.listStatus(indexPath).toSeq
+            .map(_.getPath.getName)
+            .filter(_.startsWith("_batch_"))
+            .flatMap(n => scala.util.Try(n.stripPrefix("_batch_").toLong).toOption)
+          if (committed.nonEmpty && committed.max > batchId)
+            throw new IllegalStateException(
+              s"StreamingDedup: $indexDir already holds committed " +
+                s"batches up to ${committed.max} but this stream is at " +
+                s"batch $batchId — a fresh checkpoint is replaying over a " +
+                "retained index. Either resume from the original " +
+                "checkpoint or delete the index and re-ingest.")
+        }
+        val marker = new Path(indexDir, s"_batch_$batchId")
+        if (fs.exists(marker)) ()
+        else {
         val banded = Dedup.withLshBands(
             Dedup.withMinHash(batch, col(textCol), k, shingleN), k, bands)
           // shingle-less documents band to NULL hashes: they can match
@@ -64,13 +116,9 @@ object StreamingDedup {
             pmod(col("band_hash"), lit(BucketCount.toLong)).cast("int")
               .as("band_bucket"),
             col("band_hash"), col("minhash"))
+          .withColumn("ingest_batch", lit(batchId))
           .cache()
         try {
-          // Hadoop FS probe — java.io.File would always miss on HDFS/S3
-          // and silently disable cross-batch detection
-          val indexPath = new Path(indexDir)
-          val fs = indexPath.getFileSystem(
-            spark.sessionState.newHadoopConf())
           val index =
             if (fs.exists(indexPath)) {
               // A pre-partitioning index layout (parquet files at the
@@ -91,18 +139,42 @@ object StreamingDedup {
                     "silently dropped. Rebuild the index: delete the " +
                     "directory and re-ingest, or rewrite it partitioned by " +
                     "(band_idx, band_bucket).")
-              // prune the index read to the partitions this batch's band
-              // keys can possibly match: the touched (band_idx,
-              // band_bucket) set is at most bands × BucketCount values —
-              // a tiny, bounded driver-side collect
-              val touched = banded
-                .select(col("band_idx"), col("band_bucket")).distinct()
-                .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-              val prune = touched
-                .map { case (bi, bb) =>
-                  col("band_idx") === bi && col("band_bucket") === bb }
-                .reduceOption(_ || _).getOrElse(lit(false))
-              spark.read.schema(IndexSchema).parquet(indexDir).filter(prune)
+              if (!partitioned) {
+                // directory exists (markers, _SUCCESS) but holds no
+                // band_idx=* data yet — an empty index, not an error
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row], IndexSchema)
+              } else {
+                // a pre-ingest_batch index would read back NULL batch
+                // ids and the replay guard would silently drop every
+                // entry — detect and fail with a rebuild message
+                val cols = spark.read.parquet(indexDir).columns
+                if (!cols.contains("ingest_batch"))
+                  throw new IllegalStateException(
+                    s"StreamingDedup: $indexDir holds a legacy index " +
+                      "without the ingest_batch column; matching would " +
+                      "silently drop it. Delete the directory and re-ingest.")
+                // prune the index read to the partitions this batch's band
+                // keys can possibly match: the touched (band_idx,
+                // band_bucket) set is at most bands × BucketCount values —
+                // a tiny, bounded driver-side collect
+                val touched = banded
+                  .select(col("band_idx"), col("band_bucket")).distinct()
+                  .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+                val prune = touched
+                  .map { case (bi, bb) =>
+                    col("band_idx") === bi && col("band_bucket") === bb }
+                  .reduceOption(_ || _).getOrElse(lit(false))
+                spark.read.schema(IndexSchema).parquet(indexDir)
+                  .filter(prune)
+                  // replay guard: rows a half-committed earlier attempt
+                  // of THIS batch appended must never match. (A crash
+                  // between index append and marker can leave the
+                  // replay double-appending; the duplicate band rows
+                  // only duplicate candidates, which the dups distinct
+                  // collapses — wasted bytes, never wrong answers.)
+                  .filter(col("ingest_batch") < batchId)
+              }
             } else spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], IndexSchema)
 
@@ -119,15 +191,18 @@ object StreamingDedup {
             .distinct()
             .cache()
 
-          dups.write.mode(SaveMode.Append).parquet(dupDir)
+          dups.write.mode(SaveMode.Overwrite)
+            .parquet(s"$dupDir/batch=$batchId")
           banded
             .join(dups.select(col("new_id")).distinct(),
               col("doc_id") === col("new_id"), "left_anti")
             .write.mode(SaveMode.Append)
             .partitionBy("band_idx", "band_bucket")
             .parquet(indexDir)
+          fs.create(marker, true).close()   // commit point: batch done
           dups.unpersist()
         } finally banded.unpersist()
+        }
         ()
       }
       .start()

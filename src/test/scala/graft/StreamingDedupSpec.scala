@@ -60,6 +60,50 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fresh checkpoint over a retained index fails loudly, not silently") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_rg_").toString
+    def run(ckpt: String): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingDedup.start(
+        input.toDS().toDF("doc_id", "text"), textCol = "text", idCol = "doc_id",
+        indexDir = s"$base/index", dupDir = s"$base/dups", checkpoint = ckpt)
+      try {
+        input.addData((1L, "the quick brown fox jumps over the lazy dog"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(s"$base/ckpt1") // commits _batch_0 into the index
+    val ex = intercept[Exception] { run(s"$base/ckpt2") }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("fresh checkpoint"),
+      s"expected the batchId-regression guard, got:\n$msgs")
+  }
+
+  test("legacy index without ingest_batch fails loudly with a rebuild message") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_preib_").toString
+    // simulate a pre-ingest_batch index: partitioned layout, old schema
+    Seq((1L, 123L, Seq(1L, 2L), 0, 0))
+      .toDF("doc_id", "band_hash", "minhash", "band_idx", "band_bucket")
+      .write.partitionBy("band_idx", "band_bucket").parquet(s"$base/index")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      input.toDS().toDF("doc_id", "text"), textCol = "text", idCol = "doc_id",
+      indexDir = s"$base/index", dupDir = s"$base/dups",
+      checkpoint = s"$base/ckpt")
+    try {
+      input.addData((7L, "the quick brown fox jumps over the lazy dog again"))
+      val e = intercept[Throwable](q.processAllAvailable())
+      def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+        .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("ingest_batch")), e.toString)
+    } finally q.stop()
+  }
+
   test("legacy unpartitioned index layout fails loudly with a rebuild message") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

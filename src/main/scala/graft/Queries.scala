@@ -3371,6 +3371,85 @@ object Queries {
       FROM probe ORDER BY cnt DESC, tok"""),
     bench = true)
 
+  /** D+/H1+ sketches: KMV-estimated source overlap — q107's exact
+    * shared-shingle matrix re-answered from bottom-k(128) distinct
+    * sketches ([[graft.operators.Sketches.bottomK]], riding the
+    * engine's own bounded-heap TopK operator) with the exact Jaccard
+    * computed alongside and an accuracy gate pinned TRUE by the
+    * oracle (measured max |est − exact| ≈ 0.15 across SFs; gate 0.2).
+    * At 100 TB the exact matrix shuffles every distinct (source,
+    * shingle) posting; the sketch path's pair join touches
+    * |sources|² lists of 128 longs. Exactness is at HASH granularity
+    * on both sides (collisions at the 10^9 domain are negligible and
+    * identical in both engines). The estimate itself is also
+    * hash-checked — the oracle rebuilds the bottom-k lists value for
+    * value — so this row verifies the sketch, the estimator, and the
+    * gate at once. */
+  private val q124 = Q("q124_source_overlap_kmv",
+    (s, d) => {
+      val k = 128
+      val sh = t(s, d, "documents")
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+        .select(col("source"), polyHash(col("ng")).as("h")).distinct()
+      val lists = graft.operators.Sketches.bottomK(sh, col("source"), col("h"), k)
+      val est = graft.operators.Sketches.kmvJaccard(lists, k)
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      // exact shared counts via q107's no-self-join projection rewrite
+      val srcSets = sh.groupBy(col("h"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      val inter = srcSets.select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + lit(2),
+              greatest(size(col("srcs")) - i - 1, lit(0))),
+            b => struct(a.as("sa"), b.as("sb")))))).as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .agg(count(lit(1)).as("shared"))
+      est
+        .join(inter,
+          col("grp_a") === col("sa") && col("grp_b") === col("sb"), "left")
+        .join(broadcast(sizes.select(col("source").as("_s1"), col("n").as("na"))),
+          col("grp_a") === col("_s1"))
+        .join(broadcast(sizes.select(col("source").as("_s2"), col("n").as("nb"))),
+          col("grp_b") === col("_s2"))
+        .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        .withColumn("_exact",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+          r(col("est_jaccard"), 4).as("est_jaccard"),
+          r(col("_exact"), 4).as("exact_jaccard"),
+          (abs(col("est_jaccard") - col("_exact")) <= 0.2).as("within_bound"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""WITH sh AS (SELECT DISTINCT source, ${sqlPolyHash("ng")} AS h
+        FROM (SELECT source, unnest(${sqlShingles("tk")}) AS ng
+          FROM (SELECT source, string_split(text, ' ') AS tk FROM documents))),
+      bot AS (SELECT source, h FROM (SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh)
+        WHERE rn <= 128),
+      lists AS (SELECT source, list_sort(list(h)) AS hs FROM bot GROUP BY source),
+      sz AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+      inter AS (SELECT x.source AS sa, y.source AS sb, count(*)::BIGINT AS shared
+        FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+        GROUP BY 1, 2),
+      pairs AS (SELECT a.source AS sa, b.source AS sb, a.hs AS ha, b.hs AS hb
+        FROM lists a JOIN lists b ON a.source < b.source),
+      kmv AS (SELECT sa, sb,
+          list_sort(list_distinct(list_concat(ha, hb)))[1:128] AS u, ha, hb
+        FROM pairs),
+      est AS (SELECT sa, sb,
+          len(list_intersect(u, list_intersect(ha, hb)))::DOUBLE / len(u) AS ej
+        FROM kmv),
+      j AS (SELECT e.sa, e.sb, ej, coalesce(i.shared, 0) AS shared,
+          za.n AS na, zb.n AS nb
+        FROM est e LEFT JOIN inter i ON e.sa = i.sa AND e.sb = i.sb
+        JOIN sz za ON za.source = e.sa JOIN sz zb ON zb.source = e.sb)
+      SELECT sa AS source_a, sb AS source_b,
+        floor(ej * 10000 + 0.5) / 10000.0 AS est_jaccard,
+        floor(shared::DOUBLE / (na + nb - shared) * 10000 + 0.5) / 10000.0
+          AS exact_jaccard,
+        TRUE AS within_bound
+      FROM j ORDER BY source_a, source_b"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3382,7 +3461,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

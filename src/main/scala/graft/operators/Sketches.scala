@@ -73,6 +73,53 @@ object Sketches {
       .agg(sum(col("_c")).as("cnt"))
   }
 
+  /** Bottom-k (KMV) distinct sketch per group: the k SMALLEST distinct
+    * hash values of each group's element set — the second mergeable
+    * sketch of this family (Bar-Yossef et al. 2002). Per-group state
+    * is exactly min(k, |set|) longs however large the group; sketches
+    * merge by concat → re-bottom-k (the k smallest of a union are
+    * among the union of the k smallest). Unlike an affine-mixed
+    * MinHash signature — whose lanes share one base hash and are
+    * heavily correlated (measured: ×4-7 the theoretical Jaccard
+    * error on the testdata corpus) — KMV needs only the ONE portable
+    * hash and delivers the textbook √(J(1−J)/k) accuracy.
+    *
+    * Plan shape: one distinct over (group, hash), then the per-group
+    * ascending cut rides the engine's own bounded-heap
+    * [[graft.plans.TopK]] operator (partial heaps below the exchange:
+    * the shuffle carries ≤ partitions × groups × k candidate longs,
+    * never the set), then a groups-sized list aggregation. Returns
+    * (grp, hs) with `hs` ascending. */
+  def bottomK(df: DataFrame, group: Column, hash: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val dist = df.select(group.as("grp"), hash.as("h")).distinct()
+    graft.plans.TopK.perGroup(
+        dist.withColumn("_neg", -col("h")), Seq("grp"), "_neg", k)
+      .groupBy(col("grp")).agg(array_sort(collect_list(col("h"))).as("hs"))
+  }
+
+  /** Pairwise estimated Jaccard from bottom-k lists: for each ordered
+    * pair, U = the k smallest of the two lists' union is a uniform
+    * sample of A ∪ B, and the fraction of U present in BOTH lists
+    * estimates |A∩B|/|A∪B| (denominator |U|, so pairs whose union
+    * fits inside k are EXACT). Every step is an array expression
+    * over two ≤ k lists; the pair join is broadcast-sized (|groups|²
+    * rows of k longs) however large the corpus was. Returns
+    * (grp_a, grp_b, est_jaccard) for grp_a < grp_b. */
+  def kmvJaccard(lists: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    lists.alias("a")
+      .join(broadcast(lists.alias("b")), col("a.grp") < col("b.grp"))
+      .select(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"),
+        col("a.hs").as("_ha"), col("b.hs").as("_hb"))
+      .withColumn("_u", slice(array_sort(array_union(col("_ha"), col("_hb"))), 1, k))
+      .withColumn("est_jaccard",
+        size(array_intersect(col("_u"),
+          array_intersect(col("_ha"), col("_hb")))).cast("double")
+          / size(col("_u")))
+      .select(col("grp_a"), col("grp_b"), col("est_jaccard"))
+  }
+
   /** Point-query the sketch: append `estCol` = min over the key's
     * `depth` cells (an absent cell counts as zero mass). The sketch
     * side is broadcast — it is bounded by depth × width rows no

@@ -58,6 +58,47 @@ class SketchesSpec extends SparkSpec {
     assert(run(c) === run(c.repartition(13)))
   }
 
+  test("bottomK: k smallest distinct per group, ascending; small groups keep everything") {
+    val rows = (Seq.tabulate(50)(i => ("big", (100 - i).toLong)) ++
+      Seq(("big", 55L), ("small", 3L), ("small", 9L)))  // dup 55 collapses
+      .toDF("grp", "h")
+    val got = Sketches.bottomK(rows, col("grp"), col("h"), k = 5)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("big") === Seq(51L, 52L, 53L, 54L, 55L))
+    assert(got("small") === Seq(3L, 9L))
+  }
+
+  test("kmvJaccard: disjoint sets estimate 0, identical sets 1, sub-k unions exact") {
+    val lists = Seq(
+      ("a", Seq(1L, 2L, 3L, 4L)),
+      ("b", Seq(1L, 2L, 3L, 4L)),
+      ("c", Seq(5L, 6L, 7L, 8L)),
+      ("d", Seq(1L, 2L, 5L, 6L))).toDF("grp", "hs")
+    val est = Sketches.kmvJaccard(lists, k = 16)
+      .as[(String, String, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(est(("a", "b")) === 1.0)
+    assert(est(("a", "c")) === 0.0)
+    // |a ∩ d| = 2, |a ∪ d| = 6 → exact because the union fits in k
+    assert(math.abs(est(("a", "d")) - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("kmv merge law: bottom-k of a union == bottom-k of concatenated bottom-ks") {
+    val xs = Seq.tabulate(300)(i => ("x", (i * 7 % 1000).toLong)).toDF("grp", "h")
+    val ys = Seq.tabulate(300)(i => ("x", (i * 11 % 1000).toLong)).toDF("grp", "h")
+    val k = 20
+    val direct = Sketches.bottomK(xs.unionByName(ys), col("grp"), col("h"), k)
+      .as[(String, Seq[Long])].head()._2
+    // merge path: concat the two shards' sketches, re-cut
+    val bx = Sketches.bottomK(xs, col("grp"), col("h"), k)
+    val by = Sketches.bottomK(ys, col("grp"), col("h"), k)
+    val merged = bx.unionByName(by)
+      .select(col("grp"), explode(col("hs")).as("h"))
+    val recut = Sketches.bottomK(merged, col("grp"), col("h"), k)
+      .as[(String, Seq[Long])].head()._2
+    assert(recut === direct)
+  }
+
   test("shape contract refuses bad depth/width loudly") {
     val c = counts(Seq(("a", 1L)))
     intercept[IllegalArgumentException] {

@@ -3338,9 +3338,14 @@ object Queries {
   private val q123 = Q("q123_cms_heavy_hitters",
     (s, d) => {
       val width = 2048
+      // ONE corpus scan: the vocab-sized count table is barriered and
+      // feeds all three consumers (sketch cells, total mass, exact
+      // top-k) — without the barrier Catalyst replans the corpus
+      // explode+count under each branch (probed: 3 parquet scans)
       val counts = t(s, d, "documents")
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
       val cms = graft.operators.Sketches.cmsFromCounts(
         counts, col("tok"), col("cnt"), width = width)
       val total = broadcast(counts.agg(sum(col("cnt")).cast("double").as("_n")))
@@ -3388,10 +3393,17 @@ object Queries {
   private val q124 = Q("q124_source_overlap_kmv",
     (s, d) => {
       val k = 128
+      // ONE corpus scan: the distinct (source, hash) posting table is
+      // barriered and feeds sketch, sizes, and exact-intersection
+      // branches (probed: 5 parquet scans without the barriers); the
+      // tiny bottom-k lists barrier too — the pair join consumes them
+      // twice (build and probe)
       val sh = t(s, d, "documents")
         .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
         .select(col("source"), polyHash(col("ng")).as("h")).distinct()
+        .localCheckpoint(false)
       val lists = graft.operators.Sketches.bottomK(sh, col("source"), col("h"), k)
+        .localCheckpoint(false)
       val est = graft.operators.Sketches.kmvJaccard(lists, k)
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       // exact shared counts via q107's no-self-join projection rewrite

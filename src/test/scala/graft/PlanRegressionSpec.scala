@@ -176,6 +176,30 @@ class PlanRegressionSpec extends SparkSpec {
       s"mining must stay a bucket equality join, never all-pairs:\n$p")
   }
 
+  test("q123/q124 sketches: shared corpus table barriered — zero corpus scans above it") {
+    // the count table (q123) / posting table (q124) are localCheckpoint
+    // barriers; every consumer branch must read the checkpointed RDD,
+    // not replan the corpus explode (probed: 3 and 5 scans without)
+    Seq("q123_cms_heavy_hitters", "q124_source_overlap_kmv").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Scan parquet"),
+        s"$name must read only the barriered table above the checkpoint:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"$name barrier missing:\n$p")
+    }
+    // the bottom-k cut itself (below q124's lists barrier) rides the
+    // two-stage bounded heap — inspect the operator's own plan
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    val pBot = graft.operators.Sketches.bottomK(
+        docs.select(col("source"),
+          graft.functions.GraftFunctions.polyHash(col("text")).as("h")),
+        col("source"), col("h"), k = 8)
+      .queryExecution.executedPlan.toString
+    assert(pBot.contains("TopKPerGroupPartial") && pBot.contains("TopKPerGroup "),
+      s"bottom-k must plan as the bounded-heap operator:\n$pBot")
+    assert(!pBot.contains("Window"), s"bottom-k must not plan a Window:\n$pBot")
+  }
+
   test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
     // force execution so the AQE plan is final and the checkpoint exists
     val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))

@@ -3462,6 +3462,61 @@ object Queries {
       FROM j ORDER BY source_a, source_b"""),
     bench = true)
 
+  /** H1+/H4+: chunk-level exact dedup with document reassembly — the
+    * PARAGRAPH-boilerplate removal move (headers, footers, licence
+    * blocks duplicated across documents): chunk every document into
+    * 50-token windows, keep only each distinct chunk's FIRST global
+    * occurrence (ordered by (doc_id, chunk_idx) — deterministic), and
+    * rebuild each document from its surviving chunks. Exact duplicate
+    * documents come out with n_kept = 0 (their every chunk lost the
+    * race to the original).
+    *
+    * Plan shape: the chunk explode is a pure projection behind the
+    * scan; ONE hash exchange on chunk_text ranks occurrences; ONE
+    * doc-keyed aggregation both counts and reassembles (kept chunks
+    * collapse through a sorted struct array — no rejoin, no second
+    * corpus pass). The md5 of the reassembled text makes the whole
+    * reassembly hash-checkable. */
+  private val q125 = Q("q125_chunk_dedup",
+    (s, d) => {
+      val chunks = graft.operators.Chunking.chunk(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          col("text"), chunkTokens = 50)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      val w = Window.partitionBy(col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(array_sort(collect_list(
+            when(col("rn") === 1,
+              struct(col("chunk_idx"), col("chunk_text"))))),
+            x => x.getField("chunk_text"))).as("_txt"))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          when(col("n_kept") > 0, md5(col("_txt"))).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      starts AS (SELECT doc_id, t,
+          unnest(range(0, CASE WHEN len(t) = 0 THEN 1 ELSE ((len(t) - 1) // 50) + 1 END)) AS chunk_idx
+        FROM tk),
+      ch AS (SELECT doc_id, chunk_idx,
+          t[chunk_idx*50 + 1 : chunk_idx*50 + 50] AS ct
+        FROM starts),
+      rk AS (SELECT doc_id, chunk_idx, array_to_string(ct, ' ') AS ctext,
+          row_number() OVER (PARTITION BY array_to_string(ct, ' ')
+            ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch WHERE len(ct) > 0)
+      SELECT doc_id, count(*) AS n_chunks,
+        sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+          THEN md5(string_agg(CASE WHEN rn = 1 THEN ctext END, ' '
+            ORDER BY chunk_idx))
+          ELSE NULL END AS clean_md5
+      FROM rk GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3473,7 +3528,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -83,9 +83,9 @@ object StreamingDecontam {
           // prune the immutable index to the buckets this batch touches
           // — a tiny, bounded driver-side collect (≤ BucketCount ints)
           val touched = batchPosts.select(col("bucket")).distinct()
-            .collect().map(_.getInt(0))
+            .collect().map(_.getInt(0)).toIndexedSeq
           val idx = spark.read.schema(IndexSchema).parquet(indexDir)
-            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+            .filter(col("bucket").isin(touched: _*))
           val flagged = batchPosts
             .join(idx, Seq("bucket", "shingle"))
             .filter(col("c_id") =!= col("e_id"))

@@ -198,7 +198,7 @@ object StreamingSimilarity {
                 // prune to the buckets this batch actually touches —
                 // bounded by min(batch, 2^planes) values, driver-known
                 val touched = banded.select(col("bucket")).distinct()
-                  .collect().map(_.getLong(0))
+                  .collect().map(_.getLong(0)).toIndexedSeq
                 latestPerId(
                   spark.read.schema(IndexSchema).parquet(indexDir)
                     .filter(col("bucket").isin(touched: _*)),

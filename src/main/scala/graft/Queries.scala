@@ -2188,14 +2188,11 @@ object Queries {
       w AS (SELECT doc_id,
           ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
-        FROM dft JOIN dl USING (doc_id) CROSS JOIN stats),
-      s AS (SELECT doc_id, floor(sum(w) * 10000 + 0.5) / 10000.0 AS score,
-          count(*) AS n_terms_hit
-        FROM w GROUP BY doc_id
-        ORDER BY score DESC, doc_id LIMIT 10)
-      SELECT doc_id, score, n_terms_hit,
-        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-      FROM s ORDER BY rank"""),
+        FROM dft JOIN dl USING (doc_id) CROSS JOIN stats)
+      SELECT doc_id, floor(sum(w) * 10000 + 0.5) / 10000.0 AS score,
+        count(*) AS n_terms_hit
+      FROM w GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 10"""),
     bench = true)
 
   /** H4: weighted sample without replacement
@@ -2882,7 +2879,7 @@ object Queries {
       val docs = t(s, d, "documents")
       val emb = t(s, d, "embeddings")
       val bm = TextAnalysis.bm25TopDocs(docs, col("doc_id"), col("text"),
-          terms = Seq("spark", "window", "hash"), k = 50)
+          terms = Seq("spark", "window", "hash"), k = 50, withRank = true)
         .select(col("doc_id"), col("rank"))
       val vec = Similarity.bruteForceTopK(
           emb.filter(col("vec_id") === 7)

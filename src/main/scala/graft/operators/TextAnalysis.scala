@@ -253,20 +253,23 @@ object TextAnalysis {
     * term; the rounded score ranks BEFORE the limit, with doc_id as
     * tie-break, so the cut is engine-stable.
     *
-    * The result carries its own 1-based `rank` (same ordering as the
-    * cut), so downstream fusion (RRF) never re-ranks the list with a
-    * global window. The rank is derived WITHOUT any window at all
-    * (a global window — even one partitioned by a constant — survives
-    * as a warned single-partition WindowExec, because the optimizer
-    * eliminates foldable partition expressions): the ≤ k cut rows
-    * collapse into ONE sorted array via a two-phase aggregate
-    * (partial per partition, k-bounded), and `posexplode` of that
-    * array IS the rank. Every step is a codegen'd built-in over at
-    * most k rows. Returns (doc_id, score, n_terms_hit, rank). */
+    * With `withRank` the result carries its own 1-based `rank` (same
+    * ordering as the cut), so downstream fusion (RRF) never re-ranks
+    * the list with a global window. The rank is derived WITHOUT any
+    * window at all (a global window — even one partitioned by a
+    * constant — survives as a warned single-partition WindowExec,
+    * because the optimizer eliminates foldable partition
+    * expressions): the ≤ k cut rows collapse into ONE sorted array
+    * via a two-phase aggregate (partial per partition, k-bounded),
+    * and `posexplode` of that array IS the rank. Every step is a
+    * codegen'd built-in over at most k rows — but it still costs two
+    * extra stages of fixed latency, so callers that only need the
+    * scored list (already emitted in rank order) leave it off.
+    * Returns (doc_id, score, n_terms_hit[, rank]). */
   def bm25TopDocs(df: DataFrame, id: Column, text: Column,
                   terms: Seq[String], k: Int = 10,
                   k1: Double = 1.2, b: Double = 0.75,
-                  roundTo: Int = 4): DataFrame = {
+                  roundTo: Int = 4, withRank: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "bm25TopDocs needs at least one query term")
     require(k > 0, s"k must be positive: $k")
@@ -279,7 +282,7 @@ object TextAnalysis {
       .filter(col("term").isin(terms.map(lit): _*))
       .groupBy(col("doc_id"), col("_dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("_tf"))
-    tf.withColumn("_df",
+    val cut = tf.withColumn("_df",
         count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .crossJoin(stats)
       .withColumn("_idf",
@@ -292,6 +295,8 @@ object TextAnalysis {
         count(lit(1)).as("n_terms_hit"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+    if (!withRank) cut
+    else cut
       // rank without a window: one sorted ≤k array, position = rank.
       // The struct's first field is −score so the ASCENDING array sort
       // ranks score-descending with doc_id as the ascending tie-break

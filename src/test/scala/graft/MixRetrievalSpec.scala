@@ -17,7 +17,8 @@ class MixRetrievalSpec extends SparkSpec {
       (2L, "spark window"),
       (3L, "other words entirely")).toDF("doc_id", "text")
     val out = TextAnalysis.bm25TopDocs(
-        docs, col("doc_id"), col("text"), terms = Seq("spark", "window"), k = 10)
+        docs, col("doc_id"), col("text"), terms = Seq("spark", "window"),
+        k = 10, withRank = true)
       .as[(Long, Double, Long, Long)].collect()
     val got = out.map(t => t._1 -> t._2).toMap
     val hits = out.map(t => t._1 -> t._3).toMap
@@ -26,6 +27,10 @@ class MixRetrievalSpec extends SparkSpec {
     val byScore = out.sortBy(t => (-t._2, t._1)).map(_._1).toSeq
     assert(out.map(_._4).sorted.toSeq === (1L to out.length).toSeq)
     assert(byRank === byScore)
+    // the default (rank-less) surface keeps the 3-column contract
+    assert(TextAnalysis.bm25TopDocs(docs, col("doc_id"), col("text"),
+      terms = Seq("spark")).columns.toSeq ===
+      Seq("doc_id", "score", "n_terms_hit"))
 
     // Reference BM25 computed longhand (k1=1.2, b=0.75).
     val n = 3.0

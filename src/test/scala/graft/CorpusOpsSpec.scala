@@ -318,4 +318,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e1.map(_._1).toSeq == e0.map(_._1).toSeq)
     assert(e1.toSeq != e0.toSeq)
   }
+
+  test("source overlap: hash-granularity counts (q124's exact side) == string counts (q107)") {
+    import graft.functions.GraftFunctions.{polyHash, shingles, tokens}
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // string-level: distinct (source, shingle) pairs, shared per pair
+    val byString = docs
+      .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+      .distinct().alias("a")
+      .join(docs
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+        .distinct().alias("b"),
+        col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source"), col("b.source")).count()
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // hash-level: the exact side q124 actually joins on
+    def hashed = docs
+      .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+      .select(col("source"), polyHash(col("ng")).as("h")).distinct()
+    val byHash = hashed.alias("a")
+      .join(hashed.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source"), col("b.source")).count()
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(byString.nonEmpty)
+    assert(byHash === byString,
+      "hash-granularity intersection must be collision-free on this corpus")
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.StreamingCorpusStats
+
+/** Incremental corpus stats: the snapshot after N micro-batches must
+  * equal the batch summaries of the whole corpus — the end-to-end
+  * proof that the sketch family's merge algebra (CMS cell sums,
+  * bottom-k re-cuts, count addition) loses nothing across batch
+  * boundaries. */
+class StreamingCorpusStatsSpec extends SparkSpec {
+
+  private def slurp(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("snapshot chain: merged stream state == batch summaries; versions time-travel") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("source"), col("text"))
+    val corpus = docs.as[(String, String)].collect().sortBy(_.hashCode)
+    val (first, second) = corpus.splitAt(corpus.length / 2)
+
+    val base = java.nio.file.Files.createTempDirectory("graft_scs_").toString
+    val input = MemoryStream[(String, String)]
+    val q = StreamingCorpusStats.start(
+      input.toDS().toDF("source", "text"),
+      sourceCol = "source", textCol = "text",
+      statsDir = s"$base/stats", checkpoint = s"$base/ckpt")
+    try {
+      input.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(second.toSeq: _*)
+      q.processAllAvailable()
+
+      val Some((v, counts, cms, kmv)) =
+        StreamingCorpusStats.latest(spark, s"$base/stats")
+      assert(v === 1L)
+
+      val cfg = StreamingCorpusStats.Config()
+      val (bCounts, bCms, bKmv) = StreamingCorpusStats.summarize(docs, cfg)
+      assert(slurp(counts) === slurp(bCounts))
+      assert(slurp(cms) === slurp(bCms))
+      assert(slurp(kmv) === slurp(bKmv))
+
+      // time travel: v=0 is exactly the first batch's own summary
+      val c0 = spark.read.parquet(s"$base/stats/v=0/counts")
+      val (fCounts, _, _) = StreamingCorpusStats.summarize(
+        first.toSeq.toDF("source", "text"), cfg)
+      assert(slurp(c0) === slurp(fCounts))
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("fresh checkpoint over retained stats fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scs_rg_").toString
+    def run(ckpt: String): Unit = {
+      val input = MemoryStream[(String, String)]
+      val q = StreamingCorpusStats.start(
+        input.toDS().toDF("source", "text"),
+        sourceCol = "source", textCol = "text",
+        statsDir = s"$base/stats", checkpoint = ckpt)
+      try {
+        input.addData(("web", "alpha beta gamma delta epsilon"))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run(s"$base/ckpt1")
+    val ex = intercept[Exception] { run(s"$base/ckpt2") }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("fresh checkpoint"), s"got:\n$msgs")
+  }
+}

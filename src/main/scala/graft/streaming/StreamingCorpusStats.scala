@@ -44,11 +44,12 @@ object StreamingCorpusStats {
   private def committedVersions(spark: SparkSession, statsDir: String): Seq[Long] = {
     val p = new Path(statsDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("_v_"))
-      .flatMap(n => scala.util.Try(n.stripPrefix("_v_").toLong).toOption)
+    StreamProtocol.committedIds(fs, p, "_v_")
   }
+
+  private def fingerprint(cfg: Config): String =
+    s"cmsWidth=${cfg.cmsWidth};cmsDepth=${cfg.cmsDepth};" +
+      s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN}"
 
   /** The latest committed snapshot's tables, or None before the first
     * commit. Public: this is also the read API for consumers. */
@@ -103,56 +104,37 @@ object StreamingCorpusStats {
         val spark = batch.sparkSession
         val dirPath = new Path(statsDir)
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-        // ---- guards (same protocol as the other streams) -----------
-        val runMarker = new Path(statsDir, "_stream_checkpoint")
-        if (fs.exists(runMarker)) {
-          val in = fs.open(runMarker)
-          val owner =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          if (owner != checkpoint)
-            throw new IllegalStateException(
-              s"StreamingCorpusStats: $statsDir is owned by checkpoint " +
-                s"'$owner' but this stream runs from '$checkpoint' — a " +
-                "fresh checkpoint restarts batch ids at 0 and would " +
-                "silently skip batches. Resume from the original " +
-                "checkpoint, or delete the stats dir and re-ingest.")
-        } else {
-          val out = fs.create(runMarker, true)
-          try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
-        }
-        val committed = committedVersions(spark, statsDir)
-        if (committed.nonEmpty && committed.max > batchId)
-          throw new IllegalStateException(
-            s"StreamingCorpusStats: $statsDir already holds snapshots up " +
-              s"to v=${committed.max} but this stream is at batch " +
-              s"$batchId — a fresh checkpoint is replaying over retained " +
-              "state. Delete the stats dir or resume the original " +
-              "checkpoint.")
-        val marker = new Path(statsDir, s"_v_$batchId")
-        if (fs.exists(marker)) ()
-        else {
-          val fresh = summarize(
-            batch.select(col(sourceCol).as("source"), col(textCol).as("text")),
-            cfg)
-          val merged = committed.filter(_ < batchId).maxOption match {
-            case None => fresh
-            case Some(prev) =>
-              merge(
-                (spark.read.parquet(s"$statsDir/v=$prev/counts"),
-                  spark.read.parquet(s"$statsDir/v=$prev/cms"),
-                  spark.read.parquet(s"$statsDir/v=$prev/kmv")),
-                fresh, cfg)
-          }
-          // full snapshot, Overwrite into this batch's own version dir:
-          // a replay rewrites it; the marker commits LAST
-          merged._1.write.mode(SaveMode.Overwrite)
-            .parquet(s"$statsDir/v=$batchId/counts")
-          merged._2.write.mode(SaveMode.Overwrite)
-            .parquet(s"$statsDir/v=$batchId/cms")
-          merged._3.write.mode(SaveMode.Overwrite)
-            .parquet(s"$statsDir/v=$batchId/kmv")
-          fs.create(marker, true).close()
+        val done = StreamProtocol.replayGuards(fs, dirPath, checkpoint,
+          fingerprint(cfg), batchId, "_v_", "StreamingCorpusStats")
+        if (!done) {
+          // the three snapshot writes are three jobs: cache the
+          // projected batch so the source micro-batch is read once,
+          // not once per table
+          val projected = batch
+            .select(col(sourceCol).as("source"), col(textCol).as("text"))
+            .cache()
+          try {
+            val fresh = summarize(projected, cfg)
+            val merged = committedVersions(spark, statsDir)
+              .filter(_ < batchId).maxOption match {
+              case None => fresh
+              case Some(prev) =>
+                merge(
+                  (spark.read.parquet(s"$statsDir/v=$prev/counts"),
+                    spark.read.parquet(s"$statsDir/v=$prev/cms"),
+                    spark.read.parquet(s"$statsDir/v=$prev/kmv")),
+                  fresh, cfg)
+            }
+            // full snapshot, Overwrite into this batch's own version
+            // dir: a replay rewrites it; the marker commits LAST
+            merged._1.write.mode(SaveMode.Overwrite)
+              .parquet(s"$statsDir/v=$batchId/counts")
+            merged._2.write.mode(SaveMode.Overwrite)
+              .parquet(s"$statsDir/v=$batchId/cms")
+            merged._3.write.mode(SaveMode.Overwrite)
+              .parquet(s"$statsDir/v=$batchId/kmv")
+            StreamProtocol.commit(fs, dirPath, "_v_", batchId)
+          } finally projected.unpersist()
         }
         ()
       }

@@ -20,10 +20,15 @@ import graft.functions.GraftFunctions.{shingles, tokens}
   * IMMUTABLE — built once by [[prepareEvalIndex]], never appended —
   * so each document's verdict is independent of batch boundaries
   * (batch decontaminate over the same corpus produces the identical
-  * pair set, which the spec asserts differentially) and replay safety
-  * needs no markers at all: results write per-batch partition
-  * directories with Overwrite, so an at-least-once replay rewrites
-  * its own directory instead of appending duplicates.
+  * pair set, which the spec asserts differentially). Results write
+  * per-batch partition directories with Overwrite (an at-least-once
+  * replay rewrites its own directory instead of appending
+  * duplicates); the shared [[StreamProtocol]] guards the RESULTS dir
+  * — run identity, a config fingerprint (index path / shingleN /
+  * minOverlap, since a silent mismatch would mix regimes or flag
+  * nothing), and commit markers that let a fully-committed replay
+  * skip its recompute. The index additionally records its own
+  * shingleN, verified per batch.
   *
   * Scale: the index parquet is PARTITIONED by a shingle-hash bucket
   * (`pmod(xxhash64(shingle), `[[BucketCount]]`)`) and each batch reads
@@ -56,12 +61,22 @@ object StreamingDecontam {
     * for per-batch pruning. Run ONCE per eval-set release; `start`
     * reads it immutably. Overwrite semantics: a re-prepare replaces
     * the index atomically enough for a stopped stream (do not
-    * re-prepare under a live one). */
+    * re-prepare under a live one). The index records its shingleN —
+    * a stream probing with a DIFFERENT n would silently match nothing
+    * (3-gram strings never equal 4-gram strings), so `start` verifies
+    * it and fails fast on mismatch. */
   def prepareEvalIndex(evalSet: DataFrame, id: Column, text: Column,
-                       indexDir: String, shingleN: Int = 3): Unit =
+                       indexDir: String, shingleN: Int = 3): Unit = {
     posts(evalSet, id, text, "e_id", shingleN)
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket").parquet(indexDir)
+    val p = new Path(indexDir, "_index_config")
+    val fs = p.getFileSystem(
+      evalSet.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"shingleN=$shingleN".getBytes("UTF-8"))
+    finally out.close()
+  }
 
   def start(docs: DataFrame, idCol: String, textCol: String,
             indexDir: String, flaggedDir: String, checkpoint: String,
@@ -77,6 +92,33 @@ object StreamingDecontam {
             s"StreamingDecontam: eval index $indexDir does not exist — " +
               "run prepareEvalIndex over the eval set first (an absent " +
               "index must not silently flag nothing).")
+        // the index's shingle size must match the stream's: 3-gram
+        // strings never equal 4-gram strings, so a mismatch silently
+        // flags NOTHING — fail fast instead
+        val idxCfg = new Path(indexDir, "_index_config")
+        if (fs.exists(idxCfg)) {
+          val in = fs.open(idxCfg)
+          val owner =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          if (owner != s"shingleN=$shingleN")
+            throw new IllegalStateException(
+              s"StreamingDecontam: $indexDir was prepared with [$owner] " +
+                s"but this stream probes with [shingleN=$shingleN] — the " +
+                "join would silently flag nothing. Re-prepare the index " +
+                "or match the stream's shingleN.")
+        }
+        // run-identity + config guards on the RESULTS dir: a fresh
+        // checkpoint restarting batch ids at 0 would overwrite old
+        // batch directories with different data, silently mixing two
+        // runs' verdicts; a changed minOverlap/index would mix regimes
+        // within one results dir. Markers also let a fully-committed
+        // batch replay skip its recompute entirely.
+        val flaggedPath = new Path(flaggedDir)
+        val done = StreamProtocol.replayGuards(fs, flaggedPath, checkpoint,
+          s"index=$indexDir;shingleN=$shingleN;minOverlap=$minOverlap",
+          batchId, "_batch_", "StreamingDecontam")
+        if (!done) {
         val batchPosts = posts(batch, col(idCol), col(textCol), "c_id",
           shingleN).cache()
         try {
@@ -94,12 +136,14 @@ object StreamingDecontam {
             .filter(col("n_overlap") >= minOverlap)
             .select(col("c_id").as("doc_id"), col("e_id").as("eval_id"),
               col("n_overlap"))
-          // per-batch Overwrite directory = replay-safe without markers
-          // (the index never mutates, so a replay recomputes the same
-          // verdicts and rewrites the same files)
+          // per-batch Overwrite directory: a replay recomputes the same
+          // verdicts (immutable index) and rewrites the same files; the
+          // marker then lets the NEXT replay skip the recompute
           flagged.write.mode(SaveMode.Overwrite)
             .parquet(s"$flaggedDir/batch=$batchId")
+          StreamProtocol.commit(fs, flaggedPath, "_batch_", batchId)
         } finally batchPosts.unpersist()
+        }
         ()
       }
       .start()

@@ -68,42 +68,16 @@ object StreamingDedup {
         // and silently disable cross-batch detection
         val indexPath = new Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
-        // ---- batchId-regression guards (see StreamingSimilarity) ----
-        val runMarker = new Path(indexDir, "_stream_checkpoint")
-        if (fs.exists(runMarker)) {
-          val in = fs.open(runMarker)
-          val owner =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          if (owner != checkpoint)
-            throw new IllegalStateException(
-              s"StreamingDedup: $indexDir is owned by checkpoint " +
-                s"'$owner' but this stream runs from '$checkpoint' — a " +
-                "fresh checkpoint restarts batch ids at 0, so its batches " +
-                "would be silently swallowed by the old batch markers and " +
-                "the persisted index hidden from matching. Resume from " +
-                "the original checkpoint, or delete the index and " +
-                "re-ingest. (Moved the checkpoint directory on purpose? " +
-                "Update the _stream_checkpoint file to the new path.)")
-        } else {
-          val out = fs.create(runMarker, true)
-          try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
-        }
-        if (fs.exists(indexPath)) {
-          val committed = fs.listStatus(indexPath).toSeq
-            .map(_.getPath.getName)
-            .filter(_.startsWith("_batch_"))
-            .flatMap(n => scala.util.Try(n.stripPrefix("_batch_").toLong).toOption)
-          if (committed.nonEmpty && committed.max > batchId)
-            throw new IllegalStateException(
-              s"StreamingDedup: $indexDir already holds committed " +
-                s"batches up to ${committed.max} but this stream is at " +
-                s"batch $batchId — a fresh checkpoint is replaying over a " +
-                "retained index. Either resume from the original " +
-                "checkpoint or delete the index and re-ingest.")
-        }
-        val marker = new Path(indexDir, s"_batch_$batchId")
-        if (fs.exists(marker)) ()
+        // ---- replay guards (StreamProtocol, BEFORE any work) -------
+        // k/bands/shingleN shape the persisted signatures and band
+        // keys: resuming with different values would band-join
+        // incompatible hash spaces and silently stop matching — the
+        // config guard fails fast instead. minAgreement only filters
+        // results and is deliberately NOT pinned.
+        val done = StreamProtocol.replayGuards(fs, indexPath, checkpoint,
+          s"k=$k;bands=$bands;shingleN=$shingleN", batchId, "_batch_",
+          "StreamingDedup")
+        if (done) ()
         else {
         val banded = Dedup.withLshBands(
             Dedup.withMinHash(batch, col(textCol), k, shingleN), k, bands)
@@ -199,7 +173,7 @@ object StreamingDedup {
             .write.mode(SaveMode.Append)
             .partitionBy("band_idx", "band_bucket")
             .parquet(indexDir)
-          fs.create(marker, true).close()   // commit point: batch done
+          StreamProtocol.commit(fs, indexPath, "_batch_", batchId)
           dups.unpersist()
         } finally banded.unpersist()
         }

@@ -99,58 +99,17 @@ object StreamingSimilarity {
         //     a latest-ingest-wins collapse absorbs double-appends;
         //  3. a marker file commits the batch LAST — if it exists the
         //     whole batch is done and the replay skips entirely.
-        // ---- batchId-regression guards (BEFORE the marker skip) ----
-        // The replay protocol below assumes batch ids only move FORWARD
-        // over one index. Restarting the stream with a FRESH checkpoint
-        // against a RETAINED index resets batchId to 0 — the old
-        // `_batch_0` marker would then silently swallow the new batch
-        // (data loss) and the `ingest_batch < batchId` filter would
-        // hide the whole persisted index from matching. Two loud
-        // defenses, both driver-side filesystem probes (no data scan):
-        //  a. the index records its OWNING checkpoint in a run-identity
-        //     file on first write; any batch arriving from a different
-        //     checkpoint fails fast (catches every fresh-checkpoint
-        //     case, including a single-committed-batch index that
-        //     marker ids alone cannot distinguish from a replay);
-        //  b. a committed `_batch_N` marker with N beyond the current
-        //     batchId fails fast (catches a checkpoint deleted and
-        //     recreated AT THE SAME PATH, which defense (a) cannot).
-        val runMarker = new Path(indexDir, "_stream_checkpoint")
-        if (fs.exists(runMarker)) {
-          val in = fs.open(runMarker)
-          val owner =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          if (owner != checkpoint)
-            throw new IllegalStateException(
-              s"StreamingSimilarity: $indexDir is owned by checkpoint " +
-                s"'$owner' but this stream runs from '$checkpoint' — a " +
-                "fresh checkpoint restarts batch ids at 0, so its batches " +
-                "would be silently swallowed by the old batch markers and " +
-                "the persisted index hidden from matching. Resume from " +
-                "the original checkpoint, or delete the index and " +
-                "re-ingest. (Moved the checkpoint directory on purpose? " +
-                "Update the _stream_checkpoint file to the new path.)")
-        } else {
-          val out = fs.create(runMarker, true)
-          try out.write(checkpoint.getBytes("UTF-8")) finally out.close()
-        }
-        if (fs.exists(indexPath)) {
-          val committed = fs.listStatus(indexPath).toSeq
-            .map(_.getPath.getName)
-            .filter(_.startsWith("_batch_"))
-            .flatMap(n => scala.util.Try(n.stripPrefix("_batch_").toLong).toOption)
-          if (committed.nonEmpty && committed.max > batchId)
-            throw new IllegalStateException(
-              s"StreamingSimilarity: $indexDir already holds committed " +
-                s"batches up to ${committed.max} but this stream is at " +
-                s"batch $batchId — a fresh checkpoint is replaying over a " +
-                "retained index, which would silently skip batches and " +
-                "hide the index from matching. Either resume from the " +
-                "original checkpoint or delete the index and re-ingest.")
-        }
-        val marker = new Path(indexDir, s"_batch_$batchId")
-        if (fs.exists(marker)) ()
+        // ---- replay guards (StreamProtocol, BEFORE any work) -------
+        // run identity + state-shaping config fingerprint + committed-
+        // marker bound + this batch's own marker. planes/dim shape the
+        // persisted buckets: resuming with different values would
+        // bucket-join incompatible hash spaces and silently match
+        // nothing (or wrongly) — the config guard fails fast instead.
+        // k is result-shaping only and deliberately NOT pinned.
+        val done = StreamProtocol.replayGuards(fs, new Path(indexDir),
+          checkpoint, s"planes=$planes;dim=$dim", batchId, "_batch_",
+          "StreamingSimilarity")
+        if (done) ()
         else {
         val banded = batch
           // a NULL vector buckets to 0 but cannot score; drop it here
@@ -226,7 +185,7 @@ object StreamingSimilarity {
             .parquet(s"$resultDir/batch=$batchId")
           banded.write.mode(SaveMode.Append)
             .partitionBy("bucket").parquet(indexDir)
-          fs.create(marker, true).close()   // commit point: batch done
+          StreamProtocol.commit(fs, new Path(indexDir), "_batch_", batchId)
         } finally banded.unpersist()
         }
         ()

@@ -76,10 +76,17 @@ class StreamingCorpusStatsSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
     }
-    run(s"$base/ckpt1")
-    val ex = intercept[Exception] { run(s"$base/ckpt2") }
-    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
-    assert(msgs.contains("fresh checkpoint"), s"got:\n$msgs")
+    try {
+      run(s"$base/ckpt1")
+      val ex = intercept[Exception] { run(s"$base/ckpt2") }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("fresh checkpoint"), s"got:\n$msgs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

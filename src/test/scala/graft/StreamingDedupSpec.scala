@@ -74,12 +74,19 @@ class StreamingDedupSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
     }
-    run(s"$base/ckpt1") // commits _batch_0 into the index
-    val ex = intercept[Exception] { run(s"$base/ckpt2") }
-    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
-    assert(msgs.contains("fresh checkpoint"),
-      s"expected the batchId-regression guard, got:\n$msgs")
+    try {
+      run(s"$base/ckpt1") // commits _batch_0 into the index
+      val ex = intercept[Exception] { run(s"$base/ckpt2") }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("fresh checkpoint"),
+        s"expected the batchId-regression guard, got:\n$msgs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("legacy index without ingest_batch fails loudly with a rebuild message") {

@@ -3514,6 +3514,111 @@ object Queries {
       FROM rk GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** D+ sketches: bottom-k quantile sketch — the value-DISTRIBUTION
+    * member of the mergeable-sketch family (q123 frequency, q124
+    * distinct). The k rows with the globally smallest seeded portable
+    * hash are a deterministic uniform sample; nearest-rank quantiles
+    * of that k-row sample estimate the corpus quantiles with
+    * DKW O(1/√k) rank error. At 100 TB the exact quantile needs a
+    * global sort (or Spark's non-portable `percentile_approx`); the
+    * sketch path is one `TakeOrderedAndProject` (bounded heap per
+    * partition, k·partitions-row exchange) + one k-bounded row.
+    * The gate joins the 5 estimates back against the corpus
+    * (broadcast 5-row side, map-side conditional count — no extra
+    * shuffle) and pins |exact_rank(est) − p| ≤ 0.05 TRUE via the
+    * oracle, so a degraded sample flips a hash-checked row.
+    * Measured max rank error: 0.024 (sf0.001) / 0.022 (sf0.01) /
+    * 0.013 (sf0.1) — the bound tightens as N grows past k·10. */
+  private val q126 = Q("q126_quantile_sketch",
+    (s, d) => {
+      val k = 1024
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      // ONE lineitem scan feeds sample, N, and the exact-rank gate
+      val li = t(s, d, "lineitem")
+        .select(concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string")).as("rk"),
+          col("l_extendedprice").as("price"))
+        .localCheckpoint(false)
+      val sample = graft.operators.Sketches.bottomKSample(
+        li, col("rk"), col("price"), k, seed = "q126")
+      val est = graft.operators.Sketches.quantilesFromSample(sample, ps)
+      val n = broadcast(li.agg(count(lit(1)).as("_n")))
+      li.crossJoin(broadcast(est)).groupBy(col("p"), col("est"))
+        .agg(sum(when(col("price") <= col("est"), 1L).otherwise(0L)).as("_le"))
+        .crossJoin(n)
+        .select(col("p"), col("est"),
+          (col("_le").cast("double") / col("_n")).as("exact_frac"),
+          (abs(col("_le").cast("double") / col("_n") - col("p")) <= 0.05)
+            .as("within_bound"))
+        .orderBy(col("p"))
+    },
+    Some(s"""WITH li AS (SELECT l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR AS rk,
+          l_extendedprice AS price FROM lineitem),
+      h AS (SELECT ${sqlPolyHash("'q126' || rk")} AS hh, rk, price FROM li),
+      smp AS (SELECT price FROM h ORDER BY hh, rk LIMIT 1024),
+      srt AS (SELECT list_sort(list(price)) AS vs, count(*)::BIGINT AS n FROM smp),
+      ps(p) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)),
+      est AS (SELECT p, vs[CAST(greatest(ceil(p * n), 1) AS INT)] AS est
+        FROM ps, srt),
+      nn AS (SELECT count(*)::BIGINT AS n FROM li),
+      g AS (SELECT p, est,
+          (SELECT count(*) FROM li WHERE price <= est)::DOUBLE / nn.n AS exact_frac
+        FROM est, nn)
+      SELECT p, est, exact_frac,
+        abs(exact_frac - p) <= 0.05 AS within_bound
+      FROM g ORDER BY p"""),
+    bench = true)
+
+  /** D+ sketches: KMV distinct-count estimates — q124's bottom-k
+    * lists re-used as cardinality estimators via (k−1)·M/h_(k)
+    * (the HLL alternative that stays bit-portable: one IEEE multiply
+    * + divide the oracle reproduces exactly). Per-source distinct
+    * shingle counts answer "how much unique content does each crawl
+    * source contribute" from 256 longs per source instead of a
+    * corpus-wide distinct; sources whose whole set fit in the sketch
+    * are exact by construction. Relative-error gate (theory ~1/√k ≈
+    * 6%; gate 0.3 ≈ 4.8σ — k=128 was probed first and REJECTED: its
+    * worst source at sf0.1 missed by 0.39 over 20 draws; at k=256
+    * the measured max is 0.09 (sf0.001) / 0.11 (sf0.01) / 0.16
+    * (sf0.1)) pinned TRUE by the oracle. */
+  private val q127 = Q("q127_source_distinct_kmv",
+    (s, d) => {
+      val k = 256
+      // ONE corpus scan: the distinct posting table feeds sketch and
+      // exact branches (same barrier rationale as q124)
+      val sh = t(s, d, "documents")
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+        .select(col("source"), polyHash(col("ng")).as("h")).distinct()
+        .localCheckpoint(false)
+      val est = graft.operators.Sketches.kmvDistinct(
+        graft.operators.Sketches.bottomK(sh, col("source"), col("h"), k), k)
+      val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+      est.join(broadcast(exact), col("grp") === col("source"))
+        .select(col("source"), r(col("est_distinct"), 2).as("est_distinct"),
+          col("exact_distinct"),
+          (abs(r(col("est_distinct"), 2) / col("exact_distinct") - 1.0) <= 0.3)
+            .as("within_bound"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH sh AS (SELECT DISTINCT source, ${sqlPolyHash("ng")} AS h
+        FROM (SELECT source, unnest(${sqlShingles("tk")}) AS ng
+          FROM (SELECT source, string_split(text, ' ') AS tk FROM documents))),
+      bot AS (SELECT source, h FROM (SELECT source, h,
+          row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh)
+        WHERE rn <= 256),
+      lists AS (SELECT source, list_sort(list(h)) AS hs, count(*)::BIGINT AS m
+        FROM bot GROUP BY source),
+      est AS (SELECT source,
+          floor((CASE WHEN m < 256 THEN m::DOUBLE
+            ELSE (255.0 * 1000000007.0) / hs[256]::DOUBLE END) * 100 + 0.5)
+            / 100.0 AS est_distinct
+        FROM lists),
+      ex AS (SELECT source, count(*)::BIGINT AS exact_distinct
+        FROM sh GROUP BY source)
+      SELECT e.source, e.est_distinct, x.exact_distinct,
+        abs(e.est_distinct / x.exact_distinct - 1.0) <= 0.3 AS within_bound
+      FROM est e JOIN ex x ON e.source = x.source ORDER BY e.source"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3525,7 +3630,7 @@ object Queries {
     q30, q31, q32, q33, q34, q54, q55, q35, q36, q37, q38, q39, q65, q67, q68, q69, q77, q78, q85, q86,
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
-    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125,
+    q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -120,6 +120,72 @@ object Sketches {
       .select(col("grp_a"), col("grp_b"), col("est_jaccard"))
   }
 
+  /** Bottom-k uniform SAMPLE sketch — the third mergeable summary of
+    * this family (frequency = CMS, distinct = KMV, and this one:
+    * the value DISTRIBUTION). Keeping the k rows whose seeded
+    * portable hash is globally smallest is a uniform-without-
+    * replacement draw of exactly min(k, N) rows that is (a)
+    * deterministic across engines and layouts — the hash, not the
+    * scan order, decides membership; (b) mergeable EXACTLY: the
+    * bottom-k of a union is the bottom-k of the concatenated
+    * per-shard bottom-ks, so 1000 executors each ship k rows and the
+    * re-cut reproduces the whole-corpus sample bit for bit; (c)
+    * k-bounded however large the corpus.
+    *
+    * Plan shape: one projection computes (hash, key, value), then
+    * `orderBy(h, key).limit(k)` compiles to `TakeOrderedAndProject`
+    * — a bounded heap per partition, a k·partitions-row exchange,
+    * never a global sort. Hash ties (birthday collisions at the 10^9
+    * domain) break on the key string, so the sample is deterministic
+    * even then. Returns (h, k_str, v) with `v` cast to double. */
+  def bottomKSample(df: DataFrame, key: Column, value: Column, k: Int,
+                    seed: String): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    df.select(polyHash(concat(lit(seed), key.cast("string"))).as("h"),
+        key.cast("string").as("k_str"), value.cast("double").as("v"))
+      .orderBy(col("h"), col("k_str")).limit(k)
+  }
+
+  /** Nearest-rank quantile estimates from a bottom-k sample: for each
+    * requested p, the element at rank max(1, ceil(p·n)) of the sorted
+    * sample values — the classic nearest-rank definition, exact
+    * integer selection so Spark and the oracle pick the identical
+    * element. The whole sample collapses into ONE k-bounded row
+    * (array_sort over ≤ k doubles — sketch-sized driver-safe state,
+    * like the k-means centroid table), then each p is an array
+    * lookup. Sampling theory (Dvoretzky–Kiefer–Wolfowitz): the rank
+    * error of the p-quantile of a uniform n-sample is
+    * O(√(ln(1/δ)/n)) — q126 surfaces that as an in-plan gate against
+    * the EXACT ranks. Returns (p, est) ordered by p. */
+  def quantilesFromSample(sample: DataFrame, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile fractions must be in (0, 1]: $ps")
+    sample.agg(array_sort(collect_list(col("v"))).as("_vs"),
+        count(lit(1)).as("_n"))
+      .select(explode(array(ps.map(lit): _*)).as("p"), col("_vs"), col("_n"))
+      .select(col("p"), element_at(col("_vs"),
+        greatest(ceil(col("p") * col("_n")), lit(1L)).cast("int")).as("est"))
+      .orderBy(col("p"))
+  }
+
+  /** KMV distinct-count estimate from a [[bottomK]] list: the classic
+    * (k−1)·M / h_(k) estimator (Bar-Yossef et al. 2002) — if the k-th
+    * smallest of D uniform draws over [0, M) lands at h_(k), the draw
+    * density says D ≈ (k−1)·M/h_(k), with relative error ~ 1/√k. A
+    * group whose whole set fit inside the sketch (|hs| < k) is EXACT
+    * — the sketch IS the set. Pure arithmetic over the final list
+    * element; the IEEE op sequence is pinned (multiply first, one
+    * divide) so the oracle reproduces it bit for bit. Appends
+    * `estCol` to the (grp, hs) lists. */
+  def kmvDistinct(lists: DataFrame, k: Int,
+                  estCol: String = "est_distinct"): DataFrame = {
+    require(k > 1, s"the (k-1)·M/h_k estimator needs k > 1: $k")
+    lists.withColumn(estCol,
+      when(size(col("hs")) < k, size(col("hs")).cast("double"))
+        .otherwise(lit((k - 1).toDouble * HashMod.toDouble)
+          / element_at(col("hs"), k).cast("double")))
+  }
+
   /** Point-query the sketch: append `estCol` = min over the key's
     * `depth` cells (an absent cell counts as zero mass). The sketch
     * side is broadcast — it is bounded by depth × width rows no

@@ -200,6 +200,18 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!pBot.contains("Window"), s"bottom-k must not plan a Window:\n$pBot")
   }
 
+  test("q126 quantile sketch: heap cut via TakeOrderedAndProject, no Window, barriered scan") {
+    val p = plan("q126_quantile_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the sample cut must plan as the bounded heap, not a sort/window:\n$p")
+    assert(!p.contains("Window"), s"no Window may appear on the sketch path:\n$p")
+    assert(!p.contains("Scan parquet") && p.contains("Scan ExistingRDD"),
+      s"lineitem must be read once through the barrier:\n$p")
+    // the 5-row estimate/N sides probe as broadcasts — the corpus side
+    // must never shuffle for the gate join
+    assert(p.contains("BroadcastNestedLoopJoin"), s"gate probe must broadcast:\n$p")
+  }
+
   test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
     // force execution so the AQE plan is final and the checkpoint exists
     val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))

@@ -99,6 +99,63 @@ class SketchesSpec extends SparkSpec {
     assert(recut === direct)
   }
 
+  test("bottomKSample: deterministic, layout-independent, exact-k membership by hash") {
+    val rows = Seq.tabulate(200)(i => (s"key$i", i.toDouble)).toDF("k", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.bottomKSample(df, col("k"), col("v"), k = 32, seed = "s")
+        .as[(Long, String, Double)].collect().toSet
+    val a = run(rows)
+    assert(a.size === 32)
+    assert(a === run(rows.repartition(17)))           // layout-independent
+    assert(a === run(rows.orderBy(col("v").desc)))    // scan-order-independent
+    // sampling 200 of 200 returns everything
+    assert(Sketches.bottomKSample(rows, col("k"), col("v"), 500, "s").count() === 200L)
+  }
+
+  test("bottomKSample merge law: per-shard samples re-cut == whole-corpus sample") {
+    val shard1 = Seq.tabulate(150)(i => (s"a$i", i.toDouble)).toDF("k", "v")
+    val shard2 = Seq.tabulate(150)(i => (s"b$i", (i + 1000).toDouble)).toDF("k", "v")
+    val k = 24
+    val direct = Sketches.bottomKSample(
+        shard1.unionByName(shard2), col("k"), col("v"), k, "m")
+      .as[(Long, String, Double)].collect().toSet
+    val s1 = Sketches.bottomKSample(shard1, col("k"), col("v"), k, "m")
+    val s2 = Sketches.bottomKSample(shard2, col("k"), col("v"), k, "m")
+    // the merged re-cut consumes the shards' (h, k_str, v) rows as-is:
+    // hashes need no recomputation, so executors ship k rows each
+    val recut = s1.unionByName(s2).orderBy(col("h"), col("k_str")).limit(k)
+      .as[(Long, String, Double)].collect().toSet
+    assert(recut === direct)
+  }
+
+  test("quantilesFromSample: nearest-rank selection is exact on a known set") {
+    val sample = Seq.tabulate(10)(i => (i.toLong, s"k$i", (i + 1).toDouble))
+      .toDF("h", "k_str", "v")
+    val got = Sketches.quantilesFromSample(sample, Seq(0.31, 0.5, 1.0))
+      .as[(Double, Double)].collect().toMap
+    assert(got(0.31) === 4.0)  // ceil(3.1) = rank 4
+    assert(got(0.5) === 5.0)   // ceil(5.0) = rank 5 (inclusive)
+    assert(got(1.0) === 10.0)
+    intercept[IllegalArgumentException] {
+      Sketches.quantilesFromSample(sample, Seq(0.0))
+    }
+  }
+
+  test("kmvDistinct: sub-k groups are exact; full sketches estimate within theory") {
+    val small = Seq(("s", Seq(10L, 20L, 30L)))
+    val k = 64
+    // 5000 distinct hashes uniform over [0, HashMod) via a spread multiplier
+    val big = ("b", Seq.tabulate(5000)(i =>
+      (i.toLong * 199999L + 7L) % graft.functions.GraftFunctions.HashMod)
+      .distinct.sorted.take(k))
+    val lists = (small ++ Seq(big)).toDF("grp", "hs")
+    val est = Sketches.kmvDistinct(lists, k)
+      .select("grp", "est_distinct").as[(String, Double)].collect().toMap
+    assert(est("s") === 3.0)  // |hs| < k → the sketch IS the set
+    // (k−1)·M/h_k within 4σ of the true 5000
+    assert(math.abs(est("b") / 5000.0 - 1.0) < 4.0 / math.sqrt(k - 2), est("b"))
+  }
+
   test("shape contract refuses bad depth/width loudly") {
     val c = counts(Seq(("a", 1L)))
     intercept[IllegalArgumentException] {

@@ -135,15 +135,18 @@ object Sketches {
     * Plan shape: one projection computes (hash, key, value), then
     * `orderBy(h, key).limit(k)` compiles to `TakeOrderedAndProject`
     * — a bounded heap per partition, a k·partitions-row exchange,
-    * never a global sort. Hash ties (birthday collisions at the 10^9
-    * domain) break on the key string, so the sample is deterministic
-    * even then. Returns (h, k_str, v) with `v` cast to double. */
+    * never a global sort. The cut order is the TOTAL order
+    * (h, k_str, v): hash ties (birthday collisions at the 10^9
+    * domain) break on the key string, and key-string ties (callers
+    * whose key is itself a hash) break on the value — so the sample
+    * is deterministic even then. Returns (h, k_str, v) with `v` cast
+    * to double. */
   def bottomKSample(df: DataFrame, key: Column, value: Column, k: Int,
                     seed: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     df.select(polyHash(concat(lit(seed), key.cast("string"))).as("h"),
         key.cast("string").as("k_str"), value.cast("double").as("v"))
-      .orderBy(col("h"), col("k_str")).limit(k)
+      .orderBy(col("h"), col("k_str"), col("v")).limit(k)
   }
 
   /** Nearest-rank quantile estimates from a bottom-k sample: for each

@@ -10,14 +10,16 @@ import graft.operators.Sketches
 
 /** Incremental corpus statistics — the running per-source dashboard a
   * training-data ingest keeps current as documents stream in: document
-  * and token counts, a Count-Min sketch of token frequencies, and a
-  * bottom-k (KMV) distinct-shingle sketch per source. The point is the
-  * MERGEABILITY of the sketch family ([[graft.operators.Sketches]]):
-  * each micro-batch computes ITS OWN bounded summaries and merges them
-  * into the previous snapshot by pure algebra — cell-wise sum for CMS,
-  * concat → re-cut for bottom-k, addition for counts — so per-batch
-  * work scales with the batch, never with corpus history, and the
-  * whole state is a few bounded DataFrames.
+  * and token counts, a Count-Min sketch of token frequencies, a
+  * bottom-k (KMV) distinct-shingle sketch per source, and a bottom-k
+  * uniform sample of document lengths (the quantile sketch). The point
+  * is the MERGEABILITY of the sketch family
+  * ([[graft.operators.Sketches]]): each micro-batch computes ITS OWN
+  * bounded summaries and merges them into the previous snapshot by
+  * pure algebra — cell-wise sum for CMS, concat → re-cut for bottom-k
+  * and for the sample, addition for counts — so per-batch work scales
+  * with the batch, never with corpus history, and the whole state is a
+  * few bounded DataFrames.
   *
   * State layout: a SNAPSHOT CHAIN. Version `v=<batchId>` holds the
   * full merged state after that batch, written with Overwrite into its
@@ -35,11 +37,27 @@ import graft.operators.Sketches
   *  - `counts`: (source, n_docs, n_tokens)
   *  - `cms`:    (row_idx, bucket, cnt) — global token CMS
   *  - `kmv`:    (grp, hs) — per-source bottom-k distinct shingle hashes
+  *  - `qs`:     (h, k_str, v) — bottom-k sample of per-doc token
+  *              counts, keyed by the text's own portable hash (stable
+  *              across replays and batch boundaries, so the merged
+  *              sample equals the whole-corpus sample EXACTLY);
+  *              [[quantiles]] turns the latest sample into the running
+  *              length-distribution quantiles that drive chunking and
+  *              packing decisions downstream
   */
 object StreamingCorpusStats {
 
   final case class Config(cmsWidth: Int = 2048, cmsDepth: Int = 3,
-                          kmvK: Int = 128, shingleN: Int = 3)
+                          kmvK: Int = 128, shingleN: Int = 3,
+                          sampleK: Int = 256)
+
+  /** One version's bounded state tables. */
+  final case class Snapshot(counts: DataFrame, cms: DataFrame,
+                            kmv: DataFrame, qs: DataFrame)
+
+  /** Seed for the length-sample hash — fixed: the sample must be the
+    * same draw in every batch or the merge law breaks. */
+  private val SampleSeed = "corpus_len"
 
   private def committedVersions(spark: SparkSession, statsDir: String): Seq[Long] = {
     val p = new Path(statsDir)
@@ -49,23 +67,32 @@ object StreamingCorpusStats {
 
   private def fingerprint(cfg: Config): String =
     s"cmsWidth=${cfg.cmsWidth};cmsDepth=${cfg.cmsDepth};" +
-      s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN}"
+      s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN};sampleK=${cfg.sampleK}"
+
+  private def readVersion(spark: SparkSession, statsDir: String, v: Long): Snapshot =
+    Snapshot(
+      spark.read.parquet(s"$statsDir/v=$v/counts"),
+      spark.read.parquet(s"$statsDir/v=$v/cms"),
+      spark.read.parquet(s"$statsDir/v=$v/kmv"),
+      spark.read.parquet(s"$statsDir/v=$v/qs"))
 
   /** The latest committed snapshot's tables, or None before the first
     * commit. Public: this is also the read API for consumers. */
-  def latest(spark: SparkSession, statsDir: String)
-      : Option[(Long, DataFrame, DataFrame, DataFrame)] =
-    committedVersions(spark, statsDir).maxOption.map { v =>
-      (v,
-        spark.read.parquet(s"$statsDir/v=$v/counts"),
-        spark.read.parquet(s"$statsDir/v=$v/cms"),
-        spark.read.parquet(s"$statsDir/v=$v/kmv"))
+  def latest(spark: SparkSession, statsDir: String): Option[(Long, Snapshot)] =
+    committedVersions(spark, statsDir).maxOption
+      .map(v => (v, readVersion(spark, statsDir, v)))
+
+  /** Running document-length quantiles from the latest snapshot's
+    * sample — nearest-rank over ≤ sampleK doubles, no corpus access. */
+  def quantiles(spark: SparkSession, statsDir: String,
+                ps: Seq[Double]): Option[DataFrame] =
+    latest(spark, statsDir).map { case (_, snap) =>
+      Sketches.quantilesFromSample(snap.qs, ps)
     }
 
   /** Per-batch summaries of a (source, text) document set — shared by
     * the stream and by the batch twin the spec compares against. */
-  private[graft] def summarize(docs: DataFrame, cfg: Config)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def summarize(docs: DataFrame, cfg: Config): Snapshot = {
     val toks = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -77,22 +104,33 @@ object StreamingCorpusStats {
       .select(col("source"), explode(shingles(tokens(col("text")), cfg.shingleN)).as("ng"))
       .select(col("source"), polyHash(col("ng")).as("h"))
     val kmv = Sketches.bottomK(sh, col("source"), col("h"), cfg.kmvK)
-    (counts, cms, kmv)
+    // SET semantics (distinct texts): a duplicate text at one shard's
+    // cut boundary would otherwise survive in the whole-corpus sample
+    // but collapse in the per-shard cut, breaking exact merge parity —
+    // over distinct rows the bottom-k merge law is exact (as for KMV)
+    val qs = Sketches.bottomKSample(
+      docs.select(polyHash(col("text")).as("k"),
+        size(tokens(col("text"))).cast("double").as("len")).distinct(),
+      col("k"), col("len"), cfg.sampleK, SampleSeed)
+    Snapshot(counts, cms, kmv, qs)
   }
 
   /** Merge two snapshots — pure sketch algebra, no corpus data. */
-  private[graft] def merge(a: (DataFrame, DataFrame, DataFrame),
-                           b: (DataFrame, DataFrame, DataFrame),
-                           cfg: Config): (DataFrame, DataFrame, DataFrame) = {
-    val counts = a._1.unionByName(b._1)
+  private[graft] def merge(a: Snapshot, b: Snapshot, cfg: Config): Snapshot = {
+    val counts = a.counts.unionByName(b.counts)
       .groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    val cms = a._2.unionByName(b._2)
+    val cms = a.cms.unionByName(b.cms)
       .groupBy(col("row_idx"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
     val kmv = Sketches.bottomK(
-      a._3.unionByName(b._3).select(col("grp"), explode(col("hs")).as("h")),
+      a.kmv.unionByName(b.kmv).select(col("grp"), explode(col("hs")).as("h")),
       col("grp"), col("h"), cfg.kmvK)
-    (counts, cms, kmv)
+    // sample re-cut consumes the shards' (h, k_str, v) rows as-is —
+    // hashes are already materialized, no recomputation; the same
+    // distinct text arriving in two batches collapses (set semantics)
+    val qs = a.qs.unionByName(b.qs).dropDuplicates("h", "k_str", "v")
+      .orderBy(col("h"), col("k_str"), col("v")).limit(cfg.sampleK)
+    Snapshot(counts, cms, kmv, qs)
   }
 
   def start(docs: DataFrame, sourceCol: String, textCol: String,
@@ -107,7 +145,7 @@ object StreamingCorpusStats {
         val done = StreamProtocol.replayGuards(fs, dirPath, checkpoint,
           fingerprint(cfg), batchId, "_v_", "StreamingCorpusStats")
         if (!done) {
-          // the three snapshot writes are three jobs: cache the
+          // the four snapshot writes are four jobs: cache the
           // projected batch so the source micro-batch is read once,
           // not once per table
           val projected = batch
@@ -119,20 +157,18 @@ object StreamingCorpusStats {
               .filter(_ < batchId).maxOption match {
               case None => fresh
               case Some(prev) =>
-                merge(
-                  (spark.read.parquet(s"$statsDir/v=$prev/counts"),
-                    spark.read.parquet(s"$statsDir/v=$prev/cms"),
-                    spark.read.parquet(s"$statsDir/v=$prev/kmv")),
-                  fresh, cfg)
+                merge(readVersion(spark, statsDir, prev), fresh, cfg)
             }
             // full snapshot, Overwrite into this batch's own version
             // dir: a replay rewrites it; the marker commits LAST
-            merged._1.write.mode(SaveMode.Overwrite)
+            merged.counts.write.mode(SaveMode.Overwrite)
               .parquet(s"$statsDir/v=$batchId/counts")
-            merged._2.write.mode(SaveMode.Overwrite)
+            merged.cms.write.mode(SaveMode.Overwrite)
               .parquet(s"$statsDir/v=$batchId/cms")
-            merged._3.write.mode(SaveMode.Overwrite)
+            merged.kmv.write.mode(SaveMode.Overwrite)
               .parquet(s"$statsDir/v=$batchId/kmv")
+            merged.qs.write.mode(SaveMode.Overwrite)
+              .parquet(s"$statsDir/v=$batchId/qs")
             StreamProtocol.commit(fs, dirPath, "_v_", batchId)
           } finally projected.unpersist()
         }

@@ -123,7 +123,8 @@ class SketchesSpec extends SparkSpec {
     val s2 = Sketches.bottomKSample(shard2, col("k"), col("v"), k, "m")
     // the merged re-cut consumes the shards' (h, k_str, v) rows as-is:
     // hashes need no recomputation, so executors ship k rows each
-    val recut = s1.unionByName(s2).orderBy(col("h"), col("k_str")).limit(k)
+    val recut = s1.unionByName(s2)
+      .orderBy(col("h"), col("k_str"), col("v")).limit(k)
       .as[(Long, String, Double)].collect().toSet
     assert(recut === direct)
   }

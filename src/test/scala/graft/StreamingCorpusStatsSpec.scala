@@ -37,21 +37,28 @@ class StreamingCorpusStatsSpec extends SparkSpec {
       input.addData(second.toSeq: _*)
       q.processAllAvailable()
 
-      val Some((v, counts, cms, kmv)) =
-        StreamingCorpusStats.latest(spark, s"$base/stats")
+      val Some((v, snap)) = StreamingCorpusStats.latest(spark, s"$base/stats")
       assert(v === 1L)
 
       val cfg = StreamingCorpusStats.Config()
-      val (bCounts, bCms, bKmv) = StreamingCorpusStats.summarize(docs, cfg)
-      assert(slurp(counts) === slurp(bCounts))
-      assert(slurp(cms) === slurp(bCms))
-      assert(slurp(kmv) === slurp(bKmv))
+      val batchSnap = StreamingCorpusStats.summarize(docs, cfg)
+      assert(slurp(snap.counts) === slurp(batchSnap.counts))
+      assert(slurp(snap.cms) === slurp(batchSnap.cms))
+      assert(slurp(snap.kmv) === slurp(batchSnap.kmv))
+      // the merged length sample equals the whole-corpus draw row for
+      // row — so the running quantiles are EXACTLY the batch quantiles
+      assert(slurp(snap.qs) === slurp(batchSnap.qs))
+      val qStream = StreamingCorpusStats
+        .quantiles(spark, s"$base/stats", Seq(0.5, 0.9)).get
+      val qBatch = graft.operators.Sketches
+        .quantilesFromSample(batchSnap.qs, Seq(0.5, 0.9))
+      assert(slurp(qStream) === slurp(qBatch))
 
       // time travel: v=0 is exactly the first batch's own summary
       val c0 = spark.read.parquet(s"$base/stats/v=0/counts")
-      val (fCounts, _, _) = StreamingCorpusStats.summarize(
+      val fSnap = StreamingCorpusStats.summarize(
         first.toSeq.toDF("source", "text"), cfg)
-      assert(slurp(c0) === slurp(fCounts))
+      assert(slurp(c0) === slurp(fSnap.counts))
     } finally {
       q.stop()
       import scala.jdk.CollectionConverters._

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** End-to-end streaming curation — the full ingest gate in ONE
+  * `foreachBatch` pipeline: each arriving micro-batch is (1) quality-
+  * gated by a caller-supplied predicate, (2) decontaminated against
+  * the immutable eval-set shingle index
+  * ([[StreamingDecontam.prepareEvalIndex]]), and (3) exact-deduplicated
+  * — within the batch (first occurrence by id wins) AND against every
+  * document kept by an earlier committed batch, via a persistent
+  * content-digest index. Survivors land in `keptDir/batch=<id>` with
+  * their original columns; their digests append to the index so later
+  * batches see them.
+  *
+  * The law this module is specced against: after N batches, the union
+  * of kept batches equals the BATCH pipeline — gate → decontaminate →
+  * `Dedup.exact` keep-first — over the concatenated input, provided
+  * batches arrive in keeper-priority (id) order. Gate and
+  * contamination verdicts are per-document (identical text ⇒
+  * identical verdict), so the three stages commute with batch
+  * boundaries; only the dedup keeper choice is order-sensitive, and
+  * the digest index resolves it exactly as batch `rn = 1` does when
+  * arrival order matches id order.
+  *
+  * Scale shape per batch: the gate is a filter below everything; the
+  * decontam probe prunes the eval index to the shingle-hash buckets
+  * the batch touches ([[StreamingDecontam.flaggedPairs]]); the digest
+  * index read prunes to the digest-hash buckets the batch touches
+  * (same driver-known ≤ [[BucketCount]] set); state grows with KEPT
+  * documents only — duplicates and contaminated docs never enter the
+  * index. All per-batch work scales with the batch, never the corpus.
+  *
+  * At-least-once protocol (shared [[StreamProtocol]]): kept results
+  * overwrite their own `batch=<id>` directory; digest appends are
+  * fenced by `ingest_batch < batchId` on read; the commit marker
+  * writes LAST; run-identity + config-fingerprint files fail loudly
+  * on a fresh checkpoint over retained state or a changed regime. */
+object StreamingCuration {
+
+  /** Digest-hash partition fan-out for the persisted keeper index —
+    * same rationale as [[StreamingDedup.BucketCount]]. */
+  val BucketCount = 64
+
+  val DigestSchema: StructType = StructType(Seq(
+    StructField("digest", StringType),
+    StructField("bucket", IntegerType),
+    StructField("ingest_batch", LongType)))
+
+  /** @param gate      kept iff this predicate over the batch's columns
+    *                  is true (e.g. `size(tokens(col("text"))) >= 5`).
+    *                  Its string form joins the config fingerprint: a
+    *                  changed gate against retained state fails loudly
+    *                  instead of silently mixing curation regimes.
+    * @param evalIndexDir index from [[StreamingDecontam.prepareEvalIndex]]
+    * @param digestDir    persistent keeper-digest index (created here)
+    * @param keptDir      curated output, one directory per batch */
+  def start(docs: DataFrame, idCol: String, textCol: String, gate: Column,
+            evalIndexDir: String, digestDir: String, keptDir: String,
+            checkpoint: String, shingleN: Int = 3,
+            minOverlap: Int = 3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val keptPath = new Path(keptDir)
+        val fs = keptPath.getFileSystem(spark.sessionState.newHadoopConf())
+        StreamingDecontam.verifyEvalIndex(
+          fs, evalIndexDir, shingleN, "StreamingCuration")
+        val done = StreamProtocol.replayGuards(fs, keptPath, checkpoint,
+          s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
+            s"shingleN=$shingleN;minOverlap=$minOverlap",
+          batchId, "_batch_", "StreamingCuration")
+        if (!done) {
+          // one source read for the whole batch: the gated projection
+          // feeds the decontam posts, the digest probe, and the final
+          // keeper semi-join
+          val gated = batch.filter(gate)
+            .withColumn("_digest", md5(col(textCol)))
+            .withColumn("_bucket",
+              pmod(xxhash64(col("_digest")), lit(BucketCount.toLong)).cast("int"))
+            .cache()
+          try {
+            val posts = StreamingDecontam.posts(
+              gated, col(idCol), col(textCol), "c_id", shingleN).cache()
+            val contaminated =
+              try StreamingDecontam
+                .flaggedPairs(posts, evalIndexDir, minOverlap)
+                .select(col("doc_id")).distinct()
+              finally posts.unpersist()
+            val clean = gated.join(contaminated,
+              gated(idCol) === contaminated("doc_id"), "left_anti")
+            // within-batch keeper: first occurrence by id per digest
+            val w = Window.partitionBy(col("_digest")).orderBy(col(idCol))
+            val firsts = clean.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") === 1).drop("_rn")
+            // cross-batch: prune the digest index to touched buckets
+            // (bounded driver-side collect), fence half-committed
+            // appends of THIS batch, anti-join on the digest string
+            val kept =
+              if (fs.exists(new Path(digestDir))) {
+                val touched = firsts.select(col("_bucket")).distinct()
+                  .collect().map(_.getInt(0)).toIndexedSeq
+                val idx = spark.read.schema(DigestSchema).parquet(digestDir)
+                  .filter(col("bucket").isin(touched: _*) &&
+                    col("ingest_batch") < batchId)
+                firsts.join(idx, firsts("_digest") === idx("digest"), "left_anti")
+              } else firsts
+            // two writes consume `kept` (rows + digests): cache it so
+            // the decontam/dedup joins run once, not per action
+            val keptC = kept.cache()
+            try {
+              // keeper rows keep their ORIGINAL columns; replay
+              // rewrites the same directory (Overwrite), marker
+              // commits last
+              keptC.drop("_digest", "_bucket")
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$keptDir/batch=$batchId")
+              keptC.select(col("_digest").as("digest"),
+                  col("_bucket").as("bucket"), lit(batchId).as("ingest_batch"))
+                .write.mode(SaveMode.Append)
+                .partitionBy("bucket").parquet(digestDir)
+              StreamProtocol.commit(fs, keptPath, "_batch_", batchId)
+            } finally keptC.unpersist()
+          } finally gated.unpersist()
+        }
+        ()
+      }
+      .start()
+}

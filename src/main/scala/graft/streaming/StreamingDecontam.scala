@@ -50,8 +50,8 @@ object StreamingDecontam {
     StructField("shingle", StringType),
     StructField("bucket", IntegerType)))
 
-  private def posts(df: DataFrame, id: Column, text: Column, as: String,
-                    shingleN: Int): DataFrame =
+  private[streaming] def posts(df: DataFrame, id: Column, text: Column,
+                               as: String, shingleN: Int): DataFrame =
     df.select(id.cast("long").as(as),
         explode(shingles(tokens(text), shingleN)).as("shingle"))
       .withColumn("bucket",
@@ -78,6 +78,59 @@ object StreamingDecontam {
     finally out.close()
   }
 
+  /** Fail-fast checks shared by every consumer of the eval index
+    * ([[start]], [[StreamingCuration]]): the index must exist (an
+    * absent index must not silently flag nothing) and its recorded
+    * shingleN must match the probe's — 3-gram strings never equal
+    * 4-gram strings, so a mismatch silently flags NOTHING. */
+  private[streaming] def verifyEvalIndex(
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String,
+      shingleN: Int, caller: String): Unit = {
+    if (!fs.exists(new Path(indexDir)))
+      throw new IllegalStateException(
+        s"$caller: eval index $indexDir does not exist — " +
+          "run prepareEvalIndex over the eval set first (an absent " +
+          "index must not silently flag nothing).")
+    val idxCfg = new Path(indexDir, "_index_config")
+    if (fs.exists(idxCfg)) {
+      val in = fs.open(idxCfg)
+      val owner =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (owner != s"shingleN=$shingleN")
+        throw new IllegalStateException(
+          s"$caller: $indexDir was prepared with [$owner] " +
+            s"but this stream probes with [shingleN=$shingleN] — the " +
+            "join would silently flag nothing. Re-prepare the index " +
+            "or match the stream's shingleN.")
+    }
+  }
+
+  /** The per-batch contaminated-pair computation, shared with
+    * [[StreamingCuration]]: prune the immutable index to the buckets
+    * `batchPosts` touches (a tiny, bounded driver-side collect of
+    * ≤ [[BucketCount]] ints), equality-join on the full shingle
+    * string, threshold on the overlap count. `batchPosts` must carry
+    * (c_id, shingle, bucket) and SHOULD be cached by the caller (the
+    * touched-bucket collect and the join both consume it). */
+  private[streaming] def flaggedPairs(batchPosts: DataFrame,
+                                      indexDir: String,
+                                      minOverlap: Int): DataFrame = {
+    val spark = batchPosts.sparkSession
+    val touched = batchPosts.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val idx = spark.read.schema(IndexSchema).parquet(indexDir)
+      .filter(col("bucket").isin(touched: _*))
+    batchPosts
+      .join(idx, Seq("bucket", "shingle"))
+      .filter(col("c_id") =!= col("e_id"))
+      .groupBy(col("c_id"), col("e_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("c_id").as("doc_id"), col("e_id").as("eval_id"),
+        col("n_overlap"))
+  }
+
   def start(docs: DataFrame, idCol: String, textCol: String,
             indexDir: String, flaggedDir: String, checkpoint: String,
             shingleN: Int = 3, minOverlap: Int = 3): StreamingQuery =
@@ -87,27 +140,7 @@ object StreamingDecontam {
         val spark = batch.sparkSession
         val indexPath = new Path(indexDir)
         val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(indexPath))
-          throw new IllegalStateException(
-            s"StreamingDecontam: eval index $indexDir does not exist — " +
-              "run prepareEvalIndex over the eval set first (an absent " +
-              "index must not silently flag nothing).")
-        // the index's shingle size must match the stream's: 3-gram
-        // strings never equal 4-gram strings, so a mismatch silently
-        // flags NOTHING — fail fast instead
-        val idxCfg = new Path(indexDir, "_index_config")
-        if (fs.exists(idxCfg)) {
-          val in = fs.open(idxCfg)
-          val owner =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          if (owner != s"shingleN=$shingleN")
-            throw new IllegalStateException(
-              s"StreamingDecontam: $indexDir was prepared with [$owner] " +
-                s"but this stream probes with [shingleN=$shingleN] — the " +
-                "join would silently flag nothing. Re-prepare the index " +
-                "or match the stream's shingleN.")
-        }
+        verifyEvalIndex(fs, indexDir, shingleN, "StreamingDecontam")
         // run-identity + config guards on the RESULTS dir: a fresh
         // checkpoint restarting batch ids at 0 would overwrite old
         // batch directories with different data, silently mixing two
@@ -122,20 +155,7 @@ object StreamingDecontam {
         val batchPosts = posts(batch, col(idCol), col(textCol), "c_id",
           shingleN).cache()
         try {
-          // prune the immutable index to the buckets this batch touches
-          // — a tiny, bounded driver-side collect (≤ BucketCount ints)
-          val touched = batchPosts.select(col("bucket")).distinct()
-            .collect().map(_.getInt(0)).toIndexedSeq
-          val idx = spark.read.schema(IndexSchema).parquet(indexDir)
-            .filter(col("bucket").isin(touched: _*))
-          val flagged = batchPosts
-            .join(idx, Seq("bucket", "shingle"))
-            .filter(col("c_id") =!= col("e_id"))
-            .groupBy(col("c_id"), col("e_id"))
-            .agg(count(lit(1)).as("n_overlap"))
-            .filter(col("n_overlap") >= minOverlap)
-            .select(col("c_id").as("doc_id"), col("e_id").as("eval_id"),
-              col("n_overlap"))
+          val flagged = flaggedPairs(batchPosts, indexDir, minOverlap)
           // per-batch Overwrite directory: a replay recomputes the same
           // verdicts (immutable index) and rewrites the same files; the
           // marker then lets the NEXT replay skip the recompute

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Clustering, Dedup, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Dedup, EventAnalytics, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions._
 
 /** The engine's named query surface — one entry per operator class in
@@ -3620,6 +3620,122 @@ object Queries {
       FROM est e JOIN ex x ON e.source = x.source ORDER BY e.source"""))
 
   // ---------------------------------------------------------------- //
+  // E+ event-sequence analytics: funnel, retention, attribution       //
+  // ---------------------------------------------------------------- //
+
+  /** Funnel window: a key must complete each step within 7 days of its
+    * first step-1 event. */
+  private val FunnelWindowUs = 604800000000L
+  /** Cohort epoch (2024-01-01 UTC, the events table's start) and week
+    * width, epoch-µs. */
+  private val CohortEpoch0Us = 1704067200000000L
+  private val WeekUs = 604800000000L
+
+  /** E+ funnel: strict-order earliest-completion view→click→purchase
+    * conversion ([[EventAnalytics.funnelTimes]] semantics: a step
+    * chains only off a STRICTLY earlier completion of the previous
+    * step). k chained cumulative windows share ONE hash partition on
+    * user_id and ONE sort; the per-user agg reuses the partitioning
+    * (no second exchange); output is |steps| rows. The oracle unrolls
+    * the identical chained-window construction. */
+  private val q128 = Q("q128_funnel_steps",
+    (s, d) => {
+      val steps = Seq("view", "click", "purchase")
+      val times = EventAnalytics.funnelTimes(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        typeCol = "event_type", steps = steps, tie = "event_id")
+      EventAnalytics.funnelSummary(times, steps, FunnelWindowUs)
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      w1 AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN event_type = 'view' THEN ts_us END AS v1 FROM e),
+      w2 AS (SELECT *, CASE WHEN event_type = 'click'
+            AND min(v1) OVER w < ts_us THEN ts_us END AS v2
+        FROM w1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      w3 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND min(v2) OVER w < ts_us THEN ts_us END AS v3
+        FROM w2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      u AS (SELECT user_id, min(v1) AS t1, min(v2) AS t2, min(v3) AS t3
+        FROM w3 GROUP BY user_id),
+      c AS (SELECT
+          count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS u1,
+          count(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= $FunnelWindowUs THEN 1 END) AS u2,
+          sum(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= $FunnelWindowUs THEN t2 - t1 END) AS d2,
+          count(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs THEN 1 END) AS u3,
+          sum(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs THEN t3 - t1 END) AS d3
+        FROM u)
+      SELECT * FROM (
+        SELECT 1 AS step_idx, 'view' AS step, u1::BIGINT AS users,
+          floor(u1 * 1.0 / nullif(u1, 0) * 10000 + 0.5) / 10000 AS conv_vs_first,
+          CAST(NULL AS DOUBLE) AS conv_vs_prev,
+          0::BIGINT AS avg_us_from_first FROM c
+        UNION ALL
+        SELECT 2, 'click', u2::BIGINT,
+          floor(u2 * 1.0 / nullif(u1, 0) * 10000 + 0.5) / 10000,
+          floor(u2 * 1.0 / nullif(u1, 0) * 10000 + 0.5) / 10000,
+          CAST(d2 // nullif(u2, 0) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 3, 'purchase', u3::BIGINT,
+          floor(u3 * 1.0 / nullif(u1, 0) * 10000 + 0.5) / 10000,
+          floor(u3 * 1.0 / nullif(u2, 0) * 10000 + 0.5) / 10000,
+          CAST(d3 // nullif(u3, 0) AS BIGINT) FROM c)
+      ORDER BY step_idx"""),
+    bench = true)
+
+  /** E+ retention: weekly cohorts × week offsets, distinct active keys
+    * and share of the cohort census ([[EventAnalytics.retentionCohorts]]).
+    * Two user-key hash aggs + one agg on the O(weeks²) cell table; the
+    * cohort-size window runs over cells, never events. */
+  private val q129 = Q("q129_retention_cohorts",
+    (s, d) => EventAnalytics.retentionCohorts(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        epoch0Us = CohortEpoch0Us, weekUs = WeekUs)
+      .select(col("cohort_week"), col("week_offset"), col("users"),
+        col("cohort_size"), col("retained_pct")),
+    Some(s"""WITH e AS (SELECT user_id,
+        (epoch_us(ts) - $CohortEpoch0Us) // $WeekUs AS wk FROM events),
+      f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id, wk FROM e),
+      cells AS (SELECT f.cohort_week, a.wk - f.cohort_week AS week_offset,
+          count(DISTINCT a.user_id)::BIGINT AS users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      sz AS (SELECT cells.*, max(CASE WHEN week_offset = 0 THEN users END)
+          OVER (PARTITION BY cohort_week) AS cohort_size FROM cells)
+      SELECT cohort_week, week_offset, users, cohort_size,
+        floor(users * 1.0 / cohort_size * 10000 + 0.5) / 10000 AS retained_pct
+      FROM sz ORDER BY cohort_week, week_offset"""))
+
+  /** E+ attribution: every purchase credited to the most recent
+    * at-or-before non-purchase touch on the same user — the as-of join
+    * ([[graft.operators.AsOf.join]]: union + ONE shuffle + ONE sort,
+    * never a range explode) rolled up per channel. The oracle mirrors
+    * the identical union + last_value IGNORE NULLS construction. */
+  private val q130 = Q("q130_attribution_last_touch",
+    (s, d) => EventAnalytics.lastTouchAttribution(
+      eventsUs(s, d).select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value")),
+      key = "user_id", ts = "ts_us", typeCol = "event_type",
+      conversionType = "purchase", valueCol = "value", tie = "event_id"),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+        epoch_us(ts) AS ts_us FROM events),
+      u AS (
+        SELECT user_id, ts_us, 1 AS side, event_id, value,
+          CAST(NULL AS VARCHAR) AS src FROM e WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts_us, 0, event_id, NULL, event_type
+        FROM e WHERE event_type <> 'purchase'),
+      w AS (SELECT *, last_value(src IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts_us, side, event_id
+          ROWS UNBOUNDED PRECEDING) AS attr FROM u)
+      SELECT coalesce(attr, '(none)') AS channel, count(*) AS conversions,
+        floor(sum(value) * 100 + 0.5) / 100 AS revenue
+      FROM w WHERE side = 1 GROUP BY 1 ORDER BY 1"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
 
@@ -3631,6 +3747,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
+    q128, q129, q130,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

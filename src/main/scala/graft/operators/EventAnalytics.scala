@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over per-key timelines: funnel conversion,
+  * retention cohorts, last-touch attribution. The reference's domain is
+  * an activity tracker (`RecognizeActivity.java` consumes per-user
+  * accelerometer event streams); these are the standard product-analytics
+  * questions asked of exactly such event tables, composed Spark-first.
+  *
+  * Scale notes (all three operators):
+  *  - every plan hash-partitions on the user/key column ONCE; the funnel's
+  *    k chained window passes share one partitioning and ONE sort (same
+  *    window spec ⇒ Spark plans a single Exchange + Sort);
+  *  - per-key aggregation follows the windows WITHOUT a second exchange
+  *    (`groupBy(key)` reuses `hashpartitioning(key)`);
+  *  - outputs are bounded: funnel = |steps| rows, retention =
+  *    O(weeks²) cells, attribution = |event types| rows — never
+  *    event-cardinality. No collects, no global windows.
+  */
+object EventAnalytics {
+
+  /** Earliest-completion strict-sequence funnel times, one row per key.
+    *
+    * Semantics (mirrored exactly by the SQL oracle): `t1` is the key's
+    * earliest `steps(0)` event; an event of type `steps(k)` is a valid
+    * step-k completion iff a valid step-(k−1) completion exists at a
+    * STRICTLY earlier timestamp (ties at the same timestamp do NOT
+    * chain); `tk` is the earliest valid step-k time. Computed with k
+    * chained cumulative windows over one (ts, tie) sort: the running
+    * min of step k−1's valid times is strictly below the current row's
+    * ts iff a qualifying predecessor precedes it.
+    *
+    * Returns `key, t1 .. t<k>` (epoch-µs longs, null where the key
+    * never reached the step). One shuffle, one sort, bounded output.
+    *
+    * @param ts   epoch-µs long column name
+    * @param tie  unique per-row column name for deterministic ordering
+    */
+  def funnelTimes(events: DataFrame, key: String, ts: String,
+                  typeCol: String, steps: Seq[String], tie: String): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // valid_k: this row completes step k (its predecessor chain exists
+    // strictly earlier). run_k: running min of valid_k times — what the
+    // NEXT step's rows compare against.
+    val validCols = steps.indices.map(k => s"_v${k + 1}")
+    val withValid = steps.zipWithIndex.foldLeft(events) {
+      case (df, (step, 0)) =>
+        df.withColumn(validCols(0), when(col(typeCol) === step, col(ts)))
+      case (df, (step, k)) =>
+        df.withColumn(validCols(k),
+          when(col(typeCol) === step &&
+            min(col(validCols(k - 1))).over(w) < col(ts), col(ts)))
+    }
+    withValid.groupBy(col(key))
+      .agg(min(col(validCols.head)).as("t1"),
+        validCols.tail.zipWithIndex.map { case (c, i) =>
+          min(col(c)).as(s"t${i + 2}") }: _*)
+  }
+
+  /** Funnel summary: one row per step — keys reaching it within
+    * `windowUs` of their `t1`, conversion vs the first and previous
+    * step, and the integral average time-to-reach. Because completion
+    * times are monotone along the chain (`t1 ≤ t2 ≤ …`), a key inside
+    * the window at step k is inside it at every earlier step, so the
+    * per-step counts are non-increasing. */
+  def funnelSummary(times: DataFrame, steps: Seq[String], windowUs: Long): DataFrame = {
+    val inWin = steps.indices.map { k =>
+      val t = col(s"t${k + 1}")
+      t.isNotNull && t - col("t1") <= windowUs
+    }
+    val agg = times.agg(
+      count(when(inWin(0), 1)).as("u1"),
+      (steps.indices.tail.flatMap { k =>
+        Seq(count(when(inWin(k), 1)).as(s"u${k + 1}"),
+          sum(when(inWin(k), col(s"t${k + 1}") - col("t1"))).as(s"d${k + 1}"))
+      }): _*)
+    val stepRows = steps.zipWithIndex.map { case (step, k) =>
+      val users = col(s"u${k + 1}")
+      val prev =
+        if (k == 0) lit(null).cast("double")
+        else graft.functions.GraftFunctions.r(
+          users * 1.0 / nullif(col(s"u$k"), lit(0L)), 4)
+      val delta = if (k == 0) lit(0L)
+                  else expr(s"d${k + 1} div nullif(u${k + 1}, 0)")
+      struct(lit(k + 1).as("step_idx"), lit(step).as("step"),
+        users.cast("long").as("users"),
+        graft.functions.GraftFunctions.r(users * 1.0 / nullif(col("u1"), lit(0L)), 4)
+          .as("conv_vs_first"),
+        prev.as("conv_vs_prev"),
+        delta.cast("long").as("avg_us_from_first"))
+    }
+    agg.select(explode(array(stepRows: _*)).as("s")).select(col("s.*"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Weekly retention cohorts: cohort = floor-div week of the key's
+    * FIRST event, offset = activity week − cohort week; `retained_pct`
+    * is distinct active keys over the cohort's size (its week-0 count —
+    * every key is active in its own first week, so offset 0 is the
+    * cohort census). Two hash aggregations on the key + one on the
+    * O(weeks²) cell table; the per-cohort window runs over that bounded
+    * cell table, not over events. */
+  def retentionCohorts(events: DataFrame, key: String, ts: String,
+                       epoch0Us: Long, weekUs: Long): DataFrame = {
+    // exact long floor-div (ts ≥ epoch0) — double division of epoch-scale
+    // longs is banned by the engine's portability rules (class doc,
+    // Queries.scala)
+    val week = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, weekUs)
+    val first = events.groupBy(col(key))
+      .agg(min(week).as("cohort_week"))
+    val active = events.select(col(key), week.as("week")).distinct()
+    val cells = active.join(first, key)
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col(key)).as("users"))
+    val wc = Window.partitionBy(col("cohort_week"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("users"))).over(wc))
+      .withColumn("retained_pct",
+        graft.functions.GraftFunctions.r(col("users") * 1.0 / col("cohort_size"), 4))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent at-or-before touch event on the same key — the as-of
+    * join ([[AsOf.join]]: one shuffle, one sort, never a range explode)
+    * — then revenue rolls up per touch type. Conversions with no prior
+    * touch land in the `"(none)"` bucket. Output is |touch types| rows. */
+  def lastTouchAttribution(events: DataFrame, key: String, ts: String,
+                           typeCol: String, conversionType: String,
+                           valueCol: String, tie: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(key), col(ts), col(tie), col(valueCol))
+    val touch = events.filter(col(typeCol) =!= conversionType)
+      .select(col(key), col(ts), col(tie), col(typeCol))
+    AsOf.join(conv, touch, Seq(key), ts, typeCol, tieBreak = Seq(tie))
+      .groupBy(coalesce(col(s"asof_$typeCol"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        graft.functions.GraftFunctions.r(sum(col(valueCol)), 2).as("revenue"))
+      .orderBy(col("channel"))
+  }
+}

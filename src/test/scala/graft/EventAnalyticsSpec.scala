@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+
+/** Hand-computed fixtures for the event-sequence analytics family
+  * (funnel / retention / attribution) plus plan-shape pins: the funnel's
+  * chained windows and final per-key agg must share ONE hash exchange
+  * and ONE sort — the property that makes it a single-shuffle operator
+  * at any scale. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, event_id, type, ts, value)
+  //  u1: v@10  c@20  p@30            — clean complete funnel
+  //  u2: c@10  v@20  p@30            — click BEFORE view: step2 never chains
+  //  u3: v@10  c@10  p@30            — tie at 10: same-ts click must NOT chain
+  //  u4: v@10  c@20  p@20            — tie at 20: same-ts purchase must NOT chain
+  //  u5: v@10  c@(10+8d) p@(10+9d)   — chain completes OUTSIDE the 7-day window
+  //  u6: v@40  c@50                  — no purchase
+  //  u7: p@10                        — conversion with no prior touch
+  val D = 86400000000L // one day, µs
+  def ev = Seq(
+    (1L, 1L, "view", 10L, 1.0), (1L, 2L, "click", 20L, 2.0), (1L, 3L, "purchase", 30L, 10.0),
+    (2L, 4L, "click", 10L, 1.0), (2L, 5L, "view", 20L, 1.0), (2L, 6L, "purchase", 30L, 20.0),
+    (3L, 7L, "view", 10L, 1.0), (3L, 8L, "click", 10L, 1.0), (3L, 9L, "purchase", 30L, 40.0),
+    (4L, 10L, "view", 10L, 1.0), (4L, 11L, "click", 20L, 1.0), (4L, 12L, "purchase", 20L, 80.0),
+    (5L, 13L, "view", 10L, 1.0), (5L, 14L, "click", 10L + 8 * D, 1.0), (5L, 15L, "purchase", 10L + 9 * D, 160.0),
+    (6L, 16L, "view", 40L, 1.0), (6L, 17L, "click", 50L, 1.0),
+    (7L, 18L, "purchase", 10L, 320.0),
+  ).toDF("user_id", "event_id", "event_type", "ts_us", "value")
+
+  val steps = Seq("view", "click", "purchase")
+
+  test("funnelTimes: strict-order chaining, ties do not chain") {
+    val t = EventAnalytics.funnelTimes(ev, "user_id", "ts_us", "event_type", steps, "event_id")
+      .orderBy("user_id")
+      .select("user_id", "t1", "t2", "t3")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(t === Seq(
+      (1L, Some(10L), Some(20L), Some(30L)),
+      (2L, Some(20L), None, None),           // click precedes view
+      (3L, Some(10L), None, None),           // same-ts click: no strict predecessor
+      (4L, Some(10L), Some(20L), None),      // same-ts purchase: no strict predecessor
+      (5L, Some(10L), Some(10L + 8 * D), Some(10L + 9 * D)),
+      (6L, Some(40L), Some(50L), None),
+      (7L, None, None, None)))
+  }
+
+  test("funnelSummary: window cutoff, conversions, integral avg") {
+    val times = EventAnalytics.funnelTimes(ev, "user_id", "ts_us", "event_type", steps, "event_id")
+    val s = EventAnalytics.funnelSummary(times, steps, windowUs = 7 * D)
+      .select("step_idx", "step", "users", "conv_vs_first", "conv_vs_prev", "avg_us_from_first")
+      .as[(Int, String, Long, Option[Double], Option[Double], Option[Long])].collect().toSeq
+    // reached: step1 u1..u6 (6); step2 u1,u4,u6 in-window (u5's click is 8d
+    // out); step3 u1 only (u5 out of window). avgs: step2 (10+10+10)/3=10;
+    // step3 20/1=20.
+    assert(s === Seq(
+      (1, "view", 6L, Some(1.0), None, Some(0L)),
+      (2, "click", 3L, Some(0.5), Some(0.5), Some(10L)),
+      (3, "purchase", 1L, Some(0.1667), Some(0.3333), Some(20L))))
+  }
+
+  test("funnel plan: chained windows + agg share one exchange, one sort") {
+    val p = EventAnalytics.funnelTimes(ev, "user_id", "ts_us", "event_type", steps, "event_id")
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"k-step funnel must cost exactly one shuffle, got $hashExchanges:\n$p")
+    assert(sorts === 1,
+      s"chained cumulative windows must share one sort, got $sorts:\n$p")
+  }
+
+  test("retentionCohorts: cohort census and retained share") {
+    // weeks of width 100 from epoch 0: u1 first in wk0, active wk0+wk2;
+    // u2 first in wk0, active wk0; u3 first in wk2, active wk2.
+    val e = Seq(
+      (1L, 10L), (1L, 50L), (1L, 250L),
+      (2L, 20L),
+      (3L, 210L),
+    ).toDF("user_id", "ts_us")
+    val r = EventAnalytics.retentionCohorts(e, "user_id", "ts_us", epoch0Us = 0L, weekUs = 100L)
+      .select("cohort_week", "week_offset", "users", "cohort_size", "retained_pct")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      (0L, 0L, 2L, 2L, 1.0),
+      (0L, 2L, 1L, 2L, 0.5),
+      (2L, 0L, 1L, 1L, 1.0)))
+  }
+
+  test("lastTouchAttribution: at-or-before credit, (none) bucket") {
+    val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts_us",
+        "event_type", conversionType = "purchase", valueCol = "value", tie = "event_id")
+      .as[(String, Long, Double)].collect().toSeq
+    // u1: p@30 ← click@20; u2: p@30 ← view@20 (at-or-before picks latest);
+    // u3: p@30 ← click@10 (same-ts not needed; click is later event_id at 10);
+    // u4: p@20 ← click@20 (AT the same ts counts for attribution);
+    // u5: p ← click; u7: p with no touch → (none).
+    assert(a === Seq(
+      ("(none)", 1L, 320.0),
+      ("click", 4L, 290.0),
+      ("view", 1L, 20.0)))
+  }
+}

@@ -3735,6 +3735,98 @@ object Queries {
       FROM w WHERE side = 1 GROUP BY 1 ORDER BY 1"""),
     bench = true)
 
+  /** E+ dyadic EWMA (α=½, 8-term frame, renormalized): the smoothing is
+    * BIT-portable — integer cents, power-of-two weights folded in long
+    * math, 2ⁿ−1 denominator, two correctly-rounded IEEE divisions
+    * ([[EventAnalytics.dyadicEwma]]). One shuffle + one running-frame
+    * sort; the oracle rebuilds the same rational with a rank-band
+    * self-join. */
+  private val q131 = Q("q131_ewma_value",
+    (s, d) => EventAnalytics.dyadicEwma(
+        eventsUs(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("value")),
+        key = "user_id", ts = "ts_us", tie = "event_id", valueCol = "value")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("ewma"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id")),
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv FROM events),
+      r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS rn FROM e),
+      j AS (SELECT a.user_id, a.event_id, a.ts_us, a.rn,
+          greatest(1, a.rn - 7) AS s, b.rn AS brn, b.cv AS bcv
+        FROM r0 a JOIN r0 b ON a.user_id = b.user_id
+          AND b.rn BETWEEN a.rn - 7 AND a.rn),
+      g AS (SELECT user_id, event_id, ts_us,
+          CAST(sum(bcv * (1::BIGINT << CAST(brn - s AS INT))) AS BIGINT) AS num,
+          (1::BIGINT << CAST(rn - s + 1 AS INT)) - 1 AS den
+        FROM j GROUP BY user_id, event_id, ts_us, rn, s)
+      SELECT user_id, event_id, ts_us,
+        floor(num::DOUBLE / den / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma
+      FROM g ORDER BY user_id, ts_us, event_id"""))
+
+  /** E+ path analysis: top-10 within-session event-type sequences
+    * ([[EventAnalytics.topPaths]] over [[Sessionize.withSessions]]'s gap
+    * rule). The path string is order-independent of `collect_list`
+    * nondeterminism (array_sort over (ts, tie, type) structs); the cut
+    * is a TakeOrderedAndProject tie-broken by path. */
+  private val q132 = Q("q132_top_paths",
+    (s, d) => EventAnalytics.topPaths(
+      eventsUs(s, d).select(col("user_id"), col("event_id"), col("ts_us"), col("event_type")),
+      key = "user_id", ts = "ts_us", tie = "event_id", typeCol = "event_type",
+      gapUs = SessionGapUs, k = 10),
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      d AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS delta FROM e),
+      s AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM d),
+      p AS (SELECT user_id, sid,
+          string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        FROM s GROUP BY user_id, sid)
+      SELECT path, count(*) AS n_sessions FROM p
+      GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10"""),
+    bench = true)
+
+  /** E+ experiment analysis: portable-hash variant bucketing on the
+    * user, per-SESSION conversion (the experiment unit — per-user
+    * "ever purchased" is degenerate at 100% in this corpus), and the
+    * two-proportion pooled z-score in ONE conditional-aggregation row
+    * ([[EventAnalytics.abTestSummary]] — no window, no second pass;
+    * every float op after the counts is a fixed-order correctly-rounded
+    * IEEE step the oracle repeats; zero pooled variance ⇒ NULL z). */
+  private val q133 = Q("q133_ab_test_summary",
+    (s, d) => EventAnalytics.abTestSummary(
+      eventsUs(s, d), key = "user_id", ts = "ts_us", tie = "event_id",
+      typeCol = "event_type", conversionType = "purchase",
+      gapUs = SessionGapUs),
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS delta FROM e),
+      ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
+      pk AS (SELECT user_id,
+        CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+        ${sqlPolyHash("CAST(user_id AS VARCHAR)")} % 2 AS variant
+      FROM ss GROUP BY user_id, sid),
+      c AS (SELECT
+          CAST(count(CASE WHEN variant = 0 THEN 1 END) AS BIGINT) AS n0,
+          CAST(sum(CASE WHEN variant = 0 THEN conv END) AS BIGINT) AS c0,
+          CAST(count(CASE WHEN variant = 1 THEN 1 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN variant = 1 THEN conv END) AS BIGINT) AS c1
+        FROM pk)
+      SELECT n0, c0,
+        floor(c0 * 1.0 / n0 * 1000000.0 + 0.5) / 1000000.0 AS rate0,
+        n1, c1,
+        floor(c1 * 1.0 / n1 * 1000000.0 + 0.5) / 1000000.0 AS rate1,
+        floor((c1 * 1.0 / n1 - c0 * 1.0 / n0) * 1000000.0 + 0.5) / 1000000.0 AS abs_lift,
+        floor((c1 * 1.0 / n1 - c0 * 1.0 / n0)
+          / nullif(sqrt((c0 + c1) * 1.0 / (n0 + n1)
+              * (1 - (c0 + c1) * 1.0 / (n0 + n1))
+              * (1.0 / n0 + 1.0 / n1)), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS z_score
+      FROM c"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3747,7 +3839,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130,
+    q128, q129, q130, q131, q132, q133,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -127,6 +127,90 @@ object EventAnalytics {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Dyadic EWMA smoothing (α = ½, truncated at `frameRows` terms,
+    * renormalized): per-key exponentially-weighted moving value where
+    * every arithmetic step is BIT-PORTABLE across engines. The value is
+    * first scaled to an exact integer (`scale`, e.g. 100 for a 2-decimal
+    * column), the weighted numerator Σ xᵢ·2ⁱ over the frame list is pure
+    * long math (weights are powers of two, so even the unscaled products
+    * would be exact), the denominator is 2ⁿ−1, and the only floating ops
+    * are two correctly-rounded IEEE divisions — identical in any engine.
+    *
+    * One shuffle + one sort (running frame window); the per-row frame
+    * list is bounded at `frameRows` elements, so memory per row is O(1).
+    */
+  def dyadicEwma(events: DataFrame, key: String, ts: String, tie: String,
+                 valueCol: String, frameRows: Int = 8, scale: Int = 100): DataFrame = {
+    require(frameRows >= 1 && frameRows <= 62, s"frameRows out of range: $frameRows")
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+      .rowsBetween(-(frameRows - 1), 0)
+    events
+      .withColumn("_cv", floor(col(valueCol) * scale + lit(0.5)).cast("long"))
+      .withColumn("_xs", collect_list(col("_cv")).over(w))
+      .withColumn("ewma", graft.functions.GraftFunctions.r(
+        expr("aggregate(transform(_xs, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
+          / (expr("shiftleft(CAST(1 AS BIGINT), size(_xs))") - lit(1L))
+          / lit(scale.toDouble), 6))
+      .drop("_cv", "_xs")
+  }
+
+  /** Top-k most common within-session event-type paths. Sessions come
+    * from [[Sessionize.withSessions]] (gap rule); each session's path is
+    * its type sequence ordered by (ts, tie) — built order-independently
+    * via `array_sort` over (ts, tie, type) structs, so the groupBy's
+    * `collect_list` nondeterminism cannot leak into the path. Per-session
+    * lists are session-sized; the final cut is a TakeOrderedAndProject
+    * (no global sort materialization), deterministically tie-broken by
+    * the path string. */
+  def topPaths(events: DataFrame, key: String, ts: String, tie: String,
+               typeCol: String, gapUs: Long, k: Int): DataFrame = {
+    val sess = Sessionize.withSessions(events, Seq(col(key)), col(ts), gapUs,
+      tieBreak = Seq(col(tie)))
+    sess.groupBy(col(key), col("session_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col(ts), col(tie), col(typeCol)))),
+          x => x.getField(typeCol)), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Deterministic-bucket A/B experiment summary. Keys are assigned to
+    * variant 0/1 by the portable key hash (how production experiment
+    * systems bucket — stable under reprocessing, and every unit of a key
+    * stays in one arm); the experiment UNIT is the session
+    * ([[Sessionize.withSessions]] gap rule), conversion is "the session
+    * contains `conversionType`", and the two-proportion pooled z-score
+    * lands in ONE aggregate row — conditional aggregation, no window, no
+    * second pass. Every float op after the counts is a fixed-order
+    * correctly-rounded IEEE step, so the score is engine-portable; a
+    * degenerate experiment (pooled rate 0 or 1 ⇒ zero variance) yields a
+    * NULL z-score instead of a divide-by-zero. */
+  def abTestSummary(events: DataFrame, key: String, ts: String, tie: String,
+                    typeCol: String, conversionType: String, gapUs: Long): DataFrame = {
+    import graft.functions.GraftFunctions.{polyHash, r}
+    val perSession = Sessionize.withSessions(events, Seq(col(key)), col(ts), gapUs,
+        tieBreak = Seq(col(tie)))
+      .groupBy(col(key), col("session_id"))
+      .agg(max(when(col(typeCol) === conversionType, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod(polyHash(col(key).cast("string")), lit(2L)))
+    val c = perSession.agg(
+      count(when(col("variant") === 0, 1)).as("n0"),
+      sum(when(col("variant") === 0, col("conv"))).as("c0"),
+      count(when(col("variant") === 1, 1)).as("n1"),
+      sum(when(col("variant") === 1, col("conv"))).as("c1"))
+    val (n0, c0, n1, c1) = (col("n0"), col("c0"), col("n1"), col("c1"))
+    val p0 = c0 * 1.0 / n0
+    val p1 = c1 * 1.0 / n1
+    val pp = (c0 + c1) * 1.0 / (n0 + n1)
+    c.select(n0, c0, r(p0, 6).as("rate0"), n1, c1, r(p1, 6).as("rate1"),
+      r(p1 - p0, 6).as("abs_lift"),
+      r((p1 - p0) / nullif(
+        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1)), lit(0.0)), 6)
+        .as("z_score"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * most recent at-or-before touch event on the same key — the as-of
     * join ([[AsOf.join]]: one shuffle, one sort, never a range explode)

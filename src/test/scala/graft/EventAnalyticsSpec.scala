@@ -89,6 +89,62 @@ class EventAnalyticsSpec extends SparkSpec {
       (2L, 0L, 1L, 1L, 1.0)))
   }
 
+  test("dyadicEwma: exact rational weights, hand-computed") {
+    val e = Seq((1L, 1L, 10L, 1.0), (1L, 2L, 20L, 2.0), (1L, 3L, 30L, 3.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val r = EventAnalytics.dyadicEwma(e, "user_id", "ts_us", "event_id", "value")
+      .orderBy("ts_us").select("ewma").as[Double].collect().toSeq
+    // cents folds: [100]→100/1; [100,200]→(100+400)/3; [100,200,300]→(100+400+1200)/7
+    assert(r === Seq(1.0, 1.666667, 2.428571))
+  }
+
+  test("dyadicEwma: frame truncation keeps only the last 8 rows") {
+    val e = (1L to 10L).map(i => (1L, i, i * 10L, if (i == 1L || i == 2L) 100.0 else 1.0))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val r = EventAnalytics.dyadicEwma(e, "user_id", "ts_us", "event_id", "value")
+      .orderBy("ts_us").select("ewma").as[Double].collect().toSeq
+    // by row 10 the two 100.0 spikes have left the 8-row frame entirely
+    assert(r.last === 1.0)
+    assert(r(8) > 1.0) // row 9 still sees the spike at row 2
+  }
+
+  test("topPaths: within-session sequences, deterministic tie-break") {
+    // gap 15: u1 one session v>c>p; u2 c@10 v@20 p@30 → c>v>p;
+    // u3 ties at 10 ordered by event_id → v>c then p@30 separate session
+    val r = EventAnalytics.topPaths(ev, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 15L, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(r.head === ("purchase", 3L)) // u3's p@30, u5's p@(10+9d), u7's p@10
+    assert(r.contains(("view>click>purchase", 2L)))   // u1; u4 (ties by id)
+    assert(r.contains(("click>view>purchase", 1L)))   // u2
+    assert(r.contains(("view>click", 2L)))            // u3 ties by event_id; u6
+    // counts descending, ties by path ascending
+    assert(r === r.sortBy { case (p, n) => (-n, p) })
+  }
+
+  test("abTestSummary: session-level conversion, pooled z; degenerate -> NULL z") {
+    // every session converts in both arms → pooled rate 1, zero variance
+    val allConv = Seq((1L, 1L, 10L, "purchase"), (2L, 2L, 10L, "purchase"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val d = EventAnalytics.abTestSummary(allConv, "user_id", "ts_us", "event_id",
+        "event_type", "purchase", gapUs = 100L)
+      .select("rate0", "rate1", "z_score")
+      .as[(Double, Double, Option[Double])].collect().head
+    assert(d._1 === 1.0 && d._2 === 1.0 && d._3.isEmpty)
+
+    // users 1 & 2 land in different variants (polyHash("1")%2=1, "2"%2=0):
+    // u2: 2 sessions, 1 converted; u1: 2 sessions, 2 converted
+    val e = Seq(
+      (1L, 1L, 10L, "purchase"), (1L, 2L, 1000L, "purchase"),
+      (2L, 3L, 10L, "purchase"), (2L, 4L, 1000L, "view"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val s = EventAnalytics.abTestSummary(e, "user_id", "ts_us", "event_id",
+        "event_type", "purchase", gapUs = 100L)
+      .select("n0", "c0", "rate0", "n1", "c1", "rate1", "abs_lift")
+      .as[(Long, Long, Double, Long, Long, Double, Double)].collect().head
+    assert(s === ((2L, 1L, 0.5, 2L, 2L, 1.0, 0.5)))
+  }
+
   test("lastTouchAttribution: at-or-before credit, (none) bucket") {
     val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts_us",
         "event_type", conversionType = "purchase", valueCol = "value", tie = "event_id")

@@ -144,6 +144,56 @@ object EventStreams {
       }
   }
 
+  /** Row/output types for the streaming funnel. `times` uses -1 as the
+    * "step not reached" sentinel (event times are positive epoch-µs). */
+  final case class FunnelEvent(user_id: Long, ts_us: Long, tie: Long,
+                               event_type: String)
+  final case class UserFunnel(user_id: Long, times: Seq[Long])
+
+  /** Streaming funnel: the incremental twin of
+    * [[graft.operators.EventAnalytics.funnelTimes]]. Per-user state is
+    * exactly k longs — the current earliest chained completion time of
+    * each step — updated event by event: a `steps(k)` event completes
+    * step k iff step k−1 completed STRICTLY earlier (same strict-`<`
+    * law as batch, so same-timestamp ties never chain, in either mode).
+    *
+    * Contract: per-key event-time order must be non-decreasing ACROSS
+    * micro-batches (within a batch any order is fine — the batch is
+    * sorted per key before folding). An out-of-order arrival that
+    * time-travels before already-folded state could retroactively
+    * validate a rejected event; batch-sorted replay of an append-only
+    * log (the normal file/Kafka source shape) satisfies the contract.
+    * The parity law — N in-order batches ⇒ identical `funnelTimes`
+    * output — is proven in EventAnalyticsSpec on the real events table.
+    *
+    * Scale: state is k·8 bytes per user in the state store, partitioned
+    * by key; output is one row per user per batch (Update mode); the
+    * driver sees nothing. */
+  def statefulFunnel(events: Dataset[FunnelEvent], steps: Seq[String])
+      : Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"funnel steps must be non-empty and distinct, got $steps")
+    val k = steps.size
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[Long], UserFunnel](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[Seq[Long]]) =>
+          val times = state.getOption.getOrElse(Seq.fill(k)(-1L)).toArray
+          rows.toSeq.sortBy(e => (e.ts_us, e.tie)).foreach { e =>
+            val i = steps.indexOf(e.event_type)
+            if (i == 0) {
+              if (times(0) < 0 || e.ts_us < times(0)) times(0) = e.ts_us
+            } else if (i > 0) {
+              val prevDone = times(i - 1) >= 0 && times(i - 1) < e.ts_us
+              if (prevDone && (times(i) < 0 || e.ts_us < times(i)))
+                times(i) = e.ts_us
+            }
+          }
+          state.update(times.toSeq)
+          UserFunnel(user, times.toSeq)
+      }
+  }
+
   /** Gap-based session windows (`session_window`) — Spark's native
     * operator for what `Sessionize` builds manually; a session closes
     * when no event arrives within `gap`. */

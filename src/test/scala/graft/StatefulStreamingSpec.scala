@@ -43,6 +43,53 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulFunnel over 3 in-order batches equals batch funnelTimes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStreams.{FunnelEvent, UserFunnel}
+
+    val steps = Seq("view", "click", "purchase")
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev.withColumn("ts_us",
+      graft.functions.GraftFunctions.epochMicros(ev.schema("ts").dataType, col("ts")))
+
+    // batch oracle
+    val expected = graft.operators.EventAnalytics
+      .funnelTimes(evUs, "user_id", "ts_us", "event_type", steps, "event_id")
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 3).map(i =>
+          if (r.isNullAt(i)) -1L else r.getLong(i)).toSeq
+      }.toMap
+
+    // stream the same events in GLOBAL ts order, cut into 3 batches —
+    // in-order per key across batches, as the operator's contract asks
+    val all = evUs.select(col("user_id"), col("ts_us"),
+        col("event_id").as("tie"), col("event_type"))
+      .as[FunnelEvent].collect().sortBy(e => (e.ts_us, e.tie))
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.statefulFunnel(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      // Update mode re-emits a user on every batch it appears in; state
+      // only ever improves, so the final value per step is the min of
+      // the non-sentinel emissions
+      val got = spark.table("funnel_out").as[UserFunnel].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> (0 until 3).map { i =>
+            val set = rows.map(_.times(i)).filter(_ >= 0)
+            if (set.isEmpty) -1L else set.min
+          }
+        }
+      assert(got.size === expected.size)
+      got.foreach { case (u, times) => assert(times === expected(u),
+        s"user $u: streamed $times vs batch ${expected(u)}") }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the bound, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -3827,6 +3827,36 @@ object Queries {
               * (1.0 / n0 + 1.0 / n1)), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS z_score
       FROM c"""))
 
+  /** H+ graph: triangle count + global clustering coefficient of the
+    * (undirected-simplified) link graph via compact-forward
+    * ([[graft.operators.Graph.triangleStats]]): degree-ordered
+    * orientation bounds the wedge join's fan-out at O(√m) per vertex on
+    * ANY graph — the move that keeps the plan alive on power-law link
+    * graphs where a naive id-ordered orientation explodes at the hubs.
+    * The oracle counts the same triangles with the a<b<c three-way
+    * join and the same Σ C(deg,2) wedge table. */
+  private val q134 = Q("q134_triangle_count",
+    (s, d) => graft.operators.Graph.triangleStats(
+      linkEdges(s, d), col("src"), col("dst")),
+    Some("""WITH e0 AS (SELECT doc_id AS src,
+        (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+      deg AS (SELECT v, count(*)::BIGINT AS deg
+        FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+      tri AS (SELECT count(*)::BIGINT AS n_triangles
+        FROM u e1 JOIN u e2 ON e1.b = e2.a
+          JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT (SELECT count(*)::BIGINT FROM u) AS n_edges,
+        (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+        tri.n_triangles,
+        floor(tri.n_triangles * 3.0
+          / nullif((SELECT sum(deg * (deg - 1) / 2) FROM deg), 0)
+          * 1000000.0 + 0.5) / 1000000.0 AS clustering_coeff
+      FROM tri"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3839,7 +3869,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133,
+    q128, q129, q130, q131, q132, q133, q134,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

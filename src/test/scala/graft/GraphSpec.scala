@@ -107,6 +107,30 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(pr(1L) - 0.1275) < 1e-12)
   }
 
+  test("triangleStats: K4, star, and edge-canonicalization edges") {
+    def stats(edges: Seq[(Long, Long)]) =
+      Graph.triangleStats(edges.toDF("s", "t"), col("s"), col("t"))
+        .as[(Long, Long, Long, Option[Double])].collect().head
+
+    // K4: 6 edges, every vertex deg 3 → wedges 4·C(3,2)=12, 4 triangles,
+    // coefficient 3·4/12 = 1
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(stats(k4) === ((6L, 12L, 4L, Some(1.0))))
+
+    // star K1,4: no triangles, hub wedges C(4,2)=6, coefficient 0
+    val star = (1L to 4L).map(i => (0L, i))
+    assert(stats(star) === ((4L, 6L, 0L, Some(0.0))))
+
+    // direction, self-loops, parallel edges all erased: the triangle
+    // {0,1,2} given as mixed directions + duplicates + a loop is ONE
+    // triangle on 3 edges
+    val messy = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (0L, 2L), (2L, 2L))
+    assert(stats(messy) === ((3L, 3L, 1L, Some(1.0))))
+
+    // single edge: no wedge → NULL coefficient, not a divide-by-zero
+    assert(stats(Seq((0L, 1L))) === ((1L, 0L, 0L, None)))
+  }
+
   test("q96 fixture graph: every doc has out_deg 3 and ranks sum to 1") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val n = docs.count()

@@ -3827,6 +3827,24 @@ object Queries {
               * (1.0 / n0 + 1.0 / n1)), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS z_score
       FROM c"""))
 
+  /** D+ CUBE: the full grouping-set lattice (q14 covers ROLLUP's
+    * prefix chain; CUBE adds the (∅, status)-only slice) — one
+    * Expand + single shuffle plan, the Catalyst grouping-set path. */
+  private val q135 = Q("q135_cube",
+    (s, d) => t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status")),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      coalesce(l_linestatus, 'ALL') AS status,
+      count(*) AS n, floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY flag, status"""))
+
   /** H+ graph: triangle count + global clustering coefficient of the
     * (undirected-simplified) link graph via compact-forward
     * ([[graft.operators.Graph.triangleStats]]): degree-ordered
@@ -3857,6 +3875,34 @@ object Queries {
       FROM tri"""),
     bench = true)
 
+  /** H+ graph: per-vertex local clustering coefficients, top-20
+    * ([[graft.operators.Graph.localClustering]]) — each closed wedge
+    * credits its three corners through a 3-row explode, so the
+    * per-vertex triangle count is exact while every join stays an
+    * equality join; the cut is a TakeOrderedAndProject over the
+    * vertex-sized coefficient table. */
+  private val q136 = Q("q136_local_clustering",
+    (s, d) => graft.operators.Graph.localClustering(
+      linkEdges(s, d), col("src"), col("dst"), k = 20),
+    Some("""WITH e0 AS (SELECT doc_id AS src,
+        (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+      deg AS (SELECT v, count(*)::BIGINT AS deg
+        FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM u e1 JOIN u e2 ON e1.b = e2.a
+          JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+      corn AS (SELECT unnest([x, y, z]) AS id FROM tri),
+      pv AS (SELECT id, count(*)::BIGINT AS n_tri FROM corn GROUP BY id)
+      SELECT d.v AS id, d.deg,
+        CAST(coalesce(pv.n_tri, 0) AS BIGINT) AS n_tri,
+        floor(coalesce(pv.n_tri, 0) * 1.0 / (d.deg * (d.deg - 1) / 2)
+          * 1000000.0 + 0.5) / 1000000.0 AS local_coeff
+      FROM deg d LEFT JOIN pv ON d.v = pv.id WHERE d.deg >= 2
+      ORDER BY local_coeff DESC, id LIMIT 20"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3869,7 +3915,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -175,6 +175,51 @@ object Graph {
     * Output is ONE row: `n_edges, n_wedges, n_triangles,
     * clustering_coeff`. */
   def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val (u, deg, closed) = closedWedges(edges, src, dst)
+    val triangles = closed.agg(count(lit(1)).as("n_triangles"))
+    val edgeCount = u.agg(count(lit(1)).as("n_edges"))
+    val wedgeCount = deg
+      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    edgeCount.crossJoin(broadcast(wedgeCount)).crossJoin(broadcast(triangles))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        graft.functions.GraftFunctions.r(
+          col("n_triangles") * 3.0 / nullif(col("n_wedges"), lit(0L)), 6)
+          .as("clustering_coeff"))
+  }
+
+  /** Per-vertex local clustering coefficients, top `k` by coefficient
+    * (ties by id) — the per-node "how clique-like is this node's
+    * neighborhood" feature (in curation graphs, near-1 link
+    * neighborhoods are mutual-citation/ring signals). Same
+    * compact-forward core as [[triangleStats]]; each closed wedge
+    * credits its THREE corners via a 3-row explode, so a vertex's
+    * triangle count is exact while every join stays an equality join.
+    * Only vertices with ≥ 2 neighbors (a defined coefficient) are
+    * ranked; the cut is a TakeOrderedAndProject over the vertex-sized
+    * coefficient table. */
+  def localClustering(edges: DataFrame, src: Column, dst: Column, k: Int): DataFrame = {
+    val (_, deg, closed) = closedWedges(edges, src, dst)
+    val perVertex = closed
+      .select(explode(array(col("v"), col("a"), col("b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("v").as("id"), col("deg"))
+      .filter(col("deg") >= 2)
+      .join(perVertex, Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        graft.functions.GraftFunctions.r(
+          coalesce(col("n_tri"), lit(0L)) * 1.0
+            / (col("deg") * (col("deg") - 1) / 2), 6).as("local_coeff"))
+      .orderBy(col("local_coeff").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Shared compact-forward core: (canonical undirected simple edges
+    * `(a,b)`, degree table, closed wedges `(v, a, b)` = one row per
+    * triangle with `v` the lowest-degree corner and `a < b` its other
+    * two corners). Degree-ordered orientation bounds the wedge
+    * self-join's per-key fan-out at O(√m) on any graph. */
+  private def closedWedges(edges: DataFrame, src: Column, dst: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
     val u = edges
       .select(least(src, dst).cast("long").as("a"),
         greatest(src, dst).cast("long").as("b"))
@@ -195,17 +240,9 @@ object Graph {
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.lo") === col("e2.lo"))
       .filter(col("e1.hi") < col("e2.hi"))
-      .select(least(col("e1.hi"), col("e2.hi")).as("a"),
-        greatest(col("e1.hi"), col("e2.hi")).as("b"))
-    val triangles = wedges.join(u, Seq("a", "b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val edgeCount = u.agg(count(lit(1)).as("n_edges"))
-    val wedgeCount = deg
-      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
-    edgeCount.crossJoin(broadcast(wedgeCount)).crossJoin(broadcast(triangles))
-      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        graft.functions.GraftFunctions.r(
-          col("n_triangles") * 3.0 / nullif(col("n_wedges"), lit(0L)), 6)
-          .as("clustering_coeff"))
+      .select(col("e1.lo").as("v"),
+        col("e1.hi").as("a"), col("e2.hi").as("b"))
+    val closed = wedges.join(u, Seq("a", "b"), "left_semi")
+    (u, deg, closed)
   }
 }

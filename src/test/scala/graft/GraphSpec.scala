@@ -131,6 +131,23 @@ class GraphSpec extends SparkSpec {
     assert(stats(Seq((0L, 1L))) === ((1L, 0L, 0L, None)))
   }
 
+  test("localClustering: per-corner credit, coefficient, deg<2 excluded") {
+    // triangle {0,1,2} plus pendant edge (0,3): v0 deg 3 → 1/C(3,2)=1/3;
+    // v1,v2 deg 2 → 1/1 = 1; v3 deg 1 → excluded
+    val lc = Graph.localClustering(
+        Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)).toDF("s", "t"),
+        col("s"), col("t"), k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(lc === Seq((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (0L, 3L, 1L, 0.333333)))
+
+    // K4: every vertex sits on 3 of its C(3,2)=3 wedge pairs → all 1.0
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val all = Graph.localClustering(k4.toDF("s", "t"), col("s"), col("t"), k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(all === (0L to 3L).map(v => (v, 3L, 3L, 1.0)))
+  }
+
   test("q96 fixture graph: every doc has out_deg 3 and ranks sum to 1") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val n = docs.count()

@@ -28,15 +28,17 @@ object Bench {
 
   /** Warm-up once (JIT + codegen + file listing), then timed passes
     * INTERLEAVED round-robin — the full query list `passes` times
-    * (q1..qN, q1..qN, …), reporting each query's min and median. This
+    * (q1..qN, q1..qN, …), returning each query's RAW samples. This
     * host shows ±50% noisy-neighbor swings lasting seconds-to-minutes;
     * back-to-back passes of one query land all its samples inside a
     * single noisy window (round 3→4 showed 3.7× swings on identical
     * code), while round-robin spreads the samples across the whole run
-    * so at most one is likely contaminated. Returns (per-query [[Stat]]
-    * in input order, -1s for failures; failed names). */
+    * so at most one is likely contaminated. Returns (per-query samples
+    * in input order, -1 marking a failed pass; failed names). Callers
+    * fold samples into [[Stat]]s with [[toStat]] — kept raw so
+    * re-timed queries can merge their sample sets before the median. */
   def timeAll(names: Seq[String], runOne: String => Unit, passes: Int = 3)
-      : (Seq[(String, Stat)], Seq[String]) = {
+      : (Seq[(String, Seq[Double])], Seq[String]) = {
     names.foreach { n =>
       try runOne(n)
       catch { case _: Throwable => () }              // timed passes report it
@@ -48,13 +50,12 @@ object Bench {
     }
     val samples = Seq.fill(passes)(names.map(n => n -> timeOnce(n))).flatten
     val byName = samples.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    val results = names.map { n =>
-      val ts = byName(n)
-      n -> (if (ts.exists(_ < 0)) Stat(-1.0, -1.0)
-            else Stat(ts.min, median(ts)))
-    }
-    (results, results.collect { case (n, t) if t.min < 0 => n })
+    val results = names.map(n => n -> byName(n))
+    (results, results.collect { case (n, ts) if ts.exists(_ < 0) => n })
   }
+
+  def toStat(ts: Seq[Double]): Stat =
+    if (ts.exists(_ < 0)) Stat(-1.0, -1.0) else Stat(ts.min, median(ts))
 
   /** The deliberately-skewed join pair gets EXTRA passes: its whole
     * point is a measured separation (plain hot reducer vs salted), and
@@ -80,22 +81,20 @@ object Bench {
     def runOne(n: String): Unit = { Queries.queries(n)(spark, sfDir).count(); () }
     val (base, failed) = timeAll(Queries.benchNames, runOne)
     // re-time the skew pair with more samples (interleaved with each
-    // other), REPLACING its base stats: the pair's min/median over 3+5
-    // samples, so the reported separation is the measured one
+    // other) and MERGE the sample sets: the pair's min/median over all
+    // 3+5 samples, so the reported separation is the measured one
     val extraNames = ExtraPassNames.filter(Queries.benchNames.contains)
-    val results =
+    val samples =
       if (extraNames.isEmpty || failed.exists(extraNames.contains)) base
       else {
         val (extra, extraFailed) = timeAll(extraNames, runOne, passes = ExtraPasses)
         if (extraFailed.nonEmpty) base
         else {
           val merged = extra.toMap
-          base.map { case (n, s) =>
-            n -> merged.get(n).map(e =>
-              Stat(math.min(s.min, e.min), e.med)).getOrElse(s)
-          }
+          base.map { case (n, ts) => n -> (ts ++ merged.getOrElse(n, Nil)) }
         }
       }
+    val results = samples.map { case (n, ts) => n -> toStat(ts) }
     def obj(f: Stat => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

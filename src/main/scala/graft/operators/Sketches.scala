@@ -89,10 +89,20 @@ object Sketches {
     * [[graft.plans.TopK]] operator (partial heaps below the exchange:
     * the shuffle carries ≤ partitions × groups × k candidate longs,
     * never the set), then a groups-sized list aggregation. Returns
-    * (grp, hs) with `hs` ascending. */
+    * (grp, hs) with `hs` ascending.
+    *
+    * CONTRACT: |hash| must stay below 2^53 — the TopK cut orders on a
+    * double cast, which collides distinct longs beyond that (a
+    * full-range xxhash64 would silently produce a WRONG bottom-k
+    * set). The family's own [[graft.functions.GraftFunctions.polyHash]]
+    * (< 2^30) is fine; an in-plan assert fails loudly otherwise. */
   def bottomK(df: DataFrame, group: Column, hash: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val dist = df.select(group.as("grp"), hash.as("h")).distinct()
+      .filter(coalesce(assert_true(abs(col("h")) < lit(1L << 53),
+        lit("bottomK: |hash| >= 2^53 — the bounded-heap cut orders on a " +
+          "double cast and would collide distinct values; rescale the " +
+          "hash (e.g. polyHash) first")), lit(true)))
     graft.plans.TopK.perGroup(
         dist.withColumn("_neg", -col("h")), Seq("grp"), "_neg", k)
       .groupBy(col("grp")).agg(array_sort(collect_list(col("h"))).as("hs"))
@@ -159,15 +169,18 @@ object Sketches {
     * lookup. Sampling theory (Dvoretzky–Kiefer–Wolfowitz): the rank
     * error of the p-quantile of a uniform n-sample is
     * O(√(ln(1/δ)/n)) — q126 surfaces that as an in-plan gate against
-    * the EXACT ranks. Returns (p, est) ordered by p. */
+    * the EXACT ranks. Returns (p, est) ordered by p; an EMPTY sample
+    * (e.g. a corpus-stats snapshot whose first batch had zero
+    * documents) yields NULL estimates rather than an ANSI
+    * invalid-array-index error. */
   def quantilesFromSample(sample: DataFrame, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0, 1]: $ps")
     sample.agg(array_sort(collect_list(col("v"))).as("_vs"),
         count(lit(1)).as("_n"))
       .select(explode(array(ps.map(lit): _*)).as("p"), col("_vs"), col("_n"))
-      .select(col("p"), element_at(col("_vs"),
-        greatest(ceil(col("p") * col("_n")), lit(1L)).cast("int")).as("est"))
+      .select(col("p"), when(col("_n") > 0, element_at(col("_vs"),
+        greatest(ceil(col("p") * col("_n")), lit(1L)).cast("int"))).as("est"))
       .orderBy(col("p"))
   }
 
@@ -189,12 +202,17 @@ object Sketches {
           / element_at(col("hs"), k).cast("double")))
   }
 
-  /** Point-query the sketch: append `estCol` = min over the key's
-    * `depth` cells (an absent cell counts as zero mass). The sketch
-    * side is broadcast — it is bounded by depth × width rows no
-    * matter the corpus — so the probe costs no shuffle beyond one
-    * per-key aggregation of `depth` rows. `queries`' columns must not
-    * collide with the internal `_cms_*` names. */
+  /** Point-query the sketch: ONE output row per DISTINCT query row,
+    * with `estCol` = min over the key's `depth` cells (an absent cell
+    * counts as zero mass). Duplicate query rows collapse — the final
+    * per-key aggregation groups on all query columns — so feed a
+    * distinct key list, not a raw occurrence stream (estimating a
+    * stream's own frequencies through its duplicates would double-
+    * count anyway). The sketch side is broadcast — it is bounded by
+    * depth × width rows no matter the corpus — so the probe costs no
+    * shuffle beyond one per-key aggregation of `depth` rows.
+    * `queries`' columns must not collide with the internal `_cms_*`
+    * names. */
   def cmsEstimate(queries: DataFrame, cms: DataFrame, item: Column,
                   width: Int, depth: Int = 3,
                   estCol: String = "cms_est"): DataFrame = {

@@ -6,9 +6,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * streams (StreamingDedup / StreamingSimilarity / StreamingCorpusStats):
   *
   *  1. a `_stream_checkpoint` RUN-IDENTITY file records the owning
-  *     checkpoint on first write; any batch arriving from a different
-  *     checkpoint fails fast — a fresh checkpoint restarts batch ids
-  *     at 0, so its batches would be silently swallowed by the old
+  *     checkpoint INSTANCE (path + the unique id Structured Streaming
+  *     writes into `<checkpoint>/metadata`) on first write; any batch
+  *     arriving from a different instance fails fast — a fresh
+  *     checkpoint, even one recreated at the same path, restarts batch
+  *     ids at 0, so its batches would be silently swallowed by the old
   *     markers and the persisted state hidden from matching;
   *  2. a `_stream_config` fingerprint records the STATE-SHAPING
   *     parameters (hash planes, signature length, sketch widths…);
@@ -45,26 +47,51 @@ private[streaming] object StreamProtocol {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The checkpoint INSTANCE identity: its path plus the unique id
+    * Structured Streaming writes into `<checkpoint>/metadata` at query
+    * start. Deleting and recreating a checkpoint at the SAME path mints
+    * a new id — which is what distinguishes "replay of an already-
+    * committed batch 0" from "a new run whose batch 0 would be
+    * swallowed by the old `_batch_0` marker" (defense 3 only catches
+    * recreation once ≥ 2 batches had committed). Falls back to the bare
+    * path when the metadata file is unreadable (non-SS test drivers, or
+    * a checkpoint on a filesystem `fs` cannot reach). */
+  private def checkpointIdentity(fs: FileSystem, checkpoint: String): String = {
+    val meta = new Path(new Path(checkpoint), "metadata")
+    val id = scala.util.Try {
+      val m = """"id"\s*:\s*"([^"]+)"""".r
+      m.findFirstMatchIn(readFile(fs, meta)).map(_.group(1))
+    }.toOption.flatten
+    id.map(u => s"$checkpoint#$u").getOrElse(checkpoint)
+  }
+
   /** Run guards 1-4; returns true when this batch is ALREADY fully
     * committed (replay of a finished batch → caller skips). On the
-    * first batch the identity and config files are claimed. */
+    * first batch the identity and config files are claimed. A stored
+    * legacy identity (bare path, pre-instance-id format) is accepted
+    * once and upgraded in place. */
   def replayGuards(fs: FileSystem, dir: Path, checkpoint: String,
                    config: String, batchId: Long, markerPrefix: String,
                    streamName: String): Boolean = {
+    val identity = checkpointIdentity(fs, checkpoint)
     val runMarker = new Path(dir, RunFile)
     if (fs.exists(runMarker)) {
       val owner = readFile(fs, runMarker)
-      if (owner != checkpoint)
+      if (owner == checkpoint && identity != checkpoint)
+        writeFile(fs, runMarker, identity)          // legacy claim: upgrade
+      else if (owner != identity)
         throw new IllegalStateException(
           s"$streamName: $dir is owned by checkpoint '$owner' but this " +
-            s"stream runs from '$checkpoint' — a fresh checkpoint restarts " +
+            s"stream runs from '$identity' — a fresh checkpoint (even " +
+            "recreated at the same path: the instance id after '#' " +
+            "changes) restarts " +
             "batch ids at 0, so its batches would be silently swallowed " +
             "by the old batch markers and the persisted state hidden from " +
             "matching. Resume from the original checkpoint, or delete the " +
             "state directory and re-ingest. (Moved the checkpoint " +
             s"directory on purpose? Update the $RunFile file to the new " +
-            "path.)")
-    } else writeFile(fs, runMarker, checkpoint)
+            "identity.)")
+    } else writeFile(fs, runMarker, identity)
     val cfgMarker = new Path(dir, ConfigFile)
     if (fs.exists(cfgMarker)) {
       val owner = readFile(fs, cfgMarker)

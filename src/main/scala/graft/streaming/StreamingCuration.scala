@@ -85,14 +85,17 @@ object StreamingCuration {
             .withColumn("_bucket",
               pmod(xxhash64(col("_digest")), lit(BucketCount.toLong)).cast("int"))
             .cache()
+          // posts stays cached until the batch's WRITES ran: its two
+          // consumers are flaggedPairs' eager touched-bucket collect
+          // (now) and the contamination join (lazily, when `kept`
+          // materializes at the writes) — unpersisting before the
+          // writes would re-run the shingle explode + index join
+          val posts = StreamingDecontam.posts(
+            gated, col(idCol), col(textCol), "c_id", shingleN).cache()
           try {
-            val posts = StreamingDecontam.posts(
-              gated, col(idCol), col(textCol), "c_id", shingleN).cache()
-            val contaminated =
-              try StreamingDecontam
-                .flaggedPairs(posts, evalIndexDir, minOverlap)
-                .select(col("doc_id")).distinct()
-              finally posts.unpersist()
+            val contaminated = StreamingDecontam
+              .flaggedPairs(posts, evalIndexDir, minOverlap)
+              .select(col("doc_id")).distinct()
             val clean = gated.join(contaminated,
               gated(idCol) === contaminated("doc_id"), "left_anti")
             // within-batch keeper: first occurrence by id per digest
@@ -127,7 +130,7 @@ object StreamingCuration {
                 .partitionBy("bucket").parquet(digestDir)
               StreamProtocol.commit(fs, keptPath, "_batch_", batchId)
             } finally keptC.unpersist()
-          } finally gated.unpersist()
+          } finally { posts.unpersist(); gated.unpersist() }
         }
         ()
       }

@@ -142,6 +142,23 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantilesFromSample: an EMPTY sample yields NULL estimates, not an ANSI error") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("h", "k_str", "v")
+    val got = Sketches.quantilesFromSample(empty, Seq(0.5, 1.0))
+      .as[(Double, Option[Double])].collect().toSeq
+    assert(got === Seq((0.5, None), (1.0, None)))
+  }
+
+  test("bottomK: a hash beyond the double-exact range fails loudly, not wrongly") {
+    val bad = Seq(("g", (1L << 53) + 1L)).toDF("grp", "h")
+    val e = intercept[Throwable] {
+      Sketches.bottomK(bad, col("grp"), col("h"), k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("2^53")))
+  }
+
   test("kmvDistinct: sub-k groups are exact; full sketches estimate within theory") {
     val small = Seq(("s", Seq(10L, 20L, 30L)))
     val k = 64

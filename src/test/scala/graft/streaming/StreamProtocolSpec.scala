@@ -54,6 +54,53 @@ class StreamProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("recreated checkpoint at the SAME path after ONE committed batch fails fast") {
+    withDir { (fs, dir) =>
+      withDir { (_, ckDir) =>
+        def setMetaId(id: String): Unit = {
+          val out = fs.create(new Path(ckDir, "metadata"), true)
+          try out.write(s"""{"id":"$id"}""".getBytes("UTF-8")) finally out.close()
+        }
+        val ck = ckDir.toString
+        setMetaId("run-A")
+        assert(!StreamProtocol.replayGuards(fs, dir, ck, "w=2", 0L, "_b_", "S"))
+        StreamProtocol.commit(fs, dir, "_b_", 0L)
+        assert(StreamProtocol.replayGuards(fs, dir, ck, "w=2", 0L, "_b_", "S"))
+        // checkpoint deleted + recreated at the same path: new instance
+        // id, batch ids restart at 0 — before the instance-id identity
+        // this was silently "already committed" (data loss); now loud
+        setMetaId("run-B")
+        val e = intercept[IllegalStateException] {
+          StreamProtocol.replayGuards(fs, dir, ck, "w=2", 0L, "_b_", "S")
+        }
+        assert(e.getMessage.contains("fresh checkpoint"))
+      }
+    }
+  }
+
+  test("legacy bare-path identity is accepted once and upgraded in place") {
+    withDir { (fs, dir) =>
+      withDir { (_, ckDir) =>
+        val ck = ckDir.toString
+        // legacy claim: the run file holds the bare path (no metadata
+        // existed when it was written)
+        val out = fs.create(new Path(dir, "_stream_checkpoint"), true)
+        try out.write(ck.getBytes("UTF-8")) finally out.close()
+        val meta = fs.create(new Path(ckDir, "metadata"), true)
+        try meta.write("""{"id":"run-A"}""".getBytes("UTF-8")) finally meta.close()
+        // accepted + upgraded...
+        assert(!StreamProtocol.replayGuards(fs, dir, ck, "w=2", 1L, "_b_", "S"))
+        // ...so a recreated instance now fails
+        val meta2 = fs.create(new Path(ckDir, "metadata"), true)
+        try meta2.write("""{"id":"run-B"}""".getBytes("UTF-8")) finally meta2.close()
+        val e = intercept[IllegalStateException] {
+          StreamProtocol.replayGuards(fs, dir, ck, "w=2", 0L, "_b_", "S")
+        }
+        assert(e.getMessage.contains("fresh checkpoint"))
+      }
+    }
+  }
+
   test("a committed marker beyond the current batch fails fast (recreated checkpoint)") {
     withDir { (fs, dir) =>
       StreamProtocol.replayGuards(fs, dir, "ck", "w=2", 0L, "_b_", "S")

@@ -3903,6 +3903,26 @@ object Queries {
       FROM deg d LEFT JOIN pv ON d.v = pv.id WHERE d.deg >= 2
       ORDER BY local_coeff DESC, id LIMIT 20"""))
 
+  /** E+ engagement: daily/weekly active users + stickiness
+    * ([[EventAnalytics.activeUsers]]). Rolling COUNT DISTINCT is not a
+    * window aggregate (distinct does not subtract), so each distinct
+    * (user, day) pair explodes into the 7 days it keeps the user
+    * active for — ×7 on the deduplicated PAIR table, never on raw
+    * events — then two plain hash aggs. */
+  private val q137 = Q("q137_active_users",
+    (s, d) => EventAnalytics.activeUsers(
+      eventsUs(s, d), key = "user_id", ts = "ts_us",
+      epoch0Us = CohortEpoch0Us, dayUs = 86400000000L, windowDays = 7),
+    Some(s"""WITH p AS (SELECT DISTINCT user_id,
+        (epoch_us(ts) - $CohortEpoch0Us) // 86400000000 AS day FROM events),
+      dau AS (SELECT day, count(*)::BIGINT AS dau FROM p GROUP BY day),
+      w AS (SELECT DISTINCT user_id, day + j AS day
+        FROM p CROSS JOIN (SELECT unnest(range(0, 7)) AS j) _j),
+      wau AS (SELECT day, count(*)::BIGINT AS wau FROM w GROUP BY day)
+      SELECT dau.day, dau.dau, wau.wau,
+        floor(dau.dau * 1.0 / wau.wau * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+      FROM dau JOIN wau USING (day) ORDER BY day"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3915,7 +3935,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

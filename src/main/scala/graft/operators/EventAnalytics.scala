@@ -211,6 +211,33 @@ object EventAnalytics {
         .as("z_score"))
   }
 
+  /** Rolling active users: per calendar day, the distinct keys active
+    * that day (DAU), in the trailing `windowDays` window (WAU), and the
+    * DAU/WAU stickiness ratio. Rolling COUNT DISTINCT does not compose
+    * as a window aggregate (distinct is not subtractable), so each
+    * (key, day) pair is exploded into the `windowDays` future days it
+    * keeps the key "active" for — a bounded ×W row amplification of the
+    * already-deduplicated pair table (never of raw events), then two
+    * plain hash aggregations. Days with no events contribute no row;
+    * the trailing window still sees activity from prior days. */
+  def activeUsers(events: DataFrame, key: String, ts: String,
+                  epoch0Us: Long, dayUs: Long, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val day = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, dayUs)
+    val pairs = events.select(col(key), day.as("day")).distinct()
+    val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(col(key), explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        graft.functions.GraftFunctions.r(col("dau") * 1.0 / col("wau"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** Last-touch attribution: each conversion event is credited to the
     * most recent at-or-before touch event on the same key — the as-of
     * join ([[AsOf.join]]: one shuffle, one sort, never a range explode)

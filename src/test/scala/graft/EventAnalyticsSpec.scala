@@ -145,6 +145,19 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(s === ((2L, 1L, 0.5, 2L, 2L, 1.0, 0.5)))
   }
 
+  test("activeUsers: DAU, trailing-window WAU, stickiness") {
+    // day width 10: u1 active days 0,2; u2 day 0; u3 day 5 (window 3)
+    val e = Seq((1L, 5L), (1L, 25L), (1L, 27L), (2L, 3L), (3L, 55L))
+      .toDF("user_id", "ts_us")
+    val r = EventAnalytics.activeUsers(e, "user_id", "ts_us",
+        epoch0Us = 0L, dayUs = 10L, windowDays = 3)
+      .select("day", "dau", "wau", "stickiness")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // WAU(0)={1,2}; WAU(2)={1,2}(u1,u2 from d0 still in window)+{1}→2;
+    // WAU(5)={3} (d2 activity expired after d4)
+    assert(r === Seq((0L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5), (5L, 1L, 1L, 1.0)))
+  }
+
   test("lastTouchAttribution: at-or-before credit, (none) bucket") {
     val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts_us",
         "event_type", conversionType = "purchase", valueCol = "value", tie = "event_id")

@@ -3923,6 +3923,54 @@ object Queries {
         floor(dau.dau * 1.0 / wau.wau * 1000000.0 + 0.5) / 1000000.0 AS stickiness
       FROM dau JOIN wau USING (day) ORDER BY day"""))
 
+  /** G+ unpivot/melt: the wide→long inverse of q29's pivot
+    * (`Dataset.unpivot`, Spark's melt — an Expand node, no shuffle
+    * beyond the feeding aggregate). */
+  private val q138 = Q("q138_unpivot",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(r(sum(col("l_quantity")), 2).as("sum_qty"),
+        r(sum(col("l_extendedprice")), 2).as("sum_price"),
+        r(avg(col("l_discount")), 4).as("avg_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric")),
+    Some("""WITH a AS (SELECT l_returnflag,
+        floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+        floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+        floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc
+      FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM a
+      UNION ALL
+      SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+      ORDER BY l_returnflag, metric"""))
+
+  /** G+ equi-depth binning: `ntile(4)` per event_type over a TOTAL
+    * (value, event_id) order — the feature-binning primitive; per-bin
+    * census with value ranges. */
+  private val q139 = Q("q139_ntile_buckets",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      eventsUs(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          ntile(4).over(w).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"),
+          r(min(col("value")), 2).as("lo"), r(max(col("value")), 2).as("hi"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+    Some("""WITH b AS (SELECT event_type, event_id, value,
+        ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+      FROM events)
+      SELECT event_type, CAST(bin AS BIGINT) AS bin, count(*) AS n,
+        floor(min(value) * 100.0 + 0.5) / 100.0 AS lo,
+        floor(max(value) * 100.0 + 0.5) / 100.0 AS hi
+      FROM b GROUP BY event_type, bin ORDER BY event_type, bin"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3935,7 +3983,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -3971,6 +3971,48 @@ object Queries {
         floor(max(value) * 100.0 + 0.5) / 100.0 AS hi
       FROM b GROUP BY event_type, bin ORDER BY event_type, bin"""))
 
+  /** Unrolled SQL twin of [[graft.operators.Graph.kCore]]: `rounds`
+    * peel iterations as a CTE chain (degree → keep-set → endpoint
+    * filter). The measured fixpoint depth on this graph is 3
+    * (TESTDATA probe); extra rounds past the fixpoint are no-ops, so
+    * 5 is a safety margin — if regenerated testdata ever peels deeper,
+    * the hash compare fails LOUDLY and the margin gets bumped, never
+    * silently diverges. Every CTE is MATERIALIZED: each round
+    * references its predecessor 3× and DuckDB inlines plain CTEs, so
+    * the un-materialized chain re-expands the whole prefix ~3^rounds
+    * times (measured: minutes vs 0.04 s). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val base = """WITH e0 AS MATERIALIZED (SELECT doc_id AS src,
+        (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst)"""
+    val chain = (1 to rounds).map { i =>
+      s""",
+      d$i AS MATERIALIZED (SELECT v, count(*)::BIGINT AS deg
+        FROM (SELECT a AS v FROM u${i - 1} UNION ALL SELECT b FROM u${i - 1})
+        GROUP BY v),
+      k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= $k),
+      u$i AS MATERIALIZED (SELECT a, b FROM u${i - 1}
+        WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))"""
+    }.mkString
+    base + chain + s"""
+      SELECT v AS id, count(*)::BIGINT AS core_deg
+      FROM (SELECT a AS v FROM u$rounds UNION ALL SELECT b FROM u$rounds)
+      GROUP BY v ORDER BY id"""
+  }
+
+  /** H+ graph: 4-core of the link graph ([[graft.operators.Graph.kCore]]
+    * — iterative peeling, two semi joins + one degree agg per round,
+    * 1-row driver count as the convergence test, loud non-convergence).
+    * 264 of 500 vertices survive at sf0.01; the peel runs 3 rounds. */
+  private val q140 = Q("q140_kcore",
+    (s, d) => graft.operators.Graph.kCore(
+        linkEdges(s, d), col("src"), col("dst"), k = 4)
+      .orderBy(col("id")),
+    Some(kCoreOracle(k = 4, rounds = 5)),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -3983,7 +4025,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -213,6 +213,55 @@ object Graph {
       .limit(k)
   }
 
+  /** k-core decomposition: the vertices of the maximal subgraph in
+    * which every vertex keeps degree ≥ k, with their in-core degrees.
+    * The spam/ring-detection and "dense community" primitive of link-
+    * graph curation (a page whose neighborhood survives a high k-core
+    * sits in a densely self-referential cluster).
+    *
+    * Iterative peeling: each round recomputes degrees on the surviving
+    * edge set and drops every vertex below k — two LEFT SEMI joins
+    * (both edge endpoints against the keep set) plus one degree
+    * aggregation, all equality joins on the edge table's own keys. The
+    * surviving edge set shrinks monotonically and is re-barriered per
+    * round (`localCheckpoint`, lineage stays flat); the ONLY driver
+    * traffic is one 1-row edge count per round for the convergence
+    * test — the same loop discipline as [[Dedup.connectedComponents]].
+    * Rounds are bounded by the peeling depth (≤ the degeneracy
+    * ordering's span, 3-6 in practice); `maxRounds` fails LOUDLY
+    * rather than returning a half-peeled "core". */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+            maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var u = OpUtils.barrier(edges
+      .select(least(src, dst).cast("long").as("a"),
+        greatest(src, dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct(), reliable = false)
+    var nEdges = u.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val keep = degrees(u).filter(col("deg") >= k).select(col("v"))
+      val pruned = OpUtils.barrier(
+        u.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b")), reliable = false)
+      val n = pruned.count()
+      converged = n == nEdges
+      u = pruned; nEdges = n; round += 1
+      if (nEdges == 0L) converged = true
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxRounds rounds — raise " +
+          "maxRounds; a partial peel is NOT a k-core and is never returned")
+    degrees(u).select(col("v").as("id"), col("deg").as("core_deg"))
+  }
+
   /** Shared compact-forward core: (canonical undirected simple edges
     * `(a,b)`, degree table, closed wedges `(v, a, b)` = one row per
     * triangle with `v` the lowest-degree corner and `a < b` its other

@@ -148,6 +148,21 @@ class GraphSpec extends SparkSpec {
     assert(all === (0L to 3L).map(v => (v, 3L, 3L, 1.0)))
   }
 
+  test("kCore: cascade peeling, empty core, and the loud non-convergence guard") {
+    // square 0-1-2-3 + diagonal 0-2 + pendant 3-4
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (3L, 4L))
+    def core(k: Int, maxRounds: Int = 50) =
+      Graph.kCore(edges.toDF("s", "t"), col("s"), col("t"), k, maxRounds)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    // k=2: dropping the pendant leaves the square+diagonal, all deg >= 2
+    assert(core(2) === Seq((0L, 3L), (1L, 2L), (2L, 3L), (3L, 2L)))
+    // k=3: peeling CASCADES to empty — dropping 1,3 (deg 2) leaves only
+    // the 0-2 edge, whose endpoints then fall below 3 too
+    assert(core(3) === Seq.empty)
+    val e = intercept[IllegalStateException] { core(2, maxRounds = 0) }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("q96 fixture graph: every doc has out_deg 3 and ranks sum to 1") {
     val docs = Tables.load(spark, sf("sf0.001"), "documents")
     val n = docs.count()

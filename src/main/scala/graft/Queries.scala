@@ -4013,6 +4013,31 @@ object Queries {
     Some(kCoreOracle(k = 4, rounds = 5)),
     bench = true)
 
+  /** E+ path mining: within-session first-order transition matrix
+    * ([[EventAnalytics.transitionMatrix]]) — counts + row-normalized
+    * probabilities; transitions never cross session boundaries; the
+    * probability window runs over the |types|² cell table only. */
+  private val q141 = Q("q141_transition_matrix",
+    (s, d) => EventAnalytics.transitionMatrix(
+      eventsUs(s, d), key = "user_id", ts = "ts_us", tie = "event_id",
+      typeCol = "event_type", gapUs = SessionGapUs),
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS delta FROM e),
+      ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
+      tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id, sid
+            ORDER BY ts_us, event_id) AS prev_type,
+          event_type AS next_type FROM ss),
+      cells AS (SELECT prev_type, next_type, count(*) AS n FROM tr
+        WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+      SELECT prev_type, next_type, n,
+        floor(n * 1.0 / sum(n) OVER (PARTITION BY prev_type)
+          * 1000000.0 + 0.5) / 1000000.0 AS p
+      FROM cells ORDER BY prev_type, next_type"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4025,7 +4050,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

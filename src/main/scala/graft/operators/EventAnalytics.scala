@@ -211,6 +211,31 @@ object EventAnalytics {
         .as("z_score"))
   }
 
+  /** First-order Markov transition matrix over within-session event
+    * types: for each ordered (prev → next) pair, the transition count
+    * and probability (count over the prev-type's outgoing total).
+    * Transitions never cross a session boundary — the first event of
+    * each session has no predecessor. One event-scale shuffle (the
+    * session/lag windows share the sessionizer's partitioning); the
+    * probability window runs over the |types|² cell table only. */
+  def transitionMatrix(events: DataFrame, key: String, ts: String, tie: String,
+                       typeCol: String, gapUs: Long): DataFrame = {
+    val sess = Sessionize.withSessions(events, Seq(col(key)), col(ts), gapUs,
+      tieBreak = Seq(col(tie)))
+    val w = Window.partitionBy(col(key), col("session_id"))
+      .orderBy(col(ts), col(tie))
+    val cells = sess
+      .withColumn("_prev", lag(col(typeCol), 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev_type"))
+    cells
+      .withColumn("p", graft.functions.GraftFunctions.r(
+        col("n") * 1.0 / sum(col("n")).over(wp), 6))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   /** Rolling active users: per calendar day, the distinct keys active
     * that day (DAU), in the trailing `windowDays` window (WAU), and the
     * DAU/WAU stickiness ratio. Rolling COUNT DISTINCT does not compose

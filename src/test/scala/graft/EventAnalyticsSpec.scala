@@ -158,6 +158,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r === Seq((0L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5), (5L, 1L, 1L, 1.0)))
   }
 
+  test("transitionMatrix: session-fenced transitions, row-normalized") {
+    // gap 15. u1: v@10 c@20 p@30 → v>c, c>p. u8: v@10 then (new session)
+    // v@100 c@110 → v>c only; the session boundary contributes NO v>v.
+    val e = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"), (1L, 3L, 30L, "purchase"),
+      (8L, 4L, 10L, "view"), (8L, 5L, 100L, "view"), (8L, 6L, 110L, "click"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val r = EventAnalytics.transitionMatrix(e, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 15L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      ("click", "purchase", 1L, 1.0),
+      ("view", "click", 2L, 1.0)))
+  }
+
   test("lastTouchAttribution: at-or-before credit, (none) bucket") {
     val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts_us",
         "event_type", conversionType = "purchase", valueCol = "value", tie = "event_id")

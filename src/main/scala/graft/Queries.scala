@@ -4038,6 +4038,36 @@ object Queries {
           * 1000000.0 + 0.5) / 1000000.0 AS p
       FROM cells ORDER BY prev_type, next_type"""))
 
+  /** E+ data quality: per-event-type PSI drift vs the population value
+    * distribution ([[EventAnalytics.psiDrift]]: 10 equal-width bins on
+    * [0, 500), add-½ smoothing — deterministic, no ad-hoc epsilon; one
+    * scan, all downstream math on the |types|·bins cell table). */
+  private val q142 = Q("q142_psi_drift",
+    (s, d) => EventAnalytics.psiDrift(
+      t(s, d, "events"), group = "event_type", value = col("value"),
+      lo = 0.0, hi = 500.0, bins = 10),
+    Some("""WITH e AS (SELECT event_type,
+        CAST(least(greatest(floor((value - 0.0) / 50.0), 0.0), 9.0) AS BIGINT) AS bin
+      FROM events),
+      cells AS (SELECT event_type, bin, count(*)::BIGINT AS n
+        FROM e GROUP BY event_type, bin),
+      gb AS (SELECT bin, CAST(sum(n) AS BIGINT) AS gn FROM cells GROUP BY bin),
+      grid AS (SELECT event_type, j AS bin
+        FROM (SELECT DISTINCT event_type FROM cells)
+        CROSS JOIN (SELECT unnest(range(0, 10)) AS j) _j),
+      f AS (SELECT g.event_type, g.bin,
+          coalesce(c.n, 0)::BIGINT AS n, coalesce(gb.gn, 0)::BIGINT AS gn
+        FROM grid g
+        LEFT JOIN cells c ON g.event_type = c.event_type AND g.bin = c.bin
+        LEFT JOIN gb ON g.bin = gb.bin),
+      sm AS (SELECT event_type,
+          (n + 0.5) / (sum(n) OVER (PARTITION BY event_type) + 0.5 * 10) AS q,
+          (gn + 0.5) / (sum(gn) OVER (PARTITION BY event_type) + 0.5 * 10) AS p
+        FROM f)
+      SELECT event_type,
+        floor(sum((q - p) * ln(q / p)) * 1000000.0 + 0.5) / 1000000.0 AS psi
+      FROM sm GROUP BY event_type ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4050,7 +4080,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -211,6 +211,45 @@ object EventAnalytics {
         .as("z_score"))
   }
 
+  /** Population-stability-index drift score per group: how far each
+    * group's value distribution sits from the whole population's, over
+    * `bins` equal-width bins on [lo, hi) (outliers clamp into the edge
+    * bins). PSI = Σᵢ (qᵢ − pᵢ)·ln(qᵢ/pᵢ) with add-½ (Laplace)
+    * smoothing so empty bins stay finite AND deterministic (no ad-hoc
+    * epsilon). The data-quality gate run between pipeline snapshots:
+    * PSI < 0.1 is the conventional "stable" line.
+    *
+    * One scan builds the (group, bin) cell table; the global
+    * distribution re-aggregates the CELLS (never a second scan), the
+    * full group×bin grid is an explode over the group list, and every
+    * subsequent join/window touches only |groups|·bins rows. */
+  def psiDrift(events: DataFrame, group: String, value: Column,
+               lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 2 && hi > lo, s"need >= 2 bins and hi > lo: $bins, [$lo, $hi)")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((value - lo) / width), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("long")
+    val cells = events.groupBy(col(group), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val globalBins = cells.groupBy(col("bin")).agg(sum(col("n")).as("gn"))
+    val grid = cells.select(col(group)).distinct()
+      .select(col(group), explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"))
+    val full = grid
+      .join(cells, Seq(group, "bin"), "left")
+      .join(globalBins, Seq("bin"), "left")
+      .select(col(group), col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"), coalesce(col("gn"), lit(0L)).as("gn"))
+    val wg = Window.partitionBy(col(group))
+    val smoothed = full
+      .withColumn("_q", (col("n") + 0.5) / (sum(col("n")).over(wg) + 0.5 * bins))
+      .withColumn("_p", (col("gn") + 0.5) /
+        (sum(col("gn")).over(wg) + 0.5 * bins))
+    smoothed.groupBy(col(group))
+      .agg(graft.functions.GraftFunctions.r(
+        sum((col("_q") - col("_p")) * log(col("_q") / col("_p"))), 6).as("psi"))
+      .orderBy(col(group))
+  }
+
   /** First-order Markov transition matrix over within-session event
     * types: for each ordered (prev → next) pair, the transition count
     * and probability (count over the prev-type's outgoing total).

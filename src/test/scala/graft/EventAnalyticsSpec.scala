@@ -173,6 +173,22 @@ class EventAnalyticsSpec extends SparkSpec {
       ("view", "click", 2L, 1.0)))
   }
 
+  test("psiDrift: identical distributions score ~0; disjoint ones score high") {
+    // group A mirrors the population mix; group B sits entirely in the
+    // top bin. 2 bins on [0, 10): A has 2 low + 2 high, B has 4 high.
+    val e = Seq(("A", 1.0), ("A", 2.0), ("A", 8.0), ("A", 9.0),
+        ("B", 7.0), ("B", 8.0), ("B", 8.5), ("B", 9.0))
+      .toDF("grp", "value")
+    val psi = graft.operators.EventAnalytics.psiDrift(
+        e, group = "grp", value = col("value"), lo = 0.0, hi = 10.0, bins = 2)
+      .as[(String, Double)].collect().toMap
+    // population: 2 low / 6 high. A (2/2) is closer to it than B (0/4).
+    assert(psi("B") > psi("A"))
+    assert(psi("A") > 0.0)     // A ≠ population exactly, so small but > 0
+    // hand value: q=(.1,.9) vs p=(.25,.75 smoothed→.2778,.7222) ⇒ 0.2207
+    assert(math.abs(psi("B") - 0.220749) < 1e-6)
+  }
+
   test("lastTouchAttribution: at-or-before credit, (none) bucket") {
     val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts_us",
         "event_type", conversionType = "purchase", valueCol = "value", tie = "event_id")

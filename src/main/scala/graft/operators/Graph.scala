@@ -269,23 +269,30 @@ object Graph {
     * self-join's per-key fan-out at O(√m) on any graph. */
   private def closedWedges(edges: DataFrame, src: Column, dst: Column)
       : (DataFrame, DataFrame, DataFrame) = {
-    val u = edges
+    // the canonical edge set feeds FOUR consumers (degrees, both sides
+    // of the wedge self-join via the orientation, the closing semi-join,
+    // the edge count) — barrier it, or each consumer re-runs the
+    // distinct from the source (probed: a 237-operator plan collapses
+    // to ExistingRDD leaves). Same for the oriented table (both wedge
+    // sides) and the vertex-sized degree table (three consumers).
+    val u = OpUtils.barrier(edges
       .select(least(src, dst).cast("long").as("a"),
         greatest(src, dst).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
-    val deg = u.select(col("a").as("v")).unionAll(u.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .distinct(), reliable = false)
+    val deg = OpUtils.barrier(
+      u.select(col("a").as("v")).unionAll(u.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg")), reliable = false)
     // orient by (deg, id): lo = the endpoint that sorts first
     val withDeg = u
       .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
-    val oriented = withDeg.select(
+    val oriented = OpUtils.barrier(withDeg.select(
       when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
         struct(col("a").as("lo"), col("b").as("hi")))
         .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
         .as("e"))
-      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi")), reliable = false)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.lo") === col("e2.lo"))
       .filter(col("e1.hi") < col("e2.hi"))

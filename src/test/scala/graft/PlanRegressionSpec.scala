@@ -212,6 +212,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"gate probe must broadcast:\n$p")
   }
 
+  test("q134 triangle count: shared graph tables barriered — zero source scans in the plan") {
+    val p = plan("q134_triangle_count")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"the canonical-edge/degree/oriented barriers regressed — each of their " +
+        s"3-4 consumers would re-derive the corpus-scale distinct (got $scans " +
+        s"source scans; probed at 237 plan operators unbarriered):\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"barrier leaves must remain:\n$p")
+  }
+
   test("q83 unigram LM: count table barriered — ONE corpus scan in the scoring plan") {
     // force execution so the AQE plan is final and the checkpoint exists
     val df = Queries.queries("q83_unigram_logprob")(spark, sf("sf0.001"))

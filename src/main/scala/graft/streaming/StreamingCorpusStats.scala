@@ -90,6 +90,82 @@ object StreamingCorpusStats {
       Sketches.quantilesFromSample(snap.qs, ps)
     }
 
+  /** Drift between two COMMITTED snapshot versions — the time-travel
+    * consumption the chain exists for: did the corpus change shape
+    * between crawl refreshes? Two PSI scores, both computed purely on
+    * the bounded snapshot tables (≤ sampleK sample rows, |sources|
+    * count rows — no corpus access):
+    *
+    *  - `length_psi`: the TO version's document-length sample scored
+    *    against equal-COUNT bins of the FROM version's sample (bin
+    *    edges = FROM's nearest-rank quantiles, so "drift" means the
+    *    distribution moved relative to its own old shape, not relative
+    *    to arbitrary fixed bins);
+    *  - `source_share_psi`: per-source document-share drift from the
+    *    counts tables.
+    *
+    * Both use add-½ smoothing (deterministic, finite on empty bins).
+    * Conventional reading: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    * shifted. Throws on an uncommitted version — half-written state
+    * must never be scored. */
+  def drift(spark: SparkSession, statsDir: String, fromV: Long, toV: Long,
+            bins: Int = 10): DataFrame = {
+    val committed = committedVersions(spark, statsDir).toSet
+    require(committed.contains(fromV) && committed.contains(toV),
+      s"drift needs two COMMITTED versions; have ${committed.toSeq.sorted}, " +
+        s"asked for $fromV -> $toV")
+    val from = readVersion(spark, statsDir, fromV)
+    val to = readVersion(spark, statsDir, toV)
+
+    // equal-count bin edges from the FROM sample (bins-1 interior cuts).
+    // The edge table is bounded (≤ bins-1 rows) — the count is sketch-
+    // sized driver metadata, and an EMPTY edge set would silently zero
+    // the cross-joined bin table, so it must refuse instead.
+    val ps = (1 until bins).map(_.toDouble / bins)
+    val edges = Sketches.quantilesFromSample(from.qs, ps)
+      .select(col("est")).filter(col("est").isNotNull)
+    require(edges.count() > 0,
+      s"drift: version $fromV has an empty length sample — nothing to bin against")
+    def binned(qs: DataFrame, ver: String): DataFrame = qs
+      .crossJoin(broadcast(edges))
+      .groupBy(col("h"), col("k_str"), col("v"))
+      .agg(sum(when(col("est") < col("v"), 1L).otherwise(0L)).as("bin"))
+      .select(lit(ver).as("ver"), col("bin"))
+    val lengthPsi = psiFromCells(
+      binned(from.qs, "from").unionByName(binned(to.qs, "to"))
+        .groupBy(col("ver"), col("bin")).agg(count(lit(1)).as("n")),
+      domain = spark.range(bins.toLong).select(col("id").as("bin")))
+
+    val sharePsi = psiFromCells(
+      from.counts.select(lit("from").as("ver"), col("source").as("bin"), col("n_docs").as("n"))
+        .unionByName(to.counts.select(lit("to").as("ver"), col("source").as("bin"),
+          col("n_docs").as("n"))),
+      domain = from.counts.select(col("source").as("bin"))
+        .unionByName(to.counts.select(col("source").as("bin"))).distinct())
+
+    lengthPsi.select(lit("length_psi").as("metric"), col("psi"))
+      .unionByName(sharePsi.select(lit("source_share_psi").as("metric"), col("psi")))
+  }
+
+  /** PSI of the "to" cell distribution vs "from" over a shared domain
+    * (missing cells are zero; add-½ smoothing keeps them finite). One
+    * row: `psi`. */
+  private def psiFromCells(cells: DataFrame, domain: DataFrame): DataFrame = {
+    val session = domain.sparkSession
+    import session.implicits._
+    val grid = domain.select(col("bin"))
+      .crossJoin(Seq("from", "to").toDF("ver"))
+    val full = grid.join(cells, Seq("ver", "bin"), "left")
+      .select(col("ver"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ver"))
+    val sm = full.withColumn("_f",
+      (col("n") + 0.5) / (sum(col("n")).over(w) + lit(0.5) * count(lit(1)).over(w)))
+    sm.groupBy(col("bin"))
+      .agg(first(when(col("ver") === "from", col("_f")), ignoreNulls = true).as("p"),
+        first(when(col("ver") === "to", col("_f")), ignoreNulls = true).as("q"))
+      .agg(sum((col("q") - col("p")) * log(col("q") / col("p"))).as("psi"))
+  }
+
   /** Per-batch summaries of a (source, text) document set — shared by
     * the stream and by the batch twin the spec compares against. */
   private[graft] def summarize(docs: DataFrame, cfg: Config): Snapshot = {

@@ -68,6 +68,49 @@ class StreamingCorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("drift: shifted length/source mix scores high between versions; stable mix ~0") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scs_dr_").toString
+    val input = MemoryStream[(String, String)]
+    val q = StreamingCorpusStats.start(
+      input.toDS().toDF("source", "text"),
+      sourceCol = "source", textCol = "text",
+      statsDir = s"$base/stats", checkpoint = s"$base/ckpt")
+    def doc(words: Int, tag: String) = (1 to words).map(i => s"$tag$i").mkString(" ")
+    try {
+      // batch 0: short docs from 'web'; batch 1: LONG docs from 'lab'
+      input.addData((1 to 30).map(i => ("web", doc(5, s"a$i"))): _*)
+      q.processAllAvailable()
+      input.addData((1 to 30).map(i => ("lab", doc(50, s"b$i"))): _*)
+      q.processAllAvailable()
+
+      // v0 -> v1: v1 MERGES batch 1 in, so half its mass is 50-word
+      // docs and a whole new source appeared — both metrics move
+      val d = StreamingCorpusStats.drift(spark, s"$base/stats", 0L, 1L)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(d("length_psi") > 0.25, s"length shift must register: $d")
+      assert(d("source_share_psi") > 0.25, s"new source must register: $d")
+
+      // self-drift is exactly 0 (identical distributions, same smoothing)
+      val self = StreamingCorpusStats.drift(spark, s"$base/stats", 1L, 1L)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(self.values.forall(v => math.abs(v) < 1e-12), s"self-drift: $self")
+
+      // an uncommitted version is refused, never scored
+      val e = intercept[IllegalArgumentException] {
+        StreamingCorpusStats.drift(spark, s"$base/stats", 0L, 7L)
+      }
+      assert(e.getMessage.contains("COMMITTED"))
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("fresh checkpoint over retained stats fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

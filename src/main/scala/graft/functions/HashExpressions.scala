@@ -209,6 +209,24 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** Normalized dyadic (α=½) weighted fold of a running-frame list:
+    * `(Σ xs[i]·2^i) / (2^n − 1)` — index i=0 is the OLDEST frame row,
+    * so the newest carries weight 2^(n−1). All-integer accumulation
+    * (shifts are exact; the caller bounds n ≤ 62), then one
+    * correctly-rounded IEEE division — bit-identical to the
+    * declarative `aggregate(transform(...))` twin and the oracle's
+    * rank-band self-join. */
+  def dyadicFold(xs: ArrayData): Double = {
+    val n = xs.numElements()
+    var num = 0L
+    var i = 0
+    while (i < n) {
+      num += xs.getLong(i) << i
+      i += 1
+    }
+    num.toDouble / ((1L << n) - 1L)
+  }
+
   /** One greedy left-to-right, non-overlapping BPE merge pass: every
     * adjacent (`w1`, `w2`) occurrence collapses to `merged`, and the
     * freshly merged symbol is what the NEXT comparison sees (so
@@ -524,6 +542,36 @@ case class BpeMergeFold(child: Expression, w1: String, w2: String)
     copy(child = newChild)
 }
 
+/** `graft_dyadic_fold(array<bigint>) -> double` — see
+  * [[HashUtil.dyadicFold]]. Replaces the interpreted
+  * `aggregate(transform(xs, (x,i) -> x·shiftleft(1,i)), 0, +)` HOF
+  * chain on the EWMA query path (the engine bans interpreted folds on
+  * query paths) with one codegen'd Java loop. NULL list → NULL; the
+  * caller bounds the frame at ≤ 62 elements (shift exactness). */
+case class DyadicFold(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dyadic_fold"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<bigint> input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashUtil.dyadicFold(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.dyadicFold($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DyadicFold =
+    copy(child = newChild)
+}
+
 /** `graft_dot(array<float|double>, array<float|double>) -> double` —
   * sequential left-fold dot product, bit-identical to the declarative
   * `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, _+_)` form and the DuckDB
@@ -703,4 +751,6 @@ object HashExpressions {
       GraftColumnBridge.expression(b)))
   def bpeMergeFoldNative(toks: Column, w1: String, w2: String): Column =
     GraftColumnBridge.column(BpeMergeFold(GraftColumnBridge.expression(toks), w1, w2))
+  def dyadicFoldNative(xs: Column): Column =
+    GraftColumnBridge.column(DyadicFold(GraftColumnBridge.expression(xs)))
 }

@@ -140,7 +140,24 @@ object EventAnalytics {
     * list is bounded at `frameRows` elements, so memory per row is O(1).
     */
   def dyadicEwma(events: DataFrame, key: String, ts: String, tie: String,
-                 valueCol: String, frameRows: Int = 8, scale: Int = 100): DataFrame = {
+                 valueCol: String, frameRows: Int = 8, scale: Int = 100): DataFrame =
+    dyadicEwmaWith(events, key, ts, tie, valueCol, frameRows, scale,
+      xs => graft.functions.HashExpressions.dyadicFoldNative(xs))
+
+  /** Declarative twin of the native fold — the readable spec,
+    * differential-tested against [[dyadicEwma]] (the engine keeps every
+    * replaced interpreted form alive as a test oracle). */
+  private[graft] def dyadicEwmaDeclarative(events: DataFrame, key: String,
+      ts: String, tie: String, valueCol: String,
+      frameRows: Int = 8, scale: Int = 100): DataFrame =
+    dyadicEwmaWith(events, key, ts, tie, valueCol, frameRows, scale, xs =>
+      expr("aggregate(transform(_xs, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
+        / (expr("shiftleft(CAST(1 AS BIGINT), size(_xs))") - lit(1L)))
+
+  private def dyadicEwmaWith(events: DataFrame, key: String, ts: String,
+      tie: String, valueCol: String, frameRows: Int, scale: Int,
+      fold: Column => Column): DataFrame = {
     require(frameRows >= 1 && frameRows <= 62, s"frameRows out of range: $frameRows")
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
       .rowsBetween(-(frameRows - 1), 0)
@@ -148,10 +165,7 @@ object EventAnalytics {
       .withColumn("_cv", floor(col(valueCol) * scale + lit(0.5)).cast("long"))
       .withColumn("_xs", collect_list(col("_cv")).over(w))
       .withColumn("ewma", graft.functions.GraftFunctions.r(
-        expr("aggregate(transform(_xs, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), " +
-          "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
-          / (expr("shiftleft(CAST(1 AS BIGINT), size(_xs))") - lit(1L))
-          / lit(scale.toDouble), 6))
+        fold(col("_xs")) / lit(scale.toDouble), 6))
       .drop("_cv", "_xs")
   }
 

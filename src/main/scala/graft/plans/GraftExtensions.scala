@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, Shingles}
+import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, DyadicFold, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, Shingles}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -103,7 +103,11 @@ object GraftExtensions {
         "graft_bpe_merge(tokens, w1, w2) - one greedy non-overlapping BPE merge pass of the adjacent pair (w1, w2)"),
       (exprs: Seq[Expression]) => BpeMergeFold(exprs.head,
         strLit(exprs(1), "graft_bpe_merge", "w1"),
-        strLit(exprs(2), "graft_bpe_merge", "w2"))))
+        strLit(exprs(2), "graft_bpe_merge", "w2"))),
+    (FunctionIdentifier("graft_dyadic_fold"),
+      info("graft_dyadic_fold",
+        "graft_dyadic_fold(xs) - normalized dyadic weighted fold (sum xs[i]*2^i) / (2^n - 1) of a bigint array"),
+      (exprs: Seq[Expression]) => DyadicFold(exprs.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -108,6 +108,20 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r(8) > 1.0) // row 9 still sees the spike at row 2
   }
 
+  test("dyadicEwma: native fold is bit-identical to the declarative twin on real data") {
+    val ev2 = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev2.withColumn("ts_us",
+      graft.functions.GraftFunctions.epochMicros(ev2.schema("ts").dataType, col("ts")))
+    def run(f: (org.apache.spark.sql.DataFrame, String, String, String, String) =>
+        org.apache.spark.sql.DataFrame) =
+      f(evUs, "user_id", "ts_us", "event_id", "value")
+        .orderBy("user_id", "ts_us", "event_id")
+        .select("event_id", "ewma").as[(Long, Double)].collect().toSeq
+    val native = run(EventAnalytics.dyadicEwma(_, _, _, _, _))
+    val decl = run(EventAnalytics.dyadicEwmaDeclarative(_, _, _, _, _))
+    assert(native === decl)   // exact ==, not a tolerance
+  }
+
   test("topPaths: within-session sequences, deterministic tie-break") {
     // gap 15: u1 one session v>c>p; u2 c@10 v@20 p@30 → c>v>p;
     // u3 ties at 10 ordered by event_id → v>c then p@30 separate session

@@ -4068,6 +4068,42 @@ object Queries {
         floor(sum((q - p) * ln(q / p)) * 1000000.0 + 0.5) / 1000000.0 AS psi
       FROM sm GROUP BY event_type ORDER BY event_type"""))
 
+  /** E+ market-basket: association rules over session event-type
+    * baskets ([[EventAnalytics.associationRules]]) — support,
+    * confidence, lift per ordered pair; one session-keyed self-join,
+    * then |types|²-bounded rule math. */
+  private val q143 = Q("q143_assoc_rules",
+    (s, d) => EventAnalytics.associationRules(
+      eventsUs(s, d), key = "user_id", ts = "ts_us", tie = "event_id",
+      typeCol = "event_type", gapUs = SessionGapUs),
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS delta FROM e),
+      ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
+      items AS (SELECT DISTINCT user_id, sid, event_type AS item FROM ss),
+      nb AS (SELECT count(*)::BIGINT AS n_baskets
+        FROM (SELECT DISTINCT user_id, sid FROM items)),
+      ic AS (SELECT item, count(*)::BIGINT AS n_item FROM items GROUP BY item),
+      p AS (SELECT x.item AS a, y.item AS b, count(*)::BIGINT AS n_ab
+        FROM items x JOIN items y
+          ON x.user_id = y.user_id AND x.sid = y.sid AND x.item < y.item
+        GROUP BY x.item, y.item),
+      dir AS (SELECT a, b, n_ab FROM p
+        UNION ALL SELECT b AS a, a AS b, n_ab FROM p)
+      SELECT d.a AS antecedent, d.b AS consequent, d.n_ab,
+        floor(d.n_ab * 1.0 / nb.n_baskets * 1000000.0 + 0.5) / 1000000.0 AS support,
+        floor(d.n_ab * 1.0 / ia.n_item * 1000000.0 + 0.5) / 1000000.0 AS confidence,
+        floor(d.n_ab * 1.0 / ia.n_item
+          / (ib.n_item * 1.0 / nb.n_baskets) * 1000000.0 + 0.5) / 1000000.0 AS lift
+      FROM dir d
+      JOIN ic ia ON d.a = ia.item
+      JOIN ic ib ON d.b = ib.item
+      CROSS JOIN nb
+      ORDER BY antecedent, consequent"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4080,7 +4116,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

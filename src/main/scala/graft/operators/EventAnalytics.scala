@@ -225,6 +225,49 @@ object EventAnalytics {
         .as("z_score"))
   }
 
+  /** Session-basket association rules over event types: for every
+    * ordered type pair (A → B), the co-occurrence support, confidence
+    * P(B ∈ basket | A ∈ basket), and lift (confidence over B's base
+    * rate) — market-basket mining with the session as the basket.
+    *
+    * Baskets are distinct (key, session, type) triples; unordered pair
+    * counting is ONE equality self-join on the session key (a < b cut,
+    * each unordered pair counted once, emitted in both directions for
+    * the two confidences). All rule math runs on the |types|²-bounded
+    * pair table joined against the |types|-sized item counts and the
+    * 1-row basket total (broadcast) — after the per-session distinct,
+    * nothing event-scale moves again. */
+  def associationRules(events: DataFrame, key: String, ts: String, tie: String,
+                       typeCol: String, gapUs: Long): DataFrame = {
+    val items = Sessionize.withSessions(events, Seq(col(key)), col(ts), gapUs,
+        tieBreak = Seq(col(tie)))
+      .select(col(key), col("session_id"), col(typeCol).as("item"))
+      .distinct()
+    val nBaskets = items.select(col(key), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col(s"x.$key") === col(s"y.$key") &&
+          col("x.session_id") === col("y.session_id") &&
+          col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val directed = pairs.select(col("a"), col("b"), col("n_ab"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    import graft.functions.GraftFunctions.r
+    directed
+      .join(itemCounts.select(col("item").as("a"), col("n_item").as("n_a")), "a")
+      .join(itemCounts.select(col("item").as("b"), col("n_item").as("n_b")), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a").as("antecedent"), col("b").as("consequent"), col("n_ab"),
+        r(col("n_ab") * 1.0 / col("n_baskets"), 6).as("support"),
+        r(col("n_ab") * 1.0 / col("n_a"), 6).as("confidence"),
+        r(col("n_ab") * 1.0 / col("n_a")
+          / (col("n_b") * 1.0 / col("n_baskets")), 6).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   /** Population-stability-index drift score per group: how far each
     * group's value distribution sits from the whole population's, over
     * `bins` equal-width bins on [lo, hi) (outliers clamp into the edge

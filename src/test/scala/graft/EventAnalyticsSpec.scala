@@ -203,6 +203,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(psi("B") - 0.220749) < 1e-6)
   }
 
+  test("associationRules: hand-computed support/confidence/lift") {
+    // gap 50. Baskets: u1s0={v,c}, u1s1={v}, u2s0={v,c,p}  → N=3
+    // n(v)=3, n(c)=2, n(p)=1, n(v,c)=2, n(c,p)=1, n(v,p)=1
+    val e = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 20L, "click"),
+      (1L, 3L, 200L, "view"),
+      (2L, 4L, 10L, "view"), (2L, 5L, 20L, "click"), (2L, 6L, 30L, "purchase"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val r = EventAnalytics.associationRules(e, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 50L)
+      .as[(String, String, Long, Double, Double, Double)].collect().toSeq
+    def row(a: String, b: String) = r.find(x => x._1 == a && x._2 == b).get
+    // click→view: conf 2/2=1, lift 1/(3/3)=1
+    assert(row("click", "view") === (("click", "view", 2L, 0.666667, 1.0, 1.0)))
+    // view→click: conf 2/3, lift (2/3)/(2/3)=1
+    assert(row("view", "click")._5 === 0.666667)
+    assert(row("view", "click")._6 === 1.0)
+    // purchase→click: conf 1/1=1, lift 1/(2/3)=1.5
+    assert(row("purchase", "click") === (("purchase", "click", 1L, 0.333333, 1.0, 1.5)))
+    assert(r.size === 6)   // 3 unordered pairs, both directions
+  }
+
   test("lastTouchAttribution: at-or-before credit, (none) bucket") {
     val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts_us",
         "event_type", conversionType = "purchase", valueCol = "value", tie = "event_id")

@@ -4104,6 +4104,91 @@ object Queries {
       CROSS JOIN nb
       ORDER BY antecedent, consequent"""))
 
+  /** E+ entry-channel analysis: sessions grouped by their FIRST event
+    * type — session count, purchase-conversion share, and revenue per
+    * entry channel. The "first event per session" cut is the
+    * `row_number() = 1` filter, which the TopKRewrite plans as the
+    * bounded-heap operator (no Window, no per-session sort); the
+    * per-session rollup reuses the same session partitioning. */
+  private val q144 = Q("q144_entry_channel",
+    (s, d) => {
+      val sess = graft.operators.Sessionize.withSessions(
+        eventsUs(s, d), Seq(col("user_id")), col("ts_us"), SessionGapUs,
+        tieBreak = Seq(col("event_id")))
+      val w = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val entry = sess.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("user_id"), col("session_id"), col("event_type").as("entry"))
+      val rollup = sess.groupBy(col("user_id"), col("session_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0))).as("revenue"))
+      entry.join(rollup, Seq("user_id", "session_id"))
+        .groupBy(col("entry"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"),
+          r(sum(col("converted")) * 1.0 / count(lit(1)), 6).as("conversion"),
+          r(sum(col("revenue")), 2).as("revenue"))
+        .orderBy(col("entry"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+        epoch_us(ts) AS ts_us FROM events),
+      dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
+          ORDER BY ts_us, event_id) AS delta FROM e),
+      ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
+      entry AS (SELECT user_id, sid, event_type AS entry FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, sid
+            ORDER BY ts_us, event_id) AS rn FROM ss) WHERE rn = 1),
+      ru AS (SELECT user_id, sid,
+          CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+          sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS revenue
+        FROM ss GROUP BY user_id, sid)
+      SELECT entry.entry,
+        count(*) AS n_sessions,
+        CAST(sum(ru.converted) AS BIGINT) AS n_converted,
+        floor(sum(ru.converted) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS conversion,
+        floor(sum(ru.revenue) * 100.0 + 0.5) / 100.0 AS revenue
+      FROM entry JOIN ru ON entry.user_id = ru.user_id AND entry.sid = ru.sid
+      GROUP BY entry.entry ORDER BY entry.entry"""))
+
+  /** D+ concentration: Herfindahl–Hirschman index of revenue across
+    * users and of tokens across sources — the "how concentrated is
+    * this corpus/revenue" number as PURE aggregation (Σ share² needs
+    * no global sort, unlike Gini — the scale-safe concentration
+    * metric). Shares divide by the 1-row broadcast total. */
+  private val q145 = Q("q145_hhi_concentration",
+    (s, d) => {
+      val rev = eventsUs(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(sum(col("value")).as("x"))
+      val toks = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(graft.functions.GraftFunctions.tokens(col("text"))).cast("long"))
+          .as("x"))
+      def hhi(df: DataFrame, metric: String): DataFrame = {
+        val total = df.agg(sum(col("x")).as("t"))
+        df.crossJoin(broadcast(total))
+          .select((col("x") * 1.0 / col("t")).as("sh"))
+          .agg(count(lit(1)).as("n"), r(sum(col("sh") * col("sh")), 6).as("hhi"))
+          .select(lit(metric).as("metric"), col("n"), col("hhi"))
+      }
+      hhi(rev, "revenue_by_user").unionByName(hhi(toks, "tokens_by_source"))
+        .orderBy(col("metric"))
+    },
+    Some("""WITH rev AS (SELECT user_id, sum(value) AS x FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id),
+      tk AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS x
+        FROM documents GROUP BY source),
+      h1 AS (SELECT 'revenue_by_user' AS metric, count(*) AS n,
+          floor(sum(sh * sh) * 1000000.0 + 0.5) / 1000000.0 AS hhi
+        FROM (SELECT x * 1.0 / (SELECT sum(x) FROM rev) AS sh FROM rev)),
+      h2 AS (SELECT 'tokens_by_source', count(*),
+          floor(sum(sh * sh) * 1000000.0 + 0.5) / 1000000.0
+        FROM (SELECT x * 1.0 / (SELECT sum(x) FROM tk) AS sh FROM tk))
+      SELECT * FROM h1 UNION ALL SELECT * FROM h2 ORDER BY metric"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4116,7 +4201,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

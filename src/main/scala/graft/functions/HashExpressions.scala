@@ -215,12 +215,17 @@ object HashUtil {
     * (shifts are exact; the caller bounds n ≤ 62), then one
     * correctly-rounded IEEE division — bit-identical to the
     * declarative `aggregate(transform(...))` twin and the oracle's
-    * rank-band self-join. */
-  def dyadicFold(xs: ArrayData): Double = {
+    * rank-band self-join.
+    * A NULL ELEMENT nulls the whole result (boxed return), exactly like
+    * the declarative fold — `x * shiftleft` nulls the term and `a + x`
+    * poisons the accumulator. Silently reading a null slot as 0 would
+    * be a wrong answer on the public SQL surface. */
+  def dyadicFold(xs: ArrayData): java.lang.Double = {
     val n = xs.numElements()
     var num = 0L
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i)) return null
       num += xs.getLong(i) << i
       i += 1
     }
@@ -550,6 +555,7 @@ case class BpeMergeFold(child: Expression, w1: String, w2: String)
   * caller bounds the frame at ≤ 62 elements (shift exactness). */
 case class DyadicFold(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true   // null list OR null element
   override def prettyName: String = "graft_dyadic_fold"
 
   override def checkInputDataTypes()
@@ -563,10 +569,17 @@ case class DyadicFold(child: Expression) extends UnaryExpression {
     }
 
   override protected def nullSafeEval(v: Any): Any =
-    HashUtil.dyadicFold(v.asInstanceOf[ArrayData])
+    HashUtil.dyadicFold(v.asInstanceOf[ArrayData])   // boxed; null on null elem
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.dyadicFold($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("dyadicBoxed")
+      s"""
+        java.lang.Double $boxed = graft.functions.HashUtil.dyadicFold($c);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): DyadicFold =
     copy(child = newChild)

@@ -286,25 +286,43 @@ object EventAnalytics {
     val width = (hi - lo) / bins
     val bin = least(greatest(floor((value - lo) / width), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")
-    val cells = events.groupBy(col(group), bin.as("bin"))
+    val cells = events.groupBy(col(group).as("entity"), bin.as("bin"))
       .agg(count(lit(1)).as("n"))
-    val globalBins = cells.groupBy(col("bin")).agg(sum(col("n")).as("gn"))
-    val grid = cells.select(col(group)).distinct()
-      .select(col(group), explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"))
-    val full = grid
-      .join(cells, Seq(group, "bin"), "left")
-      .join(globalBins, Seq("bin"), "left")
-      .select(col(group), col("bin"),
-        coalesce(col("n"), lit(0L)).as("n"), coalesce(col("gn"), lit(0L)).as("gn"))
-    val wg = Window.partitionBy(col(group))
-    val smoothed = full
-      .withColumn("_q", (col("n") + 0.5) / (sum(col("n")).over(wg) + 0.5 * bins))
-      .withColumn("_p", (col("gn") + 0.5) /
-        (sum(col("gn")).over(wg) + 0.5 * bins))
-    smoothed.groupBy(col(group))
-      .agg(graft.functions.GraftFunctions.r(
-        sum((col("_q") - col("_p")) * log(col("_q") / col("_p"))), 6).as("psi"))
+    val ref = cells.groupBy(col("bin")).agg(sum(col("n")).as("n_ref"))
+    val domain = events.sparkSession.range(bins.toLong).select(col("id").as("bin"))
+    psiOverCells(cells, ref, domain)
+      .select(col("entity").as(group),
+        graft.functions.GraftFunctions.r(col("psi"), 6).as("psi"))
       .orderBy(col(group))
+  }
+
+  /** The ONE copy of the smoothed PSI cell law, shared by
+    * [[psiDrift]] (group vs population) and the snapshot-chain drift
+    * ([[graft.streaming.StreamingCorpusStats.drift]], version vs
+    * version): complete each entity's cells over the full `domain`,
+    * smooth with add-½ against the shared bin count, and fold
+    * Σ (q−p)·ln(q/p) per entity. Inputs: `cells (entity, bin, n)`,
+    * `ref (bin, n_ref)`, `domain (bin)` — all already bounded; output
+    * `(entity, psi)` UNROUNDED (callers round). */
+  private[graft] def psiOverCells(cells: DataFrame, ref: DataFrame,
+                                  domain: DataFrame): DataFrame = {
+    val grid = cells.select(col("entity")).distinct().crossJoin(domain)
+    val qSide = grid.join(cells, Seq("entity", "bin"), "left")
+      .select(col("entity"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+    val refStats = ref.agg(sum(col("n_ref")).as("_rt"))
+      .crossJoin(domain.agg(count(lit(1)).as("_rb")))
+    val pTab = domain.join(ref, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+      .crossJoin(broadcast(refStats))
+      .select(col("bin"),
+        ((col("n_ref") + 0.5) / (col("_rt") + lit(0.5) * col("_rb"))).as("p"))
+    val wq = Window.partitionBy(col("entity"))
+    qSide
+      .withColumn("q", (col("n") + 0.5) /
+        (sum(col("n")).over(wq) + lit(0.5) * count(lit(1)).over(wq)))
+      .join(pTab, "bin")
+      .groupBy(col("entity"))
+      .agg(sum((col("q") - col("p")) * log(col("q") / col("p"))).as("psi"))
   }
 
   /** First-order Markov transition matrix over within-session event

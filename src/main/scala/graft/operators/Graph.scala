@@ -174,8 +174,9 @@ object Graph {
     * (a,b) pair — every join an equality hash join, never all-pairs.
     * Output is ONE row: `n_edges, n_wedges, n_triangles,
     * clustering_coeff`. */
-  def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val (u, deg, closed) = closedWedges(edges, src, dst)
+  def triangleStats(edges: DataFrame, src: Column, dst: Column,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
+    val (u, deg, closed) = closedWedges(edges, src, dst, reliableCheckpoint)
     val triangles = closed.agg(count(lit(1)).as("n_triangles"))
     val edgeCount = u.agg(count(lit(1)).as("n_edges"))
     val wedgeCount = deg
@@ -197,8 +198,9 @@ object Graph {
     * Only vertices with ≥ 2 neighbors (a defined coefficient) are
     * ranked; the cut is a TakeOrderedAndProject over the vertex-sized
     * coefficient table. */
-  def localClustering(edges: DataFrame, src: Column, dst: Column, k: Int): DataFrame = {
-    val (_, deg, closed) = closedWedges(edges, src, dst)
+  def localClustering(edges: DataFrame, src: Column, dst: Column, k: Int,
+                      reliableCheckpoint: Boolean = false): DataFrame = {
+    val (_, deg, closed) = closedWedges(edges, src, dst, reliableCheckpoint)
     val perVertex = closed
       .select(explode(array(col("v"), col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
@@ -231,16 +233,9 @@ object Graph {
     * ordering's span, 3-6 in practice); `maxRounds` fails LOUDLY
     * rather than returning a half-peeled "core". */
   def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
-            maxRounds: Int = 50): DataFrame = {
+            maxRounds: Int = 50, reliableCheckpoint: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    var u = OpUtils.barrier(edges
-      .select(least(src, dst).cast("long").as("a"),
-        greatest(src, dst).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct(), reliable = false)
+    var u = OpUtils.barrier(canonicalEdges(edges, src, dst), reliableCheckpoint)
     var nEdges = u.count()
     var round = 0
     var converged = nEdges == 0L
@@ -249,7 +244,7 @@ object Graph {
       val pruned = OpUtils.barrier(
         u.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .select(col("a"), col("b")), reliable = false)
+          .select(col("a"), col("b")), reliableCheckpoint)
       val n = pruned.count()
       converged = n == nEdges
       u = pruned; nEdges = n; round += 1
@@ -267,7 +262,8 @@ object Graph {
     * triangle with `v` the lowest-degree corner and `a < b` its other
     * two corners). Degree-ordered orientation bounds the wedge
     * self-join's per-key fan-out at O(√m) on any graph. */
-  private def closedWedges(edges: DataFrame, src: Column, dst: Column)
+  private def closedWedges(edges: DataFrame, src: Column, dst: Column,
+                           reliable: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
     // the canonical edge set feeds FOUR consumers (degrees, both sides
     // of the wedge self-join via the orientation, the closing semi-join,
@@ -275,14 +271,8 @@ object Graph {
     // distinct from the source (probed: a 237-operator plan collapses
     // to ExistingRDD leaves). Same for the oriented table (both wedge
     // sides) and the vertex-sized degree table (three consumers).
-    val u = OpUtils.barrier(edges
-      .select(least(src, dst).cast("long").as("a"),
-        greatest(src, dst).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct(), reliable = false)
-    val deg = OpUtils.barrier(
-      u.select(col("a").as("v")).unionAll(u.select(col("b").as("v")))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg")), reliable = false)
+    val u = OpUtils.barrier(canonicalEdges(edges, src, dst), reliable)
+    val deg = OpUtils.barrier(degrees(u), reliable)
     // orient by (deg, id): lo = the endpoint that sorts first
     val withDeg = u
       .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
@@ -292,7 +282,7 @@ object Graph {
         struct(col("a").as("lo"), col("b").as("hi")))
         .otherwise(struct(col("b").as("lo"), col("a").as("hi")))
         .as("e"))
-      .select(col("e.lo").as("lo"), col("e.hi").as("hi")), reliable = false)
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi")), reliable)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.lo") === col("e2.lo"))
       .filter(col("e1.hi") < col("e2.hi"))
@@ -301,4 +291,20 @@ object Graph {
     val closed = wedges.join(u, Seq("a", "b"), "left_semi")
     (u, deg, closed)
   }
+
+  /** Canonical undirected simple edges: (min, max) endpoint order,
+    * self-loops dropped, parallel edges collapsed — the ONE place the
+    * canonicalization invariants live (kCore and the compact-forward
+    * family share it). */
+  private def canonicalEdges(edges: DataFrame, src: Column, dst: Column): DataFrame =
+    edges
+      .select(least(src, dst).cast("long").as("a"),
+        greatest(src, dst).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** Undirected degree table of a canonical edge set. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.GraftFunctions.{polyHash, shingles, tokens}
-import graft.operators.Sketches
+import graft.operators.{EventAnalytics, Sketches}
 
 /** Incremental corpus statistics — the running per-source dashboard a
   * training-data ingest keeps current as documents stream in: document
@@ -110,6 +110,7 @@ object StreamingCorpusStats {
     * must never be scored. */
   def drift(spark: SparkSession, statsDir: String, fromV: Long, toV: Long,
             bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"drift needs >= 2 bins: $bins")
     val committed = committedVersions(spark, statsDir).toSet
     require(committed.contains(fromV) && committed.contains(toV),
       s"drift needs two COMMITTED versions; have ${committed.toSeq.sorted}, " +
@@ -117,53 +118,37 @@ object StreamingCorpusStats {
     val from = readVersion(spark, statsDir, fromV)
     val to = readVersion(spark, statsDir, toV)
 
-    // equal-count bin edges from the FROM sample (bins-1 interior cuts).
-    // The edge table is bounded (≤ bins-1 rows) — the count is sketch-
-    // sized driver metadata, and an EMPTY edge set would silently zero
-    // the cross-joined bin table, so it must refuse instead.
+    // equal-count bin edges from the FROM sample (≤ bins-1 interior
+    // cuts) — sketch-sized by construction, so they collect to driver
+    // LITERALS: the emptiness check is free (an empty edge set would
+    // silently zero the binning) and the bin assignment becomes a pure
+    // projection instead of a cross-join subplan.
     val ps = (1 until bins).map(_.toDouble / bins)
     val edges = Sketches.quantilesFromSample(from.qs, ps)
       .select(col("est")).filter(col("est").isNotNull)
-    require(edges.count() > 0,
+      .collect().map(_.getDouble(0)).toSeq
+    require(edges.nonEmpty,
       s"drift: version $fromV has an empty length sample — nothing to bin against")
     def binned(qs: DataFrame, ver: String): DataFrame = qs
-      .crossJoin(broadcast(edges))
-      .groupBy(col("h"), col("k_str"), col("v"))
-      .agg(sum(when(col("est") < col("v"), 1L).otherwise(0L)).as("bin"))
-      .select(lit(ver).as("ver"), col("bin"))
-    val lengthPsi = psiFromCells(
-      binned(from.qs, "from").unionByName(binned(to.qs, "to"))
-        .groupBy(col("ver"), col("bin")).agg(count(lit(1)).as("n")),
+      .select(lit(ver).as("entity"),
+        edges.map(e => when(lit(e) < col("v"), 1L).otherwise(0L))
+          .reduce(_ + _).as("bin"))
+      .groupBy(col("entity"), col("bin")).agg(count(lit(1)).as("n"))
+    val toCells = binned(to.qs, "to")
+    val lengthPsi = EventAnalytics.psiOverCells(
+      toCells,
+      ref = binned(from.qs, "from").select(col("bin"), col("n").as("n_ref")),
       domain = spark.range(bins.toLong).select(col("id").as("bin")))
 
-    val sharePsi = psiFromCells(
-      from.counts.select(lit("from").as("ver"), col("source").as("bin"), col("n_docs").as("n"))
-        .unionByName(to.counts.select(lit("to").as("ver"), col("source").as("bin"),
-          col("n_docs").as("n"))),
+    val sharePsi = EventAnalytics.psiOverCells(
+      to.counts.select(lit("to").as("entity"), col("source").as("bin"),
+        col("n_docs").as("n")),
+      ref = from.counts.select(col("source").as("bin"), col("n_docs").as("n_ref")),
       domain = from.counts.select(col("source").as("bin"))
         .unionByName(to.counts.select(col("source").as("bin"))).distinct())
 
     lengthPsi.select(lit("length_psi").as("metric"), col("psi"))
       .unionByName(sharePsi.select(lit("source_share_psi").as("metric"), col("psi")))
-  }
-
-  /** PSI of the "to" cell distribution vs "from" over a shared domain
-    * (missing cells are zero; add-½ smoothing keeps them finite). One
-    * row: `psi`. */
-  private def psiFromCells(cells: DataFrame, domain: DataFrame): DataFrame = {
-    val session = domain.sparkSession
-    import session.implicits._
-    val grid = domain.select(col("bin"))
-      .crossJoin(Seq("from", "to").toDF("ver"))
-    val full = grid.join(cells, Seq("ver", "bin"), "left")
-      .select(col("ver"), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ver"))
-    val sm = full.withColumn("_f",
-      (col("n") + 0.5) / (sum(col("n")).over(w) + lit(0.5) * count(lit(1)).over(w)))
-    sm.groupBy(col("bin"))
-      .agg(first(when(col("ver") === "from", col("_f")), ignoreNulls = true).as("p"),
-        first(when(col("ver") === "to", col("_f")), ignoreNulls = true).as("q"))
-      .agg(sum((col("q") - col("p")) * log(col("q") / col("p"))).as("psi"))
   }
 
   /** Per-batch summaries of a (source, text) document set — shared by

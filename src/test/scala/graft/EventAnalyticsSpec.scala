@@ -108,6 +108,17 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r(8) > 1.0) // row 9 still sees the spike at row 2
   }
 
+  test("graft_dyadic_fold: null element nulls the result, like the declarative fold") {
+    val r = spark.sql(
+      """SELECT graft_dyadic_fold(array(10L, CAST(NULL AS BIGINT))) AS bad,
+                graft_dyadic_fold(array(10L, 20L)) AS good,
+                graft_dyadic_fold(CAST(NULL AS ARRAY<BIGINT>)) AS nul""")
+      .as[(Option[Double], Double, Option[Double])].collect().head
+    assert(r._1.isEmpty)            // NOT (10+0·2)/3 — null poisons
+    assert(r._2 === 50.0 / 3.0)
+    assert(r._3.isEmpty)
+  }
+
   test("dyadicEwma: native fold is bit-identical to the declarative twin on real data") {
     val ev2 = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
     val evUs = ev2.withColumn("ts_us",

@@ -4189,6 +4189,51 @@ object Queries {
         FROM (SELECT x * 1.0 / (SELECT sum(x) FROM tk) AS sh FROM tk))
       SELECT * FROM h1 UNION ALL SELECT * FROM h2 ORDER BY metric"""))
 
+  /** E+ funnel trend: weekly conversion evolution — funnel completions
+    * grouped by the week of each user's FIRST step ([[EventAnalytics
+    * .funnelTimes]] reused; the trend rollup touches the per-user
+    * times table, never events again). The marketing-dashboard time
+    * series: is conversion improving cohort over cohort? */
+  private val q146 = Q("q146_funnel_weekly",
+    (s, d) => {
+      val steps = Seq("view", "click", "purchase")
+      val times = EventAnalytics.funnelTimes(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        typeCol = "event_type", steps = steps, tie = "event_id")
+      times.filter(col("t1").isNotNull)
+        .groupBy(longDiv(col("t1") - CohortEpoch0Us, WeekUs).as("week"))
+        .agg(count(lit(1)).as("u1"),
+          count(when(col("t2").isNotNull &&
+            col("t2") - col("t1") <= FunnelWindowUs, 1)).as("u2"),
+          count(when(col("t3").isNotNull &&
+            col("t3") - col("t1") <= FunnelWindowUs, 1)).as("u3"),
+          r(count(when(col("t3").isNotNull &&
+              col("t3") - col("t1") <= FunnelWindowUs, 1)) * 1.0
+            / count(lit(1)), 6).as("full_conversion"))
+        .orderBy(col("week"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      w1 AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN event_type = 'view' THEN ts_us END AS v1 FROM e),
+      w2 AS (SELECT *, CASE WHEN event_type = 'click'
+            AND min(v1) OVER w < ts_us THEN ts_us END AS v2
+        FROM w1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      w3 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND min(v2) OVER w < ts_us THEN ts_us END AS v3
+        FROM w2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      u AS (SELECT user_id, min(v1) AS t1, min(v2) AS t2, min(v3) AS t3
+        FROM w3 GROUP BY user_id)
+      SELECT (t1 - $CohortEpoch0Us) // $WeekUs AS week,
+        count(*) AS u1,
+        count(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= $FunnelWindowUs THEN 1 END) AS u2,
+        count(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs THEN 1 END) AS u3,
+        floor(count(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs THEN 1 END) * 1.0
+          / count(*) * 1000000.0 + 0.5) / 1000000.0 AS full_conversion
+      FROM u WHERE t1 IS NOT NULL GROUP BY week ORDER BY week"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4201,7 +4246,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -167,8 +167,14 @@ object EventStreams {
     * output — is proven in EventAnalyticsSpec on the real events table.
     *
     * Scale: state is k·8 bytes per user in the state store, partitioned
-    * by key; output is one row per user per batch (Update mode); the
-    * driver sees nothing. */
+    * by key; output is one row per ACTIVE user per batch (Update mode);
+    * the driver sees nothing. State grows with USER cardinality, not
+    * event volume — k longs per ever-seen user. Completion-eviction
+    * would be unsound (a re-created empty state would let later events
+    * restart the funnel and emit a worse completion than the true
+    * earliest one); lifecycles that need eviction should wrap the call
+    * with `GroupStateTimeout` and accept that a chain straddling the
+    * TTL is lost — the standard streaming state/completeness trade. */
   def statefulFunnel(events: Dataset[FunnelEvent], steps: Seq[String])
       : Dataset[UserFunnel] = {
     import events.sparkSession.implicits._

@@ -38,6 +38,18 @@ object Sinks {
       .orc(path)
   }
 
+  /** JSON-lines sink — the interchange/export format (one object per
+    * line, splittable, append-friendly). For data the ENGINE will
+    * re-read, prefer parquet: JSON re-parses every byte and prunes
+    * nothing. */
+  def writeJson(df: DataFrame, path: String,
+                partitionBy: Seq[String] = Nil,
+                mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .json(path)
+  }
+
   /** Size-targeted parquet sink — the small-files guard. A 100 TB
     * pipeline that writes through whatever partitioning the last
     * shuffle left behind produces either thousands of KB-sized files

@@ -207,6 +207,18 @@ object Tables {
           schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("header", "false").csv(path)
 
+  /** Schema'd JSON-lines scan — the interchange format crawl dumps and
+    * API exports actually arrive in. Schema DECLARED, never inferred:
+    * inference reads the whole dataset once before the query even
+    * plans (a full extra pass at 100 TB) and silently widens types on
+    * dirty rows. Column pruning still reaches the reader (Jackson
+    * parses only requested fields); predicate pushdown does not exist
+    * for JSON — convert to parquet (`Sinks.writeParquet`) for anything
+    * queried more than once. */
+  def json(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -79,6 +79,25 @@ class ExtensionsSinksSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/out/part=a").exists())
   }
 
+  test("sinks: JSON-lines round-trip with declared schema and column pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_").toString
+    val df = Seq((1L, "alpha beta", 1.5), (2L, "gamma", 2.5), (3L, null: String, 3.5))
+      .toDF("id", "text", "score")
+    Sinks.writeJson(df, s"$dir/out")
+    val back = graft.sources.Tables.json(spark, s"$dir/out", df.schema)
+    // values (incl. the null) and types survive the text encoding
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ===
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // names+types survive; JSON relaxes nullability (every field is
+    // optional in a text row), so compare the (name, type) signature
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    // column pruning reaches the JSON reader (ReadSchema is the
+    // projection, not the full declared schema)
+    val plan = back.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
   test("sinks: size-targeted parquet write fixes upstream partitioning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sized_").toString
     // badly partitioned upstream: 64 partitions for a small table would

@@ -4234,6 +4234,94 @@ object Queries {
           / count(*) * 1000000.0 + 0.5) / 1000000.0 AS full_conversion
       FROM u WHERE t1 IS NOT NULL GROUP BY week ORDER BY week"""))
 
+  /** E+ RFM segmentation ([[EventAnalytics.rfmSegments]]): 1-4 quartile
+    * scores per metric against a ONE-row broadcast threshold aggregate
+    * — never a global ntile window; thresholds and monetary go through
+    * the portable rounding on both sides so boundary users land
+    * identically. As-of instant: 2025-01-01 UTC (the corpus spans
+    * 2024). */
+  private val q147 = Q("q147_rfm_segments",
+    (s, d) => EventAnalytics.rfmSegments(
+      eventsUs(s, d), key = "user_id", ts = "ts_us", typeCol = "event_type",
+      conversionType = "purchase", valueCol = "value",
+      asOfUs = 1735689600000000L),
+    Some("""WITH conv AS (SELECT user_id,
+        1735689600000000 - CAST(max(epoch_us(ts)) AS BIGINT) AS recency,
+        count(*)::BIGINT AS frequency,
+        floor(sum(value) * 100.0 + 0.5) / 100.0 AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      qs AS (SELECT
+        quantile_cont(recency, 0.25) AS r25,
+        quantile_cont(recency, 0.50) AS r50,
+        quantile_cont(recency, 0.75) AS r75,
+        quantile_cont(frequency, 0.25) AS f25,
+        quantile_cont(frequency, 0.50) AS f50,
+        quantile_cont(frequency, 0.75) AS f75,
+        floor(quantile_cont(monetary, 0.25) * 1000000.0 + 0.5) / 1000000.0 AS m25,
+        floor(quantile_cont(monetary, 0.50) * 1000000.0 + 0.5) / 1000000.0 AS m50,
+        floor(quantile_cont(monetary, 0.75) * 1000000.0 + 0.5) / 1000000.0 AS m75
+      FROM conv),
+      seg AS (SELECT
+        (1 + CASE WHEN recency > r25 THEN 1 ELSE 0 END
+           + CASE WHEN recency > r50 THEN 1 ELSE 0 END
+           + CASE WHEN recency > r75 THEN 1 ELSE 0 END) || '-' ||
+        (1 + CASE WHEN frequency > f25 THEN 1 ELSE 0 END
+           + CASE WHEN frequency > f50 THEN 1 ELSE 0 END
+           + CASE WHEN frequency > f75 THEN 1 ELSE 0 END) || '-' ||
+        (1 + CASE WHEN monetary > m25 THEN 1 ELSE 0 END
+           + CASE WHEN monetary > m50 THEN 1 ELSE 0 END
+           + CASE WHEN monetary > m75 THEN 1 ELSE 0 END) AS segment
+      FROM conv CROSS JOIN qs)
+      SELECT segment, count(*) AS n_users FROM seg
+      GROUP BY segment ORDER BY segment"""))
+
+  /** E+ funnel × experiment: conversion funnel per A/B arm — the
+    * question experiment review actually asks. Reuses
+    * [[EventAnalytics.funnelTimes]] + the portable-hash bucketing of
+    * q133; the per-arm rollup touches the per-user times table only. */
+  private val q148 = Q("q148_funnel_by_variant",
+    (s, d) => {
+      val steps = Seq("view", "click", "purchase")
+      val times = EventAnalytics.funnelTimes(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        typeCol = "event_type", steps = steps, tie = "event_id")
+      times
+        .withColumn("variant", pmod(polyHash(col("user_id").cast("string")), lit(2L)))
+        .groupBy(col("variant"))
+        .agg(count(when(col("t1").isNotNull, 1)).as("u1"),
+          count(when(col("t2").isNotNull &&
+            col("t2") - col("t1") <= FunnelWindowUs, 1)).as("u2"),
+          count(when(col("t3").isNotNull &&
+            col("t3") - col("t1") <= FunnelWindowUs, 1)).as("u3"),
+          r(count(when(col("t3").isNotNull &&
+              col("t3") - col("t1") <= FunnelWindowUs, 1)) * 1.0
+            / nullif(count(when(col("t1").isNotNull, 1)), lit(0L)), 6)
+            .as("full_conversion"))
+        .orderBy(col("variant"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      w1 AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN event_type = 'view' THEN ts_us END AS v1 FROM e),
+      w2 AS (SELECT *, CASE WHEN event_type = 'click'
+            AND min(v1) OVER w < ts_us THEN ts_us END AS v2
+        FROM w1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      w3 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND min(v2) OVER w < ts_us THEN ts_us END AS v3
+        FROM w2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      u AS (SELECT user_id, min(v1) AS t1, min(v2) AS t2, min(v3) AS t3
+        FROM w3 GROUP BY user_id)
+      SELECT ${sqlPolyHash("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+        count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS u1,
+        count(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= $FunnelWindowUs THEN 1 END) AS u2,
+        count(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs THEN 1 END) AS u3,
+        floor(count(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs THEN 1 END) * 1.0
+          / nullif(count(CASE WHEN t1 IS NOT NULL THEN 1 END), 0)
+          * 1000000.0 + 0.5) / 1000000.0 AS full_conversion
+      FROM u GROUP BY variant ORDER BY variant"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4246,7 +4334,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

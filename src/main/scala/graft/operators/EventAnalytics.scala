@@ -225,6 +225,54 @@ object EventAnalytics {
         .as("z_score"))
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation: each
+    * key's three metrics score 1-4 against the population's exact
+    * quartiles, and the segment census is returned. The quartile
+    * thresholds are ONE 9-value aggregate broadcast back over the
+    * per-key metric table — never a global ntile window (the rank-
+    * everything shape SCALE.md bans); scoring is three comparisons per
+    * key. Thresholds and the monetary metric go through the portable
+    * rounding on BOTH the engine and oracle sides so boundary keys
+    * land identically. Recency is `asOfUs − last conversion` (smaller
+    * = more recent; scores count how many quartiles the value
+    * EXCEEDS, so 1 is "best" for R and "worst" for F/M — documented
+    * direction, not normalized). Only the monetary thresholds are
+    * rounded: recency lives at epoch scale where the portable rounding
+    * itself overflows (see the inline note). */
+  def rfmSegments(events: DataFrame, key: String, ts: String, typeCol: String,
+                  conversionType: String, valueCol: String,
+                  asOfUs: Long): DataFrame = {
+    import graft.functions.GraftFunctions.r
+    val conv = events.filter(col(typeCol) === conversionType)
+    val metrics = conv.groupBy(col(key))
+      .agg((lit(asOfUs) - max(col(ts))).as("recency"),
+        count(lit(1)).as("frequency"),
+        r(sum(col(valueCol)), 2).as("monetary"))
+    // rounding is per-metric: monetary thresholds smooth per-user
+    // double-sum ulp noise (r6 at magnitude ~1e3 is safe), but recency
+    // sits at epoch scale, where r6's floor(x*1e6) OVERFLOWS Spark's
+    // long-returning floor (2.9e13*1e6 > Long.MaxValue — measured as
+    // every user scoring R=4); recency/frequency interpolate from
+    // exact longs, so their raw thresholds are already deterministic
+    val qCols = Seq("recency", "frequency", "monetary").flatMap { m =>
+      Seq(25, 50, 75).map { p =>
+        val q = expr(s"percentile($m, 0.$p)")
+        (if (m == "monetary") r(q, 6) else q).as(s"_${m}_q$p")
+      }
+    }
+    val qs = metrics.agg(qCols.head, qCols.tail: _*)
+    def score(m: String): Column =
+      lit(1) + when(col(m) > col(s"_${m}_q25"), 1).otherwise(0) +
+        when(col(m) > col(s"_${m}_q50"), 1).otherwise(0) +
+        when(col(m) > col(s"_${m}_q75"), 1).otherwise(0)
+    metrics.crossJoin(broadcast(qs))
+      .select(concat(score("recency").cast("string"), lit("-"),
+        score("frequency").cast("string"), lit("-"),
+        score("monetary").cast("string")).as("segment"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("segment"))
+  }
+
   /** Session-basket association rules over event types: for every
     * ordered type pair (A → B), the co-occurrence support, confidence
     * P(B ∈ basket | A ∈ basket), and lift (confidence over B's base

@@ -4322,6 +4322,71 @@ object Queries {
           * 1000000.0 + 0.5) / 1000000.0 AS full_conversion
       FROM u GROUP BY variant ORDER BY variant"""))
 
+  /** E+ cohort LTV curve: cumulative revenue per signup-week cohort
+    * over week offsets — the "when does a cohort pay back" series.
+    * Revenue cells aggregate once from events; the cumulative sum runs
+    * over the O(weeks²) cohort×offset cell table (window partitioned
+    * by cohort — bounded, never events). */
+  private val q149 = Q("q149_cohort_ltv",
+    (s, d) => {
+      val ev = eventsUs(s, d)
+      val week = longDiv(col("ts_us") - CohortEpoch0Us, WeekUs)
+      val first = ev.groupBy(col("user_id")).agg(min(week).as("cohort_week"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), week.as("week"), col("value"))
+        .join(first, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(sum(col("value")).as("rev"))
+      val wc = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cum_revenue", r(sum(col("rev")).over(wc), 2))
+        .select(col("cohort_week"), col("week_offset"),
+          r(col("rev"), 2).as("revenue"), col("cum_revenue"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_type, value,
+        (epoch_us(ts) - $CohortEpoch0Us) // $WeekUs AS wk FROM events),
+      f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+      cells AS (SELECT f.cohort_week, e.wk - f.cohort_week AS week_offset,
+          sum(e.value) AS rev
+        FROM e JOIN f USING (user_id) WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT cohort_week, week_offset,
+        floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
+        floor(sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+          ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
+      FROM cells ORDER BY cohort_week, week_offset"""))
+
+  /** E+ churn: per week, the users active then but NOT the next week,
+    * and the churn rate — one left-anti self-join of the deduplicated
+    * (user, week) pair table against its week+1 shift. */
+  private val q150 = Q("q150_weekly_churn",
+    (s, d) => {
+      val week = longDiv(col("ts_us") - CohortEpoch0Us, WeekUs)
+      val pairs = eventsUs(s, d).select(col("user_id"), week.as("week")).distinct()
+      val next = pairs.select(col("user_id"), (col("week") - 1).as("week"))
+      val churned = pairs.join(next, Seq("user_id", "week"), "left_anti")
+        .groupBy(col("week")).agg(count(lit(1)).as("churned"))
+      val active = pairs.groupBy(col("week")).agg(count(lit(1)).as("active"))
+      active.join(churned, Seq("week"), "left")
+        .select(col("week"), col("active"),
+          coalesce(col("churned"), lit(0L)).as("churned"),
+          r(coalesce(col("churned"), lit(0L)) * 1.0 / col("active"), 6)
+            .as("churn_rate"))
+        .orderBy(col("week"))
+    },
+    Some(s"""WITH p AS (SELECT DISTINCT user_id,
+        (epoch_us(ts) - $CohortEpoch0Us) // $WeekUs AS wk FROM events),
+      ch AS (SELECT a.wk, count(*)::BIGINT AS churned FROM p a
+        LEFT JOIN p b ON a.user_id = b.user_id AND b.wk = a.wk + 1
+        WHERE b.user_id IS NULL GROUP BY a.wk),
+      ac AS (SELECT wk, count(*)::BIGINT AS active FROM p GROUP BY wk)
+      SELECT ac.wk AS week, ac.active,
+        CAST(coalesce(ch.churned, 0) AS BIGINT) AS churned,
+        floor(coalesce(ch.churned, 0) * 1.0 / ac.active * 1000000.0 + 0.5)
+          / 1000000.0 AS churn_rate
+      FROM ac LEFT JOIN ch ON ac.wk = ch.wk ORDER BY week"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4334,7 +4399,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -236,6 +236,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.size === 6)   // 3 unordered pairs, both directions
   }
 
+  test("rfmSegments: epoch-scale recency scores correctly (the overflow trap)") {
+    // 4 users, distinct recency order (u4 most recent), distinct f/m —
+    // quartiles of 4 values put exactly one user per score
+    val asOf = 1735689600000000L
+    val e = (1L to 4L).flatMap { u =>
+      (1L to u).map(i => (u, asOf - u * 86400000000L + i, "purchase", u * 100.0))
+    }.toDF("user_id", "ts_us", "event_type", "value")
+    val r = graft.operators.EventAnalytics.rfmSegments(
+        e, "user_id", "ts_us", "event_type", "purchase", "value", asOf)
+      .as[(String, Long)].collect().toMap
+    // u1: most stale (r=1d? no: recency = u days → u4 stalest... u1
+    // recency 1 day = LOWEST → R 1; F = u purchases; M = u·100·u...
+    // u1: R1 F1 M1; u2: R2 F2 M2; u3: R3 F3 M3; u4: R4 F4 M4
+    assert(r === Map("1-1-1" -> 1L, "2-2-2" -> 1L, "3-3-3" -> 1L, "4-4-4" -> 1L))
+    // the critical property the q147 bug violated: R scores SPREAD —
+    // an overflowed threshold sends every user to R=4
+    assert(r.keySet.map(_.take(1)) === Set("1", "2", "3", "4"))
+  }
+
   test("lastTouchAttribution: at-or-before credit, (none) bucket") {
     val a = EventAnalytics.lastTouchAttribution(ev, "user_id", "ts_us",
         "event_type", conversionType = "purchase", valueCol = "value", tie = "event_id")

@@ -4387,6 +4387,52 @@ object Queries {
           / 1000000.0 AS churn_rate
       FROM ac LEFT JOIN ch ON ac.wk = ch.wk ORDER BY week"""))
 
+  /** D+ sketches: PER-GROUP quantile sketch (q126's global sample run
+    * inside every event_type at once — [[graft.operators.Sketches
+    * .groupQuantileSketch]]): the per-group cut rides the TopKRewrite
+    * (bounded heap, k rows of state per group), estimates are
+    * nearest-rank over ≤ k values, and the exact-rank gate
+    * |frac(est) − p| ≤ 0.12 (k=128 ⇒ DKW ≈ 0.12 at 95%) is
+    * oracle-pinned TRUE per (group, p). */
+  private val q151 = Q("q151_group_quantile_sketch",
+    (s, d) => {
+      val ev = eventsUs(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .localCheckpoint(false)
+      val est = graft.operators.Sketches.groupQuantileSketch(
+        ev, group = col("event_type"), key = col("event_id"),
+        value = col("value"), k = 128, seed = "q151",
+        ps = Seq(0.25, 0.5, 0.9))
+      ev.join(broadcast(est), ev("event_type") === est("grp"))
+        .groupBy(col("grp"), col("p"), col("est"))
+        .agg(r(count(when(col("value") <= col("est"), 1)) * 1.0
+          / count(lit(1)), 6).as("exact_frac"))
+        .withColumn("within_bound", abs(col("exact_frac") - col("p")) <= 0.12)
+        .orderBy(col("grp"), col("p"))
+    },
+    Some(s"""WITH e AS (SELECT event_type, CAST(event_id AS VARCHAR) AS k_str,
+        value::DOUBLE AS v,
+        ${sqlPolyHash("'q151' || CAST(event_id AS VARCHAR)")} AS h
+      FROM events),
+      smp AS (SELECT event_type, v FROM (SELECT *, row_number() OVER (
+          PARTITION BY event_type ORDER BY h, k_str, v) AS rn FROM e)
+        WHERE rn <= 128),
+      lists AS (SELECT event_type, list_sort(list(v)) AS vs,
+          count(*)::BIGINT AS n FROM smp GROUP BY event_type),
+      ps(p) AS (VALUES (0.25), (0.5), (0.9)),
+      est AS (SELECT event_type, p,
+          vs[CAST(greatest(ceil(p * n), 1) AS INT)] AS est FROM lists, ps),
+      tot AS (SELECT event_type, count(*)::BIGINT AS n_all
+        FROM e GROUP BY event_type),
+      fr AS (SELECT est.event_type AS grp, est.p, est.est,
+          floor((SELECT count(*) FROM e
+              WHERE e.event_type = est.event_type AND e.v <= est.est)
+            * 1.0 / tot.n_all * 1000000.0 + 0.5) / 1000000.0 AS exact_frac
+        FROM est JOIN tot ON est.event_type = tot.event_type)
+      SELECT grp, p, est, exact_frac,
+        abs(exact_frac - p) <= 0.12 AS within_bound
+      FROM fr ORDER BY grp, p"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -4399,7 +4445,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -184,6 +184,39 @@ object Sketches {
       .orderBy(col("p"))
   }
 
+  /** Per-GROUP quantile sketch: [[bottomKSample]]'s uniform draw run
+    * inside every group at once, plus nearest-rank estimates. The
+    * per-group cut is written as the `row_number() <= k` pattern over
+    * the total (hash, key, value) order, so the TopKRewrite plans it as
+    * the bounded-heap operator — per-group state is k rows however
+    * large the group, the shuffle carries survivors only, and the
+    * sample is deterministic across engines and layouts (the hash
+    * decides membership; ties break on key then value). Returns one
+    * row per (group, p): `grp, p, est` — NULL est for an empty group
+    * never happens (groups come from their own rows). */
+  def groupQuantileSketch(df: DataFrame, group: Column, key: Column,
+                          value: Column, k: Int, seed: String,
+                          ps: Seq[Double]): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile fractions must be in (0, 1]: $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"), col("k_str"), col("v"))
+    val sampled = df
+      .select(group.as("grp"),
+        polyHash(concat(lit(seed), key.cast("string"))).as("h"),
+        key.cast("string").as("k_str"), value.cast("double").as("v"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+    sampled.groupBy(col("grp"))
+      .agg(array_sort(collect_list(col("v"))).as("_vs"),
+        count(lit(1)).as("_n"))
+      .select(col("grp"), explode(array(ps.map(lit): _*)).as("p"),
+        col("_vs"), col("_n"))
+      .select(col("grp"), col("p"), element_at(col("_vs"),
+        greatest(ceil(col("p") * col("_n")), lit(1L)).cast("int")).as("est"))
+  }
+
   /** KMV distinct-count estimate from a [[bottomK]] list: the classic
     * (k−1)·M / h_(k) estimator (Bar-Yossef et al. 2002) — if the k-th
     * smallest of D uniform draws over [0, M) lands at h_(k), the draw

@@ -159,6 +159,23 @@ class SketchesSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("2^53")))
   }
 
+  test("groupQuantileSketch: sub-k groups are exact; cut rides the TopK rewrite") {
+    val rows = (1 to 10).map(i => ("a", i.toLong, i.toDouble)) ++
+      Seq(("b", 100L, 5.0), ("b", 101L, 15.0))
+    val df = rows.toDF("grp", "id", "v")
+    val est = Sketches.groupQuantileSketch(df, col("grp"), col("id"), col("v"),
+      k = 64, seed = "t", ps = Seq(0.5, 1.0))
+    val got = est.as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // groups smaller than k: the sample IS the group → exact nearest-rank
+    assert(got(("a", 0.5)) === 5.0 && got(("a", 1.0)) === 10.0)
+    assert(got(("b", 0.5)) === 5.0 && got(("b", 1.0)) === 15.0)
+    // the row_number()<=k cut must plan as the bounded-heap operator
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("Window"), s"rewrite must remove the Window:\n$plan")
+  }
+
   test("kmvDistinct: sub-k groups are exact; full sketches estimate within theory") {
     val small = Seq(("s", Seq(10L, 20L, 30L)))
     val k = 64

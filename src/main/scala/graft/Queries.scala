@@ -1372,7 +1372,7 @@ object Queries {
       .orderBy(col("doc_id"), col("chunk_idx")),
     Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       starts AS (SELECT doc_id, t,
-          unnest(range(0, CASE WHEN len(t) = 0 THEN 1 ELSE ((len(t) - 1) // 40) + 1 END)) AS chunk_idx
+          unnest(range(0, CASE WHEN len(t) <= 50 THEN 1 ELSE ((len(t) - 50 + 39) // 40) + 1 END)) AS chunk_idx
         FROM tk),
       ch AS (SELECT doc_id, chunk_idx,
           t[chunk_idx*40 + 1 : chunk_idx*40 + 50] AS ct
@@ -1401,7 +1401,7 @@ object Queries {
     },
     Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       starts AS (SELECT doc_id, t,
-          unnest(range(0, CASE WHEN len(t) = 0 THEN 1 ELSE ((len(t) - 1) // 40) + 1 END)) AS chunk_idx
+          unnest(range(0, CASE WHEN len(t) <= 50 THEN 1 ELSE ((len(t) - 50 + 39) // 40) + 1 END)) AS chunk_idx
         FROM tk),
       ch AS (SELECT doc_id, chunk_idx,
           len(t[chunk_idx*40 + 1 : chunk_idx*40 + 50]) AS n
@@ -2207,8 +2207,8 @@ object Queries {
         key = col("doc_id"), weight = col("n_chars"), k = 50, seed = "w6")
       .orderBy(col("es_key"), col("doc_id")),
     Some(s"""SELECT doc_id, lang, n_chars,
-        floor(-ln(((${sqlPolyHash("'w6' || CAST(doc_id AS VARCHAR) || '#graft-sample'")}) % 10000 + 0.5) / 10000.0)
-          / n_chars * 1000000 + 0.5) / 1000000.0 AS es_key
+        floor((ln(-ln((${sqlPolyHash("'w6' || CAST(doc_id AS VARCHAR) || '#graft-sample'")} + 0.5) / 1000000007.0))
+          - ln(n_chars)) * 1000000000 + 0.5) / 1000000000.0 AS es_key
       FROM documents ORDER BY es_key, doc_id LIMIT 50"""))
 
   /** H4/D+: robust per-language length-outlier gate
@@ -2449,8 +2449,8 @@ object Queries {
     Some(s"""$pageRankOracleCte
       SELECT p.id AS doc_id,
         floor(p.rank * 100000000 + 0.5) / 100000000.0 AS rank,
-        floor(-ln(((${sqlPolyHash("'pr6' || CAST(p.id AS VARCHAR) || '#graft-sample'")}) % 10000 + 0.5) / 10000.0)
-          / p.rank * 1000000 + 0.5) / 1000000.0 AS es_key
+        floor((ln(-ln((${sqlPolyHash("'pr6' || CAST(p.id AS VARCHAR) || '#graft-sample'")} + 0.5) / 1000000007.0))
+          - ln(p.rank)) * 1000000000 + 0.5) / 1000000000.0 AS es_key
       FROM pr3 p ORDER BY es_key, doc_id LIMIT 50"""))
 
   /** H+ graph: personalized PageRank

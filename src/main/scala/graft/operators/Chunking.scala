@@ -23,9 +23,13 @@ object Chunking {
   /** Split each document into token-window chunks of `chunkTokens`
     * tokens advancing by `chunkTokens − overlap` (overlapping context
     * windows, the standard pretraining shape). The trailing partial
-    * chunk is kept; a start index at or past the token count yields
-    * nothing. Adds (chunk_idx, chunk_text, chunk_tokens); one output
-    * row per chunk. */
+    * chunk is kept; the walk stops at the FIRST chunk that reaches the
+    * document's end — a further start would be a strict suffix of the
+    * previous chunk (pure tail duplication: with overlap o, the naive
+    * "any start below the token count" bound re-emits up to o trailing
+    * tokens as bogus extra chunks). Last useful start index:
+    * ceil((n − chunkTokens) / step), clamped at 0. Adds (chunk_idx,
+    * chunk_text, chunk_tokens); one output row per chunk. */
   def chunk(df: DataFrame, text: Column, chunkTokens: Int,
             overlap: Int = 0): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
@@ -36,7 +40,8 @@ object Chunking {
     df.withColumn("_toks", toks)
       .withColumn("chunk_idx",
         explode(sequence(lit(0),
-          greatest(longDiv(size(col("_toks")) - 1, step.toLong), lit(0L)).cast("int"))))
+          greatest(longDiv(size(col("_toks")) - chunkTokens + (step - 1),
+            step.toLong), lit(0L)).cast("int"))))
       .withColumn("chunk_toks",
         slice(col("_toks"), col("chunk_idx") * step + 1, lit(chunkTokens)))
       .filter(size(col("chunk_toks")) > 0)

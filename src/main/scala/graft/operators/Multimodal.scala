@@ -128,12 +128,16 @@ object Multimodal {
     * container has no codec for): derives a deterministic 8-dim
     * "feature" from the raw bytes so the pipeline shape stays total. */
   private[operators] def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    if (bytes.isEmpty) Array.fill(8)(0.0f)
-    else
-      Array.tabulate(8) { i =>
-        val slice = bytes.iterator.drop(i).sliding(1, 8).flatten
-        (slice.map(b => (b & 0xff).toInt).sum % 997).toFloat / 997.0f
-      }
+    // one pass, LONG accumulators: an Int sum overflows past ~134 MB of
+    // payload (25M sampled bytes x ~127) and Scala's % keeps the sign —
+    // negative "features" outside the [0,1] contract. Long holds ~7 PB.
+    val sums = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % 8) += (bytes(i) & 0xff).toLong
+      i += 1
+    }
+    Array.tabulate(8)(d => (sums(d) % 997L).toFloat / 997.0f)
   }
 
   /** Frame sampling over a binary payload: treat the payload as a
@@ -224,6 +228,10 @@ object Multimodal {
              idCol: String = "doc_id"): DataFrame = {
     require(targetW > 0 && targetH > 0,
       s"target dims must be positive: ${targetW}x$targetH")
+    require(targetW.toLong * targetH <= Int.MaxValue,
+      s"target pixel count overflows Int: ${targetW}x$targetH — " +
+        "the stub would allocate a negative-sized array and the image " +
+        "path a multi-gigapixel buffer")
     val outLen = targetW * targetH
     val input = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
     implicit val enc = RowEncoder.encoderFor(ResizedSchema)

@@ -28,8 +28,25 @@ object Sampling {
     * oracles. */
   val Salt = "#graft-sample"
 
+  // NULL-key contract (all samplers): a NULL key hashes to NULL, so
+  // hashSample/stratifiedHashSample DROP the row (even at fraction 1.0)
+  // while withSplit/seededSplit route it to the LAST split (every
+  // `when` falls through). Both are deterministic but asymmetric —
+  // pre-filter or coalesce null keys before sampling.
+
   private def bucket(key: Column): Column =
     pmod(polyHash(concat(key.cast("string"), lit(Salt))), lit(Denom))
+
+  /** The family's ONE seeded mixing expression (seed PREPENDED — see
+    * [[seededSplit]]'s rationale — salt suffixed): every seeded
+    * sampler derives from this raw ~10⁹-domain hash, so a change to
+    * the mixing scheme lands in one place and cannot silently fork
+    * the oracle semantics. */
+  private def seededHash(seed: String, key: Column): Column =
+    polyHash(concat(lit(seed), key.cast("string"), lit(Salt)))
+
+  private def seededBucket(seed: String, key: Column): Column =
+    pmod(seededHash(seed, key), lit(Denom))
 
   /** Keep each row iff hash(key) mod [[Denom]] < fraction·[[Denom]] —
     * a reproducible Bernoulli-style sample keyed on a stable id. */
@@ -79,8 +96,7 @@ object Sampling {
     // suffix seed would only shift buckets by a few positions (two
     // seeds differing in the last char land every row ±1 bucket —
     // near-identical splits). Salt stays a suffix for short-key mixing.
-    val b = pmod(polyHash(concat(lit(seed), key.cast("string"), lit(Salt))),
-      lit(Denom))
+    val b = seededBucket(seed, key)
     val uppers = weights.scanLeft(0.0)(_ + _._2).tail
       .map(f => math.round(f * Denom))
     val assigned = weights.init.zip(uppers.init)
@@ -103,24 +119,33 @@ object Sampling {
     * Plan shape: a pure per-row projection followed by a global
     * sort-limit → `TakeOrderedAndProject` (bounded per-partition
     * heaps; the driver merges k·partitions rows, never sorts the
-    * corpus). u = (bucket+½)/[[Denom]] keeps u strictly inside (0,1),
-    * so ln never sees 0 or 1. The key is rounded before ranking so
-    * last-ulp ln differences between engines cannot flip the cut;
-    * `key` breaks remaining ties. */
+    * corpus). u = (hash+½)/M draws from the RAW portable-hash domain
+    * (M ≈ 10⁹ levels, strictly inside (0,1) so ln never sees 0 or 1)
+    * — NOT the mod-[[Denom]] bucket: 10⁴ u-levels would make the cut
+    * fall inside huge rank-key tie groups at corpus scale, and the
+    * key tie-break would bias selection toward low ids (the same
+    * at-scale failure [[stratumSample]] documents). The key is
+    * ranked in LOG space, `ln(−ln u) − ln w` (a strictly monotone
+    * transform of −ln(u)/w, so the selected set is identical): the
+    * raw ratio spans 10+ orders of magnitude and any fixed-decimal
+    * rounding collapses exactly the smallest keys — the winners — into
+    * tie groups, while in log space the key lives in a tight O(±50)
+    * band where 9-decimal rounding both absorbs last-ulp ln noise
+    * between engines (~1e-15 absolute) and keeps the hash's full
+    * entropy; `key` breaks remaining ties. */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
                      seed: String, keyCol: String = "es_key",
-                     roundTo: Int = 6): DataFrame = {
+                     roundTo: Int = 9): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val b = pmod(polyHash(concat(lit(seed), key.cast("string"), lit(Salt))),
-      lit(Denom))
-    val u = (b.cast("double") + 0.5) / Denom.toDouble
+    val h = seededHash(seed, key)
+    val u = (h.cast("double") + 0.5) / graft.functions.GraftFunctions.HashMod.toDouble
     // weights must be strictly positive, enforced IN-PLAN and loudly:
     // -log(u)/0.0 is NULL under non-ANSI division and NULLs sort
     // FIRST ascending — a zero-weight row would silently take rank 1
     // of every sample, inverting the P ∝ w contract.
     val w = weight.cast("double")
     df.withColumn(keyCol,
-        when(w > 0.0, r(-log(u) / w, roundTo))
+        when(w > 0.0, r(log(-log(u)) - log(w), roundTo))
           .otherwise(raise_error(concat(
             lit("Sampling.weightedSample: weight must be strictly positive, got "),
             w.cast("string"), lit(" for key "), key.cast("string")))))
@@ -155,7 +180,7 @@ object Sampling {
     // the within-shard order is total, so positions are deterministic.
     val w = Window.partitionBy(col(shardCol)).orderBy(col("_h"), key)
     df.withColumn("_h",
-        polyHash(concat(lit(epochSeed), key.cast("string"), lit(Salt))))
+        seededHash(epochSeed, key))
       .withColumn(shardCol, pmod(col("_h"), lit(numShards.toLong)))
       .withColumn(posCol, row_number().over(w).cast("long"))
       .drop("_h")
@@ -248,6 +273,17 @@ object Sampling {
                        idA: String, idB: String, seed: String,
                        weights: Seq[(String, Double)],
                        splitCol: String = "split"): DataFrame = {
+    // connectedComponents casts ids to long; a non-numeric string id
+    // becomes NULL there, the representative join then never matches,
+    // and the "leakage-safe" split silently degrades to a plain per-id
+    // split — near-dup twins straddling train/test, the exact
+    // contamination this function exists to prevent. Refuse loudly.
+    Seq(pairs.schema(idA).dataType, pairs.schema(idB).dataType).foreach { dt =>
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"leakageSafeSplit: pair ids must be numeric (castable to long), " +
+          s"got ${dt.simpleString} — a non-numeric id nulls out in the " +
+          "component join and the split silently stops being leakage-safe")
+    }
     val comp = Dedup.connectedComponents(pairs, idA, idB)
       .select(col("id").as("_leak_id"), col("cluster_id").as("_leak_rep"))
     val withRep = df.join(comp, key === col("_leak_id"), "left")
@@ -280,7 +316,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, s"n must be positive: $n")
     val w = Window.partitionBy(stratum)
-      .orderBy(polyHash(concat(lit(seed), key.cast("string"), lit(Salt))), key)
+      .orderBy(seededHash(seed, key), key)
     df.withColumn(rankCol, row_number().over(w).cast("long"))
       .filter(col(rankCol) <= n)
   }

@@ -102,7 +102,6 @@ object Tables {
     // catalog names and filesystem paths never diverge by case
     val tbl = (s"${name}_${key}_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
       .toLowerCase(java.util.Locale.ROOT)
-    if (spark.catalog.tableExists(tbl)) return tbl
     val log = org.apache.log4j.Logger.getLogger(getClass)
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val finalPath = new org.apache.hadoop.fs.Path(warehouse, tbl)
@@ -114,8 +113,12 @@ object Tables {
     // adopted build would silently serve old rows. The fingerprint is
     // written beside _SUCCESS (underscore-prefixed → invisible to
     // readers) and must match for a leftover to count as complete.
+    // Listed through the SOURCE path's own filesystem — a source on a
+    // different scheme (s3a:// vs a local warehouse) would make the
+    // warehouse FS throw "Wrong FS".
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-    val srcFp = fs.listStatus(srcPath).filter(_.isFile)
+    val srcFp = srcPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(srcPath).filter(_.isFile)
       .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString("\n")
     val fpFile = "_GRAFT_SRC_FINGERPRINT"
@@ -132,6 +135,19 @@ object Tables {
             "— rebuilding")
           ok
         }
+    }
+
+    // an existing catalog entry is only trusted while the source
+    // fingerprint still matches — the early "tableExists → return"
+    // shortcut silently served STALE rows after an in-place testdata
+    // regeneration (the exact failure the fingerprint exists to catch),
+    // both within a session and across JVMs via the persistent metastore
+    if (spark.catalog.tableExists(tbl)) {
+      if (isComplete) return tbl
+      log.warn(s"graft.Tables.bucketed: catalog entry $tbl points at a " +
+        "build whose source fingerprint no longer matches — dropping " +
+        "and rebuilding from the regenerated source")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
     if (!isComplete) {

@@ -23,6 +23,21 @@ class ChunkingSpec extends SparkSpec {
     assert(chunks(2)._3.split(" ").last === "w100")
   }
 
+  test("chunk: the walk stops once a chunk reaches the end — no suffix duplicates") {
+    // 10 tokens at 4/overlap 2 (step 2): starts 0,2,4,6 — the start-8
+    // chunk [w9 w10] would be a strict suffix of [w7..w10] (the naive
+    // (n-1)/step bound emitted it, double-counting the tail)
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Chunking.chunk(df, col("text"), chunkTokens = 4, overlap = 2)
+      .select("chunk_idx", "chunk_text").as[(Long, String)].collect().sortBy(_._1)
+    assert(chunks.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(chunks.last._2 === "w7 w8 w9 w10")
+    // every token still covered exactly (union of chunks = the doc)
+    assert(chunks.flatMap(_._2.split(" ")).distinct.sorted.toSeq ===
+      words.sorted)
+  }
+
   test("chunk: shorter than one chunk → single partial chunk") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     val chunks = Chunking.chunk(df, col("text"), chunkTokens = 50, overlap = 10)

@@ -53,20 +53,32 @@ object BloomJoin {
     // would stop filtering. Surface that instead of hiding it.
     val confMax = df.sparkSession.conf
       .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    // the aggregate ALSO Math.min's estimatedNumItems against
+    // ...bloomFilter.maxNumItems (default 4M) and sizes its hash-
+    // function count k = bits/items·ln2 from the CAPPED value: passing
+    // 10^8 raw items would make it pick ~20× too many hash functions,
+    // saturate the filter, and the true fpp approaches 1.0 with no
+    // sign — clamp OURSELVES and account for it in the warning.
+    val confMaxItems = df.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val items = math.min(expectedItems, confMaxItems)
     val numBits = math.min(wanted, confMax)
-    if (wanted > confMax) {
-      val effFpp = math.exp(-(numBits.toDouble / expectedItems)
-        * math.log(2.0) * math.log(2.0))
+    if (wanted > confMax || expectedItems > confMaxItems) {
+      // k is sized from `items`; with n=expectedItems real insertions
+      // the standard fpp estimate is (1 − e^(−k·n/m))^k
+      val kHash = math.max(1, math.round(numBits.toDouble / items * math.log(2.0)))
+      val effFpp = math.pow(
+        1.0 - math.exp(-kHash.toDouble * expectedItems / numBits), kHash.toDouble)
       org.apache.log4j.Logger.getLogger(getClass).warn(
         f"BloomJoin: requested $wanted bits for $expectedItems keys at fpp=$fpp, " +
-          f"but spark.sql.optimizer.runtime.bloomFilter.maxNumBits caps the " +
-          f"aggregate at $confMax bits — effective fpp ≈ $effFpp%.3f. " +
-          "Raise the conf (or accept the weaker prefilter; correctness is " +
+          f"but the bloomFilter confs cap the aggregate at $confMax bits / " +
+          f"$confMaxItems items — effective fpp ≈ $effFpp%.3f. " +
+          "Raise the confs (or accept the weaker prefilter; correctness is " +
           "unaffected — the exact join erases false positives).")
     }
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(expression(key))),
-      Literal(expectedItems), Literal(numBits), 0, 0)
+      Literal(items), Literal(numBits), 0, 0)
     val row = df.select(column(agg.toAggregateExpression())).head()
     if (row.isNullAt(0)) null else row.getAs[Array[Byte]](0)
   }

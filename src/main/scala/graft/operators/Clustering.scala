@@ -69,13 +69,17 @@ object Clustering {
 
     // quantize once; integral doubles make every downstream sum exact.
     // x·x is per-row constant across iterations — compute it behind the
-    // same barrier.
+    // same barrier. `dim` is ENFORCED in-plan: a ragged vector would
+    // silently fold to its short length in the min-length dot product
+    // and corrupt the assignment with no error.
     val xq = OpUtils.materialize(
       df.select(
         id.as("_id"),
         transform(vec, x =>
           floor(x.cast("double") * lit(scale.toDouble) + lit(0.5)).cast("double"))
           .as("_xq"))
+        .filter(coalesce(assert_true(size(col("_xq")) === dim,
+          lit(s"Clustering.kMeans: vector length must equal dim=$dim")), lit(true)))
         .withColumn("_xx", dotProduct(col("_xq"), col("_xq"))))
       .localCheckpoint(false) // consumed once per iteration + final pass
 

@@ -27,6 +27,20 @@ object Dedup {
 
   import OpUtils.{derived, materialize}
 
+  /** Pair-id type guard shared by the component algorithms: the long
+    * cast silently NULLs non-numeric ids, the label join then matches
+    * nothing, and the caller would conclude "zero duplicate clusters"
+    * and keep every near-dup. */
+  private[operators] def requireNumericIds(pairs: DataFrame, idA: String,
+                                           idB: String, op: String): Unit =
+    Seq(idA, idB).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"Dedup.$op: pair ids must be numeric (castable to long), " +
+          s"column $c is ${dt.simpleString} — non-numeric ids null out " +
+          "in the label join and the result is silently empty")
+    }
+
   /** H1 exact dedup: md5 content hash; `rn` = 1 marks the keeper (the
     * lowest id per hash group), `is_dup` the rest. One shuffle on the
     * content hash — at 100 TB this is the only way exact dedup can run
@@ -35,7 +49,11 @@ object Dedup {
     val w = Window.partitionBy(col("content_hash")).orderBy(id)
     df.withColumn("content_hash", md5(text))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("is_dup", col("rn") > 1)
+      // NULL content means "unknown", not "identical": without the
+      // guard every null-text row lands in ONE hash partition and all
+      // but one are flagged — a dirty corpus would silently lose every
+      // failed-extraction row to the standard !is_dup filter
+      .withColumn("is_dup", col("content_hash").isNotNull && col("rn") > 1)
   }
 
   /** Corpus snapshot diff: classify every id across two dataset
@@ -53,13 +71,18 @@ object Dedup {
     * never the payloads. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
                    content: Column): DataFrame = {
-    val o = oldDf.select(id.as("id"), md5(content).as("_h_old"))
-    val n = newDf.select(id.as("id"), md5(content).as("_h_new"))
+    // presence is a FLAG, never hash nullness: a row with NULL content
+    // has a NULL digest, and conflating the two misclassifies it as
+    // added (even when it exists in both versions, or only in the OLD
+    // one — which would re-ingest a deleted row). The digests compare
+    // null-safely so NULL-content rows still diff correctly.
+    val o = oldDf.select(id.as("id"), md5(content).as("_h_old"), lit(1).as("_in_old"))
+    val n = newDf.select(id.as("id"), md5(content).as("_h_new"), lit(1).as("_in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("_h_old").isNull, "added")
-          .when(col("_h_new").isNull, "removed")
-          .when(col("_h_old") =!= col("_h_new"), "changed")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(!(col("_h_old") <=> col("_h_new")), "changed")
           .otherwise("unchanged"))
       .select(col("id"), col("status"))
   }
@@ -353,6 +376,7 @@ object Dedup {
     * own trivial clusters and are not emitted. */
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
                           maxRounds: Int = 50): DataFrame = {
+    requireNumericIds(pairs, idA, idB, "connectedComponents")
     val edges = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
     val und = edges
@@ -405,6 +429,7 @@ object Dedup {
     * [[connectedComponents]]. */
   def connectedComponentsStar(pairs: DataFrame, idA: String, idB: String,
                               maxRounds: Int = 50): DataFrame = {
+    requireNumericIds(pairs, idA, idB, "connectedComponentsStar")
     val verts = pairs
       .select(col(idA).cast("long").as("id"))
       .union(pairs.select(col(idB).cast("long").as("id")))

@@ -38,14 +38,29 @@ object RangeJoin {
 
   /** Explode `df` to one row per bin its [lo, hi] interval overlaps;
     * `strict` drops empty half-open intervals (lo >= hi). */
+  /** Per-interval replication cap: an interval spanning more bins than
+    * this fails LOUDLY (named error, actionable fix) instead of dying
+    * deep in a task on sequence()'s array limit — or silently
+    * monopolizing the job — when one corrupt interval spans 10⁹ bins.
+    * The guardBlocks policy of the dedup family, applied here. */
+  val MaxBinsPerInterval: Long = 1000000L
+
   private def binRange(df: DataFrame, lo: Column, hi: Column,
                        loName: String, hiName: String, strict: Boolean,
-                       binWidth: Double): DataFrame = df
-    .withColumn(loName, lo).withColumn(hiName, hi)
-    .filter(if (strict) col(loName) < col(hiName) else col(loName) <= col(hiName))
-    .withColumn("__rj_bin", explode(sequence(
-      floor(col(loName) / binWidth).cast("long"),
-      floor(col(hiName) / binWidth).cast("long"))))
+                       binWidth: Double): DataFrame = {
+    val b0 = floor(col(loName) / binWidth).cast("long")
+    val b1 = floor(col(hiName) / binWidth).cast("long")
+    df
+      .withColumn(loName, lo).withColumn(hiName, hi)
+      .filter(if (strict) col(loName) < col(hiName) else col(loName) <= col(hiName))
+      .filter(coalesce(assert_true(b1 - b0 < MaxBinsPerInterval, concat(
+        lit(s"RangeJoin: an interval spans >= $MaxBinsPerInterval bins ([" ),
+        col(loName), lit(", "), col(hiName),
+        lit(s"] at binWidth=$binWidth) — corrupt bound or binWidth far " +
+          "too small; widen the bins or pre-filter the interval"))),
+        lit(true)))
+      .withColumn("__rj_bin", explode(sequence(b0, b1)))
+  }
 
   /** Join `points` to the `intervals` whose [lo, hi) contains `p`.
     * Returns all columns of both sides. `lo`/`hi`/`p` are doubles;

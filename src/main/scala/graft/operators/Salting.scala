@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions.longDiv
-
 /** Skew mitigation by key salting (`SURVEY.md` §7.4 "salting for
   * skew"): a two-phase aggregation that splits each hot key across
   * `saltBuckets` sub-keys, partially aggregates per (key, salt), then

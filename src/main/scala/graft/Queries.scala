@@ -3921,7 +3921,8 @@ object Queries {
       wau AS (SELECT day, count(*)::BIGINT AS wau FROM w GROUP BY day)
       SELECT dau.day, dau.dau, wau.wau,
         floor(dau.dau * 1.0 / wau.wau * 1000000.0 + 0.5) / 1000000.0 AS stickiness
-      FROM dau JOIN wau USING (day) ORDER BY day"""))
+      FROM dau JOIN wau USING (day) ORDER BY day"""),
+    bench = true)
 
   /** G+ unpivot/melt: the wide→long inverse of q29's pivot
     * (`Dataset.unpivot`, Spark's melt — an Expand node, no shuffle
@@ -4102,7 +4103,8 @@ object Queries {
       JOIN ic ia ON d.a = ia.item
       JOIN ic ib ON d.b = ib.item
       CROSS JOIN nb
-      ORDER BY antecedent, consequent"""))
+      ORDER BY antecedent, consequent"""),
+    bench = true)
 
   /** E+ entry-channel analysis: sessions grouped by their FIRST event
     * type — session count, purchase-conversion share, and revenue per
@@ -4273,7 +4275,8 @@ object Queries {
            + CASE WHEN monetary > m75 THEN 1 ELSE 0 END) AS segment
       FROM conv CROSS JOIN qs)
       SELECT segment, count(*) AS n_users FROM seg
-      GROUP BY segment ORDER BY segment"""))
+      GROUP BY segment ORDER BY segment"""),
+    bench = true)
 
   /** E+ funnel × experiment: conversion funnel per A/B arm — the
     * question experiment review actually asks. Reuses

@@ -222,6 +222,14 @@ object HashUtil {
     * be a wrong answer on the public SQL surface. */
   def dyadicFold(xs: ArrayData): java.lang.Double = {
     val n = xs.numElements()
+    // n ≤ 62 keeps both the 2^i term shifts and the (2^n − 1)
+    // denominator inside a positive long; at 63 the denominator goes
+    // negative and at 64 the shift wraps mod 64 — the SQL-registered
+    // graft_dyadic_fold reaches here without the Scala-side frameRows
+    // require, so the guard must live in the fold itself.
+    if (n > 62) throw new IllegalArgumentException(
+      s"graft_dyadic_fold: array has $n elements; the exact dyadic fold " +
+        "supports at most 62 (2^n - 1 must fit a positive 64-bit long)")
     var num = 0L
     var i = 0
     while (i < n) {

@@ -138,6 +138,12 @@ object EventAnalytics {
     *
     * One shuffle + one sort (running frame window); the per-row frame
     * list is bounded at `frameRows` elements, so memory per row is O(1).
+    *
+    * Exactness envelope: bit-exactness requires the long numerator
+    * Σ xᵢ·2ⁱ not to overflow, i.e. |value·scale| ≤ Long.MaxValue >>
+    * frameRows (≈ 3.6e16 at the default frameRows=8). This is asserted
+    * in-plan per row — a breach raises a descriptive error rather than
+    * silently returning a wrapped (sign-flipped) EWMA.
     */
   def dyadicEwma(events: DataFrame, key: String, ts: String, tie: String,
                  valueCol: String, frameRows: Int = 8, scale: Int = 100): DataFrame =
@@ -159,10 +165,27 @@ object EventAnalytics {
       tie: String, valueCol: String, frameRows: Int, scale: Int,
       fold: Column => Column): DataFrame = {
     require(frameRows >= 1 && frameRows <= 62, s"frameRows out of range: $frameRows")
+    // Exactness envelope: the numerator Σ xᵢ·2ⁱ is pure long math and
+    // overflows SILENTLY (the declarative twin overflows identically,
+    // so the differential test cannot catch it) well below frameRows=62
+    // once |scaled value| is large — e.g. cent-scaled ~1e4 values wrap
+    // around frameRows≈50. |x| ≤ Long.MaxValue >> frameRows guarantees
+    // Σ|x|·2ⁱ ≤ |x|·(2^n−1) < Long.MaxValue, so the guard is asserted
+    // IN-PLAN on every scaled value; breach raises instead of returning
+    // a sign-flipped EWMA. NULL values keep their pass-through-to-NULL
+    // semantics (the fold nulls the whole frame).
+    val cvLim = java.lang.Long.MAX_VALUE >> frameRows
+    val cvRaw = floor(col(valueCol) * scale + lit(0.5)).cast("long")
+    val cv = when(cvRaw.isNull || abs(cvRaw) <= cvLim, cvRaw)
+      .otherwise(raise_error(concat(
+        lit(s"dyadicEwma: |value·$scale| exceeds $cvLim (Long.MaxValue >> " +
+          s"$frameRows); the exact 2^i-weighted numerator would overflow " +
+          "silently - lower scale or frameRows. value="),
+        col(valueCol).cast("string"))).cast("long"))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
       .rowsBetween(-(frameRows - 1), 0)
     events
-      .withColumn("_cv", floor(col(valueCol) * scale + lit(0.5)).cast("long"))
+      .withColumn("_cv", cv)
       .withColumn("_xs", collect_list(col("_cv")).over(w))
       .withColumn("ewma", graft.functions.GraftFunctions.r(
         fold(col("_xs")) / lit(scale.toDouble), 6))
@@ -334,7 +357,14 @@ object EventAnalytics {
     val width = (hi - lo) / bins
     val bin = least(greatest(floor((value - lo) / width), lit(0.0)),
       lit((bins - 1).toDouble)).cast("long")
-    val cells = events.groupBy(col(group).as("entity"), bin.as("bin"))
+    // Rows with a NULL value have no bin. Left in, they would form a
+    // NULL-bin cell whose mass lands in ref's total (deflating every
+    // per-bin p) while never contributing to any p or q numerator —
+    // and the SQL oracle excludes that mass entirely. Drop them before
+    // binning so engine and oracle agree on dirty data: PSI is a
+    // statistic over the OBSERVED value distribution.
+    val cells = events.filter(value.isNotNull)
+      .groupBy(col(group).as("entity"), bin.as("bin"))
       .agg(count(lit(1)).as("n"))
     val ref = cells.groupBy(col("bin")).agg(sum(col("n")).as("n_ref"))
     val domain = events.sparkSession.range(bins.toLong).select(col("id").as("bin"))

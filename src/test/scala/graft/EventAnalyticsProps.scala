@@ -74,4 +74,99 @@ object EventAnalyticsProps extends Properties("EventAnalytics") {
       (got == want: Prop) &&
         (got.values.forall { case (dau, wau) => wau >= dau }: Prop)
     }
+
+  // ------------------------------------------------------------------ //
+  // PSI and the Markov transition matrix — brute-force symmetry for    //
+  // the two members of the family that previously had only oracle +    //
+  // unit coverage.                                                     //
+  // ------------------------------------------------------------------ //
+
+  private val Bins = 5
+  private val psiGen = for {
+    n <- Gen.choose(1, 80)
+    groups <- Gen.choose(1, 4)    // groups == 1 pins the identity law
+    evs <- Gen.listOfN(n, for {
+      g <- Gen.choose(1, groups)
+      v <- Gen.frequency(
+        9 -> Gen.choose(-2.0, 12.0).map(Option(_)),  // includes out-of-range → clamped bins
+        1 -> Gen.const(Option.empty[Double]))        // NULL: excluded from the statistic
+    } yield (s"g$g", v))
+  } yield (groups, evs)
+
+  property("psiDrift equals brute force; PSI >= 0; single group => exactly 0") =
+    Prop.forAll(psiGen) { case (groups, evs) =>
+      import spark.implicits._
+      val got = EventAnalytics.psiDrift(
+          evs.toDF("grp", "v"), "grp", org.apache.spark.sql.functions.col("v"),
+          lo = 0.0, hi = 10.0, bins = Bins)
+        .as[(String, Double)].collect().toMap
+
+      // brute force, same add-1/2 smoothing, NULL values excluded
+      val defined = evs.collect { case (g, Some(v)) => (g, v) }
+      val width = 10.0 / Bins
+      def binOf(v: Double): Int =
+        math.min(math.max(math.floor((v - 0.0) / width), 0.0), (Bins - 1).toDouble).toInt
+      val cells = defined.groupBy { case (g, v) => (g, binOf(v)) }
+        .view.mapValues(_.size.toLong).toMap
+      val rt = defined.size.toDouble
+      def p(b: Int): Double =
+        (cells.collect { case ((_, bb), n) if bb == b => n }.sum + 0.5) / (rt + 0.5 * Bins)
+      val want = defined.map(_._1).distinct.map { g =>
+        val qt = defined.count(_._1 == g).toDouble
+        val psi = (0 until Bins).map { b =>
+          val q = (cells.getOrElse((g, b), 0L) + 0.5) / (qt + 0.5 * Bins)
+          (q - p(b)) * math.log(q / p(b))
+        }.sum
+        g -> math.floor(psi * 1e6 + 0.5) / 1e6
+      }.toMap
+
+      val eq = got.keySet == want.keySet &&
+        want.forall { case (g, w) => math.abs(got(g) - w) <= 2e-6 }
+      val nonNeg = got.values.forall(_ >= 0.0)
+      val identity = groups > 1 || defined.isEmpty || got.values.forall(_ == 0.0)
+      (eq: Prop) && (nonNeg: Prop) && (identity: Prop)
+    }
+
+  private val Gap = 50L
+  private val markovGen = for {
+    n <- Gen.choose(2, 80)
+    keys <- Gen.choose(1, 4)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, keys.toLong)
+      ts <- Gen.choose(0L, 400L)
+      t <- Gen.oneOf("a", "b", "c")
+    } yield (k, ts, t))
+  } yield evs.zipWithIndex.map { case ((k, ts, t), i) => (k, ts, i.toLong, t) }
+
+  property("transitionMatrix equals brute force; rows are stochastic (sum p = 1)") =
+    Prop.forAll(markovGen) { evs =>
+      import spark.implicits._
+      val got = EventAnalytics.transitionMatrix(
+          evs.toDF("user_id", "ts_us", "event_id", "event_type"),
+          key = "user_id", ts = "ts_us", tie = "event_id",
+          typeCol = "event_type", gapUs = Gap)
+        .select("prev_type", "next_type", "n", "p")
+        .as[(String, String, Long, Double)].collect()
+
+      // brute force: per key order by (ts, tie), session split on
+      // delta > gap, count in-session adjacent (prev -> next) pairs
+      val pairs = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        sorted.zip(sorted.drop(1)).collect {
+          case (a, b) if b._2 - a._2 <= Gap => (a._4, b._4)
+        }
+      }
+      val wantN = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val outTotals = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+
+      val gotN = got.map(r => (r._1, r._2) -> r._3).toMap
+      val countsEq = gotN == wantN
+      val pEq = got.forall { case (a, b, n, pv) =>
+        math.abs(pv - math.floor(n * 1.0 / outTotals(a) * 1e6 + 0.5) / 1e6) <= 1e-12
+      }
+      val stochastic = got.groupBy(_._1).forall { case (_, rows) =>
+        math.abs(rows.map(_._4).sum - 1.0) <= rows.size * 5e-7 + 1e-9
+      }
+      (countsEq: Prop) && (pEq: Prop) && (stochastic: Prop)
+    }
 }

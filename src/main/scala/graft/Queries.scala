@@ -1966,6 +1966,48 @@ object Queries {
     },
     None)
 
+  /** F+/H4: the ORACLE-CHECKED feature table behind q118's quality
+    * classifier. q118's LBFGS training is rows-only forever, but its
+    * INPUT — per-document label + the fastText-style unigram+bigram
+    * token stream ([[graft.ml.Models.withClassifierTokens]]) — is pure
+    * expression work, so this query pins it cross-engine: token counts
+    * plus a portable 31-poly hash of the exact joined token stream.
+    * Shrinks the unverified surface of q118 to training internals. */
+  private val q152 = Q("q152_clf_feature_table",
+    (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val prepared = graft.ml.Models.withClassifierTokens(
+        docs.withColumn("label", (col("lang") === lit("en")).cast("double")),
+        col("text"))
+      val nUni = size(coalesce(graft.functions.GraftFunctions.tokens(col("text")),
+        array().cast("array<string>"))).cast("long")
+      val joined = array_join(col("clf_toks"), " ")
+      prepared.select(col("doc_id"), col("label"),
+          nUni.as("n_unigrams"),
+          (size(col("clf_toks")).cast("long") - nUni).as("n_bigrams"),
+          when(joined === "", 0L)
+            .otherwise(graft.functions.GraftFunctions.polyHash(joined))
+            .as("clf_hash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        (lang = 'en')::INT::DOUBLE AS label,
+        string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+      b AS (SELECT doc_id, label, toks,
+        CASE WHEN len(toks) >= 2
+          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          ELSE []::VARCHAR[] END AS bigrams FROM t),
+      j AS (SELECT doc_id, label,
+        CAST(len(toks) AS BIGINT) AS n_unigrams,
+        CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        array_to_string(list_concat(toks, bigrams), ' ') AS clf FROM b)
+      SELECT doc_id, label, n_unigrams, n_bigrams,
+        CASE WHEN clf = '' THEN 0::BIGINT
+          ELSE list_reduce(list_prepend(0::BIGINT,
+            list_transform(string_split(clf, ''), c -> unicode(c)::BIGINT)),
+            (h, c) -> (h * 31 + c) % 1000000007) END AS clf_hash
+      FROM j ORDER BY doc_id"""))
+
   private val q82 = Q("q82_ml_cross_validation",
     (s, d) => {
       import s.implicits._
@@ -4448,7 +4490,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

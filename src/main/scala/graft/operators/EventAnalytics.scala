@@ -112,9 +112,17 @@ object EventAnalytics {
     // longs is banned by the engine's portability rules (class doc,
     // Queries.scala)
     val week = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, weekUs)
-    val first = events.groupBy(col(key))
-      .agg(min(week).as("cohort_week"))
-    val active = events.select(col(key), week.as("week")).distinct()
+    retentionFromPairs(events.select(col(key), week.as("week")).distinct(), key)
+  }
+
+  /** The retention law over an already-DEDUPED `(key, week)` activity
+    * pair table — the shared core of [[retentionCohorts]] and the
+    * incremental twin ([[graft.streaming.StreamingEngagement]], whose
+    * persisted state IS this pair table). Cohort = each key's min
+    * week; the rest is as documented on [[retentionCohorts]]. */
+  private[graft] def retentionFromPairs(active: DataFrame, key: String): DataFrame = {
+    val first = active.groupBy(col(key))
+      .agg(min(col("week")).as("cohort_week"))
     val cells = active.join(first, key)
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(count_distinct(col(key)).as("users"))
@@ -439,9 +447,17 @@ object EventAnalytics {
     * the trailing window still sees activity from prior days. */
   def activeUsers(events: DataFrame, key: String, ts: String,
                   epoch0Us: Long, dayUs: Long, windowDays: Int = 7): DataFrame = {
-    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
     val day = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, dayUs)
-    val pairs = events.select(col(key), day.as("day")).distinct()
+    activeUsersFromPairs(
+      events.select(col(key), day.as("day")).distinct(), key, windowDays)
+  }
+
+  /** The DAU/WAU law over an already-DEDUPED `(key, day)` activity pair
+    * table — the shared core of [[activeUsers]] and the incremental
+    * twin ([[graft.streaming.StreamingEngagement]]). */
+  private[graft] def activeUsersFromPairs(pairs: DataFrame, key: String,
+                                          windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
     val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = pairs
       .select(col(key), explode(sequence(col("day"),

@@ -178,4 +178,27 @@ class GraphSpec extends SparkSpec {
     // The graph is non-regular in IN-degree, so ranks must spread.
     assert(pr.map(_._3).distinct.length > 1)
   }
+
+  test("reliable barriers: kCore under df.checkpoint matches localCheckpoint; " +
+      "missing checkpoint dir fails loudly") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L), (3L, 4L))
+    def core(reliable: Boolean) =
+      Graph.kCore(edges.toDF("s", "t"), col("s"), col("t"), k = 2,
+          reliableCheckpoint = reliable)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+
+    // the long-lived-cluster mode requires an explicit fault-tolerant
+    // checkpoint dir — running without one must fail, not silently
+    // degrade to executor-local blocks
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] { core(reliable = true) }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    assert(core(reliable = true) === core(reliable = false))
+    // the reliable barrier actually wrote through the checkpoint dir
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
 }

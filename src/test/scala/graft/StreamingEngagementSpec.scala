@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.EventAnalytics
+import graft.sources.Tables
+import graft.streaming.StreamingEngagement
+
+/** Incremental engagement: after N micro-batches, the persisted
+  * (key, day) pair state must yield EXACTLY the batch retention and
+  * active-users tables over the full event set — the batch-parity
+  * proof that the pair table is sufficient state and that the shared
+  * derivation cores see no difference between the two paths. */
+class StreamingEngagementSpec extends SparkSpec {
+
+  private val Epoch0 = 1704067200000000L    // the cohort epoch the queries use
+  private val DayUs = 86400000000L
+
+  private def slurp(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("pair state after 3 micro-batches == batch retention + active-users") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val evUs = ev.select(col("user_id"),
+      GraftFunctions.epochMicros(ev.schema("ts").dataType, col("ts")).as("ts_us"))
+    val rows = evUs.as[(Long, Long)].collect().sortBy(identity)
+    assert(rows.length > 100)
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_seng_").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamingEngagement.start(
+      input.toDS().toDF("user_id", "ts_us"),
+      keyCol = "user_id", tsCol = "ts_us",
+      pairsDir = s"$base/pairs", checkpoint = s"$base/ckpt",
+      cfg = StreamingEngagement.Config(epoch0Us = Epoch0, dayUs = DayUs))
+    try {
+      // mid-stream: after batch 0 the derived views must equal the
+      // batch operators over batch 0's events alone (incrementality,
+      // not just a final-state coincidence)
+      input.addData(thirds.head.toSeq: _*)
+      q.processAllAvailable()
+      val firstDf = thirds.head.toSeq.toDF("user_id", "ts_us")
+      assert(slurp(StreamingEngagement.activeUsers(spark, s"$base/pairs", 7)) ===
+        slurp(EventAnalytics.activeUsers(firstDf, "user_id", "ts_us",
+          Epoch0, DayUs, 7)))
+
+      thirds.tail.foreach { part =>
+        input.addData(part.toSeq: _*)
+        q.processAllAvailable()
+      }
+
+      assert(slurp(StreamingEngagement.activeUsers(spark, s"$base/pairs", 7)) ===
+        slurp(EventAnalytics.activeUsers(evUs, "user_id", "ts_us",
+          Epoch0, DayUs, 7)))
+      assert(slurp(StreamingEngagement.retentionCohorts(spark, s"$base/pairs", 7)) ===
+        slurp(EventAnalytics.retentionCohorts(evUs, "user_id", "ts_us",
+          Epoch0, weekUs = DayUs * 7)))
+
+      // the reader-distinct contract: a double-appended state row (what
+      // a crash between append and marker leaves behind on replay) must
+      // not change any derived number
+      val before = slurp(StreamingEngagement.activeUsers(spark, s"$base/pairs", 7))
+      spark.read.schema(StreamingEngagement.PairsSchema)
+        .parquet(s"$base/pairs").limit(5)
+        .withColumn("ingest_batch", lit(999L))
+        .write.mode("append").partitionBy("day").parquet(s"$base/pairs")
+      assert(slurp(StreamingEngagement.activeUsers(spark, s"$base/pairs", 7)) === before)
+    } finally q.stop()
+  }
+}

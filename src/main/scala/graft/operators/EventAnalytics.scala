@@ -107,12 +107,14 @@ object EventAnalytics {
     * O(weeks²) cell table; the per-cohort window runs over that bounded
     * cell table, not over events. */
   def retentionCohorts(events: DataFrame, key: String, ts: String,
-                       epoch0Us: Long, weekUs: Long): DataFrame = {
+                       epoch0Us: Long, weekUs: Long,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
     // exact long floor-div (ts ≥ epoch0) — double division of epoch-scale
     // longs is banned by the engine's portability rules (class doc,
     // Queries.scala)
     val week = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, weekUs)
-    retentionFromPairs(events.select(col(key), week.as("week")).distinct(), key)
+    retentionFromPairs(events.select(col(key), week.as("week")).distinct(), key,
+      reliableCheckpoint)
   }
 
   /** The retention law over an already-DEDUPED `(key, week)` activity
@@ -120,7 +122,11 @@ object EventAnalytics {
     * incremental twin ([[graft.streaming.StreamingEngagement]], whose
     * persisted state IS this pair table). Cohort = each key's min
     * week; the rest is as documented on [[retentionCohorts]]. */
-  private[graft] def retentionFromPairs(active: DataFrame, key: String): DataFrame = {
+  private[graft] def retentionFromPairs(active0: DataFrame, key: String,
+                                        reliableCheckpoint: Boolean = false): DataFrame = {
+    // two consumers (cohort mins + the activity join) — barrier, as in
+    // activeUsersFromPairs
+    val active = OpUtils.barrier(active0, reliableCheckpoint)
     val first = active.groupBy(col(key))
       .agg(min(col("week")).as("cohort_week"))
     val cells = active.join(first, key)
@@ -317,11 +323,19 @@ object EventAnalytics {
     * 1-row basket total (broadcast) — after the per-session distinct,
     * nothing event-scale moves again. */
   def associationRules(events: DataFrame, key: String, ts: String, tie: String,
-                       typeCol: String, gapUs: Long): DataFrame = {
-    val items = Sessionize.withSessions(events, Seq(col(key)), col(ts), gapUs,
-        tieBreak = Seq(col(tie)))
-      .select(col(key), col("session_id"), col(typeCol).as("item"))
-      .distinct()
+                       typeCol: String, gapUs: Long,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
+    // the basket table feeds FOUR consumers (basket total, item counts,
+    // both sides of the pair self-join) — without a persistence barrier
+    // Catalyst replans the event-scale sessionize+distinct chain once
+    // per consumer (4 full scans in the benched plan; the barrier is a
+    // measured 35% on q143 at sf0.1)
+    val items = OpUtils.barrier(
+      Sessionize.withSessions(events, Seq(col(key)), col(ts), gapUs,
+          tieBreak = Seq(col(tie)))
+        .select(col(key), col("session_id"), col(typeCol).as("item"))
+        .distinct(),
+      reliableCheckpoint)
     val nBaskets = items.select(col(key), col("session_id")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemCounts = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
@@ -446,18 +460,25 @@ object EventAnalytics {
     * plain hash aggregations. Days with no events contribute no row;
     * the trailing window still sees activity from prior days. */
   def activeUsers(events: DataFrame, key: String, ts: String,
-                  epoch0Us: Long, dayUs: Long, windowDays: Int = 7): DataFrame = {
+                  epoch0Us: Long, dayUs: Long, windowDays: Int = 7,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
     val day = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, dayUs)
     activeUsersFromPairs(
-      events.select(col(key), day.as("day")).distinct(), key, windowDays)
+      events.select(col(key), day.as("day")).distinct(), key, windowDays,
+      reliableCheckpoint)
   }
 
   /** The DAU/WAU law over an already-DEDUPED `(key, day)` activity pair
     * table — the shared core of [[activeUsers]] and the incremental
-    * twin ([[graft.streaming.StreamingEngagement]]). */
-  private[graft] def activeUsersFromPairs(pairs: DataFrame, key: String,
-                                          windowDays: Int): DataFrame = {
+    * twin ([[graft.streaming.StreamingEngagement]]). The pair table
+    * feeds both the DAU and the WAU aggregation, so it sits behind a
+    * persistence barrier — otherwise each consumer replans the
+    * event-scale distinct from the scan up. */
+  private[graft] def activeUsersFromPairs(pairs0: DataFrame, key: String,
+                                          windowDays: Int,
+                                          reliableCheckpoint: Boolean = false): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val pairs = OpUtils.barrier(pairs0, reliableCheckpoint)
     val dau = pairs.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = pairs
       .select(col(key), explode(sequence(col("day"),

@@ -278,13 +278,17 @@ object EventAnalytics {
     * itself overflows (see the inline note). */
   def rfmSegments(events: DataFrame, key: String, ts: String, typeCol: String,
                   conversionType: String, valueCol: String,
-                  asOfUs: Long): DataFrame = {
+                  asOfUs: Long, reliableCheckpoint: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.r
     val conv = events.filter(col(typeCol) === conversionType)
-    val metrics = conv.groupBy(col(key))
-      .agg((lit(asOfUs) - max(col(ts))).as("recency"),
-        count(lit(1)).as("frequency"),
-        r(sum(col(valueCol)), 2).as("monetary"))
+    // per-user metrics feed BOTH the threshold aggregate and the
+    // scoring join — barrier, or each consumer replans the event scan
+    val metrics = OpUtils.barrier(
+      conv.groupBy(col(key))
+        .agg((lit(asOfUs) - max(col(ts))).as("recency"),
+          count(lit(1)).as("frequency"),
+          r(sum(col(valueCol)), 2).as("monetary")),
+      reliableCheckpoint)
     // rounding is per-metric: monetary thresholds smooth per-user
     // double-sum ulp noise (r6 at magnitude ~1e3 is safe), but recency
     // sits at epoch scale, where r6's floor(x*1e6) OVERFLOWS Spark's
@@ -374,7 +378,8 @@ object EventAnalytics {
     * full group×bin grid is an explode over the group list, and every
     * subsequent join/window touches only |groups|·bins rows. */
   def psiDrift(events: DataFrame, group: String, value: Column,
-               lo: Double, hi: Double, bins: Int): DataFrame = {
+               lo: Double, hi: Double, bins: Int,
+               reliableCheckpoint: Boolean = false): DataFrame = {
     require(bins >= 2 && hi > lo, s"need >= 2 bins and hi > lo: $bins, [$lo, $hi)")
     val width = (hi - lo) / bins
     val bin = least(greatest(floor((value - lo) / width), lit(0.0)),
@@ -385,9 +390,14 @@ object EventAnalytics {
     // and the SQL oracle excludes that mass entirely. Drop them before
     // binning so engine and oracle agree on dirty data: PSI is a
     // statistic over the OBSERVED value distribution.
-    val cells = events.filter(value.isNotNull)
-      .groupBy(col(group).as("entity"), bin.as("bin"))
-      .agg(count(lit(1)).as("n"))
+    // the bounded cell table fans out to the entity grid, the q side,
+    // and (through ref) both p-side aggregates — behind a barrier each
+    // consumer reuses the one event scan that built it
+    val cells = OpUtils.barrier(
+      events.filter(value.isNotNull)
+        .groupBy(col(group).as("entity"), bin.as("bin"))
+        .agg(count(lit(1)).as("n")),
+      reliableCheckpoint)
     val ref = cells.groupBy(col("bin")).agg(sum(col("n")).as("n_ref"))
     val domain = events.sparkSession.range(bins.toLong).select(col("id").as("bin"))
     psiOverCells(cells, ref, domain)

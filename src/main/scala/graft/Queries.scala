@@ -1979,8 +1979,11 @@ object Queries {
       val prepared = graft.ml.Models.withClassifierTokens(
         docs.withColumn("label", (col("lang") === lit("en")).cast("double")),
         col("text"))
-      val nUni = size(coalesce(graft.functions.GraftFunctions.tokens(col("text")),
-        array().cast("array<string>"))).cast("long")
+      // |clf_toks| = n unigrams + (n-1) bigrams = 2n-1 (or 0 for null
+      // text), so n recovers as (|clf_toks|+1) div 2 — no second split
+      // of the text (withClassifierTokens warns against exactly that)
+      val nUni = graft.functions.GraftFunctions.longDiv(
+        size(col("clf_toks")).cast("long") + 1L, 2L)
       val joined = array_join(col("clf_toks"), " ")
       prepared.select(col("doc_id"), col("label"),
           nUni.as("n_unigrams"),
@@ -1992,7 +1995,8 @@ object Queries {
     },
     Some("""WITH t AS (SELECT doc_id,
         (lang = 'en')::INT::DOUBLE AS label,
-        string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+        CASE WHEN text IS NULL THEN []::VARCHAR[]
+          ELSE string_split(text, ' ') END AS toks FROM documents),
       b AS (SELECT doc_id, label, toks,
         CASE WHEN len(toks) >= 2
           THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
@@ -4091,7 +4095,7 @@ object Queries {
       lo = 0.0, hi = 500.0, bins = 10),
     Some("""WITH e AS (SELECT event_type,
         CAST(least(greatest(floor((value - 0.0) / 50.0), 0.0), 9.0) AS BIGINT) AS bin
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
       cells AS (SELECT event_type, bin, count(*)::BIGINT AS n
         FROM e GROUP BY event_type, bin),
       gb AS (SELECT bin, CAST(sum(n) AS BIGINT) AS gn FROM cells GROUP BY bin),

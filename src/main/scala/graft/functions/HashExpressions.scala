@@ -230,6 +230,11 @@ object HashUtil {
     if (n > 62) throw new IllegalArgumentException(
       s"graft_dyadic_fold: array has $n elements; the exact dyadic fold " +
         "supports at most 62 (2^n - 1 must fit a positive 64-bit long)")
+    // empty array -> NULL, not 0/0 = NaN: an empty frame has no
+    // observations (reachable — collect_list drops null values, so an
+    // all-null window collects to []); the declarative twin guards the
+    // same case the same way
+    if (n == 0) return null
     var num = 0L
     var i = 0
     while (i < n) {

@@ -171,9 +171,13 @@ object EventAnalytics {
       ts: String, tie: String, valueCol: String,
       frameRows: Int = 8, scale: Int = 100): DataFrame =
     dyadicEwmaWith(events, key, ts, tie, valueCol, frameRows, scale, xs =>
-      expr("aggregate(transform(_xs, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), " +
-        "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
-        / (expr("shiftleft(CAST(1 AS BIGINT), size(_xs))") - lit(1L)))
+      // size 0 -> NULL, not 0.0/0 = NaN — matches the native fold's
+      // empty-frame rule (an empty frame has no observations; frames
+      // CAN be empty because collect_list drops null values)
+      when(size(xs) === 0, lit(null).cast("double")).otherwise(
+        expr("aggregate(transform(_xs, (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x)").cast("double")
+          / (expr("shiftleft(CAST(1 AS BIGINT), size(_xs))") - lit(1L))))
 
   private def dyadicEwmaWith(events: DataFrame, key: String, ts: String,
       tie: String, valueCol: String, frameRows: Int, scale: Int,
@@ -186,11 +190,17 @@ object EventAnalytics {
     // around frameRows≈50. |x| ≤ Long.MaxValue >> frameRows guarantees
     // Σ|x|·2ⁱ ≤ |x|·(2^n−1) < Long.MaxValue, so the guard is asserted
     // IN-PLAN on every scaled value; breach raises instead of returning
-    // a sign-flipped EWMA. NULL values keep their pass-through-to-NULL
-    // semantics (the fold nulls the whole frame).
+    // a sign-flipped EWMA. NULL values pass through the guard untouched:
+    // collect_list then DROPS them, so a null-valued row's frame simply
+    // shrinks (and an all-null frame is empty -> NULL ewma).
     val cvLim = java.lang.Long.MAX_VALUE >> frameRows
     val cvRaw = floor(col(valueCol) * scale + lit(0.5)).cast("long")
-    val cv = when(cvRaw.isNull || abs(cvRaw) <= cvLim, cvRaw)
+    // cvRaw =!= Long.MinValue: the non-ANSI double->long cast CLAMPS
+    // huge negatives to Long.MinValue, whose abs() is itself (still
+    // negative) — without the explicit exclusion that one clamped value
+    // would sail through the <= cvLim test and overflow anyway
+    val cv = when(cvRaw.isNull ||
+        (abs(cvRaw) <= cvLim && cvRaw =!= lit(java.lang.Long.MIN_VALUE)), cvRaw)
       .otherwise(raise_error(concat(
         lit(s"dyadicEwma: |value·$scale| exceeds $cvLim (Long.MaxValue >> " +
           s"$frameRows); the exact 2^i-weighted numerator would overflow " +

@@ -74,15 +74,23 @@ object StreamingEngagement {
       .select(col("key"), col("day"))
 
   /** The deduped `(key, day)` pair table — the read API every derived
-    * view goes through. The `distinct()` here is load-bearing: it is
-    * what makes a half-committed replay's double-append harmless. */
+    * view goes through. Two load-bearing clauses:
+    *  - the `distinct()` makes a half-committed replay's double-append
+    *    harmless;
+    *  - the `ingest_batch <= max(committed)` filter excludes rows from
+    *    a batch that appended files but crashed BEFORE its marker —
+    *    without it a reader between the crash and the restart would
+    *    see an arbitrary partial subset of that batch, numbers that
+    *    correspond to no committed prefix of the stream. */
   def pairs(spark: SparkSession, pairsDir: String): DataFrame = {
     val p = new Path(pairsDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p) || StreamProtocol.committedIds(fs, p, "_batch_").isEmpty)
+    val committed = StreamProtocol.committedIds(fs, p, "_batch_")
+    if (!fs.exists(p) || committed.isEmpty)
       emptyPairs(spark)
     else
       spark.read.schema(PairsSchema).parquet(pairsDir)
+        .filter(col("ingest_batch") <= committed.max)
         .select(col("key"), col("day")).distinct()
   }
 

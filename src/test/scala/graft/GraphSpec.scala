@@ -197,8 +197,18 @@ class GraphSpec extends SparkSpec {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
     spark.sparkContext.setCheckpointDir(dir)
-    assert(core(reliable = true) === core(reliable = false))
-    // the reliable barrier actually wrote through the checkpoint dir
-    assert(new java.io.File(dir).listFiles().nonEmpty)
+    try {
+      assert(core(reliable = true) === core(reliable = false))
+      // the reliable barrier actually MATERIALIZED through the
+      // checkpoint dir: setCheckpointDir itself pre-creates a UUID
+      // subdirectory, so listing the top level would pass vacuously —
+      // look for the rdd-* checkpoint data inside it
+      val rdds = new java.io.File(dir).listFiles()
+        .flatMap(u => Option(u.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rdds.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }

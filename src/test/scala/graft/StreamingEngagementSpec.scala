@@ -63,14 +63,26 @@ class StreamingEngagementSpec extends SparkSpec {
           Epoch0, weekUs = DayUs * 7)))
 
       // the reader-distinct contract: a double-appended state row (what
-      // a crash between append and marker leaves behind on replay) must
-      // not change any derived number
+      // a crash between append and marker leaves behind on replay)
+      // carries a COMMITTED batch id and must not change any derived
+      // number — the distinct collapses it
       val before = slurp(StreamingEngagement.activeUsers(spark, s"$base/pairs", 7))
       spark.read.schema(StreamingEngagement.PairsSchema)
         .parquet(s"$base/pairs").limit(5)
-        .withColumn("ingest_batch", lit(999L))
+        .withColumn("ingest_batch", lit(0L))
         .write.mode("append").partitionBy("day").parquet(s"$base/pairs")
       assert(slurp(StreamingEngagement.activeUsers(spark, s"$base/pairs", 7)) === before)
+
+      // the committed-prefix contract: NEW pairs from a batch with no
+      // marker (appended, then crashed before commit) must be invisible
+      // to readers — nothing may reflect a partial batch
+      import spark.implicits._
+      Seq(("ghost_user", 123456L, 999L))
+        .toDF("key", "day", "ingest_batch")
+        .write.mode("append").partitionBy("day").parquet(s"$base/pairs")
+      assert(slurp(StreamingEngagement.activeUsers(spark, s"$base/pairs", 7)) === before)
+      assert(StreamingEngagement.pairs(spark, s"$base/pairs")
+        .filter(col("key") === "ghost_user").count() === 0L)
     } finally q.stop()
   }
 }

@@ -169,4 +169,80 @@ object EventAnalyticsProps extends Properties("EventAnalytics") {
       }
       (countsEq: Prop) && (pEq: Prop) && (stochastic: Prop)
     }
+
+  private def bruteSessions(evs: Seq[(Long, Long, Long, String)], gap: Long)
+      : Seq[(Long, Long, String)] =
+    evs.groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sids = sorted.scanLeft((0L, Option.empty[Long])) {
+        case ((sid, prev), r) =>
+          (if (prev.exists(p => r._2 - p > gap)) sid + 1 else sid, Some(r._2))
+      }.drop(1).map(_._1)
+      sorted.zip(sids).map { case (r, sid) => (k, sid, r._4) }
+    }
+
+  property("associationRules equals the brute-force basket definition") =
+    Prop.forAll(markovGen) { evs =>
+      import spark.implicits._
+      val got = EventAnalytics.associationRules(
+          evs.toDF("user_id", "ts_us", "event_id", "event_type"),
+          key = "user_id", ts = "ts_us", tie = "event_id",
+          typeCol = "event_type", gapUs = Gap)
+        .select("antecedent", "consequent", "n_ab", "support", "confidence", "lift")
+        .as[(String, String, Long, Double, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+
+      val baskets = bruteSessions(evs, Gap).distinct
+      val nBaskets = baskets.map(b => (b._1, b._2)).distinct.size.toLong
+      val itemN = baskets.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      val undirected = baskets.groupBy(b => (b._1, b._2)).toSeq.flatMap {
+        case (_, items) =>
+          val ts = items.map(_._3).distinct.sorted
+          for (i <- ts.indices; j <- i + 1 until ts.length) yield (ts(i), ts(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val want = undirected.toSeq.flatMap { case ((a, b), n) =>
+        Seq((a, b, n), (b, a, n)) }.map { case (a, b, n) =>
+        (a, b) -> (n, r6(n * 1.0 / nBaskets), r6(n * 1.0 / itemN(a)),
+          r6(n * 1.0 / itemN(a) / (itemN(b) * 1.0 / nBaskets)))
+      }.toMap
+      got == want
+    }
+
+  private val attrGen = for {
+    n <- Gen.choose(2, 60)
+    keys <- Gen.choose(1, 4)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, keys.toLong)
+      ts <- Gen.choose(0L, 200L)
+      t <- Gen.frequency(2 -> Gen.const("purchase"),
+        3 -> Gen.oneOf("ad", "email", "search"))
+      v <- Gen.choose(0, 40).map(_ * 0.25)   // exactly-representable values:
+                                             // group sums are order-independent
+    } yield (k, ts, t, v))
+  } yield evs.zipWithIndex.map { case ((k, ts, t, v), i) => (k, ts, i.toLong, t, v) }
+
+  property("lastTouchAttribution equals brute force (at-or-before incl. ties)") =
+    Prop.forAll(attrGen) { evs =>
+      import spark.implicits._
+      val got = EventAnalytics.lastTouchAttribution(
+          evs.toDF("user_id", "ts_us", "event_id", "event_type", "value"),
+          key = "user_id", ts = "ts_us", typeCol = "event_type",
+          conversionType = "purchase", valueCol = "value", tie = "event_id")
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+      val touches = evs.filter(_._4 != "purchase")
+      val credited = evs.filter(_._4 == "purchase").map { c =>
+        val cand = touches.filter(t => t._1 == c._1 && t._2 <= c._2)
+        val channel =
+          if (cand.isEmpty) "(none)"
+          else cand.maxBy(t => (t._2, t._3))._4
+        (channel, c._5)
+      }
+      val want = credited.groupBy(_._1).view.mapValues { rows =>
+        (rows.size.toLong, math.floor(rows.map(_._2).sum * 100.0 + 0.5) / 100.0)
+      }.toMap
+      got == want.toMap
+    }
 }

@@ -105,7 +105,7 @@ object Bench {
     val total = results.map(_._2.min).filter(_ >= 0).sum
     val totalMed = results.map(_._2.med).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"detail","value":${r3(total)},"unit":"sec","queries":${obj(_.min)},"queries_med":${obj(_.med)},"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":${r3(total)},"unit":"sec","queries":${obj(_.min)},"queries_med":${obj(_.med)},"failed":$fs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
 
     // The driver captures only the LAST ~2000 chars of stdout and
     // parses a JSON line out of that tail; round 7's single 4.5k-char
@@ -115,6 +115,10 @@ object Bench {
     // is guaranteed to fit the tail window — per-query mins at 3dp
     // when that fits in ~1800 chars, totals-only otherwise.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
+    // paths come from env vars — escape them, or a quote/backslash in a
+    // path breaks exactly the JSON line this code exists to keep
+    // parseable
+    def js(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
@@ -127,7 +131,7 @@ object Bench {
           .mkString("{", ",", "}")
         s""","queries":$m"""
       } else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"n_queries":${results.size}$q,"failed":$fs,"sf":"$sfDir","detail":"$detailPath"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"n_queries":${results.size}$q,"failed":$fs,"sf":"${js(sfDir)}","detail":"${js(detailPath)}"}"""
     }
     val full = summaryLine(withQueries = true)
     println(if (full.length <= 1800) full else summaryLine(withQueries = false))

@@ -1993,7 +1993,7 @@ object Queries {
             .as("clf_hash"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH t AS (SELECT doc_id,
+    Some(s"""WITH t AS (SELECT doc_id,
         (lang = 'en')::INT::DOUBLE AS label,
         CASE WHEN text IS NULL THEN []::VARCHAR[]
           ELSE string_split(text, ' ') END AS toks FROM documents),
@@ -2007,9 +2007,7 @@ object Queries {
         array_to_string(list_concat(toks, bigrams), ' ') AS clf FROM b)
       SELECT doc_id, label, n_unigrams, n_bigrams,
         CASE WHEN clf = '' THEN 0::BIGINT
-          ELSE list_reduce(list_prepend(0::BIGINT,
-            list_transform(string_split(clf, ''), c -> unicode(c)::BIGINT)),
-            (h, c) -> (h * 31 + c) % 1000000007) END AS clf_hash
+          ELSE ${sqlPolyHash("clf")} END AS clf_hash
       FROM j ORDER BY doc_id"""))
 
   private val q82 = Q("q82_ml_cross_validation",
@@ -3795,19 +3793,28 @@ object Queries {
       .orderBy(col("user_id"), col("ts_us"), col("event_id")),
     Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cv FROM events),
-      r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
-          ORDER BY ts_us, event_id) AS rn FROM e),
-      j AS (SELECT a.user_id, a.event_id, a.ts_us, a.rn,
-          greatest(1, a.rn - 7) AS s, b.rn AS brn, b.cv AS bcv
+      r0 AS (SELECT *, row_number() OVER w AS rn,
+          count(cv) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS UNBOUNDED PRECEDING) AS nn
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      -- band join over NON-NULL cv rows only: the engine's collect_list
+      -- DROPS null values, so a null slot vanishes and the surviving
+      -- values' 2^i weights recompress (den = 2^k - 1 over k non-null)
+      j AS (SELECT a.user_id, a.event_id, a.ts_us, b.cv AS bcv, b.nn AS bnn
         FROM r0 a JOIN r0 b ON a.user_id = b.user_id
-          AND b.rn BETWEEN a.rn - 7 AND a.rn),
+          AND b.rn BETWEEN a.rn - 7 AND a.rn AND b.cv IS NOT NULL),
+      jj AS (SELECT *, min(bnn) OVER (PARTITION BY user_id, event_id) AS mn
+        FROM j),
       g AS (SELECT user_id, event_id, ts_us,
-          CAST(sum(bcv * (1::BIGINT << CAST(brn - s AS INT))) AS BIGINT) AS num,
-          (1::BIGINT << CAST(rn - s + 1 AS INT)) - 1 AS den
-        FROM j GROUP BY user_id, event_id, ts_us, rn, s)
-      SELECT user_id, event_id, ts_us,
-        floor(num::DOUBLE / den / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma
-      FROM g ORDER BY user_id, ts_us, event_id"""))
+          CAST(sum(bcv * (1::BIGINT << CAST(bnn - mn AS INT))) AS BIGINT) AS num,
+          (1::BIGINT << CAST(count(*) AS INT)) - 1 AS den
+        FROM jj GROUP BY user_id, event_id, ts_us)
+      -- all-null frames have no j rows: LEFT JOIN keeps those events
+      -- with a NULL ewma (the engine's empty-frame rule)
+      SELECT r0.user_id, r0.event_id, r0.ts_us,
+        floor(g.num::DOUBLE / g.den / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma
+      FROM r0 LEFT JOIN g ON r0.user_id = g.user_id AND r0.event_id = g.event_id
+      ORDER BY r0.user_id, r0.ts_us, r0.event_id"""))
 
   /** E+ path analysis: top-10 within-session event-type sequences
     * ([[EventAnalytics.topPaths]] over [[Sessionize.withSessions]]'s gap

@@ -194,13 +194,21 @@ object EventAnalytics {
     // collect_list then DROPS them, so a null-valued row's frame simply
     // shrinks (and an all-null frame is empty -> NULL ewma).
     val cvLim = java.lang.Long.MAX_VALUE >> frameRows
-    val cvRaw = floor(col(valueCol) * scale + lit(0.5)).cast("long")
-    // cvRaw =!= Long.MinValue: the non-ANSI double->long cast CLAMPS
-    // huge negatives to Long.MinValue, whose abs() is itself (still
-    // negative) — without the explicit exclusion that one clamped value
-    // would sail through the <= cvLim test and overflow anyway
-    val cv = when(cvRaw.isNull ||
-        (abs(cvRaw) <= cvLim && cvRaw =!= lit(java.lang.Long.MIN_VALUE)), cvRaw)
+    // The envelope is checked on the FLOORED DOUBLE, before any cast to
+    // long: under ANSI mode (Spark 4's default) an out-of-range
+    // double->long cast throws an opaque CAST_OVERFLOW that would
+    // pre-empt any post-cast check, and under non-ANSI it CLAMPS (and
+    // abs(Long.MinValue) is itself, still negative, sailing through a
+    // <= test) — the double-side compare produces the descriptive error
+    // in both modes. cvLim.toDouble rounds up to 2^(63-frameRows); a
+    // value landing exactly on that rounded bound still keeps
+    // Σ|x|·2^i ≤ 2^63 − 2^(63-frameRows) < Long.MaxValue, so the
+    // rounding slack cannot overflow, and the cast in the safe branch
+    // is always in range (≤ 2^62 for frameRows ≥ 1).
+    val dd = floor(col(valueCol) * scale + lit(0.5))
+    val cv = when(dd.isNull ||
+        (dd <= lit(cvLim.toDouble) && dd >= lit(-cvLim.toDouble)),
+        dd.cast("long"))
       .otherwise(raise_error(concat(
         lit(s"dyadicEwma: |value·$scale| exceeds $cvLim (Long.MaxValue >> " +
           s"$frameRows); the exact 2^i-weighted numerator would overflow " +

@@ -72,7 +72,19 @@ private[streaming] object StreamProtocol {
     * once and upgraded in place. */
   def replayGuards(fs: FileSystem, dir: Path, checkpoint: String,
                    config: String, batchId: Long, markerPrefix: String,
-                   streamName: String): Boolean = {
+                   streamName: String): Boolean =
+    replayGuardsWithCommitted(fs, dir, checkpoint, config, batchId,
+      markerPrefix, streamName)._1
+
+  /** [[replayGuards]] plus the committed batch ids from the SAME
+    * directory listing — for streams whose batch body needs the
+    * committed set anyway (it decides the empty-state / previous-
+    * version path): one `listStatus` per batch instead of two. The
+    * listing is driver-side metadata, but on object stores it walks a
+    * directory whose marker count grows with every batch. */
+  def replayGuardsWithCommitted(fs: FileSystem, dir: Path, checkpoint: String,
+                   config: String, batchId: Long, markerPrefix: String,
+                   streamName: String): (Boolean, Seq[Long]) = {
     val identity = checkpointIdentity(fs, checkpoint)
     val runMarker = new Path(dir, RunFile)
     if (fs.exists(runMarker)) {
@@ -112,7 +124,7 @@ private[streaming] object StreamProtocol {
           "fresh checkpoint is replaying over retained state. Either " +
           "resume from the original checkpoint or delete the state " +
           "directory and re-ingest.")
-    fs.exists(new Path(dir, s"$markerPrefix$batchId"))
+    (committed.contains(batchId), committed)
   }
 
   /** Commit point: the batch's marker, written LAST. */

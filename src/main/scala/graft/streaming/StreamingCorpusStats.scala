@@ -203,8 +203,9 @@ object StreamingCorpusStats {
         val spark = batch.sparkSession
         val dirPath = new Path(statsDir)
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val done = StreamProtocol.replayGuards(fs, dirPath, checkpoint,
-          fingerprint(cfg), batchId, "_v_", "StreamingCorpusStats")
+        val (done, committed) = StreamProtocol.replayGuardsWithCommitted(
+          fs, dirPath, checkpoint, fingerprint(cfg), batchId, "_v_",
+          "StreamingCorpusStats")
         if (!done) {
           // the four snapshot writes are four jobs: cache the
           // projected batch so the source micro-batch is read once,
@@ -214,8 +215,7 @@ object StreamingCorpusStats {
             .cache()
           try {
             val fresh = summarize(projected, cfg)
-            val merged = committedVersions(spark, statsDir)
-              .filter(_ < batchId).maxOption match {
+            val merged = committed.filter(_ < batchId).maxOption match {
               case None => fresh
               case Some(prev) =>
                 merge(readVersion(spark, statsDir, prev), fresh, cfg)

@@ -124,8 +124,9 @@ object StreamingEngagement {
         val spark = batch.sparkSession
         val dirPath = new Path(pairsDir)
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val done = StreamProtocol.replayGuards(fs, dirPath, checkpoint,
-          fingerprint(cfg), batchId, "_batch_", "StreamingEngagement")
+        val (done, committed) = StreamProtocol.replayGuardsWithCommitted(
+          fs, dirPath, checkpoint, fingerprint(cfg), batchId, "_batch_",
+          "StreamingEngagement")
         if (!done) {
           val batchPairs = batch
             .select(col(keyCol).cast("string").as("key"),
@@ -146,8 +147,7 @@ object StreamingEngagement {
               .filter(col("day").isNotNull).distinct()
               .collect().map(_.getLong(0)).toSeq
             val existing =
-              if (touched.isEmpty ||
-                  StreamProtocol.committedIds(fs, dirPath, "_batch_").isEmpty)
+              if (touched.isEmpty || committed.isEmpty)
                 emptyPairs(spark)
               else spark.read.schema(PairsSchema).parquet(pairsDir)
                 .filter(col("day").isin(touched: _*))

@@ -98,6 +98,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r === Seq(1.0, 1.666667, 2.428571))
   }
 
+  test("dyadicEwma: null values shrink the frame (collect_list drops them); " +
+      "all-null frame -> NULL; matches the q131 oracle's non-null band") {
+    val e = Seq((1L, 101L, 1L, Option(10.0)), (1L, 102L, 2L, Option.empty[Double]),
+        (1L, 103L, 3L, Option(20.0)), (2L, 201L, 1L, Option.empty[Double]))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val r = EventAnalytics.dyadicEwma(e, "user_id", "ts_us", "event_id", "value")
+      .orderBy("user_id", "ts_us").select("ewma").as[Option[Double]].collect().toSeq
+    // row2's frame is [1000] (the null vanished, weights recompress);
+    // row3's is [1000, 2000] -> 5000/3 cents; u2's frame is empty.
+    // The DuckDB oracle's non-null rank band computes the same values
+    // (checked by hand and by running the oracle SQL on this table).
+    assert(r === Seq(Some(10.0), Some(10.0), Some(16.666667), None))
+  }
+
+  test("dyadicEwma: out-of-envelope value raises the descriptive error, " +
+      "not CAST_OVERFLOW") {
+    val e = Seq((1L, 1L, 1L, 1.0e18)).toDF("user_id", "event_id", "ts_us", "value")
+    val ex = intercept[Exception] {
+      EventAnalytics.dyadicEwma(e, "user_id", "ts_us", "event_id", "value").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("lower scale or frameRows")))
+  }
+
   test("dyadicEwma: frame truncation keeps only the last 8 rows") {
     val e = (1L to 10L).map(i => (1L, i, i * 10L, if (i == 1L || i == 2L) 100.0 else 1.0))
       .toDF("user_id", "event_id", "ts_us", "value")

@@ -102,10 +102,14 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     def r3(d: Double): Double = if (d < 0) d else math.rint(d * 1000) / 1000
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // paths and dirs come from env vars — escape them, or a quote/
+    // backslash in one breaks exactly the JSON lines this code exists
+    // to keep parseable
+    def js(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
     val total = results.map(_._2.min).filter(_ >= 0).sum
     val totalMed = results.map(_._2.med).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"detail","value":${r3(total)},"unit":"sec","queries":${obj(_.min)},"queries_med":${obj(_.med)},"failed":$fs,"sf":"${sfDir.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+      s"""{"metric":"detail","value":${r3(total)},"unit":"sec","queries":${obj(_.min)},"queries_med":${obj(_.med)},"failed":$fs,"sf":"${js(sfDir)}"}"""
 
     // The driver captures only the LAST ~2000 chars of stdout and
     // parses a JSON line out of that tail; round 7's single 4.5k-char
@@ -115,10 +119,6 @@ object Bench {
     // is guaranteed to fit the tail window — per-query mins at 3dp
     // when that fits in ~1800 chars, totals-only otherwise.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/root/repo/BENCH_DETAIL.json")
-    // paths come from env vars — escape them, or a quote/backslash in a
-    // path breaks exactly the JSON line this code exists to keep
-    // parseable
-    def js(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))

@@ -3800,20 +3800,22 @@ object Queries {
       -- band join over NON-NULL cv rows only: the engine's collect_list
       -- DROPS null values, so a null slot vanishes and the surviving
       -- values' 2^i weights recompress (den = 2^k - 1 over k non-null)
-      j AS (SELECT a.user_id, a.event_id, a.ts_us, b.cv AS bcv, b.nn AS bnn
+      -- keyed by the row's rank rn, NOT by event_id: duplicate
+      -- event_ids within a user would otherwise merge two rows' frames
+      j AS (SELECT a.user_id, a.rn AS arn, b.cv AS bcv, b.nn AS bnn
         FROM r0 a JOIN r0 b ON a.user_id = b.user_id
           AND b.rn BETWEEN a.rn - 7 AND a.rn AND b.cv IS NOT NULL),
-      jj AS (SELECT *, min(bnn) OVER (PARTITION BY user_id, event_id) AS mn
+      jj AS (SELECT *, min(bnn) OVER (PARTITION BY user_id, arn) AS mn
         FROM j),
-      g AS (SELECT user_id, event_id, ts_us,
+      g AS (SELECT user_id, arn,
           CAST(sum(bcv * (1::BIGINT << CAST(bnn - mn AS INT))) AS BIGINT) AS num,
           (1::BIGINT << CAST(count(*) AS INT)) - 1 AS den
-        FROM jj GROUP BY user_id, event_id, ts_us)
+        FROM jj GROUP BY user_id, arn)
       -- all-null frames have no j rows: LEFT JOIN keeps those events
       -- with a NULL ewma (the engine's empty-frame rule)
       SELECT r0.user_id, r0.event_id, r0.ts_us,
         floor(g.num::DOUBLE / g.den / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma
-      FROM r0 LEFT JOIN g ON r0.user_id = g.user_id AND r0.event_id = g.event_id
+      FROM r0 LEFT JOIN g ON r0.user_id = g.user_id AND r0.rn = g.arn
       ORDER BY r0.user_id, r0.ts_us, r0.event_id"""))
 
   /** E+ path analysis: top-10 within-session event-type sequences

@@ -85,8 +85,10 @@ object StreamingEngagement {
   def pairs(spark: SparkSession, pairsDir: String): DataFrame = {
     val p = new Path(pairsDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // committedIds returns empty for a missing dir — no separate
+    // fs.exists probe (one driver RPC per read on object stores)
     val committed = StreamProtocol.committedIds(fs, p, "_batch_")
-    if (!fs.exists(p) || committed.isEmpty)
+    if (committed.isEmpty)
       emptyPairs(spark)
     else
       spark.read.schema(PairsSchema).parquet(pairsDir)

@@ -564,9 +564,7 @@ object Dedup {
         graft.functions.HashExpressions.lshBucketNative(col(vec), planes, dim))
       .withColumn("_norm", l2Norm(col(vec))))
     val a = base
-      .withColumn("bk", explode(array(
-        col("_bk0") +:
-          (0 until planes).map(p => col("_bk0").bitwiseXOR(lit(1L << p))): _*)))
+      .withColumn("bk", OpUtils.hamming1Probes(col("_bk0"), planes))
       .select(col("bk"), col(id).as("id_a"), col(vec).as("v_a"),
         col("_norm").as("n_a"))
     val b = guardBlocks(

@@ -45,6 +45,16 @@ private[operators] object OpUtils {
   def cosFromNorms(dot: Column, nn: Column): Column =
     when(nn === 0.0, 0.0).otherwise(dot / nn)
 
+  /** Hamming-≤1 LSH probe list: the vector's own bucket plus every
+    * one-sign-bit flip. `planes` is static, so the probe set is a
+    * literal array of integer XOR flips (exactly the oracles'
+    * `1::BIGINT << p`). Shared by Similarity.lshMultiProbeTopK and
+    * Dedup.embeddingPairsLshMultiProbe — the flip list must stay
+    * identical or their recall claims diverge. */
+  def hamming1Probes(bucket: Column, planes: Int): Column =
+    explode(array(
+      bucket +: (0 until planes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*))
+
   /** Persistence barrier for a multiply-consumed, intermediate-sized
     * frame (candidate pairs, vocab tables): without one Catalyst
     * replans the whole upstream chain under every consumer. Default

@@ -38,6 +38,27 @@ object Similarity {
 
   import OpUtils.{cosFromNorms, materialize}
 
+  /** The candidate-scoring step every ANN variant shares: drop the
+    * self-pair and compute cosine from the pre-join norms — the
+    * per-pair work is exactly one dot product. */
+  private def cosinePairs(joined: DataFrame, qId: String, cId: String,
+                          scoreCol: String = "cos"): DataFrame =
+    joined.filter(col(qId) =!= col(cId))
+      .withColumn(scoreCol, cosFromNorms(
+        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
+
+  /** The per-query top-k cut every ANN variant shares: rank by
+    * (score desc, candidate id) inside the query partition — the exact
+    * shape the TopKRewrite plans as the bounded-heap TopKPerGroup exec
+    * (no Window, no per-group sort) — and keep ranks ≤ k. */
+  private def rankTopK(pairs: DataFrame, qId: String, cId: String,
+                       score: Column, k: Int,
+                       rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(col(qId)).orderBy(score.desc, col(cId))
+    pairs.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus` need (id, vec) columns; result: one row per
     * (query, rank ≤ k). */
@@ -45,13 +66,8 @@ object Similarity {
                      qId: String = "q_id", cId: String = "c_id"): DataFrame = {
     val q = queries.withColumn("q_norm", l2Norm(col("q_vec")))
     val c = materialize(corpus.withColumn("c_norm", l2Norm(col("c_vec"))))
-    val pairs = broadcast(q).crossJoin(c)
-      .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosFromNorms(
-        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val pairs = cosinePairs(broadcast(q).crossJoin(c), qId, cId)
+    rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
 
@@ -122,13 +138,8 @@ object Similarity {
       .filter(col("probe_rank") <= nProbe)
       .select(col(qId), col("q_vec"), col("q_norm"), col("bucket"))
 
-    val pairs = qProbed.join(bucketed, Seq("bucket"))
-      .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosFromNorms(
-        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val pairs = cosinePairs(qProbed.join(bucketed, Seq("bucket")), qId, cId)
+    rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
 
@@ -192,21 +203,12 @@ object Similarity {
     val qb = queries
       .withColumn("bucket0", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
-      // planes is static → the probe list is a plain literal array of
-      // integer bit flips (exactly the oracle's 1::BIGINT << p)
-      .withColumn("bucket", explode(array(
-        col("bucket0") +:
-          (0 until planes).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*)))
+      .withColumn("bucket", OpUtils.hamming1Probes(col("bucket0"), planes))
     val cb = materialize(corpus
       .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
       .withColumn("c_norm", l2Norm(col("c_vec"))))
-    val pairs = qb.join(cb, Seq("bucket"))
-      .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosFromNorms(
-        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val pairs = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId)
+    rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
 
@@ -273,9 +275,7 @@ object Similarity {
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_q8", cosFromNorms(
         dotProduct(col("q_q8"), col("c_q8")), col("q_qnorm") * col("c_qnorm")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos_q8").desc, col(cId))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    rankTopK(pairs, qId, cId, col("cos_q8"), k)
       .withColumn("cos_exact", cosFromNorms(
         dotProduct(col("q_vec"), col("c_vec")),
         l2Norm(col("q_vec")) * l2Norm(col("c_vec"))))
@@ -295,13 +295,8 @@ object Similarity {
     val cb = materialize(corpus
       .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
       .withColumn("c_norm", l2Norm(col("c_vec"))))
-    val pairs = qb.join(cb, Seq("bucket"))
-      .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosFromNorms(
-        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    val pairs = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId)
+    rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), col("bucket"), r(col("cos"), 4).as("cos"))
   }
 
@@ -330,15 +325,10 @@ object Similarity {
     val cb = materialize(corpus
       .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
       .withColumn("c_norm", l2Norm(col("c_vec"))))
-    val band = qb.join(cb, Seq("bucket"))
-      .filter(col(qId) =!= col(cId))
-      .withColumn("cos", cosFromNorms(
-        dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
+    val band = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId)
       .filter(col("cos") >= loCos && col("cos") < hiCos)
       .withColumn("cos_r", r(col("cos"), 4))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos_r").desc, col(cId))
-    band.withColumn("neg_rank", row_number().over(w).cast("long"))
-      .filter(col("neg_rank") <= k)
+    rankTopK(band, qId, cId, col("cos_r"), k, rankCol = "neg_rank")
       .select(col(qId), col("neg_rank"), col(cId), col("cos_r").as("cos"))
   }
 }

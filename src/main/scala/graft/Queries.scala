@@ -2568,9 +2568,13 @@ object Queries {
       }))
       graft.sources.Sinks.writeParquet(gate(v1), tmp.toString)
       val prior = s.read.parquet(tmp.toString)
+      // three consumers (fresh-id filter, carried filter, final join) —
+      // localCheckpoint, or each replans the v1×v2 snapshot diff from
+      // the scans up (round-8 multi-consumer audit)
       val diff = Dedup.snapshotDiff(v1, v2, col("doc_id"), col("text"))
         .filter(col("status") =!= "removed")
         .select(col("id").as("doc_id"), col("status"))
+        .localCheckpoint(false)
       val freshIds = diff.filter(col("status") =!= "unchanged")
         .select(col("doc_id"))
       val fresh = gate(v2.join(freshIds, Seq("doc_id"), "left_semi"))
@@ -4218,12 +4222,17 @@ object Queries {
     * metric). Shares divide by the 1-row broadcast total. */
   private val q145 = Q("q145_hhi_concentration",
     (s, d) => {
+      // each metric table feeds TWO consumers (its 1-row total and the
+      // share projection) — localCheckpoint, or both replan the
+      // event/corpus scan (the round-8 multi-consumer audit's shape)
       val rev = eventsUs(s, d).filter(col("event_type") === "purchase")
         .groupBy(col("user_id")).agg(sum(col("value")).as("x"))
+        .localCheckpoint(false)
       val toks = t(s, d, "documents")
         .groupBy(col("source"))
         .agg(sum(size(graft.functions.GraftFunctions.tokens(col("text"))).cast("long"))
           .as("x"))
+        .localCheckpoint(false)
       def hhi(df: DataFrame, metric: String): DataFrame = {
         val total = df.agg(sum(col("x")).as("t"))
         df.crossJoin(broadcast(total))
@@ -4421,7 +4430,11 @@ object Queries {
   private val q150 = Q("q150_weekly_churn",
     (s, d) => {
       val week = longDiv(col("ts_us") - CohortEpoch0Us, WeekUs)
+      // the deduped pair table feeds three consumers (churn anti-join's
+      // both sides + the active rollup) — localCheckpoint, or each
+      // replans the event-scale distinct (round-8 multi-consumer audit)
       val pairs = eventsUs(s, d).select(col("user_id"), week.as("week")).distinct()
+        .localCheckpoint(false)
       val next = pairs.select(col("user_id"), (col("week") - 1).as("week"))
       val churned = pairs.join(next, Seq("user_id", "week"), "left_anti")
         .groupBy(col("week")).agg(count(lit(1)).as("churned"))

@@ -266,18 +266,26 @@ object Dedup {
     * (thousands of docs) against a corpus of billions — AQE broadcasts
     * the exploded eval postings from runtime stats while the corpus
     * side streams; at 100 TB, bucket the join on a 64-bit hash of the
-    * shingle and keep the string as payload for exactness. Self-pairs
-    * are excluded (a doc sampled into the eval set trivially overlaps
-    * itself). Output: (doc_id, eval_id, n_overlap). */
+    * shingle and keep the string as payload for exactness.
+    * Output: (doc_id, eval_id, n_overlap).
+    *
+    * `excludeSameId` (default true) drops same-id pairs — correct when
+    * the eval set is SAMPLED FROM the corpus and shares its id space
+    * (a doc trivially overlaps itself). Set it FALSE when the eval set
+    * is an independent dataset whose ids merely happen to collide with
+    * corpus ids (both auto-incrementing from 0): there a same-id pair
+    * is a REAL contamination candidate and the exclusion would
+    * silently suppress its flag. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, id: String,
                     text: Column, shingleN: Int = 3,
-                    minOverlap: Int = 3): DataFrame = {
+                    minOverlap: Int = 3,
+                    excludeSameId: Boolean = true): DataFrame = {
     val c = withShingles(corpus, text, shingleN)
       .select(col(id).as("c_id"), explode(col("sh")).as("shingle"))
     val e = withShingles(evalSet, text, shingleN)
       .select(col(id).as("e_id"), explode(col("sh")).as("shingle"))
     c.join(e, "shingle")
-      .filter(col("c_id") =!= col("e_id"))
+      .filter(if (excludeSameId) col("c_id") =!= col("e_id") else lit(true))
       .groupBy(col("c_id"), col("e_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
@@ -332,7 +340,8 @@ object Dedup {
     * [[decontaminate]]: (doc_id, eval_id, n_overlap). */
   def decontaminateHashed(corpus: DataFrame, evalSet: DataFrame,
                           id: String, text: Column, shingleN: Int = 3,
-                          minOverlap: Int = 3): DataFrame = {
+                          minOverlap: Int = 3,
+                          excludeSameId: Boolean = true): DataFrame = {
     // NO materialization barrier on the hash pass, deliberately: the
     // hashed postings have exactly ONE consumer (the candidate join),
     // so there is no recomputation to guard against, and a barrier
@@ -347,13 +356,13 @@ object Dedup {
     val cH = hashed(corpus, "c_id")
     val eH = hashed(evalSet, "e_id")
     val candidates = cH.join(eH, "h")
-      .filter(col("c_id") =!= col("e_id"))
+      .filter(if (excludeSameId) col("c_id") =!= col("e_id") else lit(true))
       .groupBy(col("c_id"), col("e_id"))
       .agg(count(lit(1)).as("n_hash"))
       .filter(col("n_hash") >= minOverlap)
       .select(col("c_id").as(id)).distinct()
     decontaminate(corpus.join(candidates, Seq(id), "left_semi"),
-      evalSet, id, text, shingleN, minOverlap)
+      evalSet, id, text, shingleN, minOverlap, excludeSameId)
   }
 
   /** Near-dup PAIRS → duplicate CLUSTERS: connected components of the

@@ -1,6 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** The shared at-least-once replay protocol of the persistent-state
   * streams (StreamingDedup / StreamingSimilarity / StreamingCorpusStats):
@@ -131,4 +133,57 @@ private[streaming] object StreamProtocol {
   def commit(fs: FileSystem, dir: Path, markerPrefix: String,
              batchId: Long): Unit =
     fs.create(new Path(dir, s"$markerPrefix$batchId"), true).close()
+
+  /** The ingest_batch column probe memo: the run-identity + config
+    * guards make the column immutable for the life of a guarded
+    * stream, so one successful probe per (JVM, directory) suffices —
+    * re-probing every micro-batch costs a full listing + footer read
+    * on object stores for zero information after batch 0. */
+  private val ingestBatchValidated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Validated read of a persisted partition-pruned streaming index —
+    * the layout/ingest_batch guard shared by [[StreamingDedup]] and
+    * [[StreamingSimilarity]] (previously two hand-synced copies):
+    *  - a LEGACY UNPARTITIONED index (parquet files at the root, no
+    *    `<partitionPrefix>=*` directories) reads back NULL partition
+    *    columns, so every indexed row silently stops matching — fail
+    *    loudly with the remedy;
+    *  - a directory with markers but no partition data yet is an
+    *    EMPTY index, not an error — None;
+    *  - a pre-`ingest_batch` index would have the replay fence
+    *    silently drop every entry — fail loudly (probe memoized per
+    *    JVM+directory, see above).
+    * Returns the schema'd unfiltered reader; callers apply their own
+    * partition prune and `ingest_batch` fence. */
+  def validatedIndex(spark: SparkSession, fs: FileSystem, dir: Path,
+                     partitionPrefix: String, schema: StructType,
+                     streamName: String, rebuildHint: String): Option[DataFrame] = {
+    if (!fs.exists(dir)) return None
+    val entries = fs.listStatus(dir)
+    val partitioned = entries.exists(e =>
+      e.isDirectory && e.getPath.getName.startsWith(partitionPrefix + "="))
+    val rootFiles = entries.exists(e =>
+      e.isFile && e.getPath.getName.endsWith(".parquet"))
+    if (rootFiles && !partitioned)
+      throw new IllegalStateException(
+        s"$streamName: $dir holds a legacy UNPARTITIONED index (parquet " +
+          s"files at the root, no $partitionPrefix=* directories). Matches " +
+          "against it would be silently dropped. Delete the directory and " +
+          s"re-ingest, or rewrite it $rebuildHint.")
+    if (!partitioned) None
+    else {
+      val key = dir.toString
+      if (!ingestBatchValidated.contains(key)) {
+        val cols = spark.read.parquet(dir.toString).columns
+        if (!cols.contains("ingest_batch"))
+          throw new IllegalStateException(
+            s"$streamName: $dir holds a legacy index without the " +
+              "ingest_batch column; matching would silently drop it. " +
+              "Delete the directory and re-ingest.")
+        ingestBatchValidated.add(key)
+      }
+      Some(spark.read.schema(schema).parquet(dir.toString))
+    }
+  }
 }

@@ -129,6 +129,17 @@ object StreamingCorpusStats {
       .collect().map(_.getDouble(0)).toSeq
     require(edges.nonEmpty,
       s"drift: version $fromV has an empty length sample — nothing to bin against")
+    // the TO side degenerates just as silently: an empty sample or
+    // counts table yields a ROW-LESS result (the entity grid is empty)
+    // instead of a score — a consumer reading "length_psi" would get
+    // nothing with no indication the comparison was void. Same
+    // fail-fast posture as the FROM check; both probes are against
+    // sketch-sized snapshot tables (≤ sampleK rows), not the corpus.
+    require(!to.qs.isEmpty,
+      s"drift: version $toV has an empty length sample — nothing to score")
+    require(!from.counts.isEmpty && !to.counts.isEmpty,
+      s"drift: version ${if (from.counts.isEmpty) fromV else toV} has an " +
+        "empty counts table — source-share drift is undefined")
     def binned(qs: DataFrame, ver: String): DataFrame = qs
       .select(lit(ver).as("entity"),
         edges.map(e => when(lit(e) < col("v"), 1L).otherwise(0L))

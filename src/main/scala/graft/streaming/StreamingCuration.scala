@@ -63,18 +63,27 @@ object StreamingCuration {
   def start(docs: DataFrame, idCol: String, textCol: String, gate: Column,
             evalIndexDir: String, digestDir: String, keptDir: String,
             checkpoint: String, shingleN: Int = 3,
-            minOverlap: Int = 3): StreamingQuery =
+            minOverlap: Int = 3, excludeSameId: Boolean = true): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // each directory resolves its OWN FileSystem — eval index,
+        // digest index, and kept output may live on different stores
+        val conf = spark.sessionState.newHadoopConf()
         val keptPath = new Path(keptDir)
-        val fs = keptPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val fs = keptPath.getFileSystem(conf)
+        val digestPath = new Path(digestDir)
+        val digestFs = digestPath.getFileSystem(conf)
         StreamingDecontam.verifyEvalIndex(
-          fs, evalIndexDir, shingleN, "StreamingCuration")
+          new Path(evalIndexDir).getFileSystem(conf), evalIndexDir,
+          shingleN, "StreamingCuration")
+        // digestBucketMod is baked into the digest index's partition
+        // values; excludeSameId shapes every contamination verdict
         val done = StreamProtocol.replayGuards(fs, keptPath, checkpoint,
           s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
-            s"shingleN=$shingleN;minOverlap=$minOverlap",
+            s"shingleN=$shingleN;minOverlap=$minOverlap;" +
+            s"digestBucketMod=$BucketCount;excludeSameId=$excludeSameId",
           batchId, "_batch_", "StreamingCuration")
         if (!done) {
           // one source read for the whole batch: the gated projection
@@ -94,20 +103,29 @@ object StreamingCuration {
             gated, col(idCol), col(textCol), "c_id", shingleN).cache()
           try {
             val contaminated = StreamingDecontam
-              .flaggedPairs(posts, evalIndexDir, minOverlap)
+              .flaggedPairs(posts, evalIndexDir, minOverlap, excludeSameId)
               .select(col("doc_id")).distinct()
             val clean = gated.join(contaminated,
               gated(idCol) === contaminated("doc_id"), "left_anti")
-            // within-batch keeper: first occurrence by id per digest
-            val w = Window.partitionBy(col("_digest")).orderBy(col(idCol))
+            // within-batch keeper: first occurrence by id per digest.
+            // NULL-text docs have a NULL digest; partitioning on the
+            // digest alone would fold them all into ONE group and keep
+            // only the first — but batch Dedup.exact keeps EVERY
+            // null-content doc as its own keeper (the engine's
+            // NULL-content law), so the window key falls back to the
+            // doc's own id, same sentinel pattern as Dedup.exact
+            val grpKey = coalesce(col("_digest"),
+              concat(lit("\u0000null:"), col(idCol).cast("string")))
+            val w = Window.partitionBy(grpKey).orderBy(col(idCol))
             val firsts = clean.withColumn("_rn", row_number().over(w))
               .filter(col("_rn") === 1).drop("_rn")
             // cross-batch: prune the digest index to touched buckets
             // (bounded driver-side collect), fence half-committed
             // appends of THIS batch, anti-join on the digest string
             val kept =
-              if (fs.exists(new Path(digestDir))) {
-                val touched = firsts.select(col("_bucket")).distinct()
+              if (digestFs.exists(digestPath)) {
+                val touched = firsts.filter(col("_digest").isNotNull)
+                  .select(col("_bucket")).distinct()
                   .collect().map(_.getInt(0)).toIndexedSeq
                 val idx = spark.read.schema(DigestSchema).parquet(digestDir)
                   .filter(col("bucket").isin(touched: _*) &&
@@ -124,7 +142,11 @@ object StreamingCuration {
               keptC.drop("_digest", "_bucket")
                 .write.mode(SaveMode.Overwrite)
                 .parquet(s"$keptDir/batch=$batchId")
-              keptC.select(col("_digest").as("digest"),
+              // null digests never match the anti-join (null-text
+              // keepers are always kept, matching the batch law) —
+              // indexing them would only grow never-matching rows
+              keptC.filter(col("_digest").isNotNull)
+                .select(col("_digest").as("digest"),
                   col("_bucket").as("bucket"), lit(batchId).as("ingest_batch"))
                 .write.mode(SaveMode.Append)
                 .partitionBy("bucket").parquet(digestDir)

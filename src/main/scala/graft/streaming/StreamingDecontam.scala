@@ -74,7 +74,7 @@ object StreamingDecontam {
     val fs = p.getFileSystem(
       evalSet.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(s"shingleN=$shingleN".getBytes("UTF-8"))
+    try out.write(s"shingleN=$shingleN;bucketMod=$BucketCount".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -97,12 +97,16 @@ object StreamingDecontam {
       val owner =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (owner != s"shingleN=$shingleN")
+      // bucketMod is baked into the index's partition values; a probe
+      // computed with a different modulus prunes against mismatched
+      // buckets and silently skips most true candidates
+      if (owner != s"shingleN=$shingleN;bucketMod=$BucketCount")
         throw new IllegalStateException(
           s"$caller: $indexDir was prepared with [$owner] " +
-            s"but this stream probes with [shingleN=$shingleN] — the " +
-            "join would silently flag nothing. Re-prepare the index " +
-            "or match the stream's shingleN.")
+            s"but this stream probes with [shingleN=$shingleN;" +
+            s"bucketMod=$BucketCount] — a mismatch silently flags " +
+            "nothing (shingleN) or prunes away true candidates " +
+            "(bucketMod). Re-prepare the index or match the stream.")
     }
   }
 
@@ -115,7 +119,8 @@ object StreamingDecontam {
     * touched-bucket collect and the join both consume it). */
   private[streaming] def flaggedPairs(batchPosts: DataFrame,
                                       indexDir: String,
-                                      minOverlap: Int): DataFrame = {
+                                      minOverlap: Int,
+                                      excludeSameId: Boolean = true): DataFrame = {
     val spark = batchPosts.sparkSession
     val touched = batchPosts.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
@@ -123,7 +128,7 @@ object StreamingDecontam {
       .filter(col("bucket").isin(touched: _*))
     batchPosts
       .join(idx, Seq("bucket", "shingle"))
-      .filter(col("c_id") =!= col("e_id"))
+      .filter(if (excludeSameId) col("c_id") =!= col("e_id") else lit(true))
       .groupBy(col("c_id"), col("e_id"))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
@@ -133,14 +138,20 @@ object StreamingDecontam {
 
   def start(docs: DataFrame, idCol: String, textCol: String,
             indexDir: String, flaggedDir: String, checkpoint: String,
-            shingleN: Int = 3, minOverlap: Int = 3): StreamingQuery =
+            shingleN: Int = 3, minOverlap: Int = 3,
+            excludeSameId: Boolean = true): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // each directory resolves its OWN FileSystem: indexDir and
+        // flaggedDir may live on different stores (s3a:// eval index,
+        // hdfs:// results) and a handle from one throws "Wrong FS"
+        // probing the other
+        val conf = spark.sessionState.newHadoopConf()
         val indexPath = new Path(indexDir)
-        val fs = indexPath.getFileSystem(spark.sessionState.newHadoopConf())
-        verifyEvalIndex(fs, indexDir, shingleN, "StreamingDecontam")
+        val indexFs = indexPath.getFileSystem(conf)
+        verifyEvalIndex(indexFs, indexDir, shingleN, "StreamingDecontam")
         // run-identity + config guards on the RESULTS dir: a fresh
         // checkpoint restarting batch ids at 0 would overwrite old
         // batch directories with different data, silently mixing two
@@ -148,20 +159,23 @@ object StreamingDecontam {
         // within one results dir. Markers also let a fully-committed
         // batch replay skip its recompute entirely.
         val flaggedPath = new Path(flaggedDir)
-        val done = StreamProtocol.replayGuards(fs, flaggedPath, checkpoint,
-          s"index=$indexDir;shingleN=$shingleN;minOverlap=$minOverlap",
+        val flaggedFs = flaggedPath.getFileSystem(conf)
+        val done = StreamProtocol.replayGuards(flaggedFs, flaggedPath, checkpoint,
+          s"index=$indexDir;shingleN=$shingleN;minOverlap=$minOverlap;" +
+            s"excludeSameId=$excludeSameId",
           batchId, "_batch_", "StreamingDecontam")
         if (!done) {
         val batchPosts = posts(batch, col(idCol), col(textCol), "c_id",
           shingleN).cache()
         try {
-          val flagged = flaggedPairs(batchPosts, indexDir, minOverlap)
+          val flagged = flaggedPairs(batchPosts, indexDir, minOverlap,
+            excludeSameId)
           // per-batch Overwrite directory: a replay recomputes the same
           // verdicts (immutable index) and rewrites the same files; the
           // marker then lets the NEXT replay skip the recompute
           flagged.write.mode(SaveMode.Overwrite)
             .parquet(s"$flaggedDir/batch=$batchId")
-          StreamProtocol.commit(fs, flaggedPath, "_batch_", batchId)
+          StreamProtocol.commit(flaggedFs, flaggedPath, "_batch_", batchId)
         } finally batchPosts.unpersist()
         }
         ()

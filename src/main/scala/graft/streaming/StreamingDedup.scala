@@ -74,9 +74,13 @@ object StreamingDedup {
         // incompatible hash spaces and silently stop matching — the
         // config guard fails fast instead. minAgreement only filters
         // results and is deliberately NOT pinned.
+        // bucketMod: band_bucket = band_hash mod BucketCount is BAKED
+        // into the persisted partition values — resuming with a
+        // different modulus would prune against mismatched buckets and
+        // silently stop flagging roughly (1 - 1/mod) of true candidates
         val done = StreamProtocol.replayGuards(fs, indexPath, checkpoint,
-          s"k=$k;bands=$bands;shingleN=$shingleN", batchId, "_batch_",
-          "StreamingDedup")
+          s"k=$k;bands=$bands;shingleN=$shingleN;bucketMod=$BucketCount",
+          batchId, "_batch_", "StreamingDedup")
         if (done) ()
         else {
         val banded = Dedup.withLshBands(
@@ -93,64 +97,33 @@ object StreamingDedup {
           .withColumn("ingest_batch", lit(batchId))
           .cache()
         try {
-          val index =
-            if (fs.exists(indexPath)) {
-              // A pre-partitioning index layout (parquet files at the
-              // root instead of band_idx=*/ dirs) would read back with
-              // NULL partition columns: the prune predicate would match
-              // nothing and every indexed doc would silently stop
-              // matching. Fail loudly with the remedy instead.
-              val entries = fs.listStatus(indexPath)
-              val partitioned = entries.exists(e =>
-                e.isDirectory && e.getPath.getName.startsWith("band_idx="))
-              val rootFiles = entries.exists(e =>
-                e.isFile && e.getPath.getName.endsWith(".parquet"))
-              if (rootFiles && !partitioned)
-                throw new IllegalStateException(
-                  s"StreamingDedup: $indexDir holds a legacy UNPARTITIONED " +
-                    "band index (parquet files at the root, no band_idx=* " +
-                    "directories). Cross-batch matches against it would be " +
-                    "silently dropped. Rebuild the index: delete the " +
-                    "directory and re-ingest, or rewrite it partitioned by " +
-                    "(band_idx, band_bucket).")
-              if (!partitioned) {
-                // directory exists (markers, _SUCCESS) but holds no
-                // band_idx=* data yet — an empty index, not an error
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[Row], IndexSchema)
-              } else {
-                // a pre-ingest_batch index would read back NULL batch
-                // ids and the replay guard would silently drop every
-                // entry — detect and fail with a rebuild message
-                val cols = spark.read.parquet(indexDir).columns
-                if (!cols.contains("ingest_batch"))
-                  throw new IllegalStateException(
-                    s"StreamingDedup: $indexDir holds a legacy index " +
-                      "without the ingest_batch column; matching would " +
-                      "silently drop it. Delete the directory and re-ingest.")
-                // prune the index read to the partitions this batch's band
-                // keys can possibly match: the touched (band_idx,
-                // band_bucket) set is at most bands × BucketCount values —
-                // a tiny, bounded driver-side collect
-                val touched = banded
-                  .select(col("band_idx"), col("band_bucket")).distinct()
-                  .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
-                val prune = touched
-                  .map { case (bi, bb) =>
-                    col("band_idx") === bi && col("band_bucket") === bb }
-                  .reduceOption(_ || _).getOrElse(lit(false))
-                spark.read.schema(IndexSchema).parquet(indexDir)
-                  .filter(prune)
-                  // replay guard: rows a half-committed earlier attempt
-                  // of THIS batch appended must never match. (A crash
-                  // between index append and marker can leave the
-                  // replay double-appending; the duplicate band rows
-                  // only duplicate candidates, which the dups distinct
-                  // collapses — wasted bytes, never wrong answers.)
-                  .filter(col("ingest_batch") < batchId)
-              }
-            } else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row], IndexSchema)
+          // layout + ingest_batch validation is the shared
+          // StreamProtocol guard; the prune below is this stream's own:
+          // the touched (band_idx, band_bucket) set is at most
+          // bands × BucketCount values — a tiny, bounded driver-side
+          // collect
+          val index = StreamProtocol.validatedIndex(spark, fs, indexPath,
+              "band_idx", IndexSchema, "StreamingDedup",
+              "partitioned by (band_idx, band_bucket)") match {
+            case None =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], IndexSchema)
+            case Some(reader) =>
+              val touched = banded
+                .select(col("band_idx"), col("band_bucket")).distinct()
+                .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+              val prune = touched
+                .map { case (bi, bb) =>
+                  col("band_idx") === bi && col("band_bucket") === bb }
+                .reduceOption(_ || _).getOrElse(lit(false))
+              reader.filter(prune)
+                // replay guard: rows a half-committed earlier attempt
+                // of THIS batch appended must never match. (A crash
+                // between index append and marker can leave the
+                // replay double-appending; the duplicate band rows
+                // only duplicate candidates, which the dups distinct
+                // collapses — wasted bytes, never wrong answers.)
+                .filter(col("ingest_batch") < batchId)
+          }
 
           val dups = banded.alias("n")
             .join(index.alias("i"), Seq("band_idx", "band_hash"))
@@ -165,16 +138,17 @@ object StreamingDedup {
             .distinct()
             .cache()
 
-          dups.write.mode(SaveMode.Overwrite)
-            .parquet(s"$dupDir/batch=$batchId")
-          banded
-            .join(dups.select(col("new_id")).distinct(),
-              col("doc_id") === col("new_id"), "left_anti")
-            .write.mode(SaveMode.Append)
-            .partitionBy("band_idx", "band_bucket")
-            .parquet(indexDir)
-          StreamProtocol.commit(fs, indexPath, "_batch_", batchId)
-          dups.unpersist()
+          try {
+            dups.write.mode(SaveMode.Overwrite)
+              .parquet(s"$dupDir/batch=$batchId")
+            banded
+              .join(dups.select(col("new_id")).distinct(),
+                col("doc_id") === col("new_id"), "left_anti")
+              .write.mode(SaveMode.Append)
+              .partitionBy("band_idx", "band_bucket")
+              .parquet(indexDir)
+            StreamProtocol.commit(fs, indexPath, "_batch_", batchId)
+          } finally dups.unpersist()   // a failed write must not leak the cache
         } finally banded.unpersist()
         }
         ()

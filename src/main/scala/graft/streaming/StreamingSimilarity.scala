@@ -60,9 +60,14 @@ object StreamingSimilarity {
     * deterministically with `max_by` on `ingest_batch`
     * (`dropDuplicates` would keep a partition-order-dependent
     * survivor when an id was legitimately re-ingested, making match
-    * results nondeterministic). Rows a true double-append replayed
-    * share an ingest_batch AND identical content, so any survivor is
-    * the same row. Caveat: when the caller pre-prunes to touched
+    * results nondeterministic). Ties WITHIN one ingest_batch (an
+    * upstream at-least-once source delivering one id twice with
+    * different vectors in the same micro-batch) break on the vector's
+    * own hash — arbitrary but deterministic, so an offline re-run
+    * reproduces the stream's answers either way. Rows a true
+    * double-append replayed share an ingest_batch AND identical
+    * content, so any survivor is the same row. Caveat: when the
+    * caller pre-prunes to touched
     * buckets, survivors are chosen among those buckets only — a
     * re-ingest that moved an id to an untouched bucket leaves its
     * stale version eligible; acceptable for append-style ingest,
@@ -72,7 +77,8 @@ object StreamingSimilarity {
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("bucket"), col("vec"), col("norm"),
-          col("ingest_batch")), col("ingest_batch")).as("_s"))
+          col("ingest_batch")),
+        struct(col("ingest_batch"), xxhash64(col("vec")))).as("_s"))
       .select(col("vec_id"), col("_s.bucket").as("bucket"),
         col("_s.vec").as("vec"), col("_s.norm").as("norm"),
         col("_s.ingest_batch").as("ingest_batch"))
@@ -122,49 +128,21 @@ object StreamingSimilarity {
           .withColumn("ingest_batch", lit(batchId))
           .cache()
         try {
-          val index =
-            if (fs.exists(indexPath)) {
-              // same legacy-layout guard as StreamingDedup: an
-              // unpartitioned index would read back NULL bucket
-              // columns and silently match nothing
-              val entries = fs.listStatus(indexPath)
-              val partitioned = entries.exists(e =>
-                e.isDirectory && e.getPath.getName.startsWith("bucket="))
-              val rootFiles = entries.exists(e =>
-                e.isFile && e.getPath.getName.endsWith(".parquet"))
-              if (rootFiles && !partitioned)
-                throw new IllegalStateException(
-                  s"StreamingSimilarity: $indexDir holds a legacy " +
-                    "UNPARTITIONED vector index (parquet files at the " +
-                    "root, no bucket=* directories). Matches against it " +
-                    "would be silently dropped. Delete the directory and " +
-                    "re-ingest, or rewrite it partitioned by bucket.")
-              if (!partitioned) {
-                // directory exists (markers, _SUCCESS) but holds no
-                // bucket=* data yet — an empty index, not an error
-                spark.createDataFrame(
-                  spark.sparkContext.emptyRDD[Row], IndexSchema)
-              } else {
-                // a pre-ingest_batch index would read back NULL batch
-                // ids and the replay guard would silently drop every
-                // entry — detect and fail with a rebuild message
-                val cols = spark.read.parquet(indexDir).columns
-                if (!cols.contains("ingest_batch"))
-                  throw new IllegalStateException(
-                    s"StreamingSimilarity: $indexDir holds a legacy index " +
-                      "without the ingest_batch column; matching would " +
-                      "silently drop it. Delete the directory and re-ingest.")
-                // prune to the buckets this batch actually touches —
-                // bounded by min(batch, 2^planes) values, driver-known
-                val touched = banded.select(col("bucket")).distinct()
-                  .collect().map(_.getLong(0)).toIndexedSeq
-                latestPerId(
-                  spark.read.schema(IndexSchema).parquet(indexDir)
-                    .filter(col("bucket").isin(touched: _*)),
-                  batchId)
-              }
-            } else spark.createDataFrame(
-              spark.sparkContext.emptyRDD[Row], IndexSchema)
+          // layout + ingest_batch validation is the shared
+          // StreamProtocol guard; the prune below is this stream's
+          // own — the touched bucket set is bounded by
+          // min(batch, 2^planes) values, driver-known
+          val index = StreamProtocol.validatedIndex(spark, fs, indexPath,
+              "bucket", IndexSchema, "StreamingSimilarity",
+              "partitioned by bucket") match {
+            case None =>
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], IndexSchema)
+            case Some(reader) =>
+              val touched = banded.select(col("bucket")).distinct()
+                .collect().map(_.getLong(0)).toIndexedSeq
+              latestPerId(reader.filter(col("bucket").isin(touched: _*)),
+                batchId)
+          }
 
           val results = banded.alias("q")
             .join(index.alias("i"), Seq("bucket"))

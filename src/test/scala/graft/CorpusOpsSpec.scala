@@ -24,6 +24,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hashed.toSeq == exact.toSeq)
   }
 
+  test("excludeSameId=false flags same-id pairs across independent id spaces") {
+    // eval and corpus ids COLLIDE (both start at 1) but the datasets
+    // are independent: with the default exclusion doc 1's overlap with
+    // eval doc 1 would be silently suppressed
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "completely different content sharing nothing with the evals"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val default = Dedup.decontaminate(docs, evalSet, "doc_id", col("text"))
+      .as[(Long, Long, Long)].collect()
+    assert(default.isEmpty, "same-id exclusion suppresses the colliding pair")
+    val cross = Dedup.decontaminate(docs, evalSet, "doc_id", col("text"),
+        excludeSameId = false)
+      .as[(Long, Long, Long)].collect()
+    assert(cross.map(p => (p._1, p._2)).toSet === Set((1L, 1L)))
+    val crossHashed = Dedup.decontaminateHashed(docs, evalSet, "doc_id",
+        col("text"), excludeSameId = false)
+      .as[(Long, Long, Long)].collect()
+    assert(crossHashed.toSeq === cross.toSeq)
+  }
+
   test("decontaminateHashed shuffles fewer bytes than the string join on a long-doc corpus") {
     // The operator's reason to exist is shuffle BYTES, not toy-scale
     // wall-clock: postings ride the exchange as 8-byte hashes instead

@@ -102,6 +102,59 @@ class StreamingCurationSpec extends SparkSpec {
     }
   }
 
+  test("null-text docs follow the batch NULL-content law: each is its own " +
+      "keeper, within and across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // two null-text docs inside one batch + one more in the next batch,
+    // among normal docs (one of which duplicates across batches)
+    val b1 = Seq((1L, Option("a normal document with enough tokens here")),
+      (2L, Option.empty[String]), (3L, Option.empty[String]))
+    val b2 = Seq((4L, Option.empty[String]),
+      (5L, Option("a normal document with enough tokens here")))
+    val base = java.nio.file.Files.createTempDirectory("graft_scurn_").toString
+    StreamingDecontam.prepareEvalIndex(
+      Seq((999L, "an eval doc sharing no shingles with the corpus at all x"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), s"$base/evalIndex")
+
+    val input = MemoryStream[(Long, Option[String])]
+    val q = StreamingCuration.start(
+      input.toDS().toDF("doc_id", "text"),
+      idCol = "doc_id", textCol = "text", gate = lit(true),
+      evalIndexDir = s"$base/evalIndex", digestDir = s"$base/digests",
+      keptDir = s"$base/kept", checkpoint = s"$base/ckpt")
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.read.parquet(s"$base/kept")
+        .select("doc_id").as[Long].collect().toSet
+      // batch law (Dedup.exact NULL-content rule): docs 2, 3, 4 are
+      // each their own keeper; doc 5's text is doc 1's duplicate
+      val docs = (b1 ++ b2).toDF("doc_id", "text")
+      val batchKeepers = Dedup.exact(docs, col("doc_id"), col("text"))
+        .filter(col("rn") === 1).select("doc_id").as[Long].collect().toSet
+      assert(batchKeepers === Set(1L, 2L, 3L, 4L))
+      assert(streamed === batchKeepers)
+      // the digest index holds only non-null digests (null-text docs
+      // are always kept and never matchable — indexing them would only
+      // grow never-matching rows)
+      val idx = spark.read.parquet(s"$base/digests")
+      assert(idx.filter(col("digest").isNull).count() === 0L)
+      assert(idx.count() === 1L)
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("a changed gate against retained state fails loudly (regime fence)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

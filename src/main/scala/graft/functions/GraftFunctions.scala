@@ -91,7 +91,12 @@ object GraftFunctions {
 
   /** Dot product of two numeric arrays — the native codegen'd
     * sequential left-fold (`HashExpressions.dotNative`), bit-identical
-    * to [[dotProductDeclarative]] and the DuckDB list_reduce oracle. */
+    * to [[dotProductDeclarative]] and the DuckDB list_reduce oracle ON
+    * EQUAL-LENGTH, NON-NULL-ELEMENT inputs (every engine vector path).
+    * Outside that domain the two forms diverge by design: the native
+    * fold reads null elements as 0.0 and ignores positions beyond the
+    * shorter array, while the declarative zip_with null-pads both
+    * cases to a NULL result — see each form's own contract. */
   def dotProduct(a: Column, b: Column): Column =
     HashExpressions.dotNative(a, b)
 

@@ -327,7 +327,8 @@ object HashUtil {
       var j = b * rows
       val end = j + rows
       while (j < end && !nul) {
-        if (j >= n || mh.isNullAt(j)) nul = true
+        // n % bands == 0 (checked above) ⇒ every band index < n
+        if (mh.isNullAt(j)) nul = true
         else h = (h * 31 + mh.getLong(j)) % Mod
         j += 1
       }
@@ -375,6 +376,16 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.polyHash(input.asInstanceOf[UTF8String])
 
@@ -391,6 +402,16 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_shingle_minhash"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> input, got ${other.simpleString}")
+    }
 
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.shingleMinHash(input.asInstanceOf[ArrayData], n, k)
@@ -410,15 +431,30 @@ case class ShingleSimHash(child: Expression, n: Int, bits: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_shingle_simhash"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> input, got ${other.simpleString}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.shingleSimHash(input.asInstanceOf[ArrayData], n, bits)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // fresh per-instance local: with a non-nullable child nullSafeExec
+    // emits this block UNWRAPPED, so a fixed name would collide when
+    // two SimHash instances land in one generated function
+    val boxed = ctx.freshName("simBoxed")
     nullSafeCodeGen(ctx, ev, c => s"""
-      Object simRes = graft.functions.HashUtil.shingleSimHash($c, $n, $bits);
-      if (simRes == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Long) simRes).longValue(); }
+      Object $boxed = graft.functions.HashUtil.shingleSimHash($c, $n, $bits);
+      if ($boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Long) $boxed).longValue(); }
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSimHash =
     copy(child = newChild)

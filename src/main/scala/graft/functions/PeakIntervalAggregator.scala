@@ -23,10 +23,14 @@ import org.apache.spark.sql.expressions.Aggregator
 object PeakIntervalAggregator
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Double] {
 
-  override def zero: Seq[(Long, Double)] = Seq.empty
+  override def zero: Seq[(Long, Double)] = Nil
 
+  // PREPEND: the buffer is a List between reduce calls (the object
+  // aggregation iterator keeps it live), so `buf :+ row` copies the
+  // whole list per row — O(m²) per m-sample group. Order is free to
+  // lose: finish sorts the peak timestamps itself.
   override def reduce(buf: Seq[(Long, Double)],
-                      row: (Long, Double)): Seq[(Long, Double)] = buf :+ row
+                      row: (Long, Double)): Seq[(Long, Double)] = row +: buf
 
   override def merge(a: Seq[(Long, Double)],
                      b: Seq[(Long, Double)]): Seq[(Long, Double)] = a ++ b

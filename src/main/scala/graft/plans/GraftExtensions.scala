@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, DyadicFold, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, Shingles}
+import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, DyadicFold, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, ShingleSimHash, Shingles}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -38,15 +38,24 @@ object GraftExtensions {
   /** n/k/planes/dim-style arguments must be integer literals — a clear
     * error beats the UnsupportedOperationException a bare eval() on a
     * non-literal column throws. */
-  private def intLit(e: Expression, fn: String, name: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
-        if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
-      throw new IllegalArgumentException(
-        s"$fn: $name is out of int range: $v")
-    case other => throw new IllegalArgumentException(
-      s"$fn: $name must be an integer literal, got $other")
+  private def intLit(e: Expression, fn: String, name: String): Int = {
+    val v = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+          if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+        throw new IllegalArgumentException(
+          s"$fn: $name is out of int range: $v")
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integer literal, got $other")
+    }
+    // every graft int argument is a count (n/k/bands/planes/dim/bits):
+    // zero or negative values fail per-row deep in the kernels
+    // (ArithmeticException, NegativeArraySizeException) or silently
+    // return nonsense ([""] shingles for n=0) — reject at analysis
+    if (v < 1) throw new IllegalArgumentException(
+      s"$fn: $name must be >= 1, got $v")
+    v
   }
 
   /** Merge-symbol arguments must be string literals — same rationale
@@ -104,6 +113,12 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => BpeMergeFold(exprs.head,
         strLit(exprs(1), "graft_bpe_merge", "w1"),
         strLit(exprs(2), "graft_bpe_merge", "w2"))),
+    (FunctionIdentifier("graft_shingle_simhash"),
+      info("graft_shingle_simhash",
+        "graft_shingle_simhash(tokens, n, bits) - SimHash signature over distinct word-n-gram shingles (NULL for shingle-less docs)"),
+      (exprs: Seq[Expression]) => ShingleSimHash(exprs.head,
+        intLit(exprs(1), "graft_shingle_simhash", "n"),
+        intLit(exprs(2), "graft_shingle_simhash", "bits"))),
     (FunctionIdentifier("graft_dyadic_fold"),
       info("graft_dyadic_fold",
         "graft_dyadic_fold(xs) - normalized dyadic weighted fold (sum xs[i]*2^i) / (2^n - 1) of a bigint array"),

@@ -397,8 +397,18 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
               var flush = false
               while (iter.hasNext && !flush) {
                 val row = iter.next()
-                val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-                  mutable.PriorityQueue.empty[InternalRow](ord))
+                // probe with the REUSED projection row; copy the key
+                // only on first sight — getOrElseUpdate(copy, ...)
+                // would allocate a fresh UnsafeRow per input row just
+                // to probe, pure GC pressure on the O(n) ingest loop
+                val probeKey = keyProj(row)
+                val heap = heaps.get(probeKey) match {
+                  case Some(h) => h
+                  case None =>
+                    val h = mutable.PriorityQueue.empty[InternalRow](ord)
+                    heaps.put(probeKey.copy(), h)
+                    h
+                }
                 if (heap.size < kL) { heap.enqueue(row.copy()); resident += 1 }
                 else if (ord.compare(row, heap.head) < 0) {
                   heap.dequeue()

@@ -61,6 +61,32 @@ class ExtensionsSinksSpec extends SparkSpec {
       "SELECT graft_lsh_bucket(array(1.0D, -1.0D), 4294967297, 2)").collect())
     assert(msgs(rangeErr).exists(_.contains("out of int range")),
       rangeErr.getMessage)
+
+    // graft_shingle_simhash is registered; TWO instances in one
+    // projection over a NON-NULLABLE child must both codegen (a fixed
+    // generated-local name would collide and knock the projection out
+    // of whole-stage codegen)
+    val sims = spark.sql(
+      "SELECT graft_shingle_simhash(split('a b c d', ' '), 3, 24) AS s24, " +
+        "graft_shingle_simhash(split('a b c d', ' '), 3, 64) AS s64, " +
+        "graft_shingle_simhash(split('a b', ' '), 3, 24) AS nul")
+      .as[(Option[Long], Option[Long], Option[Long])].collect().head
+    assert(sims._1.nonEmpty && sims._2.nonEmpty)
+    assert(sims._3.isEmpty, "shingle-less doc must SimHash to NULL")
+
+    // misuse: non-positive counts fail at analysis with a clear error,
+    // not per-row deep in the kernels (/ by zero, negative array size)
+    val zeroErr = intercept[Exception](spark.sql(
+      "SELECT graft_band_hashes(array(1L, 2L), 0)").collect())
+    assert(msgs(zeroErr).exists(_.contains("must be >= 1")), zeroErr.getMessage)
+    // misuse: wrongly-typed input fails analysis, not at runtime with
+    // a ClassCastException or garbage offsets
+    val mhTypeErr = intercept[Exception](spark.sql(
+      "SELECT graft_shingle_minhash(array(1, 2, 3), 1, 4)").collect())
+    assert(msgs(mhTypeErr).exists(_.contains("array<string>")), mhTypeErr.getMessage)
+    val polyTypeErr = intercept[Exception](spark.sql(
+      "SELECT graft_polyhash(123)").collect())
+    assert(msgs(polyTypeErr).exists(_.contains("string")), polyTypeErr.getMessage)
   }
 
   test("sinks: partitioned parquet write round-trips") {

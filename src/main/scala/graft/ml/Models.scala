@@ -48,11 +48,15 @@ object Models {
   /** F8 label encoding: fixed string→ordinal map (reference's `when`
     * chain, `RecognizeActivity.java:187-200`). Unknown strings → max+1
     * (the reference defaulted unknowns to 0, conflating them with the
-    * first class — fixed here). */
+    * first class — fixed here). A NULL label stays NULL — missing data
+    * is not an unknown CLASS; without the explicit guard the
+    * null-valued `===` comparisons would fall through every `when` and
+    * silently train a phantom class from missing rows. */
   def encodeLabel(c: Column, vocab: Seq[String]): Column =
-    vocab.zipWithIndex.foldLeft(lit(vocab.size.toDouble)) {
-      case (acc, (v, i)) => when(c === v, i.toDouble).otherwise(acc)
-    }
+    when(c.isNull, lit(null).cast("double")).otherwise(
+      vocab.zipWithIndex.foldLeft(lit(vocab.size.toDouble)) {
+        case (acc, (v, i)) => when(c === v, i.toDouble).otherwise(acc)
+      })
 
   private def assembler = new VectorAssembler()
     .setInputCols(FeatureCols.toArray).setOutputCol("features")
@@ -103,6 +107,9 @@ object Models {
   def withClassifierTokens(df: DataFrame, text: Column,
                            out: String = "clf_toks"): DataFrame = {
     import graft.functions.GraftFunctions.{positionedShingles, tokens}
+    require(!df.columns.contains("_clf_tk"),
+      "withClassifierTokens: input already has a _clf_tk column — it " +
+        "would be silently overwritten and dropped; rename it first")
     // tokenize ONCE into a bound column — referencing tokens(text) in
     // both arms of the concat would split every document twice. NULL
     // text coalesces to an empty token array: tokens(null) is null,

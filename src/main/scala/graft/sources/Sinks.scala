@@ -16,27 +16,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sinks {
 
+  /** The one shared body of the three format sinks. */
+  private def write(df: DataFrame, path: String, format: String,
+                    partitionBy: Seq[String], mode: SaveMode): Unit = {
+    val w = df.write.mode(mode).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path)
+  }
+
   /** Parquet sink — the driver-contract output format. Optional
     * partition columns give directory-pruned layouts for downstream
     * readers (the 100 TB default: partition by a low-cardinality
     * predicate column, never by a high-cardinality key). */
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil,
-                   mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(path)
-  }
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    write(df, path, "parquet", partitionBy, mode)
 
   /** ORC sink — parquet's sibling columnar format, same partitioned
     * layout options. */
   def writeOrc(df: DataFrame, path: String,
                partitionBy: Seq[String] = Nil,
-               mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .orc(path)
-  }
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    write(df, path, "orc", partitionBy, mode)
 
   /** JSON-lines sink — the interchange/export format (one object per
     * line, splittable, append-friendly). For data the ENGINE will
@@ -44,11 +46,8 @@ object Sinks {
     * nothing. */
   def writeJson(df: DataFrame, path: String,
                 partitionBy: Seq[String] = Nil,
-                mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .json(path)
-  }
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    write(df, path, "json", partitionBy, mode)
 
   /** Size-targeted parquet sink — the small-files guard. A 100 TB
     * pipeline that writes through whatever partitioning the last

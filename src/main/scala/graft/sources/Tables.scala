@@ -45,8 +45,13 @@ object Tables {
     // logged warning rather than failing. The mutation is guarded (only
     // when unset, only for the nanos table) to keep the shared-conf
     // side effect minimal and visible.
+    // SQLConf.contains probes the EXPLICIT settings only (get() would
+    // fall back to the registered default, hiding the distinction) —
+    // an explicit false is a deliberate choice (e.g. a harness
+    // asserting the modern timestamp path) and must be respected, not
+    // silently flipped session-wide; only a truly unset conf self-heals
     if (name == "events" &&
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true") {
+        !spark.sessionState.conf.contains("spark.sql.legacy.parquet.nanosAsLong")) {
       org.apache.log4j.Logger.getLogger(getClass).warn(
         "graft.Tables.load: setting spark.sql.legacy.parquet.nanosAsLong=true " +
           "for the events table (prefer setting it at session build time)")
@@ -100,11 +105,22 @@ object Tables {
                buckets: Int = 8): String = {
     // saveAsTable lowercases identifiers; derive the name lowercased so
     // catalog names and filesystem paths never diverge by case
-    val tbl = (s"${name}_${key}_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
+    // buckets is part of the name: the file layout is hash-mod-buckets,
+    // so a leftover build with a DIFFERENT count adopted under the same
+    // name would register the wrong CLUSTERED BY spec and silently lose
+    // join rows (bucket pruning assumes the registered modulus)
+    val tbl = (s"${name}_${key}_b${buckets}_" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
       .toLowerCase(java.util.Locale.ROOT)
     val log = org.apache.log4j.Logger.getLogger(getClass)
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val finalPath = new org.apache.hadoop.fs.Path(warehouse, tbl)
+    // managed tables live under the CURRENT DATABASE's location, which
+    // equals spark.sql.warehouse.dir only for the in-memory default db —
+    // deriving paths from warehouse.dir under `USE analytics` (or a
+    // metastore whose default-db location moved) would fingerprint an
+    // empty directory, rename it over nothing, and drop the real build
+    val catalog = spark.sessionState.catalog
+    val dbLocation = new org.apache.hadoop.fs.Path(
+      catalog.getDatabaseMetadata(catalog.getCurrentDatabase).locationUri)
+    val finalPath = new org.apache.hadoop.fs.Path(dbLocation, tbl)
     val fs = finalPath.getFileSystem(spark.sessionState.newHadoopConf())
 
     // source fingerprint (file names + sizes + mtimes): adoption is only
@@ -150,13 +166,19 @@ object Tables {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
 
+    val src = load(spark, dir, name)      // one reader: build + schema DDL
     if (!isComplete) {
       val tmpTbl = tbl + "_tmp_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
-      load(spark, dir, name).write
+      src.write
         .bucketBy(buckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(tmpTbl)
-      val tmpPath = new org.apache.hadoop.fs.Path(warehouse, tmpTbl)
+      // the authoritative location of the temp build — asking the
+      // catalog (not assuming a path layout) keeps the fingerprint and
+      // rename pointed at the directory saveAsTable actually wrote
+      val tmpPath = new org.apache.hadoop.fs.Path(
+        catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tmpTbl)).location)
       val out = fs.create(new org.apache.hadoop.fs.Path(tmpPath, fpFile), true)
       try out.write(srcFp.getBytes("UTF-8")) finally out.close()
       // swap: re-check completeness (a racer may have finished during
@@ -188,7 +210,7 @@ object Tables {
     // over the final location, preserving the bucket spec via DDL
     try
       spark.sql(
-        s"""CREATE TABLE `$tbl` (${load(spark, dir, name).schema.toDDL})
+        s"""CREATE TABLE `$tbl` (${src.schema.toDDL})
            |USING PARQUET
            |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
            |LOCATION '${finalPath.toUri}'""".stripMargin)

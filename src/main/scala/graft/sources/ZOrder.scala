@@ -73,6 +73,10 @@ object ZOrder {
                     bitsPer: Int = 16, numFiles: Int = 0): Unit = {
     val files = if (numFiles > 0) numFiles
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    require(!df.columns.contains("_z"),
+      "writeZOrdered: input already has a _z column — it would be " +
+        "silently overwritten and dropped from the written data; " +
+        "rename it first")
     df.withColumn("_z", zValue(df, zCols, bitsPer))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")

@@ -103,7 +103,9 @@ class BucketedJoinSpec extends SparkSpec {
 
   test("bucketed build race: two concurrent sessions, no data loss, adoption on rebuild") {
     val dir = sf("sf0.001")
-    val tbl = "customer_c_custkey_b_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // the derived name carries the bucket count (default 8): a layout
+    // built with a different modulus must never be adopted
+    val tbl = "customer_c_custkey_b8_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(warehouse, tbl)

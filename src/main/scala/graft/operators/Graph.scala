@@ -82,7 +82,10 @@ object Graph {
 
     // Out-degree fused onto the edge table ONCE, partitioned on src,
     // pinned: the big side of every round's join never moves again.
+    // deg feeds ed, srcIds AND the final out_deg join — pinned, or the
+    // output-time join replans the edge-scale aggregation from the scan
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("out_deg"))
+      .localCheckpoint(false)
     val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint(false)
 
     val verts = e.select(col("src").as("id"))
@@ -179,8 +182,13 @@ object Graph {
     val (u, deg, closed) = closedWedges(edges, src, dst, reliableCheckpoint)
     val triangles = closed.agg(count(lit(1)).as("n_triangles"))
     val edgeCount = u.agg(count(lit(1)).as("n_edges"))
+    // all-integer: deg*(deg-1) is even, so summing the halved LONG
+    // terms is exact — the double '/' form rounds once deg*(deg-1)
+    // passes 2^53 (hub degree ~9.5e7) and the double SUM drifts on
+    // corpus-scale totals
     val wedgeCount = deg
-      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      .agg(sum(graft.functions.GraftFunctions.longDiv(
+        col("deg") * (col("deg") - 1), 2L)).as("n_wedges"))
     edgeCount.crossJoin(broadcast(wedgeCount)).crossJoin(broadcast(triangles))
       .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
         graft.functions.GraftFunctions.r(
@@ -200,6 +208,7 @@ object Graph {
     * coefficient table. */
   def localClustering(edges: DataFrame, src: Column, dst: Column, k: Int,
                       reliableCheckpoint: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
     val (_, deg, closed) = closedWedges(edges, src, dst, reliableCheckpoint)
     val perVertex = closed
       .select(explode(array(col("v"), col("a"), col("b"))).as("id"))

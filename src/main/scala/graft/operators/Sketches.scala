@@ -61,11 +61,19 @@ object Sketches {
     * scan less. Returns ≤ depth × width rows (row_idx, bucket, cnt) —
     * cells no key hashed to are absent, which [[cmsEstimate]] reads
     * as zero. Sketches built with the same shape merge by
-    * unionByName → groupBy(row_idx, bucket).sum(cnt). */
+    * unionByName → groupBy(row_idx, bucket).sum(cnt).
+    *
+    * NULL items are dropped at build: polyHash(NULL) is NULL, so their
+    * mass would land in NULL-bucket cells no equality probe can ever
+    * reach — stored-but-unqueryable mass that flips the "never
+    * undercounts" guarantee for the one key that deposited it. With
+    * nulls excluded, an estimate of 0 for a null probe is CORRECT
+    * (the sketch holds no such observations). */
   def cmsFromCounts(counts: DataFrame, item: Column, cnt: Column,
                     width: Int, depth: Int = 3): DataFrame = {
     requireShape(depth, width)
-    counts.select(polyHash(item).as("_h"), cnt.as("_c"))
+    counts.filter(item.isNotNull)
+      .select(polyHash(item).as("_h"), cnt.as("_c"))
       .select(explode(array((0 until depth).map(i =>
         cell(col("_h"), i, width)): _*)).as("_cell"), col("_c"))
       .groupBy(col("_cell.row_idx").as("row_idx"),
@@ -99,10 +107,16 @@ object Sketches {
   def bottomK(df: DataFrame, group: Column, hash: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     val dist = df.select(group.as("grp"), hash.as("h")).distinct()
-      .filter(coalesce(assert_true(abs(col("h")) < lit(1L << 53),
-        lit("bottomK: |hash| >= 2^53 — the bounded-heap cut orders on a " +
-          "double cast and would collide distinct values; rescale the " +
-          "hash (e.g. polyHash) first")), lit(true)))
+      // the condition must name BOTH failure modes: a NULL hash makes
+      // the < comparison NULL, and assert_true(NULL) throws — without
+      // the isNotNull clause the error text would blame 2^53 overflow
+      // for what is actually a null-keyed input row (caller bug)
+      .filter(coalesce(assert_true(
+        col("h").isNotNull && abs(col("h")) < lit(1L << 53),
+        lit("bottomK: hash is NULL or |hash| >= 2^53 — null hashes mean " +
+          "a null-keyed input row (fix the caller); oversized hashes " +
+          "collide under the bounded-heap cut's double ordering; " +
+          "rescale (e.g. polyHash) first")), lit(true)))
     graft.plans.TopK.perGroup(
         dist.withColumn("_neg", -col("h")), Seq("grp"), "_neg", k)
       .groupBy(col("grp")).agg(array_sort(collect_list(col("h"))).as("hs"))
@@ -154,8 +168,15 @@ object Sketches {
   def bottomKSample(df: DataFrame, key: Column, value: Column, k: Int,
                     seed: String): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    df.select(polyHash(concat(lit(seed), key.cast("string"))).as("h"),
-        key.cast("string").as("k_str"), value.cast("double").as("v"))
+    // NULL keys hash through a sentinel string: concat null-propagates,
+    // a NULL h sorts FIRST ascending, and >= k null-key rows would
+    // deterministically BE the whole "uniform" sample regardless of
+    // seed. The sentinel gives them an ordinary uniform position (all
+    // null-key rows share it; the (k_str, v) tie-break keeps the draw
+    // deterministic).
+    val kStr = coalesce(key.cast("string"), lit("\u0000null"))
+    df.select(polyHash(concat(lit(seed), kStr)).as("h"),
+        kStr.as("k_str"), value.cast("double").as("v"))
       .orderBy(col("h"), col("k_str"), col("v")).limit(k)
   }
 
@@ -176,8 +197,12 @@ object Sketches {
   def quantilesFromSample(sample: DataFrame, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile fractions must be in (0, 1]: $ps")
+    // _n counts NON-NULL values: collect_list drops nulls, so a
+    // count(*) rank could exceed the sorted array's length and throw
+    // INVALID_ARRAY_INDEX under ANSI (NULL-valued sample rows are not
+    // observations)
     sample.agg(array_sort(collect_list(col("v"))).as("_vs"),
-        count(lit(1)).as("_n"))
+        count(col("v")).as("_n"))
       .select(explode(array(ps.map(lit): _*)).as("p"), col("_vs"), col("_n"))
       .select(col("p"), when(col("_n") > 0, element_at(col("_vs"),
         greatest(ceil(col("p") * col("_n")), lit(1L)).cast("int"))).as("est"))
@@ -192,8 +217,9 @@ object Sketches {
     * large the group, the shuffle carries survivors only, and the
     * sample is deterministic across engines and layouts (the hash
     * decides membership; ties break on key then value). Returns one
-    * row per (group, p): `grp, p, est` — NULL est for an empty group
-    * never happens (groups come from their own rows). */
+    * row per (group, p): `grp, p, est` — `est` is NULL only for a
+    * group whose sampled values are ALL NULL (no observations; groups
+    * themselves always exist, coming from their own rows). */
   def groupQuantileSketch(df: DataFrame, group: Column, key: Column,
                           value: Column, k: Int, seed: String,
                           ps: Seq[Double]): DataFrame = {
@@ -202,19 +228,24 @@ object Sketches {
       s"quantile fractions must be in (0, 1]: $ps")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("h"), col("k_str"), col("v"))
+    // same null laws as bottomKSample / quantilesFromSample: null keys
+    // hash through the sentinel (never nulls-first), ranks count
+    // non-null VALUES only (collect_list drops them), and an all-null
+    // group yields NULL est instead of an ANSI INVALID_ARRAY_INDEX
+    val kStr = coalesce(key.cast("string"), lit("\u0000null"))
     val sampled = df
       .select(group.as("grp"),
-        polyHash(concat(lit(seed), key.cast("string"))).as("h"),
-        key.cast("string").as("k_str"), value.cast("double").as("v"))
+        polyHash(concat(lit(seed), kStr)).as("h"),
+        kStr.as("k_str"), value.cast("double").as("v"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
     sampled.groupBy(col("grp"))
       .agg(array_sort(collect_list(col("v"))).as("_vs"),
-        count(lit(1)).as("_n"))
+        count(col("v")).as("_n"))
       .select(col("grp"), explode(array(ps.map(lit): _*)).as("p"),
         col("_vs"), col("_n"))
-      .select(col("grp"), col("p"), element_at(col("_vs"),
-        greatest(ceil(col("p") * col("_n")), lit(1L)).cast("int")).as("est"))
+      .select(col("grp"), col("p"), when(col("_n") > 0, element_at(col("_vs"),
+        greatest(ceil(col("p") * col("_n")), lit(1L)).cast("int"))).as("est"))
   }
 
   /** KMV distinct-count estimate from a [[bottomK]] list: the classic

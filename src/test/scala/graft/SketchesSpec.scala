@@ -200,4 +200,54 @@ class SketchesSpec extends SparkSpec {
       Sketches.cmsFromCounts(c, col("tok"), col("cnt"), width, depth = 9)
     }
   }
+
+  test("null laws: null values/keys/items never crash, bias, or deposit " +
+      "unreachable mass") {
+    import spark.implicits._
+
+    // quantilesFromSample: ranks count NON-NULL values (collect_list
+    // drops nulls) — count(*) ranks would index past the array (ANSI)
+    val sample = Seq(Some(1.0), Some(2.0), Some(3.0), None, None, None, None)
+      .zipWithIndex.map { case (v, i) => (i.toLong, s"k$i", v) }
+      .toDF("h", "k_str", "v")
+    val qs = Sketches.quantilesFromSample(sample, Seq(0.5, 1.0))
+      .as[(Double, Option[Double])].collect().toMap
+    assert(qs(0.5) === Some(2.0) && qs(1.0) === Some(3.0))
+
+    // groupQuantileSketch: an all-null group yields NULL est, not a
+    // crash; a mixed group ranks over its non-null values only
+    val g = Seq(("a", 1L, Option(10.0)), ("a", 2L, Option.empty[Double]),
+        ("a", 3L, Option(30.0)), ("b", 4L, Option.empty[Double]))
+      .toDF("grp", "key", "v")
+    val gq = Sketches.groupQuantileSketch(g, col("grp"), col("key"), col("v"),
+        k = 10, seed = "s", ps = Seq(1.0))
+      .as[(String, Double, Option[Double])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(gq("a") === Some(30.0))
+    assert(gq("b") === None)
+
+    // bottomKSample: >= k null-key rows must NOT deterministically BE
+    // the sample (null h would sort first); the sentinel hashes them
+    // to an ordinary uniform position
+    val nk = (1 to 5).map(i => (Option.empty[String], i.toDouble)) ++
+      (1 to 20).map(i => (Option(s"key$i"), 100.0 + i))
+    val drawn = Sketches.bottomKSample(nk.toDF("key", "v"), col("key"),
+        col("v"), k = 5, seed = "s")
+      .select("v").as[Double].collect().toSet
+    assert(!drawn.forall(_ <= 5.0),
+      "null-key rows monopolized the sample (nulls-first bias)")
+
+    // CMS: null items are dropped at build (their mass would land in
+    // unreachable NULL-bucket cells); real keys keep never-undercount
+    val cms = Sketches.cmsFromCounts(
+      Seq((Option("x"), 5L), (Option.empty[String], 7L)).toDF("tok", "cnt"),
+      col("tok"), col("cnt"), width = 64)
+    // x's 5 deposited once per depth row (default 3); the null item's 7
+    // appears nowhere
+    assert(cms.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .as[Long].collect().head === 15L)
+    val est = Sketches.cmsEstimate(Seq("x").toDF("tok"), cms, col("tok"),
+      width = 64).select("cms_est").as[Long].collect().head
+    assert(est >= 5L)
+  }
 }

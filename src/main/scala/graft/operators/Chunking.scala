@@ -69,6 +69,7 @@ object Chunking {
   def packSequential(chunks: DataFrame, nTokens: Column, budget: Long,
                      order: Seq[Column], shard: Seq[Column] = Nil,
                      allowGlobal: Boolean = false): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
     require(shard.nonEmpty || allowGlobal,
       "packSequential with no shard runs ONE global single-partition " +
         "window — banned at scale (SCALE.md rule 2). Pass a shard key, " +

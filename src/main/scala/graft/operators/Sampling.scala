@@ -31,8 +31,12 @@ object Sampling {
   // NULL-key contract (all samplers): a NULL key hashes to NULL, so
   // hashSample/stratifiedHashSample DROP the row (even at fraction 1.0)
   // while withSplit/seededSplit route it to the LAST split (every
-  // `when` falls through). Both are deterministic but asymmetric —
-  // pre-filter or coalesce null keys before sampling.
+  // `when` falls through). weightedSample / stratumSample /
+  // epochShuffle enforce the DROP explicitly: their rank/sort keys are
+  // the hash, and Spark sorts NULLS FIRST ascending — left unguarded, a
+  // null-key row would deterministically take rank 1 of every sample.
+  // All deterministic but asymmetric — pre-filter or coalesce null
+  // keys before sampling.
 
   private def bucket(key: Column): Column =
     pmod(polyHash(concat(key.cast("string"), lit(Salt))), lit(Denom))
@@ -144,7 +148,10 @@ object Sampling {
     // FIRST ascending — a zero-weight row would silently take rank 1
     // of every sample, inverting the P ∝ w contract.
     val w = weight.cast("double")
-    df.withColumn(keyCol,
+    // null keys hash to NULL and NULLS sort FIRST — the same rank-1
+    // inversion as zero weights; the module contract drops them
+    df.filter(key.isNotNull)
+      .withColumn(keyCol,
         when(w > 0.0, r(log(-log(u)) - log(w), roundTo))
           .otherwise(raise_error(concat(
             lit("Sampling.weightedSample: weight must be strictly positive, got "),
@@ -178,8 +185,12 @@ object Sampling {
     require(numShards > 0, s"numShards must be positive: $numShards")
     // hash ties (distinct keys, same hash) broken by the key itself:
     // the within-shard order is total, so positions are deterministic.
+    // Null keys would all land in a NULL shard outside the numShards
+    // layout with a non-total (NULL, NULL) order — module contract:
+    // drop
     val w = Window.partitionBy(col(shardCol)).orderBy(col("_h"), key)
-    df.withColumn("_h",
+    df.filter(key.isNotNull)
+      .withColumn("_h",
         seededHash(epochSeed, key))
       .withColumn(shardCol, pmod(col("_h"), lit(numShards.toLong)))
       .withColumn(posCol, row_number().over(w).cast("long"))
@@ -245,7 +256,15 @@ object Sampling {
     }
     val w = Window.partitionBy(stratum).orderBy(rankBy.desc, tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn(cumCol, sum(weight.cast("long")).over(w))
+    // token counts must be positive, enforced IN-PLAN like
+    // weightedSample's weight guard: a negative count makes the
+    // running sum non-monotone, so rows past the quota point re-enter
+    // the mix and the stratum silently OVERRUNS its budget
+    val wTok = weight.cast("long")
+    val guarded = when(wTok > 0L, wTok).otherwise(raise_error(concat(
+      lit("Sampling.trainingMixTokens: token weight must be strictly " +
+        "positive, got "), weight.cast("string"))).cast("long"))
+    df.withColumn(cumCol, sum(guarded).over(w))
       .filter(col(cumCol) <= quota)
   }
 
@@ -317,7 +336,10 @@ object Sampling {
     require(n > 0, s"n must be positive: $n")
     val w = Window.partitionBy(stratum)
       .orderBy(seededHash(seed, key), key)
-    df.withColumn(rankCol, row_number().over(w).cast("long"))
+    // null keys would rank 1..m of their stratum (NULLS FIRST) and
+    // displace the uniform draw — module contract: drop
+    df.filter(key.isNotNull)
+      .withColumn(rankCol, row_number().over(w).cast("long"))
       .filter(col(rankCol) <= n)
   }
 }

@@ -40,11 +40,17 @@ object TextAnalysis {
     * corpus filters. Adds columns; keeps input columns. */
   def withTextStats(df: DataFrame, text: Column): DataFrame = {
     val toks = tokens(text)
-    df.withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_distinct_tokens", size(array_distinct(toks)).cast("long"))
+    // size() guards: for NULL text the stats must be NULL on EVERY
+    // session config — under spark.sql.legacy.sizeOfNull=true size(NULL)
+    // is -1, which would score a null document n_tokens=-1, ttr=1.0,
+    // stop_ratio=1.0 and a mid-range ~0.5 quality_score that sails
+    // through quality gates instead of a NULL that fails them
+    def sz(c: Column): Column = when(text.isNull, lit(null)).otherwise(size(c))
+    df.withColumn("n_tokens", sz(toks).cast("long"))
+      .withColumn("n_distinct_tokens", sz(array_distinct(toks)).cast("long"))
       .withColumn("n_chars_calc", length(text).cast("long"))
       .withColumn("n_punct",
-        size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("long"))
+        sz(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast("long"))
       .withColumn("n_stopwords", countIn(toks, EnStop).cast("long"))
       .withColumn("ttr",
         col("n_distinct_tokens").cast("double") / col("n_tokens"))
@@ -354,14 +360,17 @@ object TextAnalysis {
     * comparison reproduces bit-for-bit in the SQL oracle. */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
                      z: Double = 3.0): DataFrame = {
+    // joins are NULL-SAFE (<=>): groupBy already forms a group for a
+    // NULL key, and plain === would silently DROP every null-group row
+    // from an operator documented as only ADDING a column
     val med = df.select(group.as("_g"), value.cast("double").as("_v"))
       .groupBy(col("_g"))
       .agg(expr("percentile(_v, 0.5)").as("med"))
     val mad = df.select(group.as("_g2"), value.cast("double").as("_v"))
-      .join(broadcast(med), col("_g2") === col("_g"))
+      .join(broadcast(med), col("_g2") <=> col("_g"))
       .groupBy(col("_g"), col("med"))
       .agg(expr("percentile(abs(_v - med), 0.5)").as("mad"))
-    df.join(broadcast(mad), group === col("_g"))
+    df.join(broadcast(mad), group <=> col("_g"))
       .withColumn("is_outlier",
         abs(value.cast("double") - col("med")) > lit(z) * col("mad"))
       .drop("_g")
@@ -417,7 +426,8 @@ object TextAnalysis {
     *
     * Output: (term_a, term_b, df_ab, pmi) with term_a < term_b. */
   def tokenPmi(df: DataFrame, id: Column, text: Column,
-               minPairDocs: Long = 2L): DataFrame = {
+               minPairDocs: Long = 2L,
+               reliableCheckpoint: Boolean = false): DataFrame = {
     val nullTerm = lit(null).cast("string")
     val gen = OpUtils.derived(
       df.select(text.as("_text")))(
@@ -431,7 +441,7 @@ object TextAnalysis {
             b => struct(a.as("term_a"), b.as("term_b"))))))).as("p"))
     val counts = OpUtils.barrier(gen
       .groupBy(col("p.term_a").as("term_a"), col("p.term_b").as("term_b"))
-      .agg(count(lit(1)).as("c")), reliable = false)
+      .agg(count(lit(1)).as("c")), reliableCheckpoint)
     val nRow = counts.filter(col("term_a").isNull)
       .select(col("c").cast("double").as("n"))
     val dfT = counts.filter(col("term_a").isNotNull && col("term_b").isNull)

@@ -911,7 +911,8 @@ object Queries {
         floor((len(list_intersect(a.s, b.s))::DOUBLE
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 10000.0 + 0.5) / 10000.0 AS jaccard
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+        AND len(list_intersect(a.s, b.s))::DOUBLE
           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
       ORDER BY id_a, id_b"""))
 
@@ -922,7 +923,7 @@ object Queries {
         Dedup.withLshBands(
           Dedup.withMinHash(t(s, d, "documents"), col("text"), k = 16),
           k = 16, bands = 4),
-        id = "doc_id", k = 16)
+        id = "doc_id")
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH th AS (SELECT doc_id,
         list_transform(${sqlShingles("tk")}, t -> ${sqlPolyHash("t")}) AS hs

@@ -36,6 +36,13 @@ object AsOf {
            valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
     val keyCols = keys.map(col)
     val lCols = left.columns
+    // the OUTPUT name is part of the contract, not an internal — a left
+    // frame that already carries asof_<valueCol> (e.g. a previous
+    // enrichment being re-joined) must fail loudly, not have its data
+    // silently replaced by withColumn
+    require(!lCols.contains(s"asof_$valueCol"),
+      s"AsOf.join: left already has a column 'asof_$valueCol' — the " +
+        "output would silently overwrite it; rename it first")
 
     // internal names, uniquified against every user column on either side
     val taken = (left.columns ++ right.columns).toSet

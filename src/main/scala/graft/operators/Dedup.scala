@@ -139,9 +139,15 @@ object Dedup {
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // union-size guard: two shingle-less documents in one block give
+      // 0/0 — [DIVIDE_BY_ZERO] under ANSI (a dirty short row kills the
+      // whole job), NULL-and-dropped under non-ANSI. The guard makes
+      // "no shingles ⇒ no similarity evidence ⇒ not a pair" explicit
+      // and identical in both modes (and in the DuckDB oracle).
+      .withColumn("_den",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_common"))
       .withColumn("jaccard",
-        col("n_common").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+        when(col("_den") > 0, col("n_common").cast("double") / col("_den")))
       .filter(col("jaccard") >= threshold)
       .select(col("bk"), col("id_a"), col("id_b"), col("n_common"),
         r(col("jaccard"), 4).as("jaccard"))
@@ -186,7 +192,7 @@ object Dedup {
 
   /** H2b candidate pairs: equality join on band keys, deduplicated.
     * `est_jaccard` = fraction of equal signature positions. */
-  def lshCandidates(banded: DataFrame, id: String, k: Int = 16): DataFrame = {
+  def lshCandidates(banded: DataFrame, id: String): DataFrame = {
     // the two sides of the self-join are canonically identical up to
     // aliases, so AQE's ReuseExchange computes the signature chain once
     // and replays the shuffle for the other side — measured faster than
@@ -198,9 +204,14 @@ object Dedup {
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
+        // denominator = the ACTUAL signature length, not a caller-passed
+        // k: a k mismatched with withMinHash's signatures would silently
+        // mis-scale the estimate (agreement/32 reported over 16 reaches
+        // 2.0) — reading it from the data keeps the estimate
+        // self-consistent by construction
         r(graft.functions.HashExpressions
             .arrayEqCountNative(col("mh_a"), col("mh_b"))
-          .cast("double") / lit(k.toDouble), 4).as("est_jaccard"))
+          .cast("double") / size(col("mh_a")), 4).as("est_jaccard"))
       .distinct()
   }
 
@@ -228,7 +239,7 @@ object Dedup {
     // (OpUtils.barrier).
     def barrier(d: DataFrame): DataFrame = OpUtils.barrier(d, reliableCheckpoint)
     val cands = barrier(lshCandidates(
-      withLshBands(withMinHash(df, text, k, shingleN), k, bands), id, k)
+      withLshBands(withMinHash(df, text, k, shingleN), k, bands), id)
       .select(col("id_a"), col("id_b")))
     // shingle ONLY the documents that appear in a candidate pair — the
     // whole point of LSH prefiltering is that this is a vanishing

@@ -53,7 +53,16 @@ object RangeJoin {
     df
       .withColumn(loName, lo).withColumn(hiName, hi)
       .filter(if (strict) col(loName) < col(hiName) else col(loName) <= col(hiName))
-      .filter(coalesce(assert_true(b1 - b0 < MaxBinsPerInterval, concat(
+      // span checked in DOUBLE math, BEFORE any long cast/subtraction:
+      // an extreme corrupt bound (±6e18) overflows b1 - b0, which under
+      // ANSI throws an opaque ARITHMETIC_OVERFLOW pre-empting this
+      // guard's named error, and under non-ANSI WRAPS NEGATIVE — the
+      // wrapped guard passes and sequence() dies deep in a task, the
+      // exact failure this guard exists to name (same double-side
+      // pre-check law as dyadicEwma's overflow envelope)
+      .filter(coalesce(assert_true(
+        (col(hiName) - col(loName)) / binWidth < MaxBinsPerInterval.toDouble,
+        concat(
         lit(s"RangeJoin: an interval spans >= $MaxBinsPerInterval bins ([" ),
         col(loName), lit(", "), col(hiName),
         lit(s"] at binWidth=$binWidth) — corrupt bound or binWidth far " +

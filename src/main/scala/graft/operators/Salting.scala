@@ -20,12 +20,14 @@ object Salting {
   /** Two-phase sum/count by `key` with a deterministic salt from
     * `saltSource` (any well-distributed numeric column, e.g. an id). */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
-                     saltSource: Column, saltBuckets: Int): DataFrame =
+                     saltSource: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     df.withColumn("_salt", pmod(saltSource, lit(saltBuckets.toLong)))
       .groupBy(key.as("k"), col("_salt"))
       .agg(sum(value).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col("k"))
       .agg(sum(col("_psum")).as("sum_value"), sum(col("_pn")).as("n"))
+  }
 
   /** Salted shuffle equi-join for a skewed fact key: hot fact rows get
     * a deterministic salt in [0, saltBuckets), the dimension rows for
@@ -49,6 +51,7 @@ object Salting {
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: Column,
                      dimKey: Column, saltSource: Column,
                      saltBuckets: Int, hotKeys: Seq[Long] = Nil): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     // NULL salt sources fall into bucket 0 — a null salt would null the
     // join condition and silently DROP fact rows the plain join keeps
     val salt = pmod(coalesce(saltSource, lit(0L)), lit(saltBuckets.toLong)).cast("int")

@@ -38,14 +38,35 @@ object Similarity {
 
   import OpUtils.{cosFromNorms, materialize}
 
-  /** The candidate-scoring step every ANN variant shares: drop the
-    * self-pair and compute cosine from the pre-join norms — the
-    * per-pair work is exactly one dot product. */
+  /** The candidate-scoring step every ANN variant shares: optionally
+    * drop the self-pair and compute cosine from the pre-join norms —
+    * the per-pair work is exactly one dot product.
+    *
+    * `excludeSameId` (default true) is correct when queries are drawn
+    * FROM the corpus (the engine's own queries all do this — a vector
+    * is trivially its own nearest neighbor). Pass FALSE when the two
+    * sides are independent datasets whose ids merely collide (both
+    * auto-incrementing from 0): there a same-id pair is a REAL
+    * neighbor and the exclusion would silently drop it — the same
+    * id-space law as Dedup.decontaminate's excludeSameId. (A NULL id
+    * on either side nulls the =!= predicate and drops the pair under
+    * the default; with independent non-null ids use false.) */
   private def cosinePairs(joined: DataFrame, qId: String, cId: String,
-                          scoreCol: String = "cos"): DataFrame =
-    joined.filter(col(qId) =!= col(cId))
+                          scoreCol: String = "cos",
+                          excludeSameId: Boolean = true): DataFrame =
+    joined.filter(if (excludeSameId) col(qId) =!= col(cId) else lit(true))
       .withColumn(scoreCol, cosFromNorms(
         dotProduct(col("q_vec"), col("c_vec")), col("q_norm") * col("c_norm")))
+
+  /** The bucket+norm side preparation every LSH variant shares (one
+    * copy, or the variants' recall/cost claims drift apart): compute
+    * the vector's LSH bucket and L2 norm ONCE behind the
+    * materialization barrier, never per candidate pair. */
+  private def bucketedSide(df: DataFrame, vecCol: String, normCol: String,
+                           planes: Int, dim: Int): DataFrame =
+    materialize(df
+      .withColumn("bucket", lshBucket(col(vecCol), planes, dim))
+      .withColumn(normCol, l2Norm(col(vecCol))))
 
   /** The per-query top-k cut every ANN variant shares: rank by
     * (score desc, candidate id) inside the query partition — the exact
@@ -63,10 +84,12 @@ object Similarity {
     * `queries`/`corpus` need (id, vec) columns; result: one row per
     * (query, rank ≤ k). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                     qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+                     qId: String = "q_id", cId: String = "c_id",
+                     excludeSameId: Boolean = true): DataFrame = {
     val q = queries.withColumn("q_norm", l2Norm(col("q_vec")))
     val c = materialize(corpus.withColumn("c_norm", l2Norm(col("c_vec"))))
-    val pairs = cosinePairs(broadcast(q).crossJoin(c), qId, cId)
+    val pairs = cosinePairs(broadcast(q).crossJoin(c), qId, cId,
+      excludeSameId = excludeSameId)
     rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
@@ -199,15 +222,15 @@ object Similarity {
     * probe fan-out multiplies the query side, which is the small side). */
   def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                         planes: Int, dim: Int, qId: String = "q_id",
-                        cId: String = "c_id"): DataFrame = {
+                        cId: String = "c_id",
+                        excludeSameId: Boolean = true): DataFrame = {
     val qb = queries
       .withColumn("bucket0", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
       .withColumn("bucket", OpUtils.hamming1Probes(col("bucket0"), planes))
-    val cb = materialize(corpus
-      .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
-      .withColumn("c_norm", l2Norm(col("c_vec"))))
-    val pairs = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId)
+    val cb = bucketedSide(corpus, "c_vec", "c_norm", planes, dim)
+    val pairs = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId,
+      excludeSameId = excludeSameId)
     rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
@@ -288,14 +311,14 @@ object Similarity {
     * rows (recall/latency trade-off of single-probe LSH). Buckets and
     * norms are materialized pre-join. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
-              dim: Int, qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+              dim: Int, qId: String = "q_id", cId: String = "c_id",
+              excludeSameId: Boolean = true): DataFrame = {
     val qb = queries
       .withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
-    val cb = materialize(corpus
-      .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
-      .withColumn("c_norm", l2Norm(col("c_vec"))))
-    val pairs = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId)
+    val cb = bucketedSide(corpus, "c_vec", "c_norm", planes, dim)
+    val pairs = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId,
+      excludeSameId = excludeSameId)
     rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), col("bucket"), r(col("cos"), 4).as("cos"))
   }
@@ -322,9 +345,7 @@ object Similarity {
     val qb = queries
       .withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
-    val cb = materialize(corpus
-      .withColumn("bucket", lshBucket(col("c_vec"), planes, dim))
-      .withColumn("c_norm", l2Norm(col("c_vec"))))
+    val cb = bucketedSide(corpus, "c_vec", "c_norm", planes, dim)
     val band = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId)
       .filter(col("cos") >= loCos && col("cos") < hiCos)
       .withColumn("cos_r", r(col("cos"), 4))

@@ -19,6 +19,21 @@ class ApproxRecallSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("excludeSameId=false scores colliding-id pairs across independent datasets") {
+    // query id 1 and corpus id 1 are DIFFERENT vectors from independent
+    // id spaces; the default exclusion drops their (real) pair
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val c = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("c_id", "c_vec")
+    val dflt = Similarity.bruteForceTopK(q, c, k = 2)
+      .select("c_id").as[Long].collect().toSet
+    assert(dflt === Set(2L), "default excludes the colliding id")
+    val cross = Similarity.bruteForceTopK(q, c, k = 2, excludeSameId = false)
+      .select("rank", "c_id").as[(Long, Long)].collect().toMap
+    assert(cross === Map(1L -> 1L, 2L -> 2L),
+      "independent id spaces must rank the colliding-id vector")
+  }
+
   test("LSH ANN: results are true bucket-mates ranked consistently with brute force") {
     val dir = sf("sf0.001")
     val emb = Tables.embeddings(spark, dir)

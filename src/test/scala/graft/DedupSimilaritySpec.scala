@@ -54,7 +54,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(0L) !== sigs(3L))
     val cands = Dedup.lshCandidates(
       Dedup.withLshBands(Dedup.withMinHash(docs, col("text"), 16), 16, 4),
-      "doc_id", 16)
+      "doc_id")
       .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
     assert(cands.exists(c => c._1 == 0L && c._2 == 1L && c._3 === 1.0))
     assert(!cands.exists(c => c._2 == 3L || c._1 == 3L))

@@ -1790,7 +1790,7 @@ object Queries {
     (s, d) => {
       val docs = Multimodal.withPayload(t(s, d, "documents"), "text")
         .filter(length(col("payload")) === length(col("text")))
-      Multimodal.decodeFeatures(s, docs)
+      Multimodal.decodeFeatures(docs)
         .select(col("doc_id"), col("byte_len"),
           r(col("mean_byte"), 4).as("mean_byte"))
         .orderBy(col("doc_id"))
@@ -1816,7 +1816,7 @@ object Queries {
     (s, d) => {
       val docs = Multimodal.withPayload(t(s, d, "documents"), "text")
         .filter(length(col("payload")) === length(col("text")))
-      Multimodal.resize(s, docs, targetW = 16, targetH = 16)
+      Multimodal.resize(docs, targetW = 16, targetH = 16)
         .select(col("doc_id"), col("src_len"), col("codec"),
           col("resized_len"), col("resized_md5"))
         .orderBy(col("doc_id"))

@@ -79,20 +79,26 @@ object Features {
     // moments) is the numerically stable default; the portable form is
     // the explicit (Σx² − (Σx)²/n)/(n−1), whose op sequence a SQL
     // oracle can reproduce bit-for-bit across engines.
-    def varOrZero(c: Column, n: Column): Column =
+    // guard + denominators on the per-axis NON-NULL count: a group
+    // row count would pass the n>1 gate on (null, 5.0) while var_samp
+    // sees one value (NaN out) and the portable sums skip nulls
+    // against a too-large n (silently wrong variance) — the
+    // normalize-to-0.0 contract is over actual observations
+    def varOrZero(c: Column): Column = {
+      val nn = count(c)
       if (portableVariance)
-        when(n > 1, (sum(c * c) - sum(c) * sum(c) / n) / (n - 1)).otherwise(0.0)
-      else when(n > 1, var_samp(c)).otherwise(0.0)
+        when(nn > 1, (sum(c * c) - sum(c) * sum(c) / nn) / (nn - 1)).otherwise(0.0)
+      else when(nn > 1, var_samp(c)).otherwise(0.0)
+    }
 
-    val n = count(lit(1))
     withSupport.groupBy(keys: _*).agg(
-      n.as("n_samples"),
+      count(lit(1)).as("n_samples"),
       avg(axes.x).as("mean_x"),
       avg(axes.y).as("mean_y"),
       avg(axes.z).as("mean_z"),
-      varOrZero(axes.x, n).as("var_x"),
-      varOrZero(axes.y, n).as("var_y"),
-      varOrZero(axes.z, n).as("var_z"),
+      varOrZero(axes.x).as("var_x"),
+      varOrZero(axes.y).as("var_y"),
+      varOrZero(axes.z).as("var_z"),
       avg(abs(axes.x - col("_mx"))).as("avg_abs_diff_x"),
       avg(abs(axes.y - col("_my"))).as("avg_abs_diff_y"),
       avg(abs(axes.z - col("_mz"))).as("avg_abs_diff_z"),

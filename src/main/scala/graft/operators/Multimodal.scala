@@ -36,7 +36,16 @@ object Multimodal {
   /** Expression-level metadata over the payload: byte length, content
     * digest, and deterministic pseudo decode attributes (stand-ins for
     * width/height/frames until a real decoder is plugged in). Pure
-    * columns — oracle-reproducible. */
+    * columns.
+    *
+    * ORACLE SCOPE: the pseudo attributes hash `payload.cast(string)`,
+    * which is exact (and DuckDB-reproducible) only for UTF-8-safe
+    * payloads — i.e. [[withPayload]]'s text wrapping, which is all the
+    * engine's queries use. Raw image/audio bytes decode invalid UTF-8
+    * as U+FFFD on the JVM (distinct payloads can collide) while DuckDB
+    * ERRORS on the blob cast; for real binary, derive pseudo attrs
+    * from `content_md5` instead. byte_len/content_md5 are exact for
+    * any payload. */
   def withPayloadMeta(df: DataFrame): DataFrame = {
     val ph = polyHash(col("payload").cast("string"))
     df.withColumn("byte_len", length(col("payload")).cast("long"))
@@ -73,23 +82,37 @@ object Multimodal {
     * The reference's feature-extraction consumer
     * (`ExtractFeature.java:33-116`) computes exactly this kind of
     * per-record numeric summary; here the record is a media payload. */
-  private[operators] def decodeImage(bytes: Array[Byte])
-      : Option[(Int, Int, Double, Array[Float])] = {
+  /** Shared decode preamble of [[decodeImage]] and [[resizeImage]]:
+    * short/corrupt/undecodable payloads are None, never a job failure.
+    * One copy — a hardening change (e.g. a decoded-dimension cap) must
+    * hit both paths or they silently diverge. */
+  private def tryDecode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
     if (bytes.length < 4) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case _: Exception => null } // corrupt payload ≠ job failure
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-    else {
+    else Some(img)
+  }
+
+  private[operators] def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Double, Array[Float])] = tryDecode(bytes).map { img =>
+    {
       val w = img.getWidth; val h = img.getHeight
       var sr = 0.0; var sg = 0.0; var sb = 0.0
       val quad = new Array[Double](4); val quadN = new Array[Long](4)
       var sumLum = 0.0; var sumLum2 = 0.0
+      // row-bulk pixel fetch: per-pixel getRGB(x, y) does a bounds-
+      // checked SampleModel read + ColorModel conversion per CALL — the
+      // slowest BufferedImage path, in the per-payload hot loop; one
+      // getRGB row call amortizes the conversion across the row
+      val rowBuf = new Array[Int](w)
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y)
+          val rgb = rowBuf(x)
           val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
           val lum = 0.299 * r + 0.587 * g + 0.114 * b
           sr += r; sg += g; sb += b
@@ -110,7 +133,7 @@ object Multimodal {
         (if (quadN(2) > 0) quad(2) / quadN(2) / 255.0 else 0.0).toFloat,
         (if (quadN(3) > 0) quad(3) / quadN(3) / 255.0 else 0.0).toFloat,
         (std / 255.0).toFloat)
-      Some((w, h, meanLum, feat))
+      (w, h, meanLum, feat)
     }
   }
 
@@ -180,13 +203,9 @@ object Multimodal {
     * implementation-chosen), re-encode as PNG. None when the payload
     * is not a decodable image. */
   private[operators] def resizeImage(bytes: Array[Byte], targetW: Int,
-                                     targetH: Int): Option[Array[Byte]] = {
-    if (bytes.length < 4) return None
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
-    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-    else {
+                                     targetH: Int): Option[Array[Byte]] =
+    tryDecode(bytes).map { img =>
+    {
       val out = new java.awt.image.BufferedImage(
         targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = out.createGraphics()
@@ -197,7 +216,7 @@ object Multimodal {
       } finally g.dispose()
       val baos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", baos)
-      Some(baos.toByteArray)
+      baos.toByteArray
     }
   }
 
@@ -217,14 +236,28 @@ object Multimodal {
       out
     }
 
+  /** Shared input preparation of the per-row codec operators:
+    *  - rows whose id is NULL (or casts to null — a non-numeric string
+    *    id) are DROPPED, the same missing-identity law as null
+    *    payloads decoding to empty; left in, Row.getLong would NPE
+    *    mid-task and the non-nullable output schemas could not carry
+    *    them anyway;
+    *  - the projected input is SPREAD across the session's parallelism
+    *    first (OpUtils.materialize): a single-file scan would
+    *    otherwise run every ImageIO decode on ONE task — the exact
+    *    pathology the barrier exists for. */
+  private def multimodalInput(df: DataFrame, idCol: String): DataFrame =
+    OpUtils.materialize(
+      df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+        .filter(col("doc_id").isNotNull))
+
   /** Partition-batched resize over binary payloads — one codec context
     * per partition, rows streamed through it. Image payloads take the
     * real [[resizeImage]] path (JDK `javax.imageio` + `Graphics2D`);
     * anything the JDK codecs reject falls back to the deterministic
     * [[resizeStub]] decimation. No shuffle; payload bytes never touch
     * the driver. */
-  def resize(spark: SparkSession, df: DataFrame,
-             targetW: Int, targetH: Int,
+  def resize(df: DataFrame, targetW: Int, targetH: Int,
              idCol: String = "doc_id"): DataFrame = {
     require(targetW > 0 && targetH > 0,
       s"target dims must be positive: ${targetW}x$targetH")
@@ -233,7 +266,7 @@ object Multimodal {
         "the stub would allocate a negative-sized array and the image " +
         "path a multi-gigapixel buffer")
     val outLen = targetW * targetH
-    val input = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+    val input = multimodalInput(df, idCol)
     implicit val enc = RowEncoder.encoderFor(ResizedSchema)
     input.mapPartitions { rows =>
       // per-partition codec init: no ImageIO disk-cache temp files on
@@ -259,9 +292,9 @@ object Multimodal {
     * per-row native calls (never a per-row UDF re-initializing codecs).
     * Image payloads decode for real via [[decodeImage]]; non-image
     * payloads keep the deterministic [[decodeStub]] features. */
-  def decodeFeatures(spark: SparkSession, df: DataFrame,
+  def decodeFeatures(df: DataFrame,
                      idCol: String = "doc_id"): DataFrame = {
-    val input = df.select(col(idCol).cast("long").as("doc_id"), col("payload"))
+    val input = multimodalInput(df, idCol)
     implicit val enc = RowEncoder.encoderFor(DecodedSchema)
     input.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)

@@ -67,6 +67,8 @@ object Sessionize {
     * `Math.round(long/long)` truncation (`PrepareData.java:44`). */
   def withWindows(df: DataFrame, keys: Seq[Column], ts: Column, gap: Long,
                   width: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(width > 0, s"window width must be positive: $width " +
+      "(div by zero silently NULLs every window_id under non-ANSI)")
     val sessioned = withSessions(df, keys, ts, gap, tieBreak)
     val perSession = Window.partitionBy((keys :+ col("session_id")): _*)
     sessioned

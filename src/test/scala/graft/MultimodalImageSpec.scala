@@ -48,7 +48,7 @@ class MultimodalImageSpec extends SparkSpec {
       (2L, "not an image at all".getBytes("UTF-8"))
     ).toDF("doc_id", "payload")
 
-    val rows = Multimodal.decodeFeatures(spark, df).collect()
+    val rows = Multimodal.decodeFeatures(df).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
 
     val img = rows(1L)
@@ -76,7 +76,7 @@ class MultimodalImageSpec extends SparkSpec {
       (3L, ("z" * 1000).getBytes("UTF-8"))
     ).toDF("doc_id", "payload")
 
-    val out = Multimodal.resize(spark, df, targetW = 16, targetH = 16).collect()
+    val out = Multimodal.resize(df, targetW = 16, targetH = 16).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
 
     // image rows ride the real codec and decode back at exactly 16x16
@@ -97,7 +97,7 @@ class MultimodalImageSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("resized_len") === 256L)
 
     // determinism: same inputs → same digests on a second run
-    val again = Multimodal.resize(spark, df, 16, 16)
+    val again = Multimodal.resize(df, 16, 16)
       .select("doc_id", "resized_md5").as[(Long, String)].collect().toMap
     assert(again === out.view.mapValues(_.getAs[String]("resized_md5")).toMap)
   }

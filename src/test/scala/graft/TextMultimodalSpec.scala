@@ -101,8 +101,7 @@ class TextMultimodalSpec extends SparkSpec {
       (2L, "short"),      // 5 bytes ≤ 256 → passes through whole
       (3L, "")            // empty stays empty
     ).toDF("doc_id", "text")
-    val out = Multimodal.resize(spark,
-        Multimodal.withPayload(docs, "text"), targetW = 16, targetH = 16)
+    val out = Multimodal.resize(Multimodal.withPayload(docs, "text"), targetW = 16, targetH = 16)
       .select("doc_id", "src_len", "resized_len", "resized_md5")
       .as[(Long, Long, Long, String)].collect()
       .map(r => r._1 -> r).toMap
@@ -110,8 +109,7 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L)._2 === 5L && out(2L)._3 === 5L)
     assert(out(3L)._3 === 0L)
     // deterministic: same payload → same digest on every run
-    val again = Multimodal.resize(spark,
-        Multimodal.withPayload(docs, "text"), 16, 16)
+    val again = Multimodal.resize(Multimodal.withPayload(docs, "text"), 16, 16)
       .select("doc_id", "resized_md5").as[(Long, String)].collect().toMap
     assert(again === out.view.mapValues(_._4).toMap)
   }
@@ -123,8 +121,7 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(meta(1L)._1 === "some media payload".getBytes("UTF-8").length.toLong)
     assert(meta(1L)._2 >= 64L)
-    val decoded = Multimodal.decodeFeatures(spark,
-      Multimodal.withPayload(df, "text")).collect()
+    val decoded = Multimodal.decodeFeatures(Multimodal.withPayload(df, "text")).collect()
     assert(decoded.length === 2)
     val r1 = decoded.find(_.getLong(0) == 1L).get
     assert(r1.getLong(1) === "some media payload".getBytes("UTF-8").length.toLong)

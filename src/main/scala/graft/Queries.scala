@@ -19,7 +19,16 @@ import graft.functions.GraftFunctions._
   *    `floor(x·10^d + 0.5)/10^d` (`GraftFunctions.r`) on BOTH sides —
   *    built-in `round` tie-breaking differs between Spark (BigDecimal
   *    HALF_UP on the exact expansion) and DuckDB (multiply-then-round);
-  *  - every result has a deterministic total ORDER BY;
+  *  - every result has a deterministic total ORDER BY (row ORDER is
+  *    further normalized by the driver's compare, which re-sorts rows
+  *    by all columns — so final-ORDER-BY null placement cannot flip
+  *    the gate; window ORDERINGS whose computed VALUES depend on null
+  *    placement are the real exposure: Spark sorts NULLS FIRST
+  *    ascending, DuckDB LAST, so rank/ntile windows over possibly-null
+  *    VALUE columns spell `asc_nulls_last` to match DuckDB — q26,
+  *    q139. Ordering on CONTRACT-NON-NULL columns (ids, `ts`) relies
+  *    on the data contract instead: a null event timestamp is
+  *    corruption, and both engines' behavior on it is unspecified);
   *  - `events.ts` arithmetic uses an exact epoch-MICROSECOND long basis:
   *    Spark schema-dispatches the physical encoding (int64 nanos via
   *    `nanosAsLong`, or TIMESTAMP(_NTZ) µs) onto epoch-µs longs
@@ -324,7 +333,7 @@ object Queries {
   private val SkewJoinOracle = """SELECT o_orderpriority,
       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
       count(*) AS n
-      FROM (SELECT CASE WHEN l_orderkey % 100 < 95 THEN 1
+      FROM (SELECT CASE WHEN ((l_orderkey % 100) + 100) % 100 < 95 THEN 1
               ELSE l_orderkey END AS k, l_quantity
             FROM lineitem CROSS JOIN (SELECT unnest(range(0, 20)) AS a)) f
       JOIN orders ON o_orderkey = f.k
@@ -431,7 +440,10 @@ object Queries {
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill scoped to the PIVOT columns: an unscoped fill(0) would
+      // also rewrite a NULL-user group key to user_id=0 (colliding
+      // with a real user 0) while the oracle keeps it NULL
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy(col("user_id")),
     Some("""SELECT user_id,
       count(*) FILTER (event_type = 'click') AS click,
@@ -451,10 +463,10 @@ object Queries {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type")),
     Some("""SELECT event_type,
-      count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-      max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      count(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS n_with_k,
+      CAST(sum(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS BIGINT) AS sum_k,
+      min(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS min_k,
+      max(CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** Sliding-frame window aggregate: 7-row moving average of value per
@@ -488,7 +500,10 @@ object Queries {
     * nation's customers to keep output small. */
   private val q26 = Q("q26_rank_functions",
     (s, d) => {
-      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+      // asc_nulls_last: Spark sorts NULLS FIRST ascending, DuckDB LAST —
+      // a NULL acctbal would shift every rank in its nation by one
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").asc_nulls_last)
       t(s, d, "customer")
         .filter(col("c_nationkey") < 5)
         .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
@@ -519,8 +534,8 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type")),
     Some("""SELECT event_type,
-      floor(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS corr_vk,
-      floor(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS covar_vk,
+      floor(corr(value, CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS corr_vk,
+      floor(covar_samp(value, CAST((CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS covar_vk,
       count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
@@ -650,7 +665,7 @@ object Queries {
       floor(sum(sqrt(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_sqrt_qty,
       floor(sum(pow(l_discount, 2)) * 10000.0 + 0.5) / 10000.0 AS sum_disc_sq,
       CAST(sum(l_partkey // 100) AS BIGINT) AS sum_pk_div,
-      CAST(sum(l_orderkey % 7) AS BIGINT) AS sum_ok_mod
+      CAST(sum(((l_orderkey % 7) + 7) % 7) AS BIGINT) AS sum_ok_mod
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** G8: string ops — split/lower/substring/concat (reference's
@@ -1407,8 +1422,8 @@ object Queries {
       ch AS (SELECT doc_id, chunk_idx,
           len(t[chunk_idx*40 + 1 : chunk_idx*40 + 50]) AS n
         FROM starts WHERE len(t[chunk_idx*40 + 1 : chunk_idx*40 + 50]) > 0),
-      p AS (SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n,
-          sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx
+      p AS (SELECT ((doc_id % 8) + 8) % 8 AS shard, doc_id, chunk_idx, n,
+          sum(n) OVER (PARTITION BY ((doc_id % 8) + 8) % 8 ORDER BY doc_id, chunk_idx
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM ch)
       SELECT shard, CAST((cum - n) // 512 AS BIGINT) AS bin_id,
@@ -1706,6 +1721,7 @@ object Queries {
         len(list_filter(tk, x -> x IN ('le','la','de','et','les'))) AS s_fr
       FROM t)
       SELECT lang, CASE
+        WHEN s_en IS NULL THEN NULL
         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
         WHEN s_de >= s_fr THEN 'de'
@@ -2254,7 +2270,8 @@ object Queries {
     Some(s"""SELECT doc_id, lang, n_chars,
         floor((ln(-ln((${sqlPolyHash("'w6' || CAST(doc_id AS VARCHAR) || '#graft-sample'")} + 0.5) / 1000000007.0))
           - ln(n_chars)) * 1000000000 + 0.5) / 1000000000.0 AS es_key
-      FROM documents ORDER BY es_key, doc_id LIMIT 50"""))
+      FROM documents WHERE doc_id IS NOT NULL
+      ORDER BY es_key, doc_id LIMIT 50"""))
 
   /** H4/D+: robust per-language length-outlier gate
     * ([[TextAnalysis.robustOutliers]], median/MAD, z=2) — the
@@ -2325,10 +2342,10 @@ object Queries {
         .orderBy(col("id"))
     },
     Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS ho
-        FROM documents WHERE doc_id % 10 <> 3),
+        FROM documents WHERE ((doc_id % 10) + 10) % 10 <> 3),
       n AS (SELECT doc_id AS id,
-          md5(CASE WHEN doc_id % 13 = 0 THEN text || ' r6' ELSE text END) AS hn
-        FROM documents WHERE doc_id % 10 <> 7),
+          md5(CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN text || ' r6' ELSE text END) AS hn
+        FROM documents WHERE ((doc_id % 10) + 10) % 10 <> 7),
       diff AS (SELECT coalesce(o.id, n.id) AS id,
           CASE WHEN o.id IS NULL THEN 'added'
                WHEN n.id IS NULL THEN 'removed'
@@ -2590,11 +2607,11 @@ object Queries {
         .orderBy(col("doc_id"))
     },
     Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS ho
-        FROM documents WHERE doc_id % 10 <> 3),
+        FROM documents WHERE ((doc_id % 10) + 10) % 10 <> 3),
       n AS (SELECT doc_id AS id,
-          md5(CASE WHEN doc_id % 13 = 0 THEN text || ' r6' ELSE text END) AS hn,
-          CASE WHEN doc_id % 13 = 0 THEN text || ' r6' ELSE text END AS text2
-        FROM documents WHERE doc_id % 10 <> 7),
+          md5(CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN text || ' r6' ELSE text END) AS hn,
+          CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN text || ' r6' ELSE text END AS text2
+        FROM documents WHERE ((doc_id % 10) + 10) % 10 <> 7),
       diff AS (SELECT n.id,
           CASE WHEN o.id IS NULL THEN 'added'
                WHEN ho <> hn THEN 'changed'
@@ -4014,8 +4031,10 @@ object Queries {
     * census with value ranges. */
   private val q139 = Q("q139_ntile_buckets",
     (s, d) => {
+      // asc_nulls_last on value: a NULL-value event would land in bin 1
+      // under Spark's NULLS FIRST vs bin 4 under DuckDB's NULLS LAST
       val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
+        .orderBy(col("value").asc_nulls_last, col("event_id"))
       eventsUs(s, d)
         .select(col("event_type"), col("event_id"), col("value"),
           ntile(4).over(w).cast("long").as("bin"))
@@ -4174,9 +4193,13 @@ object Queries {
     * per-session rollup reuses the same session partitioning. */
   private val q144 = Q("q144_entry_channel",
     (s, d) => {
+      // sessionized events feed the entry cut AND the rollup —
+      // localCheckpoint, or each consumer replans the event-scale
+      // sessionize window (round-8 multi-consumer audit)
       val sess = graft.operators.Sessionize.withSessions(
         eventsUs(s, d), Seq(col("user_id")), col("ts_us"), SessionGapUs,
         tieBreak = Seq(col("event_id")))
+        .localCheckpoint(false)
       val w = Window.partitionBy(col("user_id"), col("session_id"))
         .orderBy(col("ts_us"), col("event_id"))
       val entry = sess.withColumn("_rn", row_number().over(w))

@@ -906,9 +906,12 @@ object Queries {
       .select(col("doc_id"), col("content_hash"), col("rn"), col("is_dup"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, md5(text) AS content_hash,
-      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
-      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
-      FROM documents ORDER BY doc_id"""))
+      row_number() OVER w AS rn,
+      row_number() OVER w > 1 AS is_dup
+      FROM documents
+      WINDOW w AS (PARTITION BY coalesce(md5(text),
+        chr(0) || 'null:' || CAST(doc_id AS VARCHAR)) ORDER BY doc_id)
+      ORDER BY doc_id"""))
 
   /** H2: exact-scored near-dup — word-3-gram shingle Jaccard over
     * language-blocked pairs. */
@@ -1236,7 +1239,7 @@ object Queries {
       .orderBy(col("doc_id")),
     Some(s"""WITH g AS (SELECT doc_id,
         greatest(len(string_split(text, ' ')) - 1, 0)::BIGINT AS n_grams,
-        len(${sqlShingles("string_split(text, ' ')", 2)})::BIGINT AS n_distinct_grams
+        coalesce(len(${sqlShingles("string_split(text, ' ')", 2)}), 0)::BIGINT AS n_distinct_grams
       FROM documents)
       SELECT doc_id, n_grams, n_distinct_grams,
         floor((CASE WHEN n_grams = 0 THEN 0.0
@@ -1735,7 +1738,9 @@ object Queries {
       .select(col("doc_id"), col("fingerprint"), col("min_shingle_fp"))
       .orderBy(col("doc_id")),
     Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents)
-      SELECT doc_id, ${sqlPolyHash("text")} AS fingerprint,
+      SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL
+          ELSE ${sqlPolyHash("text")} END AS fingerprint,
         list_min(list_transform(
           ${sqlShingles("tk")},
           s -> ${sqlPolyHash("s")})) AS min_shingle_fp
@@ -1767,7 +1772,9 @@ object Queries {
       .select(col("doc_id"), col("byte_len"), col("content_md5"),
         col("fake_width"), col("fake_height"), col("fake_n_frames"))
       .orderBy(col("doc_id")),
-    Some(s"""WITH t AS (SELECT doc_id, text, ${sqlPolyHash("text")} AS ph FROM documents)
+    Some(s"""WITH t AS (SELECT doc_id, text,
+        CASE WHEN text IS NULL THEN NULL
+          ELSE ${sqlPolyHash("text")} END AS ph FROM documents)
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         md5(text) AS content_md5,
         64 + ph % 1857 AS fake_width,
@@ -2477,7 +2484,7 @@ object Queries {
       .limit(25),
     Some("""WITH tk AS (SELECT doc_id,
         list_distinct(string_split(text, ' ')) AS tok FROM documents),
-      cnt AS (SELECT count(*)::DOUBLE AS n FROM tk),
+      cnt AS (SELECT count(*)::DOUBLE AS n FROM tk WHERE tok IS NOT NULL),
       post AS (SELECT doc_id, unnest(tok) AS term FROM tk),
       dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
       pairs AS (SELECT a.term AS term_a, b.term AS term_b,
@@ -2656,7 +2663,8 @@ object Queries {
               string_agg(tok, ' ' ORDER BY q) AS text_clean FROM kept GROUP BY doc_id)
       SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
         (len(t.t) - coalesce(a.n_after, 0))::BIGINT AS n_removed,
-        coalesce(a.text_clean, '') AS text_clean
+        CASE WHEN t.t IS NULL THEN NULL
+          ELSE coalesce(a.text_clean, '') END AS text_clean
       FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
     bench = true)
 
@@ -4512,8 +4520,9 @@ object Queries {
       smp AS (SELECT event_type, v FROM (SELECT *, row_number() OVER (
           PARTITION BY event_type ORDER BY h, k_str, v) AS rn FROM e)
         WHERE rn <= 128),
-      lists AS (SELECT event_type, list_sort(list(v)) AS vs,
-          count(*)::BIGINT AS n FROM smp GROUP BY event_type),
+      lists AS (SELECT event_type,
+          list_sort(list(v) FILTER (v IS NOT NULL)) AS vs,
+          count(v)::BIGINT AS n FROM smp GROUP BY event_type),
       ps(p) AS (VALUES (0.25), (0.5), (0.9)),
       est AS (SELECT event_type, p,
           vs[CAST(greatest(ceil(p * n), 1) AS INT)] AS est FROM lists, ps),

@@ -41,7 +41,10 @@ def compare_columns(a: pd.DataFrame, b: pd.DataFrame, bad: list) -> None:
                 bad.append(f"{c}: {int(neq.sum())} diffs, max {diffs.max():.3e}")
         else:
             try:
-                eq = (av.astype(str) == bv.astype(str))
+                # nulls arrive as None from parquet/pandas and NaN from
+                # duckdb.fetchdf; the string compare would call them
+                # different ('None' != 'nan') — treat all-null as equal
+                eq = (av.astype(str) == bv.astype(str)) | (av.isna() & bv.isna())
             except Exception:
                 eq = av == bv
             if not eq.all():

@@ -859,9 +859,9 @@ object Queries {
         floor(avg(ax) * 10000.0 + 0.5) / 10000.0 AS mean_x,
         floor(avg(ay) * 10000.0 + 0.5) / 10000.0 AS mean_y,
         floor(avg(az) * 10000.0 + 0.5) / 10000.0 AS mean_z,
-        floor((CASE WHEN count(*) > 1 THEN (sum(ax*ax) - sum(ax)*sum(ax)/count(*)) / (count(*) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_x,
-        floor((CASE WHEN count(*) > 1 THEN (sum(ay*ay) - sum(ay)*sum(ay)/count(*)) / (count(*) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_y,
-        floor((CASE WHEN count(*) > 1 THEN (sum(az*az) - sum(az)*sum(az)/count(*)) / (count(*) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_z,
+        floor((CASE WHEN count(ax) > 1 THEN (sum(ax*ax) - sum(ax)*sum(ax)/count(ax)) / (count(ax) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_x,
+        floor((CASE WHEN count(ay) > 1 THEN (sum(ay*ay) - sum(ay)*sum(ay)/count(ay)) / (count(ay) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_y,
+        floor((CASE WHEN count(az) > 1 THEN (sum(az*az) - sum(az)*sum(az)/count(az)) / (count(az) - 1) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS var_z,
         floor(avg(abs(ax - mx)) * 10000.0 + 0.5) / 10000.0 AS avg_abs_diff_x,
         floor(avg(abs(ay - my)) * 10000.0 + 0.5) / 10000.0 AS avg_abs_diff_y,
         floor(avg(abs(az - mz)) * 10000.0 + 0.5) / 10000.0 AS avg_abs_diff_z,
@@ -1952,7 +1952,9 @@ object Queries {
         val tmp = java.nio.file.Files.createTempDirectory("graft_model_")
         try {
           val reloaded = graft.ml.Models.saveLoad(e.model, tmp.resolve("dt").toString)
-          val counts = reloaded.transform(feats)
+          // score the observed slice: an all-null window has no signal
+          // to score (and would crash the assembler, by contract)
+          val counts = reloaded.transform(graft.ml.Models.observed(feats))
             .groupBy(col("prediction")).agg(count(lit(1)).as("n"))
             .orderBy(col("prediction"))
             .as[(Double, Long)].collect().toSeq
@@ -2633,7 +2635,8 @@ object Queries {
       SELECT id AS doc_id, status,
         floor(q * 10000 + 0.5) / 10000.0 AS quality_score,
         q >= 0.3 AS kept
-      FROM sc ORDER BY doc_id"""))
+      FROM sc ORDER BY doc_id"""),
+    bench = true)
 
   /** H4+/H1+: cross-document frequent-n-gram pruning
     * ([[TextAnalysis.pruneFrequentNgrams]], n=3, minDocs=5) — the
@@ -2726,7 +2729,8 @@ object Queries {
       SELECT e.vec_id, coalesce(cl.cluster_id, e.vec_id) AS cluster_id,
         coalesce(e.vec_id = cl.cluster_id, TRUE) AS kept
       FROM embeddings e LEFT JOIN cl ON e.vec_id = cl.vec_id
-      ORDER BY e.vec_id"""))
+      ORDER BY e.vec_id"""),
+    bench = true)
 
   /** H4+: BPE merge-candidate mining — the first step of byte-pair /
     * wordpiece vocabulary induction: count every ADJACENT token pair
@@ -2818,7 +2822,8 @@ object Queries {
       SELECT doc_id, lang,
         floor(q * 10000 + 0.5) / 10000.0 AS quality_score,
         floor(pr * 1000000 + 0.5) / 1000000.0 AS pct_rank
-      FROM rk WHERE pr <= 0.2 ORDER BY doc_id"""))
+      FROM rk WHERE pr <= 0.2 ORDER BY doc_id"""),
+    bench = true)
 
   /** SQL fragment: per-vector symmetric int8 quantization of double
     * list `x` with scale `s` — mirrors `Similarity.withInt8` (zero
@@ -3284,7 +3289,7 @@ object Queries {
       cum AS (SELECT doc_id, lang, n_tokens,
           sum(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
             ROWS UNBOUNDED PRECEDING) AS cum_tokens
-        FROM sc)
+        FROM sc WHERE n_tokens IS NOT NULL)
       SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
         CAST(cum_tokens AS BIGINT) AS cum_tokens
       FROM cum
@@ -3846,7 +3851,8 @@ object Queries {
       SELECT r0.user_id, r0.event_id, r0.ts_us,
         floor(g.num::DOUBLE / g.den / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS ewma
       FROM r0 LEFT JOIN g ON r0.user_id = g.user_id AND r0.rn = g.arn
-      ORDER BY r0.user_id, r0.ts_us, r0.event_id"""))
+      ORDER BY r0.user_id, r0.ts_us, r0.event_id"""),
+    bench = true)
 
   /** E+ path analysis: top-10 within-session event-type sequences
     * ([[EventAnalytics.topPaths]] over [[Sessionize.withSessions]]'s gap

@@ -61,6 +61,17 @@ object Models {
   private def assembler = new VectorAssembler()
     .setInputCols(FeatureCols.toArray).setOutputCol("features")
 
+  /** The trainable/scorable slice of a feature table: rows where every
+    * feature was OBSERVED. On a dirty corpus a window whose axis values
+    * were all NULL aggregates to NULL means — no signal was ever seen,
+    * so there is nothing to train on or score; such rows drop HERE,
+    * explicitly, instead of crashing mid-fit (the assembler keeps
+    * handleInvalid=error as the backstop, so a NaN that slips past this
+    * filter still fails loudly rather than training on garbage). On a
+    * clean corpus this is a no-op. */
+  def observed(features: DataFrame): DataFrame =
+    features.na.drop(FeatureCols)
+
   def decisionTree: DecisionTreeClassifier = new DecisionTreeClassifier()
     .setImpurity("gini").setMaxDepth(9).setMaxBins(32).setSeed(Seed)
 
@@ -91,7 +102,12 @@ object Models {
     * several models share it. */
   def trainEval(features: DataFrame,
                 stage: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]): Eval = {
-    val Array(train, test) = features.randomSplit(Array(0.6, 0.4), Seed)
+    // unobserved features and missing labels cannot train (see
+    // [[observed]] / [[encodeLabel]]: a NULL label is missing data,
+    // not a class) — drop BEFORE the split so nTrain/nTest report the
+    // rows the models actually saw
+    val usable = observed(features).na.drop(Seq("label"))
+    val Array(train, test) = usable.randomSplit(Array(0.6, 0.4), Seed)
     val pipeline = new Pipeline().setStages(Array(assembler, stage))
     val model = pipeline.fit(train)
     val predictions = model.transform(test)
@@ -153,7 +169,13 @@ object Models {
                           hashBits: Int = 12): (Eval, DataFrame) = {
     val prepared = withClassifierTokens(
       df.withColumn("label", label.cast("double")), text)
-    val Array(train, test) = prepared.randomSplit(Array(0.6, 0.4), Seed)
+    // a NULL label (e.g. null lang upstream) is missing data, not a
+    // class — it cannot train or be evaluated, so it drops from the
+    // split; the SCORED output still covers the WHOLE corpus
+    // (transform never reads the label, and null text already
+    // tokenizes to "no features" in withClassifierTokens)
+    val labeled = prepared.filter(col("label").isNotNull)
+    val Array(train, test) = labeled.randomSplit(Array(0.6, 0.4), Seed)
     val (tf, lr) = textClassifier(hashBits)
     val pipeline = new Pipeline().setStages(Array(tf, lr))
     val model = pipeline.fit(train)
@@ -184,7 +206,9 @@ object Models {
                         depths: Seq[Int] = Seq(3, 6, 9),
                         folds: Int = 3): CvEval = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
-    val Array(train, test) = features.randomSplit(Array(0.6, 0.4), Seed)
+    // same unobserved-feature / missing-label drop as [[trainEval]]
+    val usable = observed(features).na.drop(Seq("label"))
+    val Array(train, test) = usable.randomSplit(Array(0.6, 0.4), Seed)
     val tree = decisionTree
     val pipeline = new Pipeline().setStages(Array(assembler, tree))
     val grid = new ParamGridBuilder()

@@ -259,12 +259,17 @@ object Sampling {
     // token counts must be positive, enforced IN-PLAN like
     // weightedSample's weight guard: a negative count makes the
     // running sum non-monotone, so rows past the quota point re-enter
-    // the mix and the stratum silently OVERRUNS its budget
+    // the mix and the stratum silently OVERRUNS its budget. A NULL
+    // count is data dirt, not a contract violation (null text upstream
+    // tokenizes to NULL): such a document carries no tokens, cannot
+    // fill a token budget, and drops from the mix BEFORE the window so
+    // it neither poisons the running sum nor shifts other rows' ranks.
     val wTok = weight.cast("long")
     val guarded = when(wTok > 0L, wTok).otherwise(raise_error(concat(
       lit("Sampling.trainingMixTokens: token weight must be strictly " +
         "positive, got "), weight.cast("string"))).cast("long"))
-    df.withColumn(cumCol, sum(guarded).over(w))
+    df.filter(weight.isNotNull)
+      .withColumn(cumCol, sum(guarded).over(w))
       .filter(col(cumCol) <= quota)
   }
 

@@ -71,12 +71,18 @@ private[streaming] object StreamProtocol {
     * committed (replay of a finished batch → caller skips). On the
     * first batch the identity and config files are claimed. A stored
     * legacy identity (bare path, pre-instance-id format) is accepted
-    * once and upgraded in place. */
+    * once and upgraded in place; `legacyConfigs` lists older config
+    * renderings that are SEMANTICALLY IDENTICAL to `config` (fields
+    * added later whose current values match what the old code did) —
+    * a stored one is accepted and rewritten to the current format,
+    * so state built before a fingerprint gained a field still
+    * resumes. */
   def replayGuards(fs: FileSystem, dir: Path, checkpoint: String,
                    config: String, batchId: Long, markerPrefix: String,
-                   streamName: String): Boolean =
+                   streamName: String,
+                   legacyConfigs: Seq[String] = Nil): Boolean =
     replayGuardsWithCommitted(fs, dir, checkpoint, config, batchId,
-      markerPrefix, streamName)._1
+      markerPrefix, streamName, legacyConfigs)._1
 
   /** [[replayGuards]] plus the committed batch ids from the SAME
     * directory listing — for streams whose batch body needs the
@@ -86,7 +92,8 @@ private[streaming] object StreamProtocol {
     * directory whose marker count grows with every batch. */
   def replayGuardsWithCommitted(fs: FileSystem, dir: Path, checkpoint: String,
                    config: String, batchId: Long, markerPrefix: String,
-                   streamName: String): (Boolean, Seq[Long]) = {
+                   streamName: String,
+                   legacyConfigs: Seq[String] = Nil): (Boolean, Seq[Long]) = {
     val identity = checkpointIdentity(fs, checkpoint)
     val runMarker = new Path(dir, RunFile)
     if (fs.exists(runMarker)) {
@@ -109,7 +116,9 @@ private[streaming] object StreamProtocol {
     val cfgMarker = new Path(dir, ConfigFile)
     if (fs.exists(cfgMarker)) {
       val owner = readFile(fs, cfgMarker)
-      if (owner != config)
+      if (owner != config && legacyConfigs.contains(owner))
+        writeFile(fs, cfgMarker, config)            // legacy claim: upgrade
+      else if (owner != config)
         throw new IllegalStateException(
           s"$streamName: $dir was built with state-shaping parameters " +
             s"[$owner] but this stream runs with [$config] — merging or " +
@@ -159,7 +168,15 @@ private[streaming] object StreamProtocol {
   def validatedIndex(spark: SparkSession, fs: FileSystem, dir: Path,
                      partitionPrefix: String, schema: StructType,
                      streamName: String, rebuildHint: String): Option[DataFrame] = {
-    if (!fs.exists(dir)) return None
+    // a directory observed absent (or emptied back to no-partitions)
+    // is a new GENERATION: drop its memoized probe so a recreated
+    // index at the same path is re-validated — otherwise a legacy
+    // index without ingest_batch planted after a delete would skip
+    // the probe and silently pass
+    if (!fs.exists(dir)) {
+      ingestBatchValidated.remove(dir.toString)
+      return None
+    }
     val entries = fs.listStatus(dir)
     val partitioned = entries.exists(e =>
       e.isDirectory && e.getPath.getName.startsWith(partitionPrefix + "="))
@@ -171,7 +188,7 @@ private[streaming] object StreamProtocol {
           s"files at the root, no $partitionPrefix=* directories). Matches " +
           "against it would be silently dropped. Delete the directory and " +
           s"re-ingest, or rewrite it $rebuildHint.")
-    if (!partitioned) None
+    if (!partitioned) { ingestBatchValidated.remove(dir.toString); None }
     else {
       val key = dir.toString
       if (!ingestBatchValidated.contains(key)) {

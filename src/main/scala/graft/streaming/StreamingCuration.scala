@@ -80,11 +80,19 @@ object StreamingCuration {
           shingleN, "StreamingCuration")
         // digestBucketMod is baked into the digest index's partition
         // values; excludeSameId shapes every contamination verdict
+        // legacy: the fingerprint before digestBucketMod/excludeSameId
+        // were pinned — BucketCount is an unchanged compile-time
+        // constant and old code always excluded same-id pairs, so the
+        // legacy claim is only valid when this run keeps that behavior
         val done = StreamProtocol.replayGuards(fs, keptPath, checkpoint,
           s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
             s"shingleN=$shingleN;minOverlap=$minOverlap;" +
             s"digestBucketMod=$BucketCount;excludeSameId=$excludeSameId",
-          batchId, "_batch_", "StreamingCuration")
+          batchId, "_batch_", "StreamingCuration",
+          legacyConfigs = if (excludeSameId)
+            Seq(s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
+              s"shingleN=$shingleN;minOverlap=$minOverlap")
+          else Nil)
         if (!done) {
           // one source read for the whole batch: the gated projection
           // feeds the decontam posts, the digest probe, and the final

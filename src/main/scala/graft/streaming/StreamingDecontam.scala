@@ -160,10 +160,16 @@ object StreamingDecontam {
         // batch replay skip its recompute entirely.
         val flaggedPath = new Path(flaggedDir)
         val flaggedFs = flaggedPath.getFileSystem(conf)
+        // legacy: the pre-excludeSameId fingerprint — old code always
+        // excluded same-id pairs, so the legacy claim is only valid
+        // when this run keeps that behavior
         val done = StreamProtocol.replayGuards(flaggedFs, flaggedPath, checkpoint,
           s"index=$indexDir;shingleN=$shingleN;minOverlap=$minOverlap;" +
             s"excludeSameId=$excludeSameId",
-          batchId, "_batch_", "StreamingDecontam")
+          batchId, "_batch_", "StreamingDecontam",
+          legacyConfigs = if (excludeSameId)
+            Seq(s"index=$indexDir;shingleN=$shingleN;minOverlap=$minOverlap")
+          else Nil)
         if (!done) {
         val batchPosts = posts(batch, col(idCol), col(textCol), "c_id",
           shingleN).cache()

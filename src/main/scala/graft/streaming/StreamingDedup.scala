@@ -78,9 +78,13 @@ object StreamingDedup {
         // into the persisted partition values — resuming with a
         // different modulus would prune against mismatched buckets and
         // silently stop flagging roughly (1 - 1/mod) of true candidates
+        // legacy: the pre-bucketMod fingerprint — BucketCount is a
+        // compile-time constant that has never changed value, so state
+        // claimed under the old rendering is byte-compatible
         val done = StreamProtocol.replayGuards(fs, indexPath, checkpoint,
           s"k=$k;bands=$bands;shingleN=$shingleN;bucketMod=$BucketCount",
-          batchId, "_batch_", "StreamingDedup")
+          batchId, "_batch_", "StreamingDedup",
+          legacyConfigs = Seq(s"k=$k;bands=$bands;shingleN=$shingleN"))
         if (done) ()
         else {
         val banded = Dedup.withLshBands(

@@ -101,6 +101,30 @@ class StreamProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("a legacy config rendering is accepted once and upgraded in place") {
+    withDir { (fs, dir) =>
+      // state claimed before the fingerprint gained a field (the old
+      // code's rendering, semantically identical values)
+      StreamProtocol.replayGuards(fs, dir, "ck", "k=9;bands=3", 0L, "_b_", "S")
+      StreamProtocol.commit(fs, dir, "_b_", 0L)
+      // the new code resumes: legacy string listed -> accepted, file
+      // rewritten to the current format, committed batch still skips
+      assert(StreamProtocol.replayGuards(fs, dir, "ck",
+        "k=9;bands=3;bucketMod=64", 0L, "_b_", "S",
+        legacyConfigs = Seq("k=9;bands=3")))
+      // upgrade persisted: the next batch needs no legacy list
+      assert(!StreamProtocol.replayGuards(fs, dir, "ck",
+        "k=9;bands=3;bucketMod=64", 1L, "_b_", "S"))
+      // a legacy string whose values DIFFER still fails fast
+      val e = intercept[IllegalStateException] {
+        StreamProtocol.replayGuards(fs, dir, "ck",
+          "k=5;bands=2;bucketMod=64", 1L, "_b_", "S",
+          legacyConfigs = Seq("k=5;bands=2"))
+      }
+      assert(e.getMessage.contains("state-shaping"))
+    }
+  }
+
   test("a committed marker beyond the current batch fails fast (recreated checkpoint)") {
     withDir { (fs, dir) =>
       StreamProtocol.replayGuards(fs, dir, "ck", "w=2", 0L, "_b_", "S")

@@ -51,7 +51,9 @@ def compare_columns(a: pd.DataFrame, b: pd.DataFrame, bad: list) -> None:
                 i = (~eq).idxmax()
                 bad.append(f"{c}: {int((~eq).sum())} diffs, e.g. {av[i]!r} vs {bv[i]!r}")
 
-def main(out_dir: str, sf_dir: str) -> None:
+def compare_all(out_dir: str, sf_dir: str):
+    """Compare every dumped query against its oracle; returns
+    (n_pass, n_fail, per-query {name: "PASS"|"SKIP"|"FAIL: why"})."""
     out = Path(out_dir)
     oracles = json.loads((out / "oracle_sql.json").read_text())
     con = duckdb.connect()
@@ -59,37 +61,39 @@ def main(out_dir: str, sf_dir: str) -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     n_pass = n_fail = 0
+    status = {}
     result_dirs = {p.name for p in out.iterdir() if p.is_dir()}
     # a query whose Spark side crashed writes no result dir — that must
     # FAIL here, not silently vanish from the comparison
-    for name in sorted(set(oracles) - result_dirs):
-        print(f"FAIL  {name}: oracle present but no Spark result (query crashed?)")
+    def fail(name, why):
+        nonlocal n_fail
+        print(f"FAIL  {name}: {why}")
+        status[name] = f"FAIL: {why}"
         n_fail += 1
+    for name in sorted(set(oracles) - result_dirs):
+        fail(name, "oracle present but no Spark result (query crashed?)")
     for name in sorted(result_dirs):
         sql = oracles.get(name)
         if sql is None:
             print(f"SKIP  {name}: no oracle (rows-only check)")
+            status[name] = "SKIP"
             continue
         try:
             spark_df = pq.read_table(str(out / name)).to_pandas()
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL  {name}: exec error: {e}")
-            n_fail += 1
+            fail(name, f"exec error: {e}")
             continue
         try:
             a, b = norm(spark_df), norm(duck_df)
         except Exception as e:
-            print(f"FAIL  {name}: normalize error: {e}")
-            n_fail += 1
+            fail(name, f"normalize error: {e}")
             continue
         if list(a.columns) != list(b.columns):
-            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
-            n_fail += 1
+            fail(name, f"columns {list(a.columns)} vs {list(b.columns)}")
             continue
         if len(a) != len(b):
-            print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
-            n_fail += 1
+            fail(name, f"rows {len(a)} vs {len(b)}")
             continue
         bad = []
         try:
@@ -97,16 +101,27 @@ def main(out_dir: str, sf_dir: str) -> None:
         except Exception as e:
             bad.append(f"compare error: {e}")
         if bad:
-            print(f"FAIL  {name}: " + "; ".join(bad))
-            n_fail += 1
+            fail(name, "; ".join(bad))
         else:
             print(f"PASS  {name} ({len(a)} rows)")
+            status[name] = "PASS"
             n_pass += 1
+    return n_pass, n_fail, status
+
+def main(out_dir: str, sf_dir: str) -> None:
+    n_pass, n_fail, _ = compare_all(out_dir, sf_dir)
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
+    if len(sys.argv) == 2 and sys.argv[1] == "--dirty":
+        # full dirty-data gate: delegate to dirty_check (build corpus,
+        # run graft.Verify on EVERY query, compare, write artifact)
+        import dirty_check
+        dirty_check.main(run=True)
+    elif len(sys.argv) == 3:
+        main(sys.argv[1], sys.argv[2])
+    else:
         print(__doc__)
+        print("  or: python3 tools/check.py --dirty   (full dirty-data gate)")
         sys.exit(2)
-    main(sys.argv[1], sys.argv[2])

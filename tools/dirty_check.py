@@ -1,34 +1,41 @@
 #!/usr/bin/env python3
-"""Dirty-data oracle-parity probe.
+"""Dirty-data oracle-parity gate.
 
 The driver's fixtures are clean, so Spark-vs-DuckDB divergences that
-only fire on NULLs / malformed JSON stay latent (round 8 found and
-fixed seven such classes). This probe materializes a DIRTY copy of
-sf0.001 — null event values, malformed props JSON, null document
-text/lang, null customer balances (contract-non-null columns like ids
-and ts stay clean) — and checks the null-sensitive query subset
-against its oracles on it.
+only fire on NULLs / malformed JSON stay latent (round 8's hand-picked
+11-query probe found and fixed seven such classes; round 9 promoted it
+to a FULL gate over every oracle-twinned query). This script
+materializes a DIRTY copy of sf0.001 — null event values, malformed
+props JSON, null document text/lang, null customer balances
+(contract-non-null columns like ids and ts stay clean) — runs
+graft.Verify on ALL queries against it, and compares every dumped
+result to its DuckDB oracle on the same dirty corpus.
 
 Usage:
-  python3 tools/dirty_check.py            # build corpus + print next step
-  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /tmp/dirty_sf /tmp/vdirty <NAMES>"
-  python3 tools/check.py /tmp/vdirty /tmp/dirty_sf   # expect: PASS for every dumped query
+  python3 tools/check.py --dirty          # the whole gate, one command
+  python3 tools/dirty_check.py            # same
+  python3 tools/dirty_check.py --build    # corpus only + manual steps
 
-where <NAMES> is the comma list this script prints.
+Writes DIRTYCHECK.json (repo root): per-query PASS/SKIP/FAIL plus the
+corpus dirt counts — the committed artifact for the round.
 """
+import json
 import os
 import shutil
+import subprocess
+import sys
 
 import duckdb
 
 SRC = "/root/testdata/sf0.001"
 DST = "/tmp/dirty_sf"
+OUT = "/tmp/vdirty"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "DIRTYCHECK.json")
 
-# Queries whose semantics touch the injected dirt — extend when a new
-# operator grows null-dependent behavior.
-NAMES = ("q24,q26,q29,q41,q46,q139,q92,q142,q131,q152,q39")
 
-def main() -> None:
+def build() -> dict:
+    """Materialize the dirty corpus; returns the dirt counts."""
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in ["region", "nation", "supplier", "part", "orders",
@@ -48,7 +55,7 @@ def main() -> None:
       CASE WHEN doc_id % 53 = 0 THEN NULL ELSE lang END AS lang,
       source, n_chars FROM read_parquet('{SRC}/documents.parquet'))
       TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
-    counts = con.execute(f"""SELECT
+    c = con.execute(f"""SELECT
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
         WHERE value IS NULL),
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
@@ -57,14 +64,55 @@ def main() -> None:
         WHERE text IS NULL),
       (SELECT count(*) FROM read_parquet('{DST}/customer.parquet')
         WHERE c_acctbal IS NULL)""").fetchall()[0]
-    print(f"dirty corpus at {DST} "
-          f"(null values={counts[0]}, bad json={counts[1]}, "
-          f"null text={counts[2]}, null acctbal={counts[3]})")
-    print("next:")
-    print(f'  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify {DST} /tmp/vdirty {NAMES}"')
-    print(f"  python3 tools/check.py /tmp/vdirty {DST}")
-    print("expect: PASS for every dumped query "
-          "(non-dumped oracles report as FAIL noise — ignore)")
+    counts = {"null_event_values": c[0], "bad_props_json": c[1],
+              "null_doc_text": c[2], "null_acctbal": c[3]}
+    print(f"dirty corpus at {DST} {counts}")
+    return counts
+
+
+def main(run: bool = True) -> None:
+    counts = build()
+    if not run:
+        print("next:")
+        print(f'  SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify {DST} {OUT}"')
+        print(f"  python3 tools/check.py {OUT} {DST}")
+        return
+    shutil.rmtree(OUT, ignore_errors=True)
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    print(f"running graft.Verify (ALL queries) on {DST} ...")
+    proc = subprocess.run(
+        ["sbt", "-batch", f"runMain graft.Verify {DST} {OUT}"],
+        cwd=REPO, env=env, capture_output=True, text=True)
+    sys.stdout.write(proc.stdout[-4000:])
+    sys.stderr.write(proc.stderr[-4000:])
+    if proc.returncode != 0:
+        print(f"FAIL: sbt runMain graft.Verify exited {proc.returncode}")
+        sys.exit(1)
+    # Verify logs "[verify] <name> failed: ..." per crashed query; a
+    # crashed ROWS-ONLY query writes no result dir and has no oracle,
+    # so without this sweep it would vanish from the report entirely
+    crashed = sorted(set(
+        line.split()[1] for line in (proc.stdout + proc.stderr).splitlines()
+        if line.startswith("[verify] ") and " failed: " in line))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check
+    n_pass, n_fail, status = check.compare_all(OUT, DST)
+    for name in crashed:
+        if status.get(name, "").startswith("FAIL"):
+            continue                     # already reported by the compare
+        status[name] = "FAIL: query crashed on the dirty corpus (rows-only)"
+        print(f"FAIL  {name}: crashed on the dirty corpus (rows-only)")
+        n_fail += 1
+    artifact = {"corpus": DST, "dirt": counts,
+                "n_pass": n_pass, "n_fail": n_fail,
+                "n_skip": sum(1 for v in status.values() if v == "SKIP"),
+                "queries": status}
+    with open(ARTIFACT, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"\n{n_pass} pass, {n_fail} fail -> {ARTIFACT}")
+    sys.exit(1 if n_fail else 0)
+
 
 if __name__ == "__main__":
-    main()
+    main(run="--build" not in sys.argv[1:])

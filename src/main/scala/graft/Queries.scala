@@ -877,9 +877,13 @@ object Queries {
   // ---------------------------------------------------------------- //
 
   /** SQL fragment: the portable 31-polynomial hash of expression `x`
-    * (DuckDB dialect) — mirrors `GraftFunctions.polyHash` exactly. */
+    * (DuckDB dialect) — mirrors `GraftFunctions.polyHash` exactly,
+    * INCLUDING the empty string: the engine's fold over zero
+    * characters is 0, but DuckDB's `string_split('','')` yields `['']`
+    * and `unicode('')` is -1, so the unguarded fold would hash '' to
+    * -1 (caught by the round-9 empty-text dirty corpus). */
   private def sqlPolyHash(x: String): String =
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($x,''), c -> unicode(c)::BIGINT)), (h,c) -> (h*31+c) % 1000000007)"
+    s"CASE WHEN $x = '' THEN 0::BIGINT ELSE list_reduce(list_prepend(0::BIGINT, list_transform(string_split($x,''), c -> unicode(c)::BIGINT)), (h,c) -> (h*31+c) % 1000000007) END"
 
   /** SQL fragment: distinct word-`n`-gram shingles of token list `tk`
     * — mirrors `GraftFunctions.shingles` (empty for < n tokens). */

@@ -6,8 +6,9 @@ only fire on NULLs / malformed JSON stay latent (round 8's hand-picked
 11-query probe found and fixed seven such classes; round 9 promoted it
 to a FULL gate over every oracle-twinned query). This script
 materializes a DIRTY copy of sf0.001 — null event values, malformed
-props JSON, null document text/lang, null customer balances
-(contract-non-null columns like ids and ts stay clean) — runs
+and empty props JSON, null/empty/whitespace-only document text, null
+document lang, null customer balances (contract-non-null columns like
+ids and ts stay clean) — runs
 graft.Verify on ALL queries against it, and compares every dumped
 result to its DuckDB oracle on the same dirty corpus.
 
@@ -47,11 +48,18 @@ def build() -> dict:
       TO '{DST}/customer.parquet' (FORMAT PARQUET)""")
     con.execute(f"""COPY (SELECT event_id, ts, user_id, event_type,
       CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value,
-      CASE WHEN event_id % 31 = 0 THEN '{{not json' ELSE props END AS props
+      CASE WHEN event_id % 31 = 0 THEN '{{not json'
+           WHEN event_id % 37 = 0 THEN '' ELSE props END AS props
       FROM read_parquet('{SRC}/events.parquet'))
       TO '{DST}/events.parquet' (FORMAT PARQUET)""")
+    # text dirt beyond NULL: the empty document and the whitespace-only
+    # document — the two shapes a web scrape actually produces (both
+    # tokenize to empty-STRING tokens, not to no tokens, in both
+    # engines: split('',' ') = [''], split('  ',' ') = ['','',''])
     con.execute(f"""COPY (SELECT doc_id,
-      CASE WHEN doc_id % 41 = 0 THEN NULL ELSE text END AS text,
+      CASE WHEN doc_id % 41 = 0 THEN NULL
+           WHEN doc_id % 47 = 0 THEN ''
+           WHEN doc_id % 59 = 0 THEN '  ' ELSE text END AS text,
       CASE WHEN doc_id % 53 = 0 THEN NULL ELSE lang END AS lang,
       source, n_chars FROM read_parquet('{SRC}/documents.parquet'))
       TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
@@ -60,12 +68,20 @@ def build() -> dict:
         WHERE value IS NULL),
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
         WHERE props = '{{not json'),
+      (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
+        WHERE props = ''),
       (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
         WHERE text IS NULL),
+      (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
+        WHERE text = ''),
+      (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
+        WHERE text = '  '),
       (SELECT count(*) FROM read_parquet('{DST}/customer.parquet')
         WHERE c_acctbal IS NULL)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
-              "null_doc_text": c[2], "null_acctbal": c[3]}
+              "empty_props": c[2], "null_doc_text": c[3],
+              "empty_doc_text": c[4], "blank_doc_text": c[5],
+              "null_acctbal": c[6]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

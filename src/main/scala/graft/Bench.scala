@@ -126,16 +126,21 @@ object Bench {
     catch { case _: Throwable => () }                // bench must not fail on a write
     println(detail)
 
-    def summaryLine(withQueries: Boolean): String = {
-      val q = if (withQueries) {
-        val m = results.map { case (k, v) => "\"" + k + "\":" + r3(v.min) }
+    // degradation ladder: per-query mins at 3 dp, then 2 dp (57 names
+    // at 3 dp outgrow the budget; 2 dp still fits and sub-10ms
+    // precision is noise at these magnitudes), then totals-only
+    def summaryLine(queryDp: Int): String = {
+      val q = if (queryDp > 0) {
+        def rd(d: Double): Double =
+          if (d < 0) d else { val p = math.pow(10, queryDp); math.rint(d * p) / p }
+        val m = results.map { case (k, v) => "\"" + k + "\":" + rd(v.min) }
           .mkString("{", ",", "}")
         s""","queries":$m"""
       } else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"n_queries":${results.size}$q,"failed":$fs,"sf":"${js(sfDir)}","detail":"${js(detailPath)}"}"""
     }
-    val full = summaryLine(withQueries = true)
-    println(if (full.length <= 1800) full else summaryLine(withQueries = false))
+    println(Seq(3, 2, 0).map(summaryLine).find(_.length <= 1800)
+      .getOrElse(summaryLine(0)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -165,6 +165,32 @@ class Round6OpsSpec extends SparkSpec {
     assert(out2.toSeq == Seq("a"))
   }
 
+  test("trainingMixTokens: NULL token counts drop before the window; " +
+      "non-positive counts still refuse loudly") {
+    // the null-weight row (id 9, best score) must NOT shift the ranks
+    // or running sums of the surviving rows: same mix as if absent
+    val dirty = Seq(
+      ("a", 9L, Option.empty[Long], 9.0),
+      ("a", 1L, Some(5L), 3.0), ("a", 2L, Some(4L), 2.0),
+      ("a", 3L, Some(1L), 1.0))
+      .toDF("src", "id", "n_tok", "score")
+    val out = Sampling.trainingMixTokens(dirty, col("src"), col("n_tok"),
+        rankBy = col("score"), tieBreak = col("id"),
+        budgetTokens = 10L, shares = Seq(("a", 0.6)))
+      .select(col("id"), col("cum_tokens")).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 5L))
+    // zero/negative counts remain a loud contract violation (they are
+    // DATA present but nonsensical, not missing): in-plan raise_error
+    val bad = Seq(("a", 1L, 0L, 3.0)).toDF("src", "id", "n_tok", "score")
+    val e = intercept[Exception] {
+      Sampling.trainingMixTokens(bad, col("src"), col("n_tok"),
+        col("score"), col("id"), 10L, Seq(("a", 1.0))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("strictly positive")), e.toString)
+  }
+
   // ------------------------------------------------------------ //
   // BPE learner                                                    //
   // ------------------------------------------------------------ //

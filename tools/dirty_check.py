@@ -60,7 +60,8 @@ def build() -> dict:
       CASE WHEN doc_id % 41 = 0 THEN NULL
            WHEN doc_id % 47 = 0 THEN ''
            WHEN doc_id % 59 = 0 THEN '  ' ELSE text END AS text,
-      CASE WHEN doc_id % 53 = 0 THEN NULL ELSE lang END AS lang,
+      CASE WHEN doc_id % 53 = 0 THEN NULL
+           WHEN doc_id % 61 = 0 THEN '' ELSE lang END AS lang,
       source, n_chars FROM read_parquet('{SRC}/documents.parquet'))
       TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
     c = con.execute(f"""SELECT
@@ -76,12 +77,14 @@ def build() -> dict:
         WHERE text = ''),
       (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
         WHERE text = '  '),
+      (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
+        WHERE lang = ''),
       (SELECT count(*) FROM read_parquet('{DST}/customer.parquet')
         WHERE c_acctbal IS NULL)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
-              "null_acctbal": c[6]}
+              "empty_lang": c[6], "null_acctbal": c[7]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

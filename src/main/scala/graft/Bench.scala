@@ -101,7 +101,9 @@ object Bench {
     val results = samples.map { case (n, ts) => n -> toStat(ts) }
     def obj(f: Stat => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    def r3(d: Double): Double = if (d < 0) d else math.rint(d * 1000) / 1000
+    def rd(d: Double, dp: Int): Double =
+      if (d < 0) d else { val p = math.pow(10, dp); math.rint(d * p) / p }
+    def r3(d: Double): Double = rd(d, 3)
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // paths and dirs come from env vars — escape them, or a quote/
     // backslash in one breaks exactly the JSON lines this code exists
@@ -131,15 +133,17 @@ object Bench {
     // precision is noise at these magnitudes), then totals-only
     def summaryLine(queryDp: Int): String = {
       val q = if (queryDp > 0) {
-        def rd(d: Double): Double =
-          if (d < 0) d else { val p = math.pow(10, queryDp); math.rint(d * p) / p }
-        val m = results.map { case (k, v) => "\"" + k + "\":" + rd(v.min) }
+        val m = results.map { case (k, v) => "\"" + k + "\":" + rd(v.min, queryDp) }
           .mkString("{", ",", "}")
         s""","queries":$m"""
       } else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"n_queries":${results.size}$q,"failed":$fs,"sf":"${js(sfDir)}","detail":"${js(detailPath)}"}"""
     }
-    println(Seq(3, 2, 0).map(summaryLine).find(_.length <= 1800)
+    // lazy ladder: stop serializing at the first rung that fits (the
+    // dp=0 rung always fits in practice; if even it overflows — an
+    // absurdly long sfDir — print it anyway, the driver just sees a
+    // truncated tail like any oversized line)
+    println(Iterator(3, 2, 0).map(summaryLine).find(_.length <= 1800)
       .getOrElse(summaryLine(0)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -65,12 +65,14 @@ object Models {
     * feature was OBSERVED. On a dirty corpus a window whose axis values
     * were all NULL aggregates to NULL means — no signal was ever seen,
     * so there is nothing to train on or score; such rows drop HERE,
-    * explicitly, instead of crashing mid-fit (the assembler keeps
-    * handleInvalid=error as the backstop, so a NaN that slips past this
-    * filter still fails loudly rather than training on garbage). On a
-    * clean corpus this is a no-op. */
+    * explicitly, instead of crashing mid-fit. Deliberately NOT
+    * `na.drop`, which also swallows NaN rows: a NaN is not missing
+    * data, it is a computed-garbage signal from an upstream bug, and
+    * it must still reach the assembler's handleInvalid=error backstop
+    * and fail loudly rather than train on the remainder. On a clean
+    * corpus this is a no-op. */
   def observed(features: DataFrame): DataFrame =
-    features.na.drop(FeatureCols)
+    features.filter(FeatureCols.map(col(_).isNotNull).reduce(_ && _))
 
   def decisionTree: DecisionTreeClassifier = new DecisionTreeClassifier()
     .setImpurity("gini").setMaxDepth(9).setMaxBins(32).setSeed(Seed)
@@ -104,9 +106,10 @@ object Models {
                 stage: org.apache.spark.ml.Estimator[_ <: org.apache.spark.ml.Model[_]]): Eval = {
     // unobserved features and missing labels cannot train (see
     // [[observed]] / [[encodeLabel]]: a NULL label is missing data,
-    // not a class) — drop BEFORE the split so nTrain/nTest report the
-    // rows the models actually saw
-    val usable = observed(features).na.drop(Seq("label"))
+    // not a class; a NaN label stays loud downstream, same principle
+    // as observed()) — drop BEFORE the split so nTrain/nTest report
+    // the rows the models actually saw
+    val usable = observed(features).filter(col("label").isNotNull)
     val Array(train, test) = usable.randomSplit(Array(0.6, 0.4), Seed)
     val pipeline = new Pipeline().setStages(Array(assembler, stage))
     val model = pipeline.fit(train)
@@ -207,7 +210,7 @@ object Models {
                         folds: Int = 3): CvEval = {
     import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
     // same unobserved-feature / missing-label drop as [[trainEval]]
-    val usable = observed(features).na.drop(Seq("label"))
+    val usable = observed(features).filter(col("label").isNotNull)
     val Array(train, test) = usable.randomSplit(Array(0.6, 0.4), Seed)
     val tree = decisionTree
     val pipeline = new Pipeline().setStages(Array(assembler, tree))

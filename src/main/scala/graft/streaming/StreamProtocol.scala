@@ -44,9 +44,23 @@ private[streaming] object StreamProtocol {
     finally in.close()
   }
 
+  /** Publish a marker file atomically-enough: write a temp sibling,
+    * then delete+rename into place. A plain truncate-and-write
+    * (`fs.create(p, true)`) has a crash window that leaves a
+    * TRUNCATED marker — for the legacy-upgrade rewrites that would
+    * brick a perfectly valid state dir on restart (the partial string
+    * matches neither the current nor any legacy rendering, so the
+    * guard fails loudly until hand-repaired). With this shape every
+    * crash window leaves either the OLD file or NO file — and an
+    * absent marker is just re-claimed by the rightful owner on the
+    * next batch. */
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not publish $tmp -> $p")
   }
 
   /** The checkpoint INSTANCE identity: its path plus the unique id
@@ -145,11 +159,26 @@ private[streaming] object StreamProtocol {
 
   /** The ingest_batch column probe memo: the run-identity + config
     * guards make the column immutable for the life of a guarded
-    * stream, so one successful probe per (JVM, directory) suffices —
-    * re-probing every micro-batch costs a full listing + footer read
-    * on object stores for zero information after batch 0. */
+    * stream, so one successful probe per (JVM, directory GENERATION)
+    * suffices — re-probing every micro-batch costs a full listing +
+    * footer read on object stores for zero information after batch 0.
+    * The memo value is a generation fingerprint (the `_stream_
+    * checkpoint` run file's mtime+length): a state dir deleted and
+    * recreated at the same path gets a freshly-claimed run file, so
+    * the stale entry stops matching and the legacy-index probe
+    * re-fires even when no call happened to observe the directory
+    * absent in between. A dir with no run file (externally prepared
+    * index) never memoizes — it probes every call, the safe default. */
   private val ingestBatchValidated =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The directory-generation fingerprint for the memo above; None
+    * when the dir has no claimed run file (never memoize). */
+  private def generationToken(fs: FileSystem, dir: Path): Option[String] =
+    scala.util.Try {
+      val st = fs.getFileStatus(new Path(dir, RunFile))
+      s"${st.getModificationTime}#${st.getLen}"
+    }.toOption
 
   /** Validated read of a persisted partition-pruned streaming index —
     * the layout/ingest_batch guard shared by [[StreamingDedup]] and
@@ -170,9 +199,8 @@ private[streaming] object StreamProtocol {
                      streamName: String, rebuildHint: String): Option[DataFrame] = {
     // a directory observed absent (or emptied back to no-partitions)
     // is a new GENERATION: drop its memoized probe so a recreated
-    // index at the same path is re-validated — otherwise a legacy
-    // index without ingest_batch planted after a delete would skip
-    // the probe and silently pass
+    // index at the same path is re-validated — the generation token
+    // below catches recreation even when no call observes the gap
     if (!fs.exists(dir)) {
       ingestBatchValidated.remove(dir.toString)
       return None
@@ -191,14 +219,18 @@ private[streaming] object StreamProtocol {
     if (!partitioned) { ingestBatchValidated.remove(dir.toString); None }
     else {
       val key = dir.toString
-      if (!ingestBatchValidated.contains(key)) {
+      val gen = generationToken(fs, dir)
+      if (!gen.exists(_ == ingestBatchValidated.get(key))) {
         val cols = spark.read.parquet(dir.toString).columns
         if (!cols.contains("ingest_batch"))
           throw new IllegalStateException(
             s"$streamName: $dir holds a legacy index without the " +
               "ingest_batch column; matching would silently drop it. " +
               "Delete the directory and re-ingest.")
-        ingestBatchValidated.add(key)
+        gen match {
+          case Some(g) => ingestBatchValidated.put(key, g)
+          case None => ingestBatchValidated.remove(key)
+        }
       }
       Some(spark.read.schema(schema).parquet(dir.toString))
     }

@@ -114,9 +114,16 @@ def main(out_dir: str, sf_dir: str) -> None:
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
-    if len(sys.argv) == 2 and sys.argv[1] == "--dirty":
+    if "--dirty" in sys.argv[1:]:
         # full dirty-data gate: delegate to dirty_check (build corpus,
-        # run graft.Verify on EVERY query, compare, write artifact)
+        # run graft.Verify on EVERY query, compare, write artifact).
+        # Checked before the positional branch so `--dirty <anything>`
+        # errors as usage, not as a read of a directory named --dirty
+        if len(sys.argv) != 2:
+            print(__doc__)
+            print("  --dirty takes no other arguments "
+                  "(the gate owns its corpus and output paths)")
+            sys.exit(2)
         import dirty_check
         dirty_check.main(run=True)
     elif len(sys.argv) == 3:

@@ -115,13 +115,16 @@ def main(run: bool = True) -> None:
         if line.startswith("[verify] ") and " failed: " in line))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import check
-    n_pass, n_fail, status = check.compare_all(OUT, DST)
+    _, _, status = check.compare_all(OUT, DST)
     for name in crashed:
         if status.get(name, "").startswith("FAIL"):
             continue                     # already reported by the compare
         status[name] = "FAIL: query crashed on the dirty corpus (rows-only)"
         print(f"FAIL  {name}: crashed on the dirty corpus (rows-only)")
-        n_fail += 1
+    # counts derive from the FINAL status map (the crash sweep above can
+    # flip a compare-PASS to FAIL), so they always agree with `queries`
+    n_pass = sum(1 for v in status.values() if v == "PASS")
+    n_fail = sum(1 for v in status.values() if v.startswith("FAIL"))
     artifact = {"corpus": DST, "dirt": counts,
                 "n_pass": n_pass, "n_fail": n_fail,
                 "n_skip": sum(1 for v in status.values() if v == "SKIP"),

@@ -232,4 +232,47 @@ class PlanRegressionSpec extends SparkSpec {
       s"unscoped count reuse regressed — the totals/join sides must read the " +
         s"checkpointed vocab table, not rescan the corpus (got $scans scans):\n$p")
   }
+
+  // the four round-9 bench-rotation heavies: pin the plan shapes their
+  // recorded sf0.1 numbers (PLANS.md round 9) rest on
+
+  test("q100 quality gate: one corpus scan, one hash exchange for the stratum window") {
+    val p = plan("q100_quality_gate")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"the gate is one pass over documents:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"text stats are pure projection — only the percent_rank window may shuffle:\n$p")
+  }
+
+  test("q131 EWMA: the dyadic window chain shares ONE exchange over the events scan") {
+    val p = plan("q131_ewma_value")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      s"one pass over events:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"every dyadic-window level must reuse the per-user partitioning:\n$p")
+  }
+
+  test("q105 semantic keeplist: the final verdict join moves ids, never embeddings") {
+    val df = Queries.queries("q105_semantic_dedup_keeplist")(spark, sf("sf0.001"))
+    df.count()                          // finalize AQE + the component barriers
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus side of the components left-join must be pruned to the
+    // 8-byte id — a ReadSchema still carrying the float array means the
+    // verdict join shuffles the whole embedding corpus at scale
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"corpus side of the verdict join must read only vec_id:\n$p")
+    assert(!p.contains("embedding:array"),
+      s"no full-width embedding scan may appear in the final join plan " +
+        s"(pairs + components are consumed through their barriers):\n$p")
+  }
+
+  test("q102 incremental curation: snapshot diff reads each side once (barriered)") {
+    val df = Queries.queries("q102_incremental_curation")(spark, sf("sf0.001"))
+    df.count()                          // finalize AQE so barriers are planned
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2,
+      s"the round-8 barrier regressed — the three status filters must read " +
+        s"the checkpointed diff, not rescan a snapshot per consumer (got $scans):\n$p")
+  }
 }

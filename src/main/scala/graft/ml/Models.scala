@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   * Scale: training data stays a distributed DataFrame end to end (the
   * reference collected every feature row to a driver list,
   * `RecognizeActivity.java:115-117`). Cache the feature table once
-  * before the multi-model fan-out.
+  * before the multi-model fan-out. Dirty corpora: training and scoring
+  * consume the [[observed]] slice (all features non-null) — at 100 TB
+  * a single all-null window must not kill an hours-long fit, and the
+  * drop is an explicit narrow filter, not a library side effect.
   */
 object Models {
 

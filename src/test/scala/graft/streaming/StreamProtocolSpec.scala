@@ -101,6 +101,27 @@ class StreamProtocolSpec extends AnyFunSuite {
     }
   }
 
+  test("a crash mid-publish leaves an orphan .tmp and no marker — the next " +
+      "batch re-claims cleanly and the orphan never shadows the real file") {
+    withDir { (fs, dir) =>
+      // the worst crash window of the atomic publish: tmp written,
+      // target deleted, rename not yet executed
+      val out = fs.create(new Path(dir, "_stream_checkpoint.tmp"), true)
+      try out.write("half-writ".getBytes("UTF-8")) finally out.close()
+      // an absent run file is simply re-claimed by the rightful owner;
+      // the orphan tmp must not be read as the identity
+      assert(!StreamProtocol.replayGuards(fs, dir, "ck", "w=2", 0L, "_b_", "S"))
+      StreamProtocol.commit(fs, dir, "_b_", 0L)
+      assert(StreamProtocol.replayGuards(fs, dir, "ck", "w=2", 0L, "_b_", "S"))
+      // and a subsequent different checkpoint still fails fast (the
+      // re-claim installed the real identity, not the orphan's bytes)
+      val e = intercept[IllegalStateException] {
+        StreamProtocol.replayGuards(fs, dir, "ck2", "w=2", 1L, "_b_", "S")
+      }
+      assert(e.getMessage.contains("fresh checkpoint"))
+    }
+  }
+
   test("a legacy config rendering is accepted once and upgraded in place") {
     withDir { (fs, dir) =>
       // state claimed before the fingerprint gained a field (the old

@@ -34,7 +34,13 @@ object GraftFunctions {
   def epochMicros(dt: org.apache.spark.sql.types.DataType, ts: Column): Column = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     dt match {
-      case LongType         => longDiv(ts, 1000L)
+      // FLOOR-div, not SQL `div` (which truncates toward zero): a
+      // pre-epoch nanosecond timestamp with a sub-µs remainder (e.g.
+      // -1500 ns) belongs to µs -2, which is what DuckDB's epoch_us
+      // yields — truncation would say -1 and shift window bucketing
+      // by one for every such row. pmod(ts, 1000) ∈ [0, 999], so the
+      // subtraction lands on an exact multiple and the div is exact.
+      case LongType         => longDiv(ts - pmod(ts, lit(1000L)), 1000L)
       case TimestampNTZType =>
         timestamp_diff("MICROSECOND",
           lit("1970-01-01 00:00:00").cast(TimestampNTZType), ts)

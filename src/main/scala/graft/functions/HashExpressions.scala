@@ -22,9 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashUtil {
   val Mod = 1000000007L
 
-  /** polyhash: fold h = (31·h + codepoint) mod p over the string. */
-  def polyHash(s: UTF8String): Long = {
-    val str = s.toString
+  /** polyhash: fold h = (31·h + codepoint) mod p over the string —
+    * THE one copy of the hash law ([[polyHash(s:UTF8String)*]] and
+    * [[shingleSimHash]] both call it; [[shingleMinHash]] alone keeps
+    * an incremental inline fold because it never materializes the
+    * shingle string it hashes). */
+  def polyHash(str: String): Long = {
     var h = 0L
     var i = 0
     while (i < str.length) {
@@ -35,12 +38,15 @@ object HashUtil {
     h
   }
 
+  def polyHash(s: UTF8String): Long = polyHash(s.toString)
+
   /** Fused shingle → MinHash signature: for each word-n-gram shingle
-    * (tokens joined by ' ', partial shingle when fewer than n tokens —
-    * matching `GraftFunctions.shingles`), compute its polyhash
-    * incrementally (no shingle string is materialized) and fold it
-    * into the k affine minima. Duplicate shingles don't affect minima,
-    * so the distinct step of the declarative form is unnecessary. */
+    * (tokens joined by ' '; FEWER than n tokens means NO shingles and
+    * a null signature — `GraftFunctions.shingles`' empty-array law),
+    * compute its polyhash incrementally (no shingle string is
+    * materialized) and fold it into the k affine minima. Duplicate
+    * shingles don't affect minima, so the distinct step of the
+    * declarative form is unnecessary. */
   def shingleMinHash(toks: ArrayData, n: Int, k: Int): ArrayData = {
     val size = toks.numElements()
     if (size < n) {
@@ -56,7 +62,7 @@ object HashUtil {
       var h = 0L
       var appended = false
       var j = i
-      val end = math.min(i + n, size)
+      val end = i + n          // i <= size - n, so the window always fits
       while (j < end) {
         // null tokens skip inside their window (the concat_ws law) —
         // the hash must equal polyhash(shingles()) of the same window
@@ -113,13 +119,7 @@ object HashUtil {
       }
       val sstr = sb.toString
       if (seen.add(sstr)) {
-        var h = 0L
-        var ci = 0
-        while (ci < sstr.length) {
-          val cp = sstr.codePointAt(ci)
-          h = (h * 31 + cp) % Mod
-          ci += Character.charCount(cp)
-        }
+        val h = polyHash(sstr)
         total += 1
         var b = 0
         while (b < bits) {
@@ -140,7 +140,9 @@ object HashUtil {
 
   /** Shared empty result for shingle-less / null-input documents —
     * one immutable instance, never a per-row allocation (consumers
-    * copy; nothing mutates it). */
+    * copy; nothing mutates it). Element-type-agnostic: an empty array
+    * holds no elements, so the string-shingle and posting-struct
+    * producers share it. */
   private val EmptyStringArray: ArrayData = new GenericArrayData(Array.empty[Any])
   def emptyStringArray(): ArrayData = EmptyStringArray
 
@@ -184,7 +186,7 @@ object HashUtil {
     * empty array. */
   def positionedShingles(toks: ArrayData, n: Int): ArrayData = {
     val size = toks.numElements()
-    if (size < n) return new GenericArrayData(new Array[AnyRef](0))
+    if (size < n) return emptyStringArray()
     val out = new Array[AnyRef](size - n + 1)
     val sb = new java.lang.StringBuilder()
     val last = size - n
@@ -239,7 +241,17 @@ object HashUtil {
     var i = 0
     while (i < n) {
       if (xs.isNullAt(i)) return null
-      num += xs.getLong(i) << i
+      // exact arithmetic, loud on overflow: a large element silently
+      // wrapping the accumulator would be a sign-flipped wrong answer
+      // on the public SQL surface (the ANSI declarative twin throws
+      // ARITHMETIC_OVERFLOW on the same input — the forms must agree)
+      try num = Math.addExact(num, Math.multiplyExact(xs.getLong(i), 1L << i))
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"graft_dyadic_fold: element ${xs.getLong(i)} at position $i " +
+            "overflows the exact 2^i weighting — the fold is defined for " +
+            "small (typically 0/1 indicator) values")
+      }
       i += 1
     }
     num.toDouble / ((1L << n) - 1L)
@@ -279,9 +291,15 @@ object HashUtil {
     * and the DuckDB `list_reduce` oracle: per plane, a sequential
     * left-fold from 0.0 of double(vec[d])·component(p,d) for d = 1..dim
     * — same IEEE ops in the same order, so bucket ids are bit-identical
-    * across all three forms. A vector shorter than `dim` (or with a
-    * null element) yields bucket 0, matching the declarative form's
-    * null-propagated projections (every plane's `when` falls through). */
+    * across all three forms. A vector with a NULL element yields
+    * bucket 0, matching the declarative form's null-propagated
+    * projections (every plane's `when` falls through). A vector
+    * SHORTER than `dim` also yields bucket 0 — that matches the
+    * declarative twin only pre-ANSI (under ANSI, the default here,
+    * its `element_at` throws on the out-of-bounds index); the
+    * fixed-dim corpus contract makes ragged vectors a caller bug, and
+    * callers that admit them should length-filter up front
+    * (DedupSimilaritySpec pins the bucket-0 law). */
   def lshBucket(vec: ArrayData, isFloat: Boolean, planes: Int, dim: Int): Long = {
     if (vec.numElements() < dim) return 0L
     var d0 = 0
@@ -400,6 +418,11 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   * [[HashUtil.shingleMinHash]]. */
 case class ShingleMinHash(child: Expression, n: Int, k: Int)
     extends UnaryExpression {
+  // count params guard HERE, not only in the SQL registry's intLit:
+  // the Scala engine path constructs these directly, and n=0 would
+  // silently emit size+1 empty-string shingles (nonsense signatures)
+  require(n >= 1, s"graft_shingle_minhash: n must be >= 1, got $n")
+  require(k >= 1, s"graft_shingle_minhash: k must be >= 1, got $k")
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_shingle_minhash"
 
@@ -427,6 +450,9 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int)
   * shingle-less docs) — see [[HashUtil.shingleSimHash]]. */
 case class ShingleSimHash(child: Expression, n: Int, bits: Int)
     extends UnaryExpression {
+  require(n >= 1, s"graft_shingle_simhash: n must be >= 1, got $n")
+  require(bits >= 1 && bits <= 64,
+    s"graft_shingle_simhash: bits must be in [1, 64], got $bits")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_shingle_simhash"
@@ -469,6 +495,7 @@ case class ShingleSimHash(child: Expression, n: Int, bits: Int)
   * `when(size(toks) >= n, ...).otherwise(array())` — a null condition
   * falls through to the empty-array branch. */
 case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_shingles: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
   override def prettyName: String = "graft_shingles"
@@ -513,6 +540,7 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
   * `concat_ws` generator stack with one codegen'd Java loop. */
 case class PositionedShingles(child: Expression, n: Int)
     extends UnaryExpression {
+  require(n >= 1, s"graft_pos_shingles: n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("pos", IntegerType, nullable = false),
@@ -533,7 +561,7 @@ case class PositionedShingles(child: Expression, n: Int)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) new GenericArrayData(new Array[AnyRef](0))
+    if (v == null) HashUtil.emptyStringArray()
     else HashUtil.positionedShingles(v.asInstanceOf[ArrayData], n)
   }
 
@@ -543,7 +571,7 @@ case class PositionedShingles(child: Expression, n: Int)
     ev.copy(code = code"""
       ${childGen.code}
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull}
-        ? new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0])
+        ? graft.functions.HashUtil.emptyStringArray()
         : graft.functions.HashUtil.positionedShingles(${childGen.value}, $n);""",
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
@@ -689,6 +717,13 @@ case class DotProduct(left: Expression, right: Expression)
   * way through both forms. */
 case class LshBucket(child: Expression, planes: Int, dim: Int)
     extends UnaryExpression {
+  // planes caps at 62: `1L << p` wraps mod 64 at p = 64 (plane 64's
+  // vote would OR into bit 0 under a DIFFERENT hyperplane — silent
+  // bucket corruption), and the declarative twin's pow(2, p) cast
+  // already overflows under ANSI at p = 63
+  require(planes >= 1 && planes <= 62,
+    s"graft_lsh_bucket: planes must be in [1, 62], got $planes")
+  require(dim >= 1, s"graft_lsh_bucket: dim must be >= 1, got $dim")
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_lsh_bucket"
@@ -733,6 +768,7 @@ case class LshBucket(child: Expression, planes: Int, dim: Int)
   * interpreted fold per exploded band row. */
 case class BandHashes(child: Expression, bands: Int)
     extends UnaryExpression {
+  require(bands >= 1, s"graft_band_hashes: bands must be >= 1, got $bands")
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_band_hashes"
 

@@ -84,10 +84,27 @@ object Chunking {
   }
 
   /** Per-bin summary of a packed corpus (bin sizes and fill levels —
-    * the sanity numbers a packing job reports). */
+    * the sanity numbers a packing job reports). `keys` must be the
+    * FULL bin identity: for a SHARDED packing that is the shard
+    * column(s) + `bin_id` ([[packSequential]]'s contract — bins are
+    * (shard, bin_id) pairs), and the bare-`bin_id` default is only
+    * correct for an `allowGlobal` packing. Grouping a sharded packing
+    * by `bin_id` alone would merge bin 0 of EVERY shard into one row
+    * and report ~shards× the budget — exactly the sanity number this
+    * function exists to make trustworthy, so the ambiguity is refused
+    * loudly: the default is rejected when the frame still carries a
+    * column named `shard`. */
   def binStats(packed: DataFrame, nTokens: Column,
-               keys: Seq[Column] = Seq(col("bin_id"))): DataFrame =
+               keys: Seq[Column] = Seq(col("bin_id"))): DataFrame = {
+    require(!(keys.map(_.toString) == Seq(col("bin_id").toString) &&
+        packed.columns.contains("shard")),
+      "binStats: the frame carries a 'shard' column but keys is the " +
+        "bare-bin_id default — a sharded packing's bins are (shard, " +
+        "bin_id) pairs; pass keys = Seq(col(\"shard\"), col(\"bin_id\")) " +
+        "(or your shard columns) so bins from different shards don't " +
+        "merge into one misleading fill-level row")
     packed.groupBy(keys: _*)
       .agg(count(lit(1)).as("n_chunks"),
         sum(nTokens).as("n_tokens"))
+  }
 }

@@ -54,6 +54,11 @@ object Sessionize {
     * null delta → not a jump → session 0. */
   def withSessions(df: DataFrame, keys: Seq[Column], ts: Column, gap: Long,
                    tieBreak: Seq[Column] = Nil): DataFrame = {
+    // same loud-degenerate-input law as withWindows' width guard: a
+    // non-positive gap (a seconds-vs-microseconds unit slip, say)
+    // fragments every key into per-row sessions — plausible-looking,
+    // meaningless output with no error anywhere downstream
+    require(gap > 0, s"session gap must be positive: $gap")
     val w = ordered(keys, ts +: tieBreak)
     withDelta(df, keys, ts, tieBreak)
       .withColumn("is_jump", when(col("delta") > gap, 1).otherwise(0))
@@ -81,7 +86,12 @@ object Sessionize {
     * list (`PrepareData.java:34-56`). `n_windows` uses the same floor-div
     * width count. */
   def sessionBounds(df: DataFrame, keys: Seq[Column], ts: Column, gap: Long,
-                    width: Long, tieBreak: Seq[Column] = Nil): DataFrame =
+                    width: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
+    // the same guard withWindows carries — without it the n_windows
+    // floor-div throws DIVIDE_BY_ZERO mid-job under ANSI (or silently
+    // NULLs under non-ANSI) instead of failing at the API boundary
+    require(width > 0, s"window width must be positive: $width " +
+      "(div by zero silently NULLs every n_windows under non-ANSI)")
     withSessions(df, keys, ts, gap, tieBreak)
       .groupBy((keys :+ col("session_id")): _*)
       .agg(
@@ -89,4 +99,5 @@ object Sessionize {
         max(ts).as("session_end"),
         count(lit(1)).as("n_rows"),
         longDiv(max(ts) - min(ts), width).as("n_windows"))
+  }
 }

@@ -65,8 +65,16 @@ object TopKStrategy extends SparkStrategy {
     * cheap extra scan, not a plan change. */
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(k, g, o, r, child) =>
-      TopKPerGroupExec(k, g, o, r, partial = false,
-        TopKPerGroupExec(k, g, o, None, partial = true, planLater(child))) :: Nil
+      // canonicalize float/double group keys HERE (expressions are
+      // resolved by planning time): the optimizer's
+      // NormalizeFloatingNumbers only rewrites Window/Aggregate/Join,
+      // so without this a -0.0 and a 0.0 key would land in different
+      // hash partitions AND different byte-compared heap groups —
+      // diverging from the Window plan this operator replaces. No-op
+      // for non-float keys.
+      val gn = g.map(GraftColumnBridge.normalizeFloatKey)
+      TopKPerGroupExec(k, gn, o, r, partial = false,
+        TopKPerGroupExec(k, gn, o, None, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -110,10 +118,15 @@ object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case other => other
   }
 
-  private def intVal(l: Literal): Option[Int] = l.value match {
+  /** The Int value of any integral literal (byte/short/int/in-range
+    * long) — shared with `GraftExtensions.intLit` so the two literal
+    * extractors in this package cannot disagree on which SQL integer
+    * literals count (`2S`, `2L`, …). */
+  private[plans] def intVal(l: Literal): Option[Int] = l.value match {
     case i: Int => Some(i)
     case v: Long if v <= Int.MaxValue && v >= Int.MinValue => Some(v.toInt)
     case s: Short => Some(s.toInt)
+    case b: Byte => Some(b.toInt)
     case _ => None
   }
 
@@ -164,6 +177,15 @@ object TopKPerGroupExec {
     * for a 4-8 core executor with 8 GB heap. */
   val MaxResidentRowsKey = "spark.graft.topk.maxResidentRows"
   val DefaultMaxResidentRows = 4 * 1024 * 1024
+
+  /** Byte-denominated twin of the row cap: kept rows are full-width
+    * UnsafeRow COPIES, so with wide rows (a 2 KB text column, say) the
+    * row cap alone would admit gigabytes before flushing — the
+    * WindowExec sort this operator replaces tracks bytes under the
+    * memory manager, so the substitute must too. Whichever cap trips
+    * first flushes/spills. Default 256 MB per task. */
+  val MaxResidentBytesKey = "spark.graft.topk.maxResidentBytes"
+  val DefaultMaxResidentBytes: Long = 256L * 1024 * 1024
 }
 
 /** Spilled-run plumbing for the final pass: a run holds groups in
@@ -190,7 +212,11 @@ private[plans] object TopKSpill {
       new java.io.FileInputStream(file), 1 << 16))
     var key: Array[Byte] = _
     var rows: Array[InternalRow] = _
-    advance()
+    // a truncated run (disk-full spill) throws out of the eager first
+    // advance — close the stream on the way out or the fd (on a
+    // soon-deleted file) leaks for the executor's lifetime
+    try advance()
+    catch { case t: Throwable => try in.close() catch { case _: Throwable => () }; throw t }
     def advance(): Unit = {
       val kl = try in.readInt() catch { case _: java.io.EOFException => -1 }
       if (kl < 0) { key = null; rows = null; in.close(); return }
@@ -264,6 +290,10 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
       org.apache.spark.sql.internal.SQLConf.get.getConfString(
         TopKPerGroupExec.MaxResidentRowsKey,
         TopKPerGroupExec.DefaultMaxResidentRows.toString).toInt)
+    val maxResidentBytes = math.max(1L << 20,
+      org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        TopKPerGroupExec.MaxResidentBytesKey,
+        TopKPerGroupExec.DefaultMaxResidentBytes.toString).toLong)
     val spillMetric = longMetric("spillRuns")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(groupL, childOutput)
@@ -277,6 +307,13 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
         private val heaps = mutable.LinkedHashMap
           .empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
         private var resident = 0
+        private var residentBytes = 0L
+        // kept rows are UnsafeRow copies in practice (codegen output);
+        // the fallback is a coarse width estimate for exotic children
+        private def rowSize(r: InternalRow): Long = r match {
+          case u: UnsafeRow => u.getSizeInBytes.toLong
+          case _ => 24L * (childOutput.length + 2)
+        }
         private var out: Iterator[InternalRow] = Iterator.empty
         private var done = false
         private val joined = new JoinedRow
@@ -322,6 +359,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           val snapshot = heaps.values.toSeq
           heaps.clear()
           resident = 0
+          residentBytes = 0L
           snapshot.iterator.flatMap(h => emit(ranked(h).iterator))
         }
 
@@ -340,6 +378,7 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
             .sortWith((x, y) => TopKSpill.compareKeys(x._1, y._1) < 0)
           heaps.clear()
           resident = 0
+          residentBytes = 0L
           val outS = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
             new java.io.FileOutputStream(file), 1 << 16))
           val writeBuf = new Array[Byte](1 << 16)
@@ -359,9 +398,13 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
           * is one ≤k group list per run, independent of group count. */
         private def mergeSpills(): Iterator[InternalRow] = {
           if (heaps.nonEmpty) spill() // remainder becomes the last run
-          val readers = spillFiles.map(f => new TopKSpill.Reader(f, childOutput.length))
-          openReaders ++= readers // task-completion cleanup closes leftovers
-          val active = mutable.ArrayBuffer.from(readers.filterNot(_.done))
+          // append each reader AS CONSTRUCTED: if a later constructor
+          // throws, the task-completion cleanup must still close the
+          // ones already open (a whole-map-then-append would leak them)
+          spillFiles.foreach { f =>
+            openReaders += new TopKSpill.Reader(f, childOutput.length)
+          }
+          val active = mutable.ArrayBuffer.from(openReaders.filterNot(_.done))
           new Iterator[InternalRow] {
             private var cur: Iterator[InternalRow] = Iterator.empty
             override def hasNext: Boolean = {
@@ -409,12 +452,19 @@ case class TopKPerGroupExec(k: Int, groupExprs: Seq[Expression],
                     heaps.put(probeKey.copy(), h)
                     h
                 }
-                if (heap.size < kL) { heap.enqueue(row.copy()); resident += 1 }
-                else if (ord.compare(row, heap.head) < 0) {
-                  heap.dequeue()
-                  heap.enqueue(row.copy())
+                if (heap.size < kL) {
+                  val kept = row.copy()
+                  heap.enqueue(kept)
+                  resident += 1
+                  residentBytes += rowSize(kept)
+                } else if (ord.compare(row, heap.head) < 0) {
+                  residentBytes -= rowSize(heap.dequeue())
+                  val kept = row.copy()
+                  heap.enqueue(kept)
+                  residentBytes += rowSize(kept)
                 }
-                if (resident >= maxResident) flush = true
+                if (resident >= maxResident || residentBytes >= maxResidentBytes)
+                  flush = true
               }
               if (flush) {
                 if (partialL) out = drain() else spill()
@@ -443,6 +493,11 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String], score: String,
                k: Int): DataFrame = {
     require(k >= 1, s"top-k requires k >= 1 (got $k)")
+    // an empty group list would only fail at planning time, deep inside
+    // ClusteredDistribution's own require — name the caller's mistake
+    require(groupCols.nonEmpty,
+      "top-k requires at least one group column (for a global top-k, " +
+        "orderBy(...).limit(k) already plans a bounded TakeOrdered)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =

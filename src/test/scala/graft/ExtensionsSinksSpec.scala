@@ -87,6 +87,30 @@ class ExtensionsSinksSpec extends SparkSpec {
     val polyTypeErr = intercept[Exception](spark.sql(
       "SELECT graft_polyhash(123)").collect())
     assert(msgs(polyTypeErr).exists(_.contains("string")), polyTypeErr.getMessage)
+    // misuse: dyadic-fold elements that overflow the exact 2^i
+    // weighting fail LOUDLY (a silent wrap would be a sign-flipped
+    // wrong answer; the ANSI declarative twin throws on the same row)
+    val ovErr = intercept[Exception](spark.sql(
+      "SELECT graft_dyadic_fold(array(4611686018427387904L, 4611686018427387904L))")
+      .collect())
+    assert(msgs(ovErr).exists(_.contains("overflows the exact")), ovErr.getMessage)
+    // misuse: planes beyond 62 would wrap `1L << p` mod 64 (plane 64's
+    // vote ORing into bit 0 under a different hyperplane)
+    val planesErr = intercept[Exception](spark.sql(
+      "SELECT graft_lsh_bucket(array(1.0D, -1.0D), 63, 2)").collect())
+    assert(msgs(planesErr).exists(_.contains("[1, 62]")), planesErr.getMessage)
+  }
+
+  test("epochMicros on int64 nanos FLOOR-divides: pre-epoch sub-us " +
+      "remainders land in the earlier microsecond, like DuckDB epoch_us") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.types.LongType
+    val df = Seq(-1500L, -1000L, -999L, -1L, 0L, 999L, 1000L, 1500L).toDF("ns")
+    val got = df.select(col("ns"),
+        GraftFunctions.epochMicros(LongType, col("ns")).as("us"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(-1500L -> -2L, -1000L -> -1L, -999L -> -1L,
+      -1L -> -1L, 0L -> 0L, 999L -> 0L, 1000L -> 1L, 1500L -> 1L))
   }
 
   test("sinks: partitioned parquet write round-trips") {

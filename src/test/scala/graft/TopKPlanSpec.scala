@@ -218,4 +218,70 @@ class TopKPlanSpec extends SparkSpec {
     val out = TopK.perGroup(df, Seq("g"), "s", k = 10)
     assert(out.count() === 3)
   }
+
+  test("float group keys: -0.0 and 0.0 are ONE group, matching the window plan") {
+    // the optimizer's NormalizeFloatingNumbers only rewrites the nodes
+    // it knows (Window/Aggregate/Join); the strategy must canonicalize
+    // the keys itself or the two zero encodings hash-partition apart
+    // AND byte-compare apart — two rn=1 rows where the window plan
+    // emits one
+    val df = Seq((0.0, 1L, 10.0), (-0.0, 2L, 20.0), (1.5, 3L, 30.0))
+      .toDF("key", "id", "s")
+    val w = Window.partitionBy(col("key")).orderBy(col("s").desc, col("id"))
+    def q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    val got = q.select("id").as[Long].collect().toSet
+    spark.conf.set("spark.sql.optimizer.excludedRules", "graft.plans.TopKRewrite")
+    try {
+      val expected = q.select("id").as[Long].collect().toSet
+      assert(got === expected)
+      assert(got === Set(2L, 3L))   // one zero group: id 2 (s=20) wins
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+    // same law through the direct API
+    val api = TopK.perGroup(df, Seq("key"), "s", k = 1)
+      .select("id").as[Long].collect().toSet
+    assert(api === Set(2L, 3L))
+  }
+
+  test("wide rows trip the BYTE cap long before the row cap — exact with spills") {
+    // 400 rows x ~10 KB strings ≈ 4 MB resident if nothing flushed; a
+    // 1 MB byte cap must force final-pass spills while the row cap
+    // (default 4M) never trips. Results stay exact.
+    val wide = (1 to 400).map(i => (i % 20, "x" * 10000 + i.toString, i))
+      .toDF("g", "payload", "v")
+    spark.conf.set(graft.plans.TopKPerGroupExec.MaxResidentBytesKey,
+      (1L << 20).toString)
+    try {
+      val got = TopK.perGroup(wide, Seq("g"), "v", k = 2)
+        .select("g", "v").as[(Int, Int)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val expected = (0 until 20).map { g =>
+        g -> (1 to 400).filter(_ % 20 == g).sorted.takeRight(2)
+      }.toMap
+      assert(got === expected)
+    } finally spark.conf.unset(graft.plans.TopKPerGroupExec.MaxResidentBytesKey)
+  }
+
+  test("TopK.perGroup refuses an empty group list with a named error") {
+    val df = Seq((1L, 1.0)).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, Seq.empty, "s", k = 1)
+    }
+    assert(e.getMessage.contains("group column"), e.getMessage)
+  }
+
+  test("SQL function arity and short-literal args error/work at analysis time") {
+    import graft.plans.GraftExtensions
+    GraftExtensions.register(spark)
+    // wrong arity: a named error, not NoSuchElementException
+    val e = intercept[Throwable] { spark.sql("SELECT graft_dot(array(1.0))").collect() }
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("requires exactly 2 arguments")), e.toString)
+    // a SQL short literal (2S) IS an integer literal
+    val r = spark.sql("SELECT graft_shingles(array('a','b','c'), 2S) AS s")
+      .collect().head.getSeq[String](0)
+    assert(r.toSet === Set("a b", "b c"))
+  }
 }

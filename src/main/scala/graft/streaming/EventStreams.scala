@@ -105,9 +105,17 @@ object EventStreams {
     * this for replays/at-least-once sources, the index for content
     * near-duplicates. */
   def dedupWithinWatermark(events: DataFrame, delay: String,
-                           keys: String*): DataFrame =
+                           keys: String*): DataFrame = {
+    // an empty key list would pass Seq.empty to the dedup operator,
+    // which groups on ZERO columns — every row shares the empty key
+    // and all but one row per state lifetime silently drop. A caller
+    // meaning "dedup on all columns" must say so with the column list.
+    require(keys.nonEmpty,
+      "dedupWithinWatermark: pass at least one key column — an empty " +
+        "key list would collapse the whole stream to one surviving row")
     events.withWatermark("event_time", delay)
       .dropDuplicatesWithinWatermark(keys.toSeq)
+  }
 
   /** Row/state types for the custom-state operator. */
   final case class UserEvent(user_id: Long, ts_us: Long)

@@ -63,6 +63,13 @@ private[streaming] object StreamProtocol {
       throw new java.io.IOException(s"could not publish $tmp -> $p")
   }
 
+  /** The atomic publish above, for sibling modules' own marker files
+    * (e.g. [[StreamingDecontam]]'s eval-index config) — the same
+    * crash-window rationale. */
+  private[streaming] def publishFile(fs: FileSystem, p: Path,
+                                     content: String): Unit =
+    writeFile(fs, p, content)
+
   /** The checkpoint INSTANCE identity: its path plus the unique id
     * Structured Streaming writes into `<checkpoint>/metadata` at query
     * start. Deleting and recreating a checkpoint at the SAME path mints
@@ -74,11 +81,32 @@ private[streaming] object StreamProtocol {
     * a checkpoint on a filesystem `fs` cannot reach). */
   private def checkpointIdentity(fs: FileSystem, checkpoint: String): String = {
     val meta = new Path(new Path(checkpoint), "metadata")
-    val id = scala.util.Try {
+    // ABSENT metadata is the legitimate fallback (non-SS test drivers,
+    // first write); a metadata file that EXISTS but cannot be read is
+    // a transient filesystem error and must NOT degrade the identity —
+    // a degraded bare-path identity mismatches the stored '#id' claim
+    // and the fresh-checkpoint guard would then tell the operator to
+    // delete perfectly valid state over a retryable read blip
+    val exists =
+      try fs.exists(meta)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"could not probe checkpoint metadata at $meta — transient " +
+            "filesystem error? Retry the batch; do NOT delete state.", e)
+      }
+    if (!exists) checkpoint
+    else {
+      val content =
+        try readFile(fs, meta)
+        catch { case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"could not read checkpoint metadata at $meta — transient " +
+              "filesystem error? Retry the batch; do NOT delete state.", e)
+        }
       val m = """"id"\s*:\s*"([^"]+)"""".r
-      m.findFirstMatchIn(readFile(fs, meta)).map(_.group(1))
-    }.toOption.flatten
-    id.map(u => s"$checkpoint#$u").getOrElse(checkpoint)
+      m.findFirstMatchIn(content).map(u => s"$checkpoint#${u.group(1)}")
+        .getOrElse(checkpoint)
+    }
   }
 
   /** Run guards 1-4; returns true when this batch is ALREADY fully
@@ -104,10 +132,11 @@ private[streaming] object StreamProtocol {
     * version path): one `listStatus` per batch instead of two. The
     * listing is driver-side metadata, but on object stores it walks a
     * directory whose marker count grows with every batch. */
-  def replayGuardsWithCommitted(fs: FileSystem, dir: Path, checkpoint: String,
-                   config: String, batchId: Long, markerPrefix: String,
-                   streamName: String,
-                   legacyConfigs: Seq[String] = Nil): (Boolean, Seq[Long]) = {
+  /** The identity + config claim shared by [[replayGuardsWithCommitted]]
+    * and [[claimAuxiliary]]. */
+  private def claimIdentityAndConfig(fs: FileSystem, dir: Path,
+      checkpoint: String, config: String, streamName: String,
+      legacyConfigs: Seq[String]): Unit = {
     val identity = checkpointIdentity(fs, checkpoint)
     val runMarker = new Path(dir, RunFile)
     if (fs.exists(runMarker)) {
@@ -141,6 +170,39 @@ private[streaming] object StreamProtocol {
             "just answers wrongly). Resume with the original parameters, " +
             "or delete the state directory and re-ingest.")
     } else writeFile(fs, cfgMarker, config)
+  }
+
+  /** Identity + config fencing for an AUXILIARY directory of a stream
+    * whose batches commit through ANOTHER directory's markers (a
+    * digest index beside the kept output, a per-batch verdict dir
+    * beside the match index). Without its own claim, such a directory
+    * survives a partial re-ingest invisibly: the marker dir is wiped
+    * and re-claimed fresh while the auxiliary keeps a DEAD run's rows
+    * (or its stale batch=N outputs), silently corrupting verdicts.
+    * With the claim, resuming against an auxiliary owned by a
+    * different run or regime fails fast with the same remedies as the
+    * primary guard. */
+  def claimAuxiliary(fs: FileSystem, dir: Path, checkpoint: String,
+                     config: String, streamName: String,
+                     legacyConfigs: Seq[String] = Nil): Unit = {
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    claimIdentityAndConfig(fs, dir, checkpoint, config, streamName,
+      legacyConfigs)
+  }
+
+  /** Whether `dir` carries a run-identity claim — the cross-directory
+    * consistency probe for streams whose state spans several
+    * directories (a committed primary with an UNCLAIMED auxiliary
+    * means the auxiliary was deleted out from under the run). */
+  def hasClaim(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, RunFile))
+
+  def replayGuardsWithCommitted(fs: FileSystem, dir: Path, checkpoint: String,
+                   config: String, batchId: Long, markerPrefix: String,
+                   streamName: String,
+                   legacyConfigs: Seq[String] = Nil): (Boolean, Seq[Long]) = {
+    claimIdentityAndConfig(fs, dir, checkpoint, config, streamName,
+      legacyConfigs)
     val committed = committedIds(fs, dir, markerPrefix)
     if (committed.nonEmpty && committed.max > batchId)
       throw new IllegalStateException(

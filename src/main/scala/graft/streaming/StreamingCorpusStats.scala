@@ -140,7 +140,13 @@ object StreamingCorpusStats {
     require(!from.counts.isEmpty && !to.counts.isEmpty,
       s"drift: version ${if (from.counts.isEmpty) fromV else toV} has an " +
         "empty counts table — source-share drift is undefined")
+    // NULL sample values (null-text docs) are NON-observations — the
+    // same law the bin edges were computed under (quantilesFromSample
+    // excludes them). Unfiltered, every `lit(e) < null` falls through
+    // otherwise(0) and the row lands in bin 0 as a counted
+    // observation, adding phantom minimum-length mass to the PSI.
     def binned(qs: DataFrame, ver: String): DataFrame = qs
+      .filter(col("v").isNotNull)
       .select(lit(ver).as("entity"),
         edges.map(e => when(lit(e) < col("v"), 1L).otherwise(0L))
           .reduce(_ + _).as("bin"))

@@ -84,16 +84,37 @@ object StreamingCuration {
         // were pinned — BucketCount is an unchanged compile-time
         // constant and old code always excluded same-id pairs, so the
         // legacy claim is only valid when this run keeps that behavior
-        val done = StreamProtocol.replayGuards(fs, keptPath, checkpoint,
-          s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
-            s"shingleN=$shingleN;minOverlap=$minOverlap;" +
-            s"digestBucketMod=$BucketCount;excludeSameId=$excludeSameId",
-          batchId, "_batch_", "StreamingCuration",
-          legacyConfigs = if (excludeSameId)
-            Seq(s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
-              s"shingleN=$shingleN;minOverlap=$minOverlap")
-          else Nil)
+        val cfg = s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
+          s"shingleN=$shingleN;minOverlap=$minOverlap;" +
+          s"digestBucketMod=$BucketCount;excludeSameId=$excludeSameId"
+        val legacyCfg = if (excludeSameId)
+          Seq(s"gate=${gate.toString};evalIndex=$evalIndexDir;" +
+            s"shingleN=$shingleN;minOverlap=$minOverlap")
+        else Nil
+        val (done, committed) = StreamProtocol.replayGuardsWithCommitted(
+          fs, keptPath, checkpoint, cfg, batchId, "_batch_",
+          "StreamingCuration", legacyConfigs = legacyCfg)
         if (!done) {
+          // the digest index is the OTHER HALF of this stream's state
+          // (markers commit through keptDir): fence it with the same
+          // identity+config claim so a partial wipe fails fast instead
+          // of silently dropping every doc a DEAD run once kept (stale
+          // digests) or silently disabling cross-batch dedup (digest
+          // dir deleted alone). A committed kept output whose digest
+          // dir carries no claim IS that second wipe — refuse before
+          // re-claiming would mask it. (Digest dirs from releases
+          // before this fence carry no claim either; their remedy is
+          // the same documented one: delete both and re-ingest.)
+          if (committed.nonEmpty && !StreamProtocol.hasClaim(digestFs, digestPath))
+            throw new IllegalStateException(
+              s"StreamingCuration: $keptDir has committed batches but the " +
+                s"digest index at $digestDir carries no run claim — the " +
+                "digest index was deleted (or predates the claim fence) " +
+                "while the kept output was retained. State spans BOTH " +
+                "directories; delete kept output, digest index, and " +
+                "checkpoint together and re-ingest.")
+          StreamProtocol.claimAuxiliary(digestFs, digestPath, checkpoint,
+            cfg, "StreamingCuration (digest index)", legacyConfigs = legacyCfg)
           // one source read for the whole batch: the gated projection
           // feeds the decontam posts, the digest probe, and the final
           // keeper semi-join
@@ -125,8 +146,13 @@ object StreamingCuration {
             val grpKey = coalesce(col("_digest"),
               concat(lit("\u0000null:"), col(idCol).cast("string")))
             val w = Window.partitionBy(grpKey).orderBy(col(idCol))
+            // cached: the eager touched-bucket collect below and the
+            // digest anti-join both consume this frame — uncached, the
+            // decontam anti-join + keeper window (the batch's two most
+            // expensive stages) would run once for the collect and
+            // AGAIN when the writes materialize
             val firsts = clean.withColumn("_rn", row_number().over(w))
-              .filter(col("_rn") === 1).drop("_rn")
+              .filter(col("_rn") === 1).drop("_rn").cache()
             // cross-batch: prune the digest index to touched buckets
             // (bounded driver-side collect), fence half-committed
             // appends of THIS batch, anti-join on the digest string
@@ -159,7 +185,7 @@ object StreamingCuration {
                 .write.mode(SaveMode.Append)
                 .partitionBy("bucket").parquet(digestDir)
               StreamProtocol.commit(fs, keptPath, "_batch_", batchId)
-            } finally keptC.unpersist()
+            } finally { keptC.unpersist(); firsts.unpersist() }
           } finally { posts.unpersist(); gated.unpersist() }
         }
         ()

@@ -73,9 +73,13 @@ object StreamingDecontam {
     val p = new Path(indexDir, "_index_config")
     val fs = p.getFileSystem(
       evalSet.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"shingleN=$shingleN;bucketMod=$BucketCount".getBytes("UTF-8"))
-    finally out.close()
+    // atomic publish (temp+rename): the parquet Overwrite above just
+    // DELETED the old config with the rest of the dir, so a crash
+    // during a truncate-and-write here would leave an index with no
+    // (or a partial) config — verifyEvalIndex refuses that state
+    // loudly, and this write must not be able to create it silently
+    StreamProtocol.publishFile(fs, p,
+      s"shingleN=$shingleN;bucketMod=$BucketCount")
   }
 
   /** Fail-fast checks shared by every consumer of the eval index
@@ -92,22 +96,36 @@ object StreamingDecontam {
           "run prepareEvalIndex over the eval set first (an absent " +
           "index must not silently flag nothing).")
     val idxCfg = new Path(indexDir, "_index_config")
-    if (fs.exists(idxCfg)) {
-      val in = fs.open(idxCfg)
-      val owner =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      // bucketMod is baked into the index's partition values; a probe
-      // computed with a different modulus prunes against mismatched
-      // buckets and silently skips most true candidates
-      if (owner != s"shingleN=$shingleN;bucketMod=$BucketCount")
-        throw new IllegalStateException(
-          s"$caller: $indexDir was prepared with [$owner] " +
-            s"but this stream probes with [shingleN=$shingleN;" +
-            s"bucketMod=$BucketCount] — a mismatch silently flags " +
-            "nothing (shingleN) or prunes away true candidates " +
-            "(bucketMod). Re-prepare the index or match the stream.")
-    }
+    if (!fs.exists(idxCfg))
+      // an index with NO config is prepareEvalIndex's crash window
+      // (the Overwrite deletes the old config with the dir; the new
+      // one publishes after) or a hand-rolled index — either way the
+      // shingleN/bucketMod it was built with is UNKNOWN, and probing
+      // with mismatched values silently flags nothing. Refuse; a
+      // silent skip here was exactly that silent failure.
+      throw new IllegalStateException(
+        s"$caller: $indexDir has no _index_config — prepareEvalIndex " +
+          "was interrupted between the index write and the config " +
+          "publish (or the index was built by hand). Its shingleN/" +
+          "bucketMod are unknown, so a mismatched probe would silently " +
+          "flag nothing. Re-run prepareEvalIndex.")
+    val in = fs.open(idxCfg)
+    val owner =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // bucketMod is baked into the index's partition values; a probe
+    // computed with a different modulus prunes against mismatched
+    // buckets and silently skips most true candidates. The pre-
+    // bucketMod rendering is accepted (the constant never changed
+    // value) and left for the next prepare to rewrite.
+    if (owner != s"shingleN=$shingleN;bucketMod=$BucketCount" &&
+        owner != s"shingleN=$shingleN")
+      throw new IllegalStateException(
+        s"$caller: $indexDir was prepared with [$owner] " +
+          s"but this stream probes with [shingleN=$shingleN;" +
+          s"bucketMod=$BucketCount] — a mismatch silently flags " +
+          "nothing (shingleN) or prunes away true candidates " +
+          "(bucketMod). Re-prepare the index or match the stream.")
   }
 
   /** The per-batch contaminated-pair computation, shared with

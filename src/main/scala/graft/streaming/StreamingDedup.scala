@@ -81,12 +81,23 @@ object StreamingDedup {
         // legacy: the pre-bucketMod fingerprint — BucketCount is a
         // compile-time constant that has never changed value, so state
         // claimed under the old rendering is byte-compatible
+        val dedupCfg = s"k=$k;bands=$bands;shingleN=$shingleN;bucketMod=$BucketCount"
+        val dedupLegacy = Seq(s"k=$k;bands=$bands;shingleN=$shingleN")
         val done = StreamProtocol.replayGuards(fs, indexPath, checkpoint,
-          s"k=$k;bands=$bands;shingleN=$shingleN;bucketMod=$BucketCount",
-          batchId, "_batch_", "StreamingDedup",
-          legacyConfigs = Seq(s"k=$k;bands=$bands;shingleN=$shingleN"))
+          dedupCfg, batchId, "_batch_", "StreamingDedup",
+          legacyConfigs = dedupLegacy)
         if (done) ()
         else {
+        // the per-batch verdict output is AUXILIARY state committed
+        // through indexDir's markers: fence it too, or a re-ingest
+        // that wiped index+checkpoint but kept dupDir silently mixes
+        // the dead run's higher-numbered batch=N verdicts into the new
+        // run's output until the new run passes them
+        val dupPath = new Path(dupDir)
+        StreamProtocol.claimAuxiliary(
+          dupPath.getFileSystem(spark.sessionState.newHadoopConf()),
+          dupPath, checkpoint, dedupCfg, "StreamingDedup (dup output)",
+          legacyConfigs = dedupLegacy)
         val banded = Dedup.withLshBands(
             Dedup.withMinHash(batch, col(textCol), k, shingleN), k, bands)
           // shingle-less documents band to NULL hashes: they can match

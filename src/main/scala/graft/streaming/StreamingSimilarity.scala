@@ -112,11 +112,20 @@ object StreamingSimilarity {
         // bucket-join incompatible hash spaces and silently match
         // nothing (or wrongly) — the config guard fails fast instead.
         // k is result-shaping only and deliberately NOT pinned.
+        val simCfg = s"planes=$planes;dim=$dim"
         val done = StreamProtocol.replayGuards(fs, new Path(indexDir),
-          checkpoint, s"planes=$planes;dim=$dim", batchId, "_batch_",
+          checkpoint, simCfg, batchId, "_batch_",
           "StreamingSimilarity")
         if (done) ()
         else {
+        // per-batch results are AUXILIARY state committed through
+        // indexDir's markers — same re-ingest stale-mix fence as
+        // StreamingDedup's dup output
+        val resultPath = new Path(resultDir)
+        StreamProtocol.claimAuxiliary(
+          resultPath.getFileSystem(spark.sessionState.newHadoopConf()),
+          resultPath, checkpoint, simCfg,
+          "StreamingSimilarity (result output)")
         val banded = batch
           // a NULL vector buckets to 0 but cannot score; drop it here
           // rather than index dead rows

@@ -155,6 +155,45 @@ class StreamingCurationSpec extends SparkSpec {
     }
   }
 
+  test("digest index wiped while kept output is retained fails loudly — " +
+      "state spans both directories") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scur_dg_").toString
+    StreamingDecontam.prepareEvalIndex(
+      Seq((999L, "an eval doc sharing no shingles with the corpus qq"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), s"$base/evalIndex")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCuration.start(
+      input.toDS().toDF("doc_id", "text"),
+      idCol = "doc_id", textCol = "text", gate = lit(true),
+      evalIndexDir = s"$base/evalIndex", digestDir = s"$base/digests",
+      keptDir = s"$base/kept", checkpoint = s"$base/ckpt")
+    try {
+      input.addData((1L, "alpha beta gamma delta epsilon"))
+      q.processAllAvailable()      // batch 0 commits; digest dir claimed
+      // operator deletes ONLY the digest index (forgetting that kept
+      // output + digests are one state): cross-batch dedup would
+      // silently vanish — must refuse instead
+      import scala.jdk.CollectionConverters._
+      val dg = java.nio.file.Paths.get(s"$base/digests")
+      java.nio.file.Files.walk(dg).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      input.addData((2L, "zeta eta theta iota kappa"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("no run claim"), s"got:\n$msgs")
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("a changed gate against retained state fails loudly (regime fence)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

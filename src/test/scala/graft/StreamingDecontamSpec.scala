@@ -67,6 +67,43 @@ class StreamingDecontamSpec extends SparkSpec {
     }
   }
 
+  test("an eval index with no _index_config (interrupted prepare) fails " +
+      "loudly instead of probing with unknown parameters") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdecon_nocfg_").toString
+    StreamingDecontam.prepareEvalIndex(
+      Seq((9L, "some eval doc with several tokens inside it"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), s"$base/index")
+    // the crash window prepareEvalIndex's atomic publish narrows:
+    // index written, config gone (the parquet Overwrite deletes it
+    // with the dir; the process dies before the re-publish)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/index/_index_config"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/index/._index_config.crc"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDecontam.start(
+      input.toDS().toDF("doc_id", "text"),
+      idCol = "doc_id", textCol = "text",
+      indexDir = s"$base/index", flaggedDir = s"$base/flagged",
+      checkpoint = s"$base/ckpt")
+    try {
+      input.addData((1L, "a b c d e"))
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(msgs.contains("no _index_config"), s"got:\n$msgs")
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("a missing eval index fails loudly instead of flagging nothing") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -60,7 +60,10 @@ object Clustering {
     *              a unit-scale embedding, far inside the 2^53 window
     * @return one row per input: (id, cluster_id, dist2) where
     *         `cluster_id` ∈ [0, k) is the seed rank and `dist2` the
-    *         quantized-space squared distance to the final centroid
+    *         quantized-space squared distance to the final centroid.
+    *         With 0 &lt; n &lt; k input rows the seeding yields n
+    *         clusters (the standard Lloyd degradation); an EMPTY
+    *         input refuses loudly.
     */
   def kMeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
              seed: String, dim: Int, scale: Long = 10000L): DataFrame = {
@@ -72,29 +75,54 @@ object Clustering {
     // same barrier. `dim` is ENFORCED in-plan: a ragged vector would
     // silently fold to its short length in the min-length dot product
     // and corrupt the assignment with no error.
+    // ONE in-plan assert with a case-selected message: separate
+    // null-vec / null-id / dim filters could be reordered by the
+    // optimizer, and then a NULL row would die on the dim assert with
+    // a misleading ragged-vector diagnosis (size(NULL) is NULL and
+    // assert_true(NULL) raises).
+    val rowOk =
+      when(col("_id").isNull || col("_xq").isNull, lit(false))
+        .otherwise(size(col("_xq")) === dim)
+    val rowMsg =
+      when(col("_id").isNull,
+        lit("Clustering.kMeans: NULL id — ids must be non-null (they " +
+          "key the deterministic seeding and the output rows)"))
+      .when(col("_xq").isNull,
+        lit("Clustering.kMeans: NULL vector — filter or impute " +
+          "upstream; a NULL row cannot be assigned to any cluster"))
+      .otherwise(lit(s"Clustering.kMeans: vector length must equal dim=$dim"))
     val xq = OpUtils.materialize(
       df.select(
         id.as("_id"),
         transform(vec, x =>
           floor(x.cast("double") * lit(scale.toDouble) + lit(0.5)).cast("double"))
           .as("_xq"))
-        .filter(coalesce(assert_true(size(col("_xq")) === dim,
-          lit(s"Clustering.kMeans: vector length must equal dim=$dim")), lit(true)))
+        .filter(coalesce(assert_true(rowOk, rowMsg), lit(true)))
         .withColumn("_xx", dotProduct(col("_xq"), col("_xq"))))
       .localCheckpoint(false) // consumed once per iteration + final pass
 
     // seed: k smallest (portable hash, id tie-break) → cluster ids 0..k-1
+    // (_h, _id) is the portable sort key the SQL oracle replays; the
+    // vector-hash third key only disambiguates DUPLICATE ids (two rows
+    // sharing (_h, _id) would otherwise seed nondeterministically run
+    // to run) — with unique ids, the contract, it never engages, so
+    // oracle parity is untouched
     var centroids: Seq[(Int, Seq[Double])] = xq
       .withColumn("_h",
         pmod(polyHash(concat(lit(seed), col("_id").cast("string"),
           lit("#graft-kmeans"))), lit(10000L)))
-      .orderBy(col("_h"), col("_id"))
+      .orderBy(col("_h"), col("_id"), xxhash64(col("_xq")))
       .limit(k)
       .select(col("_xq"))
       .collect()
       .zipWithIndex
       .map { case (row, i) => (i, row.getSeq[Double](0)) }
       .toSeq
+    // empty input would otherwise crash far away (array() of zero
+    // assignment structs fails analysis with a misleading type error)
+    require(centroids.nonEmpty,
+      "Clustering.kMeans: input is empty (0 rows after upstream " +
+        "filters) — nothing to cluster")
 
     // narrow argmin: k distances per row from centroid LITERALS, best =
     // lexicographic min of (dist2, cid) structs — no join, no shuffle.

@@ -35,11 +35,33 @@ object Dedup {
                                            idB: String, op: String): Unit =
     Seq(idA, idB).foreach { c =>
       val dt = pairs.schema(c).dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"Dedup.$op: pair ids must be numeric (castable to long), " +
+      // INTEGRAL only, not any NumericType: cast(double as long)
+      // TRUNCATES (ANSI throws only on overflow), so fractional ids
+      // 1.2 and 1.7 would silently alias into vertex 1 — two
+      // unrelated documents merged into one cluster with no error,
+      // the exact corruption class this guard exists to refuse
+      val integral = {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+      }
+      require(integral,
+        s"Dedup.$op: pair ids must be integral (byte/short/int/long), " +
           s"column $c is ${dt.simpleString} — non-numeric ids null out " +
-          "in the label join and the result is silently empty")
+          "in the label join (silently empty result) and fractional " +
+          "ids truncate (silently merged vertices)")
     }
+
+  /** NULL-endpoint edge law shared by both component variants: a NULL
+    * id is missing data, not a vertex — the edge drops, and an id
+    * paired ONLY with NULL degrades to an unpaired singleton (absent
+    * from the output; callers' coalesce-to-self supplies it), exactly
+    * like an id in no pair at all. Without this, the min-label
+    * variant's inner label join silently LOST such vertices mid-loop
+    * while the star variant kept them — identical inputs, divergent
+    * outputs. */
+  private def dropNullEdges(pairs: DataFrame, idA: String,
+                            idB: String): DataFrame =
+    pairs.filter(col(idA).isNotNull && col(idB).isNotNull)
 
   /** H1 exact dedup: md5 content hash; `rn` = 1 marks the keeper (the
     * lowest id per hash group), `is_dup` the rest. One shuffle on the
@@ -53,13 +75,21 @@ object Dedup {
     // !is_dup filter. Each null row gets its own window group (rn=1,
     // never a dup) while `is_dup` stays the pure rn>1 comparison the
     // TopKRewrite recognizes (the keeper filter plans as the bounded
-    // heap, not a Window).
+    // heap, not a Window). The _rowid third fallback covers rows where
+    // the ID is null too (the id-based sentinel would be NULL and all
+    // such rows would collapse into one group, flagging all but one):
+    // the fallback value differs across runs, but the OUTPUT doesn't —
+    // every singleton group yields rn=1, is_dup=false regardless of
+    // which rowid it got.
     val grp = coalesce(col("content_hash"),
-      concat(lit("\u0000null:"), id.cast("string")))
+      concat(lit("\u0000null:"), id.cast("string")),
+      concat(lit("\u0000row:"), col("_exact_rowid").cast("string")))
     val w = Window.partitionBy(grp).orderBy(id)
     df.withColumn("content_hash", md5(text))
+      .withColumn("_exact_rowid", monotonically_increasing_id())
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("is_dup", col("rn") > 1)
+      .drop("_exact_rowid")
   }
 
   /** Corpus snapshot diff: classify every id across two dataset
@@ -74,7 +104,13 @@ object Dedup {
     * join hash-partitioned on id — both sides co-partition, nothing
     * broadcasts (both sides are corpus-sized), no sort. Content
     * equality by digest, so the exchange carries (id, 32-byte hash),
-    * never the payloads. */
+    * never the payloads.
+    *
+    * PRECONDITION: ids are unique within each snapshot (what
+    * "snapshot" means). A duplicated id fans the equality join out
+    * and the id receives one status row PER (old, new) pairing —
+    * possibly contradictory ones. Run [[exact]]/a keeper pass first
+    * if the input may carry duplicate ids. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: Column,
                    content: Column): DataFrame = {
     // presence is a FLAG, never hash nullness: a row with NULL content
@@ -260,9 +296,15 @@ object Dedup {
       .join(sh.withColumnRenamed("sh", "sh_b"), col("id_b") === col("_sid"))
       .drop("_sid")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      // the same _den > 0 guard jaccardPairs carries: today shingle-
+      // less docs can't reach here (their band hashes are NULL, a law
+      // defined in HashUtil two files away), but relying on that
+      // non-local invariant left an ANSI DIVIDE_BY_ZERO landmine for
+      // any future candidate source that admits empty shingle sets
+      .withColumn("_den",
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
       .withColumn("jaccard",
-        col("n_common").cast("double")
-          / (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+        when(col("_den") > 0, col("n_common").cast("double") / col("_den")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), r(col("jaccard"), 4).as("jaccard"))
   }
@@ -403,8 +445,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String, idB: String,
                           maxRounds: Int = 50): DataFrame = {
     requireNumericIds(pairs, idA, idB, "connectedComponents")
-    val edges = pairs.select(col(idA).cast("long").as("src"),
-      col(idB).cast("long").as("dst"))
+    val edges = dropNullEdges(pairs, idA, idB)
+      .select(col(idA).cast("long").as("src"),
+        col(idB).cast("long").as("dst"))
     val und = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(false)
@@ -456,9 +499,10 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, idA: String, idB: String,
                               maxRounds: Int = 50): DataFrame = {
     requireNumericIds(pairs, idA, idB, "connectedComponentsStar")
-    val verts = pairs
+    val cleanPairs = dropNullEdges(pairs, idA, idB)
+    val verts = cleanPairs
       .select(col(idA).cast("long").as("id"))
-      .union(pairs.select(col(idB).cast("long").as("id")))
+      .union(cleanPairs.select(col(idB).cast("long").as("id")))
       .distinct().localCheckpoint(false)
     def bidir(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -487,7 +531,7 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    var edges = pairs
+    var edges = cleanPairs
       .select(col(idA).cast("long").as("u"), col(idB).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint(false)

@@ -61,10 +61,16 @@ object Similarity {
   /** The bucket+norm side preparation every LSH variant shares (one
     * copy, or the variants' recall/cost claims drift apart): compute
     * the vector's LSH bucket and L2 norm ONCE behind the
-    * materialization barrier, never per candidate pair. */
+    * materialization barrier, never per candidate pair. NULL vectors
+    * drop here — they bucket to 0 (the null-bucket law) but can never
+    * score, so indexing them would hand every bucket-0 query NULL-cos
+    * "neighbors" whenever it has fewer than k real candidates (the
+    * same drop [[graft.streaming.StreamingSimilarity]] applies at
+    * ingest). */
   private def bucketedSide(df: DataFrame, vecCol: String, normCol: String,
                            planes: Int, dim: Int): DataFrame =
     materialize(df
+      .filter(col(vecCol).isNotNull)
       .withColumn("bucket", lshBucket(col(vecCol), planes, dim))
       .withColumn(normCol, l2Norm(col(vecCol))))
 
@@ -86,8 +92,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "q_id", cId: String = "c_id",
                      excludeSameId: Boolean = true): DataFrame = {
-    val q = queries.withColumn("q_norm", l2Norm(col("q_vec")))
-    val c = materialize(corpus.withColumn("c_norm", l2Norm(col("c_vec"))))
+    // the NULL-vector law, both sides (see bucketedSide): a vectorless
+    // row can neither search nor be found — kept, it only emits
+    // NULL-cos pair rows
+    val q = queries.filter(col("q_vec").isNotNull)
+      .withColumn("q_norm", l2Norm(col("q_vec")))
+    val c = materialize(corpus.filter(col("c_vec").isNotNull)
+      .withColumn("c_norm", l2Norm(col("c_vec"))))
     val pairs = cosinePairs(broadcast(q).crossJoin(c), qId, cId,
       excludeSameId = excludeSameId)
     rankTopK(pairs, qId, cId, col("cos"), k)
@@ -129,11 +140,13 @@ object Similarity {
     * Seeded k-means for reproducibility; centroid count `nLists` is the
     * recall/latency dial. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
-              nProbe: Int, qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+              nProbe: Int, qId: String = "q_id", cId: String = "c_id",
+              excludeSameId: Boolean = true): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val corpusVec = materialize(corpus
+      .filter(col("c_vec").isNotNull)       // NULL-vector law (bucketedSide)
       .withColumn("features", array_to_vector(col("c_vec")))
       .withColumn("c_norm", l2Norm(col("c_vec"))))
     val km = new KMeans().setK(nLists).setSeed(12345L).setMaxIter(10)
@@ -148,7 +161,8 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val centDf = centroids.toDF("bucket", "cent_vec")
-    val qProbed = broadcast(queries.withColumn("q_norm", l2Norm(col("q_vec"))))
+    val qProbed = broadcast(queries.filter(col("q_vec").isNotNull)
+        .withColumn("q_norm", l2Norm(col("q_vec"))))
       .crossJoin(broadcast(centDf))
       // squared distance minus the per-query-constant q·q term (it
       // cannot change the per-query probe ranking, and would otherwise
@@ -161,7 +175,8 @@ object Similarity {
       .filter(col("probe_rank") <= nProbe)
       .select(col(qId), col("q_vec"), col("q_norm"), col("bucket"))
 
-    val pairs = cosinePairs(qProbed.join(bucketed, Seq("bucket")), qId, cId)
+    val pairs = cosinePairs(qProbed.join(bucketed, Seq("bucket")), qId, cId,
+      excludeSameId = excludeSameId)
     rankTopK(pairs, qId, cId, col("cos"), k)
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
@@ -186,9 +201,14 @@ object Similarity {
     * identical at both scales. */
   def ivfTopKWithRecall(queries: DataFrame, corpus: DataFrame, k: Int,
                         nLists: Int, nProbe: Int, minMeanRecall: Double,
-                        qId: String = "q_id", cId: String = "c_id"): DataFrame = {
-    val ivf = ivfTopK(queries, corpus, k, nLists, nProbe, qId, cId)
-    val brute = bruteForceTopK(queries, corpus, k, qId, cId)
+                        qId: String = "q_id", cId: String = "c_id",
+                        excludeSameId: Boolean = true): DataFrame = {
+    // the recall twin must apply the SAME exclusion or the gate
+    // compares mismatched candidate universes
+    val ivf = ivfTopK(queries, corpus, k, nLists, nProbe, qId, cId,
+      excludeSameId)
+    val brute = bruteForceTopK(queries, corpus, k, qId, cId,
+      excludeSameId = excludeSameId)
       .select(col(qId), col(cId), lit(1L).as("_hit"))
     val w = Window.partitionBy(col(qId))
     val scored = ivf.join(brute, Seq(qId, cId), "left")
@@ -224,7 +244,7 @@ object Similarity {
                         planes: Int, dim: Int, qId: String = "q_id",
                         cId: String = "c_id",
                         excludeSameId: Boolean = true): DataFrame = {
-    val qb = queries
+    val qb = queries.filter(col("q_vec").isNotNull)   // NULL-vector law
       .withColumn("bucket0", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
       .withColumn("bucket", OpUtils.hamming1Probes(col("bucket0"), planes))
@@ -285,17 +305,19 @@ object Similarity {
     * per-pair quantization error becomes a driver-visible artifact,
     * the q38-recall pattern applied to quantization. */
   def int8BruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                         qId: String = "q_id", cId: String = "c_id"): DataFrame = {
-    val q = withInt8(queries, col("q_vec"))
+                         qId: String = "q_id", cId: String = "c_id",
+                         excludeSameId: Boolean = true): DataFrame = {
+    val q = withInt8(queries.filter(col("q_vec").isNotNull), col("q_vec"))
       .withColumnRenamed("q8", "q_q8")
       .withColumn("q_qnorm", l2Norm(col("q_q8")))
       .drop("q_scale")
-    val c = materialize(withInt8(corpus, col("c_vec"))
+    val c = materialize(
+      withInt8(corpus.filter(col("c_vec").isNotNull), col("c_vec"))
       .withColumnRenamed("q8", "c_q8")
       .withColumn("c_qnorm", l2Norm(col("c_q8")))
       .drop("q_scale"))
     val pairs = broadcast(q).crossJoin(c)
-      .filter(col(qId) =!= col(cId))
+      .filter(if (excludeSameId) col(qId) =!= col(cId) else lit(true))
       .withColumn("cos_q8", cosFromNorms(
         dotProduct(col("q_q8"), col("c_q8")), col("q_qnorm") * col("c_qnorm")))
     rankTopK(pairs, qId, cId, col("cos_q8"), k)
@@ -313,7 +335,7 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, planes: Int,
               dim: Int, qId: String = "q_id", cId: String = "c_id",
               excludeSameId: Boolean = true): DataFrame = {
-    val qb = queries
+    val qb = queries.filter(col("q_vec").isNotNull)   // NULL-vector law
       .withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
     val cb = bucketedSide(corpus, "c_vec", "c_norm", planes, dim)
@@ -339,14 +361,16 @@ object Similarity {
     * (hardest first, id tie-break) so the cut is engine-stable. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
                     loCos: Double, hiCos: Double, planes: Int, dim: Int,
-                    qId: String = "q_id", cId: String = "c_id"): DataFrame = {
+                    qId: String = "q_id", cId: String = "c_id",
+                    excludeSameId: Boolean = true): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(loCos < hiCos, s"need loCos < hiCos: [$loCos, $hiCos)")
-    val qb = queries
+    val qb = queries.filter(col("q_vec").isNotNull)   // NULL-vector law
       .withColumn("bucket", lshBucket(col("q_vec"), planes, dim))
       .withColumn("q_norm", l2Norm(col("q_vec")))
     val cb = bucketedSide(corpus, "c_vec", "c_norm", planes, dim)
-    val band = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId)
+    val band = cosinePairs(qb.join(cb, Seq("bucket")), qId, cId,
+      excludeSameId = excludeSameId)
       .filter(col("cos") >= loCos && col("cos") < hiCos)
       .withColumn("cos_r", r(col("cos"), 4))
     rankTopK(band, qId, cId, col("cos_r"), k, rankCol = "neg_rank")

@@ -120,4 +120,31 @@ class ClusteringQuantSpec extends SparkSpec {
     assert(out(1L) > 0 && out(3L) < 0,
       s"signs must reflect target affinity: $out")
   }
+
+  test("kMeans refuses empty input, NULL ids, and NULL vectors with " +
+      "named errors (not misleading downstream crashes)") {
+    import graft.operators.Clustering
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Clustering.kMeans(empty, col("id"), col("vec"), k = 2, iters = 1,
+        seed = "s", dim = 2)
+    }
+    assert(e1.getMessage.contains("input is empty"), e1.getMessage)
+    val nullVec = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, Option.empty[Seq[Float]]))
+      .toDF("id", "vec")
+    val e2 = intercept[Exception] {
+      Clustering.kMeans(nullVec, col("id"), col("vec"), k = 1, iters = 1,
+        seed = "s", dim = 2).collect()
+    }
+    assert(msgs(e2).exists(_.contains("NULL vector")), e2.toString)
+    val nullId = Seq((Some(1L), Seq(1.0f, 2.0f)), (Option.empty[Long], Seq(3.0f, 4.0f)))
+      .toDF("id", "vec")
+    val e3 = intercept[Exception] {
+      Clustering.kMeans(nullId, col("id"), col("vec"), k = 1, iters = 1,
+        seed = "s", dim = 2).collect()
+    }
+    assert(msgs(e3).exists(_.contains("NULL id")), e3.toString)
+  }
 }

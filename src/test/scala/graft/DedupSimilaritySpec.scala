@@ -419,4 +419,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(b(0L) === b(1L))
     assert(Set(b(0L), b(2L), b(3L)).size > 1)
   }
+
+  test("NULL-endpoint edges drop in BOTH component variants — identical " +
+      "outputs, no silently lost vertices") {
+    // vertex 5's only partner is NULL: pre-fix the min-label variant's
+    // inner label join silently LOST it mid-loop while the star
+    // variant kept it — now both treat the edge as absent
+    val pairs = Seq((Some(1L), Some(2L)), (Some(5L), Option.empty[Long]),
+        (Option.empty[Long], Some(7L)))
+      .toDF("id_a", "id_b")
+    val minLabel = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    val star = Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      .select("id", "cluster_id").as[(Long, Long)].collect().toSet
+    assert(minLabel === Set((1L, 1L), (2L, 1L)))
+    assert(star === minLabel)
+  }
+
+  test("fractional pair ids refuse loudly — the long cast would " +
+      "silently merge distinct vertices") {
+    val pairs = Seq((1.2, 1.7)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("exact dedup: rows with NULL text AND NULL id each stay their " +
+      "own keeper (never collapsed into one null group)") {
+    val df = Seq((Some(1L), Some("same text")), (Some(2L), Some("same text")),
+        (Option.empty[Long], Option.empty[String]),
+        (Option.empty[Long], Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, col("doc_id"), col("text"))
+    // the two fully-null rows are singletons: rn=1, never dups
+    assert(out.filter(col("doc_id").isNull && col("is_dup")).count() === 0L)
+    assert(out.filter(col("is_dup")).count() === 1L)   // only doc 2
+  }
+
+  test("NULL corpus vectors never surface as top-k neighbors") {
+    val q = Seq((100L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("q_id", "q_vec")
+    val c = Seq((1L, Option(Seq(0.9f, 0.1f, 0.0f))),
+        (2L, Option.empty[Seq[Float]]))
+      .toDF("c_id", "c_vec")
+    val lsh = Similarity.lshTopK(q, c, k = 5, planes = 4, dim = 3)
+      .select("c_id").as[Long].collect().toSet
+    assert(!lsh.contains(2L), s"null-vec corpus row surfaced: $lsh")
+    val brute = Similarity.bruteForceTopK(q, c, k = 5)
+      .select("c_id").as[Long].collect().toSet
+    assert(brute === Set(1L))
+  }
 }

@@ -885,6 +885,20 @@ object Queries {
   private def sqlPolyHash(x: String): String =
     s"CASE WHEN $x = '' THEN 0::BIGINT ELSE list_reduce(list_prepend(0::BIGINT, list_transform(string_split($x,''), c -> unicode(c)::BIGINT)), (h,c) -> (h*31+c) % 1000000007) END"
 
+  /** SQL fragment: the geometric rank of `w` — 1-based lowest-set-bit
+    * index, `w = 0` → `maxRho` — mirroring `Sketches.rho`'s exact
+    * integer CASE chain term for term. */
+  private def sqlRho(w: String, maxRho: Int = 31): String =
+    "CASE " + (1 to maxRho).map(i =>
+      s"WHEN $w % ${1L << i} = ${1L << (i - 1)} THEN $i").mkString(" ") +
+      s" ELSE $maxRho END"
+
+  /** α_m·m² for the m = 64 HLL estimate, computed by the SAME Scala
+    * expression `Sketches.hllEstimate` uses so the embedded SQL
+    * literal round-trips to the identical double. */
+  private val HllAlphaM2B6: Double =
+    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
+
   /** SQL fragment: distinct word-`n`-gram shingles of token list `tk`
     * — mirrors `GraftFunctions.shingles` (empty for < n tokens). */
   private def sqlShingles(tk: String, n: Int = 3): String =
@@ -2039,6 +2053,112 @@ object Queries {
         CASE WHEN clf = '' THEN 0::BIGINT
           ELSE ${sqlPolyHash("clf")} END AS clf_hash
       FROM j ORDER BY doc_id"""))
+
+  /** H2+: cross-document repeated-substring detection
+    * ([[TextAnalysis.sharedSpans]]) — the exact-substring dedup signal
+    * (Lee et al. 2022): every maximal token span of ≥ 8 tokens whose
+    * 5-grams each appear in ≥ 2 distinct documents, with the span text
+    * reconstructed from the gram chain's overlap (never a corpus
+    * re-join). The oracle reconstructs the same spans by slicing the
+    * original token list, so agreement certifies the chain-overlap
+    * reconstruction too. */
+  private val q153 = Q("q153_shared_spans",
+    (s, d) => TextAnalysis.sharedSpans(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        n = 5, minDocs = 2L, minSpanTokens = 8)
+      .orderBy(col("doc_id"), col("start_pos")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      ng AS (SELECT doc_id, p, array_to_string(t[p:p+4], ' ') AS g
+             FROM tk, unnest(range(1, len(t) - 3)) AS u(p)),
+      fr AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+             GROUP BY g HAVING count(*) >= 2),
+      sh AS (SELECT ng.doc_id, ng.p FROM ng JOIN fr USING (g)),
+      isl AS (SELECT doc_id, p,
+          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM sh),
+      runs AS (SELECT doc_id, min(p) AS sp, max(p) - min(p) + 5 AS st,
+          count(*) AS ngr FROM isl GROUP BY doc_id, grp)
+      SELECT r.doc_id, CAST(r.sp - 1 AS BIGINT) AS start_pos,
+        CAST(r.st AS BIGINT) AS span_tokens, CAST(r.ngr AS BIGINT) AS n_grams,
+        array_to_string(t.t[r.sp : r.sp + r.st - 1], ' ') AS span_text
+      FROM runs r JOIN tk t USING (doc_id)
+      WHERE r.st >= 8 ORDER BY doc_id, start_pos"""),
+    bench = true)
+
+  /** D+ sketches: HLL-style register distinct sketch
+    * ([[Sketches.hllRegisters]]/[[Sketches.hllEstimate]]) — the
+    * constant-size (m = 64 registers) twin of q127's KMV estimator on
+    * the identical per-source distinct-shingle cardinality task, so
+    * the two mergeable distinct sketches are directly comparable in
+    * one artifact. The oracle replays the quadratic decorrelation
+    * mix, bucket = g mod m, the trailing-zero geometric rank, every
+    * register max, and the exact dyadic 2^(−r) sum; the raw-branch
+    * estimate is bit-portable (the
+    * ln small-range branch never fires at shingle cardinalities).
+    * m = 64 gives σ ≈ 1.04/√64 = 13%; the 0.35 gate is ~2.7σ. */
+  private val q154 = Q("q154_source_distinct_hll",
+    (s, d) => {
+      val b = 6
+      val sh = t(s, d, "documents")
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+        .select(col("source"), polyHash(col("ng")).as("h")).distinct()
+        .localCheckpoint(false)
+      val est = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(sh, col("source"), col("h"), b), b)
+      val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+      est.join(broadcast(exact), col("grp") === col("source"))
+        .select(col("source"), r(col("est_distinct"), 2).as("est_distinct"),
+          col("exact_distinct"),
+          (abs(r(col("est_distinct"), 2) / col("exact_distinct") - 1.0) <= 0.35)
+            .as("within_bound"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH sh AS (SELECT DISTINCT source, ${sqlPolyHash("ng")} AS h
+        FROM (SELECT source, unnest(${sqlShingles("tk")}) AS ng
+          FROM (SELECT source, string_split(text, ' ') AS tk FROM documents))),
+      mx AS (SELECT source, (h*h + 3*h + 7) % 1000000007 AS g FROM sh),
+      reg AS (SELECT source, g % 64 AS bucket, max(${sqlRho("(g // 64)")}) AS r
+        FROM mx GROUP BY source, g % 64),
+      agg AS (SELECT source,
+          sum(1.0 / CAST(1::BIGINT << r AS DOUBLE)) + (64.0 - count(*)) AS s,
+          64.0 - count(*) AS zeros FROM reg GROUP BY source),
+      raw AS (SELECT source, ${HllAlphaM2B6} / s AS raw, zeros FROM agg),
+      est AS (SELECT source, CASE WHEN zeros > 0 AND raw <= 160.0
+          THEN 64.0 * ln(64.0 / zeros) ELSE raw END AS e FROM raw),
+      ex AS (SELECT source, count(*)::BIGINT AS exact_distinct
+        FROM sh GROUP BY source)
+      SELECT e.source, floor(e.e * 100 + 0.5) / 100.0 AS est_distinct,
+        x.exact_distinct,
+        abs(floor(e.e * 100 + 0.5) / 100.0 / x.exact_distinct - 1.0) <= 0.35
+          AS within_bound
+      FROM est e JOIN ex x USING (source) ORDER BY e.source"""))
+
+  /** H+ graph: synchronous label-propagation communities
+    * ([[Graph.labelPropagation]], 4 rounds) over the link graph — the
+    * parameter-free community detector; deterministic by the
+    * max-count/min-label sync rule. The oracle unrolls all 4 rounds as
+    * MATERIALIZED CTEs (the q140 discipline — plain CTEs would
+    * re-inline the chain exponentially). */
+  private val q155 = Q("q155_label_propagation",
+    (s, d) => graft.operators.Graph.labelPropagation(
+        linkEdges(s, d), col("src"), col("dst"), rounds = 4)
+      .select(col("id").as("doc_id"), col("label"))
+      .orderBy(col("doc_id")),
+    Some(lpaOracle(rounds = 4)),
+    bench = true)
+
+  /** H+ graph: HITS hubs/authorities ([[Graph.hits]], 2 iterations,
+    * L1 normalization — rational arithmetic, no cross-libm sqrt) on
+    * the directed link graph, the bipartite-reinforcement complement
+    * to q96's PageRank. Normalization-sum FP order differs between
+    * engines by ~1e-16 relative — six orders below the r(·,8) step
+    * (the q99 argument). */
+  private val q156 = Q("q156_hits",
+    (s, d) => graft.operators.Graph.hits(
+        linkEdges(s, d), col("src"), col("dst"), iterations = 2)
+      .select(col("id").as("doc_id"),
+        r(col("hub"), 8).as("hub"), r(col("auth"), 8).as("auth"))
+      .orderBy(col("doc_id")),
+    Some(hitsOracle(iterations = 2)))
 
   private val q82 = Q("q82_ml_cross_validation",
     (s, d) => {
@@ -4100,6 +4220,68 @@ object Queries {
       GROUP BY v ORDER BY id"""
   }
 
+  /** q155: sync label propagation unrolled — `rounds` MATERIALIZED
+    * round pairs (neighbor-label counts → max-count/min-label argmax →
+    * coalesce with the previous labels), mirroring
+    * [[graft.operators.Graph.labelPropagation]] round for round on the
+    * canonical simple undirected link graph. */
+  private def lpaOracle(rounds: Int): String = {
+    val base = """WITH e0 AS MATERIALIZED (SELECT doc_id AS src,
+        (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      u0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+      und AS MATERIALIZED (SELECT a AS u, b AS v FROM u0
+        UNION ALL SELECT b, a FROM u0),
+      vv AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+      l0 AS MATERIALIZED (SELECT id, id AS lab FROM vv)"""
+    val chain = (1 to rounds).map { i =>
+      s""",
+      c$i AS MATERIALIZED (SELECT und.u AS id, l.lab, count(*) AS c
+        FROM und JOIN l${i - 1} l ON und.v = l.id GROUP BY und.u, l.lab),
+      p$i AS MATERIALIZED (SELECT id, lab FROM (SELECT id, lab,
+          row_number() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rn
+        FROM c$i) WHERE rn = 1),
+      l$i AS MATERIALIZED (SELECT vv.id, coalesce(p.lab, l.lab) AS lab
+        FROM vv JOIN l${i - 1} l USING (id) LEFT JOIN p$i p USING (id))"""
+    }.mkString
+    base + chain + s"""
+      SELECT id AS doc_id, lab AS label FROM l$rounds ORDER BY doc_id"""
+  }
+
+  /** q156: HITS unrolled — per iteration an in-mass aggregation +
+    * L1 normalization for auth, then the same transposed for hub,
+    * mirroring [[graft.operators.Graph.hits]] op for op (the engine's
+    * parallel-edge `distinct()` is `SELECT DISTINCT` here; vertices
+    * missing from an aggregation coalesce to 0 BEFORE the divide,
+    * which cannot change the normalizing sum). */
+  private def hitsOracle(iterations: Int): String = {
+    val base = """WITH eraw AS (SELECT doc_id AS src,
+        (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw),
+      vv AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      h0 AS MATERIALIZED (SELECT id, 1.0 AS h FROM vv)"""
+    val chain = (1 to iterations).map { i =>
+      s""",
+      ar$i AS MATERIALIZED (SELECT e.dst AS id, sum(h.h) AS a
+        FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+      a$i AS MATERIALIZED (SELECT vv.id,
+          coalesce(ar$i.a, 0.0) / (SELECT sum(a) FROM ar$i) AS a
+        FROM vv LEFT JOIN ar$i USING (id)),
+      hr$i AS MATERIALIZED (SELECT e.src AS id, sum(a$i.a) AS h
+        FROM e JOIN a$i ON e.dst = a$i.id GROUP BY e.src),
+      h$i AS MATERIALIZED (SELECT vv.id,
+          coalesce(hr$i.h, 0.0) / (SELECT sum(h) FROM hr$i) AS h
+        FROM vv LEFT JOIN hr$i USING (id))"""
+    }.mkString
+    base + chain + s"""
+      SELECT h$iterations.id AS doc_id,
+        floor(h$iterations.h * 100000000 + 0.5) / 100000000.0 AS hub,
+        floor(a$iterations.a * 100000000 + 0.5) / 100000000.0 AS auth
+      FROM h$iterations JOIN a$iterations USING (id) ORDER BY doc_id"""
+  }
+
   /** H+ graph: 4-core of the link graph ([[graft.operators.Graph.kCore]]
     * — iterative peeling, two semi joins + one degree agg per round,
     * 1-row driver count as the convergence test, loud non-convergence).
@@ -4559,7 +4741,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -301,6 +301,120 @@ object Graph {
     (u, deg, closed)
   }
 
+  /** Synchronous label propagation over the undirected simple graph —
+    * the near-linear community detector (Raghavan et al. 2007) used to
+    * group near-duplicate/link-connected documents into communities
+    * without a cluster-count parameter.
+    *
+    * Determinism (the reason this is the SYNC variant): every vertex
+    * starts labeled with its own id; each round, ALL vertices
+    * simultaneously adopt the most frequent label among their
+    * neighbors, ties broken by SMALLEST label. Async/randomized LPA
+    * (the paper's default) converges faster but is run-order
+    * dependent — unacceptable for an oracle-checked, re-runnable
+    * pipeline. Fixed `rounds` rather than a convergence test keeps the
+    * oracle an unrolled SQL chain (the kCore discipline); sync LPA on
+    * bipartite-ish structures can oscillate rather than converge, so a
+    * fixed budget is also the semantics, not an approximation of one.
+    *
+    * Per-round plan: ONE edge-sized equality join (labels onto the
+    * bidirectional edge list), one edge-sized (vertex, label) count
+    * aggregation (map-side combinable), one vertex-sized window for
+    * the argmax, one vertex-sized left join back. Each round's label
+    * table is barriered — without it round i's plan would re-inline
+    * rounds 1..i−1 under every consumer (the pageRank lesson).
+    * A vertex whose only edges were self-loops has no neighbors post-
+    * canonicalization and keeps its own label (the left-join
+    * coalesce).
+    *
+    * Output: (id, label) — label = the community's smallest member id
+    * in the common case, but in general just a stable community key. */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val u = canonicalEdges(edges, src, dst).localCheckpoint(false)
+    val und = u.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(u.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("v")).localCheckpoint(false) // pinned on the join key
+    val verts = und.select(col("u").as("id")).distinct().localCheckpoint(false)
+    var labels = verts.select(col("id"), col("id").as("label"))
+      .localCheckpoint(false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("c").desc, col("lab"))
+    for (_ <- 1 to rounds) {
+      val pick = und
+        .join(labels.select(col("id").as("v"), col("label").as("lab")), "v")
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("u").as("id"), col("lab"))
+      labels = labels.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lab"), col("label")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over the directed
+    * simple graph (parallel edges collapsed; self-loops kept, as in
+    * [[pageRank]]) — the bipartite-reinforcement centrality pair:
+    * a good AUTHORITY is pointed at by good hubs, a good HUB points
+    * at good authorities. Complements PageRank's single random-walk
+    * score when curating link corpora (directory/portal pages are
+    * hubs, canonical reference pages are authorities; a quality prior
+    * can want either).
+    *
+    * Per iteration: auth(v) = Σ_{u→v} hub(u), L1-normalized, then
+    * hub(u) = Σ_{u→v} auth(v), L1-normalized. L1 — not the textbook
+    * L2 — keeps every step rational arithmetic over the input scores
+    * (no sqrt whose libm rounding differs across engines); the
+    * normalization choice only rescales, never reorders. Fixed
+    * `iterations` for the same unrolled-oracle reason as [[pageRank]];
+    * scores converge to the principal eigenvector geometrically.
+    *
+    * Plan: the edge table is degree-free and pinned ONCE; each
+    * iteration is two edge-sized equality joins + two edge-sized
+    * aggregations (map-side combinable) + two 1-row broadcast
+    * normalizations, each side barriered (it feeds the norm aggregate
+    * AND the next join). Output: (id, hub, auth), each column summing
+    * to 1; vertices with no out-edges have hub 0, no in-edges auth 0.
+    * Callers quantize for oracle parity (Σ-order FP noise is ~1e-16
+    * relative, six orders below the r(·,8) step — the q99 argument). */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+           iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct().localCheckpoint(false)
+    val verts = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(false)
+    def l1Normalize(scores: DataFrame, c: String): DataFrame = {
+      val s = OpUtils.materialize(scores)
+      s.crossJoin(broadcast(s.agg(sum(col(c)).as("_s"))))
+        .select(col("id"), (col(c) / col("_s")).as(c))
+        .localCheckpoint(false)
+    }
+    var hub = verts.select(col("id"), lit(1.0).as("hub")).localCheckpoint(false)
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      auth = l1Normalize(
+        verts.join(
+          e.join(hub.select(col("id").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
+        "auth")
+      hub = l1Normalize(
+        verts.join(
+          e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+            .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
+          Seq("id"), "left")
+          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub")
+    }
+    hub.join(auth, Seq("id"))
+  }
+
   /** Canonical undirected simple edges: (min, max) endpoint order,
     * self-loops dropped, parallel edges collapsed — the ONE place the
     * canonicalization invariants live (kCore and the compact-forward

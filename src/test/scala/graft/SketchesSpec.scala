@@ -250,4 +250,75 @@ class SketchesSpec extends SparkSpec {
       width = 64).select("cms_est").as[Long].collect().head
     assert(est >= 5L)
   }
+
+  // ------------------------------------------------------------ //
+  // HLL register sketch                                           //
+  // ------------------------------------------------------------ //
+
+  private def regsOf(hs: Seq[Long], b: Int) =
+    Sketches.hllRegisters(hs.map(("g", _)).toDF("grp", "h"),
+        col("grp"), col("h"), b)
+      .select("bucket", "r").as[(Long, Int)].collect().toMap
+
+  test("hll registers: quadratic mix, bucket = g mod m, rank = lowest set bit of g div m, max per bucket, g=0 caps") {
+    // b=2 (m=4); g = (h² + 3h + 7) mod P, hand-computed per input:
+    val r = regsOf(Seq(
+      0L,          // g=7:  bucket 3, w=1 → rho 1
+      1L,          // g=11: bucket 3, w=2 → rho 2 (max of the two)
+      2L,          // g=17: bucket 1, w=4 → rho 3
+      3L,          // g=25: bucket 1, w=6 → rho 2 (3 beats it)
+      285665841L   // g=0 (Tonelli root of h²+3h+7 ≡ 0 mod P):
+                   //   bucket 0, w=0 → rho 31 (the all-zero cap)
+    ), b = 2)
+    assert(r === Map(0L -> 31, 1L -> 3, 3L -> 2))
+  }
+
+  test("hll merge law: shard registers merge by cell-wise max to the whole-set sketch") {
+    val items = (1 to 4000).map(i =>
+      graft.functions.HashUtil.polyHash(s"item$i"))
+    val (l, rgt) = items.splitAt(1700)
+    def regs(s: Seq[Long]) = Sketches.hllRegisters(
+      s.map(("g", _)).toDF("grp", "h"), col("grp"), col("h"), 6)
+    val merged = Sketches.hllMerge(regs(l), regs(rgt))
+      .select("bucket", "r").as[(Long, Int)].collect().toMap
+    val whole = regs(items).select("bucket", "r")
+      .as[(Long, Int)].collect().toMap
+    assert(merged === whole)
+    // idempotent under duplicates: re-merging the whole changes nothing
+    val again = Sketches.hllMerge(regs(items), regs(items))
+      .select("bucket", "r").as[(Long, Int)].collect().toMap
+    assert(again === whole)
+  }
+
+  test("hll estimate: within ~2.7 sigma of the true cardinality at m=64; linear branch at tiny n") {
+    val n = 5000
+    val hs = (1 to n).map(i => graft.functions.HashUtil.polyHash(s"tok$i"))
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(hs.map(("g", _)).toDF("grp", "h"),
+          col("grp"), col("h"), 6), 6)
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est / n - 1.0) <= 0.35, s"est $est vs $n")
+
+    // 3 distinct items: raw ≈ alpha·m²/ (m−3+ε) ≈ 46 ≤ 2.5m → the
+    // linear-counting branch m·ln(m/zeros) ≈ 64·ln(64/61) ≈ 3.07
+    val tiny = Seq("a", "b", "c").map(s =>
+      ("g", graft.functions.HashUtil.polyHash(s)))
+    val e3 = Sketches.hllEstimate(
+        Sketches.hllRegisters(tiny.toDF("grp", "h"), col("grp"), col("h"), 6), 6)
+      .select("est_distinct").as[Double].head()
+    assert(e3 > 1.5 && e3 < 5.0, s"linear-counting estimate off: $e3")
+  }
+
+  test("hll refuses NULL and out-of-domain hashes loudly") {
+    val bad = Seq((Option("g"), Option.empty[Long])).toDF("grp", "h")
+    val e = intercept[Exception] {
+      Sketches.hllRegisters(bad, col("grp"), col("h"), 6).collect()
+    }
+    assert(e.getMessage.contains("hllRegisters"))
+    val oob = Seq(("g", -5L)).toDF("grp", "h")
+    val e2 = intercept[Exception] {
+      Sketches.hllRegisters(oob, col("grp"), col("h"), 6).collect()
+    }
+    assert(e2.getMessage.contains("hllRegisters"))
+  }
 }

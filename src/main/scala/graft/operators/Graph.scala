@@ -78,7 +78,12 @@ object Graph {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
+    // NULL-endpoint edge law (the Dedup.dropNullEdges law): a NULL id
+    // is missing data, not a vertex — kept, it would enter the vertex
+    // set as a NULL row whose rank mass silently vanishes from every
+    // equality join (null never equi-matches), leaking Σ rank below 1
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
 
     // Out-degree fused onto the edge table ONCE, partitioned on src,
     // pinned: the big side of every round's join never moves again.
@@ -383,7 +388,10 @@ object Graph {
   def hits(edges: DataFrame, src: Column, dst: Column,
            iterations: Int = 2): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // same NULL-endpoint law as pageRank: a NULL vertex would surface
+    // in the output with hub = auth = 0 while its edges match nothing
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(false)
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -417,8 +425,11 @@ object Graph {
 
   /** Canonical undirected simple edges: (min, max) endpoint order,
     * self-loops dropped, parallel edges collapsed — the ONE place the
-    * canonicalization invariants live (kCore and the compact-forward
-    * family share it). */
+    * canonicalization invariants live (kCore, labelPropagation, and
+    * the compact-forward family share it). A NULL endpoint satisfies
+    * the family's null-edge law for free: least/greatest IGNORE nulls,
+    * so a (NULL, x) pair canonicalizes to (x, x) and dies on the
+    * self-loop filter — the edge drops, no NULL vertex is minted. */
   private def canonicalEdges(edges: DataFrame, src: Column, dst: Column): DataFrame =
     edges
       .select(least(src, dst).cast("long").as("a"),

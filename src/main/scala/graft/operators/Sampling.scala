@@ -303,10 +303,18 @@ object Sampling {
     // split — near-dup twins straddling train/test, the exact
     // contamination this function exists to prevent. Refuse loudly.
     Seq(pairs.schema(idA).dataType, pairs.schema(idB).dataType).foreach { dt =>
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"leakageSafeSplit: pair ids must be numeric (castable to long), " +
+      // integral only — the same law Dedup.requireNumericIds enforces
+      // (a fractional id would truncate and merge unrelated vertices);
+      // refusing HERE names the split, not the component internals
+      val integral = {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+      }
+      require(integral,
+        s"leakageSafeSplit: pair ids must be integral (byte/short/int/long), " +
           s"got ${dt.simpleString} — a non-numeric id nulls out in the " +
-          "component join and the split silently stops being leakage-safe")
+          "component join (split silently stops being leakage-safe) and a " +
+          "fractional id truncates (unrelated docs merged into one component)")
     }
     val comp = Dedup.connectedComponents(pairs, idA, idB)
       .select(col("id").as("_leak_id"), col("cluster_id").as("_leak_rep"))

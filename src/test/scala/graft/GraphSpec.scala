@@ -272,4 +272,21 @@ class GraphSpec extends SparkSpec {
     // vertex 1 has no in-edges → auth exactly 0
     assert(out(1L)._2 === 0.0)
   }
+
+  test("NULL-endpoint edges drop across the graph family — no NULL vertex, no leaked mass") {
+    val e = Seq((Some(1L), Some(2L)), (Some(2L), Some(1L)),
+      (Option.empty[Long], Some(1L)), (Some(2L), Option.empty[Long]))
+      .toDF("s", "t")
+    val pr = Graph.pageRank(e, col("s"), col("t"), iterations = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(pr.map(_._1).toSet === Set(1L, 2L), "NULL vertex minted")
+    assert(math.abs(pr.map(_._3).sum - 1.0) < 1e-12,
+      "mass leaked through a NULL-endpoint edge")
+    val ht = Graph.hits(e, col("s"), col("t"), iterations = 1)
+      .as[(Long, Double, Double)].collect()
+    assert(ht.map(_._1).toSet === Set(1L, 2L))
+    val lp = Graph.labelPropagation(e, col("s"), col("t"), rounds = 2)
+      .as[(Long, Long)].collect()
+    assert(lp.map(_._1).toSet === Set(1L, 2L))
+  }
 }

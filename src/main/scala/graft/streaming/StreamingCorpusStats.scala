@@ -37,6 +37,17 @@ import graft.operators.{EventAnalytics, Sketches}
   *  - `counts`: (source, n_docs, n_tokens)
   *  - `cms`:    (row_idx, bucket, cnt) — global token CMS
   *  - `kmv`:    (grp, hs) — per-source bottom-k distinct shingle hashes
+  *  - `hll`:    (grp, bucket, r) — per-source HLL registers over the
+  *              same shingle hashes (the constant-size distinct twin
+  *              of `kmv`; merge = cell-wise MAX, the simplest algebra
+  *              in the family). NOTE: adding this table changed the
+  *              config fingerprint WITHOUT a legacy upgrade path —
+  *              deliberately: a pre-hll state dir has no register
+  *              table and registers are NOT reconstructible from the
+  *              other bounded tables (bottom-k keeps k hashes, not
+  *              the corpus), so "upgrading" would silently lose every
+  *              previously-ingested document's distinct mass. Loud
+  *              delete-and-re-ingest is the only honest resume.
   *  - `qs`:     (h, k_str, v) — bottom-k sample of per-doc token
   *              counts, keyed by the text's own portable hash (stable
   *              across replays and batch boundaries, so the merged
@@ -49,11 +60,11 @@ object StreamingCorpusStats {
 
   final case class Config(cmsWidth: Int = 2048, cmsDepth: Int = 3,
                           kmvK: Int = 128, shingleN: Int = 3,
-                          sampleK: Int = 256)
+                          sampleK: Int = 256, hllB: Int = 6)
 
   /** One version's bounded state tables. */
   final case class Snapshot(counts: DataFrame, cms: DataFrame,
-                            kmv: DataFrame, qs: DataFrame)
+                            kmv: DataFrame, qs: DataFrame, hll: DataFrame)
 
   /** Seed for the length-sample hash — fixed: the sample must be the
     * same draw in every batch or the merge law breaks. */
@@ -67,14 +78,16 @@ object StreamingCorpusStats {
 
   private def fingerprint(cfg: Config): String =
     s"cmsWidth=${cfg.cmsWidth};cmsDepth=${cfg.cmsDepth};" +
-      s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN};sampleK=${cfg.sampleK}"
+      s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN};sampleK=${cfg.sampleK};" +
+      s"hllB=${cfg.hllB}"
 
   private def readVersion(spark: SparkSession, statsDir: String, v: Long): Snapshot =
     Snapshot(
       spark.read.parquet(s"$statsDir/v=$v/counts"),
       spark.read.parquet(s"$statsDir/v=$v/cms"),
       spark.read.parquet(s"$statsDir/v=$v/kmv"),
-      spark.read.parquet(s"$statsDir/v=$v/qs"))
+      spark.read.parquet(s"$statsDir/v=$v/qs"),
+      spark.read.parquet(s"$statsDir/v=$v/hll"))
 
   /** The latest committed snapshot's tables, or None before the first
     * commit. Public: this is also the read API for consumers. */
@@ -182,6 +195,10 @@ object StreamingCorpusStats {
       .select(col("source"), explode(shingles(tokens(col("text")), cfg.shingleN)).as("ng"))
       .select(col("source"), polyHash(col("ng")).as("h"))
     val kmv = Sketches.bottomK(sh, col("source"), col("h"), cfg.kmvK)
+    // same hash stream as kmv; the register max is idempotent so the
+    // raw (non-distinct) occurrence stream is fine. Cost is a second
+    // shingle explode of the CACHED projected batch — batch-sized.
+    val hll = Sketches.hllRegisters(sh, col("source"), col("h"), cfg.hllB)
     // SET semantics (distinct texts): a duplicate text at one shard's
     // cut boundary would otherwise survive in the whole-corpus sample
     // but collapse in the per-shard cut, breaking exact merge parity —
@@ -190,7 +207,7 @@ object StreamingCorpusStats {
       docs.select(polyHash(col("text")).as("k"),
         size(tokens(col("text"))).cast("double").as("len")).distinct(),
       col("k"), col("len"), cfg.sampleK, SampleSeed)
-    Snapshot(counts, cms, kmv, qs)
+    Snapshot(counts, cms, kmv, qs, hll)
   }
 
   /** Merge two snapshots — pure sketch algebra, no corpus data. */
@@ -208,8 +225,22 @@ object StreamingCorpusStats {
     // distinct text arriving in two batches collapses (set semantics)
     val qs = a.qs.unionByName(b.qs).dropDuplicates("h", "k_str", "v")
       .orderBy(col("h"), col("k_str"), col("v")).limit(cfg.sampleK)
-    Snapshot(counts, cms, kmv, qs)
+    // the family's simplest merge law: registers combine by cell-wise
+    // max, so stream-merged state IS the whole-corpus sketch exactly
+    val hll = Sketches.hllMerge(a.hll, b.hll)
+    Snapshot(counts, cms, kmv, qs, hll)
   }
+
+  /** Per-source distinct-shingle estimates from the latest snapshot's
+    * registers — bounded-table read, no corpus access. `hllB` must
+    * equal the stream's `Config.hllB` (the config fingerprint pins it
+    * for the life of the state dir, so there is exactly one right
+    * value). Returns (grp, est_distinct) or None before first commit. */
+  def distinctShingles(spark: SparkSession, statsDir: String,
+                       hllB: Int = Config().hllB): Option[DataFrame] =
+    latest(spark, statsDir).map { case (_, snap) =>
+      Sketches.hllEstimate(snap.hll, hllB)
+    }
 
   def start(docs: DataFrame, sourceCol: String, textCol: String,
             statsDir: String, checkpoint: String,
@@ -224,7 +255,7 @@ object StreamingCorpusStats {
           fs, dirPath, checkpoint, fingerprint(cfg), batchId, "_v_",
           "StreamingCorpusStats")
         if (!done) {
-          // the four snapshot writes are four jobs: cache the
+          // the five snapshot writes are five jobs: cache the
           // projected batch so the source micro-batch is read once,
           // not once per table
           val projected = batch
@@ -247,6 +278,8 @@ object StreamingCorpusStats {
               .parquet(s"$statsDir/v=$batchId/kmv")
             merged.qs.write.mode(SaveMode.Overwrite)
               .parquet(s"$statsDir/v=$batchId/qs")
+            merged.hll.write.mode(SaveMode.Overwrite)
+              .parquet(s"$statsDir/v=$batchId/hll")
             StreamProtocol.commit(fs, dirPath, "_v_", batchId)
           } finally projected.unpersist()
         }

@@ -48,6 +48,14 @@ class StreamingCorpusStatsSpec extends SparkSpec {
       // the merged length sample equals the whole-corpus draw row for
       // row — so the running quantiles are EXACTLY the batch quantiles
       assert(slurp(snap.qs) === slurp(batchSnap.qs))
+      // HLL registers merge by cell-wise max: the streamed state IS
+      // the whole-corpus register table, so the distinct estimates
+      // match the batch sketch bit for bit
+      assert(slurp(snap.hll) === slurp(batchSnap.hll))
+      val estStream = StreamingCorpusStats
+        .distinctShingles(spark, s"$base/stats").get
+      val estBatch = graft.operators.Sketches.hllEstimate(batchSnap.hll)
+      assert(slurp(estStream) === slurp(estBatch))
       val qStream = StreamingCorpusStats
         .quantiles(spark, s"$base/stats", Seq(0.5, 0.9)).get
       val qBatch = graft.operators.Sketches

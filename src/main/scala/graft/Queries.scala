@@ -899,6 +899,13 @@ object Queries {
   private val HllAlphaM2B6: Double =
     0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0
 
+  /** α_m·m² for m = 256 — q157's overlap matrix runs its registers at
+    * b = 8: inclusion–exclusion subtracts three ~σ-noisy cardinalities,
+    * so the overlap estimator needs σ ≈ 6.5% where the plain distinct
+    * count (q154) is honest at 13%. */
+  private val HllAlphaM2B8: Double =
+    0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+
   /** SQL fragment: distinct word-`n`-gram shingles of token list `tk`
     * — mirrors `GraftFunctions.shingles` (empty for < n tokens). */
   private def sqlShingles(tk: String, n: Int = 3): String =
@@ -2159,6 +2166,111 @@ object Queries {
         r(col("hub"), 8).as("hub"), r(col("auth"), 8).as("auth"))
       .orderBy(col("doc_id")),
     Some(hitsOracle(iterations = 2)))
+
+  /** D+ sketches: source-overlap matrix by HLL inclusion–exclusion
+    * ([[Sketches.hllPairUnion]] + [[Sketches.hllEstimate]]) — the
+    * third overlap estimator beside q107's exact counts and q124's
+    * KMV, and the one only the register representation enables: set
+    * UNION is cell-wise register max, so every pairwise |A ∪ B| (and
+    * J = (|A|+|B|−|A∪B|)/|A∪B|) comes from the per-source register
+    * tables alone — no posting self-join, no corpus rescans, merge
+    * algebra all the way down. Runs at b = 8 (m = 256, σ ≈ 6.5%), not
+    * q154's b = 6: inclusion–exclusion differences three noisy
+    * cardinalities, and m = 64 was PROBED and REJECTED for this task
+    * (measured max |est − exact| = 0.29 on near-disjoint pairs vs
+    * 0.25 asked). Estimates ride the same exact-dyadic raw branch as
+    * q154, so the whole matrix is bit-portable; the exact branch
+    * reuses q124's projection rewrite. */
+  private val q157 = Q("q157_source_overlap_hll",
+    (s, d) => {
+      val b = 8
+      val sh = t(s, d, "documents")
+        .select(col("source"), explode(shingles(tokens(col("text")), 3)).as("ng"))
+        .select(col("source"), polyHash(col("ng")).as("h")).distinct()
+        .localCheckpoint(false)
+      // registers feed the per-source AND the pair-union estimates
+      val regs = graft.operators.Sketches.hllRegisters(sh, col("source"), col("h"), b)
+        .localCheckpoint(false)
+      val sEst = graft.operators.Sketches.hllEstimate(regs, b)
+      val uEst = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllPairUnion(regs), b,
+        "est_union", Seq("grp_a", "grp_b"))
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val srcSets = sh.groupBy(col("h"))
+        .agg(array_sort(collect_set(col("source"))).as("srcs"))
+      val inter = srcSets.select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + lit(2),
+              greatest(size(col("srcs")) - i - 1, lit(0))),
+            bb => struct(a.as("sa"), bb.as("sb")))))).as("p"))
+        .groupBy(col("p.sa").as("sa"), col("p.sb").as("sb"))
+        .agg(count(lit(1)).as("shared"))
+      uEst
+        .join(broadcast(sEst.select(col("grp").as("grp_a"),
+          col("est_distinct").as("est_a"))), Seq("grp_a"))
+        .join(broadcast(sEst.select(col("grp").as("grp_b"),
+          col("est_distinct").as("est_b"))), Seq("grp_b"))
+        // inclusion–exclusion can go (slightly) negative when the
+        // union estimate overshoots a near-disjoint pair — clamp to
+        // the domain, as for any Jaccard
+        .withColumn("est_jaccard", greatest(
+          (col("est_a") + col("est_b") - col("est_union")) / col("est_union"),
+          lit(0.0)))
+        .join(inter,
+          col("grp_a") === col("sa") && col("grp_b") === col("sb"), "left")
+        .join(broadcast(sizes.select(col("source").as("_s1"), col("n").as("na"))),
+          col("grp_a") === col("_s1"))
+        .join(broadcast(sizes.select(col("source").as("_s2"), col("n").as("nb"))),
+          col("grp_b") === col("_s2"))
+        .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        .withColumn("_exact",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .select(col("grp_a").as("source_a"), col("grp_b").as("source_b"),
+          r(col("est_jaccard"), 4).as("est_jaccard"),
+          r(col("_exact"), 4).as("exact_jaccard"),
+          (abs(col("est_jaccard") - col("_exact")) <= 0.25).as("within_bound"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""WITH sh AS (SELECT DISTINCT source, ${sqlPolyHash("ng")} AS h
+        FROM (SELECT source, unnest(${sqlShingles("tk")}) AS ng
+          FROM (SELECT source, string_split(text, ' ') AS tk FROM documents))),
+      mx AS (SELECT source, (h*h + 3*h + 7) % 1000000007 AS g FROM sh),
+      reg AS (SELECT source, g % 256 AS bucket, max(${sqlRho("(g // 256)")}) AS r
+        FROM mx GROUP BY source, g % 256),
+      agg AS (SELECT source,
+          sum(1.0 / CAST(1::BIGINT << r AS DOUBLE)) + (256.0 - count(*)) AS s,
+          256.0 - count(*) AS zeros FROM reg GROUP BY source),
+      est AS (SELECT source, CASE WHEN zeros > 0 AND ${HllAlphaM2B8} / s <= 640.0
+          THEN 256.0 * ln(256.0 / zeros) ELSE ${HllAlphaM2B8} / s END AS e FROM agg),
+      pr AS (SELECT a.source AS ga, b.source AS gb
+        FROM (SELECT DISTINCT source FROM reg) a
+        JOIN (SELECT DISTINCT source FROM reg) b ON a.source < b.source),
+      ureg AS (SELECT pr.ga, pr.gb, reg.bucket, max(reg.r) AS r
+        FROM pr JOIN reg ON reg.source = pr.ga OR reg.source = pr.gb
+        GROUP BY pr.ga, pr.gb, reg.bucket),
+      uagg AS (SELECT ga, gb,
+          sum(1.0 / CAST(1::BIGINT << r AS DOUBLE)) + (256.0 - count(*)) AS s,
+          256.0 - count(*) AS zeros FROM ureg GROUP BY ga, gb),
+      uest AS (SELECT ga, gb, CASE WHEN zeros > 0 AND ${HllAlphaM2B8} / s <= 640.0
+          THEN 256.0 * ln(256.0 / zeros) ELSE ${HllAlphaM2B8} / s END AS eu FROM uagg),
+      jac AS (SELECT u.ga, u.gb,
+          greatest((ea.e + eb.e - u.eu) / u.eu, 0.0) AS ej
+        FROM uest u JOIN est ea ON ea.source = u.ga
+        JOIN est eb ON eb.source = u.gb),
+      sz AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY source),
+      inter AS (SELECT x.source AS ga, y.source AS gb, count(*)::BIGINT AS shared
+        FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+        GROUP BY 1, 2)
+      SELECT j.ga AS source_a, j.gb AS source_b,
+        floor(j.ej * 10000 + 0.5) / 10000.0 AS est_jaccard,
+        floor(coalesce(i.shared, 0)::DOUBLE
+          / (sa.n + sb.n - coalesce(i.shared, 0)) * 10000 + 0.5) / 10000.0
+          AS exact_jaccard,
+        abs(j.ej - coalesce(i.shared, 0)::DOUBLE
+          / (sa.n + sb.n - coalesce(i.shared, 0))) <= 0.25 AS within_bound
+      FROM jac j
+      LEFT JOIN inter i ON i.ga = j.ga AND i.gb = j.gb
+      JOIN sz sa ON sa.source = j.ga JOIN sz sb ON sb.source = j.gb
+      ORDER BY source_a, source_b"""))
 
   private val q82 = Q("q82_ml_cross_validation",
     (s, d) => {
@@ -4741,7 +4853,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

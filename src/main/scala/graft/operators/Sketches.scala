@@ -363,6 +363,28 @@ object Sketches {
     a.unionByName(b).groupBy(col("grp"), col("bucket"))
       .agg(max(col("r")).as("r"))
 
+  /** UNION registers for every ordered group pair (grp_a < grp_b) —
+    * the register table of A ∪ B for each pair, from which
+    * [[hllEstimate]] yields |A ∪ B| and inclusion–exclusion the
+    * overlap. This is the move the register representation uniquely
+    * enables: set UNION is a cell-wise max, so pairwise union
+    * cardinalities of any number of shards come from the m-register
+    * tables alone — no corpus rescans, no posting self-join.
+    *
+    * The OR-condition join is a broadcast nested loop over the PAIR
+    * table — |groups|²/2 rows against |groups|·m register rows, both
+    * group-count-bounded however large the corpus was (same size
+    * argument as [[kmvJaccard]]'s pair join). */
+  def hllPairUnion(regs: DataFrame): DataFrame = {
+    val gs = regs.select(col("grp")).distinct()
+    val pairs = gs.select(col("grp").as("grp_a"))
+      .join(gs.select(col("grp").as("grp_b")), col("grp_a") < col("grp_b"))
+    broadcast(pairs)
+      .join(regs, col("grp") === col("grp_a") || col("grp") === col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+  }
+
   /** Distinct-count estimate from a register table: the standard HLL
     * raw estimator α_m·m²/Σ2^(−r_j) (empty registers contribute 2⁰)
     * with the small-range linear-counting branch m·ln(m/V) when V > 0
@@ -374,13 +396,17 @@ object Sketches {
     * and α_m·m² is one Scala-computed literal the oracle embeds
     * verbatim (double toString round-trips). Only ln crosses libm —
     * callers quantize the output (the family's r(·, 2) discipline)
-    * exactly as q98 does for PMI. Returns (grp, `estCol`). */
+    * exactly as q98 does for PMI. Returns (`groupCols`*, `estCol`);
+    * `groupCols` generalizes to composite keys (pair tables from
+    * [[hllPairUnion]]). */
   def hllEstimate(regs: DataFrame, b: Int = 6,
-                  estCol: String = "est_distinct"): DataFrame = {
+                  estCol: String = "est_distinct",
+                  groupCols: Seq[String] = Seq("grp")): DataFrame = {
     require(b >= 2 && b <= 16, s"b (log2 registers) must be in [2,16]: $b")
+    require(groupCols.nonEmpty, "hllEstimate needs at least one group column")
     val m = (1L << b).toDouble
     val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
-    regs.groupBy(col("grp"))
+    regs.groupBy(groupCols.map(col): _*)
       // 1 << r via the SQL builtin (the Scala shiftleft overload only
       // takes literal bit counts); division by an exact power of two
       // is itself exact, so each term is the dyadic 2^(−r) bit for bit
@@ -394,6 +420,6 @@ object Sketches {
         when(col("_zeros") > 0 && col("_raw") <= lit(2.5 * m),
           lit(m) * log(lit(m) / col("_zeros")))
           .otherwise(col("_raw")))
-      .select(col("grp"), col(estCol))
+      .select((groupCols.map(col) :+ col(estCol)): _*)
   }
 }

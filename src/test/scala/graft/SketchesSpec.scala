@@ -309,6 +309,34 @@ class SketchesSpec extends SparkSpec {
     assert(e3 > 1.5 && e3 < 5.0, s"linear-counting estimate off: $e3")
   }
 
+  test("hll pair union: union registers equal the registers of the concatenated set") {
+    val a = (1 to 900).map(i =>
+      ("ga", graft.functions.HashUtil.polyHash(s"a$i")))
+    val b = (500 to 1400).map(i =>
+      ("gb", graft.functions.HashUtil.polyHash(s"a$i")))  // overlaps a
+    val regs = Sketches.hllRegisters(
+      (a ++ b).toDF("grp", "h"), col("grp"), col("h"), 6)
+    val union = Sketches.hllPairUnion(regs)
+      .select("grp_a", "grp_b", "bucket", "r")
+      .as[(String, String, Long, Int)].collect()
+    assert(union.forall(u => u._1 == "ga" && u._2 == "gb"))
+    // ground truth: registers of the two groups' hashes thrown into one
+    val whole = Sketches.hllRegisters(
+        (a ++ b).map(p => ("u", p._2)).toDF("grp", "h"),
+        col("grp"), col("h"), 6)
+      .select("bucket", "r").as[(Long, Int)].collect().toMap
+    assert(union.map(u => u._3 -> u._4).toMap === whole)
+    // and the pair estimate is the union estimate (groupCols plumbing)
+    val estU = Sketches.hllEstimate(Sketches.hllPairUnion(regs), 6,
+        "e", Seq("grp_a", "grp_b"))
+      .select("e").as[Double].head()
+    val estWhole = Sketches.hllEstimate(
+        Sketches.hllRegisters((a ++ b).map(p => ("u", p._2)).toDF("grp", "h"),
+          col("grp"), col("h"), 6), 6)
+      .select("est_distinct").as[Double].head()
+    assert(estU === estWhole)
+  }
+
   test("hll refuses NULL and out-of-domain hashes loudly") {
     val bad = Seq((Option("g"), Option.empty[Long])).toDF("grp", "h")
     val e = intercept[Exception] {

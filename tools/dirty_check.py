@@ -6,9 +6,9 @@ only fire on NULLs / malformed JSON stay latent (round 8's hand-picked
 11-query probe found and fixed seven such classes; round 9 promoted it
 to a FULL gate over every oracle-twinned query). This script
 materializes a DIRTY copy of sf0.001 — null event values, malformed
-and empty props JSON, null/empty/whitespace-only document text, null
-document lang, null customer balances (contract-non-null columns like
-ids and ts stay clean) — runs
+and empty props JSON, null/empty/whitespace-only document text,
+supplementary-plane (emoji) text, null document lang, null customer
+balances (contract-non-null columns like ids and ts stay clean) — runs
 graft.Verify on ALL queries against it, and compares every dumped
 result to its DuckDB oracle on the same dirty corpus.
 
@@ -56,10 +56,17 @@ def build() -> dict:
     # document — the two shapes a web scrape actually produces (both
     # tokenize to empty-STRING tokens, not to no tokens, in both
     # engines: split('',' ') = [''], split('  ',' ') = ['','',''])
+    # supplementary-plane dirt: emoji are the one text class where a
+    # per-UTF-16-char hash fold and a per-code-point fold DIVERGE (the
+    # polyHashDeclarative caveat) — prepending them to real text proves
+    # the native expression and every DuckDB oracle agree outside the
+    # BMP, across tokenize/shingle/hash/BM25/stat paths, mechanically
     con.execute(f"""COPY (SELECT doc_id,
       CASE WHEN doc_id % 41 = 0 THEN NULL
            WHEN doc_id % 47 = 0 THEN ''
-           WHEN doc_id % 59 = 0 THEN '  ' ELSE text END AS text,
+           WHEN doc_id % 59 = 0 THEN '  '
+           WHEN doc_id % 67 = 0 THEN '\U0001F680\U0001F30D café ' || text
+           ELSE text END AS text,
       CASE WHEN doc_id % 53 = 0 THEN NULL
            WHEN doc_id % 61 = 0 THEN '' ELSE lang END AS lang,
       source, n_chars FROM read_parquet('{SRC}/documents.parquet'))
@@ -80,11 +87,14 @@ def build() -> dict:
       (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
         WHERE lang = ''),
       (SELECT count(*) FROM read_parquet('{DST}/customer.parquet')
-        WHERE c_acctbal IS NULL)""").fetchall()[0]
+        WHERE c_acctbal IS NULL),
+      (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
+        WHERE text LIKE '\U0001F680%')""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
-              "empty_lang": c[6], "null_acctbal": c[7]}
+              "empty_lang": c[6], "null_acctbal": c[7],
+              "emoji_doc_text": c[8]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

@@ -2270,7 +2270,8 @@ object Queries {
       FROM jac j
       LEFT JOIN inter i ON i.ga = j.ga AND i.gb = j.gb
       JOIN sz sa ON sa.source = j.ga JOIN sz sb ON sb.source = j.gb
-      ORDER BY source_a, source_b"""))
+      ORDER BY source_a, source_b"""),
+    bench = true)
 
   private val q82 = Q("q82_ml_cross_validation",
     (s, d) => {
@@ -3597,7 +3598,8 @@ object Queries {
         FROM documents d
         JOIN t0 ON d.doc_id = t0.doc_id
         JOIN t3 ON d.doc_id = t3.doc_id
-        GROUP BY d.source ORDER BY d.source"""))
+        GROUP BY d.source ORDER BY d.source"""),
+    bench = true)
 
   /** H3+: hard-negative mining ([[Similarity.hardNegatives]], 10
     * queries × top-3 in the cosine band [0.05, 0.4)) — the
@@ -4758,7 +4760,8 @@ object Queries {
         floor(rev * 100.0 + 0.5) / 100.0 AS revenue,
         floor(sum(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
           ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) / 100.0 AS cum_revenue
-      FROM cells ORDER BY cohort_week, week_offset"""))
+      FROM cells ORDER BY cohort_week, week_offset"""),
+    bench = true)
 
   /** E+ churn: per week, the users active then but NOT the next week,
     * and the churn rate — one left-anti self-join of the deduplicated

@@ -2273,6 +2273,43 @@ object Queries {
       ORDER BY source_a, source_b"""),
     bench = true)
 
+  /** H1+/H4+: shared-span scrub ([[TextAnalysis.scrubSharedSpans]]) —
+    * q153's detected spans cut from every document, the Lee-et-al
+    * remediation at maximal-span granularity (q103 is the same
+    * treatment at single-gram granularity). The oracle re-derives the
+    * spans AND rebuilds every document word for word, so agreement
+    * certifies detection + reconstruction end to end. */
+  private val q158 = Q("q158_span_scrub",
+    (s, d) => TextAnalysis.scrubSharedSpans(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        n = 5, minDocs = 2L, minSpanTokens = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      ng AS (SELECT doc_id, p, array_to_string(t[p:p+4], ' ') AS g
+             FROM tk, unnest(range(1, len(t) - 3)) AS u(p)),
+      fr AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+             GROUP BY g HAVING count(*) >= 2),
+      sh AS (SELECT ng.doc_id, ng.p FROM ng JOIN fr USING (g)),
+      isl AS (SELECT doc_id, p,
+          p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM sh),
+      runs AS (SELECT doc_id, min(p) AS sp, max(p) - min(p) + 5 AS st
+          FROM isl GROUP BY doc_id, grp),
+      cov AS (SELECT DISTINCT r.doc_id, v.q
+          FROM runs r, unnest(range(r.sp, r.sp + r.st)) AS v(q)
+          WHERE r.st >= 8),
+      tok AS (SELECT doc_id, w.q, t[w.q] AS tok
+          FROM tk, unnest(range(1, len(t) + 1)) AS w(q)),
+      kept AS (SELECT tok.doc_id, tok.q, tok.tok FROM tok ANTI JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.q = cov.q),
+      agg AS (SELECT doc_id, count(*) AS n_after,
+          string_agg(tok, ' ' ORDER BY q) AS text_clean FROM kept
+          GROUP BY doc_id)
+      SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
+        (len(t.t) - coalesce(a.n_after, 0))::BIGINT AS n_removed,
+        CASE WHEN t.t IS NULL THEN NULL
+          ELSE coalesce(a.text_clean, '') END AS text_clean
+      FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""))
+
   private val q82 = Q("q82_ml_cross_validation",
     (s, d) => {
       import s.implicits._
@@ -4856,7 +4893,7 @@ object Queries {
     q40, q41, q42, q43, q50, q51, q81, q56, q57, q58, q59, q60, q61, q62, q66, q75, q76, q83, q84, q87, q88, q89, q90,
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
-    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157,
+    q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

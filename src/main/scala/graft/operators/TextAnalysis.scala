@@ -781,6 +781,47 @@ object TextAnalysis {
       .filter(col("span_tokens") >= minSpanTokens)
   }
 
+  /** Remediation half of [[sharedSpans]] — cut every detected shared
+    * span out of every document (Lee et al. 2022's dedup treatment at
+    * maximal-span granularity; [[pruneFrequentNgrams]] is the same
+    * treatment at single-n-gram granularity with a frequency
+    * threshold). Removal applies EVERYWHERE the span occurs — the
+    * "keep one canonical copy" policy needs a span-identity + keeper
+    * resolution that document-level dedup (q78/q105 keepers) already
+    * provides; a span-level keeper would re-introduce the partial-
+    * overlap ambiguity those operators exist to avoid.
+    *
+    * Plan shape: [[sharedSpans]]' two corpus scans + one more for the
+    * reconstruction (the span table joins back LEFT; most docs carry
+    * no spans and pass through untouched as a pure projection) — the
+    * unavoidable third scan, since the output IS the full corpus
+    * text. The reconstruction is q103's codegen'd filter-with-index.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean); NULL text
+    * stays NULL (n_tokens/n_removed NULL too, the q103 law). */
+  def scrubSharedSpans(df: DataFrame, id: Column, text: Column,
+                       n: Int = 5, minDocs: Long = 2L,
+                       minSpanTokens: Int = 0,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
+    val spans = sharedSpans(df, id, text, n, minDocs, minSpanTokens,
+      reliableCheckpoint)
+    val covered = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos"), col("span_tokens")))
+        .as("_spans"))
+    df.select(id.as("doc_id"), tokens(text).as("_tk"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("_sp", coalesce(col("_spans"),
+        array().cast("array<struct<start_pos:long,span_tokens:long>>")))
+      .withColumn("_kept", filter(col("_tk"), (t, p) =>
+        !exists(col("_sp"), s =>
+          p.cast("long") >= s.getField("start_pos") &&
+            p.cast("long") < s.getField("start_pos") + s.getField("span_tokens"))))
+      .select(col("doc_id"),
+        size(col("_tk")).cast("long").as("n_tokens"),
+        (size(col("_tk")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("text_clean"))
+  }
+
   /** PII patterns for [[redact]] — deliberately written in the regex
     * subset RE2 and java.util.regex agree on (character classes,
     * bounded repetition, word boundaries; no backrefs or lookaround) so

@@ -181,6 +181,38 @@ object StreamingCorpusStats {
       .unionByName(sharePsi.select(lit("source_share_psi").as("metric"), col("psi")))
   }
 
+  /** Vocabulary growth between two COMMITTED versions, straight off
+    * the register tables: the global distinct-shingle estimate of each
+    * version (per-source registers merge to the global sketch by the
+    * same cell-wise max — all sources share one hash), and the new-
+    * vocabulary rate 1 − |from|/|to|. Snapshots are cumulative, so the
+    * TO version's set contains FROM's and the rate is the fraction of
+    * TO's vocabulary first seen after FROM — the "how much genuinely
+    * new text arrived" crawl-refresh signal; clamped at 0 against
+    * estimator noise on no-growth windows. Bounded-table reads only.
+    * `hllB` must equal the stream's `Config.hllB` (fingerprint-pinned).
+    * Returns ONE row (from_distinct_est, to_distinct_est,
+    * new_vocab_rate). */
+  def vocabGrowth(spark: SparkSession, statsDir: String,
+                  fromV: Long, toV: Long,
+                  hllB: Int = Config().hllB): DataFrame = {
+    val committed = committedVersions(spark, statsDir).toSet
+    require(committed.contains(fromV) && committed.contains(toV),
+      s"StreamingCorpusStats.vocabGrowth: versions must be COMMITTED " +
+        s"(have: ${committed.toSeq.sorted.mkString(",")}; " +
+        s"asked: $fromV -> $toV)")
+    def globalEst(v: Long, out: String): DataFrame = Sketches.hllEstimate(
+      readVersion(spark, statsDir, v).hll
+        .groupBy(col("bucket")).agg(max(col("r")).as("r"))
+        .withColumn("grp", lit("all")),
+      hllB, out).drop("grp")
+    globalEst(fromV, "from_distinct_est")
+      .crossJoin(globalEst(toV, "to_distinct_est"))
+      .withColumn("new_vocab_rate",
+        greatest(lit(1.0) - col("from_distinct_est") / col("to_distinct_est"),
+          lit(0.0)))
+  }
+
   /** Per-batch summaries of a (source, text) document set — shared by
     * the stream and by the batch twin the spec compares against. */
   private[graft] def summarize(docs: DataFrame, cfg: Config): Snapshot = {

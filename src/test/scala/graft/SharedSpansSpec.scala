@@ -77,4 +77,42 @@ class SharedSpansSpec extends SparkSpec {
     assert(spans(docs, n = 3, minDocs = 3L).isEmpty)
     assert(spans(docs, n = 3, minDocs = 2L).nonEmpty)
   }
+
+  private def scrub(docs: Seq[(Long, String)], n: Int,
+                    minSpanTokens: Int = 0): Seq[(Long, Option[Long], Option[Long], Option[String])] =
+    TextAnalysis.scrubSharedSpans(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        n = n, minDocs = 2L, minSpanTokens = minSpanTokens)
+      .orderBy(col("doc_id"))
+      .as[(Long, Option[Long], Option[Long], Option[String])].collect().toSeq
+
+  test("scrub cuts every detected span everywhere; untouched docs pass through whole") {
+    val out = scrub(Seq(
+      1L -> "x0 a b c d y0",
+      2L -> "x1 a b c d y1",
+      3L -> "nothing shared here at all"), n = 3)
+    assert(out === Seq(
+      (1L, Some(6L), Some(4L), Some("x0 y0")),
+      (2L, Some(6L), Some(4L), Some("x1 y1")),
+      (3L, Some(5L), Some(0L), Some("nothing shared here at all"))))
+  }
+
+  test("scrub: full-coverage doc empties to ''; NULL text stays NULL (the q103 law)") {
+    val out = scrub(Seq(
+      1L -> "a b c d",
+      2L -> "a b c d",
+      3L -> null.asInstanceOf[String]), n = 3)
+    assert(out === Seq(
+      (1L, Some(4L), Some(4L), Some("")),
+      (2L, Some(4L), Some(4L), Some("")),
+      (3L, None, None, None)))
+  }
+
+  test("scrub honors minSpanTokens: short shared spans survive") {
+    val docs = Seq(1L -> "p q r tail1", 2L -> "p q r tail2")
+    val out = scrub(docs, n = 3, minSpanTokens = 5)
+    assert(out.map(_._3) === Seq(Some(0L), Some(0L)))
+    val cut = scrub(docs, n = 3, minSpanTokens = 3)
+    assert(cut.map(_._3) === Seq(Some(3L), Some(3L)))
+  }
 }

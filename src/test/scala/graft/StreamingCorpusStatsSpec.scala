@@ -110,6 +110,23 @@ class StreamingCorpusStatsSpec extends SparkSpec {
         StreamingCorpusStats.drift(spark, s"$base/stats", 0L, 7L)
       }
       assert(e.getMessage.contains("COMMITTED"))
+
+      // vocab growth off the register tables: batch 1's vocabulary is
+      // entirely new (b-prefixed vs a-prefixed), so v0 → v1 must show
+      // substantial growth; v1 → v1 is exactly 0 (identical registers)
+      val vg = StreamingCorpusStats.vocabGrowth(spark, s"$base/stats", 0L, 1L)
+        .collect().head
+      assert(vg.getDouble(2) > 0.3,
+        s"all-new batch-1 vocab must register as growth: $vg")
+      assert(vg.getDouble(1) > vg.getDouble(0),
+        s"cumulative TO estimate must exceed FROM: $vg")
+      val vgSelf = StreamingCorpusStats.vocabGrowth(spark, s"$base/stats", 1L, 1L)
+        .collect().head
+      assert(vgSelf.getDouble(2) === 0.0)
+      val e2 = intercept[IllegalArgumentException] {
+        StreamingCorpusStats.vocabGrowth(spark, s"$base/stats", 0L, 9L)
+      }
+      assert(e2.getMessage.contains("COMMITTED"))
     } finally {
       q.stop()
       import scala.jdk.CollectionConverters._

@@ -35,16 +35,10 @@ object Dedup {
                                            idB: String, op: String): Unit =
     Seq(idA, idB).foreach { c =>
       val dt = pairs.schema(c).dataType
-      // INTEGRAL only, not any NumericType: cast(double as long)
-      // TRUNCATES (ANSI throws only on overflow), so fractional ids
-      // 1.2 and 1.7 would silently alias into vertex 1 — two
-      // unrelated documents merged into one cluster with no error,
-      // the exact corruption class this guard exists to refuse
-      val integral = {
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
-      }
-      require(integral,
+      // INTEGRAL only, not any NumericType — see OpUtils.isIntegralId
+      // for the truncation-corruption rationale (single-sourced with
+      // Sampling.leakageSafeSplit's guard)
+      require(OpUtils.isIntegralId(dt),
         s"Dedup.$op: pair ids must be integral (byte/short/int/long), " +
           s"column $c is ${dt.simpleString} — non-numeric ids null out " +
           "in the label join (silently empty result) and fractional " +

@@ -328,9 +328,11 @@ object Graph {
     * the argmax, one vertex-sized left join back. Each round's label
     * table is barriered — without it round i's plan would re-inline
     * rounds 1..i−1 under every consumer (the pageRank lesson).
-    * A vertex whose only edges were self-loops has no neighbors post-
-    * canonicalization and keeps its own label (the left-join
-    * coalesce).
+    * A vertex whose only edges were self-loops is erased WITH them by
+    * the canonicalization (the [[triangleStats]]/[[kCore]] law) — it
+    * is absent from the output entirely, not self-labeled; join the
+    * result back to the corpus with a left join + coalesce-to-self if
+    * every document needs a community. Pinned by GraphSpec.
     *
     * Output: (id, label) — label = the community's smallest member id
     * in the common case, but in general just a stable community key. */
@@ -353,6 +355,9 @@ object Graph {
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .select(col("u").as("id"), col("lab"))
+      // defensive left+coalesce only: verts IS und's u-side, so every
+      // vertex has ≥1 neighbor and pick always matches — the fallback
+      // arm cannot fire on any input that reaches here
       labels = labels.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("lab"), col("label")).as("label"))
         .localCheckpoint(false)

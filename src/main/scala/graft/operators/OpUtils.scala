@@ -55,6 +55,18 @@ private[operators] object OpUtils {
     explode(array(
       bucket +: (0 until planes).map(p => bucket.bitwiseXOR(lit(1L << p))): _*))
 
+  /** The pair-id type law shared by the component/split operators
+    * (Dedup.requireNumericIds, Sampling.leakageSafeSplit): INTEGRAL
+    * only, never any NumericType — cast(double as long) TRUNCATES
+    * (ANSI throws only on overflow), so fractional ids 1.2 and 1.7
+    * would silently alias into vertex 1, merging unrelated documents
+    * with no error. One predicate, or the two guards drift the next
+    * time the law changes. */
+  def isIntegralId(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  }
+
   /** Persistence barrier for a multiply-consumed, intermediate-sized
     * frame (candidate pairs, vocab tables): without one Catalyst
     * replans the whole upstream chain under every consumer. Default

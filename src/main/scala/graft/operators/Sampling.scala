@@ -303,14 +303,10 @@ object Sampling {
     // split — near-dup twins straddling train/test, the exact
     // contamination this function exists to prevent. Refuse loudly.
     Seq(pairs.schema(idA).dataType, pairs.schema(idB).dataType).foreach { dt =>
-      // integral only — the same law Dedup.requireNumericIds enforces
-      // (a fractional id would truncate and merge unrelated vertices);
+      // integral only — the shared OpUtils.isIntegralId law (a
+      // fractional id would truncate and merge unrelated vertices);
       // refusing HERE names the split, not the component internals
-      val integral = {
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-        dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
-      }
-      require(integral,
+      require(OpUtils.isIntegralId(dt),
         s"leakageSafeSplit: pair ids must be integral (byte/short/int/long), " +
           s"got ${dt.simpleString} — a non-numeric id nulls out in the " +
           "component join (split silently stops being leakage-safe) and a " +

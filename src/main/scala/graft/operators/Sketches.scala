@@ -404,22 +404,50 @@ object Sketches {
                   groupCols: Seq[String] = Seq("grp")): DataFrame = {
     require(b >= 2 && b <= 16, s"b (log2 registers) must be in [2,16]: $b")
     require(groupCols.nonEmpty, "hllEstimate needs at least one group column")
+    estimateFromAgg(
+      regs.groupBy(groupCols.map(col): _*).agg(
+        occupiedSum.as("_s_occ"), count(lit(1)).cast("double").as("_nb")),
+      b, estCol)
+      .select((groupCols.map(col) :+ col(estCol)): _*)
+  }
+
+  /** Whole-table (single-set) estimate, TOTAL on empty register
+    * tables: a sketch with zero occupied registers estimates exactly
+    * 0.0 — that is the formula's own answer (zeros = m ⇒ the linear-
+    * counting branch gives m·ln(m/m) = 0), but [[hllEstimate]]'s
+    * groupBy yields ZERO rows for zero input rows, so callers reading
+    * a guaranteed one-row frame (version readers over possibly-empty
+    * snapshots) use this global-aggregate form instead. Returns ONE
+    * row (`estCol`). */
+  def hllEstimateGlobal(regs: DataFrame, b: Int = 6,
+                        estCol: String = "est_distinct"): DataFrame = {
+    require(b >= 2 && b <= 16, s"b (log2 registers) must be in [2,16]: $b")
+    estimateFromAgg(
+      regs.agg(coalesce(occupiedSum, lit(0.0)).as("_s_occ"),
+        count(lit(1)).cast("double").as("_nb")),
+      b, estCol)
+      .select(col(estCol))
+  }
+
+  /** Σ 2^(−r) over the occupied registers — 1 << r via the SQL builtin
+    * (the Scala shiftleft overload only takes literal bit counts);
+    * division by an exact power of two is itself exact, so each term
+    * is the dyadic 2^(−r) bit for bit. */
+  private def occupiedSum: Column =
+    sum(lit(1.0) /
+      expr("cast(shiftleft(cast(1 as bigint), cast(r as int)) as double)"))
+
+  /** The estimator tail shared by the grouped and global forms:
+    * empty-register mass, raw α_m·m²/S, linear-counting branch. */
+  private def estimateFromAgg(agg: DataFrame, b: Int,
+                              estCol: String): DataFrame = {
     val m = (1L << b).toDouble
     val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
-    regs.groupBy(groupCols.map(col): _*)
-      // 1 << r via the SQL builtin (the Scala shiftleft overload only
-      // takes literal bit counts); division by an exact power of two
-      // is itself exact, so each term is the dyadic 2^(−r) bit for bit
-      .agg(sum(lit(1.0) /
-            expr("cast(shiftleft(cast(1 as bigint), cast(r as int)) as double)"))
-          .as("_s_occ"),
-        count(lit(1)).cast("double").as("_nb"))
-      .withColumn("_zeros", lit(m) - col("_nb"))
+    agg.withColumn("_zeros", lit(m) - col("_nb"))
       .withColumn("_raw", lit(alphaM2) / (col("_s_occ") + col("_zeros")))
       .withColumn(estCol,
         when(col("_zeros") > 0 && col("_raw") <= lit(2.5 * m),
           lit(m) * log(lit(m) / col("_zeros")))
           .otherwise(col("_raw")))
-      .select((groupCols.map(col) :+ col(estCol)): _*)
   }
 }

@@ -734,6 +734,14 @@ object TextAnalysis {
     * output. A doc with NULL text tokenizes to NULL and emits
     * nothing.
     *
+    * PRECONDITION: doc ids are unique (the
+    * [[graft.operators.Dedup.snapshotDiff]] contract). A duplicated id
+    * interleaves two documents' gram positions under one window
+    * partition — duplicate positions make the island row_number
+    * tie-dependent and the spans run-nondeterministic. Run
+    * [[graft.operators.Dedup.exact]]/a keeper pass first if ids may
+    * repeat. ([[scrubSharedSpans]] inherits this contract.)
+    *
     * Output: (doc_id, start_pos [0-based token index], span_tokens,
     * n_grams, span_text), one row per maximal span with
     * `span_tokens >= minSpanTokens`. */

@@ -136,13 +136,22 @@ private[streaming] object StreamProtocol {
     * and [[claimAuxiliary]]. */
   private def claimIdentityAndConfig(fs: FileSystem, dir: Path,
       checkpoint: String, config: String, streamName: String,
-      legacyConfigs: Seq[String]): Unit = {
-    val identity = checkpointIdentity(fs, checkpoint)
+      legacyConfigs: Seq[String],
+      precomputedIdentity: Option[String] = None): Unit = {
+    val identity =
+      precomputedIdentity.getOrElse(checkpointIdentity(fs, checkpoint))
     val runMarker = new Path(dir, RunFile)
-    if (fs.exists(runMarker)) {
+    val runExisted = fs.exists(runMarker)
+    // a LEGACY bare-path run claim marks a dir written before the
+    // instance-id (and config-marker) era: an absent config there is
+    // the expected pre-config state, not a crash artifact
+    var legacyRunClaim = false
+    if (runExisted) {
       val owner = readFile(fs, runMarker)
-      if (owner == checkpoint && identity != checkpoint)
+      if (owner == checkpoint && identity != checkpoint) {
+        legacyRunClaim = true
         writeFile(fs, runMarker, identity)          // legacy claim: upgrade
+      }
       else if (owner != identity)
         throw new IllegalStateException(
           s"$streamName: $dir is owned by checkpoint '$owner' but this " +
@@ -169,7 +178,26 @@ private[streaming] object StreamProtocol {
             "corrupts the persisted state (it cannot fail checksums; it " +
             "just answers wrongly). Resume with the original parameters, " +
             "or delete the state directory and re-ingest.")
-    } else writeFile(fs, cfgMarker, config)
+    } else if (runExisted && !legacyRunClaim)
+      // writeFile's delete+rename crash window can leave a CLAIMED dir
+      // with NO config marker (old file deleted, rename never ran).
+      // Re-claiming blind would record whatever parameters THIS stream
+      // happens to run with — turning the loud config-mismatch guard
+      // into silent state corruption for a resume with different
+      // state-shaping params. A MODERN (instance-id) claim proves the
+      // config marker once existed, so its absence is a crash
+      // artifact; a legacy bare-path claim predates the config era
+      // and claims fresh above instead.
+      throw new IllegalStateException(
+        s"$streamName: $dir carries a run-identity claim but no " +
+          s"$ConfigFile — a crash during a marker rewrite left the " +
+          "state-shaping parameters unverifiable, and re-claiming them " +
+          "blind would let mismatched hash/sketch shapes merge silently. " +
+          s"Restore $ConfigFile to the parameters the state was built " +
+          "with, or delete the state directory and re-ingest (a dir " +
+          "holding only marker files and no committed batches is safe " +
+          "to delete).")
+    else writeFile(fs, cfgMarker, config)
   }
 
   /** Identity + config fencing for an AUXILIARY directory of a stream
@@ -185,10 +213,53 @@ private[streaming] object StreamProtocol {
   def claimAuxiliary(fs: FileSystem, dir: Path, checkpoint: String,
                      config: String, streamName: String,
                      legacyConfigs: Seq[String] = Nil): Unit = {
-    if (!fs.exists(dir)) fs.mkdirs(dir)
+    if (!fs.exists(dir)) { auxClaimed.remove(dir.toString); fs.mkdirs(dir) }
+    // the claim is immutable for the run's life once written, so one
+    // successful probe per (JVM, aux-dir generation, checkpoint
+    // INSTANCE) suffices — re-probing every micro-batch pays ~4 extra
+    // driver-side round-trips on object stores for zero information.
+    // The identity is part of the memo VALUE: a wiped-and-re-claimed
+    // PRIMARY with a retained auxiliary would otherwise ride a stale
+    // memo straight past the ownership check.
+    val identity = checkpointIdentity(fs, checkpoint)
+    val key = dir.toString
+    def memoValue = generationToken(fs, dir).map(_ + "|" + identity)
+    if (memoValue.exists(_ == auxClaimed.get(key))) return
+    if (!hasClaim(fs, dir)) {
+      // an UNCLAIMED auxiliary holding data predates the claim fence
+      // or belongs to a dead run whose primary was wiped and
+      // re-ingested — adopting it would silently mix the dead run's
+      // batch outputs into this run (the exact corruption the fence
+      // exists to refuse; StreamingCuration documents the same policy
+      // for its digest index)
+      // marker .tmp siblings are writeFile crash artifacts, not data —
+      // counting them would permanently refuse a dir whose FIRST claim
+      // crashed mid-publish (no run file yet, one orphaned tmp)
+      val markers = Set(RunFile, ConfigFile,
+        RunFile + ".tmp", ConfigFile + ".tmp")
+      val content = fs.listStatus(dir).exists(e =>
+        !markers.contains(e.getPath.getName))
+      if (content)
+        throw new IllegalStateException(
+          s"$streamName: auxiliary state at $dir holds data but carries " +
+            "no run-identity claim — it predates the claim fence or " +
+            "belongs to a dead run whose primary state was re-ingested; " +
+            "its rows would silently mix into this run's output. Delete " +
+            "the auxiliary directory (with the primary state and " +
+            "checkpoint, if resuming is not intended) and re-ingest.")
+    }
     claimIdentityAndConfig(fs, dir, checkpoint, config, streamName,
-      legacyConfigs)
+      legacyConfigs, precomputedIdentity = Some(identity))
+    memoValue match {
+      case Some(v) => auxClaimed.put(key, v)
+      case None => auxClaimed.remove(key)
+    }
   }
+
+  /** Memo for [[claimAuxiliary]]: aux-dir generation + checkpoint
+    * identity of the last successful claim per directory. */
+  private val auxClaimed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Whether `dir` carries a run-identity claim — the cross-directory
     * consistency probe for streams whose state spans several

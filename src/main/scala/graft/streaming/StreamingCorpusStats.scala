@@ -192,7 +192,11 @@ object StreamingCorpusStats {
     * estimator noise on no-growth windows. Bounded-table reads only.
     * `hllB` must equal the stream's `Config.hllB` (fingerprint-pinned).
     * Returns ONE row (from_distinct_est, to_distinct_est,
-    * new_vocab_rate). */
+    * new_vocab_rate) — guaranteed one row even when a version's
+    * register table is EMPTY (a first batch of only null-text docs):
+    * the global-aggregate estimator reports 0.0 there, and an empty
+    * FROM against a non-empty TO is rate 1.0, "everything is new";
+    * both sides empty degenerate to rate 0.0 (nothing to grow into). */
   def vocabGrowth(spark: SparkSession, statsDir: String,
                   fromV: Long, toV: Long,
                   hllB: Int = Config().hllB): DataFrame = {
@@ -201,16 +205,20 @@ object StreamingCorpusStats {
       s"StreamingCorpusStats.vocabGrowth: versions must be COMMITTED " +
         s"(have: ${committed.toSeq.sorted.mkString(",")}; " +
         s"asked: $fromV -> $toV)")
-    def globalEst(v: Long, out: String): DataFrame = Sketches.hllEstimate(
-      readVersion(spark, statsDir, v).hll
-        .groupBy(col("bucket")).agg(max(col("r")).as("r"))
-        .withColumn("grp", lit("all")),
-      hllB, out).drop("grp")
+    def globalEst(v: Long, out: String): DataFrame =
+      Sketches.hllEstimateGlobal(       // total on EMPTY register tables
+        readVersion(spark, statsDir, v).hll
+          .groupBy(col("bucket")).agg(max(col("r")).as("r")),
+        hllB, out)
     globalEst(fromV, "from_distinct_est")
       .crossJoin(globalEst(toV, "to_distinct_est"))
       .withColumn("new_vocab_rate",
-        greatest(lit(1.0) - col("from_distinct_est") / col("to_distinct_est"),
-          lit(0.0)))
+        // TO = 0 means both sides are empty (snapshots are cumulative):
+        // define rate 0.0 rather than let 0/0 poison the row with NaN
+        when(col("to_distinct_est") > 0,
+          greatest(lit(1.0) - col("from_distinct_est") / col("to_distinct_est"),
+            lit(0.0)))
+          .otherwise(lit(0.0)))
   }
 
   /** Per-batch summaries of a (source, text) document set — shared by

@@ -337,6 +337,19 @@ class SketchesSpec extends SparkSpec {
     assert(estU === estWhole)
   }
 
+  test("hllEstimateGlobal: ONE row always — exactly 0.0 on an empty register table, grouped value otherwise") {
+    val regsEmpty = Sketches.hllRegisters(
+      Seq.empty[(String, Long)].toDF("grp", "h"), col("grp"), col("h"), 6)
+    assert(Sketches.hllEstimateGlobal(regsEmpty, 6)
+      .as[Double].collect().toSeq === Seq(0.0))
+    val hs = (1 to 3000).map(i => ("g", graft.functions.HashUtil.polyHash(s"v$i")))
+    val regs = Sketches.hllRegisters(hs.toDF("grp", "h"), col("grp"), col("h"), 6)
+    val g = Sketches.hllEstimateGlobal(regs, 6).as[Double].head()
+    val grouped = Sketches.hllEstimate(regs, 6)
+      .select("est_distinct").as[Double].head()
+    assert(g === grouped)
+  }
+
   test("hll refuses NULL and out-of-domain hashes loudly") {
     val bad = Seq((Option("g"), Option.empty[Long])).toDF("grp", "h")
     val e = intercept[Exception] {

@@ -136,6 +136,37 @@ class StreamingCorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("vocabGrowth is total when the FROM version has an empty register table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scs_vg_").toString
+    val input = MemoryStream[(String, String)]
+    val q = StreamingCorpusStats.start(
+      input.toDS().toDF("source", "text"),
+      sourceCol = "source", textCol = "text",
+      statsDir = s"$base/stats", checkpoint = s"$base/ckpt")
+    try {
+      // batch 0: only null-text docs — v=0 commits with EMPTY hll/kmv
+      // tables (the common first-micro-batch shape on a dirty feed)
+      input.addData(("web", null: String), ("web", null: String))
+      q.processAllAvailable()
+      input.addData((1 to 20).map(i => ("web", s"w$i x$i y$i z$i")): _*)
+      q.processAllAvailable()
+      val vg = StreamingCorpusStats.vocabGrowth(spark, s"$base/stats", 0L, 1L)
+        .collect()
+      assert(vg.length === 1, "the one-row contract broke on an empty FROM")
+      assert(vg.head.getDouble(0) === 0.0)
+      assert(vg.head.getDouble(2) === 1.0,
+        s"an empty FROM against real TO vocab is 'everything is new': ${vg.head}")
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("fresh checkpoint over retained stats fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

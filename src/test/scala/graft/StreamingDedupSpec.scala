@@ -135,4 +135,76 @@ class StreamingDedupSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("UNPARTITIONED")), e.toString)
     } finally q.stop()
   }
+
+  private def allMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .flatMap(x => Option(x.getMessage)).mkString("\n")
+
+  test("an UNCLAIMED dup dir holding a dead run's outputs is refused, never adopted") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_aux_").toString
+    def run(n: Int): Throwable = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamingDedup.start(
+        input.toDS().toDF("doc_id", "text"), textCol = "text", idCol = "doc_id",
+        indexDir = s"$base/index$n", dupDir = s"$base/dups",
+        checkpoint = s"$base/ckpt$n")
+      try {
+        input.addData((1L, "the quick brown fox jumps over the lazy dog again"))
+        try { q.processAllAvailable(); null }
+        catch { case t: Throwable => t }
+      } finally q.stop()
+    }
+    try {
+      assert(run(0) == null)
+      // the dead run left verdict outputs in dupDir; strip its claim
+      // markers (pre-fence layout / lost markers) and re-ingest with a
+      // FRESH index + checkpoint — the stale batch outputs would
+      // silently mix into the new run's verdicts if adopted
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$base/dups/_stream_checkpoint"))
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$base/dups/_stream_config"))
+      val e = run(1)
+      assert(e != null && allMessages(e).contains("no run-identity claim"),
+        Option(e).map(allMessages).getOrElse("no error"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("a claimed dir whose config marker vanished (crash mid-rewrite) is refused, never re-claimed blind") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup_cfg_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      input.toDS().toDF("doc_id", "text"), textCol = "text", idCol = "doc_id",
+      indexDir = s"$base/index", dupDir = s"$base/dups",
+      checkpoint = s"$base/ckpt")
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog again"))
+      q.processAllAvailable()
+      // the crash window of the atomic marker publish: old config
+      // deleted, rename never ran — the dir keeps its run claim but
+      // the state-shaping parameters are gone. Re-claiming them from
+      // whatever THIS stream runs with would disarm the mismatch guard.
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$base/index/_stream_config"))
+      input.addData((2L, "completely different content with unrelated words"))
+      val e = intercept[Throwable](q.processAllAvailable())
+      assert(allMessages(e).contains("run-identity claim but no _stream_config"),
+        allMessages(e))
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -157,4 +157,25 @@ class StreamProtocolSpec extends AnyFunSuite {
       assert(e.getMessage.contains("batch 3"))
     }
   }
+
+  test("a MODERN claim whose config marker vanished (crash mid-rewrite) refuses a blind re-claim") {
+    withDir { (fs, dir) =>
+      withDir { (_, ckDir) =>
+        val ck = ckDir.toString
+        val meta = fs.create(new Path(ckDir, "metadata"), true)
+        try meta.write("""{"id":"run-A"}""".getBytes("UTF-8")) finally meta.close()
+        assert(!StreamProtocol.replayGuards(fs, dir, ck, "w=2", 0L, "_b_", "S"))
+        // the publish crash window: old config deleted, rename never ran
+        fs.delete(new Path(dir, "_stream_config"), false)
+        // re-claiming from the RESUMING stream's params (w=3!) would
+        // disarm the mismatch guard — refuse with the restore remedy
+        val e = intercept[IllegalStateException] {
+          StreamProtocol.replayGuards(fs, dir, ck, "w=3", 1L, "_b_", "S")
+        }
+        assert(e.getMessage.contains("no _stream_config"), e.getMessage)
+        // a LEGACY bare-path claim predates the config era: its absent
+        // config claims fresh (pinned by the legacy-identity test too)
+      }
+    }
+  }
 }

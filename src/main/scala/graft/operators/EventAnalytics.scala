@@ -70,6 +70,10 @@ object EventAnalytics {
     * the window at step k is inside it at every earlier step, so the
     * per-step counts are non-increasing. */
   def funnelSummary(times: DataFrame, steps: Seq[String], windowUs: Long): DataFrame = {
+    // a seconds-vs-µs unit slip yields plausible-looking garbage (u1 =
+    // all step-1 keys, later steps ~0) — the silent-degenerate shape
+    // Sessionize's gap guard refuses; same law here
+    require(windowUs > 0, s"windowUs must be positive (µs): $windowUs")
     val inWin = steps.indices.map { k =>
       val t = col(s"t${k + 1}")
       t.isNotNull && t - col("t1") <= windowUs
@@ -131,7 +135,13 @@ object EventAnalytics {
       .agg(min(col("week")).as("cohort_week"))
     val cells = active.join(first, key)
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(count_distinct(col(key)).as("users"))
+      // plain count, not count_distinct: the input contract IS the
+      // deduped (key, week) pair table, where a key's weeks are
+      // distinct and offset is a function of week — so a key appears
+      // at most once per cell, and the distinct-aggregate's extra
+      // per-cell dedup pass over the pair table buys nothing
+      // (activeUsersFromPairs already counts DAU the same way)
+      .agg(count(lit(1)).as("users"))
     val wc = Window.partitionBy(col("cohort_week"))
     cells
       .withColumn("cohort_size",
@@ -183,6 +193,10 @@ object EventAnalytics {
       tie: String, valueCol: String, frameRows: Int, scale: Int,
       fold: Column => Column): DataFrame = {
     require(frameRows >= 1 && frameRows <= 62, s"frameRows out of range: $frameRows")
+    // scale = 0 would zero every scaled value and then divide the fold
+    // by 0.0 — an opaque DIVIDE_BY_ZERO under ANSI instead of a named
+    // caller error
+    require(scale >= 1, s"scale must be >= 1: $scale")
     // Exactness envelope: the numerator Σ xᵢ·2ⁱ is pure long math and
     // overflows SILENTLY (the declarative twin overflows identically,
     // so the differential test cannot catch it) well below frameRows=62
@@ -194,19 +208,33 @@ object EventAnalytics {
     // collect_list then DROPS them, so a null-valued row's frame simply
     // shrinks (and an all-null frame is empty -> NULL ewma).
     val cvLim = java.lang.Long.MAX_VALUE >> frameRows
-    // The envelope is checked on the FLOORED DOUBLE, before any cast to
-    // long: under ANSI mode (Spark 4's default) an out-of-range
-    // double->long cast throws an opaque CAST_OVERFLOW that would
-    // pre-empt any post-cast check, and under non-ANSI it CLAMPS (and
-    // abs(Long.MinValue) is itself, still negative, sailing through a
-    // <= test) — the double-side compare produces the descriptive error
-    // in both modes. cvLim.toDouble rounds up to 2^(63-frameRows); a
-    // value landing exactly on that rounded bound still keeps
-    // Σ|x|·2^i ≤ 2^63 − 2^(63-frameRows) < Long.MaxValue, so the
-    // rounding slack cannot overflow, and the cast in the safe branch
-    // is always in range (≤ 2^62 for frameRows ≥ 1).
+    // Envelope mechanics (probed, not assumed): Spark's floor returns
+    // LONG — its internal double→long conversion SATURATES at
+    // Long.MaxValue/MinValue (it is not an ANSI cast, so no
+    // CAST_OVERFLOW fires) — and a saturated ±2^63−1 lands outside
+    // [−cvLim, cvLim], so the comparison below produces the
+    // descriptive error for any out-of-envelope magnitude in both
+    // ANSI modes. The compare runs in double space
+    // (lit(cvLim.toDouble)): cvLim.toDouble rounds up to
+    // 2^(63-frameRows), and a value landing exactly on that rounded
+    // bound still keeps Σ|x|·2^i ≤ 2^63 − 2^(63-frameRows) <
+    // Long.MaxValue, so the rounding slack cannot overflow; the cast
+    // in the safe branch is always in range (≤ 2^62 for
+    // frameRows ≥ 1). The same saturation is why NaN needs the
+    // PRE-floor guard above: floor(NaN) is 0L, not an error.
     val dd = floor(col(valueCol) * scale + lit(0.5))
-    val cv = when(dd.isNull ||
+    // The NaN check runs on the RAW value, BEFORE the floor: floor of
+    // a double is LONG-typed and NaN.toLong is 0 — so an unguarded
+    // NaN reading would not crash OR get dropped, it would silently
+    // enter the frame as an exact 0.0 observation. The family's law
+    // (the Models.observed rationale): NULL means missing and shrinks
+    // the frame; NaN is computed garbage from an upstream bug and
+    // must fail loudly.
+    val cv = when(isnan(col(valueCol).cast("double")), raise_error(
+        lit("dyadicEwma: value is NaN — computed-garbage input (a NULL " +
+          "value means missing and shrinks the frame; NaN signals an " +
+          "upstream bug); floor would silently coerce it to 0")).cast("long"))
+      .when(dd.isNull ||
         (dd <= lit(cvLim.toDouble) && dd >= lit(-cvLim.toDouble)),
         dd.cast("long"))
       .otherwise(raise_error(concat(
@@ -273,10 +301,18 @@ object EventAnalytics {
     val p0 = c0 * 1.0 / n0
     val p1 = c1 * 1.0 / n1
     val pp = (c0 + c1) * 1.0 / (n0 + n1)
+    // the 1/n terms need their own nullif: an EMPTY arm (every key
+    // hashed to one variant) makes c0/p0/pp NULL — which nulls the
+    // PRODUCT — but ANSI evaluates both children of the multiply, and
+    // lit(1.0)/0 throws DIVIDE_BY_ZERO before the NULL can win. The
+    // doc's "degenerate experiment yields a NULL z-score" must hold
+    // for the zero-arm degeneracy too, not just zero variance.
     c.select(n0, c0, r(p0, 6).as("rate0"), n1, c1, r(p1, 6).as("rate1"),
       r(p1 - p0, 6).as("abs_lift"),
       r((p1 - p0) / nullif(
-        sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n0 + lit(1.0) / n1)), lit(0.0)), 6)
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / nullif(n0, lit(0L)) + lit(1.0) / nullif(n1, lit(0L)))),
+        lit(0.0)), 6)
         .as("z_score"))
   }
 
@@ -407,12 +443,17 @@ object EventAnalytics {
     // per-bin p) while never contributing to any p or q numerator —
     // and the SQL oracle excludes that mass entirely. Drop them before
     // binning so engine and oracle agree on dirty data: PSI is a
-    // statistic over the OBSERVED value distribution.
+    // statistic over the OBSERVED value distribution. NaN is the same
+    // law's other face: floor(NaN)=NaN survives greatest() (Spark
+    // orders NaN largest) and least() then pins it to the TOP bin — a
+    // non-observation silently inflating bins-1's mass — so it drops
+    // with the NULLs (cast-to-double first: isnan needs a float type,
+    // and an integral value column can never be NaN).
     // the bounded cell table fans out to the entity grid, the q side,
     // and (through ref) both p-side aggregates — behind a barrier each
     // consumer reuses the one event scan that built it
     val cells = OpUtils.barrier(
-      events.filter(value.isNotNull)
+      events.filter(value.isNotNull && !isnan(value.cast("double")))
         .groupBy(col(group).as("entity"), bin.as("bin"))
         .agg(count(lit(1)).as("n")),
       reliableCheckpoint)
@@ -490,6 +531,10 @@ object EventAnalytics {
   def activeUsers(events: DataFrame, key: String, ts: String,
                   epoch0Us: Long, dayUs: Long, windowDays: Int = 7,
                   reliableCheckpoint: Boolean = false): DataFrame = {
+    // exact long floor-div, ts ≥ epoch0 (the retentionCohorts
+    // contract): longDiv truncates toward zero, so a pre-epoch0 event
+    // would collapse days (−1, 0) into one double-width day-0 bucket —
+    // pick epoch0 at or before the table's first event
     val day = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, dayUs)
     activeUsersFromPairs(
       events.select(col(key), day.as("day")).distinct(), key, windowDays,

@@ -130,7 +130,19 @@ object EventStreams {
     * (count, last-timestamp) state; a gap > `gapUs` opens a new
     * session. State is one tiny record per user in the state store —
     * bounded, partitioned by key, nothing on the driver. Works on a
-    * streaming Dataset; also callable on a batch Dataset for tests. */
+    * streaming Dataset; also callable on a batch Dataset for tests.
+    *
+    * Contract (the [[statefulFunnel]] law): per-key event-time order
+    * must be non-decreasing ACROSS micro-batches (within a batch any
+    * order is fine — the batch sorts per key before folding). The
+    * fold additionally DEFENDS against violation: `lastTsUs` is
+    * monotone (max, never overwrite), so a late straggler that lands
+    * inside the current session merges into it instead of REGRESSING
+    * the watermark timestamp — unguarded, one out-of-order arrival
+    * would widen the next gap computation and silently inflate every
+    * future session count. A straggler older than the whole current
+    * session still cannot be re-attributed (its session closed in
+    * already-emitted state); it merges rather than double-counts. */
   def statefulSessionCounts(events: Dataset[UserEvent], gapUs: Long)
       : Dataset[UserSessionCount] = {
     import events.sparkSession.implicits._
@@ -144,7 +156,8 @@ object EventStreams {
             val init = state.getOption.getOrElse(UserSessionState(0L, Long.MinValue))
             val next = sorted.foldLeft(init) { (st, e) =>
               val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > gapUs
-              UserSessionState(st.nSessions + (if (newSession) 1 else 0), e.ts_us)
+              UserSessionState(st.nSessions + (if (newSession) 1 else 0),
+                math.max(st.lastTsUs, e.ts_us))
             }
             state.update(next)
             Iterator.single(UserSessionCount(user, next.nSessions, sorted.size.toLong))

@@ -193,6 +193,49 @@ class EventAnalyticsSpec extends SparkSpec {
       .select("n0", "c0", "rate0", "n1", "c1", "rate1", "abs_lift")
       .as[(Long, Long, Double, Long, Long, Double, Double)].collect().head
     assert(s === ((2L, 1L, 0.5, 2L, 2L, 1.0, 0.5)))
+
+    // an EMPTY arm (every key hashed to variant 1 — user 1 alone) is
+    // the OTHER degeneracy: z must be NULL, not an ANSI DIVIDE_BY_ZERO
+    // from the unguarded 1/n0 term inside the pooled variance
+    val oneArm = Seq((1L, 1L, 10L, "purchase"), (1L, 2L, 1000L, "view"))
+      .toDF("user_id", "event_id", "ts_us", "event_type")
+    val oa = EventAnalytics.abTestSummary(oneArm, "user_id", "ts_us", "event_id",
+        "event_type", "purchase", gapUs = 100L)
+      .select("n0", "n1", "z_score")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(oa._1 === 0L && oa._2 === 2L && oa._3.isEmpty)
+  }
+
+  test("dyadicEwma: NaN dies on the honest computed-garbage error, not the overflow one; scale guard") {
+    val e = Seq((1L, 1L, 10L, Double.NaN)).toDF("user_id", "event_id", "ts_us", "value")
+    val ex = intercept[Exception] {
+      EventAnalytics.dyadicEwma(e, "user_id", "ts_us", "event_id", "value").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("NaN")), messages(ex).mkString("\n"))
+    assert(!messages(ex).exists(_.contains("lower scale or frameRows")))
+    val g = intercept[IllegalArgumentException] {
+      EventAnalytics.dyadicEwma(e, "user_id", "ts_us", "event_id", "value", scale = 0)
+    }
+    assert(g.getMessage.contains("scale"))
+  }
+
+  test("psiDrift: NaN values drop with the NULLs — a non-observation cannot inflate the top bin") {
+    val clean = Seq(("a", 1.0), ("a", 2.0), ("b", 8.0), ("b", 9.0))
+    val dirty = clean ++ Seq(("a", Double.NaN), ("b", Double.NaN))
+    def psi(rows: Seq[(String, Double)]) = EventAnalytics.psiDrift(
+        rows.toDF("grp", "v"), "grp", col("v"), lo = 0.0, hi = 10.0, bins = 5)
+      .as[(String, Double)].collect().toMap
+    assert(psi(dirty) === psi(clean))
+  }
+
+  test("funnelSummary refuses a non-positive window loudly (unit-slip guard)") {
+    val times = Seq((1L, Some(10L), Some(20L))).toDF("user_id", "t1", "t2")
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.funnelSummary(times, Seq("a", "b"), windowUs = 0L)
+    }
+    assert(e.getMessage.contains("windowUs"))
   }
 
   test("activeUsers: DAU, trailing-window WAU, stickiness") {

@@ -43,6 +43,33 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a cross-batch straggler cannot regress the session watermark and inflate counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val gapUs = 10L
+    val input = MemoryStream[UserEvent]
+    val counts = EventStreams.statefulSessionCounts(input.toDS(), gapUs)
+    val q = counts.writeStream
+      .format("memory").queryName("session_counts_late").outputMode("update")
+      .start()
+    try {
+      input.addData(UserEvent(1L, 100L))
+      q.processAllAvailable()
+      // late straggler INSIDE the open session: unguarded, it would
+      // overwrite lastTs 100 → 95 …
+      input.addData(UserEvent(1L, 95L))
+      q.processAllAvailable()
+      // … and this event (107 − 95 = 12 > gap) would then open a
+      // phantom second session; the true timeline 95,100,107 has max
+      // gap 7 → ONE session
+      input.addData(UserEvent(1L, 107L))
+      q.processAllAvailable()
+      val n = spark.table("session_counts_late").as[UserSessionCount]
+        .collect().map(_.n_sessions).max
+      assert(n === 1L, s"late arrival inflated the session count to $n")
+    } finally q.stop()
+  }
+
   test("statefulFunnel over 3 in-order batches equals batch funnelTimes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

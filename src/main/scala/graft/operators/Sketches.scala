@@ -339,6 +339,18 @@ object Sketches {
     * stream; at 100 TB the aggregation is map-side combinable and the
     * shuffle carries ≤ partitions × groups × m register rows.
     *
+    * CARDINALITY CEILING ~10⁹: the rank is drawn from g div 2^b with
+    * g < [[P]] ≈ 2^30, so only ~(30 − b) bits feed rho — registers
+    * saturate around rho ≈ 30 − b and the raw estimator silently
+    * CLAMPS near ~7·10⁸–10⁹ distinct per group (it stops growing, it
+    * does not error). This is inherent to the shared mod-(10⁹+7)
+    * polyHash domain, so [[kmvDistinct]] shares the same ceiling;
+    * the measured ±0.18 envelope above covers 10²–10⁵ only. For
+    * per-group cardinalities at genuine web-corpus scale (e.g. ALL
+    * shingles of a 100 TB crawl in ONE group) the family hash would
+    * need a 64-bit domain first; per-source/per-shard groupings, the
+    * intended use, stay far under the ceiling.
+    *
     * Returns (grp, bucket, r) — only OCCUPIED registers ([[hllEstimate]]
     * supplies the empty-register mass). */
   def hllRegisters(df: DataFrame, group: Column, hash: Column,
@@ -396,9 +408,12 @@ object Sketches {
     * and α_m·m² is one Scala-computed literal the oracle embeds
     * verbatim (double toString round-trips). Only ln crosses libm —
     * callers quantize the output (the family's r(·, 2) discipline)
-    * exactly as q98 does for PMI. Returns (`groupCols`*, `estCol`);
-    * `groupCols` generalizes to composite keys (pair tables from
-    * [[hllPairUnion]]). */
+    * exactly as q98 does for PMI. Estimates SATURATE near ~10⁹
+    * distinct per group — the register ranks carry only ~(30 − b)
+    * usable bits (see the ceiling note on [[hllRegisters]]); do not
+    * read estimates near that magnitude as exact. Returns
+    * (`groupCols`*, `estCol`); `groupCols` generalizes to composite
+    * keys (pair tables from [[hllPairUnion]]). */
   def hllEstimate(regs: DataFrame, b: Int = 6,
                   estCol: String = "est_distinct",
                   groupCols: Seq[String] = Seq("grp")): DataFrame = {

@@ -45,22 +45,46 @@ private[streaming] object StreamProtocol {
   }
 
   /** Publish a marker file atomically-enough: write a temp sibling,
-    * then delete+rename into place. A plain truncate-and-write
+    * then rename OVER the target in one step (`FileContext.rename`
+    * with `Options.Rename.OVERWRITE` — atomic on HDFS and on POSIX
+    * local filesystems). A plain truncate-and-write
     * (`fs.create(p, true)`) has a crash window that leaves a
     * TRUNCATED marker — for the legacy-upgrade rewrites that would
     * brick a perfectly valid state dir on restart (the partial string
     * matches neither the current nor any legacy rendering, so the
-    * guard fails loudly until hand-repaired). With this shape every
-    * crash window leaves either the OLD file or NO file — and an
-    * absent marker is just re-claimed by the rightful owner on the
-    * next batch. */
+    * guard fails loudly until hand-repaired). With the overwriting
+    * rename every crash window leaves either the OLD file or the NEW
+    * file — never an absent one, which matters for the RUN-IDENTITY
+    * marker: a vanished identity file is not merely "re-claimed by
+    * the rightful owner later" but claimable by ANY stream pointed at
+    * the dir (including one with a foreign checkpoint), silently
+    * transferring ownership for that window.
+    *
+    * Fallback: a FileSystem whose scheme has no `AbstractFileSystem`
+    * binding (FileContext unavailable — e.g. bare test doubles) gets
+    * the old delete-then-rename, whose crash-between-delete-and-rename
+    * window CAN lose the marker as described above; that residual risk
+    * is confined to filesystems that cannot do better. */
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"could not publish $tmp -> $p")
+    val qTmp = fs.makeQualified(tmp)
+    val qP = fs.makeQualified(p)
+    val overwrote =
+      try {
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(qP.toUri, fs.getConf)
+          .rename(qTmp, qP, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      }
+    if (!overwrote) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"could not publish $tmp -> $p")
+    }
   }
 
   /** The atomic publish above, for sibling modules' own marker files

@@ -60,12 +60,11 @@ object Bench {
   /** The deliberately-skewed join pair gets EXTRA passes: its whole
     * point is a measured separation (plain hot reducer vs salted), and
     * min-of-3 on this host leaves that delta inside noise more often
-    * than not. Five more samples per side pin it. q120 rides along for
-    * round 9 to settle its r7→r8 1.17x min-vs-median wobble (judge
-    * finding) the same way q80's drift was settled in round 8 — q80
-    * resolved to noise and rotates back out. */
+    * than not. Five more samples per side pin it. (q80 rode along in
+    * round 8 and q120 in round 9 to settle judge-flagged wobbles —
+    * both resolved to sample noise and rotated back out.) */
   val ExtraPassNames: Seq[String] =
-    Seq("q44_skew_join_plain", "q45_skew_join_salted", "q120_bpe_learn")
+    Seq("q44_skew_join_plain", "q45_skew_join_salted")
   val ExtraPasses = 5
 
   def main(args: Array[String]): Unit = {

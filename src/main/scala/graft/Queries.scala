@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Clustering, Dedup, EventAnalytics, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Clustering, CorpusQuality, Dedup, EventAnalytics, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions._
 
 /** The engine's named query surface — one entry per operator class in
@@ -2137,7 +2137,8 @@ object Queries {
         x.exact_distinct,
         abs(floor(e.e * 100 + 0.5) / 100.0 / x.exact_distinct - 1.0) <= 0.35
           AS within_bound
-      FROM est e JOIN ex x USING (source) ORDER BY e.source"""))
+      FROM est e JOIN ex x USING (source) ORDER BY e.source"""),
+    bench = true)   // round-10 rotation: never-benched heavy
 
   /** H+ graph: synchronous label-propagation communities
     * ([[Graph.labelPropagation]], 4 rounds) over the link graph — the
@@ -2165,7 +2166,8 @@ object Queries {
       .select(col("id").as("doc_id"),
         r(col("hub"), 8).as("hub"), r(col("auth"), 8).as("auth"))
       .orderBy(col("doc_id")),
-    Some(hitsOracle(iterations = 2)))
+    Some(hitsOracle(iterations = 2)),
+    bench = true)   // round-10 rotation: never-benched heavy
 
   /** D+ sketches: source-overlap matrix by HLL inclusion–exclusion
     * ([[Sketches.hllPairUnion]] + [[Sketches.hllEstimate]]) — the
@@ -2308,7 +2310,8 @@ object Queries {
         (len(t.t) - coalesce(a.n_after, 0))::BIGINT AS n_removed,
         CASE WHEN t.t IS NULL THEN NULL
           ELSE coalesce(a.text_clean, '') END AS text_clean
-      FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""))
+      FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
+    bench = true)   // round-10 rotation: never-benched heavy
 
   private val q82 = Q("q82_ml_cross_validation",
     (s, d) => {
@@ -4762,7 +4765,8 @@ object Queries {
         floor(count(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs THEN 1 END) * 1.0
           / nullif(count(CASE WHEN t1 IS NOT NULL THEN 1 END), 0)
           * 1000000.0 + 0.5) / 1000000.0 AS full_conversion
-      FROM u GROUP BY variant ORDER BY variant"""))
+      FROM u GROUP BY variant ORDER BY variant"""),
+    bench = true)   // round-10 rotation: never-benched heavy
 
   /** E+ cohort LTV curve: cumulative revenue per signup-week cohort
     * over week offsets — the "when does a cohort pay back" series.
@@ -4832,7 +4836,8 @@ object Queries {
         CAST(coalesce(ch.churned, 0) AS BIGINT) AS churned,
         floor(coalesce(ch.churned, 0) * 1.0 / ac.active * 1000000.0 + 0.5)
           / 1000000.0 AS churn_rate
-      FROM ac LEFT JOIN ch ON ac.wk = ch.wk ORDER BY week"""))
+      FROM ac LEFT JOIN ch ON ac.wk = ch.wk ORDER BY week"""),
+    bench = true)   // round-10 rotation: never-benched heavy
 
   /** D+ sketches: PER-GROUP quantile sketch (q126's global sample run
     * inside every event_type at once — [[graft.operators.Sketches
@@ -4882,6 +4887,210 @@ object Queries {
       FROM fr ORDER BY grp, p"""))
 
   // ---------------------------------------------------------------- //
+  // H4+: web-corpus quality heuristics (Gopher/C4 + drift)            //
+  // ---------------------------------------------------------------- //
+
+  /** H4+: Gopher well-formedness stats + keep gate
+    * ([[CorpusQuality.withGopherStats]]/[[CorpusQuality.gopherKeep]]):
+    * word count, mean word length, alpha-word fraction,
+    * symbol-to-word ratio — all per-row column maps behind the scan.
+    * The keep flag compares the RAW doubles (threshold compares are
+    * exact either way); displayed stats are quantized. */
+  private val q159 = Q("q159_gopher_quality",
+    (s, d) => {
+      val st = CorpusQuality.withGopherStats(
+        t(s, d, "documents"), col("text"))
+      st.withColumn("gopher_keep",
+          CorpusQuality.gopherKeep(minWords = 30L))
+        .select(col("doc_id"), col("n_words"),
+          r(col("mean_word_len"), 4).as("mean_word_len"),
+          r(col("alpha_word_frac"), 4).as("alpha_word_frac"),
+          r(col("symbol_word_ratio"), 4).as("symbol_word_ratio"),
+          col("gopher_keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+      st AS (SELECT doc_id,
+        len(tk)::BIGINT AS n_words,
+        list_aggregate(list_transform(tk, x -> length(x)), 'sum')::DOUBLE
+          / len(tk) AS mean_word_len,
+        len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / len(tk) AS alpha_word_frac,
+        len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
+          / len(tk) AS symbol_word_ratio
+      FROM t)
+      SELECT doc_id, n_words,
+        floor(mean_word_len * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+        floor(alpha_word_frac * 10000.0 + 0.5) / 10000.0 AS alpha_word_frac,
+        floor(symbol_word_ratio * 10000.0 + 0.5) / 10000.0 AS symbol_word_ratio,
+        (n_words >= 30 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND alpha_word_frac >= 0.8
+          AND symbol_word_ratio <= 0.1) AS gopher_keep
+      FROM st ORDER BY doc_id"""))
+
+  /** H4+: Gopher top-bigram character fraction
+    * ([[CorpusQuality.topNgramCharFrac]]) — the boilerplate signal
+    * "one phrase covers X% of the document". Count ties break by the
+    * portable gram hash (engines disagree on supplementary-plane
+    * string order), pinned in the oracle too. */
+  private val q160 = Q("q160_top_ngram_repetition",
+    (s, d) => CorpusQuality.topNgramCharFrac(
+        t(s, d, "documents"), col("doc_id"), col("text"), n = 2)
+      .select(col("id").as("doc_id"), col("top_gram"),
+        r(col("top_gram_frac"), 6).as("top_gram_frac"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+      g AS (SELECT doc_id, length(text) AS nc, u.gram
+        FROM t, unnest([array_to_string(tk[i:i+1], ' ')
+          for i in range(1, len(tk))]) AS u(gram)),
+      c AS (SELECT doc_id, nc, gram, count(*)::BIGINT AS cnt
+        FROM g GROUP BY 1, 2, 3),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY cnt DESC, ${sqlPolyHash("gram")}, gram) AS rn FROM c),
+      top AS (SELECT doc_id, gram,
+          least(1.0, (cnt * length(gram))::DOUBLE
+            / nullif(nc, 0)::DOUBLE) AS frac
+        FROM rk WHERE rn = 1)
+      SELECT t.doc_id, top.gram AS top_gram,
+        CASE WHEN t.text IS NULL THEN NULL
+          ELSE floor(coalesce(top.frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
+        END AS top_gram_frac
+      FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+      ORDER BY t.doc_id"""),
+    bench = true)
+
+  /** H4+: Gopher duplicate-trigram character fraction
+    * ([[CorpusQuality.dupNgramCharFrac]]) — occurrence-sum over grams
+    * appearing ≥ 2 times, clamped at 1.0. */
+  private val q161 = Q("q161_dup_ngram_repetition",
+    (s, d) => CorpusQuality.dupNgramCharFrac(
+        t(s, d, "documents"), col("doc_id"), col("text"), n = 3)
+      .select(col("id").as("doc_id"),
+        r(col("dup_ngram_frac"), 6).as("dup_ngram_frac"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+      g AS (SELECT doc_id, length(text) AS nc, u.gram
+        FROM t, unnest([array_to_string(tk[i:i+2], ' ')
+          for i in range(1, len(tk) - 1)]) AS u(gram)),
+      c AS (SELECT doc_id, nc, gram, count(*)::BIGINT AS cnt
+        FROM g GROUP BY 1, 2, 3),
+      d2 AS (SELECT doc_id, least(1.0,
+          sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)::DOUBLE
+            / nullif(nc, 0)::DOUBLE) AS frac
+        FROM c GROUP BY doc_id, nc)
+      SELECT t.doc_id,
+        CASE WHEN t.text IS NULL THEN NULL
+          ELSE floor(coalesce(d2.frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
+        END AS dup_ngram_frac
+      FROM t LEFT JOIN d2 ON t.doc_id = d2.doc_id
+      ORDER BY t.doc_id"""))
+
+  /** H4+: Gopher duplicate-line signals over a derived line structure
+    * ([[CorpusQuality.withLineStats]]) — the fixture corpus is
+    * single-line, so lines are derived by splitting at the ' batch '
+    * token (plain substring replace, identical left-to-right
+    * non-overlapping semantics in both engines). Zero shuffles: the
+    * whole query is split/array_distinct/fold arithmetic per row. */
+  private val q162 = Q("q162_line_repetition",
+    (s, d) => CorpusQuality.withLineStats(
+        t(s, d, "documents"),
+        expr("replace(text, ' batch ', '\n')"))
+      .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+        r(col("dup_line_frac"), 6).as("dup_line_frac"),
+        r(col("dup_line_char_frac"), 6).as("dup_line_char_frac"))
+      .orderBy(col("doc_id")),
+    Some("""WITH lt AS (SELECT doc_id,
+        string_split(replace(text, ' batch ', chr(10)), chr(10)) AS l
+        FROM documents),
+      st AS (SELECT doc_id, len(l)::BIGINT AS n_lines,
+        len(list_distinct(l))::BIGINT AS n_distinct_lines,
+        list_aggregate(list_transform(l, x -> length(x)), 'sum')::DOUBLE
+          AS tot_chars,
+        coalesce(list_aggregate(list_transform(list_distinct(l),
+          x -> length(x)), 'sum'), 0)::DOUBLE AS dist_chars
+      FROM lt)
+      SELECT doc_id, n_lines, n_distinct_lines,
+        floor((1.0 - n_distinct_lines::DOUBLE / n_lines) * 1000000.0 + 0.5)
+          / 1000000.0 AS dup_line_frac,
+        CASE WHEN tot_chars = 0 THEN 0.0
+          ELSE floor((1.0 - dist_chars / tot_chars) * 1000000.0 + 0.5)
+            / 1000000.0 END AS dup_line_char_frac
+      FROM st ORDER BY doc_id"""),
+    bench = true)
+
+  /** H4+: C4 line-level cleaning ([[CorpusQuality.c4CleanLines]]) —
+    * same derived lines, keep lines of ≥ 3 words, reassemble; the
+    * cleaned text is compared by portable hash + length (the
+    * full-string equality without hauling text through the differ). */
+  private val q163 = Q("q163_c4_line_clean",
+    (s, d) => CorpusQuality.c4CleanLines(
+        t(s, d, "documents"),
+        expr("replace(text, ' batch ', '\n')"), minWords = 3)
+      .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+        polyHash(col("clean_text")).as("clean_hash"),
+        length(col("clean_text")).cast("long").as("clean_len"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH lt AS (SELECT doc_id, text,
+        string_split(replace(text, ' batch ', chr(10)), chr(10)) AS l
+        FROM documents),
+      cl AS (SELECT doc_id, text, len(l)::BIGINT AS n_lines,
+        list_filter(l, x -> len(string_split(x, ' ')) >= 3) AS kept
+      FROM lt),
+      res AS (SELECT doc_id, n_lines, len(kept)::BIGINT AS n_lines_kept,
+        -- two DuckDB null quirks the Spark side doesn't share:
+        -- array_to_string([], sep) is NULL (not ''), and the polyHash
+        -- fold of a NULL string folds list_prepend(0, NULL) = [0] to
+        -- hash 0 (not NULL) — guard the empty and null cases explicitly
+        CASE WHEN text IS NULL THEN NULL
+          ELSE coalesce(array_to_string(kept, chr(10)), '') END AS ct
+        FROM cl)
+      SELECT doc_id, n_lines, n_lines_kept,
+        CASE WHEN ct IS NULL THEN NULL
+          ELSE ${sqlPolyHash("ct")} END AS clean_hash,
+        length(ct)::BIGINT AS clean_len
+      FROM res ORDER BY doc_id"""))
+
+  /** H4+: Jensen–Shannon divergence between per-source unigram
+    * distributions ([[CorpusQuality.jsDivergence]]) — the corpus
+    * drift matrix. Probabilities are exact IEEE divisions of exact
+    * longs in both engines; only ln crosses libm, quantized r(·,6)
+    * after the pair-keyed sum (the q98 PMI discipline). */
+  private val q164 = Q("q164_source_js_divergence",
+    (s, d) => CorpusQuality.jsDivergence(
+        t(s, d, "documents"), col("source"), col("text"))
+      .select(col("src_a"), col("src_b"), r(col("js"), 6).as("js"))
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""WITH c AS (SELECT source AS src, u.tok, count(*)::BIGINT AS c
+        FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+        WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY 1, 2),
+      tt AS (SELECT src, sum(c)::BIGINT AS t FROM c GROUP BY src),
+      p AS (SELECT c.src, c.tok, c.c::DOUBLE / tt.t::DOUBLE AS p
+        FROM c JOIN tt ON c.src = tt.src),
+      pr AS (SELECT a.src AS sa, b.src AS sb
+        FROM (SELECT DISTINCT src FROM p) a
+        JOIN (SELECT DISTINCT src FROM p) b ON a.src < b.src),
+      u AS (SELECT pr.sa, pr.sb, p.tok, p.p AS pa, NULL::DOUBLE AS pb
+          FROM pr JOIN p ON p.src = pr.sa
+        UNION ALL
+        SELECT pr.sa, pr.sb, p.tok, NULL::DOUBLE, p.p
+          FROM pr JOIN p ON p.src = pr.sb),
+      m AS (SELECT sa, sb, tok,
+          coalesce(max(pa), 0.0) AS pa, coalesce(max(pb), 0.0) AS pb
+        FROM u GROUP BY 1, 2, 3),
+      term AS (SELECT sa, sb, 0.5 * (
+          CASE WHEN pa > 0.0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END
+          + CASE WHEN pb > 0.0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END
+        ) AS t FROM m)
+      SELECT sa AS src_a, sb AS src_b,
+        floor(sum(t) * 1000000.0 + 0.5) / 1000000.0 AS js
+      FROM term GROUP BY 1, 2 ORDER BY src_a, src_b"""),
+    bench = true)
+
+  // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
 
@@ -4894,6 +5103,7 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
+    q159, q160, q161, q162, q163, q164,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Web-corpus quality heuristics (`SURVEY.md` §2 H4): the
+  * Gopher/MassiveText repetition + well-formedness rules (Rae et al.
+  * 2021, appendix A2.1) and the C4 line-level cleaning pass (Raffel
+  * et al. 2020 §2.2) — the standard first-stage filters every
+  * large-scale training-data pipeline runs BEFORE the expensive
+  * dedup/LM stages, plus a token-distribution drift score (Jensen–
+  * Shannon divergence between per-source unigram distributions, the
+  * corpus-level twin of [[EventAnalytics.psiDrift]]).
+  *
+  * Shape discipline:
+  *  - [[withGopherStats]], [[withLineStats]], [[c4CleanLines]] are
+  *    pure per-row column maps — zero shuffles, whole-stage codegen,
+  *    they pipeline behind the scan at any corpus size;
+  *  - [[topNgramCharFrac]] / [[dupNgramCharFrac]] need per-document
+  *    n-gram COUNTS (not just the distinct set [[TextAnalysis
+  *    .withRepetition]] uses), so they explode occurrences and
+  *    aggregate on (doc, gram) — one map-side-combinable shuffle
+  *    whose key space is the corpus posting stream, the same shape as
+  *    [[TextAnalysis.pruneFrequentNgrams]]. A per-row O(tokens²)
+  *    array-lambda count was rejected: real web documents reach 10⁵
+  *    tokens and the quadratic per-row loop stalls a whole task where
+  *    the shuffle shape scales linearly;
+  *  - [[jsDivergence]] aggregates to a vocab-sized distribution table
+  *    and a source-pair-bounded output — the corpus is read once.
+  *
+  * NULL law (the q40 family contract): NULL text yields NULL stats —
+  * never a mid-range score that sails through a gate. All flags are
+  * three-valued accordingly.
+  */
+object CorpusQuality {
+
+  private def sz(text: Column, c: Column): Column =
+    when(text.isNull, lit(null)).otherwise(size(c))
+
+  // ---------------------------------------------------------------- //
+  // Gopher well-formedness stats (per-row)                            //
+  // ---------------------------------------------------------------- //
+
+  /** Gopher word-shape statistics: word count, mean word length,
+    * fraction of words containing an alphabetic character, and the
+    * symbol-to-word ratio (`#` plus `...` occurrences per word) —
+    * the four per-row signals of Rae et al. 2021 A2.1 that need no
+    * line structure. Adds `n_words`, `mean_word_len`,
+    * `alpha_word_frac`, `symbol_word_ratio`; keeps input columns.
+    * Raw doubles — callers quantize at the output edge. */
+  def withGopherStats(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_words", sz(text, toks).cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / col("n_words"))
+      .withColumn("alpha_word_frac",
+        sz(text, filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+          / col("n_words"))
+      .withColumn("symbol_word_ratio",
+        sz(text, regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+          .cast("double") / col("n_words"))
+  }
+
+  /** The Gopher keep decision over [[withGopherStats]] columns, with
+    * the paper's default thresholds scaled-down for short test docs
+    * via `minWords`. Three-valued: NULL stats (null text) give a NULL
+    * flag, which any downstream `filter(col("gopher_keep"))` treats
+    * as drop — a null document never passes a quality gate. */
+  def gopherKeep(minWords: Long = 50L, maxWords: Long = 100000L,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minAlphaFrac: Double = 0.8,
+                 maxSymbolRatio: Double = 0.1): Column =
+    col("n_words") >= minWords && col("n_words") <= maxWords &&
+      col("mean_word_len") >= minMeanLen &&
+      col("mean_word_len") <= maxMeanLen &&
+      col("alpha_word_frac") >= minAlphaFrac &&
+      col("symbol_word_ratio") <= maxSymbolRatio
+
+  // ---------------------------------------------------------------- //
+  // Gopher repetition signals (per-doc n-gram counts)                 //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document (gram, count) posting table plus the doc char
+    * length, shared by the two repetition fractions. Occurrences, not
+    * distinct shingles — [[GraftFunctions.positionedShingles]]. */
+  private def gramCounts(df: DataFrame, id: Column, text: Column,
+                         n: Int): DataFrame =
+    df.select(id.as("_id"), length(text).as("_nc"),
+        explode(positionedShingles(tokens(text), n)).as("_g"))
+      .groupBy(col("_id"), col("_nc"), col("_g.ng").as("_gram"))
+      .agg(count(lit(1)).as("_cnt"))
+
+  /** Gopher "top n-gram character fraction": per document, the
+    * fraction of characters covered by the MOST FREQUENT word
+    * `n`-gram — occurrences × the space-joined gram's length over the
+    * document's length, clamped to 1.0 (occurrences of overlapping
+    * grams can cover the same character twice; the published rule
+    * thresholds at ≤ 0.2 so the clamp never binds in practice). Ties
+    * on count break by the portable gram hash then the gram string —
+    * the hash first because engines disagree on string ordering for
+    * supplementary-plane text (UTF-16 code-unit vs codepoint order).
+    *
+    * Returns every input id with (`top_gram`, `top_gram_frac`):
+    * documents with no `n`-gram (fewer than `n` tokens) score 0.0
+    * with a NULL gram; NULL text gives NULL/NULL (the family law). */
+  def topNgramCharFrac(df: DataFrame, id: Column, text: Column,
+                       n: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("_cnt").desc, polyHash(col("_gram")), col("_gram"))
+    val top = gramCounts(df, id, text, n)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("_id"),
+        col("_gram").as("top_gram"),
+        // explicit zero-char guard, NOT least(1.0, x / nullif(nc, 0)):
+        // least IGNORES nulls in both engines, so the nullif form
+        // scores a zero-char doc 1.0 instead of 0.0 (caught by the
+        // brute-force property at n = 1)
+        when(col("_nc") === 0, lit(0.0))
+          .otherwise(least(lit(1.0),
+            col("_cnt") * length(col("_gram")).cast("double")
+              / col("_nc").cast("double")))
+          .as("_frac"))
+    df.select(id.as("_id"), text.as("_text"))
+      .join(top, Seq("_id"), "left")
+      .select(col("_id").as("id"), col("top_gram"),
+        when(col("_text").isNull, lit(null).cast("double"))
+          .otherwise(coalesce(col("_frac"), lit(0.0)))
+          .as("top_gram_frac"))
+  }
+
+  /** Gopher "duplicate n-gram character fraction": per document, the
+    * fraction of characters covered by word `n`-grams occurring MORE
+    * THAN ONCE — Σ over duplicated grams of occurrences × gram length,
+    * over the document length, clamped to 1.0. Like the published
+    * reproductions (occurrence-sum, not span-union: the union of
+    * overlapping spans needs interval merging per document for a
+    * signal the rule only thresholds). Same return/NULL law as
+    * [[topNgramCharFrac]]. */
+  def dupNgramCharFrac(df: DataFrame, id: Column, text: Column,
+                       n: Int = 3): DataFrame = {
+    val dup = gramCounts(df, id, text, n)
+      .groupBy(col("_id"), col("_nc"))
+      .agg(sum(when(col("_cnt") >= 2,
+        col("_cnt") * length(col("_gram")).cast("long"))
+        .otherwise(0L)).as("_dup_chars"))
+      .select(col("_id"),
+        // same zero-char guard as topNgramCharFrac (least ignores nulls)
+        when(col("_nc") === 0, lit(0.0))
+          .otherwise(least(lit(1.0), col("_dup_chars").cast("double")
+            / col("_nc").cast("double"))).as("_frac"))
+    df.select(id.as("_id"), text.as("_text"))
+      .join(dup, Seq("_id"), "left")
+      .select(col("_id").as("id"),
+        when(col("_text").isNull, lit(null).cast("double"))
+          .otherwise(coalesce(col("_frac"), lit(0.0)))
+          .as("dup_ngram_frac"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Line-structure signals (per-row)                                  //
+  // ---------------------------------------------------------------- //
+
+  /** Gopher duplicate-line signals, computed entirely inside the row
+    * (split + array_distinct + two length folds — zero shuffles):
+    * `n_lines`, `n_distinct_lines`, `dup_line_frac` (1 − distinct /
+    * total lines) and `dup_line_char_frac` (1 − chars in first
+    * occurrences / chars in all lines — separator chars excluded from
+    * both sides). `sep` is a regex for the split; NULL text gives
+    * NULL columns, a doc whose lines carry zero characters (e.g. ""
+    * or "\n\n") scores 0.0 on the char fraction — nothing repeats. */
+  def withLineStats(df: DataFrame, text: Column,
+                    sep: String = "\n"): DataFrame = {
+    val lines = split(text, sep)
+    val totChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val distChars =
+      aggregate(array_distinct(lines), lit(0L), (a, l) => a + length(l))
+    df.withColumn("n_lines", sz(text, lines).cast("long"))
+      .withColumn("n_distinct_lines",
+        sz(text, array_distinct(lines)).cast("long"))
+      .withColumn("dup_line_frac",
+        lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines"))
+      .withColumn("dup_line_char_frac",
+        when(text.isNull, lit(null).cast("double"))
+          .when(totChars === 0L, lit(0.0))
+          .otherwise(lit(1.0) - distChars.cast("double")
+            / totChars.cast("double")))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    * only lines with at least `minWords` whitespace words and — when
+    * `requireTerminalPunct` — a terminal punctuation character, then
+    * reassemble the document from the kept lines. Pure per-row
+    * (filter + array_join): the 100 TB pass is a map behind the scan.
+    * `sep` splits (regex), `joinSep` reassembles (literal — pass the
+    * same character for round-trip splits). Adds `n_lines`,
+    * `n_lines_kept`, `clean_text`; NULL text stays NULL. */
+  def c4CleanLines(df: DataFrame, text: Column, sep: String = "\n",
+                   joinSep: String = "\n", minWords: Int = 3,
+                   requireTerminalPunct: Boolean = false): DataFrame = {
+    val lines = split(text, sep)
+    val kept = filter(lines, l => {
+      val enough = size(split(l, " ")) >= minWords
+      if (requireTerminalPunct) enough && l.rlike("[.!?\"]$") else enough
+    })
+    df.withColumn("n_lines", sz(text, lines).cast("long"))
+      .withColumn("n_lines_kept", sz(text, kept).cast("long"))
+      .withColumn("clean_text",
+        when(text.isNull, lit(null).cast("string"))
+          .otherwise(array_join(kept, joinSep)))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Source-distribution drift (corpus-level)                          //
+  // ---------------------------------------------------------------- //
+
+  /** Jensen–Shannon divergence between the unigram token
+    * distributions of every group pair (grp_a < grp_b) — the corpus
+    * drift matrix ("did the web shard's vocabulary move away from the
+    * wiki shard's?"), the token-level twin of the event family's PSI
+    * ([[EventAnalytics.psiDrift]]) but over the OPEN vocabulary:
+    * tokens present in one source and absent in the other contribute
+    * their full p·ln2 mass instead of being clamped into bins.
+    * JS = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q)), zero-mass terms
+    * dropped (lim x→0 of x·ln x); symmetric, bounded in [0, ln 2].
+    *
+    * Shape at 100 TB: one explode → (group, token) count with
+    * map-side combine (THE corpus-sized shuffle, same key space as
+    * every unigram model here), totals broadcast back, the
+    * |groups|²/2 pair table broadcast onto the vocab-sized
+    * distribution table, and a pair-keyed sum — output is
+    * pair-bounded. NULL groups and NULL texts are excluded up front
+    * (a null source is not a corpus). Returns (src_a, src_b, js). */
+  def jsDivergence(df: DataFrame, group: Column, text: Column): DataFrame = {
+    val counts = df.filter(group.isNotNull && text.isNotNull)
+      .select(group.as("src"), explode(tokens(text)).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("t"))
+    val probs = counts.join(totals, "src")
+      .select(col("src"), col("tok"), (col("c") / col("t")).as("p"))
+    val srcs = probs.select(col("src")).distinct()
+    val pairs = broadcast(
+      srcs.select(col("src").as("src_a"))
+        .join(srcs.select(col("src").as("src_b")), col("src_a") < col("src_b")))
+    val aSide = probs.join(pairs, col("src") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("tok"),
+        col("p").as("pa"), lit(null).cast("double").as("pb"))
+    val bSide = probs.join(pairs, col("src") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("tok"),
+        lit(null).cast("double").as("pa"), col("p").as("pb"))
+    aSide.unionByName(bSide)
+      .groupBy(col("src_a"), col("src_b"), col("tok"))
+      .agg(coalesce(max(col("pa")), lit(0.0)).as("pa"),
+        coalesce(max(col("pb")), lit(0.0)).as("pb"))
+      .withColumn("_t", lit(0.5) * (
+        when(col("pa") > 0.0,
+          col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb"))))
+          .otherwise(0.0)
+          + when(col("pb") > 0.0,
+            col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+            .otherwise(0.0)))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("_t")).as("js"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusQuality
+
+/** [[CorpusQuality]] — Gopher/C4 web-corpus heuristics on REAL
+  * multi-line fixtures (the oracle queries run on the single-line
+  * testdata corpus with derived lines; these pin the semantics the
+  * derived structure can't exercise: true newlines, terminal
+  * punctuation, the NULL/empty edge laws). */
+class CorpusQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  test("withGopherStats: word shape stats + null law") {
+    val df = CorpusQuality.withGopherStats(
+      docs(1L -> "aa bbb cccc", 2L -> "# ... ok", 3L -> null, 4L -> ""),
+      col("text"))
+    val m = df.select("doc_id", "n_words", "mean_word_len",
+      "alpha_word_frac", "symbol_word_ratio")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 3L)
+    assert(m(1L).getDouble(2) == 3.0)          // (2+3+4)/3
+    assert(m(1L).getDouble(3) == 1.0)
+    assert(m(1L).getDouble(4) == 0.0)
+    assert(m(2L).getLong(1) == 3L)
+    assert(m(2L).getDouble(3) == 1.0 / 3.0)    // only "ok" has alpha
+    assert(m(2L).getDouble(4) == 2.0 / 3.0)    // '#' + '...'
+    assert(m(3L).isNullAt(1) && m(3L).isNullAt(2)
+      && m(3L).isNullAt(3) && m(3L).isNullAt(4)) // NULL text -> NULL stats
+    assert(m(4L).getLong(1) == 1L && m(4L).getDouble(2) == 0.0)
+  }
+
+  test("gopherKeep: three-valued gate — null text never passes") {
+    val good = "the quick brown fox jumps over the lazy dog again " * 5
+    val df = CorpusQuality.withGopherStats(
+      docs(1L -> good.trim, 2L -> "short doc", 3L -> null), col("text"))
+      .withColumn("keep", CorpusQuality.gopherKeep(minWords = 10L))
+    val m = df.select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+      .toMap
+    assert(m(1L).contains(true))
+    assert(m(2L).contains(false))    // below minWords
+    assert(m(3L).isEmpty)            // NULL, not a free pass
+    // and a filter on the flag drops both the false and the null doc
+    assert(df.filter(col("keep")).count() == 1L)
+  }
+
+  test("withLineStats: duplicate-line fractions on real newlines") {
+    val df = CorpusQuality.withLineStats(
+      docs(1L -> "alpha\nbeta\nalpha", 2L -> "\n\n", 3L -> null,
+        4L -> "solo"),
+      col("text"))
+    val m = df.select("doc_id", "n_lines", "n_distinct_lines",
+      "dup_line_frac", "dup_line_char_frac")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 3L && m(1L).getLong(2) == 2L)
+    assert(math.abs(m(1L).getDouble(3) - 1.0 / 3.0) < 1e-15)
+    // chars: total 5+4+5=14, first occurrences 5+4=9 -> 5/14 duplicated
+    assert(math.abs(m(1L).getDouble(4) - 5.0 / 14.0) < 1e-15)
+    // "\n\n" -> three empty lines: line dup is real, char mass is zero
+    assert(m(2L).getLong(1) == 3L && m(2L).getLong(2) == 1L)
+    assert(math.abs(m(2L).getDouble(3) - 2.0 / 3.0) < 1e-15)
+    assert(m(2L).getDouble(4) == 0.0)
+    assert(m(3L).isNullAt(1) && m(3L).isNullAt(3) && m(3L).isNullAt(4))
+    assert(m(4L).getLong(1) == 1L && m(4L).getDouble(3) == 0.0)
+  }
+
+  test("c4CleanLines: min-words and terminal-punctuation rules") {
+    val text = "This line has five words.\nshort\nno punct but four words\nOk."
+    val base = docs(1L -> text, 2L -> null, 3L -> "")
+    val lenient = CorpusQuality.c4CleanLines(base, col("text"), minWords = 3)
+      .select("doc_id", "n_lines", "n_lines_kept", "clean_text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(lenient(1L).getLong(1) == 4L && lenient(1L).getLong(2) == 2L)
+    assert(lenient(1L).getString(3) ==
+      "This line has five words.\nno punct but four words")
+    assert(lenient(2L).isNullAt(3))  // NULL text stays NULL
+    assert(lenient(3L).getLong(2) == 0L && lenient(3L).getString(3) == "")
+
+    val strict = CorpusQuality.c4CleanLines(base, col("text"), minWords = 3,
+      requireTerminalPunct = true)
+      .select("doc_id", "clean_text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(strict(1L).getString(1) == "This line has five words.")
+  }
+
+  test("c4CleanLines is idempotent on its own output") {
+    val base = docs(1L -> "keep me here.\nno\nalso kept line.")
+    val once = CorpusQuality.c4CleanLines(base, col("text"), minWords = 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = CorpusQuality.c4CleanLines(once, col("text"), minWords = 3)
+      .select("text", "clean_text").head()
+    assert(twice.getString(0) == twice.getString(1))
+  }
+
+  test("topNgramCharFrac: dominant bigram coverage, short-doc and null laws") {
+    val out = CorpusQuality.topNgramCharFrac(
+      docs(1L -> "x y x y x y z", 2L -> "one", 3L -> null),
+      col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "x y")
+    assert(math.abs(out(1L).getDouble(2) - 9.0 / 13.0) < 1e-15) // 3 occ × 3 chars / 13
+    assert(out(2L).isNullAt(1) && out(2L).getDouble(2) == 0.0)  // < n tokens
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))          // NULL law
+  }
+
+  test("dupNgramCharFrac: occurrence-sum with the 1.0 clamp") {
+    val out = CorpusQuality.dupNgramCharFrac(
+      docs(1L -> "x y x y x y z", 2L -> "a b c"),
+      col("doc_id"), col("text"), n = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "x y"×3 + "y x"×2 cover (3+2)·3 = 15 chars of 13 -> clamps
+    assert(out(1L) == 1.0)
+    assert(out(2L) == 0.0)                      // all bigrams unique
+  }
+
+  test("jsDivergence: identical sources 0, disjoint sources ln 2") {
+    val df = Seq(
+      ("a", "tok1 tok2 tok2"), ("b", "tok1 tok2 tok2"),
+      ("c", "zzz www zzz"), (null: String, "ignored"), ("d", null: String))
+      .toDF("source", "text")
+    val js = CorpusQuality.jsDivergence(df, col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(js(("a", "b"))) < 1e-15)
+    assert(math.abs(js(("a", "c")) - math.log(2.0)) < 1e-12)
+    // null source and null text rows are excluded, not divergence mass
+    assert(!js.keys.exists { case (x, y) => x == null || y == null || x == "d" || y == "d" })
+  }
+}

@@ -300,4 +300,33 @@ class PlanRegressionSpec extends SparkSpec {
       assert(p.contains("Scan ExistingRDD"), s"barrier leaves must remain:\n$p")
     }
   }
+
+  test("q159/q162/q163 per-row corpus heuristics: zero hash exchanges behind the scan") {
+    Seq("q159_gopher_quality", "q162_line_repetition", "q163_c4_line_clean")
+      .foreach { name =>
+        val p = plan(name)
+        val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+        assert(hashExchanges === 0,
+          s"$name is a pure per-row map (only the output sort may " +
+            s"range-partition), got $hashExchanges hash exchanges:\n$p")
+      }
+  }
+
+  test("q160/q161 gram-count repetition: native posting generator, equality joins only") {
+    Seq("q160_top_ngram_repetition", "q161_dup_ngram_repetition").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("graft_pos_shingles"),
+        s"$name must generate occurrences via the native expression:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must stay equality-join shaped:\n$p")
+    }
+  }
+
+  test("q164 JS divergence: pair table broadcast onto the vocab postings") {
+    val p = plan("q164_source_js_divergence")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the group-pair table must broadcast, not shuffle the postings:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair expansion must stay a broadcast equality join:\n$p")
+  }
 }

@@ -86,13 +86,19 @@ object CorpusQuality {
 
   /** Per-document (gram, count) posting table plus the doc char
     * length, shared by the two repetition fractions. Occurrences, not
-    * distinct shingles — [[GraftFunctions.positionedShingles]]. */
+    * distinct shingles — [[GraftFunctions.positionedShingles]].
+    * `explode_outer`, NOT `explode`: a doc with no n-gram (short,
+    * empty, or NULL text) keeps ONE null-gram row with `_cnt` 0, so
+    * the callers cover every input id from this single corpus scan —
+    * the plain-explode alternative drops those docs and needs a
+    * second (id, text) scan joined back just to restate the NULL/0.0
+    * law, a 2× read amplification at 100 TB. */
   private def gramCounts(df: DataFrame, id: Column, text: Column,
                          n: Int): DataFrame =
     df.select(id.as("_id"), length(text).as("_nc"),
-        explode(positionedShingles(tokens(text), n)).as("_g"))
+        explode_outer(positionedShingles(tokens(text), n)).as("_g"))
       .groupBy(col("_id"), col("_nc"), col("_g.ng").as("_gram"))
-      .agg(count(lit(1)).as("_cnt"))
+      .agg(count(col("_g")).as("_cnt"))
 
   /** Gopher "top n-gram character fraction": per document, the
     * fraction of characters covered by the MOST FREQUENT word
@@ -109,27 +115,26 @@ object CorpusQuality {
     * with a NULL gram; NULL text gives NULL/NULL (the family law). */
   def topNgramCharFrac(df: DataFrame, id: Column, text: Column,
                        n: Int = 2): DataFrame = {
+    // a gramless doc's single null-gram row (cnt 0) loses every
+    // count tie to a real gram by the nulls-last hash order, so rn=1
+    // is always the real top gram when one exists
     val w = Window.partitionBy(col("_id"))
-      .orderBy(col("_cnt").desc, polyHash(col("_gram")), col("_gram"))
-    val top = gramCounts(df, id, text, n)
+      .orderBy(col("_cnt").desc, polyHash(col("_gram")).asc_nulls_last,
+        col("_gram"))
+    gramCounts(df, id, text, n)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .select(col("_id"),
+      .select(col("_id").as("id"),
         col("_gram").as("top_gram"),
         // explicit zero-char guard, NOT least(1.0, x / nullif(nc, 0)):
         // least IGNORES nulls in both engines, so the nullif form
         // scores a zero-char doc 1.0 instead of 0.0 (caught by the
         // brute-force property at n = 1)
-        when(col("_nc") === 0, lit(0.0))
+        when(col("_nc").isNull, lit(null).cast("double"))  // NULL text
+          .when(col("_gram").isNull || col("_nc") === 0, lit(0.0))
           .otherwise(least(lit(1.0),
             col("_cnt") * length(col("_gram")).cast("double")
               / col("_nc").cast("double")))
-          .as("_frac"))
-    df.select(id.as("_id"), text.as("_text"))
-      .join(top, Seq("_id"), "left")
-      .select(col("_id").as("id"), col("top_gram"),
-        when(col("_text").isNull, lit(null).cast("double"))
-          .otherwise(coalesce(col("_frac"), lit(0.0)))
           .as("top_gram_frac"))
   }
 
@@ -142,24 +147,20 @@ object CorpusQuality {
     * signal the rule only thresholds). Same return/NULL law as
     * [[topNgramCharFrac]]. */
   def dupNgramCharFrac(df: DataFrame, id: Column, text: Column,
-                       n: Int = 3): DataFrame = {
-    val dup = gramCounts(df, id, text, n)
+                       n: Int = 3): DataFrame =
+    gramCounts(df, id, text, n)
       .groupBy(col("_id"), col("_nc"))
       .agg(sum(when(col("_cnt") >= 2,
         col("_cnt") * length(col("_gram")).cast("long"))
         .otherwise(0L)).as("_dup_chars"))
-      .select(col("_id"),
-        // same zero-char guard as topNgramCharFrac (least ignores nulls)
-        when(col("_nc") === 0, lit(0.0))
-          .otherwise(least(lit(1.0), col("_dup_chars").cast("double")
-            / col("_nc").cast("double"))).as("_frac"))
-    df.select(id.as("_id"), text.as("_text"))
-      .join(dup, Seq("_id"), "left")
       .select(col("_id").as("id"),
-        when(col("_text").isNull, lit(null).cast("double"))
-          .otherwise(coalesce(col("_frac"), lit(0.0)))
-          .as("dup_ngram_frac"))
-  }
+        // same zero-char guard as topNgramCharFrac (least ignores
+        // nulls); gramless docs carry _dup_chars 0 from their single
+        // null-gram row, NULL text carries _nc NULL
+        when(col("_nc").isNull, lit(null).cast("double"))
+          .when(col("_nc") === 0, lit(0.0))
+          .otherwise(least(lit(1.0), col("_dup_chars").cast("double")
+            / col("_nc").cast("double"))).as("dup_ngram_frac"))
 
   // ---------------------------------------------------------------- //
   // Line-structure signals (per-row)                                  //
@@ -236,12 +237,20 @@ object CorpusQuality {
     * pair-bounded. NULL groups and NULL texts are excluded up front
     * (a null source is not a corpus). Returns (src_a, src_b, js). */
   def jsDivergence(df: DataFrame, group: Column, text: Column): DataFrame = {
-    val counts = df.filter(group.isNotNull && text.isNotNull)
-      .select(group.as("src"), explode(tokens(text)).as("tok"))
-      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+    // the count table feeds totals + both pair-expansion sides —
+    // barrier it, or Catalyst replans the corpus-sized explode+agg
+    // once per consumer (the round-8 multi-consumer audit class);
+    // everything downstream is vocab-sized
+    val counts = OpUtils.barrier(
+      df.filter(group.isNotNull && text.isNotNull)
+        .select(group.as("src"), explode(tokens(text)).as("tok"))
+        .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c")),
+      reliable = false)
     val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("t"))
-    val probs = counts.join(totals, "src")
-      .select(col("src"), col("tok"), (col("c") / col("t")).as("p"))
+    val probs = OpUtils.barrier(
+      counts.join(totals, "src")
+        .select(col("src"), col("tok"), (col("c") / col("t")).as("p")),
+      reliable = false)
     val srcs = probs.select(col("src")).distinct()
     val pairs = broadcast(
       srcs.select(col("src").as("src_a"))

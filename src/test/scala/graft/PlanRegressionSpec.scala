@@ -312,21 +312,33 @@ class PlanRegressionSpec extends SparkSpec {
       }
   }
 
-  test("q160/q161 gram-count repetition: native posting generator, equality joins only") {
+  test("q160/q161 gram-count repetition: ONE corpus scan (explode_outer, no null-law re-join)") {
     Seq("q160_top_ngram_repetition", "q161_dup_ngram_repetition").foreach { name =>
       val p = plan(name)
       assert(p.contains("graft_pos_shingles"),
         s"$name must generate occurrences via the native expression:\n$p")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans === 1,
+        s"$name must cover gramless/null docs from the SAME scan " +
+          s"(explode_outer), not re-read the corpus for the null law " +
+          s"(got $scans scans):\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name must stay equality-join shaped:\n$p")
     }
   }
 
-  test("q164 JS divergence: pair table broadcast onto the vocab postings") {
-    val p = plan("q164_source_js_divergence")
+  test("q164 JS divergence: count table barriered, pair table broadcast onto vocab postings") {
+    val df = Queries.queries("q164_source_js_divergence")(spark, sf("sf0.001"))
+    df.count()                          // finalize AQE so barriers are planned
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       s"the group-pair table must broadcast, not shuffle the postings:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"pair expansion must stay a broadcast equality join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"every consumer must read the barriered count table — a parquet " +
+        s"scan here means the corpus explode+agg replans per consumer " +
+        s"(got $scans):\n$p")
   }
 }

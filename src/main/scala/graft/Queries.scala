@@ -5090,6 +5090,72 @@ object Queries {
       FROM term GROUP BY 1, 2 ORDER BY src_a, src_b"""),
     bench = true)
 
+  /** H4+ composite: the full Gopher curation gate — word-shape stats,
+    * duplicate-line fraction (both fused into ONE per-row chain on a
+    * single corpus scan) and the duplicate-trigram fraction (the one
+    * signal that needs a shuffle), rolled up to per-source keep rates.
+    * Plan shape: per-row chain + one doc-id join with the gram
+    * fraction + one source-sized rollup; the keep flag is three-valued
+    * (NULL text counts as dropped, never as kept). */
+  private val q165 = Q("q165_gopher_curation",
+    (s, d) => {
+      val perRow = CorpusQuality.withLineStats(
+        CorpusQuality.withGopherStats(t(s, d, "documents"), col("text")),
+        expr("replace(text, ' batch ', '\n')"))
+      val dup = CorpusQuality.dupNgramCharFrac(
+        t(s, d, "documents"), col("doc_id"), col("text"), n = 3)
+      perRow.join(dup, col("doc_id") === col("id"))
+        .withColumn("keep",
+          CorpusQuality.gopherKeep(minWords = 30L) &&
+            col("dup_line_frac") <= 0.5 && col("dup_ngram_frac") <= 0.2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_keep"),
+          r(count(when(col("keep"), 1)) * 1.0 / count(lit(1)), 6)
+            .as("keep_rate"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT doc_id, source, text,
+        string_split(text, ' ') AS tk,
+        string_split(replace(text, ' batch ', chr(10)), chr(10)) AS l
+        FROM documents),
+      st AS (SELECT doc_id, source,
+        len(tk)::BIGINT AS n_words,
+        list_aggregate(list_transform(tk, x -> length(x)), 'sum')::DOUBLE
+          / len(tk) AS mean_word_len,
+        len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / len(tk) AS alpha_word_frac,
+        len(regexp_extract_all(text, '#|\.\.\.'))::DOUBLE
+          / len(tk) AS symbol_word_ratio,
+        1.0 - len(list_distinct(l))::DOUBLE / len(l) AS dup_line_frac,
+        length(text) AS nc
+      FROM t),
+      g AS (SELECT doc_id, nc, u.gram
+        FROM (SELECT doc_id, length(text) AS nc, tk FROM t),
+          unnest([array_to_string(tk[i:i+2], ' ')
+            for i in range(1, len(tk) - 1)]) AS u(gram)),
+      c AS (SELECT doc_id, nc, gram, count(*)::BIGINT AS cnt
+        FROM g GROUP BY 1, 2, 3),
+      dp AS (SELECT doc_id, least(1.0,
+          sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)::DOUBLE
+            / nullif(nc, 0)::DOUBLE) AS dup_ngram_frac
+        FROM c GROUP BY doc_id, nc),
+      k AS (SELECT st.source,
+        (st.n_words >= 30 AND st.n_words <= 100000
+          AND st.mean_word_len >= 3.0 AND st.mean_word_len <= 10.0
+          AND st.alpha_word_frac >= 0.8 AND st.symbol_word_ratio <= 0.1
+          AND st.dup_line_frac <= 0.5
+          AND coalesce(dp.dup_ngram_frac,
+            CASE WHEN st.n_words IS NULL THEN NULL ELSE 0.0 END) <= 0.2)
+          AS keep
+      FROM st LEFT JOIN dp ON st.doc_id = dp.doc_id)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        count(CASE WHEN keep THEN 1 END)::BIGINT AS n_keep,
+        floor(count(CASE WHEN keep THEN 1 END) * 1.0 / count(*)
+          * 1000000.0 + 0.5) / 1000000.0 AS keep_rate
+      FROM k GROUP BY source ORDER BY source"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5103,7 +5169,7 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164,
+    q159, q160, q161, q162, q163, q164, q165,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

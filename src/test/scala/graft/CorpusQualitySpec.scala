@@ -118,6 +118,40 @@ class CorpusQualitySpec extends SparkSpec {
     assert(out(2L) == 0.0)                      // all bigrams unique
   }
 
+  test("per-row quality ops lift to Structured Streaming unchanged (stateless)") {
+    // the Gopher stats / line stats / C4 cleaner are pure per-row
+    // column maps, so the SAME call works on a streaming DataFrame
+    // with no state store, watermark, or output-mode constraint —
+    // pinned here so a future refactor can't silently add an
+    // aggregation that breaks append-mode streaming
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)]
+    val streamed = CorpusQuality.c4CleanLines(
+      CorpusQuality.withLineStats(
+        CorpusQuality.withGopherStats(
+          input.toDS().toDF("doc_id", "text"), col("text")),
+        col("text")),
+      col("text"), minWords = 2)
+      .withColumn("keep", CorpusQuality.gopherKeep(minWords = 2L))
+    val q = streamed.writeStream
+      .format("memory").queryName("cq_stream_out").outputMode("append")
+      .start()
+    try {
+      input.addData((1L, "good line here\nx"), (2L, "tiny"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cq_stream_out")
+      .select("doc_id", "n_words", "n_lines", "clean_text", "keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 3 words: the whitespace tokenizer splits on ' ' only, so
+    // "here\nx" is one word — the LINE structure is orthogonal
+    assert(rows(1L).getLong(1) == 3L && rows(1L).getLong(2) == 2L)
+    assert(rows(1L).getString(3) == "good line here")
+    assert(rows(1L).getBoolean(4))
+    assert(!rows(2L).getBoolean(4))
+  }
+
   test("jsDivergence: identical sources 0, disjoint sources ln 2") {
     val df = Seq(
       ("a", "tok1 tok2 tok2"), ("b", "tok1 tok2 tok2"),

@@ -70,6 +70,17 @@ object Queries {
     ev.withColumn("ts_us", epochMicros(ev.schema("ts").dataType, col("ts")))
   }
 
+  /** embeddings behind the in-plan dimension guard
+    * ([[GraftFunctions.vectorDimGuard]]): NULL vectors pass (each
+    * operator's NULL-vector law drops them), a RAGGED vector kills
+    * the query loudly instead of silently folding to the shorter
+    * length in every dot product downstream. All embedding queries
+    * load through here. */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .filter(vectorDimGuard(col("embedding"), EmbeddingDim))
+  private val EmbeddingDim = 64
+
   // ---------------------------------------------------------------- //
   // A/B/D: scans, projection & predicate pushdown, aggregation        //
   // ---------------------------------------------------------------- //
@@ -1327,7 +1338,7 @@ object Queries {
   /** H2: embedding-cosine near-dup pairs, label-blocked. */
   private val q34 = Q("q34_dedup_embedding_pairs",
     (s, d) => Dedup.embeddingPairs(
-        t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+        emb(s, d), id = "vec_id", vec = "embedding",
         blockKey = "label", threshold = 0.4)
       .withColumn("bk", col("bk").cast("long"))
       .orderBy(col("id_a"), col("id_b")),
@@ -1346,7 +1357,7 @@ object Queries {
     * the label/language skew. The 100 TB twin of q34. */
   private val q54 = Q("q54_dedup_embedding_lsh",
     (s, d) => Dedup.embeddingPairsLsh(
-        t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+        emb(s, d), id = "vec_id", vec = "embedding",
         planes = 8, dim = 64, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH b AS (SELECT vec_id, embedding, ${sqlLshBucket("e0")} AS bk
@@ -1365,7 +1376,7 @@ object Queries {
     * multiply the probing side ×9, never the pair count). */
   private val q55 = Q("q55_dedup_embedding_multiprobe",
     (s, d) => Dedup.embeddingPairsLshMultiProbe(
-        t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+        emb(s, d), id = "vec_id", vec = "embedding",
         planes = 8, dim = 64, threshold = 0.4)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH b0 AS (SELECT vec_id, embedding, ${sqlLshBucket("e0")} AS bk0
@@ -1527,7 +1538,7 @@ object Queries {
     * (broadcast queries × streamed corpus + per-query rank). */
   private val q35 = Q("q35_similarity_topk",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
@@ -1535,8 +1546,10 @@ object Queries {
         k = 5)
         .orderBy(col("q_id"), col("rank"))
     },
-    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
-      c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 20 AND embedding IS NOT NULL),
+      c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        WHERE embedding IS NOT NULL),
       p AS (SELECT q_id, c_id, ${sqlDot("qv", "cv")} AS dt,
         sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")}) AS nn
       FROM q, c WHERE q_id <> c_id),
@@ -1553,7 +1566,7 @@ object Queries {
     * join on bucket ids. */
   private val q36 = Q("q36_similarity_lsh_topk",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       Similarity.lshTopK(
         emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
@@ -1566,13 +1579,15 @@ object Queries {
           list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
             qv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
-      FROM (SELECT vec_id, embedding, embedding AS qv0 FROM embeddings WHERE vec_id < 20)),
+      FROM (SELECT vec_id, embedding, embedding AS qv0 FROM embeddings
+        WHERE vec_id < 20 AND embedding IS NOT NULL)),
       bc AS (SELECT vec_id AS c_id, embedding AS cv,
         CAST(list_sum(list_transform(range(0, 8), p -> CASE WHEN
           list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
             cv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
-      FROM (SELECT vec_id, embedding, embedding AS cv0 FROM embeddings)),
+      FROM (SELECT vec_id, embedding, embedding AS cv0 FROM embeddings
+        WHERE embedding IS NOT NULL)),
       p AS (SELECT q_id, c_id, bq.bucket, ${sqlDot("qv", "cv")} AS dt,
         sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")}) AS nn
       FROM bq JOIN bc ON bq.bucket = bc.bucket AND q_id <> c_id),
@@ -1588,7 +1603,7 @@ object Queries {
     * single-probe loses, still as equality joins. */
   private val q65 = Q("q65_similarity_multiprobe_topk",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       Similarity.lshMultiProbeTopK(
         emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
@@ -1601,7 +1616,8 @@ object Queries {
           list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
             qv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket0
-      FROM (SELECT vec_id, embedding, embedding AS qv0 FROM embeddings WHERE vec_id < 20)),
+      FROM (SELECT vec_id, embedding, embedding AS qv0 FROM embeddings
+        WHERE vec_id < 20 AND embedding IS NOT NULL)),
       bq AS (SELECT q_id, qv,
         unnest(list_prepend(bucket0,
           list_transform(range(0, 8), p -> xor(bucket0, (1::BIGINT << p))))) AS bucket
@@ -1611,7 +1627,8 @@ object Queries {
           list_reduce(list_prepend(0.0, list_transform(range(1, 65), d ->
             cv0[d]::DOUBLE * (((p*37 + d*101 + 17) % 1000)::DOUBLE / 500.0 - 1.0))), (x,y) -> x+y) > 0.0
           THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS bucket
-      FROM (SELECT vec_id, embedding, embedding AS cv0 FROM embeddings)),
+      FROM (SELECT vec_id, embedding, embedding AS cv0 FROM embeddings
+        WHERE embedding IS NOT NULL)),
       p AS (SELECT q_id, c_id, ${sqlDot("qv", "cv")} AS dt,
         sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")}) AS nn
       FROM bq JOIN bc ON bq.bucket = bc.bucket AND q_id <> c_id),
@@ -1632,7 +1649,7 @@ object Queries {
     * catching a mis-sized quantizer.) */
   private val q38 = Q("q38_similarity_ivf_topk",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       Similarity.ivfTopKWithRecall(
         emb.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
@@ -2977,10 +2994,14 @@ object Queries {
   private val q105 = Q("q105_semantic_dedup_keeplist",
     (s, d) => {
       val pairs = Dedup.embeddingPairsLsh(
-          t(s, d, "embeddings"), id = "vec_id", vec = "embedding",
+          emb(s, d), id = "vec_id", vec = "embedding",
           planes = 8, dim = 64, threshold = 0.4)
         .select(col("id_a"), col("id_b"))
       val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      // id universe: the RAW table, not emb() — the dim guard references
+      // the embedding column and would defeat the id-only column pruning
+      // this query's plan test pins (the vectors are validated on the
+      // pair-generation side above)
       t(s, d, "embeddings").select(col("vec_id"))
         .join(comp.select(col("id").as("vec_id"), col("cluster_id"),
           col("is_keeper")), Seq("vec_id"), "left")
@@ -3117,7 +3138,7 @@ object Queries {
     val dvv = sqlDot("v", "v"); val dvc = sqlDot("v", "c"); val dcc = sqlDot("c", "c")
     s"""xq AS (SELECT vec_id,
           list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       sd AS (SELECT vec_id, v,
           row_number() OVER (ORDER BY
             ${sqlPolyHash("'km6' || CAST(vec_id AS VARCHAR) || '#graft-kmeans'")} % 10000,
@@ -3178,7 +3199,9 @@ object Queries {
     * Assignment is a narrow per-row argmin over broadcast centroid
     * literals: the corpus never shuffles, any iteration, at any scale. */
   private val q108 = Q("q108_kmeans_embeddings",
-    (s, d) => Clustering.kMeans(t(s, d, "embeddings"),
+    (s, d) => Clustering.kMeans(
+        // kMeans REFUSES null vectors by contract -> the caller's null law
+        emb(s, d).filter(col("embedding").isNotNull),
         col("vec_id"), col("embedding"), k = 4, iters = 2, seed = "km6", dim = 64)
       .select(col("id").as("vec_id"), col("cluster_id"),
         r(col("dist2") / lit(1.0e8), 6).as("dist2"))
@@ -3233,7 +3256,7 @@ object Queries {
   private val q110 = Q("q110_rrf_hybrid",
     (s, d) => {
       val docs = t(s, d, "documents")
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       val bm = TextAnalysis.bm25TopDocs(docs, col("doc_id"), col("text"),
           terms = Seq("spark", "window", "hash"), k = 50, withRank = true)
         .select(col("doc_id"), col("rank"))
@@ -3292,7 +3315,7 @@ object Queries {
     * rows exactly. Narrow per-row pass — no shuffle at any scale. */
   private val q111 = Q("q111_int8_metrics",
     (s, d) => Similarity.int8Metrics(
-        t(s, d, "embeddings"), col("vec_id"), col("embedding"))
+        emb(s, d), col("vec_id"), col("embedding"))
       .select(col("id").as("vec_id"), r(col("q_scale"), 6).as("q_scale"),
         r(col("sse"), 6).as("sse"), r(col("cos_recon"), 6).as("cos_recon"))
       .orderBy(col("vec_id")),
@@ -3323,7 +3346,7 @@ object Queries {
     * not merely by shared op sequence. */
   private val q112 = Q("q112_similarity_quantized_topk",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       Similarity.int8BruteForceTopK(
           emb.filter(col("vec_id") < 5)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
@@ -3337,7 +3360,8 @@ object Queries {
       val dxq = sqlDot("qx", "qx"); val dxc = sqlDot("cx", "cx")
       val dqx = sqlDot("qx", "cx")
       Some(s"""WITH xd AS (SELECT vec_id,
-          list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings),
+          list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings
+          WHERE embedding IS NOT NULL),
       sc AS (SELECT vec_id, x,
           list_max(list_transform(x, v -> abs(v))) / 127.0 AS s FROM xd),
       q8t AS (SELECT vec_id, x, ${sqlQ8("x", "s")} AS q8 FROM sc),
@@ -3369,13 +3393,15 @@ object Queries {
     * chain and the non-straddle property end to end. */
   private val q113 = Q("q113_leakage_safe_split",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       val pairs = Dedup.embeddingPairsLsh(
           emb, id = "vec_id", vec = "embedding",
           planes = 8, dim = 64, threshold = 0.4)
         .select(col("id_a"), col("id_b"))
       graft.operators.Sampling.leakageSafeSplit(
-          emb.select(col("vec_id")), col("vec_id"), pairs,
+          // raw table for the id universe: keeps the scan pruned to
+          // vec_id (the guard on emb would force an embedding read)
+          t(s, d, "embeddings").select(col("vec_id")), col("vec_id"), pairs,
           idA = "id_a", idB = "id_b", seed = "r6leak",
           weights = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("vec_id"), col("cluster_id"), col("split"))
@@ -3470,7 +3496,8 @@ object Queries {
     * unrolled k-means AND the per-cluster hash cut. */
   private val q116 = Q("q116_cluster_balanced_sample",
     (s, d) => graft.operators.Sampling.stratumSample(
-        Clustering.kMeans(t(s, d, "embeddings"),
+        Clustering.kMeans(
+          emb(s, d).filter(col("embedding").isNotNull),  // kMeans refuses nulls
           col("vec_id"), col("embedding"), k = 4, iters = 2,
           seed = "km6", dim = 64),
         stratum = col("cluster_id"), key = col("id"), n = 20, seed = "cb6")
@@ -3650,7 +3677,7 @@ object Queries {
     * cosines, band, and the per-query rounded-cosine cut. */
   private val q122 = Q("q122_hard_negatives",
     (s, d) => {
-      val emb = t(s, d, "embeddings")
+      val emb = Queries.emb(s, d)
       graft.operators.Similarity.hardNegatives(
           emb.filter(col("vec_id") < 10)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),

@@ -95,6 +95,23 @@ object GraftFunctions {
     pmod(t * lit(a) + lit(b), lit(HashMod))
   }
 
+  /** In-plan vector-dimension guard (the [[dotProduct]] /
+    * `lshBucket` input-domain contract made LOUD): TRUE for NULL
+    * vectors (the family's NULL-vector law drops them downstream) and
+    * for vectors of exactly `dim` elements; any other length kills
+    * the query with a descriptive error instead of silently folding a
+    * ragged vector to the shorter length (a wrong-but-plausible
+    * cosine at 100 TB is strictly worse than a loud failure — the
+    * hllRegisters domain-guard precedent). Use as
+    * `df.filter(vectorDimGuard(col(vec), 64))`; codegen'd CASE, one
+    * conditional per row, negligible beside any dot product. */
+  def vectorDimGuard(vec: Column, dim: Int): Column =
+    coalesce(assert_true(vec.isNull || size(vec) === dim,
+      lit(s"vector dimension guard: expected a NULL vector or exactly " +
+        s"$dim elements — a ragged embedding would silently fold to " +
+        s"the shorter length (fix the upstream embedder or filter " +
+        s"explicitly)")), lit(true))
+
   /** Dot product of two numeric arrays — the native codegen'd
     * sequential left-fold (`HashExpressions.dotNative`), bit-identical
     * to [[dotProductDeclarative]] and the DuckDB list_reduce oracle ON

@@ -470,4 +470,21 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("c_id").as[Long].collect().toSet
     assert(brute === Set(1L))
   }
+
+  test("vectorDimGuard: NULL vectors pass, ragged vectors die loudly") {
+    import graft.functions.GraftFunctions.vectorDimGuard
+    val ok = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("id", "vec")
+    assert(ok.filter(vectorDimGuard(col("vec"), 2)).count() == 2L)
+
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f)))
+      .toDF("id", "vec")
+    val e = intercept[Exception] {
+      ragged.filter(vectorDimGuard(col("vec"), 2)).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ragged embedding")),
+      s"refusal must name the failure: ${msgs(e)}")
+  }
 }

@@ -325,6 +325,11 @@ class PlanRegressionSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name must stay equality-join shaped:\n$p")
     }
+    // the top-gram cut must ride the TopKRewrite (k=1 bounded heap),
+    // not a per-doc Window sort over the full gram set
+    val pTop = plan("q160_top_ngram_repetition")
+    assert(pTop.contains("TopKPerGroup") && !pTop.contains("Window"),
+      s"q160's rn=1 filter must plan as the bounded-heap operator:\n$pTop")
   }
 
   test("q164 JS divergence: count table barriered, pair table broadcast onto vocab postings") {

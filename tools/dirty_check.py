@@ -8,7 +8,9 @@ to a FULL gate over every oracle-twinned query). This script
 materializes a DIRTY copy of sf0.001 — null event values, malformed
 and empty props JSON, null/empty/whitespace-only document text,
 supplementary-plane (emoji) text, null document lang, null customer
-balances (contract-non-null columns like ids and ts stay clean) — runs
+balances, null embedding vectors and labels (contract-non-null columns
+like ids and ts stay clean; RAGGED vectors stay out by design — the
+in-plan vectorDimGuard refuses them loudly, spec-tested) — runs
 graft.Verify on ALL queries against it, and compares every dumped
 result to its DuckDB oracle on the same dirty corpus.
 
@@ -40,8 +42,19 @@ def build() -> dict:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     for t in ["region", "nation", "supplier", "part", "orders",
-              "embeddings", "lineitem"]:
+              "lineitem"]:
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    # embeddings dirt: NULL vectors (the ANN family's NULL-vector law
+    # must DROP them on both engines — a kept NULL vec hands bucket-0
+    # queries NULL-cos neighbors) and NULL labels. Ragged vectors are
+    # deliberately NOT generated: the in-plan vectorDimGuard refuses
+    # them loudly by contract (spec-tested), so a ragged row would
+    # crash every embedding query rather than test a parity law.
+    con.execute(f"""COPY (SELECT vec_id,
+      CASE WHEN vec_id % 29 = 0 THEN NULL ELSE embedding END AS embedding,
+      CASE WHEN vec_id % 43 = 0 THEN NULL ELSE label END AS label
+      FROM read_parquet('{SRC}/embeddings.parquet'))
+      TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
     con.execute(f"""COPY (SELECT c_custkey, c_name, c_nationkey,
       CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
       c_mktsegment FROM read_parquet('{SRC}/customer.parquet'))
@@ -89,12 +102,17 @@ def build() -> dict:
       (SELECT count(*) FROM read_parquet('{DST}/customer.parquet')
         WHERE c_acctbal IS NULL),
       (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
-        WHERE text LIKE '\U0001F680%')""").fetchall()[0]
+        WHERE text LIKE '\U0001F680%'),
+      (SELECT count(*) FROM read_parquet('{DST}/embeddings.parquet')
+        WHERE embedding IS NULL),
+      (SELECT count(*) FROM read_parquet('{DST}/embeddings.parquet')
+        WHERE label IS NULL)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
               "empty_lang": c[6], "null_acctbal": c[7],
-              "emoji_doc_text": c[8]}
+              "emoji_doc_text": c[8], "null_embedding": c[9],
+              "null_label": c[10]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

@@ -5183,6 +5183,33 @@ object Queries {
       FROM k GROUP BY source ORDER BY source"""),
     bench = true)
 
+  /** H3+: embedding-space drift — pairwise cosine between per-label
+    * centroid vectors ([[Clustering.groupCentroidCosine]]), the
+    * geometric twin of q164's token-level JS matrix and the
+    * label-coherence check. Integral quantization makes every number
+    * on the path order-independent-exact (sqrt is IEEE-exact), so the
+    * oracle replays the matrix with NO float-order caveat; r(·,6) is
+    * display convention only. */
+  private val q166 = Q("q166_label_centroid_cosine",
+    (s, d) => Clustering.groupCentroidCosine(
+        emb(s, d), col("label"), col("embedding"))
+      .select(col("grp_a").as("label_a"), col("grp_b").as("label_b"),
+        r(col("cos"), 6).as("cos"))
+      .orderBy(col("label_a"), col("label_b")),
+    Some("""WITH c AS (SELECT label AS grp, dd.d,
+        sum(floor(embedding[dd.d]::DOUBLE * 10000.0 + 0.5)) AS s
+        FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+        WHERE label IS NOT NULL AND embedding IS NOT NULL GROUP BY 1, 2),
+      n AS (SELECT grp, sum(s * s) AS n2 FROM c GROUP BY grp),
+      dt AS (SELECT a.grp AS grp_a, b.grp AS grp_b, sum(a.s * b.s) AS dot
+        FROM c a JOIN c b ON a.d = b.d AND a.grp < b.grp GROUP BY 1, 2)
+      SELECT grp_a AS label_a, grp_b AS label_b,
+        CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+          ELSE floor(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000.0 + 0.5)
+            / 1000000.0 END AS cos
+      FROM dt JOIN n na ON dt.grp_a = na.grp JOIN n nb ON dt.grp_b = nb.grp
+      ORDER BY label_a, label_b"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5196,7 +5223,7 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165,
+    q159, q160, q161, q162, q163, q164, q165, q166,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -65,6 +65,58 @@ object Clustering {
     *         clusters (the standard Lloyd degradation); an EMPTY
     *         input refuses loudly.
     */
+  /** Pairwise cosine similarity between per-group embedding CENTROIDS
+    * (every ordered group pair grp_a < grp_b) — embedding-SPACE drift,
+    * the geometric twin of the token-level JS matrix
+    * ([[CorpusQuality.jsDivergence]]): "did source A's documents move
+    * away from source B's in representation space?" Also the
+    * label-coherence check for a labeled corpus (near-identical label
+    * centroids mean the labels don't separate).
+    *
+    * Bit-portable by the same move as [[kMeans]]: components quantize
+    * to INTEGRAL doubles (`floor(x·scale + 0.5)`), per-(group, dim)
+    * sums are then associative-exact in any shuffle order, and cosine
+    * is scale-invariant so the SUM vector stands in for the mean —
+    * no division until the final cosine, whose sqrt is exactly
+    * rounded by IEEE and whose one division is deterministic. The
+    * whole matrix hash-replays in the SQL oracle with zero float-
+    * order caveats (unlike the ln-based JS, which leans on r(·)).
+    *
+    * Shape at 100 TB: one posexplode → (group, dim) integral-sum
+    * aggregation with map-side combine (state = groups × dim), the
+    * component table barriered (it feeds the norms and BOTH sides of
+    * the dim-join), then a |groups|²/2 × dim pair join — all
+    * group-bounded however large the corpus. NULL groups and NULL
+    * vectors are excluded (each family's null law). Zero-mass groups
+    * cannot occur (a group exists only via ≥ 1 non-null vector);
+    * zero-NORM centroids score 0.0 against everything (the
+    * [[GraftFunctions.cosine]] convention). Returns
+    * (grp_a, grp_b, cos). */
+  def groupCentroidCosine(df: DataFrame, group: Column, vec: Column,
+                          scale: Double = 10000.0): DataFrame = {
+    val comp = OpUtils.barrier(
+      df.filter(group.isNotNull && vec.isNotNull)
+        .select(group.as("grp"), posexplode(vec).as(Seq("d", "x")))
+        .groupBy(col("grp"), col("d"))
+        .agg(sum(floor(col("x") * scale + lit(0.5))).as("s")),
+      reliable = false)
+    val norms = comp.groupBy(col("grp"))
+      .agg(sum(col("s") * col("s")).as("n2"))
+    val a = comp.select(col("grp").as("grp_a"), col("d"), col("s").as("sa"))
+    val b = comp.select(col("grp").as("grp_b"), col("d"), col("s").as("sb"))
+    a.join(b, a("d") === b("d") && col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+      .join(broadcast(norms.select(col("grp").as("grp_a"), col("n2").as("na"))),
+        Seq("grp_a"))
+      .join(broadcast(norms.select(col("grp").as("grp_b"), col("n2").as("nb"))),
+        Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        when(col("na") === 0.0 || col("nb") === 0.0, lit(0.0))
+          .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+          .as("cos"))
+  }
+
   def kMeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
              seed: String, dim: Int, scale: Long = 10000L): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")

@@ -487,4 +487,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("ragged embedding")),
       s"refusal must name the failure: ${msgs(e)}")
   }
+
+  test("groupCentroidCosine: exact centroid geometry, null and zero-norm laws") {
+    import graft.operators.Clustering
+    val df = Seq(
+      ("a", Some(Seq(1.0f, 0.0f))), ("a", Some(Seq(1.0f, 0.0f))),
+      ("b", Some(Seq(0.0f, 1.0f))),
+      ("c", Some(Seq(2.0f, 0.0f))),
+      ("z", Some(Seq(0.0f, 0.0f))),           // zero-norm centroid
+      (null.asInstanceOf[String], Some(Seq(9.0f, 9.0f))),  // null group: out
+      ("a", None)                              // null vector: out
+    ).toDF("src", "vec")
+    val out = Clustering.groupCentroidCosine(df, col("src"), col("vec"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet == Set(("a","b"), ("a","c"), ("a","z"),
+      ("b","c"), ("b","z"), ("c","z")))
+    assert(out(("a","b")) == 0.0)              // orthogonal
+    assert(out(("a","c")) == 1.0)              // parallel (scale-invariant)
+    assert(out(("b","c")) == 0.0)
+    assert(out(("a","z")) == 0.0 && out(("b","z")) == 0.0) // zero norm -> 0.0
+  }
 }

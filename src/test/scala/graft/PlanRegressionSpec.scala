@@ -346,4 +346,16 @@ class PlanRegressionSpec extends SparkSpec {
         s"scan here means the corpus explode+agg replans per consumer " +
         s"(got $scans):\n$p")
   }
+
+  test("q166 centroid cosine: component table barriered — zero source scans in the final plan") {
+    val df = Queries.queries("q166_label_centroid_cosine")(spark, sf("sf0.001"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"norms + both dim-join sides must read the barriered (group, dim) " +
+        s"sum table, not re-explode the corpus (got $scans scans):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the dim join must stay an equality join:\n$p")
+  }
 }

@@ -5210,6 +5210,59 @@ object Queries {
       FROM dt JOIN n na ON dt.grp_a = na.grp JOIN n nb ON dt.grp_b = nb.grp
       ORDER BY label_a, label_b"""))
 
+  /** H1+/H4+: winnowing fingerprint digest
+    * ([[GraftFunctions.winnowFingerprints]], Schleimer et al. 2003;
+    * k = 3, w = 6) — the local-minima document sketch between q42's
+    * 1-hash fingerprint and q153's exact shared-span scan: any shared
+    * run of ≥ w + k − 1 = 8 tokens shares ≥ 1 fingerprint at expected
+    * density 2/(w+1). Pure per-row (native codegen'd kernel behind
+    * the scan, zero shuffles); the digest folds every selected
+    * (pos, fp) pair in position order, so a hash match certifies the
+    * ENTIRE selection sequence. The oracle replays gram hashing,
+    * window minima (rightmost tie), the consecutive-dedup (sorted
+    * distinct positions — selections are non-decreasing, so set =
+    * sequence), and the fold, term for term. */
+  private val q167 = Q("q167_winnowing_digest",
+    (s, d) => {
+      val fps = winnowFingerprints(tokens(col("text")), k = 3, w = 6)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"), fps.as("_fps"))
+        .select(col("doc_id"),
+          when(col("text").isNull, lit(null))
+            .otherwise(size(col("_fps"))).cast("long").as("n_fps"),
+          when(col("text").isNull, lit(null).cast("long"))
+            .otherwise(aggregate(col("_fps"), lit(0L), (h, e) =>
+              pmod(h * 31 + pmod(
+                e.getField("pos").cast("long") * 1009 + e.getField("fp"),
+                lit(1000000007L)), lit(1000000007L))))
+            .as("fp_fold"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+      h AS (SELECT doc_id, text,
+        CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), i ->
+          ${sqlPolyHash("array_to_string(tk[i:i+2], ' ')")})
+        ELSE [] END AS hs FROM t),
+      w AS (SELECT doc_id, text, hs, len(hs) AS m FROM h),
+      sel AS (SELECT doc_id, text, hs, m,
+        CASE WHEN m = 0 THEN []
+        ELSE list_sort(list_distinct(list_transform(
+          range(1, greatest(m - 5, 1) + 1), i ->
+            list_max(list_transform(range(i, least(i + 6, m + 1)), j ->
+              CASE WHEN hs[j] = list_min(hs[i:least(i + 5, m)])
+                THEN j ELSE 0 END)))))
+        END AS ps FROM w)
+      SELECT doc_id,
+        CASE WHEN text IS NULL THEN NULL ELSE len(ps)::BIGINT END AS n_fps,
+        CASE WHEN text IS NULL THEN NULL ELSE
+          list_reduce(list_prepend(0::BIGINT, list_transform(ps, j ->
+            ((j - 1) * 1009 + hs[j]) % 1000000007)),
+            (a, x) -> (a * 31 + x) % 1000000007)
+        END AS fp_fold
+      FROM sel ORDER BY doc_id"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5223,7 +5276,7 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166,
+    q159, q160, q161, q162, q163, q164, q165, q166, q167,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -178,6 +178,41 @@ object GraftFunctions {
   def positionedShingles(toks: Column, n: Int): Column =
     HashExpressions.positionedShinglesNative(toks, n)
 
+  /** Winnowing fingerprints (Schleimer et al. 2003): per document,
+    * the position-sorted (pos, fp) selections of the rightmost
+    * minimal `k`-gram hash in every window of `w` consecutive gram
+    * hashes — the local-minima document sketch whose guarantee (any
+    * shared run of ≥ w + k − 1 tokens shares ≥ 1 fingerprint at
+    * expected density 2/(w+1)) sits between [[withFingerprints]]'
+    * 1-hash sketch and [[TextAnalysis.sharedSpans]]' exact scan.
+    * Native codegen'd expression (`graft.functions
+    * .WinnowFingerprints`); NULL/short input → empty array. */
+  def winnowFingerprints(toks: Column, k: Int, w: Int): Column =
+    HashExpressions.winnowNative(toks, k, w)
+
+  /** Declarative (built-ins only) specification of
+    * [[winnowFingerprints]] — the readable spec and differential-test
+    * twin; interpreted, never on a query path. Same selection law:
+    * per window slice, keep the LAST element whose fp equals the
+    * window minimum (rightmost min), then collapse the consecutive
+    * repeats (array_distinct is exact here — selections are
+    * non-decreasing in pos, so duplicates are only ever adjacent). */
+  def winnowFingerprintsDeclarative(toks: Column, k: Int, w: Int): Column = {
+    val grams = positionedShinglesDeclarative(toks, k)
+    val hs = transform(grams,
+      g => struct(g.getField("pos").as("pos"),
+        polyHashDeclarative(g.getField("ng")).as("fp")))
+    val nw = greatest(size(hs) - lit(w - 1), lit(1))
+    val wins = transform(sequence(lit(0), nw - 1), i => {
+      val win = slice(hs, i + 1, lit(w))
+      val minFp = array_min(transform(win, x => x.getField("fp")))
+      element_at(filter(win, x => x.getField("fp") === minFp), -1)
+    })
+    when(size(hs) === 0, array().cast(
+      "array<struct<pos:int,fp:bigint>>"))
+      .otherwise(array_distinct(wins))
+  }
+
   /** Declarative (built-ins only) specification of
     * [[positionedShingles]] — readable spec and differential-test
     * twin; interpreted, never on a query path. */

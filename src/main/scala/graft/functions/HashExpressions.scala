@@ -211,6 +211,71 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003, "robust winnowing" with the rightmost-minimum tie rule):
+    * hash every word-`k`-gram (the family polyhash, identical to
+    * [[shingles]]+[[polyHash]] of the same window including the
+    * null-token concat_ws law), slide a window of `w` consecutive
+    * gram hashes (documents with fewer than `w` grams form ONE
+    * window), select each window's rightmost minimal hash, and emit
+    * the selection when it differs from the previous window's — the
+    * guarantee: any shared substring of at least w + k − 1 tokens
+    * yields at least one shared fingerprint, at expected density
+    * 2/(w+1). Selections are strictly increasing in position (a
+    * window's rightmost min never moves left as the window slides),
+    * so the output is position-sorted and duplicate-free by
+    * construction. Returns array<struct<pos:int, fp:bigint>> with
+    * 0-based gram positions; fewer than `k` tokens → empty array. */
+  def winnow(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val size = toks.numElements()
+    if (size < k) return new GenericArrayData(Array.empty[AnyRef])
+    val m = size - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var appended = false
+      var j = i
+      val end = i + k
+      while (j < end) {
+        if (!toks.isNullAt(j)) {                     // concat_ws null-skip
+          if (appended) h = (h * 31 + 32) % Mod      // ' ' separator
+          val s = toks.getUTF8String(j).toString
+          var ci = 0
+          while (ci < s.length) {
+            val cp = s.codePointAt(ci)
+            h = (h * 31 + cp) % Mod
+            ci += Character.charCount(cp)
+          }
+          appended = true
+        }
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    val nw = math.max(1, m - w + 1)
+    val buf = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var lastPos = -1
+    var wi = 0
+    while (wi < nw) {
+      val end = math.min(wi + w, m)
+      var best = wi
+      var j = wi + 1
+      while (j < end) {
+        if (hs(j) <= hs(best)) best = j              // <= : rightmost min
+        j += 1
+      }
+      if (best != lastPos) {
+        buf += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](best, hs(best)))
+        lastPos = best
+      }
+      wi += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   /** Normalized dyadic (α=½) weighted fold of a running-frame list:
     * `(Σ xs[i]·2^i) / (2^n − 1)` — index i=0 is the OLDEST frame row,
     * so the newest carries weight 2^(n−1). All-integer accumulation
@@ -580,6 +645,54 @@ case class PositionedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `graft_winnow(array<string>, k, w) -> array<struct<pos:int,fp:bigint>>`
+  * — see [[HashUtil.winnow]]. One tight Java loop per document (gram
+  * hashing fused with window minima) instead of an interpreted
+  * transform/slice/array_min/filter stack; NULL input array yields an
+  * EMPTY array, the [[Shingles]] law. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"graft_winnow: k must be >= 1, got $k")
+  require(w >= 1, s"graft_winnow: w must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_winnow"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> input, got ${other.simpleString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[AnyRef])
+    else HashUtil.winnow(v.asInstanceOf[ArrayData], k, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull}
+        ? new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0])
+        : graft.functions.HashUtil.winnow(${childGen.value}, $k, $w);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** `graft_bpe_merge(array<string>, 'w1', 'w2') -> array<string>` — one
   * greedy left-to-right, non-overlapping BPE merge pass (the rewrite
   * step of `TextAnalysis.learnBpeMerges`, run 2× per learned merge
@@ -833,6 +946,8 @@ object HashExpressions {
     GraftColumnBridge.column(Shingles(GraftColumnBridge.expression(tokens), n))
   def positionedShinglesNative(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(PositionedShingles(GraftColumnBridge.expression(tokens), n))
+  def winnowNative(tokens: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(WinnowFingerprints(GraftColumnBridge.expression(tokens), k, w))
   def shingleMinHashNative(tokens: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(ShingleMinHash(GraftColumnBridge.expression(tokens), n, k))
   def shingleSimHashNative(tokens: Column, n: Int, bits: Int): Column =

@@ -508,4 +508,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(("b","c")) == 0.0)
     assert(out(("a","z")) == 0.0 && out(("b","z")) == 0.0) // zero norm -> 0.0
   }
+
+  test("native winnow matches the declarative spec on real documents + edges") {
+    import graft.functions.GraftFunctions
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+    for ((k, w) <- Seq((3, 6), (2, 4), (1, 3))) {
+      val diff = docs
+        .withColumn("nat", GraftFunctions.winnowFingerprints(
+          GraftFunctions.tokens(col("text")), k, w))
+        .withColumn("dec", GraftFunctions.winnowFingerprintsDeclarative(
+          GraftFunctions.tokens(col("text")), k, w))
+        .filter(not(col("nat") <=> col("dec")))
+      assert(diff.count() === 0L, s"k=$k w=$w")
+    }
+    // edges: null array / short doc -> empty; null tokens skip in-window
+    val edge = Seq(
+      (1L, null.asInstanceOf[Seq[String]]),
+      (2L, Seq("x", "y")),
+      (3L, Seq("a", null, "b", "c", "a"))
+    ).toDF("id", "toks")
+    val rows = edge
+      .withColumn("nat", GraftFunctions.winnowFingerprints(col("toks"), 3, 2))
+      .withColumn("dec", GraftFunctions.winnowFingerprintsDeclarative(col("toks"), 3, 2))
+      .select("id", "nat", "dec")
+      .as[(Long, Seq[(Int, Long)], Seq[(Int, Long)])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows(1L)._2 === Seq.empty)
+    assert(rows(2L)._2 === Seq.empty)
+    assert(rows(3L)._2 === rows(3L)._3 && rows(3L)._2.nonEmpty)
+  }
+
+  test("winnow guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
+    import graft.functions.GraftFunctions
+    val (k, w) = (3, 4)
+    // two docs sharing exactly a (w+k-1)-token run amid different noise
+    val shared = "s1 s2 s3 s4 s5 s6"                   // w+k-1 = 6 tokens
+    val df = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),
+      (2L, s"b1 b2 $shared y1 y2 y3 y4")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      explode(GraftFunctions.winnowFingerprints(
+        GraftFunctions.tokens(col("text")), k, w)).as("f"))
+      .select(col("doc_id"), col("f.fp"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "winnowing must fingerprint some gram of the shared run in both docs")
+  }
 }

@@ -347,6 +347,16 @@ class PlanRegressionSpec extends SparkSpec {
         s"(got $scans):\n$p")
   }
 
+  test("q167 winnowing digest: native kernel, zero hash exchanges behind the scan") {
+    val p = plan("q167_winnowing_digest")
+    assert(p.contains("graft_winnow"),
+      s"fingerprint selection must stay on the native expression:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 0,
+      s"the digest is a pure per-row map (only the output sort may " +
+        s"range-partition), got $hashExchanges hash exchanges:\n$p")
+  }
+
   test("q166 centroid cosine: component table barriered — zero source scans in the final plan") {
     val df = Queries.queries("q166_label_centroid_cosine")(spark, sf("sf0.001"))
     df.count()

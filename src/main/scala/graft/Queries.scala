@@ -5263,6 +5263,43 @@ object Queries {
       FROM sel ORDER BY doc_id"""),
     bench = true)
 
+  /** H1+/H4+: winnowing match candidates
+    * ([[TextAnalysis.winnowingPairs]]) — q167's fingerprints put to
+    * their real use: document pairs sharing ≥ 2 fingerprints, with
+    * boilerplate fingerprints (document frequency > 10) pruned before
+    * the pair join (the quadratic-fan-out guard AND the semantics).
+    * The oracle re-derives the fingerprints, the df cut, and the pair
+    * counts end to end. */
+  private val q168 = Q("q168_winnowing_pairs",
+    (s, d) => TextAnalysis.winnowingPairs(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        k = 3, w = 6, minShared = 2L, maxDf = 10)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        FROM documents),
+      h AS (SELECT doc_id, text,
+        CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), i ->
+          ${sqlPolyHash("array_to_string(tk[i:i+2], ' ')")})
+        ELSE [] END AS hs FROM t),
+      w AS (SELECT doc_id, text, hs, len(hs) AS m FROM h),
+      sel AS (SELECT doc_id, text, hs, m,
+        CASE WHEN m = 0 THEN []
+        ELSE list_sort(list_distinct(list_transform(
+          range(1, greatest(m - 5, 1) + 1), i ->
+            list_max(list_transform(range(i, least(i + 6, m + 1)), j ->
+              CASE WHEN hs[j] = list_min(hs[i:least(i + 5, m)])
+                THEN j ELSE 0 END)))))
+        END AS ps FROM w),
+      fpd AS (SELECT DISTINCT doc_id, hs[u.j] AS fp
+        FROM sel, unnest(ps) AS u(j) WHERE text IS NOT NULL),
+      keepfp AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) <= 10),
+      kept AS (SELECT * FROM fpd WHERE fp IN (SELECT fp FROM keepfp))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        count(*)::BIGINT AS shared_fps
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY id_a, id_b"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5276,7 +5313,7 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166, q167,
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -713,7 +713,46 @@ object TextAnalysis {
           element_at(toks, i + 2).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
 
-  /** Cross-document repeated-substring detection — the exact-substring
+    /** Cross-document winnowing match candidates: documents sharing at
+    * least `minShared` winnowing fingerprints
+    * ([[GraftFunctions.winnowFingerprints]]) — the plagiarism-style
+    * candidate generator the winnowing sketch exists for (Schleimer
+    * et al. 2003 §4; by the guarantee, any pair sharing a run of
+    * ≥ w + k − 1 tokens surfaces here with probability 1 unless the
+    * fingerprint is boilerplate-pruned). Fingerprints occurring in
+    * more than `maxDf` documents are dropped BEFORE the pair join —
+    * both the boilerplate semantics (a fingerprint half the corpus
+    * shares identifies nothing) and the quadratic-blowup guard (the
+    * pair join's fan-out is capped at maxDf² per fingerprint, the
+    * [[pruneFrequentNgrams]] move).
+    *
+    * Shape at 100 TB: per-row native fingerprinting behind the scan,
+    * one (doc, fp) distinct shuffle, a fingerprint-keyed document-
+    * frequency cut, and an equality self-join on fp over the kept
+    * postings (barriered — it feeds both sides). Returns
+    * (id_a, id_b, shared_fps), id_a < id_b. */
+  def winnowingPairs(df: DataFrame, id: Column, text: Column,
+                     k: Int = 3, w: Int = 6, minShared: Long = 2L,
+                     maxDf: Int = 10): DataFrame = {
+    val fp = df
+      .select(id.as("_id"),
+        explode(winnowFingerprints(tokens(text), k, w)).as("_f"))
+      .select(col("_id"), col("_f").getField("fp").as("_fp"))
+      .distinct()
+    val dfreq = fp.groupBy(col("_fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+    val kept = OpUtils.barrier(
+      fp.join(dfreq.select(col("_fp")), Seq("_fp"), "left_semi"),
+      reliable = false)
+    kept.select(col("_fp"), col("_id").as("id_a"))
+      .join(kept.select(col("_fp"), col("_id").as("id_b")), Seq("_fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+/** Cross-document repeated-substring detection — the exact-substring
     * dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
     * Language Models Better": cut any ≥50-token span that appears in
     * more than one document). Reports every MAXIMAL token span whose

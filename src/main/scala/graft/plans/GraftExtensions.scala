@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, DyadicFold, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, ShingleSimHash, Shingles}
+import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, DyadicFold, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, ShingleSimHash, Shingles, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -127,6 +127,13 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => { val a = arity(exprs, "graft_pos_shingles", 2)
         PositionedShingles(a.head,
           intLit(a(1), "graft_pos_shingles", "n")) }),
+    (FunctionIdentifier("graft_winnow"),
+      info("graft_winnow",
+        "graft_winnow(tokens, k, w) - winnowing fingerprints: rightmost-min k-gram hash per w-window, position-sorted (pos, fp) structs"),
+      (exprs: Seq[Expression]) => { val a = arity(exprs, "graft_winnow", 3)
+        WinnowFingerprints(a.head,
+          intLit(a(1), "graft_winnow", "k"),
+          intLit(a(2), "graft_winnow", "w")) }),
     (FunctionIdentifier("graft_bpe_merge"),
       info("graft_bpe_merge",
         "graft_bpe_merge(tokens, w1, w2) - one greedy non-overlapping BPE merge pass of the adjacent pair (w1, w2)"),

@@ -556,4 +556,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert((fps(1L) intersect fps(2L)).nonEmpty,
       "winnowing must fingerprint some gram of the shared run in both docs")
   }
+
+  test("winnowingPairs: shared-run pair surfaces; boilerplate fps prune") {
+    import graft.operators.TextAnalysis
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val boiler = "b1 b2 b3 b4 b5 b6"                  // in EVERY doc
+    val df = Seq(
+      (1L, s"$boiler a1 a2 a3 $shared"),
+      (2L, s"$boiler $shared y1 y2"),
+      (3L, s"$boiler c1 c2 c3 c4 c5"),
+      (4L, s"$boiler d1 d2 d3 d4 d5")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowingPairs(df, col("doc_id"), col("text"),
+      k = 3, w = 4, minShared = 1L, maxDf = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // the true shared run must pair 1-2; the boilerplate prefix is in
+    // all 4 docs (> maxDf = 3) so its fingerprints cannot pair 3-4
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    assert(!pairs.contains((3L, 4L)), s"boilerplate must prune: $pairs")
+  }
 }

@@ -62,6 +62,17 @@ class ExtensionsSinksSpec extends SparkSpec {
     assert(msgs(rangeErr).exists(_.contains("out of int range")),
       rangeErr.getMessage)
 
+    // graft_winnow: registered, matches the Column wrapper, and
+    // rejects a non-literal window argument at analysis
+    val wn = spark.sql(
+      "SELECT graft_winnow(split('a b a b a b c', ' '), 2, 3) AS f")
+      .select(size(col("f"))).as[Int].collect().head
+    assert(wn >= 1)
+    val wErr = intercept[Exception](spark.sql(
+      "SELECT graft_winnow(split('a b', ' '), 2, id) FROM range(1)").collect())
+    assert(msgs(wErr).exists(_.contains("must be an integer literal")),
+      wErr.getMessage)
+
     // graft_shingle_simhash is registered; TWO instances in one
     // projection over a NON-NULLABLE child must both codegen (a fixed
     // generated-local name would collide and knock the projection out

@@ -357,6 +357,18 @@ class PlanRegressionSpec extends SparkSpec {
         s"range-partition), got $hashExchanges hash exchanges:\n$p")
   }
 
+  test("q168 winnowing pairs: kept postings barriered, equality self-join only") {
+    val df = Queries.queries("q168_winnowing_pairs")(spark, sf("sf0.001"))
+    df.count()                          // finalize AQE so barriers are planned
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the match join must stay an fp-equality join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans === 0,
+      s"both self-join sides must read the barriered kept postings " +
+        s"(got $scans parquet scans):\n$p")
+  }
+
   test("q166 centroid cosine: component table barriered — zero source scans in the final plan") {
     val df = Queries.queries("q166_label_centroid_cosine")(spark, sf("sf0.001"))
     df.count()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.GraftFunctions.{polyHash, shingles, tokens}
-import graft.operators.{EventAnalytics, Sketches}
+import graft.operators.{CorpusQuality, EventAnalytics, Sketches}
 
 /** Incremental corpus statistics — the running per-source dashboard a
   * training-data ingest keeps current as documents stream in: document
@@ -48,6 +48,14 @@ import graft.operators.{EventAnalytics, Sketches}
   *              the corpus), so "upgrading" would silently lose every
   *              previously-ingested document's distinct mass. Loud
   *              delete-and-re-ingest is the only honest resume.
+  *  - `quality`: (source, n_docs_q, n_keep) — Gopher keep-gate tally
+  *              ([[graft.operators.CorpusQuality.gopherKeep]], the
+  *              three-valued law: NULL text counts evaluated, never
+  *              kept); merge is cell-wise SUM, so the running
+  *              keep-rate per source is exact at every version. Added
+  *              after `hll` under the same NO-LEGACY-UPGRADE policy:
+  *              past batches' keep tallies are not reconstructible
+  *              from the other bounded tables.
   *  - `qs`:     (h, k_str, v) — bottom-k sample of per-doc token
   *              counts, keyed by the text's own portable hash (stable
   *              across replays and batch boundaries, so the merged
@@ -60,11 +68,13 @@ object StreamingCorpusStats {
 
   final case class Config(cmsWidth: Int = 2048, cmsDepth: Int = 3,
                           kmvK: Int = 128, shingleN: Int = 3,
-                          sampleK: Int = 256, hllB: Int = 6)
+                          sampleK: Int = 256, hllB: Int = 6,
+                          qualityMinWords: Long = 30L)
 
   /** One version's bounded state tables. */
   final case class Snapshot(counts: DataFrame, cms: DataFrame,
-                            kmv: DataFrame, qs: DataFrame, hll: DataFrame)
+                            kmv: DataFrame, qs: DataFrame, hll: DataFrame,
+                            quality: DataFrame)
 
   /** Seed for the length-sample hash — fixed: the sample must be the
     * same draw in every batch or the merge law breaks. */
@@ -79,7 +89,8 @@ object StreamingCorpusStats {
   private def fingerprint(cfg: Config): String =
     s"cmsWidth=${cfg.cmsWidth};cmsDepth=${cfg.cmsDepth};" +
       s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN};sampleK=${cfg.sampleK};" +
-      s"hllB=${cfg.hllB}"
+      s"hllB=${cfg.hllB}," +
+      s"qualityMinWords=${cfg.qualityMinWords}"
 
   private def readVersion(spark: SparkSession, statsDir: String, v: Long): Snapshot =
     Snapshot(
@@ -87,7 +98,8 @@ object StreamingCorpusStats {
       spark.read.parquet(s"$statsDir/v=$v/cms"),
       spark.read.parquet(s"$statsDir/v=$v/kmv"),
       spark.read.parquet(s"$statsDir/v=$v/qs"),
-      spark.read.parquet(s"$statsDir/v=$v/hll"))
+      spark.read.parquet(s"$statsDir/v=$v/hll"),
+      spark.read.parquet(s"$statsDir/v=$v/quality"))
 
   /** The latest committed snapshot's tables, or None before the first
     * commit. Public: this is also the read API for consumers. */
@@ -247,7 +259,15 @@ object StreamingCorpusStats {
       docs.select(polyHash(col("text")).as("k"),
         size(tokens(col("text"))).cast("double").as("len")).distinct(),
       col("k"), col("len"), cfg.sampleK, SampleSeed)
-    Snapshot(counts, cms, kmv, qs, hll)
+    // three-valued gate: NULL-text docs count as evaluated, never as
+    // kept — the running keep rate cannot be inflated by null rows
+    val quality = CorpusQuality.withGopherStats(docs, col("text"))
+      .withColumn("_keep",
+        CorpusQuality.gopherKeep(minWords = cfg.qualityMinWords))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_q"),
+        count(when(col("_keep"), 1)).as("n_keep"))
+    Snapshot(counts, cms, kmv, qs, hll, quality)
   }
 
   /** Merge two snapshots — pure sketch algebra, no corpus data. */
@@ -268,7 +288,12 @@ object StreamingCorpusStats {
     // the family's simplest merge law: registers combine by cell-wise
     // max, so stream-merged state IS the whole-corpus sketch exactly
     val hll = Sketches.hllMerge(a.hll, b.hll)
-    Snapshot(counts, cms, kmv, qs, hll)
+    // keep tallies are plain counters: cell-wise sum per source
+    val quality = a.quality.unionByName(b.quality)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs_q")).as("n_docs_q"),
+        sum(col("n_keep")).as("n_keep"))
+    Snapshot(counts, cms, kmv, qs, hll, quality)
   }
 
   /** Per-source distinct-shingle estimates from the latest snapshot's
@@ -280,6 +305,16 @@ object StreamingCorpusStats {
                        hllB: Int = Config().hllB): Option[DataFrame] =
     latest(spark, statsDir).map { case (_, snap) =>
       Sketches.hllEstimate(snap.hll, hllB)
+    }
+
+  /** Running per-source Gopher keep rates from the latest snapshot's
+    * quality tally — bounded-table read, no corpus access. Returns
+    * (source, n_docs_q, n_keep, keep_rate) or None before the first
+    * commit; a source whose every doc failed (or was NULL) rates 0. */
+  def qualityRates(spark: SparkSession, statsDir: String): Option[DataFrame] =
+    latest(spark, statsDir).map { case (_, snap) =>
+      snap.quality.select(col("source"), col("n_docs_q"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs_q")).as("keep_rate"))
     }
 
   def start(docs: DataFrame, sourceCol: String, textCol: String,
@@ -295,7 +330,7 @@ object StreamingCorpusStats {
           fs, dirPath, checkpoint, fingerprint(cfg), batchId, "_v_",
           "StreamingCorpusStats")
         if (!done) {
-          // the five snapshot writes are five jobs: cache the
+          // the six snapshot writes are six jobs: cache the
           // projected batch so the source micro-batch is read once,
           // not once per table
           val projected = batch
@@ -320,6 +355,8 @@ object StreamingCorpusStats {
               .parquet(s"$statsDir/v=$batchId/qs")
             merged.hll.write.mode(SaveMode.Overwrite)
               .parquet(s"$statsDir/v=$batchId/hll")
+            merged.quality.write.mode(SaveMode.Overwrite)
+              .parquet(s"$statsDir/v=$batchId/quality")
             StreamProtocol.commit(fs, dirPath, "_v_", batchId)
           } finally projected.unpersist()
         }

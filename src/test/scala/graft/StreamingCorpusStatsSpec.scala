@@ -61,6 +61,17 @@ class StreamingCorpusStatsSpec extends SparkSpec {
       val qBatch = graft.operators.Sketches
         .quantilesFromSample(batchSnap.qs, Seq(0.5, 0.9))
       assert(slurp(qStream) === slurp(qBatch))
+      // quality tallies are plain counters — cell-wise sum across
+      // batches must equal the whole-corpus gate counts exactly
+      assert(slurp(snap.quality) === slurp(batchSnap.quality))
+      val rates = StreamingCorpusStats.qualityRates(spark, s"$base/stats").get
+      assert(rates.columns.toSeq ===
+        Seq("source", "n_docs_q", "n_keep", "keep_rate"))
+      val rateRows = rates.collect()
+      assert(rateRows.nonEmpty && rateRows.forall { r =>
+        val (n, k) = (r.getLong(1), r.getLong(2))
+        k <= n && math.abs(r.getDouble(3) - k.toDouble / n) < 1e-15
+      })
 
       // time travel: v=0 is exactly the first batch's own summary
       val c0 = spark.read.parquet(s"$base/stats/v=0/counts")

@@ -5300,6 +5300,41 @@ object Queries {
       GROUP BY 1, 2 HAVING count(*) >= 2
       ORDER BY id_a, id_b"""))
 
+  /** H1+/H4+: normalization-aware dedup basis
+    * ([[GraftFunctions.nfc]], native `graft_nfc`): a decomposed
+    * variant of every document (each 'a' → 'a' + COMBINING GRAVE) is
+    * NFC-normalized and compared — by codepoint length, portable
+    * hash, and equality — against the directly-precomposed variant
+    * ('a' → U+00E0). `matches_precomposed` TRUE on every row pins
+    * JDK Normalizer ≡ DuckDB utf8proc canonical composition on real
+    * data; the hash is the dedup key a normalization-aware exact
+    * dedup would group on. NULL text propagates NULLs. */
+  private val q169 = Q("q169_nfc_dedup_basis",
+    (s, d) => {
+      val decomp = regexp_replace(col("text"), "a", "a\u0300")
+      val norm = nfc(decomp)
+      val pre = regexp_replace(col("text"), "a", "\u00E0")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(decomp).cast("long").as("len_decomp"),
+          length(norm).cast("long").as("len_nfc"),
+          polyHash(norm).as("hash_nfc"),
+          (norm === pre).as("matches_precomposed"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH v AS (SELECT doc_id,
+        regexp_replace(text, 'a', 'a' || chr(768), 'g') AS decomp,
+        regexp_replace(text, 'a', chr(224), 'g') AS pre
+        FROM documents),
+      n AS (SELECT doc_id, decomp, pre,
+        nfc_normalize(decomp) AS norm FROM v)
+      SELECT doc_id,
+        length(decomp)::BIGINT AS len_decomp,
+        length(norm)::BIGINT AS len_nfc,
+        ${sqlPolyHash("norm")} AS hash_nfc,
+        (norm = pre) AS matches_precomposed
+      FROM n ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5313,7 +5348,7 @@ object Queries {
     q91, q92, q93, q94, q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107,
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168,
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -61,6 +61,13 @@ object GraftFunctions {
   val HashMod = 1000000007L
   def polyHash(s: Column): Column = HashExpressions.polyHashNative(s)
 
+  /** Unicode NFC canonical composition (native codegen'd
+    * `graft.functions.NfcNormalize`) — normalize BEFORE exact dedup /
+    * fingerprinting so byte-different, visually-identical texts
+    * collapse; identical to DuckDB's `nfc_normalize` (both implement
+    * Unicode canonical composition). NULL in, NULL out. */
+  def nfc(s: Column): Column = HashExpressions.nfcNative(s)
+
   /** The declarative (built-ins only) form of [[polyHash]], kept as
     * the readable specification. EQUIVALENT ON THE BASIC MULTILINGUAL
     * PLANE ONLY: this form folds per UTF-16 code unit (`split` +

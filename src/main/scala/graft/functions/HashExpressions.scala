@@ -40,6 +40,24 @@ object HashUtil {
 
   def polyHash(s: UTF8String): Long = polyHash(s.toString)
 
+  /** Unicode NFC normalization (java.text.Normalizer) — the
+    * canonical-composition pass a corpus pipeline runs BEFORE exact
+    * dedup and fingerprinting, so visually-identical texts whose
+    * sources emitted different codepoint sequences (decomposed
+    * e + COMBINING ACUTE vs precomposed é) hash identically. The
+    * JDK's normalizer and DuckDB's utf8proc (`nfc_normalize`)
+    * implement the same Unicode canonical composition, so the oracle
+    * replays this byte for byte — pinned by q169 on a corpus with
+    * derived decomposed text and by the dirty corpus's emoji class.
+    * Fast path: Normalizer.isNormalized short-circuits the (common)
+    * already-NFC case without allocating. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Fused shingle → MinHash signature: for each word-n-gram shingle
     * (tokens joined by ' '; FEWER than n tokens means NO shingles and
     * a null signature — `GraftFunctions.shingles`' empty-array law),
@@ -476,6 +494,32 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.polyHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_nfc(str) -> str` — Unicode NFC canonical composition, see
+  * [[HashUtil.nfc]]. NULL in, NULL out. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 
@@ -946,6 +990,8 @@ object HashExpressions {
     GraftColumnBridge.column(Shingles(GraftColumnBridge.expression(tokens), n))
   def positionedShinglesNative(tokens: Column, n: Int): Column =
     GraftColumnBridge.column(PositionedShingles(GraftColumnBridge.expression(tokens), n))
+  def nfcNative(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
   def winnowNative(tokens: Column, k: Int, w: Int): Column =
     GraftColumnBridge.column(WinnowFingerprints(GraftColumnBridge.expression(tokens), k, w))
   def shingleMinHashNative(tokens: Column, n: Int, k: Int): Column =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import org.apache.spark.sql.types.StringType
 
-import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, DyadicFold, LshBucket, PolyHash, PositionedShingles, ShingleMinHash, ShingleSimHash, Shingles, WinnowFingerprints}
+import graft.functions.{ArrayEqCount, BandHashes, BpeMergeFold, DotProduct, DyadicFold, LshBucket, NfcNormalize, PolyHash, PositionedShingles, ShingleMinHash, ShingleSimHash, Shingles, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point — the injection seam `SURVEY.md`
   * §4.3 calls for. Registers the engine's native expressions as SQL
@@ -85,6 +85,10 @@ object GraftExtensions {
       info("graft_polyhash",
         "graft_polyhash(str) - portable 31-polynomial hash mod 1e9+7 over code points"),
       (exprs: Seq[Expression]) => PolyHash(arity(exprs, "graft_polyhash", 1).head)),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc",
+        "graft_nfc(str) - Unicode NFC canonical composition (dedup-safe text normalization)"),
+      (exprs: Seq[Expression]) => NfcNormalize(arity(exprs, "graft_nfc", 1).head)),
     (FunctionIdentifier("graft_shingle_minhash"),
       info("graft_shingle_minhash",
         "graft_shingle_minhash(tokens, n, k) - MinHash signature over word-n-gram shingles"),

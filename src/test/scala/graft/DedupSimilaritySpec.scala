@@ -575,4 +575,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"got $pairs")
     assert(!pairs.contains((3L, 4L)), s"boilerplate must prune: $pairs")
   }
+
+  test("nfc: canonical composition enables normalization-aware dedup") {
+    import graft.functions.GraftFunctions
+    // same visible text, three byte encodings: precomposed, decomposed,
+    // and ASCII-different (a control that must NOT collapse)
+    val docs = Seq(
+      (1L, "caf\u00E9 au lait"),                  // é precomposed
+      (2L, "cafe\u0301 au lait"),                 // e + combining acute
+      (3L, "cafe au lait")                        // genuinely different
+    ).toDF("doc_id", "text")
+    val naive = graft.operators.Dedup.exact(docs, col("doc_id"), col("text"))
+      .filter(col("is_dup")).count()
+    val aware = graft.operators.Dedup.exact(
+      docs.withColumn("text", GraftFunctions.nfc(col("text"))),
+      col("doc_id"), col("text"))
+      .filter(col("is_dup")).count()
+    assert(naive === 0L, "byte-different forms do not collapse naively")
+    assert(aware === 1L, "NFC collapses the decomposed duplicate only")
+
+    // idempotence + identity-on-ASCII + null law
+    val props = docs
+      .withColumn("n1", GraftFunctions.nfc(col("text")))
+      .withColumn("n2", GraftFunctions.nfc(GraftFunctions.nfc(col("text"))))
+      .select(col("n1") === col("n2"), col("doc_id"))
+      .as[(Boolean, Long)].collect()
+    assert(props.forall(_._1))
+    val edge = Seq((1L, "plain ascii"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), GraftFunctions.nfc(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(edge(1L) === "plain ascii")
+    assert(edge(2L) === null)
+  }
 }

@@ -62,6 +62,14 @@ class ExtensionsSinksSpec extends SparkSpec {
     assert(msgs(rangeErr).exists(_.contains("out of int range")),
       rangeErr.getMessage)
 
+    // graft_nfc: registered; composition observable from SQL. (NOT
+    // chr(769): Spark's chr is ASCII mod 256, unlike DuckDB's — the
+    // combining char goes in as a unicode literal.)
+    val nfcLen = spark.sql(
+      "SELECT length(graft_nfc('cafe\u0301')) AS l")
+      .as[Int].collect().head
+    assert(nfcLen === 4)                 // composed to a 4-codepoint string
+
     // graft_winnow: registered, matches the Column wrapper, and
     // rejects a non-literal window argument at analysis
     val wn = spark.sql(

@@ -347,6 +347,15 @@ class PlanRegressionSpec extends SparkSpec {
         s"(got $scans):\n$p")
   }
 
+  test("q169 NFC basis: native normalization, zero hash exchanges behind the scan") {
+    val p = plan("q169_nfc_dedup_basis")
+    assert(p.contains("graft_nfc"),
+      s"normalization must stay on the native expression:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 0,
+      s"the basis is a pure per-row map, got $hashExchanges hash exchanges:\n$p")
+  }
+
   test("q167 winnowing digest: native kernel, zero hash exchanges behind the scan") {
     val p = plan("q167_winnowing_digest")
     assert(p.contains("graft_winnow"),

@@ -215,7 +215,10 @@ object GraftFunctions {
       val minFp = array_min(transform(win, x => x.getField("fp")))
       element_at(filter(win, x => x.getField("fp") === minFp), -1)
     })
-    when(size(hs) === 0, array().cast(
+    // coalesce carries the NULL-input law: size(hs) is NULL for NULL
+    // toks, and the bare === 0 branch would fall through to a NULL
+    // result where the native expression returns the empty array
+    when(coalesce(size(hs), lit(0)) === 0, array().cast(
       "array<struct<pos:int,fp:bigint>>"))
       .otherwise(array_distinct(wins))
   }

@@ -74,13 +74,20 @@ object Clustering {
     * centroids mean the labels don't separate).
     *
     * Bit-portable by the same move as [[kMeans]]: components quantize
-    * to INTEGRAL doubles (`floor(x·scale + 0.5)`), per-(group, dim)
-    * sums are then associative-exact in any shuffle order, and cosine
-    * is scale-invariant so the SUM vector stands in for the mean —
-    * no division until the final cosine, whose sqrt is exactly
-    * rounded by IEEE and whose one division is deterministic. The
-    * whole matrix hash-replays in the SQL oracle with zero float-
-    * order caveats (unlike the ln-based JS, which leans on r(·)).
+    * to LONGS (`floor(x·scale + 0.5) cast long`), so the per-(group,
+    * dim) sums and the dot/norm product sums are integer-exact in any
+    * shuffle order — and past their range they fail LOUDLY (ANSI long
+    * overflow) rather than silently drifting, the way double
+    * accumulation would past 2^53. Cosine is scale-invariant so the
+    * SUM vector stands in for the mean — no float op until the final
+    * cosine, whose long→double conversions are deterministic, whose
+    * sqrt is exactly rounded by IEEE, and whose one division is
+    * deterministic. The whole matrix hash-replays in the SQL oracle
+    * with zero float-order caveats (unlike the ln-based JS, which
+    * leans on r(·)). Range: unit-scale embeddings at scale=10⁴ give
+    * |s| ≤ 10⁴·n_grp, so s·s sums stay under 2^63 while
+    * dim·(10⁴·n_grp)² < 9.2e18 — ~10⁸ docs per group at dim 64; the
+    * loud overflow marks the ceiling instead of a wrong matrix.
     *
     * Shape at 100 TB: one posexplode → (group, dim) integral-sum
     * aggregation with map-side combine (state = groups × dim), the
@@ -98,7 +105,7 @@ object Clustering {
       df.filter(group.isNotNull && vec.isNotNull)
         .select(group.as("grp"), posexplode(vec).as(Seq("d", "x")))
         .groupBy(col("grp"), col("d"))
-        .agg(sum(floor(col("x") * scale + lit(0.5))).as("s")),
+        .agg(sum(floor(col("x") * scale + lit(0.5)).cast("long")).as("s")),
       reliable = false)
     val norms = comp.groupBy(col("grp"))
       .agg(sum(col("s") * col("s")).as("n2"))

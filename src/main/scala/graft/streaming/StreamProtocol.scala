@@ -45,32 +45,67 @@ private[streaming] object StreamProtocol {
   }
 
   /** Publish a marker file atomically-enough: write a temp sibling,
-    * then rename OVER the target in one step (`FileContext.rename`
-    * with `Options.Rename.OVERWRITE` — atomic on HDFS and on POSIX
-    * local filesystems). A plain truncate-and-write
-    * (`fs.create(p, true)`) has a crash window that leaves a
-    * TRUNCATED marker — for the legacy-upgrade rewrites that would
-    * brick a perfectly valid state dir on restart (the partial string
-    * matches neither the current nor any legacy rendering, so the
-    * guard fails loudly until hand-repaired). With the overwriting
-    * rename every crash window leaves either the OLD file or the NEW
-    * file — never an absent one, which matters for the RUN-IDENTITY
-    * marker: a vanished identity file is not merely "re-claimed by
-    * the rightful owner later" but claimable by ANY stream pointed at
-    * the dir (including one with a foreign checkpoint), silently
-    * transferring ownership for that window.
+    * then rename OVER the target in one step. A plain
+    * truncate-and-write (`fs.create(p, true)`) has a crash window
+    * that leaves a TRUNCATED marker — for the legacy-upgrade rewrites
+    * that would brick a perfectly valid state dir on restart (the
+    * partial string matches neither the current nor any legacy
+    * rendering, so the guard fails loudly until hand-repaired). With
+    * an overwriting rename every crash window leaves either the OLD
+    * file or the NEW file — never an absent one, which matters for
+    * the RUN-IDENTITY marker: a vanished identity file is not merely
+    * "re-claimed by the rightful owner later" but claimable by ANY
+    * stream pointed at the dir (including one with a foreign
+    * checkpoint), silently transferring ownership for that window.
     *
-    * Fallback: a FileSystem whose scheme has no `AbstractFileSystem`
-    * binding (FileContext unavailable — e.g. bare test doubles) gets
-    * the old delete-then-rename, whose crash-between-delete-and-rename
-    * window CAN lose the marker as described above; that residual risk
-    * is confined to filesystems that cannot do better. */
+    * The rename that actually IS atomic depends on the scheme:
+    *  - `file://` → `java.nio.Files.move(ATOMIC_MOVE|REPLACE_
+    *    EXISTING)`, the real POSIX rename(2). The Hadoop route is NOT
+    *    atomic here: `RawLocalFs` never overrides
+    *    `renameInternal(src, dst, overwrite)`, so
+    *    `FileContext.rename(..., OVERWRITE)` falls through to
+    *    `AbstractFileSystem`'s default delete-then-rename — exactly
+    *    the absent-marker window this method exists to close;
+    *  - schemes with a native `AbstractFileSystem` overwrite (HDFS) →
+    *    `FileContext.rename(..., Options.Rename.OVERWRITE)`;
+    *  - a scheme with NO `AbstractFileSystem` binding (bare test
+    *    doubles) → the old delete-then-rename, whose
+    *    crash-between-delete-and-rename window CAN lose the marker as
+    *    described above; that residual risk is confined to
+    *    filesystems that cannot do better. */
   private def writeFile(fs: FileSystem, p: Path, content: String): Unit = {
     val tmp = new Path(p.getParent, p.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
     val qTmp = fs.makeQualified(tmp)
     val qP = fs.makeQualified(p)
+    if (qP.toUri.getScheme == "file") {
+      // bypass the checksum layer for the marker bytes: LocalFileSystem
+      // would pair the data file with a .crc sidecar, and no two-file
+      // publish can be atomic — a crash between moving the data file
+      // and its sidecar leaves a mismatched pair that bricks every
+      // subsequent read with ChecksumException (worse than the absent-
+      // marker window this method closes). Markers are guarded by
+      // content equality checks, not checksums.
+      val raw = fs match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
+      }
+      val out = raw.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      // a stale sidecar from a pre-nio write of p (or a test seeding
+      // the marker through the checksummed fs) would fail reads of the
+      // new content; deleting it first is safe — a crash here leaves
+      // the OLD data file intact, merely unverified
+      val crc = new Path(p.getParent, "." + p.getName + ".crc")
+      if (raw.exists(crc)) raw.delete(crc, false)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(qTmp.toUri.getPath),
+        java.nio.file.Paths.get(qP.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      return
+    }
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     val overwrote =
       try {
         org.apache.hadoop.fs.FileContext

@@ -89,8 +89,18 @@ object StreamingCorpusStats {
   private def fingerprint(cfg: Config): String =
     s"cmsWidth=${cfg.cmsWidth};cmsDepth=${cfg.cmsDepth};" +
       s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN};sampleK=${cfg.sampleK};" +
-      s"hllB=${cfg.hllB}," +
+      s"hllB=${cfg.hllB};" +
       s"qualityMinWords=${cfg.qualityMinWords}"
+
+  /** The round-10 rendering joined the last two fields with ',' where
+    * every other field uses ';' — same fields, same values, so a state
+    * dir claimed under it is semantically identical and upgrades in
+    * place via the legacy-config path. */
+  private def legacyFingerprints(cfg: Config): Seq[String] = Seq(
+    s"cmsWidth=${cfg.cmsWidth};cmsDepth=${cfg.cmsDepth};" +
+      s"kmvK=${cfg.kmvK};shingleN=${cfg.shingleN};sampleK=${cfg.sampleK};" +
+      s"hllB=${cfg.hllB}," +
+      s"qualityMinWords=${cfg.qualityMinWords}")
 
   private def readVersion(spark: SparkSession, statsDir: String, v: Long): Snapshot =
     Snapshot(
@@ -328,7 +338,7 @@ object StreamingCorpusStats {
         val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
         val (done, committed) = StreamProtocol.replayGuardsWithCommitted(
           fs, dirPath, checkpoint, fingerprint(cfg), batchId, "_v_",
-          "StreamingCorpusStats")
+          "StreamingCorpusStats", legacyConfigs = legacyFingerprints(cfg))
         if (!done) {
           // the six snapshot writes are six jobs: cache the
           // projected batch so the source micro-batch is read once,

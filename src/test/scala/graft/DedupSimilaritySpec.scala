@@ -533,8 +533,10 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("id", "nat", "dec")
       .as[(Long, Seq[(Int, Long)], Seq[(Int, Long)])].collect()
       .map(r => r._1 -> r).toMap
-    assert(rows(1L)._2 === Seq.empty)
-    assert(rows(2L)._2 === Seq.empty)
+    // NULL row compares nat vs dec too: the declarative twin must share
+    // the native NULL law (NULL toks -> EMPTY array, not NULL)
+    assert(rows(1L)._2 === Seq.empty && rows(1L)._3 === Seq.empty)
+    assert(rows(2L)._2 === Seq.empty && rows(2L)._3 === Seq.empty)
     assert(rows(3L)._2 === rows(3L)._3 && rows(3L)._2.nonEmpty)
   }
 

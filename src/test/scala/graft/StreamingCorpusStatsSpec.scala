@@ -178,6 +178,47 @@ class StreamingCorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("round-10 ','-joined config rendering resumes and upgrades in place") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_scs_lc_").toString
+    // a resumed run gets TWO adds: a fresh MemoryStream restarts its
+    // offsets at 0, and the checkpoint has already committed offset 1 —
+    // the guard only fires once the source advances past it
+    def run(data: Seq[(String, String)], adds: Int = 1): Unit = {
+      val input = MemoryStream[(String, String)]
+      val q = StreamingCorpusStats.start(
+        input.toDS().toDF("source", "text"),
+        sourceCol = "source", textCol = "text",
+        statsDir = s"$base/stats", checkpoint = s"$base/ckpt")
+      try {
+        (1 to adds).foreach(_ => input.addData(data: _*))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val cfgMarker = java.nio.file.Paths.get(s"$base/stats/_stream_config")
+    def marker = new String(
+      java.nio.file.Files.readAllBytes(cfgMarker), "UTF-8")
+    try {
+      run(Seq(("web", "alpha beta gamma delta epsilon")))
+      val current = marker
+      assert(current.endsWith(";qualityMinWords=30"), current)
+      // rewrite the marker to the round-10 rendering: same fields and
+      // values, last two joined with ',' — a state dir claimed by the
+      // round-10 code must still resume, and the marker must upgrade
+      java.nio.file.Files.write(cfgMarker, current
+        .replace(";qualityMinWords=", ",qualityMinWords=")
+        .getBytes("UTF-8"))
+      run(Seq(("web", "zeta eta theta iota kappa")), adds = 2)
+      assert(marker === current, "legacy rendering must upgrade in place")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(base)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("fresh checkpoint over retained stats fails loudly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

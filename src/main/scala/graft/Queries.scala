@@ -5335,6 +5335,103 @@ object Queries {
         (norm = pre) AS matches_precomposed
       FROM n ORDER BY doc_id"""))
 
+  /** H4+: interpolated Kneser-Ney bigram scoring
+    * ([[TextAnalysis.kneserNeyLogProb]], D = 0.75) — the
+    * industry-standard LM smoothing on the perplexity-filter axis:
+    * the lower-order mass goes to CONTINUATION probability (distinct
+    * predecessors / distinct bigram types), not raw unigram
+    * frequency. One corpus scan (bigram explode only — cheaper than
+    * q114), the bigram-type table barriered once under its four
+    * consumers, one posting-sized scoring join. The oracle replays
+    * the discounted formula end to end; ln is the one libm call,
+    * masked by r(4). */
+  private val q170 = Q("q170_kneser_ney_logprob",
+    (s, d) => TextAnalysis.kneserNeyLogProb(
+        t(s, d, "documents"), col("doc_id"), col("text"), discount = 0.75)
+      .select(col("doc_id"), col("n_bigrams"),
+        r(col("avg_logprob"), 4).as("avg_logprob"))
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (SELECT doc_id, array_to_string(t[p:p+1], ' ') AS pair
+        FROM tk, unnest(range(1, len(t))) AS u(p)),
+      c2 AS (SELECT pair, count(*) AS c2 FROM bg GROUP BY pair),
+      sp AS (SELECT pair, c2,
+          string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[-1] AS w2
+        FROM c2),
+      c1 AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM sp GROUP BY w1),
+      pc AS (SELECT w2, count(*) AS n1p FROM sp GROUP BY w2),
+      tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM c2),
+      lp AS (SELECT bg.doc_id,
+          ln(((sp.c2::DOUBLE - 0.75)
+            + 0.75 * c1.n1f * (pc.n1p::DOUBLE / tt.tt)) / c1.c1) AS l
+        FROM bg JOIN sp USING (pair) JOIN c1 USING (w1) JOIN pc USING (w2)
+          CROSS JOIN tt)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        floor(avg(l) * 10000 + 0.5) / 10000.0 AS avg_logprob
+      FROM lp GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  /** H4+: per-source Zipf-law fit ([[CorpusQuality.zipfFit]],
+    * topN = 100) — the corpus-health scalar (natural text: slope
+    * ≈ −1; boilerplate flattens it, degenerate repetition steepens
+    * it). Closed-form OLS over (ln rank, ln count), the op sequence
+    * spelled out on both sides — never native regr_slope. The top-N
+    * cut is a rank-≤-k window the TopK rewrite bounds; slope and
+    * intercept go through r(4) (ln sums are the one float-order
+    * exposure). */
+  private val q171 = Q("q171_zipf_fit",
+    (s, d) => CorpusQuality.zipfFit(
+        t(s, d, "documents"), col("source"), col("text"), topN = 100)
+      .select(col("src").as("source"), col("n_terms"),
+        r(col("slope"), 4).as("slope"), r(col("intercept"), 4).as("intercept"))
+      .orderBy(col("source")),
+    Some("""WITH toks AS (SELECT source AS src, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      c AS (SELECT src, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      rk AS (SELECT src, c, row_number() OVER (PARTITION BY src
+          ORDER BY c DESC, tok) AS rnk FROM c),
+      xy AS (SELECT src, ln(rnk::DOUBLE) AS x, ln(c::DOUBLE) AS y
+        FROM rk WHERE rnk <= 100),
+      s AS (SELECT src, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+          sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM xy GROUP BY src HAVING count(*) >= 2)
+      SELECT src AS source, CAST(n AS BIGINT) AS n_terms,
+        floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+          / 10000.0 AS slope,
+        floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+          * 10000 + 0.5) / 10000.0 AS intercept
+      FROM s ORDER BY source"""))
+
+  /** H2+: asymmetric shingle-containment pairs
+    * ([[Dedup.containmentPairs]], C(A→B) = |sh(A)∩sh(B)|/|sh(A)|,
+    * df ≤ 50, threshold 0.8) — the small-inside-big duplication
+    * Jaccard structurally misses (a fragment fully embedded in a
+    * long doc has Jaccard ≈ |A|/|B| but containment 1.0). Inverted-
+    * index equality join with the df cap as both quadratic guard and
+    * boilerplate semantics; both sides of the ratio live in the
+    * capped shingle space. The oracle replays posting, df cut, pair
+    * counts, and the exact-integer-ratio division end to end. */
+  private val q172 = Q("q172_containment_pairs",
+    (s, d) => Dedup.containmentPairs(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        shingleN = 3, threshold = 0.8, maxDf = 50)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH sh AS (SELECT doc_id, unnest(${sqlShingles("tk")}) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
+      keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
+      kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN keepsh USING (sh)),
+      sz AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          count(*) AS n_common
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, n_common,
+        floor(pr.n_common::DOUBLE / sz.n_kept * 1000000 + 0.5)
+          / 1000000.0 AS containment
+      FROM pr JOIN sz ON pr.id_a = sz.doc_id
+      WHERE pr.n_common::DOUBLE / sz.n_kept >= 0.8
+      ORDER BY id_a, id_b"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5349,6 +5446,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
+    q170, q171, q172,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

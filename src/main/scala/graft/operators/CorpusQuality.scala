@@ -275,4 +275,57 @@ object CorpusQuality {
       .groupBy(col("src_a"), col("src_b"))
       .agg(sum(col("_t")).as("js"))
   }
+
+  /** Zipf-law fit of each group's token frequency distribution — the
+    * corpus-health scalar drift watchers track per source: natural
+    * text follows `freq ∝ rank^s` with `s ≈ −1` (Zipf 1949); a slope
+    * far from −1 flags boilerplate (flat head, s → 0) or degenerate
+    * repetition (cliff, s ≪ −1). Per group, the top `topN` tokens by
+    * (count desc, token asc — a total order, so the cut is
+    * engine-stable) give points (x, y) = (ln rank, ln count), and the
+    * closed-form OLS line
+    * `slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)`,
+    * `intercept = (Σy − slope·Σx)/n` is computed in ONE aggregation —
+    * never the engines' native `regr_slope` (their internal
+    * accumulation orders differ; this spells the op sequence out, the
+    * portable-variance move).
+    *
+    * Shape at 100 TB: one explode → (group, token) count with
+    * map-side combine (the same corpus-sized shuffle as every unigram
+    * model here), then the per-group top-N cut — a rank-≤-k window
+    * the TopK rewrite turns into bounded per-partition heaps, so the
+    * vocab-sized count table never sorts — and a group-bounded
+    * 5-sum aggregation. Output is |groups| rows. NULL groups/texts
+    * are excluded (not a corpus); a group with fewer than 2 ranked
+    * terms drops (a 1-point line is undefined; ranks are distinct so
+    * n ≥ 2 ⇒ the OLS denominator is nonzero). The ln sums are the
+    * one float-order exposure (≤ topN terms, magnitudes ≤ ln-scale),
+    * masked by the oracle's r(·) rounding like every ln-based metric.
+    *
+    * Returns (src, n_terms, slope, intercept). */
+  def zipfFit(df: DataFrame, group: Column, text: Column,
+              topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"a line needs at least 2 points: topN=$topN")
+    val counts = df.filter(group.isNotNull && text.isNotNull)
+      .select(group.as("src"), explode(tokens(text)).as("tok"))
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).as("c"))
+    val rnk = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("c").desc, col("tok").asc))
+    val xy = counts.withColumn("rnk", rnk).filter(col("rnk") <= topN)
+      .select(col("src"),
+        log(col("rnk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val s = xy.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2.0)
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("src"), col("n").cast("long").as("n_terms"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
 }

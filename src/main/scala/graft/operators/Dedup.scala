@@ -183,6 +183,70 @@ object Dedup {
         r(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** H2+ asymmetric shingle-CONTAINMENT pairs (Broder 1997's
+    * second resemblance measure): `C(A→B) = |sh(A) ∩ sh(B)| /
+    * |sh(A)|` — "how much of A is inside B". This is the
+    * small-inside-big duplication Jaccard structurally misses: a
+    * 100-token doc fully embedded in a 10,000-token doc has Jaccard
+    * ≈ 0.01 (never crosses any sane threshold) but containment 1.0.
+    * The quote/boilerplate/subset-dup detector a corpus pipeline runs
+    * BESIDE symmetric near-dup, and the asymmetry is the point: the
+    * direction says which doc is the fragment (kept pairs read "id_a
+    * is threshold-contained in id_b").
+    *
+    * Scale shape (the inverted-index join, never within-block
+    * all-pairs): document-frequency capping at `maxDf` bounds the
+    * per-shingle fan-out, so the pair table costs at most
+    * Σ_kept df(s)² ≤ maxDf · |postings| — the same quadratic guard
+    * [[graft.operators.TextAnalysis.winnowingPairs]] uses, and like
+    * there it is ALSO the semantics: a shingle shared by 50+
+    * documents is boilerplate, not evidence of copying. Both the
+    * intersection AND the denominator count only df-kept shingles —
+    * the metric lives entirely in the capped shingle space, so a
+    * boilerplate-only document has NO kept shingles and drops
+    * (no 0/0, no spurious 1.0 against everything); that self-
+    * consistency is what makes `containment = 1.0` still reachable.
+    * The posting table feeds the df count + both join sides and the
+    * kept table feeds sizes + both sides — each barriered once
+    * (multi-consumer replan class). Output is pair-bounded; the
+    * division is one exact-integer-ratio IEEE op (engine-portable
+    * bit for bit).
+    *
+    * Returns (id_a, id_b, n_common, containment) — ORDERED pairs,
+    * id_a ≠ id_b, containment ≥ threshold. */
+  def containmentPairs(df: DataFrame, id: Column, text: Column,
+                       shingleN: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 50,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1]: $threshold")
+    require(maxDf >= 2, s"maxDf < 2 can never produce a pair: $maxDf")
+    // shingles() is the per-doc DISTINCT set, so the explode IS the
+    // deduped posting table
+    val posting = OpUtils.barrier(
+      df.select(id.as("_id"), explode(shingles(tokens(text), shingleN)).as("sh")),
+      reliableCheckpoint)
+    val dfKeep = posting.groupBy(col("sh"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("sh"))
+    val kept = OpUtils.barrier(
+      posting.join(dfKeep, Seq("sh"), "left_semi"), reliableCheckpoint)
+    val sizes = kept.groupBy(col("_id")).agg(count(lit(1)).as("_n_kept"))
+    val a = kept.select(col("sh"), col("_id").as("id_a"))
+    val b = kept.select(col("sh"), col("_id").as("id_b"))
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("_id", "id_a"), Seq("id_a"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("_n_kept"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        r(col("containment"), 6).as("containment"))
+  }
+
   /** H2b MinHash signature: k minimums of affine universal hashes over
     * the word-`shingleN`-gram shingle hashes. `sig[i] = min_s
     * (2i+1)·h(s) + 1000003·(i+1) mod p`. Shingles, NOT unigram tokens:

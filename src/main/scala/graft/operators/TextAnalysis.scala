@@ -584,6 +584,82 @@ object TextAnalysis {
       .withColumnRenamed("_doc", "doc_id")
   }
 
+  /** Corpus-trained INTERPOLATED KNESER-NEY bigram scoring — the
+    * industry-standard LM smoothing (Kneser & Ney 1995; the
+    * interpolated variant of Chen & Goodman 1998) one step past
+    * [[bigramLogProb]]'s unigram interpolation on the
+    * perplexity-filter axis: instead of mixing in RAW unigram
+    * frequency, the lower-order mass goes to the CONTINUATION
+    * probability — how many distinct contexts a word follows, which is
+    * what actually predicts it in a novel context ("Francisco" is
+    * frequent but follows almost nothing except "San"):
+    *
+    *   P_KN(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·)
+    *               + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with absolute discount `D ∈ (0,1)`, `N₁₊(w₁·)` = distinct
+    * successors of w₁, `N₁₊(·w₂)` = distinct predecessors of w₂, and
+    * `N₁₊(··)` = distinct bigram types. Summed over the full vocab
+    * (seen pairs discounted + the redistributed D-mass times
+    * Σ P_cont = 1) the conditional is exactly 1 per context — pinned
+    * by a brute-force differential property test. Scoring the corpus
+    * the model was trained on touches only SEEN pairs, so
+    * `c(w₁w₂) ≥ 1 > D` and the max(·,0) clamp of the general form
+    * never binds — the expression stays a single branch both engines
+    * evaluate in the identical op order (the ln itself is the one
+    * libm call, masked by the oracle's r(·) rounding, as in
+    * [[bigramLogProb]]).
+    *
+    * Plan shape at 100 TB: ONE corpus scan (the codegen'd
+    * `graft_pos_shingles(n=2)` bigram explode — KN never needs the
+    * raw unigram table, so it is one scan CHEAPER than
+    * [[bigramLogProb]]). The bigram-type table feeds FOUR consumers
+    * (context counts+successor fan-out, predecessor fan-out, the type
+    * total, the scoring join) and is barriered once; everything
+    * derived from it is vocab(²)-bounded, the type total broadcasts
+    * as one row, and ONE posting-sized equality join on the pair
+    * string scores every bigram position. Docs with fewer than 2
+    * tokens have no bigram positions and drop (the [[bigramLogProb]]
+    * contract).
+    *
+    * Returns (doc_id, n_bigrams, avg_logprob). */
+  def kneserNeyLogProb(df: DataFrame, id: Column, text: Column,
+                       discount: Double = 0.75,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1): $discount")
+    val docs = df.select(id.as("_doc"), text.as("_text"))
+    val bigrams = docs.select(col("_doc"),
+        explode(positionedShingles(tokens(col("_text")), 2)).as("p"))
+      .select(col("_doc"), col("p.ng").as("pair"))
+    val c2 = OpUtils.barrier(
+      bigrams.groupBy(col("pair")).agg(count(lit(1)).as("c2")),
+      reliableCheckpoint)
+    val sp = c2.select(col("pair"), col("c2"),
+      substring_index(col("pair"), " ", 1).as("w1"),
+      substring_index(col("pair"), " ", -1).as("w2"))
+    // context mass AND successor fan-out in one pass over the type
+    // table: c1 = Σ c2 per w1 (bigram-first occurrences, the exact
+    // normalizer), n1f = distinct successors = rows per w1
+    val c1 = sp.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val pc = sp.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val tt = c2.agg(count(lit(1)).cast("double").as("tt"))
+    val model = sp
+      .join(c1, Seq("w1"))
+      .join(pc, Seq("w2"))
+      .select(col("pair"), col("c2"), col("c1"), col("n1f"), col("n1p"))
+    bigrams.join(model, Seq("pair"))         // self-trained → inner join total
+      .crossJoin(broadcast(tt))
+      .withColumn("_lp", log(
+        ((col("c2").cast("double") - lit(discount))
+          + lit(discount) * col("n1f") * (col("n1p").cast("double") / col("tt")))
+          / col("c1")))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("avg_logprob"))
+      .withColumnRenamed("_doc", "doc_id")
+  }
+
   /** Vocabulary coverage / out-of-vocabulary-rate gate — "how much of
     * this document does a size-V corpus vocabulary cover?", the
     * tokenizer-fit check a pipeline runs before committing a corpus to

@@ -165,4 +165,36 @@ class CorpusQualitySpec extends SparkSpec {
     // null source and null text rows are excluded, not divergence mass
     assert(!js.keys.exists { case (x, y) => x == null || y == null || x == "d" || y == "d" })
   }
+
+  test("zipfFit: exact power law recovers slope -1; edge laws") {
+    // counts 12/6/4/3 = 12/rank exactly -> ln f = ln 12 - 1*ln r:
+    // collinear points, OLS must recover the line to float precision
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val df = Seq(
+      ("pow", text),
+      ("tiny", "solo solo solo"),              // 1 distinct token: drops
+      (null: String, "ignored ignored"),       // null group: out
+      ("nul", null: String)                    // null text: out
+    ).toDF("source", "text")
+    val out = CorpusQuality.zipfFit(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("pow"))
+    assert(out("pow").getLong(1) == 4L)
+    assert(math.abs(out("pow").getDouble(2) - (-1.0)) < 1e-12)
+    assert(math.abs(out("pow").getDouble(3) - math.log(12.0)) < 1e-12)
+  }
+
+  test("zipfFit: rank ties break by token asc; topN cuts the tail") {
+    // x:3 y:3 z:3 w:1 -> ranks x=1,y=2,z=3 (tie by token), w=4; topN=3
+    // drops w, so the fit sees only the flat head: slope exactly 0
+    val df = Seq(("s", Seq.fill(3)(Seq("x", "y", "z")).flatten
+      .mkString(" ") + " w")).toDF("source", "text")
+    val out = CorpusQuality.zipfFit(df, col("source"), col("text"), topN = 3)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 3L)
+    assert(math.abs(out.head.getDouble(2)) < 1e-12)
+    assert(math.abs(out.head.getDouble(3) - math.log(3.0)) < 1e-12)
+  }
 }

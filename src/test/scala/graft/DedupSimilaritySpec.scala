@@ -540,6 +540,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows(3L)._2 === rows(3L)._3 && rows(3L)._2.nonEmpty)
   }
 
+  test("containmentPairs: fragment-in-document scores 1.0 one way; df cap drops boilerplate") {
+    import graft.operators.Dedup
+    // doc 2 is a verbatim fragment of doc 1; doc 3 unrelated; docs 4-9
+    // all share one boilerplate run that the df cap must silence
+    val frag = "q w e r t y u i o p"
+    val boiler = "all rights reserved to the original author of this"
+    val docs = (Seq(
+      (1L, s"$frag a s d f g h j k l"),
+      (2L, frag),
+      (3L, "z x c v b n m z x c v b n m")) ++
+      (4L to 9L).map(i => (i, s"$boiler unique$i tail$i end$i")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        shingleN = 3, threshold = 0.8, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every 3-shingle of the 10-token fragment appears in doc 1
+    assert(out.keySet == Set((2L, 1L)))
+    assert(out((2L, 1L)) == 1.0)
+    // asymmetry: doc 1 is NOT contained in doc 2 (and never emitted at 0.8)
+    val all = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        shingleN = 3, threshold = 0.1, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(all((1L, 2L)) < 0.5 && all((2L, 1L)) == 1.0)
+    // the boilerplate shingles have df=6 > maxDf=5: docs 4-9 share no
+    // KEPT shingle, so no pair among them survives even at 0.1
+    assert(!all.keys.exists { case (a, b) => a >= 4L && b >= 4L })
+  }
+
   test("winnow guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
     import graft.functions.GraftFunctions
     val (k, w) = (3, 4)

@@ -45,6 +45,75 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ //
+  // kneserNeyLogProb                                               //
+  // ------------------------------------------------------------ //
+
+  test("kneserNeyLogProb: hand-computed discounted probabilities") {
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.kneserNeyLogProb(docs, col("doc_id"), col("text"),
+        discount = 0.75)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // types: c2("a b")=2, c2("b a")=1, T=2; contexts: c1(a)=2 n1f(a)=1,
+    // c1(b)=1 n1f(b)=1; continuations: n1p(b)=1, n1p(a)=1.
+    // P(b|a) = (2-.75)/2 + .75·1/2 · 1/2 = 0.8125
+    // P(a|b) = (1-.75)/1 + .75·1/1 · 1/2 = 0.625
+    val pBgivenA = 0.8125
+    val pAgivenB = 0.625
+    val exp1 = (math.log(pBgivenA) + math.log(pAgivenB)) / 2.0
+    val exp2 = math.log(pBgivenA)
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 2L), (2L, 1L)))
+    assert(math.abs(out(0)._3 - exp1) < 1e-12, s"${out(0)._3} vs $exp1")
+    assert(math.abs(out(1)._3 - exp2) < 1e-12, s"${out(1)._3} vs $exp2")
+  }
+
+  test("kneserNeyLogProb: brute-force differential; full-vocab conditional sums to 1") {
+    // deterministic synthetic corpus: 40 docs over a 12-word vocab with
+    // skewed bigram structure (some words follow many contexts, some one)
+    val vocab = Vector("s0", "s1", "s2", "s3", "s4", "s5",
+      "t0", "t1", "t2", "t3", "t4", "francisco")
+    def lcg(x: Long): Long = (x * 6364136223846793005L + 1442695040888963407L)
+    val docs = (1L to 40L).map { id =>
+      val n = 4 + (id % 7).toInt
+      val ws = Iterator.iterate(lcg(id))(lcg).take(n).map { h =>
+        val i = math.floorMod(h, 16).toInt
+        if (i >= 12) "francisco" else vocab(i)   // hub word: frequent...
+      }.toSeq
+      // ...but "francisco" only ever FOLLOWS "s0" (the KN motivation)
+      val fixed = ws.zip("s0" +: ws).map { case (w, prev) =>
+        if (w == "francisco" && prev != "s0") "s0" else w }
+      (id, fixed.mkString(" "))
+    }
+    val d = 0.75
+    // plain-Scala KN from first principles
+    val bgs = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))) }
+    val c2 = bgs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1f = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1p = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tT = c2.size.toDouble
+    def pKN(w1: String, w2: String): Double =
+      (math.max(c2.getOrElse((w1, w2), 0L).toDouble - d, 0.0)
+        + d * n1f(w1) * (n1p.getOrElse(w2, 0L) / tT)) / c1(w1)
+    // the smoothing law: over the FULL vocab each conditional is exactly 1
+    for (w1 <- c1.keys)
+      assert(math.abs(vocab.map(pKN(w1, _)).sum - 1.0) < 1e-12, w1)
+    val brute = bgs.groupBy(_._1).view.mapValues { bs =>
+      (bs.size.toLong, bs.map { case (_, (w1, w2)) =>
+        math.log(pKN(w1, w2)) }.sum / bs.size) }.toMap
+    val out = TextAnalysis.kneserNeyLogProb(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"), discount = d)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length === brute.size)
+    out.foreach { case (id, n, lp) =>
+      val (bn, blp) = brute(id)
+      assert(n === bn, s"doc $id")
+      assert(math.abs(lp - blp) < 1e-9, s"doc $id: $lp vs $blp")
+    }
+  }
+
+  // ------------------------------------------------------------ //
   // oovRate                                                        //
   // ------------------------------------------------------------ //
 

@@ -5432,6 +5432,44 @@ object Queries {
       WHERE pr.n_common::DOUBLE / sz.n_kept >= 0.8
       ORDER BY id_a, id_b"""))
 
+  /** H4+: Heaps'-law vocabulary-growth fit ([[CorpusQuality
+    * .heapsFit]], 16 checkpoints) — the q171 dual: V(n) ≈ K·n^β along
+    * the doc_id order, β → 1 flags unbounded novel junk, β → 0 a
+    * closed boilerplate vocabulary. No global window: first-occurrence
+    * doc per token + per-doc counts, each joined to ≤ 16 broadcast
+    * checkpoint thresholds (bounded ×K fan-out, map-side combine).
+    * Exact-integer point dedup before the ln; the same spelled-out
+    * OLS as q171 through r(4). */
+  private val q173 = Q("q173_heaps_fit",
+    (s, d) => CorpusQuality.heapsFit(
+        t(s, d, "documents"), col("doc_id"), col("text"), checkpoints = 16)
+      .select(col("n_points"), r(col("beta"), 4).as("beta"),
+        r(col("intercept"), 4).as("intercept")),
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      fd AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok),
+      dc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+      mx AS (SELECT max(doc_id) AS m FROM documents),
+      cp AS (SELECT DISTINCT CAST(floor(m * j / 16.0) AS BIGINT) AS cp
+        FROM mx, unnest(range(1, 17)) AS u(j)),
+      va AS (SELECT cp, count(*) AS v FROM fd JOIN cp ON fd.fd <= cp.cp
+        GROUP BY cp),
+      ta AS (SELECT cp, sum(nt) AS t FROM dc JOIN cp ON dc.doc_id <= cp.cp
+        GROUP BY cp),
+      pts AS (SELECT ln(t::DOUBLE) AS x, ln(v::DOUBLE) AS y
+        FROM (SELECT DISTINCT t, v FROM va JOIN ta USING (cp)
+              WHERE v > 0 AND t > 0)),
+      s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx,
+          sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts
+        HAVING count(*) >= 2
+          AND CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x) <> 0)
+      SELECT CAST(n AS BIGINT) AS n_points,
+        floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+          / 10000.0 AS beta,
+        floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+          * 10000 + 0.5) / 10000.0 AS intercept
+      FROM s"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5446,7 +5484,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172,
+    q170, q171, q172, q173,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -328,4 +328,72 @@ object CorpusQuality {
       slope.as("slope"),
       ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
   }
+
+  /** Heaps'-law fit of the corpus vocabulary-growth curve — the
+    * [[zipfFit]] companion (the two laws are duals): vocabulary size
+    * grows as `V(n) ≈ K·n^β` in tokens seen, β ≈ 0.4–0.8 for natural
+    * text (Heaps 1978). A β drifting toward 1 flags unbounded novel
+    * junk (random strings, ids); toward 0, a closed boilerplate
+    * vocabulary. The streaming chain tracks the same signal
+    * incrementally ([[graft.streaming.StreamingCorpusStats]]
+    * vocabGrowth); this is the batch, exactly-replayable fit.
+    *
+    * Growth is measured along the doc_id order WITHOUT any global
+    * window (a single-partition cumulative sort is the classic
+    * scale-killer): a token's contribution to the prefix vocabulary
+    * is fully determined by its FIRST-occurrence doc id (one
+    * vocab-sized min aggregation), prefix token totals by the per-doc
+    * counts — each joined to `checkpoints` broadcast threshold rows
+    * (doc_id ≤ cp) for a bounded ×K fan-out with map-side partial
+    * aggregation (the q137 bounded-explode move). Checkpoints are
+    * `floor(max_id·j/K)`, deduplicated (tiny corpora can collide),
+    * and checkpoints whose prefix holds no tokens drop (ln 0).
+    * The OLS over (ln tokens, ln vocab) is the same spelled-out
+    * closed form as [[zipfFit]] — never native regr_slope; ≤ K
+    * ln-terms of float-order exposure, masked by r(·) in the oracle.
+    *
+    * Two corpus scans (first-occurrence table + per-doc counts) —
+    * deliberately scans, never a barrier of the exploded token stream
+    * (materializing corpus tokens through a cache costs more than a
+    * second pruned-column pass, the [[TextAnalysis.bigramLogProb]]
+    * adjudication). NULL text contributes no tokens and no docs.
+    *
+    * Returns ONE row (n_points, beta, intercept) —
+    * `intercept = ln K̂`. */
+  def heapsFit(df: DataFrame, id: Column, text: Column,
+               checkpoints: Int = 16): DataFrame = {
+    require(checkpoints >= 2, s"a line needs >= 2 points: $checkpoints")
+    val toks = df.filter(text.isNotNull)
+      .select(id.as("_doc"), explode(tokens(text)).as("tok"))
+    val firstDoc = toks.groupBy(col("tok")).agg(min(col("_doc")).as("fd"))
+    val docCounts = toks.groupBy(col("_doc")).agg(count(lit(1)).as("nt"))
+    val cps = df.agg(max(id).as("m"))
+      .select(explode(sequence(lit(1), lit(checkpoints))).as("j"), col("m"))
+      .select(floor(col("m") * col("j") / checkpoints).cast("long").as("cp"))
+      .distinct()
+    val vocabAt = firstDoc.join(broadcast(cps), col("fd") <= col("cp"))
+      .groupBy(col("cp")).agg(count(lit(1)).as("v"))
+    val toksAt = docCounts.join(broadcast(cps), col("_doc") <= col("cp"))
+      .groupBy(col("cp")).agg(sum(col("nt")).as("t"))
+    // distinct points: checkpoints past the corpus tail all see the
+    // same (t, v) — duplicates would double-weight the OLS, and a
+    // fully degenerate curve (all points equal → zero-variance x)
+    // yields NO fit row rather than a 0/0 slope
+    val pts = vocabAt.join(toksAt, Seq("cp"))
+      .filter(col("v") > 0 && col("t") > 0)
+      .select(col("t"), col("v")).distinct()     // exact-integer dedup
+      .select(log(col("t").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2.0 &&
+        (col("n") * col("sxx") - col("sx") * col("sx")) =!= 0.0)
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").cast("long").as("n_points"),
+      slope.as("beta"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
 }

@@ -185,6 +185,52 @@ class CorpusQualitySpec extends SparkSpec {
     assert(math.abs(out("pow").getDouble(3) - math.log(12.0)) < 1e-12)
   }
 
+  test("heapsFit: brute-force differential on a growing synthetic corpus") {
+    // 60 docs, each introducing some new tokens and repeating old ones —
+    // a real growth curve, checked against a plain-Scala restatement
+    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+    val corpus = (1L to 60L).map { i =>
+      val fresh = (0 until (1 + (i % 3)).toInt).map(j => s"w${i}_$j")
+      val old = Iterator.iterate(lcg(i))(lcg).take(5)
+        .map(h => s"w${math.floorMod(h, i) + 1}_0").toSeq
+      (i, (fresh ++ old).mkString(" "))
+    }
+    val k = 16
+    // brute force: same checkpoints, same first-occurrence law
+    val toks = corpus.flatMap { case (id, t) => t.split(" ").map((id, _)) }
+    val firstDoc = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val m = 60L
+    val cps = (1 to k).map(j => math.floor(m.toDouble * j / k).toLong).distinct
+    val pts = cps.map { cp =>
+      (toks.count(_._1 <= cp).toLong, firstDoc.values.count(_ <= cp).toLong)
+    }.filter(p => p._1 > 0 && p._2 > 0).distinct
+      .map(p => (math.log(p._1.toDouble), math.log(p._2.toDouble)))
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icpt = (sy - beta * sx) / n
+    val out = CorpusQuality.heapsFit(
+        corpus.toDF("doc_id", "text"), col("doc_id"), col("text"), k)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == pts.size.toLong)
+    assert(math.abs(out.head.getDouble(1) - beta) < 1e-9,
+      s"${out.head.getDouble(1)} vs $beta")
+    assert(math.abs(out.head.getDouble(2) - icpt) < 1e-9)
+    // sanity: a growing corpus sits in the open (0, 1) Heaps band
+    assert(beta > 0.0 && beta < 1.0)
+  }
+
+  test("heapsFit: degenerate curve (all growth in one prefix) yields no fit row") {
+    // all text lives in doc 1; max doc_id 500 puts every checkpoint
+    // past it -> one distinct (t, v) point -> no line, NO row (never 0/0)
+    val df = Seq((1L, "a b c d e"), (500L, null: String))
+      .toDF("doc_id", "text")
+    assert(CorpusQuality.heapsFit(df, col("doc_id"), col("text")).count() == 0L)
+  }
+
   test("zipfFit: rank ties break by token asc; topN cuts the tail") {
     // x:3 y:3 z:3 w:1 -> ranks x=1,y=2,z=3 (tie by token), w=4; topN=3
     // drops w, so the fit sees only the flat head: slope exactly 0

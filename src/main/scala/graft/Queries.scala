@@ -5470,6 +5470,64 @@ object Queries {
           * 10000 + 0.5) / 10000.0 AS intercept
       FROM s"""))
 
+  /** E+: funnel transition latency distribution
+    * ([[EventAnalytics.funnelLatency]]) — the timing dimension q128's
+    * counts lack: per step transition, exact min/p50/p90/max of
+    * `t_{k+1} − t_k` (µs) over the same in-window population the
+    * summary counts. One pass over the funnel-times table, all
+    * transitions in a single 1-row aggregation exploded to rows;
+    * percentile ≡ quantile_cont (the q27-proven portable pair),
+    * masked by r(4). */
+  private val q174 = Q("q174_funnel_latency",
+    (s, d) => {
+      val steps = Seq("view", "click", "purchase")
+      val times = EventAnalytics.funnelTimes(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        typeCol = "event_type", steps = steps, tie = "event_id")
+      EventAnalytics.funnelLatency(times, steps, FunnelWindowUs)
+        .select(col("step_idx"), col("transition"), col("n_keys"),
+          col("min_us"), r(col("p50_us"), 4).as("p50_us"),
+          r(col("p90_us"), 4).as("p90_us"), col("max_us"))
+        .orderBy(col("step_idx"))
+    },
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events),
+      w1 AS (SELECT user_id, event_id, event_type, ts_us,
+          CASE WHEN event_type = 'view' THEN ts_us END AS v1 FROM e),
+      w2 AS (SELECT *, CASE WHEN event_type = 'click'
+            AND min(v1) OVER w < ts_us THEN ts_us END AS v2
+        FROM w1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      w3 AS (SELECT *, CASE WHEN event_type = 'purchase'
+            AND min(v2) OVER w < ts_us THEN ts_us END AS v3
+        FROM w2 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS UNBOUNDED PRECEDING)),
+      u AS (SELECT user_id, min(v1) AS t1, min(v2) AS t2, min(v3) AS t3
+        FROM w3 GROUP BY user_id),
+      dd AS (SELECT
+          CASE WHEN t2 IS NOT NULL AND t2 - t1 <= $FunnelWindowUs
+            THEN t2 - t1 END AS d1,
+          CASE WHEN t3 IS NOT NULL AND t3 - t1 <= $FunnelWindowUs
+            THEN t3 - t2 END AS d2
+        FROM u),
+      c AS (SELECT
+          count(d1) AS n1, min(d1) AS mn1, quantile_cont(d1, 0.5) AS p51,
+          quantile_cont(d1, 0.9) AS p91, max(d1) AS mx1,
+          count(d2) AS n2, min(d2) AS mn2, quantile_cont(d2, 0.5) AS p52,
+          quantile_cont(d2, 0.9) AS p92, max(d2) AS mx2
+        FROM dd)
+      SELECT * FROM (
+        SELECT 1 AS step_idx, 'view->click' AS transition,
+          n1::BIGINT AS n_keys, mn1 AS min_us,
+          floor(p51 * 10000 + 0.5) / 10000.0 AS p50_us,
+          floor(p91 * 10000 + 0.5) / 10000.0 AS p90_us, mx1 AS max_us
+        FROM c
+        UNION ALL
+        SELECT 2, 'click->purchase', n2::BIGINT, mn2,
+          floor(p52 * 10000 + 0.5) / 10000.0,
+          floor(p92 * 10000 + 0.5) / 10000.0, mx2 FROM c)
+      ORDER BY step_idx"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5484,7 +5542,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173,
+    q170, q171, q172, q173, q174,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

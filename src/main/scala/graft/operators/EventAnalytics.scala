@@ -103,6 +103,60 @@ object EventAnalytics {
       .orderBy(col("step_idx"))
   }
 
+  /** Funnel TRANSITION latency distribution — the timing dimension
+    * [[funnelSummary]]'s counts lack: per adjacent step pair k→k+1,
+    * the distribution of `t_{k+1} − t_k` over keys whose step-k+1
+    * completion lands inside `windowUs` of their `t1` (the same
+    * in-window population the summary counts, so `n_keys` here equals
+    * the summary's step-k+1 `users` by construction). Deltas are
+    * positive exact-µs longs (the [[funnelTimes]] chain is strictly
+    * monotone); p50/p90 are the exact interpolating percentile —
+    * Spark's `percentile` ≡ DuckDB's `quantile_cont`, the q27-proven
+    * portable pair. At corpus scale the exact percentile sorts each
+    * transition's deltas inside one aggregation buffer; for
+    * billion-key funnels the mergeable per-group quantile sketch
+    * ([[Sketches]], q151) is the scale path — this is the exact,
+    * auditable twin.
+    *
+    * ONE pass over `times`: every transition's stats are computed in
+    * a single 1-row aggregation (delta columns stacked in one
+    * projection), then exploded to per-transition rows — the
+    * [[funnelSummary]] shape, no multi-consumer replan of the
+    * funnel-times window chain. A transition nobody completes keeps
+    * its row with n_keys = 0 and NULL stats (honest, not absent).
+    *
+    * Returns (step_idx, transition, n_keys, min_us, p50_us, p90_us,
+    * max_us). */
+  def funnelLatency(times: DataFrame, steps: Seq[String],
+                    windowUs: Long): DataFrame = {
+    require(steps.size >= 2,
+      s"latency needs at least one transition, got $steps")
+    require(windowUs > 0, s"windowUs must be positive (µs): $windowUs")
+    val withD = steps.indices.tail.foldLeft(times) { (df, k) =>
+      df.withColumn(s"_d$k",
+        when(col(s"t${k + 1}").isNotNull &&
+          col(s"t${k + 1}") - col("t1") <= windowUs,
+          col(s"t${k + 1}") - col(s"t$k")))
+    }
+    val aggExprs = steps.indices.tail.flatMap { k => Seq(
+      count(col(s"_d$k")).as(s"n$k"),
+      min(col(s"_d$k")).as(s"mn$k"),
+      expr(s"percentile(_d$k, 0.5)").as(s"p5$k"),
+      expr(s"percentile(_d$k, 0.9)").as(s"p9$k"),
+      max(col(s"_d$k")).as(s"mx$k"))
+    }
+    val agg = withD.agg(aggExprs.head, aggExprs.tail: _*)
+    val rows = steps.indices.tail.map { k =>
+      struct(lit(k).as("step_idx"),
+        lit(s"${steps(k - 1)}->${steps(k)}").as("transition"),
+        col(s"n$k").as("n_keys"), col(s"mn$k").as("min_us"),
+        col(s"p5$k").as("p50_us"), col(s"p9$k").as("p90_us"),
+        col(s"mx$k").as("max_us"))
+    }
+    agg.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+      .orderBy(col("step_idx"))
+  }
+
   /** Weekly retention cohorts: cohort = floor-div week of the key's
     * FIRST event, offset = activity week − cohort week; `retained_pct`
     * is distinct active keys over the cohort's size (its week-0 count —

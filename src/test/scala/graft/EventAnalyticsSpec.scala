@@ -47,6 +47,41 @@ class EventAnalyticsSpec extends SparkSpec {
       (7L, None, None, None)))
   }
 
+  test("funnelLatency: exact interpolated percentiles, window cutoff, empty-transition law") {
+    // hand-built times table: deltas d1 = {10, 40, 10}, d2 = {20}
+    // (row 3's purchase lands outside the window; row 4 never clicks)
+    val times = Seq(
+      (1L, Some(0L), Some(10L), Some(30L)),
+      (2L, Some(0L), Some(40L), None),
+      (3L, Some(0L), Some(10L), Some(200L)),
+      (4L, Some(0L), None, None))
+      .toDF("user_id", "t1", "t2", "t3")
+    val out = EventAnalytics.funnelLatency(times, steps, windowUs = 100L)
+      .as[(Int, String, Long, Option[Long], Option[Double], Option[Double], Option[Long])]
+      .collect().toSeq
+    // p90 of [10,10,40]: rank 0.9*(3-1)=1.8 -> 10 + 0.8*(40-10) = 34
+    assert(out === Seq(
+      (1, "view->click", 3L, Some(10L), Some(10.0), Some(34.0), Some(40L)),
+      (2, "click->purchase", 1L, Some(20L), Some(20.0), Some(20.0), Some(20L))))
+    // a window nobody fits keeps both rows with n_keys = 0, NULL stats
+    val none = EventAnalytics.funnelLatency(times, steps, windowUs = 5L)
+      .as[(Int, String, Long, Option[Long], Option[Double], Option[Double], Option[Long])]
+      .collect().toSeq
+    assert(none === Seq(
+      (1, "view->click", 0L, None, None, None, None),
+      (2, "click->purchase", 0L, None, None, None, None)))
+  }
+
+  test("funnelLatency population == funnelSummary in-window users per step") {
+    val times = EventAnalytics.funnelTimes(ev, "user_id", "ts_us", "event_type", steps, "event_id")
+    val lat = EventAnalytics.funnelLatency(times, steps, windowUs = 7 * D)
+      .select("step_idx", "n_keys").as[(Int, Long)].collect().toMap
+    val sum = EventAnalytics.funnelSummary(times, steps, windowUs = 7 * D)
+      .select("step_idx", "users").as[(Int, Long)].collect().toMap
+    // transition k covers the same keys the summary counts at step k+1
+    assert(lat(1) === sum(2) && lat(2) === sum(3))
+  }
+
   test("funnelSummary: window cutoff, conversions, integral avg") {
     val times = EventAnalytics.funnelTimes(ev, "user_id", "ts_us", "event_type", steps, "event_id")
     val s = EventAnalytics.funnelSummary(times, steps, windowUs = 7 * D)

@@ -5528,6 +5528,46 @@ object Queries {
           floor(p92 * 10000 + 0.5) / 10000.0, mx2 FROM c)
       ORDER BY step_idx"""))
 
+  /** H+ graph: undirected degree histogram
+    * ([[graft.operators.Graph.degreeHistogram]]) — the drift watcher
+    * for derived link graphs, on q134's canonical edge basis.
+    * All-integer, exact at any scale. */
+  private val q175 = Q("q175_degree_histogram",
+    (s, d) => graft.operators.Graph.degreeHistogram(
+      linkEdges(s, d), col("src"), col("dst")),
+    Some("""WITH e0 AS (SELECT doc_id AS src,
+        (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+      deg AS (SELECT v, count(*)::BIGINT AS deg
+        FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v)
+      SELECT deg, count(*)::BIGINT AS n_vertices
+      FROM deg GROUP BY deg ORDER BY deg"""))
+
+  /** H+ graph: power-law tail exponent via the continuous MLE with
+    * discreteness shift ([[graft.operators.Graph.powerLawAlpha]],
+    * Clauset-Shalizi-Newman 2009) — never a binned log-log
+    * regression. One vertex-sized aggregation to a single row;
+    * ln-sum masked by r(4). */
+  private val q176 = Q("q176_power_law_alpha",
+    (s, d) => graft.operators.Graph.powerLawAlpha(
+        linkEdges(s, d), col("src"), col("dst"), dMin = 2)
+      .select(col("n_tail"), col("d_min"), r(col("alpha"), 4).as("alpha")),
+    Some("""WITH e0 AS (SELECT doc_id AS src,
+        (doc_id * doc_id + 7 + j * 97) % (SELECT count(*) FROM documents) AS dst
+      FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) _j),
+      u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e0 WHERE src <> dst),
+      deg AS (SELECT v, count(*)::BIGINT AS deg
+        FROM (SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+      s AS (SELECT count(*)::BIGINT AS n_tail,
+          sum(ln(deg::DOUBLE / 1.5)) AS s
+        FROM deg WHERE deg >= 2 HAVING count(*) > 0)
+      SELECT n_tail, 2 AS d_min,
+        floor((1.0 + n_tail::DOUBLE / s) * 10000 + 0.5) / 10000.0 AS alpha
+      FROM s"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5542,7 +5582,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174,
+    q170, q171, q172, q173, q174, q175, q176,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -131,6 +131,32 @@ class GraphSpec extends SparkSpec {
     assert(stats(Seq((0L, 1L))) === ((1L, 0L, 0L, None)))
   }
 
+  test("degreeHistogram: canonical basis, exact counts") {
+    // star K1,4 plus a detached edge, fed with duplicates and a loop:
+    // hub deg 4, leaves deg 1 (×4), pair deg 1 (×2) -> {1: 6, 4: 1}
+    val e = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (0L, 4L),
+      (5L, 6L), (3L, 3L))
+    val h = Graph.degreeHistogram(e.toDF("s", "t"), col("s"), col("t"))
+      .as[(Long, Long)].collect().toSeq
+    assert(h === Seq((1L, 6L), (4L, 1L)))
+  }
+
+  test("powerLawAlpha: hand-computed CSN estimator; empty tail yields no row") {
+    // degrees after canonicalization: hub 4, leaves 1,1,1,1 plus a
+    // second hub 3 with leaves 1,1,1 -> tail (deg >= 2) = {4, 3}
+    val e = ((1L to 4L).map(i => (0L, i)) ++ (7L to 9L).map(i => (6L, i)))
+    val out = Graph.powerLawAlpha(e.toDF("s", "t"), col("s"), col("t"), dMin = 2)
+      .as[(Long, Int, Double)].collect()
+    val expected = 1.0 + 2.0 / (math.log(4.0 / 1.5) + math.log(3.0 / 1.5))
+    assert(out.length === 1)
+    assert(out.head._1 === 2L && out.head._2 === 2)
+    assert(math.abs(out.head._3 - expected) < 1e-12, s"${out.head._3} vs $expected")
+    // dMin above every degree: empty tail, NO row (never NaN)
+    val none = Graph.powerLawAlpha(e.toDF("s", "t"), col("s"), col("t"), dMin = 10)
+      .collect()
+    assert(none.isEmpty)
+  }
+
   test("localClustering: per-corner credit, coefficient, deg<2 excluded") {
     // triangle {0,1,2} plus pendant edge (0,3): v0 deg 3 → 1/C(3,2)=1/3;
     // v1,v2 deg 2 → 1/1 = 1; v3 deg 1 → excluded

@@ -5331,7 +5331,11 @@ object Queries {
       SELECT doc_id,
         length(decomp)::BIGINT AS len_decomp,
         length(norm)::BIGINT AS len_nfc,
-        ${sqlPolyHash("norm")} AS hash_nfc,
+        -- explicit NULL guard: list_prepend(0, NULL) is [0] in DuckDB,
+        -- so the bare fold hashes NULL text to 0 where the native
+        -- expression propagates NULL (caught by the r11 dirty gate)
+        CASE WHEN norm IS NULL THEN NULL
+          ELSE ${sqlPolyHash("norm")} END AS hash_nfc,
         (norm = pre) AS matches_precomposed
       FROM n ORDER BY doc_id"""))
 
@@ -5416,21 +5420,24 @@ object Queries {
         t(s, d, "documents"), col("doc_id"), col("text"),
         shingleN = 3, threshold = 0.8, maxDf = 50)
       .orderBy(col("id_a"), col("id_b")),
-    Some(s"""WITH sh AS (SELECT doc_id, unnest(${sqlShingles("tk")}) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
-      keepsh AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 50),
-      kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN keepsh USING (sh)),
+    Some(s"""WITH sh AS (SELECT DISTINCT doc_id, h FROM
+        (SELECT doc_id, unnest(list_transform(${sqlShingles("tk")},
+            s -> ${sqlPolyHash("s")})) AS h
+          FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents))),
+      keeph AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 50),
+      kept AS (SELECT s.doc_id, s.h FROM sh s JOIN keeph USING (h)),
       sz AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id),
       pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           count(*) AS n_common
-        FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id <> b.doc_id
         GROUP BY 1, 2)
       SELECT id_a, id_b, n_common,
         floor(pr.n_common::DOUBLE / sz.n_kept * 1000000 + 0.5)
           / 1000000.0 AS containment
       FROM pr JOIN sz ON pr.id_a = sz.doc_id
       WHERE pr.n_common::DOUBLE / sz.n_kept >= 0.8
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""),
+    bench = true)
 
   /** H4+: Heaps'-law vocabulary-growth fit ([[CorpusQuality
     * .heapsFit]], 16 checkpoints) — the q171 dual: V(n) ≈ K·n^β along

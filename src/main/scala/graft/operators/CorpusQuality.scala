@@ -367,10 +367,15 @@ object CorpusQuality {
       .select(id.as("_doc"), explode(tokens(text)).as("tok"))
     val firstDoc = toks.groupBy(col("tok")).agg(min(col("_doc")).as("fd"))
     val docCounts = toks.groupBy(col("_doc")).agg(count(lit(1)).as("nt"))
-    val cps = df.agg(max(id).as("m"))
-      .select(explode(sequence(lit(1), lit(checkpoints))).as("j"), col("m"))
-      .select(floor(col("m") * col("j") / checkpoints).cast("long").as("cp"))
-      .distinct()
+    // ≤ K rows, but its SOURCE is a full doc_id column pass — barrier,
+    // or both threshold joins below replan the max-scan (2× read of a
+    // corpus-length column at 100 TB for a 16-row table)
+    val cps = OpUtils.barrier(
+      df.agg(max(id).as("m"))
+        .select(explode(sequence(lit(1), lit(checkpoints))).as("j"), col("m"))
+        .select(floor(col("m") * col("j") / checkpoints).cast("long").as("cp"))
+        .distinct(),
+      reliable = false)
     val vocabAt = firstDoc.join(broadcast(cps), col("fd") <= col("cp"))
       .groupBy(col("cp")).agg(count(lit(1)).as("v"))
     val toksAt = docCounts.join(broadcast(cps), col("_doc") <= col("cp"))

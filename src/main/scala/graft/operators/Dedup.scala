@@ -206,11 +206,21 @@ object Dedup {
     * boilerplate-only document has NO kept shingles and drops
     * (no 0/0, no spurious 1.0 against everything); that self-
     * consistency is what makes `containment = 1.0` still reachable.
-    * The posting table feeds the df count + both join sides and the
-    * kept table feeds sizes + both sides — each barriered once
-    * (multi-consumer replan class). Output is pair-bounded; the
-    * division is one exact-integer-ratio IEEE op (engine-portable
-    * bit for bit).
+    *
+    * The unit of counting is the portable 64-bit-poly SHINGLE HASH
+    * (`polyHash`), not the shingle string — the byte diet
+    * [[decontaminateHashed]] measured at ~half the shuffle: every
+    * exchange, barrier, and the pair join itself carry (long, long)
+    * rows instead of corpus n-gram strings. The whole MinHash/LSH/
+    * winnowing family already lives in this hash space, and the
+    * oracle replays the identical hash, so parity is exact; two
+    * distinct shingles colliding merge into one count at the
+    * family's standard ~n²/2p rate. The hashed posting table feeds
+    * the df count + the df-kept semi join and the kept table feeds
+    * sizes + both pair-join sides — each barriered once
+    * (multi-consumer replan class), cheap precisely because the rows
+    * are 16 bytes. Output is pair-bounded; the division is one
+    * exact-integer-ratio IEEE op (engine-portable bit for bit).
     *
     * Returns (id_a, id_b, n_common, containment) — ORDERED pairs,
     * id_a ≠ id_b, containment ≥ threshold. */
@@ -221,21 +231,23 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0,1]: $threshold")
     require(maxDf >= 2, s"maxDf < 2 can never produce a pair: $maxDf")
-    // shingles() is the per-doc DISTINCT set, so the explode IS the
-    // deduped posting table
+    // shingles() is per-doc DISTINCT, but two shingles can collide to
+    // one hash — the distinct keeps the posting a SET in hash space
     val posting = OpUtils.barrier(
-      df.select(id.as("_id"), explode(shingles(tokens(text), shingleN)).as("sh")),
+      df.select(id.as("_id"), explode(shingles(tokens(text), shingleN)).as("sh"))
+        .select(col("_id"), polyHash(col("sh")).as("h"))
+        .distinct(),
       reliableCheckpoint)
-    val dfKeep = posting.groupBy(col("sh"))
+    val dfKeep = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
-      .select(col("sh"))
+      .select(col("h"))
     val kept = OpUtils.barrier(
-      posting.join(dfKeep, Seq("sh"), "left_semi"), reliableCheckpoint)
+      posting.join(dfKeep, Seq("h"), "left_semi"), reliableCheckpoint)
     val sizes = kept.groupBy(col("_id")).agg(count(lit(1)).as("_n_kept"))
-    val a = kept.select(col("sh"), col("_id").as("id_a"))
-    val b = kept.select(col("sh"), col("_id").as("id_b"))
-    a.join(b, Seq("sh"))
+    val a = kept.select(col("h"), col("_id").as("id_a"))
+    val b = kept.select(col("h"), col("_id").as("id_b"))
+    a.join(b, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))

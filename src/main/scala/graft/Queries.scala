@@ -5575,6 +5575,57 @@ object Queries {
         floor((1.0 + n_tail::DOUBLE / s) * 10000 + 0.5) / 10000.0 AS alpha
       FROM s"""))
 
+  /** E+: burst collapse / debounce ([[EventAnalytics.debounce]],
+    * ε = 6 h) — the duplicate-fire cleaner before any counting op;
+    * trailing-gap chain semantics (the session definition at debounce
+    * timescale). One event-scale exchange: lag + running-sum windows
+    * and the burst agg share the (key, type) partitioning and one
+    * (ts, tie) sort. All-integer output. */
+  private val q177 = Q("q177_event_debounce",
+    (s, d) => EventAnalytics.debounce(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        typeCol = "event_type", tie = "event_id", epsUs = 21600000000L)
+      .orderBy(col("user_id"), col("event_type"), col("ts_first")),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        FROM events),
+      g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+            OR t - lag(t) OVER w > 21600000000 THEN 1 ELSE 0 END AS opens
+        FROM e WINDOW w AS (PARTITION BY user_id, event_type
+          ORDER BY t, event_id)),
+      b AS (SELECT *, sum(opens) OVER (PARTITION BY user_id, event_type
+          ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS burst FROM g)
+      SELECT user_id, event_type, min(t) AS ts_first, max(t) AS ts_last,
+        count(*)::BIGINT AS n_collapsed
+      FROM b GROUP BY user_id, event_type, burst
+      ORDER BY user_id, event_type, ts_first"""))
+
+  /** E+: SCD2 interval compression ([[EventAnalytics.scd2Intervals]]
+    * over each user's event-type stream) — the slowly-changing-
+    * dimension build over a change feed: consecutive same-value runs
+    * collapse to [valid_from, valid_to) versions, valid_to NULL for
+    * the current one, NULL-safe version breaks. One event-scale
+    * exchange; the valid_to lead runs over the version-level table. */
+  private val q178 = Q("q178_scd2_intervals",
+    (s, d) => EventAnalytics.scd2Intervals(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        attr = "event_type", tie = "event_id")
+      .orderBy(col("user_id"), col("valid_from")),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        FROM events),
+      g AS (SELECT *, CASE WHEN row_number() OVER w = 1
+            OR event_type IS DISTINCT FROM lag(event_type) OVER w
+            THEN 1 ELSE 0 END AS opens
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      v AS (SELECT *, sum(opens) OVER (PARTITION BY user_id
+          ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM g),
+      iv AS (SELECT user_id, ver, max(event_type) AS event_type,
+          min(t) AS valid_from, count(*)::BIGINT AS n_events
+        FROM v GROUP BY user_id, ver)
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+        n_events
+      FROM iv ORDER BY user_id, valid_from"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5589,7 +5640,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176,
+    q170, q171, q172, q173, q174, q175, q176, q177, q178,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -157,6 +157,82 @@ object EventAnalytics {
       .orderBy(col("step_idx"))
   }
 
+  /** Burst collapse (debounce): within each (key, type), events whose
+    * gap to the PREVIOUS event is ≤ `epsUs` chain into one burst, and
+    * each burst reports its span and size — the duplicate-fire /
+    * retry-storm / double-click cleaner an event pipeline runs before
+    * any counting op (a checkout button wired to fire on every
+    * render inflates naive conversion counts; debounced, it is one
+    * burst row). Trailing-gap CHAIN semantics — the
+    * [[Sessionize]]/`session_window` definition (a burst extends as
+    * long as consecutive gaps stay ≤ ε), not fixed-anchor windows:
+    * chains are what gap-closure gives in one pass, and they are the
+    * semantics users already have from sessionization, just at
+    * debounce timescale.
+    *
+    * ONE event-scale exchange: the lag + running-sum windows and the
+    * burst aggregation all live on the (key, type) hash partitioning
+    * with one (ts, tie) sort; burst rows collapse map-side before the
+    * final burst-level exchange. Output is burst-bounded.
+    *
+    * Returns (key, type, ts_first, ts_last, n_collapsed). */
+  def debounce(events: DataFrame, key: String, ts: String,
+               typeCol: String, tie: String, epsUs: Long): DataFrame = {
+    // a seconds-vs-µs slip silently collapses everything into one
+    // burst per key — the same unit guard as funnelSummary
+    require(epsUs > 0, s"epsUs must be positive (µs): $epsUs")
+    val w = Window.partitionBy(col(key), col(typeCol))
+      .orderBy(col(ts), col(tie))
+    events
+      .withColumn("_prev", lag(col(ts), 1).over(w))
+      .withColumn("_opens",
+        when(col("_prev").isNull || col(ts) - col("_prev") > epsUs, 1L)
+          .otherwise(0L))
+      .withColumn("_burst", sum(col("_opens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col(typeCol), col("_burst"))
+      .agg(min(col(ts)).as("ts_first"), max(col(ts)).as("ts_last"),
+        count(lit(1)).as("n_collapsed"))
+      .drop("_burst")
+  }
+
+  /** SCD2 interval compression: per key, consecutive events carrying
+    * the SAME `attr` value collapse into one validity interval
+    * [valid_from, valid_to), `valid_to` NULL for the current version
+    * — the slowly-changing-dimension build every warehouse runs over
+    * a change feed, here over the event log directly. Version breaks
+    * are NULL-safe (`null → x`, `x → null`, and the leading row all
+    * open versions; two consecutive NULLs do not).
+    *
+    * ONE event-scale exchange: change-flag lag + running version
+    * number share the (key) partitioning and one (ts, tie) sort, the
+    * version aggregation collapses map-side on the same layout, and
+    * the `valid_to` lead window runs over the VERSION-level table
+    * (bounded by distinct versions, never events).
+    *
+    * Returns (key, attr, valid_from, valid_to, n_events). */
+  def scd2Intervals(events: DataFrame, key: String, ts: String,
+                    attr: String, tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val versions = events
+      .withColumn("_prev", lag(col(attr), 1, null).over(w))
+      .withColumn("_first", row_number().over(w) === 1)
+      .withColumn("_opens",
+        when(col("_first") || !(col(attr) <=> col("_prev")), 1L)
+          .otherwise(0L))
+      .withColumn("_ver", sum(col("_opens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("_ver"))
+      .agg(max(col(attr)).as(attr),             // constant per version
+        min(col(ts)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    versions
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col(key)).orderBy(col("_ver"))))
+      .select(col(key), col(attr), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+
   /** Weekly retention cohorts: cohort = floor-div week of the key's
     * FIRST event, offset = activity week − cohort week; `retained_pct`
     * is distinct active keys over the cohort's size (its week-0 count —

@@ -82,6 +82,56 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(lat(1) === sum(2) && lat(2) === sum(3))
   }
 
+  test("debounce: trailing-gap chains, per-(key,type) isolation, singleton bursts") {
+    // u1/view at 0,5,12,30 with eps=7: 0-5-12 chain (gap 5, 7), 30 opens
+    // anew; u1/click at 6 is its own burst (types never mix); u2/view
+    // at 11 is isolated
+    val ev2 = Seq(
+      (1L, 1L, "view", 0L), (1L, 2L, "view", 5L), (1L, 3L, "view", 12L),
+      (1L, 4L, "view", 30L), (1L, 5L, "click", 6L), (2L, 6L, "view", 11L)
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = EventAnalytics.debounce(ev2, "user_id", "ts_us",
+        "event_type", "event_id", epsUs = 7L)
+      .orderBy("user_id", "event_type", "ts_first")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "click", 6L, 6L, 1L),
+      (1L, "view", 0L, 12L, 3L),
+      (1L, "view", 30L, 30L, 1L),
+      (2L, "view", 11L, 11L, 1L)))
+  }
+
+  test("scd2Intervals: run compression, NULL-safe breaks, open current version") {
+    // u1: a a b a -> versions a[0,20) b[20,30) a[30,null); u2 has a
+    // NULL-attr run between values: x[0,10) null[10,30) x[30,null)
+    // (two consecutive NULLs are ONE version)
+    val ev2 = Seq(
+      (1L, 1L, Some("a"), 0L), (1L, 2L, Some("a"), 10L),
+      (1L, 3L, Some("b"), 20L), (1L, 4L, Some("a"), 30L),
+      (2L, 5L, Some("x"), 0L), (2L, 6L, None, 10L),
+      (2L, 7L, None, 20L), (2L, 8L, Some("x"), 30L)
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = EventAnalytics.scd2Intervals(ev2, "user_id", "ts_us",
+        "event_type", "event_id")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, Some("a"), 0L, Some(20L), 2L),
+      (1L, Some("b"), 20L, Some(30L), 1L),
+      (1L, Some("a"), 30L, None, 1L),
+      (2L, Some("x"), 0L, Some(10L), 1L),
+      (2L, None, 10L, Some(30L), 2L),
+      (2L, Some("x"), 30L, None, 1L)))
+    // interval law: within a key, valid_to == next valid_from and only
+    // the LAST version is open
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._3)
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3)) }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+
   test("funnelSummary: window cutoff, conversions, integral avg") {
     val times = EventAnalytics.funnelTimes(ev, "user_id", "ts_us", "event_type", steps, "event_id")
     val s = EventAnalytics.funnelSummary(times, steps, windowUs = 7 * D)

@@ -5626,6 +5626,95 @@ object Queries {
         n_events
       FROM iv ORDER BY user_id, valid_from"""))
 
+  /** Generated oracle for q179: per subspace, the unrolled quantized
+    * k-means (the [[kmeansOracleCte]] pattern at dim=subDim, k=16,
+    * iters=2 over the embedding slice), the half-up-rounded INTEGER
+    * codebook, the argmin encoding, and the query LUT; then ADC =
+    * per-(query, doc) sum of the m integer lookup terms. */
+  private def pqOracleCte(m: Int, subDim: Int, cbK: Int, seed: String,
+                          maxQ: Int): String = {
+    val subs = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = lo + subDim - 1
+      def dot(a: String, b: String) = sqlDot(a, b, subDim)
+      val dxx = dot("x.v", "x.v"); val dxc = dot("x.v", "c.c")
+      val dcc = dot("c.c", "c.c")
+      s"""xq$s AS (SELECT vec_id,
+          list_transform(embedding[$lo:$hi], x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      sd$s AS (SELECT vec_id, v,
+          row_number() OVER (ORDER BY
+            ${sqlPolyHash(s"'$seed-$s' || CAST(vec_id AS VARCHAR) || '#graft-kmeans'")} % 10000,
+            vec_id) - 1 AS cid
+        FROM xq$s),
+      c${s}_0 AS (SELECT cid, v AS c FROM sd$s WHERE cid < $cbK),
+      p${s}_1 AS (SELECT x.vec_id, x.v, c.cid, ($dxx - 2.0 * $dxc + $dcc) AS dist2
+        FROM xq$s x CROSS JOIN c${s}_0 c),
+      a${s}_1 AS (SELECT vec_id, v, cid FROM p${s}_1
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+      u${s}_1 AS (SELECT cid, d, sum(v[d]) / count(*) AS mn
+        FROM a${s}_1 CROSS JOIN (SELECT unnest(range(1, ${subDim + 1})) AS d)
+        GROUP BY cid, d),
+      c${s}_1 AS (SELECT c0.cid, coalesce(u.c, c0.c) AS c
+        FROM c${s}_0 c0 LEFT JOIN (SELECT cid, list(mn ORDER BY d) AS c
+          FROM u${s}_1 GROUP BY cid) u ON c0.cid = u.cid),
+      p${s}_2 AS (SELECT x.vec_id, x.v, c.cid, ($dxx - 2.0 * $dxc + $dcc) AS dist2
+        FROM xq$s x CROSS JOIN c${s}_1 c),
+      a${s}_2 AS (SELECT vec_id, v, cid FROM p${s}_2
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+      u${s}_2 AS (SELECT cid, d, sum(v[d]) / count(*) AS mn
+        FROM a${s}_2 CROSS JOIN (SELECT unnest(range(1, ${subDim + 1})) AS d)
+        GROUP BY cid, d),
+      c${s}_2 AS (SELECT c1.cid, coalesce(u.c, c1.c) AS c
+        FROM c${s}_1 c1 LEFT JOIN (SELECT cid, list(mn ORDER BY d) AS c
+          FROM u${s}_2 GROUP BY cid) u ON c1.cid = u.cid),
+      cb$s AS (SELECT cid, list_transform(c, x -> floor(x + 0.5)) AS c
+        FROM c${s}_2),
+      enc$s AS (SELECT x.vec_id, $s AS s, c.cid AS code
+        FROM xq$s x CROSS JOIN cb$s c
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY ($dxx - 2.0 * $dxc + $dcc), c.cid) = 1),
+      lut$s AS (SELECT x.vec_id AS q_id, $s AS s, c.cid AS code,
+          ($dxx - 2.0 * $dxc + $dcc) AS d2
+        FROM xq$s x CROSS JOIN cb$s c WHERE x.vec_id < $maxQ)"""
+    }
+    val encUnion = (0 until m).map(s => s"SELECT * FROM enc$s")
+      .mkString(" UNION ALL ")
+    val lutUnion = (0 until m).map(s => s"SELECT * FROM lut$s")
+      .mkString(" UNION ALL ")
+    s"""WITH ${subs.mkString(",\n      ")},
+      codes AS ($encUnion),
+      lut AS ($lutUnion),
+      adc AS (SELECT l.q_id, c.vec_id AS c_id, sum(l.d2) AS adc
+        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        WHERE l.q_id <> c.vec_id GROUP BY 1, 2)"""
+  }
+
+  /** H3+: product-quantization ANN with ADC scoring
+    * ([[Similarity.pqTopK]], m=8 × subDim=8, 16-word integer
+    * codebooks, Jégou et al. 2011) — the memory-compressed linear
+    * scan (m bytes per vector instead of 4·dim). Integral codebooks
+    * make every distance exact and the m-term ADC sums
+    * order-independent, so the WHOLE pipeline — 8 unrolled k-means,
+    * rounding, encoding, LUT, ranking — hash-replays in SQL: the
+    * oracle-checked PQ, where q38's float-centroid IVF stays
+    * rows-only. */
+  private val q179 = Q("q179_pq_adc_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, m = 8, subDim = 8, codebookK = 16, iters = 2, seed = "pq11")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""${pqOracleCte(m = 8, subDim = 8, cbK = 16, seed = "pq11", maxQ = 20)},
+      rk AS (SELECT q_id, c_id, adc,
+        row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+        FROM adc)
+      SELECT q_id, rank, c_id, CAST(adc AS BIGINT) AS adc_dist2
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5640,7 +5729,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177, q178,
+    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -126,9 +126,27 @@ object Clustering {
 
   def kMeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
              seed: String, dim: Int, scale: Long = 10000L): DataFrame = {
-    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
-    val spark = df.sparkSession
+    val xq = buildXq(df, id, vec, dim, scale)
+    val centroids = lloydLoop(xq, k, iters, seed)
+    assigned(xq, centroids)
+      .select(col("_id").as("id"), col("_cid").as("cluster_id"),
+        col("_dist2").as("dist2"))
+  }
 
+  /** The Lloyd loop alone — final centroids (cid → mean vector in the
+    * quantized space), no assignment pass. The building block for
+    * operators that need the CODEBOOK rather than the clustering
+    * ([[Similarity.pqTopK]]'s per-subspace product-quantization
+    * codebooks). Same seeding, update rule, and empty-cluster
+    * fallback as [[kMeans]] — one shared core, so the SQL oracles'
+    * unrolled replay covers both. */
+  private[operators] def kMeansCentroids(
+      df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+      seed: String, dim: Int, scale: Long = 10000L): Seq[(Int, Seq[Double])] =
+    lloydLoop(buildXq(df, id, vec, dim, scale), k, iters, seed)
+
+  private def buildXq(df: DataFrame, id: Column, vec: Column,
+                      dim: Int, scale: Long): DataFrame = {
     // quantize once; integral doubles make every downstream sum exact.
     // x·x is per-row constant across iterations — compute it behind the
     // same barrier. `dim` is ENFORCED in-plan: a ragged vector would
@@ -150,7 +168,7 @@ object Clustering {
         lit("Clustering.kMeans: NULL vector — filter or impute " +
           "upstream; a NULL row cannot be assigned to any cluster"))
       .otherwise(lit(s"Clustering.kMeans: vector length must equal dim=$dim"))
-    val xq = OpUtils.materialize(
+    OpUtils.materialize(
       df.select(
         id.as("_id"),
         transform(vec, x =>
@@ -159,7 +177,11 @@ object Clustering {
         .filter(coalesce(assert_true(rowOk, rowMsg), lit(true)))
         .withColumn("_xx", dotProduct(col("_xq"), col("_xq"))))
       .localCheckpoint(false) // consumed once per iteration + final pass
+  }
 
+  private def lloydLoop(xq: DataFrame, k: Int, iters: Int,
+                        seed: String): Seq[(Int, Seq[Double])] = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
     // seed: k smallest (portable hash, id tie-break) → cluster ids 0..k-1
     // (_h, _id) is the portable sort key the SQL oracle replays; the
     // vector-hash third key only disambiguates DUPLICATE ids (two rows
@@ -183,29 +205,11 @@ object Clustering {
       "Clustering.kMeans: input is empty (0 rows after upstream " +
         "filters) — nothing to cluster")
 
-    // narrow argmin: k distances per row from centroid LITERALS, best =
-    // lexicographic min of (dist2, cid) structs — no join, no shuffle.
-    def assigned(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val distCols = cents.map { case (cid, cv) =>
-        // c·c on the driver with the SAME left fold over products the
-        // engines' sequential dot uses — one canonical value everywhere
-        val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
-        struct(
-          (col("_xx") - lit(2.0) * dotProduct(col("_xq"), typedLit(cv)) + lit(cc))
-            .as("_dist2"),
-          lit(cid).as("_cid"))
-      }
-      xq.withColumn("_best", array_sort(array(distCols: _*)).getItem(0))
-        .select(col("_id"), col("_xq"),
-          col("_best").getField("_cid").as("_cid"),
-          col("_best").getField("_dist2").as("_dist2"))
-    }
-
     for (_ <- 1 to iters) {
       // new centroid = per-dimension mean of integral coords: the sums
       // are integer-valued doubles (order-independent-exact), the
       // division a single exact IEEE op. Shuffle carries k·dim partials.
-      val updated = assigned(centroids)
+      val updated = assigned(xq, centroids)
         .select(col("_cid"), posexplode(col("_xq")).as(Seq("_pos", "_v")))
         .groupBy(col("_cid"), col("_pos"))
         .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
@@ -217,9 +221,25 @@ object Clustering {
         .toMap
       centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
+    centroids
+  }
 
-    assigned(centroids)
-      .select(col("_id").as("id"), col("_cid").as("cluster_id"),
-        col("_dist2").as("dist2"))
+  // narrow argmin: k distances per row from centroid LITERALS, best =
+  // lexicographic min of (dist2, cid) structs — no join, no shuffle.
+  private def assigned(xq: DataFrame,
+                       cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val distCols = cents.map { case (cid, cv) =>
+      // c·c on the driver with the SAME left fold over products the
+      // engines' sequential dot uses — one canonical value everywhere
+      val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+      struct(
+        (col("_xx") - lit(2.0) * dotProduct(col("_xq"), typedLit(cv)) + lit(cc))
+          .as("_dist2"),
+        lit(cid).as("_cid"))
+    }
+    xq.withColumn("_best", array_sort(array(distCols: _*)).getItem(0))
+      .select(col("_id"), col("_xq"),
+        col("_best").getField("_cid").as("_cid"),
+        col("_best").getField("_dist2").as("_dist2"))
   }
 }

@@ -89,6 +89,97 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus` need (id, vec) columns; result: one row per
     * (query, rank ≤ k). */
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring
+    * (Jégou, Douze & Schmid 2011): the corpus compresses to `m`
+    * small-int codes per vector (the 32×-memory move that makes
+    * billion-vector search fit in RAM), queries stay full-precision,
+    * and distance is the sum of per-subspace lookup-table entries.
+    *
+    *  1. codebooks: per subspace `s`, Lloyd on the QUANTIZED slice
+    *     ([[Clustering.kMeansCentroids]] — same seeding/update/
+    *     empty-cluster law as q108's oracle-replayed k-means), final
+    *     centroids rounded half-up to INTEGERS. Driver traffic =
+    *     m·k·subDim numbers.
+    *  2. encode: per corpus vector per subspace, argmin over the
+    *     integer codebook LITERALS — lexicographic (dist², cid) min
+    *     in one projection, no join, no shuffle. All quantities are
+    *     integral doubles, so every distance is exact and every tie
+    *     deterministic.
+    *  3. LUT: per query per subspace, the k distances to the integer
+    *     codebook — Q·m·k rows, broadcast.
+    *  4. ADC: codes ⋈ LUT on (s, code) — every (query, doc) pair
+    *     accumulates exactly m INTEGER-valued terms, so the sum is
+    *     order-independent-exact and the per-query (dist, id) rank
+    *     replays bit-for-bit in SQL (the ORACLE-CHECKED PQ — q38's
+    *     IVF stays rows-only precisely because its float centroids
+    *     cannot).
+    *
+    * Shape at 100 TB: ADC is the LINEAR-SCAN side of PQ — the scan
+    * runs over m-byte codes instead of 4·dim-byte vectors (the
+    * compression is the win), the LUT join is a broadcast equality
+    * join, and the per-pair aggregation map-side-combines down to
+    * |Q|·|C| partials before the per-query bounded-heap top-k cut.
+    * Compose with IVF coarse lists ([[ivfTopK]]) to prune the scan
+    * itself. NULL vectors drop (the family law); self-matches are
+    * excluded.
+    *
+    * Returns (q_id, rank, c_id, adc_dist2) — adc_dist2 a LONG in the
+    * quantized space. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+             iters: Int = 2, seed: String = "pq",
+             scale: Double = 10000.0): DataFrame = {
+    require(m >= 1 && subDim >= 1, s"need m, subDim >= 1: m=$m subDim=$subDim")
+    require(codebookK >= 2, s"a 1-word codebook cannot rank: k=$codebookK")
+    val corp = corpus.filter(col("c_vec").isNotNull)
+    val qs = queries.filter(col("q_vec").isNotNull)
+
+    val codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+      Clustering.kMeansCentroids(
+        corp.select(col("c_id"),
+          slice(col("c_vec"), s * subDim + 1, subDim).as("_sv")),
+        col("c_id"), col("_sv"), codebookK, iters, s"$seed-$s", subDim)
+        .map { case (cid, c) => (cid, c.map(x => math.floor(x + 0.5))) }
+    }
+
+    def quantSub(vec: Column, s: Int): Column =
+      transform(slice(vec, s * subDim + 1, subDim),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+    def dists(sub: Column, cb: Seq[(Int, Seq[Double])]): Seq[Column] =
+      cb.sortBy(_._1).map { case (_, cv) =>
+        val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+        dotProduct(sub, sub) - lit(2.0) * dotProduct(sub, typedLit(cv)) + lit(cc)
+      }
+
+    // codes: ONE projection emits all m argmins, posexplode keys them
+    // by subspace; code = cid of the lexicographic (dist², cid) min
+    val codes = corp.select(col("c_id"),
+      posexplode(array((0 until m).map { s =>
+        val sub = quantSub(col("c_vec"), s)
+        val cands = dists(sub, codebooks(s)).zipWithIndex.map {
+          case (d, cid) => struct(d.as("_d"), lit(cid).as("_cid")) }
+        array_sort(array(cands: _*)).getItem(0).getField("_cid")
+      }: _*)).as(Seq("s", "code")))
+
+    val lut = qs.select(col("q_id"),
+        posexplode(array((0 until m).map { s =>
+          array(dists(quantSub(col("q_vec"), s), codebooks(s)): _*)
+        }: _*)).as(Seq("s", "darr")))
+      .select(col("q_id"), col("s"),
+        posexplode(col("darr")).as(Seq("code", "d2")))
+
+    val adc = codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("d2")).as("_adc"))
+    adc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("_adc"), col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        col("_adc").cast("long").as("adc_dist2"))
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "q_id", cId: String = "c_id",
                      excludeSameId: Boolean = true): DataFrame = {

@@ -131,4 +131,48 @@ class ApproxRecallSpec extends SparkSpec {
     }
     assert(boom.getMessage != null)
   }
+
+  test("PQ/ADC with k = n degrades to exact search; hand-computed distances") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 5 well-separated 2-D points; ONE subspace whose codebook holds
+    // every point (codebookK = n) -> each point is its own codeword
+    // with zero quantization error, so ADC == exact quantized L2²
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(1.0f, 1.0f)), (5L, Seq(0.5f, 0.5f)),
+      (6L, null.asInstanceOf[Seq[Float]]))          // null vec: dropped
+    val c = pts.toDF("c_id", "c_vec")
+    val q = pts.filter(_._1 == 1L).toDF("q_id", "q_vec")
+    val out = Similarity.pqTopK(q, c, k = 4,
+        m = 1, subDim = 2, codebookK = 5, iters = 2, seed = "pqt")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // exact quantized L2² from (0,0), scale 1e4: e=2·5000², b=c=1e8, d=2e8;
+    // the b/c tie breaks by id; self (doc 1) excluded
+    assert(out === Seq(
+      (1L, 1, 5L, 50000000L),
+      (1L, 2, 2L, 100000000L),
+      (1L, 3, 3L, 100000000L),
+      (1L, 4, 4L, 200000000L)))
+  }
+
+  test("PQ/ADC: an exact duplicate of the query ranks first") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def lcg(x: Long) = x * 6364136223846793005L + 1442695040888963407L
+    val dim = 16
+    val docs = (1L to 60L).map { i =>
+      (i, Iterator.iterate(lcg(i))(lcg).take(dim)
+        .map(h => (math.floorMod(h, 2000) - 1000) / 1000.0f).toSeq)
+    }
+    val clone = Seq((999L, docs.head._2))            // doc 999 == doc 1
+    val c = (docs ++ clone).toDF("c_id", "c_vec")
+    val q = docs.take(1).toDF("q_id", "q_vec")
+    val top = Similarity.pqTopK(q, c, k = 1,
+        m = 4, subDim = 4, codebookK = 8, iters = 2, seed = "pqd")
+      .as[(Long, Int, Long, Long)].collect().head
+    // the clone shares every code with the query, so its ADC is the
+    // query's own quantization residual — the minimum any doc can score
+    assert(top._3 === 999L, top)
+  }
 }

@@ -5631,44 +5631,58 @@ object Queries {
     * iters=2 over the embedding slice), the half-up-rounded INTEGER
     * codebook, the argmin encoding, and the query LUT; then ADC =
     * per-(query, doc) sum of the m integer lookup terms. */
-  private def pqOracleCte(m: Int, subDim: Int, cbK: Int, seed: String,
-                          maxQ: Int): String = {
+  /** Generated CTE chain: the unrolled quantized k-means (the
+    * [[kmeansOracleCte]] pattern, iters = 2) over `embedding[lo:hi]`,
+    * ending in the half-up-rounded INTEGER codebook `cb$tag`. */
+  private def sqlKmeansChain(tag: String, lo: Int, hi: Int, k: Int,
+                             seed: String): String = {
+    val dim = hi - lo + 1
+    def dot(a: String, b: String) = sqlDot(a, b, dim)
+    val dxx = dot("x.v", "x.v"); val dxc = dot("x.v", "c.c")
+    val dcc = dot("c.c", "c.c")
+    s"""xq$tag AS (SELECT vec_id,
+        list_transform(embedding[$lo:$hi], x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    sd$tag AS (SELECT vec_id, v,
+        row_number() OVER (ORDER BY
+          ${sqlPolyHash(s"'$seed' || CAST(vec_id AS VARCHAR) || '#graft-kmeans'")} % 10000,
+          vec_id) - 1 AS cid
+      FROM xq$tag),
+    c${tag}_0 AS (SELECT cid, v AS c FROM sd$tag WHERE cid < $k),
+    p${tag}_1 AS (SELECT x.vec_id, x.v, c.cid, ($dxx - 2.0 * $dxc + $dcc) AS dist2
+      FROM xq$tag x CROSS JOIN c${tag}_0 c),
+    a${tag}_1 AS (SELECT vec_id, v, cid FROM p${tag}_1
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+    u${tag}_1 AS (SELECT cid, d, sum(v[d]) / count(*) AS mn
+      FROM a${tag}_1 CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d)
+      GROUP BY cid, d),
+    c${tag}_1 AS (SELECT c0.cid, coalesce(u.c, c0.c) AS c
+      FROM c${tag}_0 c0 LEFT JOIN (SELECT cid, list(mn ORDER BY d) AS c
+        FROM u${tag}_1 GROUP BY cid) u ON c0.cid = u.cid),
+    p${tag}_2 AS (SELECT x.vec_id, x.v, c.cid, ($dxx - 2.0 * $dxc + $dcc) AS dist2
+      FROM xq$tag x CROSS JOIN c${tag}_1 c),
+    a${tag}_2 AS (SELECT vec_id, v, cid FROM p${tag}_2
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
+    u${tag}_2 AS (SELECT cid, d, sum(v[d]) / count(*) AS mn
+      FROM a${tag}_2 CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS d)
+      GROUP BY cid, d),
+    c${tag}_2 AS (SELECT c1.cid, coalesce(u.c, c1.c) AS c
+      FROM c${tag}_1 c1 LEFT JOIN (SELECT cid, list(mn ORDER BY d) AS c
+        FROM u${tag}_2 GROUP BY cid) u ON c1.cid = u.cid),
+    cb$tag AS (SELECT cid, list_transform(c, x -> floor(x + 0.5)) AS c
+      FROM c${tag}_2)"""
+  }
+
+  /** The per-subspace PQ surface on top of [[sqlKmeansChain]]: codes
+    * (argmin encodings) and the query LUT, unioned across subspaces. */
+  private def pqSubspaceCtes(m: Int, subDim: Int, cbK: Int, seed: String,
+                             maxQ: Int): String = {
     val subs = (0 until m).map { s =>
       val lo = s * subDim + 1; val hi = lo + subDim - 1
       def dot(a: String, b: String) = sqlDot(a, b, subDim)
       val dxx = dot("x.v", "x.v"); val dxc = dot("x.v", "c.c")
       val dcc = dot("c.c", "c.c")
-      s"""xq$s AS (SELECT vec_id,
-          list_transform(embedding[$lo:$hi], x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL),
-      sd$s AS (SELECT vec_id, v,
-          row_number() OVER (ORDER BY
-            ${sqlPolyHash(s"'$seed-$s' || CAST(vec_id AS VARCHAR) || '#graft-kmeans'")} % 10000,
-            vec_id) - 1 AS cid
-        FROM xq$s),
-      c${s}_0 AS (SELECT cid, v AS c FROM sd$s WHERE cid < $cbK),
-      p${s}_1 AS (SELECT x.vec_id, x.v, c.cid, ($dxx - 2.0 * $dxc + $dcc) AS dist2
-        FROM xq$s x CROSS JOIN c${s}_0 c),
-      a${s}_1 AS (SELECT vec_id, v, cid FROM p${s}_1
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
-      u${s}_1 AS (SELECT cid, d, sum(v[d]) / count(*) AS mn
-        FROM a${s}_1 CROSS JOIN (SELECT unnest(range(1, ${subDim + 1})) AS d)
-        GROUP BY cid, d),
-      c${s}_1 AS (SELECT c0.cid, coalesce(u.c, c0.c) AS c
-        FROM c${s}_0 c0 LEFT JOIN (SELECT cid, list(mn ORDER BY d) AS c
-          FROM u${s}_1 GROUP BY cid) u ON c0.cid = u.cid),
-      p${s}_2 AS (SELECT x.vec_id, x.v, c.cid, ($dxx - 2.0 * $dxc + $dcc) AS dist2
-        FROM xq$s x CROSS JOIN c${s}_1 c),
-      a${s}_2 AS (SELECT vec_id, v, cid FROM p${s}_2
-        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) = 1),
-      u${s}_2 AS (SELECT cid, d, sum(v[d]) / count(*) AS mn
-        FROM a${s}_2 CROSS JOIN (SELECT unnest(range(1, ${subDim + 1})) AS d)
-        GROUP BY cid, d),
-      c${s}_2 AS (SELECT c1.cid, coalesce(u.c, c1.c) AS c
-        FROM c${s}_1 c1 LEFT JOIN (SELECT cid, list(mn ORDER BY d) AS c
-          FROM u${s}_2 GROUP BY cid) u ON c1.cid = u.cid),
-      cb$s AS (SELECT cid, list_transform(c, x -> floor(x + 0.5)) AS c
-        FROM c${s}_2),
+      s"""${sqlKmeansChain(s.toString, lo, hi, cbK, s"$seed-$s")},
       enc$s AS (SELECT x.vec_id, $s AS s, c.cid AS code
         FROM xq$s x CROSS JOIN cb$s c
         QUALIFY row_number() OVER (PARTITION BY x.vec_id
@@ -5681,13 +5695,17 @@ object Queries {
       .mkString(" UNION ALL ")
     val lutUnion = (0 until m).map(s => s"SELECT * FROM lut$s")
       .mkString(" UNION ALL ")
-    s"""WITH ${subs.mkString(",\n      ")},
+    s"""${subs.mkString(",\n      ")},
       codes AS ($encUnion),
-      lut AS ($lutUnion),
+      lut AS ($lutUnion)"""
+  }
+
+  private def pqOracleCte(m: Int, subDim: Int, cbK: Int, seed: String,
+                          maxQ: Int): String =
+    s"""WITH ${pqSubspaceCtes(m, subDim, cbK, seed, maxQ)},
       adc AS (SELECT l.q_id, c.vec_id AS c_id, sum(l.d2) AS adc
         FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
         WHERE l.q_id <> c.vec_id GROUP BY 1, 2)"""
-  }
 
   /** H3+: product-quantization ANN with ADC scoring
     * ([[Similarity.pqTopK]], m=8 × subDim=8, 16-word integer
@@ -5715,6 +5733,50 @@ object Queries {
       SELECT q_id, rank, c_id, CAST(adc AS BIGINT) AS adc_dist2
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
 
+  /** H3+: IVF coarse lists + PQ/ADC re-rank
+    * ([[Similarity.ivfPqTopK]], 8 lists × 2 probes over q179's
+    * codebooks) — the composed billion-vector shape: the ADC scan
+    * runs only over the probed lists' members. Integral coarse
+    * centroids, list filing, probe cut, and the ADC rank all replay
+    * in SQL — the oracle-checked IVF, where q38's float-centroid
+    * variant stays rows-only. */
+  private val q180 = Q("q180_ivfpq_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, nLists = 8, nProbe = 2,
+        m = 8, subDim = 8, codebookK = 16, iters = 2, seed = "pq11")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      val dot = (a: String, b: String) => sqlDot(a, b, 64)
+      val dxx = dot("x.v", "x.v"); val dxc = dot("x.v", "c.c")
+      val dcc = dot("c.c", "c.c")
+      s"""WITH ${pqSubspaceCtes(m = 8, subDim = 8, cbK = 16, seed = "pq11", maxQ = 20)},
+      ${sqlKmeansChain("co", 1, 64, 8, "pq11-coarse")},
+      docl AS (SELECT x.vec_id AS c_id, c.cid AS list_id
+        FROM xqco x CROSS JOIN cbco c
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY ($dxx - 2.0 * $dxc + $dcc), c.cid) = 1),
+      qpr AS (SELECT x.vec_id AS q_id, c.cid AS list_id
+        FROM xqco x CROSS JOIN cbco c WHERE x.vec_id < 20
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY ($dxx - 2.0 * $dxc + $dcc), c.cid) <= 2),
+      pairs AS (SELECT q.q_id, d.c_id FROM docl d JOIN qpr q USING (list_id)),
+      adc AS (SELECT p.q_id, p.c_id, sum(l.d2) AS adc
+        FROM pairs p JOIN codes c ON c.vec_id = p.c_id
+          JOIN lut l ON l.q_id = p.q_id AND l.s = c.s AND l.code = c.code
+        WHERE p.q_id <> p.c_id GROUP BY 1, 2),
+      rk AS (SELECT q_id, c_id, adc,
+        row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+        FROM adc)
+      SELECT q_id, rank, c_id, CAST(adc AS BIGINT) AS adc_dist2
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+    })
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5729,7 +5791,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179,
+    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -129,56 +129,136 @@ object Similarity {
              m: Int = 8, subDim: Int = 8, codebookK: Int = 16,
              iters: Int = 2, seed: String = "pq",
              scale: Double = 10000.0): DataFrame = {
-    require(m >= 1 && subDim >= 1, s"need m, subDim >= 1: m=$m subDim=$subDim")
-    require(codebookK >= 2, s"a 1-word codebook cannot rank: k=$codebookK")
     val corp = corpus.filter(col("c_vec").isNotNull)
     val qs = queries.filter(col("q_vec").isNotNull)
+    val cbs = pqCodebooks(corp, m, subDim, codebookK, iters, seed, scale)
+    rankAdc(
+      pqCodes(corp, cbs, subDim, scale)
+        .join(broadcast(pqLut(qs, cbs, subDim, scale)), Seq("s", "code")),
+      k)
+  }
 
-    val codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { s =>
+  /** IVF coarse lists + PQ/ADC re-rank — the composed billion-vector
+    * shape ([[pqTopK]]'s scan pruned by an inverted-file coarse
+    * quantizer, Jégou et al. 2011 §IV): a second quantized k-means
+    * over the FULL vectors yields `nLists` integer coarse centroids;
+    * every corpus vector files under its nearest list, every query
+    * probes its `nProbe` nearest lists, and ADC runs ONLY over the
+    * probed lists' members — the scan shrinks ~nProbe/nLists while
+    * the per-candidate cost stays the m-term lookup sum. Same
+    * integral-everything discipline as [[pqTopK]], so the whole
+    * composition — coarse k-means, list filing, probe selection,
+    * codebooks, ADC rank — hash-replays in SQL. Recall loss relative
+    * to [[pqTopK]] is the standard IVF trade (a true neighbor filed
+    * under an unprobed list is unreachable); rank ties and probe
+    * ties all break lexicographically, so the cut is engine-stable.
+    *
+    * Returns (q_id, rank, c_id, adc_dist2). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                nLists: Int = 8, nProbe: Int = 2,
+                m: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+                iters: Int = 2, seed: String = "pq",
+                scale: Double = 10000.0): DataFrame = {
+    require(nLists >= 2 && nProbe >= 1 && nProbe <= nLists,
+      s"need 2 <= nLists and 1 <= nProbe <= nLists: $nLists/$nProbe")
+    val corp = corpus.filter(col("c_vec").isNotNull)
+    val qs = queries.filter(col("q_vec").isNotNull)
+    val dim = m * subDim
+    val coarse = Clustering.kMeansCentroids(
+      corp.select(col("c_id"), col("c_vec")),
+      col("c_id"), col("c_vec"), nLists, iters, s"$seed-coarse", dim)
+      .map { case (cid, c) => (cid, c.map(x => math.floor(x + 0.5))) }
+    val qv = (v: Column) => transform(v,
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+    def coarseCands(vec: Column): Column = {
+      val sub = qv(vec)
+      val cands = distCols(sub, coarse).zipWithIndex.map {
+        case (d, cid) => struct(d.as("_d"), lit(cid).as("_cid")) }
+      array_sort(array(cands: _*))
+    }
+    val docLists = corp.select(col("c_id"),
+      coarseCands(col("c_vec")).getItem(0).getField("_cid").as("list_id"))
+    val probes = qs.select(col("q_id"),
+      explode(transform(slice(coarseCands(col("q_vec")), 1, nProbe),
+        s => s.getField("_cid"))).as("list_id"))
+
+    val cbs = pqCodebooks(corp, m, subDim, codebookK, iters, seed, scale)
+    val pairs = docLists.join(broadcast(probes), Seq("list_id"))
+      .select(col("q_id"), col("c_id"))
+    rankAdc(
+      pairs
+        .join(pqCodes(corp, cbs, subDim, scale), Seq("c_id"))
+        .join(broadcast(pqLut(qs, cbs, subDim, scale)),
+          Seq("q_id", "s", "code")),
+      k)
+  }
+
+  /** Per-subspace integer PQ codebooks: Lloyd on the quantized slices
+    * (the shared q108 core), final centroids rounded half-up. */
+  private def pqCodebooks(corp: DataFrame, m: Int, subDim: Int,
+                          codebookK: Int, iters: Int, seed: String,
+                          scale: Double): Seq[Seq[(Int, Seq[Double])]] = {
+    require(m >= 1 && subDim >= 1, s"need m, subDim >= 1: m=$m subDim=$subDim")
+    require(codebookK >= 2, s"a 1-word codebook cannot rank: k=$codebookK")
+    (0 until m).map { s =>
       Clustering.kMeansCentroids(
         corp.select(col("c_id"),
           slice(col("c_vec"), s * subDim + 1, subDim).as("_sv")),
-        col("c_id"), col("_sv"), codebookK, iters, s"$seed-$s", subDim)
+        col("c_id"), col("_sv"), codebookK, iters, s"$seed-$s", subDim,
+        scale.toLong)
         .map { case (cid, c) => (cid, c.map(x => math.floor(x + 0.5))) }
     }
+  }
 
-    def quantSub(vec: Column, s: Int): Column =
-      transform(slice(vec, s * subDim + 1, subDim),
-        x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
-    def dists(sub: Column, cb: Seq[(Int, Seq[Double])]): Seq[Column] =
-      cb.sortBy(_._1).map { case (_, cv) =>
-        val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
-        dotProduct(sub, sub) - lit(2.0) * dotProduct(sub, typedLit(cv)) + lit(cc)
-      }
+  private def quantSub(vec: Column, s: Int, subDim: Int,
+                       scale: Double): Column =
+    transform(slice(vec, s * subDim + 1, subDim),
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
 
-    // codes: ONE projection emits all m argmins, posexplode keys them
-    // by subspace; code = cid of the lexicographic (dist², cid) min
-    val codes = corp.select(col("c_id"),
-      posexplode(array((0 until m).map { s =>
-        val sub = quantSub(col("c_vec"), s)
-        val cands = dists(sub, codebooks(s)).zipWithIndex.map {
+  /** dist²(sub, c) for every codeword, cid-ascending — c·c folded on
+    * the driver with the engines' sequential product order. */
+  private def distCols(sub: Column,
+                       cb: Seq[(Int, Seq[Double])]): Seq[Column] =
+    cb.sortBy(_._1).map { case (_, cv) =>
+      val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+      dotProduct(sub, sub) - lit(2.0) * dotProduct(sub, typedLit(cv)) + lit(cc)
+    }
+
+  /** (c_id, s, code): ONE projection emits all m argmins, posexplode
+    * keys them by subspace; code = lexicographic (dist², cid) min. */
+  private def pqCodes(corp: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]],
+                      subDim: Int, scale: Double): DataFrame =
+    corp.select(col("c_id"),
+      posexplode(array(cbs.indices.map { s =>
+        val sub = quantSub(col("c_vec"), s, subDim, scale)
+        val cands = distCols(sub, cbs(s)).zipWithIndex.map {
           case (d, cid) => struct(d.as("_d"), lit(cid).as("_cid")) }
         array_sort(array(cands: _*)).getItem(0).getField("_cid")
       }: _*)).as(Seq("s", "code")))
 
-    val lut = qs.select(col("q_id"),
-        posexplode(array((0 until m).map { s =>
-          array(dists(quantSub(col("q_vec"), s), codebooks(s)): _*)
+  /** (q_id, s, code, d2): the Q·m·k asymmetric-distance lookup table. */
+  private def pqLut(qs: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]],
+                    subDim: Int, scale: Double): DataFrame =
+    qs.select(col("q_id"),
+        posexplode(array(cbs.indices.map { s =>
+          array(distCols(quantSub(col("q_vec"), s, subDim, scale), cbs(s)): _*)
         }: _*)).as(Seq("s", "darr")))
       .select(col("q_id"), col("s"),
         posexplode(col("darr")).as(Seq("code", "d2")))
 
-    val adc = codes.join(broadcast(lut), Seq("s", "code"))
+  /** Σ over the m joined lookup terms → per-query (dist, id) rank cut.
+    * The terms are integer-valued doubles, so the sum is
+    * order-independent-exact and the rank engine-stable. */
+  private def rankAdc(joined: DataFrame, k: Int): DataFrame =
+    joined
       .filter(col("q_id") =!= col("c_id"))
       .groupBy(col("q_id"), col("c_id"))
       .agg(sum(col("d2")).as("_adc"))
-    adc
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("_adc"), col("c_id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"),
         col("_adc").cast("long").as("adc_dist2"))
-  }
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      qId: String = "q_id", cId: String = "c_id",

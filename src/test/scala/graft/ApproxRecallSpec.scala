@@ -156,6 +156,36 @@ class ApproxRecallSpec extends SparkSpec {
       (1L, 4, 4L, 200000000L)))
   }
 
+  test("IVF+PQ with nProbe = nLists is exactly plain PQ; pruning only removes rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def lcg(x: Long) = x * 6364136223846793005L + 1442695040888963407L
+    val docs = (1L to 80L).map { i =>
+      (i, Iterator.iterate(lcg(i))(lcg).take(16)
+        .map(h => (math.floorMod(h, 2000) - 1000) / 1000.0f).toSeq)
+    }
+    val c = docs.toDF("c_id", "c_vec")
+    val q = docs.take(5).toDF("q_id", "q_vec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    val pq = rows(Similarity.pqTopK(q, c, k = 3,
+      m = 4, subDim = 4, codebookK = 8, iters = 2, seed = "ivfpq"))
+    val all = rows(Similarity.ivfPqTopK(q, c, k = 3, nLists = 4, nProbe = 4,
+      m = 4, subDim = 4, codebookK = 8, iters = 2, seed = "ivfpq"))
+    assert(all === pq, "probing every list must be plain PQ")
+    // real pruning: every returned (q, c, dist) pair must also appear
+    // in the unpruned ADC ordering (pruning removes candidates, never
+    // invents or rescores them)
+    val prunedPairs = rows(Similarity.ivfPqTopK(q, c, k = 3, nLists = 4,
+        nProbe = 1, m = 4, subDim = 4, codebookK = 8, iters = 2,
+        seed = "ivfpq"))
+      .map(r => (r._1, r._3, r._4)).toSet
+    val fullPairs = rows(Similarity.pqTopK(q, c, k = 80,
+        m = 4, subDim = 4, codebookK = 8, iters = 2, seed = "ivfpq"))
+      .map(r => (r._1, r._3, r._4)).toSet
+    assert(prunedPairs.subsetOf(fullPairs))
+  }
+
   test("PQ/ADC: an exact duplicate of the query ranks first") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -5777,6 +5777,45 @@ object Queries {
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
     })
 
+  /** H3+: PQ recall@10 against the exact quantized-L2 ground truth
+    * ([[Similarity.pqRecall]]) — the ANN evaluation table itself
+    * hash-replayed (both rankings integer-exact with lexicographic
+    * ties), not just gated in-plan like q38's float-centroid IVF.
+    * Ground truth is the brute cross product by definition — an
+    * evaluation op over a query sample, never a serving path. */
+  private val q181 = Q("q181_pq_recall",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.pqRecall(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 10, m = 8, subDim = 8, codebookK = 16, iters = 2, seed = "pq11")
+        .orderBy(col("q_id"))
+    },
+    Some {
+      s"""WITH ${pqSubspaceCtes(m = 8, subDim = 8, cbK = 16, seed = "pq11", maxQ = 20)},
+      adc AS (SELECT l.q_id, c.vec_id AS c_id, sum(l.d2) AS adc
+        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        WHERE l.q_id <> c.vec_id GROUP BY 1, 2),
+      apx AS (SELECT q_id, c_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) <= 10),
+      xf AS (SELECT vec_id,
+          list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      ex AS (SELECT x.vec_id AS q_id, c.vec_id AS c_id
+        FROM xf x JOIN xf c ON x.vec_id <> c.vec_id
+        WHERE x.vec_id < 20
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id ORDER BY
+          (${sqlDot("x.v", "x.v")} - 2.0 * ${sqlDot("x.v", "c.v")}
+            + ${sqlDot("c.v", "c.v")}), c.vec_id) <= 10)
+      SELECT e.q_id,
+        CAST(count(a.c_id) AS BIGINT) AS n_hit,
+        floor(count(a.c_id) / 10.0 * 1000000 + 0.5) / 1000000.0 AS recall
+      FROM ex e LEFT JOIN apx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+      GROUP BY e.q_id ORDER BY e.q_id"""
+    })
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5791,7 +5830,7 @@ object Queries {
     q108, q109, q110, q111, q112, q113, q114, q115, q116, q117, q119, q120, q121, q122, q123, q124, q125, q126, q127,
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
+    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

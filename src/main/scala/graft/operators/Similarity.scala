@@ -193,6 +193,52 @@ object Similarity {
       k)
   }
 
+  /** Recall@k of the PQ/ADC ranking against the EXACT quantized-L2
+    * ground truth — the evaluation every ANN deployment publishes
+    * next to its index parameters, as an operator: per query, the
+    * fraction of the true top-k (full-dimension quantized L2², the
+    * same integral space PQ compresses) that survives into the ADC
+    * top-k. Both rankings are integer-exact with lexicographic tie
+    * breaks, so the recall TABLE itself — not just its mean —
+    * hash-replays in SQL; contrast [[ivfTopKWithRecall]], whose
+    * float-centroid recall can only be gated in-plan.
+    *
+    * Shape at 100 TB: the exact side is the [[bruteForceTopK]]
+    * cross product (ground truth costs a linear scan by definition —
+    * this is an EVALUATION op, run on a query SAMPLE, not a serving
+    * path); the PQ side is [[pqTopK]]. One k-row-per-query join
+    * computes the overlap. Returns (q_id, n_hit, recall); the mean
+    * over queries is one trivial aggregation away for callers that
+    * want the single-number summary. */
+  def pqRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+               m: Int = 8, subDim: Int = 8, codebookK: Int = 16,
+               iters: Int = 2, seed: String = "pq",
+               scale: Double = 10000.0): DataFrame = {
+    val approx = pqTopK(queries, corpus, k, m, subDim, codebookK,
+      iters, seed, scale)
+    val qs = queries.filter(col("q_vec").isNotNull)
+    val corp = corpus.filter(col("c_vec").isNotNull)
+    val qv = (v: Column) => transform(v,
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+    val exact = qs.select(col("q_id"), qv(col("q_vec")).as("_qq"))
+      .crossJoin(corp.select(col("c_id"), qv(col("c_vec")).as("_cq")))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("_qq"), col("_qq"))
+          - lit(2.0) * dotProduct(col("_qq"), col("_cq"))
+          + dotProduct(col("_cq"), col("_cq"))).as("_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("_d2"), col("c_id"))))
+      .filter(col("rank") <= k)
+    exact.select(col("q_id"), col("c_id"))
+      .join(approx.select(col("q_id"), col("c_id"), lit(1).as("_hit")),
+        Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        r(col("n_hit") / lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Per-subspace integer PQ codebooks: Lloyd on the quantized slices
     * (the shared q108 core), final centroids rounded half-up. */
   private def pqCodebooks(corp: DataFrame, m: Int, subDim: Int,

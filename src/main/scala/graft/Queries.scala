@@ -5816,6 +5816,52 @@ object Queries {
       GROUP BY e.q_id ORDER BY e.q_id"""
     })
 
+  /** H4+: Dunning log-likelihood collocations
+    * ([[TextAnalysis.bigramLlr]], G² over the 2×2 bigram contingency,
+    * min count 5, top 25) — the evidence-weighted companion to q98's
+    * PMI (lift overweights rare pairs). One corpus scan on the KN
+    * substrate; G² a per-row scalar chain, double-first so the
+    * marginal products never ride long or hugeint arithmetic; ranking
+    * by the r(4)-rounded score with pair tie-break (the q98 ulp
+    * pattern). */
+  private val q182 = Q("q182_bigram_llr",
+    (s, d) => TextAnalysis.bigramLlr(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        minCount = 5L, topN = 25),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      bg AS (SELECT array_to_string(t[p:p+1], ' ') AS pair
+        FROM tk, unnest(range(1, len(t))) AS u(p)),
+      c2 AS (SELECT pair, count(*) AS c12 FROM bg GROUP BY pair),
+      sp AS (SELECT pair, c12,
+          string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[-1] AS w2
+        FROM c2),
+      c1 AS (SELECT w1, sum(c12) AS cw1 FROM sp GROUP BY w1),
+      cc AS (SELECT w2, sum(c12) AS cw2 FROM sp GROUP BY w2),
+      tot AS (SELECT CAST(sum(c12) AS DOUBLE) AS nn FROM c2),
+      g AS (SELECT sp.w1, sp.w2, sp.c12,
+          cw1::DOUBLE AS w1d, cw2::DOUBLE AS w2d, nn,
+          sp.c12::DOUBLE AS o11
+        FROM sp JOIN c1 USING (w1) JOIN cc USING (w2) CROSS JOIN tot
+        WHERE sp.c12 >= 5),
+      ll AS (SELECT w1, w2, c12, 2.0 * (
+          (CASE WHEN o11 > 0.0
+            THEN o11 * ln(o11 / (w1d * w2d / nn)) ELSE 0.0 END)
+          + (CASE WHEN w1d - o11 > 0.0
+            THEN (w1d - o11) * ln((w1d - o11) / (w1d * (nn - w2d) / nn))
+            ELSE 0.0 END)
+          + (CASE WHEN w2d - o11 > 0.0
+            THEN (w2d - o11) * ln((w2d - o11) / ((nn - w1d) * w2d / nn))
+            ELSE 0.0 END)
+          + (CASE WHEN nn - w1d - w2d + o11 > 0.0
+            THEN (nn - w1d - w2d + o11)
+              * ln((nn - w1d - w2d + o11) / ((nn - w1d) * (nn - w2d) / nn))
+            ELSE 0.0 END)) AS llr
+        FROM g)
+      SELECT w1, w2, c12,
+        floor(llr * 10000 + 0.5) / 10000.0 AS llr
+      FROM ll ORDER BY floor(llr * 10000 + 0.5) / 10000.0 DESC, w1, w2
+      LIMIT 25"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5831,6 +5877,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
+    q182,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -660,6 +660,69 @@ object TextAnalysis {
       .withColumnRenamed("_doc", "doc_id")
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    * statistically grounded companion to PMI ([[tokenPmi]] ranks by
+    * lift, which overweights rare pairs; G² weights the EVIDENCE, so
+    * a 500-occurrence collocation outranks a lucky 5-occurrence one):
+    * per adjacent bigram, `G² = 2·Σ O·ln(O/E)` over the 2×2
+    * contingency of (w₁-first, w₂-second) position counts, zero cells
+    * contributing 0 (the x·ln x limit). The classic collocation /
+    * multiword-expression miner for tokenizer and phrase-table
+    * curation.
+    *
+    * Plan shape at 100 TB: the [[kneserNeyLogProb]] substrate — ONE
+    * corpus scan (codegen'd bigram explode), the barriered
+    * vocab(²)-bounded type table, two marginal aggregations and a
+    * 1-row total joined back, G² a per-row scalar chain, and the
+    * top-`topN` cut a bounded-heap sort-limit. Ranking is by the
+    * r(4)-ROUNDED score with a (pair) tie-break, the house pattern
+    * that absorbs cross-libm ln ulps (q98).
+    *
+    * Returns topN rows (w1, w2, c12, llr) by (llr desc, w1, w2). */
+  def bigramLlr(df: DataFrame, id: Column, text: Column,
+                minCount: Long = 5L, topN: Int = 25,
+                reliableCheckpoint: Boolean = false): DataFrame = {
+    require(minCount >= 1 && topN >= 1,
+      s"need minCount, topN >= 1: $minCount/$topN")
+    val docs = df.select(id.as("_doc"), text.as("_text"))
+    val bigrams = docs.select(
+        explode(positionedShingles(tokens(col("_text")), 2)).as("p"))
+      .select(col("p.ng").as("pair"))
+    val c2 = OpUtils.barrier(
+      bigrams.groupBy(col("pair")).agg(count(lit(1)).as("c12")),
+      reliableCheckpoint)
+    val sp = c2.select(col("pair"), col("c12"),
+      substring_index(col("pair"), " ", 1).as("w1"),
+      substring_index(col("pair"), " ", -1).as("w2"))
+    val c1 = sp.groupBy(col("w1")).agg(sum(col("c12")).as("cw1"))
+    val cc = sp.groupBy(col("w2")).agg(sum(col("c12")).as("cw2"))
+    val tot = c2.agg(sum(col("c12")).cast("double").as("nn"))
+    def term(o: Column, e: Column): Column =
+      when(o > 0.0, o * log(o / e)).otherwise(lit(0.0))
+    // doubles BEFORE any multiply: a long·long marginal product
+    // overflows (loudly under ANSI) near 3e9 × 3e9 occurrences, and
+    // DuckDB's hugeint route would round differently — double-first
+    // keeps both engines on the identical op sequence
+    val w1d = col("cw1").cast("double"); val w2d = col("cw2").cast("double")
+    val o11 = col("c12").cast("double")
+    val o12 = w1d - o11
+    val o21 = w2d - o11
+    val o22 = col("nn") - w1d - w2d + o11
+    val e11 = w1d * w2d / col("nn")
+    val e12 = w1d * (col("nn") - w2d) / col("nn")
+    val e21 = (col("nn") - w1d) * w2d / col("nn")
+    val e22 = (col("nn") - w1d) * (col("nn") - w2d) / col("nn")
+    sp.join(c1, Seq("w1")).join(cc, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .filter(col("c12") >= minCount)
+      .withColumn("llr", lit(2.0) *
+        (term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22)))
+      .select(col("w1"), col("w2"), col("c12"),
+        graft.functions.GraftFunctions.r(col("llr"), 4).as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   /** Vocabulary coverage / out-of-vocabulary-rate gate — "how much of
     * this document does a size-V corpus vocabulary cover?", the
     * tokenizer-fit check a pipeline runs before committing a corpus to

@@ -114,6 +114,31 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------ //
+  // bigramLlr                                                      //
+  // ------------------------------------------------------------ //
+
+  test("bigramLlr: hand-computed Dunning G²; zero cells contribute 0") {
+    // corpus "a b a b c b": c12(ab)=2 ba=1 bc=1 cb=1; cw1 a=2 b=2 c=1;
+    // cw2 b=3 a=1 c=1; N=5. For "a b": o12 = cw1(a)-2 = 0 (zero cell).
+    val docs = Seq((1L, "a b a b c b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLlr(docs, col("doc_id"), col("text"),
+        minCount = 1L, topN = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    def g2(o11: Double, cw1: Double, cw2: Double, n: Double): Double = {
+      def t(o: Double, e: Double) = if (o > 0.0) o * math.log(o / e) else 0.0
+      val (o12, o21, o22) = (cw1 - o11, cw2 - o11, n - cw1 - cw2 + o11)
+      2.0 * (t(o11, cw1 * cw2 / n) + t(o12, cw1 * (n - cw2) / n)
+        + t(o21, (n - cw1) * cw2 / n) + t(o22, (n - cw1) * (n - cw2) / n))
+    }
+    def rr(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    assert(out(("a", "b"))._1 == 2L)
+    assert(out(("a", "b"))._2 == rr(g2(2, 2, 3, 5)))
+    assert(out(("b", "a"))._2 == rr(g2(1, 2, 1, 5)))
+    assert(out(("c", "b"))._2 == rr(g2(1, 1, 3, 5)))
+  }
+
+  // ------------------------------------------------------------ //
   // oovRate                                                        //
   // ------------------------------------------------------------ //
 

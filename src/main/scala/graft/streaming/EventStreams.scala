@@ -221,6 +221,53 @@ object EventStreams {
       }
   }
 
+  final case class DebEvent(user_id: Long, event_type: String, ts_us: Long)
+  final case class DebState(first: Long, last: Long, n: Long)
+  final case class DebBurst(user_id: Long, event_type: String,
+                            ts_first: Long, ts_last: Long, n_collapsed: Long)
+
+  /** Incremental burst collapse — the streaming twin of
+    * [[graft.operators.EventAnalytics.debounce]] (same trailing-gap
+    * chain semantics, same ε): per (key, type), state is the ONE open
+    * burst (first, last, n); an event within ε of `last` extends it,
+    * a later one EMITS the closed burst and opens a new one. Emitted
+    * rows are exactly the batch operator's bursts minus each key's
+    * still-open final burst — the parity law the spec pins on real
+    * events split across micro-batches.
+    *
+    * Contract (the [[statefulFunnel]] law): per-key event-time order
+    * across batches — the append-only-log replay shape. State is 24
+    * bytes per (key, type) in the partitioned state store; nothing
+    * reaches the driver. Production would add a `GroupStateTimeout`
+    * to flush long-idle bursts; the operator keeps them open so the
+    * parity law stays exact. */
+  def statefulDebounce(events: Dataset[DebEvent], epsUs: Long)
+      : Dataset[DebBurst] = {
+    import events.sparkSession.implicits._
+    require(epsUs > 0, s"epsUs must be positive (µs): $epsUs")
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebState, DebBurst](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[DebEvent],
+         state: GroupState[DebState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[DebBurst]
+          var open = state.getOption.orNull
+          rows.toSeq.sortBy(_.ts_us).foreach { e =>
+            open match {
+              case null =>
+                open = DebState(e.ts_us, e.ts_us, 1L)
+              case DebState(f, l, n) if e.ts_us - l <= epsUs =>
+                open = DebState(f, math.max(l, e.ts_us), n + 1)
+              case DebState(f, l, n) =>
+                closed += DebBurst(key._1, key._2, f, l, n)
+                open = DebState(e.ts_us, e.ts_us, 1L)
+            }
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+      }
+  }
+
   /** Gap-based session windows (`session_window`) — Spark's native
     * operator for what `Sessionize` builds manually; a session closes
     * when no event arrives within `gap`. */

@@ -117,6 +117,41 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulDebounce over 3 in-order batches == batch debounce minus open bursts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStreams.{DebBurst, DebEvent}
+
+    val eps = 21600000000L // 6 h, the q177 setting
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev.withColumn("ts_us",
+      graft.functions.GraftFunctions.epochMicros(ev.schema("ts").dataType, col("ts")))
+
+    val batchBursts = graft.operators.EventAnalytics
+      .debounce(evUs, "user_id", "ts_us", "event_type", "event_id", eps)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => DebBurst(r._1, r._2, r._3, r._4, r._5)).toSet
+    // each (key, type)'s LAST burst is still open in the stream's state
+    val openBursts = batchBursts.groupBy(b => (b.user_id, b.event_type))
+      .values.map(_.maxBy(_.ts_first)).toSet
+
+    val all = evUs.select(col("user_id"), col("event_type"), col("ts_us"))
+      .as[DebEvent].collect().sortBy(_.ts_us)
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    val input = MemoryStream[DebEvent]
+    val q = EventStreams.statefulDebounce(input.toDS(), eps)
+      .writeStream.format("memory").queryName("deb_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("deb_out").as[DebBurst].collect().toSet
+      assert(got === (batchBursts -- openBursts),
+        s"streamed ${got.size} vs batch-closed ${(batchBursts -- openBursts).size}")
+      assert(got.nonEmpty, "parity corpus must actually close bursts")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the bound, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

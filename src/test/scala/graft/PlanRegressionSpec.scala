@@ -389,4 +389,39 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the dim join must stay an equality join:\n$p")
   }
+
+  test("q171 zipf fit: the per-source top-N cut rides the bounded-heap rewrite") {
+    val p = plan("q171_zipf_fit")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroup "),
+      s"the top-N cut must plan as the two-stage bounded heap:\n$p")
+    assert(!p.contains("Window"),
+      s"no vocab-wide Window sort may remain:\n$p")
+  }
+
+  test("q174 funnel latency: the window chain + aggregation share ONE event exchange") {
+    val p = plan("q174_funnel_latency")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one (key) exchange for the chained windows + per-key agg; the
+    // 1-row final aggregation adds a SinglePartition exchange, not a
+    // hash one
+    assert(hashExchanges === 1,
+      s"funnel latency must reuse q128's single event-scale shuffle, " +
+        s"got $hashExchanges:\n$p")
+  }
+
+  test("q177/q178 debounce + SCD2: one (key[,type]) exchange, one sort over events") {
+    Seq("q177_event_debounce" -> 2,  // window keys + burst-level agg exchange
+        "q178_scd2_intervals" -> 2   // window keys + version-level agg exchange
+    ).foreach { case (name, maxHash) =>
+      val p = plan(name)
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashExchanges <= maxHash,
+        s"$name grew extra shuffles ($hashExchanges > $maxHash):\n$p")
+      val eventSorts = "Sort \\[".r.findAllIn(p).length
+      // windows + the final presentation ORDER BY: the event-scale
+      // (ts, tie) sort must be shared by lag/sum/groupBy, not repeated
+      assert(eventSorts <= 3,
+        s"$name repeats its event-scale sort ($eventSorts):\n$p")
+    }
+  }
 }

@@ -5862,6 +5862,97 @@ object Queries {
       FROM ll ORDER BY floor(llr * 10000 + 0.5) / 10000.0 DESC, w1, w2
       LIMIT 25"""))
 
+  /** D+/F+: per-group winsorization ([[Features.withWinsorized]],
+    * p01/p99) — the REPAIR response to heavy tails (q93's MAD gate is
+    * the FLAG response): values clamp into their group's exact
+    * interpolated percentile bounds (percentile ≡ quantile_cont, the
+    * q27 pair), bounds broadcast back, clamp a pure projection;
+    * null-safe group join so a NULL group is its own stratum. */
+  private val q183 = Q("q183_winsorize",
+    (s, d) => Features.withWinsorized(
+        t(s, d, "events"), col("event_type"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(col("value")).as("n"),
+        count(when(col("value") < col("_lo"), 1)).as("n_clamped_lo"),
+        count(when(col("value") > col("_hi"), 1)).as("n_clamped_hi"),
+        r(max(col("_lo")), 4).as("lo"),          // constant per group
+        r(max(col("_hi")), 4).as("hi"),
+        r(avg(col("value_w")), 4).as("mean_w"))
+      .orderBy(col("event_type")),
+    Some("""WITH b AS (SELECT event_type AS g,
+        quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        FROM events GROUP BY event_type),
+      j AS (SELECT e.event_type, e.value, b.lo, b.hi,
+          CASE WHEN e.value < b.lo THEN b.lo
+               WHEN e.value > b.hi THEN b.hi ELSE e.value END AS vw
+        FROM events e LEFT JOIN b ON e.event_type IS NOT DISTINCT FROM b.g)
+      SELECT event_type, count(value)::BIGINT AS n,
+        count(CASE WHEN value < lo THEN 1 END)::BIGINT AS n_clamped_lo,
+        count(CASE WHEN value > hi THEN 1 END)::BIGINT AS n_clamped_hi,
+        floor(max(lo) * 10000 + 0.5) / 10000.0 AS lo,
+        floor(max(hi) * 10000 + 0.5) / 10000.0 AS hi,
+        floor(avg(vw) * 10000 + 0.5) / 10000.0 AS mean_w
+      FROM j GROUP BY event_type ORDER BY event_type"""))
+
+  /** E+/D+: rolling-window distinct via mergeable HLL registers
+    * ([[EventAnalytics.rollingDistinctHll]], W = 7, b = 6) — the
+    * sketch path for q137's exact WAU: per-day state is 64 register
+    * cells however many keys were active, the window rolls by
+    * cell-wise max over days×64 rows (the ×W explode applied to
+    * sketch cells, not key pairs). Estimates sit beside the exact
+    * trailing distinct with the q154 error-bound gate. */
+  private val q184 = Q("q184_rolling_distinct_hll",
+    (s, d) => {
+      val est = EventAnalytics.rollingDistinctHll(
+        eventsUs(s, d), key = "user_id", ts = "ts_us",
+        epoch0Us = CohortEpoch0Us, dayUs = 86400000000L, windowDays = 7)
+      val p = eventsUs(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"),
+          longDiv(col("ts_us") - CohortEpoch0Us, 86400000000L).as("day"))
+        .distinct()
+        .localCheckpoint(false)     // feeds exact fan-out + the day list
+      val exact = p
+        .select(col("user_id"), explode(sequence(lit(0L), lit(6L))).as("j"),
+          col("day"))
+        .select(col("user_id"), (col("day") + col("j")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("exact_wau"))
+      val activeDays = p.select(col("day")).distinct()
+      est.join(activeDays, Seq("day"))
+        .join(exact, Seq("day"))
+        .select(col("day"), r(col("est_distinct"), 2).as("est_wau"),
+          col("exact_wau"),
+          (abs(r(col("est_distinct"), 2) / col("exact_wau") - 1.0) <= 0.35)
+            .as("within_bound"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH p AS (SELECT DISTINCT user_id,
+        (epoch_us(ts) - $CohortEpoch0Us) // 86400000000 AS day
+        FROM events WHERE user_id IS NOT NULL),
+      hx AS (SELECT day, ${sqlPolyHash("CAST(user_id AS VARCHAR)")} AS h FROM p),
+      mx AS (SELECT day, (h*h + 3*h + 7) % 1000000007 AS g FROM hx),
+      reg AS (SELECT day, g % 64 AS bucket, max(${sqlRho("(g // 64)")}) AS r
+        FROM mx GROUP BY day, g % 64),
+      fan AS (SELECT day + j AS day, bucket, max(r) AS r
+        FROM reg CROSS JOIN (SELECT unnest(range(0, 7)) AS j) _j
+        GROUP BY day + j, bucket),
+      agg AS (SELECT day,
+          sum(1.0 / CAST(1::BIGINT << r AS DOUBLE)) + (64.0 - count(*)) AS s,
+          64.0 - count(*) AS zeros FROM fan GROUP BY day),
+      raw AS (SELECT day, $HllAlphaM2B6 / s AS raw, zeros FROM agg),
+      est AS (SELECT day, CASE WHEN zeros > 0 AND raw <= 160.0
+          THEN 64.0 * ln(64.0 / zeros) ELSE raw END AS e FROM raw),
+      w AS (SELECT DISTINCT user_id, day + j AS day
+        FROM p CROSS JOIN (SELECT unnest(range(0, 7)) AS j) _j),
+      wau AS (SELECT day, count(*)::BIGINT AS exact_wau FROM w GROUP BY day),
+      act AS (SELECT DISTINCT day FROM p)
+      SELECT act.day, floor(e * 100 + 0.5) / 100.0 AS est_wau,
+        wau.exact_wau,
+        (abs(floor(e * 100 + 0.5) / 100.0 / wau.exact_wau - 1.0) <= 0.35)
+          AS within_bound
+      FROM act JOIN est USING (day) JOIN wau USING (day)
+      ORDER BY act.day"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5877,7 +5968,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182,
+    q182, q183, q184,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

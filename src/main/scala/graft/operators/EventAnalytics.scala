@@ -157,6 +157,50 @@ object EventAnalytics {
       .orderBy(col("step_idx"))
   }
 
+  /** Rolling-window distinct-key ESTIMATE from mergeable HLL register
+    * sketches — the documented 100 TB path for [[activeUsers]]' WAU:
+    * the exact operator explodes the deduped (key, day) pair table ×W
+    * (state scales with distinct pairs), while this one reduces each
+    * day to m = 2^b registers ONCE and rolls the window by cell-wise
+    * MAX over days×m rows — per-day state is CONSTANT (64 cells at
+    * b = 6) no matter how many keys were active, so a year of history
+    * is 23k rows and any window size re-rolls from the same register
+    * table without touching events. The register fan-out to its ≤ W
+    * trailing target days is the q137 bounded-explode move applied to
+    * SKETCH cells instead of key pairs. Same trailing-window
+    * convention as [[activeUsers]] (day d counts activity in
+    * d−W+1 .. d); days past the last activity carry estimates too
+    * (their windows still contain registers) — callers join to their
+    * active-day list for the q137 presentation. NULL keys drop (a
+    * null key is not a user; [[Sketches.hllRegisters]] would refuse
+    * the null hash loudly otherwise).
+    *
+    * Returns (day, est_distinct) — est saturates near ~10⁹ per
+    * window (the [[Sketches.hllEstimate]] ceiling). */
+  def rollingDistinctHll(events: DataFrame, key: String, ts: String,
+                         epoch0Us: Long, dayUs: Long, windowDays: Int,
+                         b: Int = 6,
+                         reliableCheckpoint: Boolean = false): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    require(dayUs > 0, s"dayUs must be positive (µs): $dayUs")
+    val day = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, dayUs)
+    val pairs = events.filter(col(key).isNotNull)
+      .select(col(key).as("_k"), day.as("day")).distinct()
+    // barriered: the per-day register table feeds the window fan-out
+    // and is the thing a real deployment would PERSIST (days × m rows)
+    val regs = OpUtils.barrier(
+      Sketches.hllRegisters(pairs, col("day"),
+        graft.functions.GraftFunctions.polyHash(col("_k").cast("string")), b),
+      reliableCheckpoint)
+    val rolled = regs
+      .select(col("grp"), col("bucket"), col("r"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("_j"))
+      .groupBy((col("grp") + col("_j")).as("grp"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    Sketches.hllEstimate(rolled, b)
+      .withColumnRenamed("grp", "day")
+  }
+
   /** Burst collapse (debounce): within each (key, type), events whose
     * gap to the PREVIOUS event is ≤ `epsUs` chain into one burst, and
     * each burst reports its span and size — the duplicate-fire /

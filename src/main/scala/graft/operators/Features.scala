@@ -120,4 +120,39 @@ object Features {
       Seq(user, activity, "session_id", "window_id"), col(tsName), axes,
       portableVariance, tieBreak)
   }
+
+  /** Per-group WINSORIZATION — the robust feature-scaling step every
+    * ML-prep pipeline runs before a model sees a heavy-tailed column
+    * (a fat-fingered 10⁹ event value would otherwise own the
+    * gradient): per group, values clamp into the group's own
+    * [p_lo, p_hi] exact interpolated percentiles (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`, the q27-proven portable pair). Unlike
+    * the MAD gate ([[graft.Queries]] q93's median→MAD→flag chain)
+    * this REPAIRS rather than flags — the two are the complementary
+    * outlier responses.
+    *
+    * Shape at 100 TB: one group-bounded percentile aggregation (the
+    * per-group exact sort lives inside the agg buffer — the q174
+    * caveat; q151's mergeable sketch is the billion-row-per-group
+    * path), bounds BROADCAST back onto the rows (null-safe join, so
+    * a NULL group is its own stratum rather than silently dropping
+    * rows), and the clamp is a pure projection. NULL values pass
+    * through NULL (nothing to repair; percentiles ignored them).
+    *
+    * Returns the input plus (_lo, _hi, value_w). */
+  def withWinsorized(df: DataFrame, group: Column, value: Column,
+                     pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0.0 && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1: $pLo/$pHi")
+    val d0 = df.withColumn("_wv", value.cast("double"))
+    val bounds = d0.groupBy(group.as("_wg"))
+      .agg(expr(s"percentile(_wv, $pLo)").as("_lo"),
+        expr(s"percentile(_wv, $pHi)").as("_hi"))
+    d0.join(broadcast(bounds), group <=> col("_wg"), "left")
+      .withColumn("value_w",
+        when(col("_wv") < col("_lo"), col("_lo"))
+          .when(col("_wv") > col("_hi"), col("_hi"))
+          .otherwise(col("_wv")))
+      .drop("_wg", "_wv")
+  }
 }

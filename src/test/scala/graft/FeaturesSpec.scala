@@ -96,4 +96,28 @@ class FeaturesSpec extends SparkSpec {
       .collect().head.getAs[Double]("var_y")
     assert(math.abs(a - b) < 1e-9)
   }
+
+  test("withWinsorized: clamp into exact interpolated bounds; NULL group/value laws") {
+    // group g: 1..100 -> p01 = 1.99, p99 = 99.01 (rank 0.01*(n-1) = 0.99)
+    val rows = (1 to 100).map(i => (Some("g"), Some(i.toDouble))) ++
+      Seq((Some("g"), None),                       // NULL value: untouched
+        (None, Some(5.0)), (None, Some(500.0)),    // NULL group: own stratum
+        (None, Some(1000.0)))
+    val out = Features.withWinsorized(
+        rows.toDF("grp", "value"), col("grp"), col("value"))
+      .select(col("grp"), col("value"), col("value_w"))
+      .as[(Option[String], Option[Double], Option[Double])].collect()
+    val g = out.filter(_._1.contains("g"))
+    assert(g.find(_._2.contains(1.0)).get._3.get === 1.99)
+    assert(g.find(_._2.contains(100.0)).get._3.get === 99.01)
+    assert(g.find(_._2.contains(50.0)).get._3.get === 50.0)
+    assert(g.find(_._2.isEmpty).get._3.isEmpty)
+    // the NULL stratum clamps among its own three values:
+    // p01 of {5, 500, 1000}: rank 0.02 -> 5 + 0.02*495 = 14.9;
+    // p99: rank 1.98 -> 500 + 0.98*500 = 990.0
+    val n = out.filter(_._1.isEmpty)
+    assert(n.find(_._2.contains(5.0)).get._3.get === 14.9)
+    assert(n.find(_._2.contains(500.0)).get._3.get === 500.0)
+    assert(n.find(_._2.contains(1000.0)).get._3.get === 990.0)
+  }
 }

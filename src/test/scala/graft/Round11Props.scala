@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
+
+import graft.operators.{Dedup, EventAnalytics}
+
+/** Brute-force differentials for the round-11 operators: for ANY
+  * random input, containment pairs, debounce bursts, and SCD2
+  * intervals equal plain-Scala restatements of their definitions —
+  * the same harness that caught real bugs in the corpus-quality and
+  * engagement families before commit. */
+object Round11Props extends Properties("Round11Ops") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.plans.GraftExtensions)
+    .getOrCreate()
+
+  // ---- containmentPairs ≡ brute hash-space containment ------------- //
+
+  private val docGen = for {
+    nDocs <- Gen.choose(2, 12)
+    docs <- Gen.listOfN(nDocs, Gen.listOfN(
+      12, Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" ")))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("containmentPairs equals the brute-force df-capped definition") =
+    Prop.forAll(docGen) { docs =>
+      import spark.implicits._
+      val (n, thr, maxDf) = (3, 0.5, 4)
+      val got = Dedup.containmentPairs(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+          shingleN = n, threshold = thr, maxDf = maxDf)
+        .select("id_a", "id_b", "n_common")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+
+      // brute: distinct shingle HASH set per doc (the operator's
+      // counting unit), df cut, ordered-pair intersection / |kept(A)|
+      def ph(s: String): Long = {
+        var h = 0L
+        s.foreach(c => h = (h * 31 + c.toLong) % 1000000007L)
+        h
+      }
+      val sets = docs.map { case (id, t) =>
+        id -> t.split(" ").sliding(n).filter(_.length == n)
+          .map(g => ph(g.mkString(" "))).toSet
+      }.toMap
+      val df = sets.values.flatten.groupBy(identity).view.mapValues(_.size)
+      val kept = sets.view.mapValues(_.filter(h => df(h) <= maxDf)).toMap
+      val want = (for {
+        (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq
+        if a != b && sa.nonEmpty
+        common = (sa intersect sb).size.toLong
+        if common.toDouble / sa.size >= thr
+      } yield (a, b) -> common).toMap
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
+
+  // ---- debounce ≡ brute trailing-gap chains ------------------------ //
+
+  private val evGen = for {
+    n <- Gen.choose(1, 60)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 3L)
+      t <- Gen.oneOf("x", "y")
+      ts <- Gen.choose(0L, 200L)
+    } yield (k, t, ts))
+  } yield evs.zipWithIndex.map { case ((k, t, ts), i) => (k, i.toLong, t, ts) }
+
+  property("debounce equals the brute-force chain definition") =
+    Prop.forAll(evGen) { evs =>
+      import spark.implicits._
+      val eps = 10L
+      val got = EventAnalytics.debounce(
+          evs.toDF("user_id", "event_id", "event_type", "ts_us"),
+          "user_id", "ts_us", "event_type", "event_id", eps)
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+
+      val want = evs.groupBy(e => (e._1, e._3)).flatMap { case ((k, t), es) =>
+        val ts = es.sortBy(e => (e._4, e._2)).map(_._4)
+        val bursts = ts.foldLeft(List.empty[List[Long]]) {
+          case (Nil, x) => List(List(x))
+          case (h :: rest, x) if x - h.head <= eps => (x :: h) :: rest
+          case (acc, x) => List(x) :: acc
+        }
+        bursts.map(b => (k, t, b.last, b.head, b.size.toLong))
+      }.toSet
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
+
+  // ---- scd2Intervals ≡ brute run compression ----------------------- //
+
+  private val attrGen = for {
+    n <- Gen.choose(1, 40)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 3L)
+      a <- Gen.oneOf(Some("p"), Some("q"), None)
+    } yield (k, a))
+  } yield evs.zipWithIndex.map { case ((k, a), i) =>
+    (k, i.toLong, a, i.toLong * 10) }  // strictly increasing ts per input
+
+  property("scd2Intervals equals brute run compression; chain law holds") =
+    Prop.forAll(attrGen) { evs =>
+      import spark.implicits._
+      val got = EventAnalytics.scd2Intervals(
+          evs.toDF("user_id", "event_id", "event_type", "ts_us"),
+          "user_id", "ts_us", "event_type", "event_id")
+        .as[(Long, Option[String], Long, Option[Long], Long)]
+        .collect().toSet
+
+      val want = evs.groupBy(_._1).flatMap { case (k, es) =>
+        val sorted = es.sortBy(e => (e._4, e._2))
+        val runs = sorted.foldLeft(List.empty[(Option[String], Long, Long)]) {
+          case (h :: rest, e) if h._1 == e._3 => (h._1, h._2, h._3 + 1) :: rest
+          case (acc, e) => (e._3, e._4, 1L) :: acc
+        }.reverse
+        runs.zip(runs.drop(1).map(r => Some(r._2)) :+ None).map {
+          case ((a, from, cnt), to) => (k, a, from, to, cnt) }
+      }.toSet
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
+}

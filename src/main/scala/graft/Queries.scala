@@ -5953,6 +5953,26 @@ object Queries {
       FROM act JOIN est USING (day) JOIN wau USING (day)
       ORDER BY act.day"""))
 
+  /** H2+/G8: edit-distance similarity JOIN
+    * ([[Dedup.editDistancePairs]], Ed-Join-style k·q+1 rarest-gram
+    * signatures + exact levenshtein verify) — the fuzzy join behind
+    * entity resolution, without the n² cross product. The oracle
+    * computes the ground truth DIRECTLY from the definition (every
+    * pair within distance 1), no gram mechanics — so the hash check
+    * itself proves the prefilter lossless on this corpus. */
+  private val q185 = Q("q185_edit_distance_join",
+    (s, d) => Dedup.editDistancePairs(
+        t(s, d, "customer"), col("c_custkey"), col("c_name"),
+        maxDist = 1, q = 2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+        AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5968,7 +5988,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184,
+    q182, q183, q184, q185,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

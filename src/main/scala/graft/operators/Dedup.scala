@@ -259,6 +259,83 @@ object Dedup {
         r(col("containment"), 6).as("containment"))
   }
 
+  /** Scalable edit-distance similarity JOIN (Ed-Join-style signature
+    * prefilter, Xiao et al. 2008): all id pairs whose strings are
+    * within `maxDist` Levenshtein edits — the fuzzy join behind
+    * entity resolution / near-identical-name linkage, without the
+    * |n|² cross product. Correctness rests on the q-gram count
+    * argument: ONE edit destroys at most `q` distinct padded q-gram
+    * TYPES, so two strings within k edits differ in ≤ k·q types —
+    * any (k·q + 1)-subset of a string's types must intersect the
+    * other string's FULL type set. Each string therefore signs with
+    * its k·q + 1 RAREST grams (global df, gram tie — rare grams keep
+    * the join selective), the signature side joins the full posting
+    * side by gram equality, and the surviving candidates take the
+    * exact `levenshtein` verify (plus the free |len Δ| ≤ k cut). The
+    * prefilter is LOSSLESS by the theorem — and the SQL oracle
+    * proves it run for run by computing the ground truth directly
+    * from the definition, no gram mechanics at all: a lossy filter
+    * could not hash-match it.
+    *
+    * Shape at 100 TB: the signature side is (k·q + 1)·n postings on
+    * deliberately RARE keys; the full side shuffles once on the gram;
+    * candidates dedup to unordered pairs before the verify join
+    * (levenshtein runs once per candidate, never per gram match).
+    * Degenerate corpora (everything near-identical → even the rare
+    * grams are hot) fail fast via the signature-side block guard.
+    * Strings too short to own k·q + 1 padded grams would evade the
+    * pigeonhole (a pair could match with NO shared gram) — refused
+    * loudly in-plan rather than silently dropped. NULL strings drop
+    * (nothing to match).
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist. */
+  def editDistancePairs(df: DataFrame, id: Column, str: Column,
+                        maxDist: Int, q: Int = 2,
+                        maxBlock: Int = DefaultMaxBlock): DataFrame = {
+    require(maxDist >= 1 && q >= 1, s"need maxDist, q >= 1: $maxDist/$q")
+    val sigSize = maxDist * q + 1
+    val minLen = maxDist * q - q + 2   // padded grams = len + q - 1 >= sigSize
+    val pad = "\u0001".repeat(q - 1)   // out-of-alphabet pad char
+    val s0 = df.filter(str.isNotNull)
+      .select(id.as("_id"), str.as("_s"))
+      .filter(coalesce(assert_true(length(col("_s")) >= minLen,
+        concat(lit(s"editDistancePairs: string of id "),
+          col("_id").cast("string"),
+          lit(s" is shorter than $minLen chars — it cannot own the " +
+            s"${sigSize} signature grams the lossless prefilter needs " +
+            s"(raise q, lower maxDist, or filter short strings upstream)"))),
+        lit(true)))
+    val posting = OpUtils.barrier(
+      s0.withColumn("_p", concat(lit(pad), col("_s"), lit(pad)))
+        .select(col("_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, length(_p) - ${q - 1}), " +
+            s"i -> substring(_p, i, $q)))")).as("g")),
+      reliable = false)
+    val dfreq = posting.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    val sig = guardBlocks(
+      posting.join(dfreq, Seq("g"))
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_id")).orderBy(col("_df"), col("g"))))
+        .filter(col("_rn") <= sigSize)
+        .select(col("g").as("bk"), col("_id").as("_sid")),
+      maxBlock, "editDistancePairs")
+      .select(col("bk").as("g"), col("_sid"))
+    val cand = sig
+      .join(posting.select(col("g"), col("_id").as("_fid")), Seq("g"))
+      .filter(col("_sid") =!= col("_fid"))
+      .select(least(col("_sid"), col("_fid")).as("id_a"),
+        greatest(col("_sid"), col("_fid")).as("id_b"))
+      .distinct()
+    cand
+      .join(s0.select(col("_id").as("id_a"), col("_s").as("_sa")), Seq("id_a"))
+      .join(s0.select(col("_id").as("id_b"), col("_s").as("_sb")), Seq("id_b"))
+      .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** H2b MinHash signature: k minimums of affine universal hashes over
     * the word-`shingleN`-gram shingle hashes. `sig[i] = min_s
     * (2i+1)·h(s) + 1000003·(i+1) mod p`. Shingles, NOT unigram tokens:

@@ -568,6 +568,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!all.keys.exists { case (a, b) => a >= 4L && b >= 4L })
   }
 
+  test("editDistancePairs: exact fuzzy join; short strings refuse loudly") {
+    import graft.operators.Dedup
+    val rows = Seq(
+      (1L, "kitten"), (2L, "sitten"),      // dist 1: pair
+      (3L, "mitten"),                       // dist 1 to both above
+      (4L, "kitchen"),                      // dist 2 to kitten: out at k=1
+      (5L, "absolutely unrelated"),
+      (6L, null.asInstanceOf[String]))      // null: dropped
+    val out = Dedup.editDistancePairs(
+        rows.toDF("id", "s"), col("id"), col("s"), maxDist = 1, q = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    // maxDist 2 admits kitchen (insert h + substitute? kitten->kitchen = 2)
+    val out2 = Dedup.editDistancePairs(
+        rows.toDF("id", "s"), col("id"), col("s"), maxDist = 2, q = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out2.contains((1L, 4L, 2L)))
+    // a string too short for the k·q+1 signature pigeonhole is refused
+    // loudly, never silently unable to match
+    val boom = intercept[Exception] {
+      Dedup.editDistancePairs(
+        Seq((1L, "ab"), (2L, "a")).toDF("id", "s"),
+        col("id"), col("s"), maxDist = 2, q = 2).count()
+    }
+    assert(Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString.contains("signature"))
+  }
+
   test("winnow guarantee: a shared run of >= w+k-1 tokens shares a fingerprint") {
     import graft.functions.GraftFunctions
     val (k, w) = (3, 4)

@@ -65,6 +65,37 @@ object Round11Props extends Properties("Round11Ops") {
       (got == want: Prop) :| s"got=$got want=$want"
     }
 
+  // ---- editDistancePairs ≡ all-pairs levenshtein (losslessness) ---- //
+
+  private val strGen = for {
+    n <- Gen.choose(2, 15)
+    ss <- Gen.listOfN(n,
+      Gen.listOfN(6, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  } yield ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  property("editDistancePairs finds EXACTLY the all-pairs levenshtein matches") =
+    Prop.forAll(strGen) { rows =>
+      import spark.implicits._
+      val k = 1
+      val got = Dedup.editDistancePairs(
+          rows.toDF("id", "s"), col("id"), col("s"), maxDist = k, q = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- rows; (b, sb) <- rows if a < b
+        d = lev(sa, sb) if d <= k
+      } yield (a, b, d.toLong)).toSet
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
+
   // ---- debounce ≡ brute trailing-gap chains ------------------------ //
 
   private val evGen = for {

@@ -5973,6 +5973,84 @@ object Queries {
       WHERE levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b"""))
 
+  /** H3+: PQ candidates + exact re-rank
+    * ([[Similarity.pqRerankTopK]], candK = 25 → k = 5) — the
+    * production two-stage ANN serving shape: ADC over-fetches
+    * compressed candidates, the exact quantized-L2 re-ranks the
+    * survivors (exact distance computed on candidates ONLY, never the
+    * cross product). Both stages integer-exact — the composition
+    * hash-replays end to end. */
+  private val q186 = Q("q186_pq_rerank_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.pqRerankTopK(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, candK = 25,
+        m = 8, subDim = 8, codebookK = 16, iters = 2, seed = "pq11")
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some {
+      s"""WITH ${pqSubspaceCtes(m = 8, subDim = 8, cbK = 16, seed = "pq11", maxQ = 20)},
+      adc AS (SELECT l.q_id, c.vec_id AS c_id, sum(l.d2) AS adc
+        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        WHERE l.q_id <> c.vec_id GROUP BY 1, 2),
+      cand AS (SELECT q_id, c_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) <= 25),
+      xf AS (SELECT vec_id,
+          list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      ex AS (SELECT cd.q_id, cd.c_id,
+          (${sqlDot("q.v", "q.v")} - 2.0 * ${sqlDot("q.v", "d.v")}
+            + ${sqlDot("d.v", "d.v")}) AS d2
+        FROM cand cd JOIN xf q ON q.vec_id = cd.q_id
+          JOIN xf d ON d.vec_id = cd.c_id),
+      rk AS (SELECT q_id, c_id, d2,
+        row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rank
+        FROM ex)
+      SELECT q_id, rank, c_id, CAST(d2 AS BIGINT) AS dist2
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+    })
+
+  /** E+: per-key interval union / total engaged time
+    * ([[EventAnalytics.intervalUnion]] over q177's debounce bursts) —
+    * overlapping-or-touching burst spans coalesce into maximal
+    * islands across event types; coverage = Σ island widths. One
+    * (key) exchange shared by the running-max window, island
+    * numbering, and both rollups. All-integer. */
+  private val q187 = Q("q187_interval_union",
+    (s, d) => EventAnalytics.intervalUnion(
+        EventAnalytics.debounce(
+          eventsUs(s, d), key = "user_id", ts = "ts_us",
+          typeCol = "event_type", tie = "event_id", epsUs = 21600000000L)
+          .select(col("user_id"), col("ts_first"), col("ts_last")),
+        key = "user_id", start = "ts_first", end = "ts_last")
+      .orderBy(col("user_id")),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+        FROM events),
+      g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+            OR t - lag(t) OVER w > 21600000000 THEN 1 ELSE 0 END AS opens
+        FROM e WINDOW w AS (PARTITION BY user_id, event_type
+          ORDER BY t, event_id)),
+      b AS (SELECT *, sum(opens) OVER (PARTITION BY user_id, event_type
+          ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS burst FROM g),
+      iv AS (SELECT user_id, min(t) AS s0, max(t) AS e0
+        FROM b GROUP BY user_id, event_type, burst),
+      m AS (SELECT user_id, s0, e0, max(e0) OVER (PARTITION BY user_id
+          ORDER BY s0, e0 ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING) AS pmax FROM iv),
+      o AS (SELECT *, CASE WHEN pmax IS NULL OR s0 > pmax
+          THEN 1 ELSE 0 END AS op FROM m),
+      il AS (SELECT *, sum(op) OVER (PARTITION BY user_id
+          ORDER BY s0, e0 ROWS UNBOUNDED PRECEDING) AS isl FROM o),
+      gi AS (SELECT user_id, isl, count(*) AS n, min(s0) AS s, max(e0) AS e
+        FROM il GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        count(*)::BIGINT AS n_islands,
+        CAST(sum(e - s) AS BIGINT) AS covered
+      FROM gi GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -5988,7 +6066,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185,
+    q182, q183, q184, q185, q186, q187,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -157,6 +157,51 @@ object EventAnalytics {
       .orderBy(col("step_idx"))
   }
 
+  /** Per-key INTERVAL UNION: merge overlapping-or-touching
+    * [start, end] intervals into maximal islands and report coverage
+    * — the "total engaged time" reduction over any interval source
+    * (q177's debounce bursts, session spans, validity windows), and
+    * the classic warehouse interval-coalesce. An interval opens a new
+    * island iff its start lies strictly past the running max end of
+    * everything before it (ties TOUCH and merge — [0,5] ∪ [5,9] is
+    * one island of width 9).
+    *
+    * ONE exchange: the running-max-end window, island numbering, and
+    * the island aggregation all share the (key) hash partitioning and
+    * one (start, end) sort; the per-key rollup collapses map-side on
+    * the island table. All-integer. Intervals with end < start refuse
+    * loudly (a negative-width interval silently corrupts the running
+    * max); NULL starts/ends drop (no span evidence).
+    *
+    * Returns one row per key: (key, n_intervals, n_islands,
+    * covered) where covered = Σ island widths (max end − min start
+    * per island). */
+  def intervalUnion(df: DataFrame, key: String, start: String,
+                    end: String): DataFrame = {
+    val ok = df.filter(col(start).isNotNull && col(end).isNotNull)
+      .filter(coalesce(assert_true(col(end) >= col(start),
+        concat(lit("intervalUnion: end < start for key "),
+          col(key).cast("string"),
+          lit(" — negative-width intervals corrupt the running max; " +
+            "fix the producer"))), lit(true)))
+    val w = Window.partitionBy(col(key)).orderBy(col(start), col(end))
+    ok
+      .withColumn("_pmax", max(col(end))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_opens",
+        when(col("_pmax").isNull || col(start) > col("_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_opens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("_isl"))
+      .agg(count(lit(1)).as("_n"), min(col(start)).as("_s"),
+        max(col(end)).as("_e"))
+      .groupBy(col(key))
+      .agg(sum(col("_n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_e") - col("_s")).as("covered"))
+  }
+
   /** Rolling-window distinct-key ESTIMATE from mergeable HLL register
     * sketches — the documented 100 TB path for [[activeUsers]]' WAU:
     * the exact operator explodes the deduped (key, day) pair table ×W

@@ -239,6 +239,47 @@ object Similarity {
         r(col("n_hit") / lit(k.toDouble), 6).as("recall"))
   }
 
+  /** PQ candidates + EXACT re-rank — the production ANN serving
+    * shape (ADC recall at 16-word codebooks is honest but modest —
+    * q181 published 0.255@10 — so deployments over-fetch `candK`
+    * compressed candidates and re-rank the survivors on the full
+    * vectors): [[pqTopK]] proposes, one equality join brings back the
+    * exact quantized-L2 distance FOR THE CANDIDATES ONLY (never the
+    * corpus cross product — that is [[pqRecall]]'s evaluation-side
+    * job), and the final top-k ranks on the exact distance. Both
+    * stages are integer-exact with lexicographic ties, so the
+    * composition hash-replays end to end. Recall is bounded by the
+    * candidate stage (a true neighbor ADC misses stays missed — the
+    * standard two-stage trade, tuned by candK).
+    *
+    * Returns (q_id, rank, c_id, dist2) — dist2 the EXACT quantized
+    * L2², a LONG. */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                   candK: Int, m: Int = 8, subDim: Int = 8,
+                   codebookK: Int = 16, iters: Int = 2,
+                   seed: String = "pq",
+                   scale: Double = 10000.0): DataFrame = {
+    require(candK >= k, s"candK must be >= k: $candK < $k")
+    val cand = pqTopK(queries, corpus, candK, m, subDim, codebookK,
+      iters, seed, scale).select(col("q_id"), col("c_id"))
+    val qv = (v: Column) => transform(v,
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+    cand
+      .join(queries.filter(col("q_vec").isNotNull)
+        .select(col("q_id"), qv(col("q_vec")).as("_qq")), Seq("q_id"))
+      .join(corpus.filter(col("c_vec").isNotNull)
+        .select(col("c_id"), qv(col("c_vec")).as("_cq")), Seq("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("_qq"), col("_qq"))
+          - lit(2.0) * dotProduct(col("_qq"), col("_cq"))
+          + dotProduct(col("_cq"), col("_cq"))).as("_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("_d2"), col("c_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        col("_d2").cast("long").as("dist2"))
+  }
+
   /** Per-subspace integer PQ codebooks: Lloyd on the quantized slices
     * (the shared q108 core), final centroids rounded half-up. */
   private def pqCodebooks(corp: DataFrame, m: Int, subDim: Int,

@@ -186,6 +186,33 @@ class ApproxRecallSpec extends SparkSpec {
     assert(prunedPairs.subsetOf(fullPairs))
   }
 
+  test("PQ rerank with candK = n-1 is exactly the brute quantized-L2 ranking") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def lcg(x: Long) = x * 6364136223846793005L + 1442695040888963407L
+    val docs = (1L to 40L).map { i =>
+      (i, Iterator.iterate(lcg(i))(lcg).take(16)
+        .map(h => (math.floorMod(h, 2000) - 1000) / 1000.0f).toSeq)
+    }
+    val c = docs.toDF("c_id", "c_vec")
+    val q = docs.take(3).toDF("q_id", "q_vec")
+    val got = Similarity.pqRerankTopK(q, c, k = 5, candK = 39,
+        m = 4, subDim = 4, codebookK = 8, iters = 2, seed = "rr")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    // brute exact quantized L2² ranking
+    def qz(v: Seq[Float]) = v.map(x => math.floor(x * 10000.0 + 0.5))
+    val want = docs.take(3).flatMap { case (qid, qv) =>
+      val qq = qz(qv)
+      docs.filter(_._1 != qid).map { case (cid, cv) =>
+        val cq = qz(cv)
+        val d = qq.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum
+        (qid, cid, d.toLong)
+      }.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+        .map { case ((qi, ci, d), r) => (qi, r + 1, ci, d) }
+    }.sorted
+    assert(got === want)
+  }
+
   test("PQ/ADC: an exact duplicate of the query ranks first") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -132,6 +132,24 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("intervalUnion: touching merges, gaps split, zero-width counts; bad interval refuses") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),     // overlap -> one island [0,20]
+      (1L, 20L, 25L),                    // touches 20 -> same island [0,25]
+      (1L, 30L, 30L),                    // zero-width island
+      (2L, 0L, 1L), (2L, 5L, 6L))        // two islands
+    val out = EventAnalytics.intervalUnion(
+        iv.toDF("k", "s", "e"), "k", "s", "e")
+      .orderBy("k").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 4L, 2L, 25L), (2L, 2L, 2L, 2L)))
+    val boom = intercept[Exception] {
+      EventAnalytics.intervalUnion(
+        Seq((1L, 10L, 5L)).toDF("k", "s", "e"), "k", "s", "e").count()
+    }
+    assert(Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString.contains("negative-width"))
+  }
+
   test("funnelSummary: window cutoff, conversions, integral avg") {
     val times = EventAnalytics.funnelTimes(ev, "user_id", "ts_us", "event_type", steps, "event_id")
     val s = EventAnalytics.funnelSummary(times, steps, windowUs = 7 * D)

@@ -268,6 +268,48 @@ object EventStreams {
       }
   }
 
+  final case class ScdEvent(user_id: Long, attr: Option[String], ts_us: Long)
+  final case class ScdState(attr: Option[String], from: Long, n: Long)
+  final case class ScdVersion(user_id: Long, attr: Option[String],
+                              valid_from: Long, valid_to: Long,
+                              n_events: Long)
+
+  /** Incremental SCD2 — the streaming CDC twin of
+    * [[graft.operators.EventAnalytics.scd2Intervals]]: per key, state
+    * is the ONE open version (attr, valid_from, n); an event carrying
+    * the same attr (NULL-safely) extends it, a changed one EMITS the
+    * closed version (valid_to = the new event's ts, the half-open
+    * interval law) and opens the next. Emitted rows are exactly the
+    * batch operator's CLOSED versions (valid_to non-NULL); each key's
+    * open current version lives in state — the parity law the spec
+    * pins on real events split across micro-batches.
+    *
+    * Contract (the [[statefulFunnel]] law): per-key event-time order
+    * across batches. State is one (attr, long, long) per key. */
+  def statefulScd2(events: Dataset[ScdEvent]): Dataset[ScdVersion] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ScdEvent], state: GroupState[ScdState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ScdVersion]
+          var open = state.getOption.orNull
+          rows.toSeq.sortBy(_.ts_us).foreach { e =>
+            open match {
+              case null =>
+                open = ScdState(e.attr, e.ts_us, 1L)
+              case ScdState(a, f, n) if a == e.attr =>
+                open = ScdState(a, f, n + 1)
+              case ScdState(a, f, n) =>
+                closed += ScdVersion(user, a, f, e.ts_us, n)
+                open = ScdState(e.attr, e.ts_us, 1L)
+            }
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+      }
+  }
+
   /** Gap-based session windows (`session_window`) — Spark's native
     * operator for what `Sessionize` builds manually; a session closes
     * when no event arrives within `gap`. */

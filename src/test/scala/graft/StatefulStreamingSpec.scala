@@ -152,6 +152,41 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulScd2 over 3 in-order batches == batch intervals' closed versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStreams.{ScdEvent, ScdVersion}
+
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev.withColumn("ts_us",
+      graft.functions.GraftFunctions.epochMicros(ev.schema("ts").dataType, col("ts")))
+
+    // batch truth: CLOSED versions only (valid_to non-NULL); the open
+    // current version per key lives in the stream's state
+    val closed = graft.operators.EventAnalytics
+      .scd2Intervals(evUs, "user_id", "ts_us", "event_type", "event_id")
+      .filter(col("valid_to").isNotNull)
+      .as[(Long, Option[String], Long, Long, Long)].collect()
+      .map(r => ScdVersion(r._1, r._2, r._3, r._4, r._5)).toSet
+
+    val all = evUs.select(col("user_id"), col("event_type").as("attr"),
+        col("ts_us"))
+      .as[ScdEvent].collect().sortBy(_.ts_us)
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    val input = MemoryStream[ScdEvent]
+    val q = EventStreams.statefulScd2(input.toDS())
+      .writeStream.format("memory").queryName("scd_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("scd_out").as[ScdVersion].collect().toSet
+      assert(got === closed,
+        s"streamed ${got.size} vs batch-closed ${closed.size}")
+      assert(got.nonEmpty, "parity corpus must close versions")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the bound, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
-import graft.operators.{Clustering, CorpusQuality, Dedup, EventAnalytics, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Cdc, Clustering, CorpusQuality, Dedup, EventAnalytics, Features, Multimodal, Sessionize, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions._
 
 /** The engine's named query surface — one entry per operator class in
@@ -50,6 +50,11 @@ object Queries {
     * the events table's timestamp resolution. */
   val SessionGapUs: Long = 1800000000L
   val WindowWidthUs: Long = 900000000L
+
+  /** q188's snapshot cut: 2024-01-16T00:00:00Z in epoch µs — mid-month
+    * of the testdata's event range, so both the pre-cut fold and the
+    * post-cut apply see real traffic at every SF. */
+  val CdcCutUs: Long = 1705363200000000L
 
   final case class Q(
       name: String,
@@ -6051,6 +6056,160 @@ object Queries {
         CAST(sum(e - s) AS BIGINT) AS covered
       FROM gi GROUP BY user_id ORDER BY user_id"""))
 
+  /** A5+/G+: CDC changelog apply ([[graft.operators.Cdc.applyChangelog]])
+    * — the events table read as a per-user change feed (an `error`
+    * event deletes the row, anything else upserts its value), applied
+    * in TWO stages: the pre-cut prefix folds into a snapshot, the
+    * post-cut suffix folds onto that snapshot. The oracle is the
+    * SINGLE-pass latest-wins over the whole feed — the hash match IS
+    * the associativity proof (checkpoint-at-any-cut law; CdcSpec pins
+    * it on random changelogs too). Each stage is one map-side-
+    * combining hash aggregation on the key; no window, no sort. */
+  private val q188 = Q("q188_cdc_merge",
+    (s, d) => {
+      val chg = eventsUs(s, d).select(
+        col("user_id"), col("ts_us"), col("event_id"), col("value"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      val key = Seq("user_id"); val seqC = Seq("ts_us", "event_id")
+      val empty = chg.drop("op").filter(lit(false))
+      val snap = Cdc.applyChangelog(
+        empty, chg.filter(col("ts_us") < CdcCutUs), key, seqC, "op")
+      Cdc.applyChangelog(
+          snap, chg.filter(col("ts_us") >= CdcCutUs), key, seqC, "op")
+        .select(col("user_id"), col("ts_us").as("updated_us"),
+          col("event_id"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events),
+      w AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+      SELECT user_id, ts_us AS updated_us, event_id, value
+      FROM w WHERE rn = 1 AND op = 'U' ORDER BY user_id"""),
+    bench = true)
+
+  /** E+ attribution, the U-shaped rule
+    * ([[EventAnalytics.positionAttribution]], 40/20/40 with path reset
+    * at each conversion) — q130's last-touch twin under the other
+    * canonical credit model. ONE event exchange (all windows share
+    * hash(user_id); the conversion's value reaches its touches by a
+    * full-frame window max, never a join). Fractional credits are the
+    * ln-style float-order exposure, masked by r(·) on both sides; the
+    * per-conversion Σcredit = 1 law is property-pinned. */
+  private val q189 = Q("q189_attribution_position",
+    (s, d) => EventAnalytics.positionAttribution(
+      eventsUs(s, d).select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value")),
+      key = "user_id", ts = "ts_us", typeCol = "event_type",
+      conversionType = "purchase", valueCol = "value", tie = "event_id"),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+        epoch_us(ts) AS ts_us,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+        FROM events),
+      s AS (SELECT *, coalesce(sum(side) OVER (PARTITION BY user_id
+          ORDER BY ts_us, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        FROM e),
+      g AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id, seg
+            ORDER BY ts_us, side, event_id) AS p,
+          count(*) OVER (PARTITION BY user_id, seg) AS ntot,
+          max(side) OVER (PARTITION BY user_id, seg) AS has_conv,
+          max(CASE WHEN side = 1 THEN value END)
+            OVER (PARTITION BY user_id, seg) AS conv_value
+        FROM s),
+      t AS (SELECT *, ntot - has_conv AS n FROM g),
+      c AS (
+        SELECT event_type AS channel,
+          CASE WHEN n = 1 THEN 1.0::DOUBLE WHEN n = 2 THEN 0.5::DOUBLE
+               WHEN p = 1 OR p = n THEN 0.4::DOUBLE
+               ELSE 0.2::DOUBLE / (n - 2) END AS credit,
+          conv_value
+        FROM t WHERE side = 0 AND has_conv = 1
+        UNION ALL
+        SELECT '(none)', 1.0::DOUBLE, value FROM t WHERE side = 1 AND n = 0)
+      SELECT channel,
+        floor(sum(credit) * 1000000 + 0.5) / 1000000 AS credit,
+        floor(sum(credit * conv_value) * 100 + 0.5) / 100 AS revenue
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
+  /** H+ graph: Adamic–Adar link prediction over the q96 synthetic link
+    * graph ([[Graph.adamicAdar]], cn ≥ 2, center cap 1000 — non-binding
+    * here, the 100 TB hub guard there). Candidate selection is
+    * integer-exact on the common-neighbor count; the 1/ln(deg) score
+    * rides along under r(·). The oracle rebuilds canonical edges,
+    * capped centers, the wedge join, and the NOT-EXISTS adjacency
+    * check. */
+  private val q190 = Q("q190_adamic_adar",
+    (s, d) => graft.operators.Graph.adamicAdar(linkEdges(s, d), col("src"), col("dst"),
+        minCommon = 2, maxCenterDegree = 1000)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""$linkGraphCte,
+      canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e WHERE src <> dst),
+      adj AS (SELECT a AS c, b AS n FROM canon
+        UNION ALL SELECT b, a FROM canon),
+      dg AS (SELECT c, count(*) AS deg FROM adj GROUP BY c),
+      ctr AS (SELECT c, deg FROM dg WHERE deg >= 2 AND deg <= 1000),
+      wg AS (SELECT x.n AS id_a, y.n AS id_b, 1.0::DOUBLE / ln(ctr.deg) AS w
+        FROM adj x JOIN ctr ON x.c = ctr.c JOIN adj y ON y.c = ctr.c
+        WHERE x.n < y.n),
+      sc AS (SELECT id_a, id_b, count(*) AS cn, sum(w) AS aa
+        FROM wg GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT id_a, id_b, cn,
+        floor(aa * 1000000 + 0.5) / 1000000 AS aa
+      FROM sc
+      WHERE NOT EXISTS (SELECT 1 FROM canon
+        WHERE canon.a = sc.id_a AND canon.b = sc.id_b)
+      ORDER BY id_a, id_b"""))
+
+  /** E+ attribution, the time-decay rule
+    * ([[EventAnalytics.timeDecayAttribution]], half-life 1 day):
+    * completes the canonical trio with q130 (last-touch) and q189
+    * (U-shaped). Weights are the dyadicEwma discipline — exact LONG
+    * powers of two (`1 << (40 − ⌊age/halfLife⌋)`, clamped), integer
+    * path sums, one IEEE division per credit — so the only float-order
+    * exposure is the channel rollup Σ, masked by r(·) on both sides.
+    * Same one-exchange plan as q189. */
+  private val q191 = Q("q191_attribution_time_decay",
+    (s, d) => EventAnalytics.timeDecayAttribution(
+      eventsUs(s, d).select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value")),
+      key = "user_id", ts = "ts_us", typeCol = "event_type",
+      conversionType = "purchase", valueCol = "value", tie = "event_id",
+      halfLifeUs = 86400000000L),
+    Some("""WITH e AS (SELECT user_id, event_id, event_type, value,
+        epoch_us(ts) AS ts_us,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+        FROM events),
+      s AS (SELECT *, coalesce(sum(side) OVER (PARTITION BY user_id
+          ORDER BY ts_us, side, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+        FROM e),
+      g AS (SELECT *,
+          max(side) OVER w2 AS has_conv,
+          count(*) OVER w2 - max(side) OVER w2 AS n,
+          max(CASE WHEN side = 1 THEN value END) OVER w2 AS conv_value,
+          max(CASE WHEN side = 1 THEN ts_us END) OVER w2 AS conv_ts
+        FROM s WINDOW w2 AS (PARTITION BY user_id, seg)),
+      w AS (SELECT *, CASE WHEN side = 0 AND has_conv = 1
+          THEN 1::BIGINT << CAST(40 - least(
+            (conv_ts - ts_us) // 86400000000, 40) AS INT) END AS wgt
+        FROM g),
+      ww AS (SELECT *, sum(wgt) OVER (PARTITION BY user_id, seg) AS wsum
+        FROM w),
+      c AS (
+        SELECT event_type AS channel, wgt::DOUBLE / wsum::DOUBLE AS credit,
+          conv_value
+        FROM ww WHERE side = 0 AND has_conv = 1
+        UNION ALL
+        SELECT '(none)', 1.0::DOUBLE, value FROM ww WHERE side = 1 AND n = 0)
+      SELECT channel,
+        floor(sum(credit) * 1000000 + 0.5) / 1000000 AS credit,
+        floor(sum(credit * conv_value) * 100 + 0.5) / 100 AS revenue
+      FROM c GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6066,7 +6225,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185, q186, q187,
+    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -177,7 +177,23 @@ object EventAnalytics {
     * covered) where covered = Σ island widths (max end − min start
     * per island). */
   def intervalUnion(df: DataFrame, key: String, start: String,
-                    end: String): DataFrame = {
+                    end: String): DataFrame =
+    intervalIslands(df, key, start, end)
+      .groupBy(col(key))
+      .agg(sum(col("n_merged")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("island_end") - col("island_start")).as("covered"))
+
+  /** The island table [[intervalUnion]] rolls up: one row per maximal
+    * merged interval — (key, island_start, island_end, n_merged).
+    * Exposed because the islands themselves are the useful shape for
+    * downstream joins (engaged-time spans, availability windows) and
+    * because the streaming twin
+    * ([[graft.streaming.EventStreams.statefulIntervalUnion]]) pins its
+    * parity law at island granularity. Same one-exchange plan as the
+    * rollup. */
+  def intervalIslands(df: DataFrame, key: String, start: String,
+                      end: String): DataFrame = {
     val ok = df.filter(col(start).isNotNull && col(end).isNotNull)
       .filter(coalesce(assert_true(col(end) >= col(start),
         concat(lit("intervalUnion: end < start for key "),
@@ -194,12 +210,9 @@ object EventAnalytics {
       .withColumn("_isl", sum(col("_opens"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(key), col("_isl"))
-      .agg(count(lit(1)).as("_n"), min(col(start)).as("_s"),
-        max(col(end)).as("_e"))
-      .groupBy(col(key))
-      .agg(sum(col("_n")).as("n_intervals"),
-        count(lit(1)).as("n_islands"),
-        sum(col("_e") - col("_s")).as("covered"))
+      .agg(min(col(start)).as("island_start"), max(col(end)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("_isl")
   }
 
   /** Rolling-window distinct-key ESTIMATE from mergeable HLL register
@@ -800,6 +813,131 @@ object EventAnalytics {
       .groupBy(coalesce(col(s"asof_$typeCol"), lit("(none)")).as("channel"))
       .agg(count(lit(1)).as("conversions"),
         graft.functions.GraftFunctions.r(sum(col(valueCol)), 2).as("revenue"))
+      .orderBy(col("channel"))
+  }
+
+  /** U-shaped (position-based) multi-touch attribution — the standard
+    * 40/20/40 rule: each conversion's credit splits over the touch
+    * path since the PREVIOUS conversion (path-reset semantics): first
+    * touch 0.4, last touch 0.4, the middle touches share 0.2 evenly;
+    * a 2-touch path splits 0.5/0.5, a 1-touch path takes 1.0, a
+    * touchless conversion credits the `"(none)"` bucket. Credits per
+    * conversion sum to EXACTLY 1 by construction (the
+    * EventAnalyticsProps law). Complements [[lastTouchAttribution]] —
+    * same inputs, the other canonical credit rule.
+    *
+    * ONE event-scale exchange: the path-segment running count
+    * partitions by (key) ordered (ts, side, tie) — a same-timestamp
+    * touch precedes its conversion, the [[lastTouchAttribution]] tie
+    * law — and every per-segment window (position, counts, the
+    * conversion's value) runs on (key, segment), which hash(key)
+    * already clusters, so Catalyst inserts only a sort. No join: the
+    * conversion's value reaches its touches through a full-frame
+    * window max, never a (key, segment) equality join. The channel
+    * rollup collapses map-side.
+    *
+    * Output: (channel, credit, revenue) — credit = Σ fractional
+    * credits (6 dp), revenue = Σ credit · conversion value (2 dp). */
+  def positionAttribution(events: DataFrame, key: String, ts: String,
+                          typeCol: String, conversionType: String,
+                          valueCol: String, tie: String): DataFrame = {
+    val wSeg = Window.partitionBy(col(key), col("_seg"))
+    val wSegOrd = wSeg.orderBy(col(ts), col("_side"), col(tie))
+    tagPaths(events, key, ts, typeCol, conversionType, valueCol, tie)
+      .withColumn("_p", row_number().over(wSegOrd))
+      .withColumn("_credit",
+        when(PathIsTouch,
+          when(col("_n") === 1L, lit(1.0))
+            .when(col("_n") === 2L, lit(0.5))
+            .when(col("_p") === 1L || col("_p") === col("_n"), lit(0.4))
+            .otherwise(lit(0.2) / (col("_n") - 2L).cast("double")))
+        .when(PathIsNone, lit(1.0)))
+      .transform(rollupCredits(typeCol))
+  }
+
+  /** Time-decay multi-touch attribution — the third canonical credit
+    * rule beside [[lastTouchAttribution]] and [[positionAttribution]]:
+    * within each conversion's path (same reset/tie laws), a touch at
+    * age `a` before the conversion weighs `2^−⌊a/halfLife⌋` and
+    * credits are the weights normalized per path. The arithmetic is
+    * the dyadicEwma discipline — weights are LONG powers of two
+    * (`1 << (40 − k)`, k clamped to [0, 40]), the path total is an
+    * exact integer sum, and each credit is ONE correctly-rounded IEEE
+    * division of identical operands on both engines; only the channel
+    * rollup's Σ carries float-order noise, masked by r(·). A path
+    * long enough to overflow the long weight sum (> 2²³ same-age
+    * touches) refuses loudly under ANSI instead of folding silently.
+    *
+    * Same single-exchange single-pass plan as [[positionAttribution]].
+    * Output: (channel, credit, revenue). */
+  def timeDecayAttribution(events: DataFrame, key: String, ts: String,
+                           typeCol: String, conversionType: String,
+                           valueCol: String, tie: String,
+                           halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive (µs): $halfLifeUs")
+    val wSeg = Window.partitionBy(col(key), col("_seg"))
+    tagPaths(events, key, ts, typeCol, conversionType, valueCol, tie)
+      .withColumn("_w", when(PathIsTouch, call_function("shiftleft", lit(1L),
+        (lit(40L) - least(graft.functions.GraftFunctions.longDiv(
+          col("_conv_ts") - col(ts), halfLifeUs), lit(40L))).cast("int"))))
+      .withColumn("_wsum", sum(col("_w")).over(wSeg))
+      .withColumn("_credit",
+        when(PathIsTouch,
+          col("_w").cast("double") / col("_wsum").cast("double"))
+        .when(PathIsNone, lit(1.0)))
+      .transform(rollupCredits(typeCol))
+  }
+
+  /** Shared path tagging for the multi-touch attribution family:
+    * side flag, path segment (running conversion count — a path is
+    * everything since the previous conversion), and the segment's
+    * conversion facts (present?, value, ts) via full-frame windows on
+    * (key, segment) — which hash(key) already clusters, so the whole
+    * family costs ONE event-scale exchange. A same-timestamp touch
+    * precedes its conversion (the [[lastTouchAttribution]] tie law). */
+  private def tagPaths(events: DataFrame, key: String, ts: String,
+                       typeCol: String, conversionType: String,
+                       valueCol: String, tie: String): DataFrame = {
+    val wKey = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"), col(tie))
+    val wSeg = Window.partitionBy(col(key), col("_seg"))
+    events
+      .select(col(key), col(ts), col(tie), col(typeCol), col(valueCol))
+      .withColumn("_side",
+        when(col(typeCol) === conversionType, 1L).otherwise(0L))
+      .withColumn("_seg", coalesce(sum(col("_side"))
+        .over(wKey.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_has_conv", max(col("_side")).over(wSeg))
+      .withColumn("_n", count(lit(1)).over(wSeg) - col("_has_conv"))
+      .withColumn("_conv_value",
+        max(when(col("_side") === 1L, col(valueCol))).over(wSeg))
+      .withColumn("_conv_ts",
+        max(when(col("_side") === 1L, col(ts))).over(wSeg))
+  }
+
+  /** A credited touch row: in a path that converted. */
+  private val PathIsTouch: Column =
+    col("_side") === 0L && col("_has_conv") === 1L
+  /** A touchless conversion: credits the `"(none)"` bucket. */
+  private val PathIsNone: Column =
+    col("_side") === 1L && col("_n") === 0L
+
+  /** Shared rollup: classify each row in place (single pass — a
+    * touches/none UNION would hang TWO consumers off the windowed
+    * frame and recompute the event-scale windows per branch, the q143
+    * lesson), then fold credits per channel. A touchless conversion's
+    * `_conv_value` window max is its OWN value — `"(none)"` needs no
+    * special case. */
+  private def rollupCredits(typeCol: String)(tagged: DataFrame): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    tagged
+      .filter(col("_credit").isNotNull)
+      .select(when(PathIsNone, lit("(none)")).otherwise(col(typeCol))
+          .as("channel"),
+        col("_credit"), col("_conv_value"))
+      .groupBy(col("channel"))
+      .agg(r(sum(col("_credit")), 6).as("credit"),
+        r(sum(col("_credit") * col("_conv_value")), 2).as("revenue"))
       .orderBy(col("channel"))
   }
 }

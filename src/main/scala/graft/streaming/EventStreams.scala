@@ -310,6 +310,138 @@ object EventStreams {
       }
   }
 
+  final case class IntervalRow(user_id: Long, s: Long, e: Long)
+  final case class IslandState(s: Long, e: Long, n: Long)
+  final case class Island(user_id: Long, island_start: Long,
+                          island_end: Long, n_merged: Long)
+
+  /** Incremental interval union — the streaming twin of
+    * [[graft.operators.EventAnalytics.intervalIslands]]: per key,
+    * state is the ONE open island (start, running max end, merged
+    * count); an interval whose start is ≤ the open end TOUCHES and
+    * merges (the batch tie law), a later one EMITS the closed island
+    * and opens the next. Emitted rows are exactly the batch island
+    * table minus each key's LAST island (still open in state) — the
+    * parity law the spec pins on q177-shaped debounce bursts of real
+    * events split across micro-batches. Negative-width intervals
+    * refuse loudly — same producer-bug law as the batch operator.
+    *
+    * Contract (the [[statefulFunnel]] law): per-key start-order
+    * across batches — the shape any upstream per-key island source
+    * (closed debounce bursts, session spans) already emits. State is
+    * 24 bytes per key in the partitioned state store. */
+  def statefulIntervalUnion(intervals: Dataset[IntervalRow])
+      : Dataset[Island] = {
+    import intervals.sparkSession.implicits._
+    intervals.groupByKey(_.user_id)
+      .flatMapGroupsWithState[IslandState, Island](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[IntervalRow],
+         state: GroupState[IslandState]) =>
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Island]
+          var open = state.getOption.orNull
+          rows.toSeq.sortBy(r => (r.s, r.e)).foreach { r =>
+            require(r.e >= r.s,
+              s"statefulIntervalUnion: end < start for key $user — " +
+                "negative-width intervals corrupt the running max; " +
+                "fix the producer")
+            open match {
+              case null =>
+                open = IslandState(r.s, r.e, 1L)
+              case IslandState(s0, e0, n) if r.s <= e0 =>
+                open = IslandState(s0, math.max(e0, r.e), n + 1)
+              case IslandState(s0, e0, n) =>
+                closed += Island(user, s0, e0, n)
+                open = IslandState(r.s, r.e, 1L)
+            }
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+      }
+  }
+
+  final case class LtEvent(user_id: Long, ts_us: Long, tie: Long,
+                           event_type: String, value: Option[Double])
+  final case class LtState(ts_us: Long, tie: Long, channel: String)
+  final case class LtConv(user_id: Long, tie: Long,
+                          channel: Option[String], value: Option[Double])
+
+  /** Incremental last-touch attribution — the streaming twin of
+    * [[graft.operators.EventAnalytics.lastTouchAttribution]]: per key,
+    * state is the ONE most recent touch (ts, tie, channel); a
+    * conversion emits itself credited to that touch (None → the
+    * `"(none)"` bucket). Unlike the burst/version twins there is NO
+    * open tail — every conversion resolves the moment it arrives — so
+    * the parity law is EXACT equality: the channel rollup of the
+    * emitted conversions equals the batch operator's output, pinned
+    * over in-order micro-batch splits of the real events table.
+    * Same-timestamp tie law as the batch as-of join: a touch at the
+    * conversion's own timestamp counts (at-or-before), later ties by
+    * `tie` win.
+    *
+    * Contract (the [[statefulFunnel]] law): per-key event-time order
+    * across batches. State is (long, long, channel) per key. */
+  def statefulLastTouch(events: Dataset[LtEvent], conversionType: String)
+      : Dataset[LtConv] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LtState, LtConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[LtEvent], state: GroupState[LtState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[LtConv]
+          rows.toSeq.sortBy(e => (e.ts_us,
+            if (e.event_type == conversionType) 1 else 0, e.tie))
+            .foreach { e =>
+              if (e.event_type == conversionType)
+                out += LtConv(user, e.tie, state.getOption.map(_.channel),
+                  e.value)
+              else state.update(LtState(e.ts_us, e.tie, e.event_type))
+            }
+          out.iterator
+      }
+  }
+
+  final case class CdcChange(k: Long, ts: Long, tid: Long,
+                             v: Option[String], op: String)
+  final case class CdcCurrent(k: Long, ts: Long, tid: Long,
+                              v: Option[String], alive: Boolean)
+
+  /** Incremental CDC compaction — the streaming twin of
+    * [[graft.operators.Cdc.applyChangelog]]: per key, state is the
+    * current winner (seq, payload, alive); a change with a HIGHER
+    * (ts, tid) replaces it and emits the new current row, a lower or
+    * equal one is ignored — which makes this twin order-INDEPENDENT
+    * across batches (latest-wins is a max, the same associativity the
+    * batch fold has), not merely order-tolerant: the spec feeds
+    * SHUFFLED batches and still demands exact parity. Final state per
+    * key (its last emission) equals the batch apply: alive rows match
+    * `applyChangelog` over the whole feed, dead keys' last emission
+    * carries `alive = false` where the batch output simply omits them.
+    * Unknown op codes refuse loudly — the [[graft.operators.Cdc]] law. */
+  def statefulCdc(changes: Dataset[CdcChange]): Dataset[CdcCurrent] = {
+    import changes.sparkSession.implicits._
+    val ord = Ordering.Tuple2[Long, Long]
+    changes.groupByKey(_.k)
+      .flatMapGroupsWithState[CdcCurrent, CdcCurrent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[CdcChange], state: GroupState[CdcCurrent]) =>
+          var cur = state.getOption.orNull
+          var changed = false
+          rows.foreach { c =>
+            require(c.op == "U" || c.op == "D",
+              s"statefulCdc: unknown op code '${c.op}' for key $k — only " +
+                "U (upsert) and D (delete) exist; a dropped delete " +
+                "resurrects rows, fix the producer")
+            if (cur == null || ord.gt((c.ts, c.tid), (cur.ts, cur.tid))) {
+              cur = CdcCurrent(k, c.ts, c.tid, c.v, c.op == "U")
+              changed = true
+            }
+          }
+          if (changed) { state.update(cur); Iterator.single(cur) }
+          else Iterator.empty
+      }
+  }
+
   /** Gap-based session windows (`session_window`) — Spark's native
     * operator for what `Sessionize` builds manually; a session closes
     * when no event arrives within `gap`. */

@@ -439,4 +439,81 @@ class EventAnalyticsSpec extends SparkSpec {
       ("click", 4L, 290.0),
       ("view", 1L, 20.0)))
   }
+
+  test("positionAttribution: 40/20/40 hand case — path reset, (none), same-ts tie") {
+    // u1 path1: view@0 click@10 view@20 → p@30 ($100): view .4+.4, click .2
+    //    path2 (reset): click@40 → p@50 ($50): click 1.0
+    // u2: touchless p@5 ($10) → (none) 1.0
+    // u3: touches, never converts → nothing
+    // u4: click@0 view@1 → p@2 ($20): .5 each
+    // u5: view@10 and p@10 SAME ts ($30) — the touch precedes its
+    //     conversion (the lastTouch tie law): view 1.0
+    val ev5 = Seq(
+      (1L, 1L, "view", 0.0, 0L), (1L, 2L, "click", 0.0, 10L),
+      (1L, 3L, "view", 0.0, 20L), (1L, 4L, "purchase", 100.0, 30L),
+      (1L, 5L, "click", 0.0, 40L), (1L, 6L, "purchase", 50.0, 50L),
+      (2L, 7L, "purchase", 10.0, 5L),
+      (3L, 8L, "view", 0.0, 0L), (3L, 9L, "click", 0.0, 10L),
+      (4L, 10L, "click", 0.0, 0L), (4L, 11L, "view", 0.0, 1L),
+      (4L, 12L, "purchase", 20.0, 2L),
+      (5L, 13L, "view", 0.0, 10L), (5L, 14L, "purchase", 30.0, 10L)
+    ).toDF("user_id", "event_id", "event_type", "value", "ts_us")
+    val out = EventAnalytics.positionAttribution(ev5, "user_id", "ts_us",
+        "event_type", conversionType = "purchase", valueCol = "value",
+        tie = "event_id")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("(none)", 1.0, 10.0),
+      ("click", 1.7, 80.0),     // .2·100 + 1.0·50 + .5·20
+      ("view", 2.3, 120.0)))    // (.4+.4)·100 + .5·20 + 1.0·30
+  }
+
+  test("positionAttribution: credit is conserved — Σcredit == conversions") {
+    val channels = EventAnalytics.positionAttribution(ev, "user_id", "ts_us",
+        "event_type", conversionType = "purchase", valueCol = "value",
+        tie = "event_id")
+      .as[(String, Double, Double)].collect()
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    assert(math.abs(channels.map(_._2).sum - purchases) < 1e-5 * channels.length,
+      s"credit ${channels.map(_._2).sum} vs $purchases conversions")
+  }
+
+  test("timeDecayAttribution: dyadic half-life weights, clamp, (none)") {
+    // u1, half-life 10: touch a@0 (age 30 → w=2^37), touch b@25
+    // (age 5 → w=2^40), conv@30 ($100). W = 9·2^37 → credits 1/9, 8/9
+    // u2: touchless conv ($10) → (none) 1.0
+    // u3: touch a@0 (age 10000 → k clamps at 40, w=1), touch b@9999
+    // (age 1 → w=2^40), conv@10000 ($50): a's credit rounds to 0.0
+    val ev6 = Seq(
+      (1L, 1L, "a", 0.0, 0L), (1L, 2L, "b", 0.0, 25L),
+      (1L, 3L, "p", 100.0, 30L),
+      (2L, 4L, "p", 10.0, 5L),
+      (3L, 5L, "a", 0.0, 0L), (3L, 6L, "b", 0.0, 9999L),
+      (3L, 7L, "p", 50.0, 10000L)
+    ).toDF("user_id", "event_id", "event_type", "value", "ts_us")
+    val out = EventAnalytics.timeDecayAttribution(ev6, "user_id", "ts_us",
+        "event_type", conversionType = "p", valueCol = "value",
+        tie = "event_id", halfLifeUs = 10L)
+      .as[(String, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    val w40 = (1L << 40).toDouble
+    assert(out === Seq(
+      ("(none)", 1.0, 10.0),
+      ("a", r6(1.0 / 9 + 1.0 / (w40 + 1)), r2(100.0 / 9 + 1.0 / (w40 + 1) * 50)),
+      ("b", r6(8.0 / 9 + w40 / (w40 + 1)), r2(8.0 / 9 * 100 + w40 / (w40 + 1) * 50))))
+  }
+
+  test("intervalIslands: the island table intervalUnion rolls up") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 30L),
+      (2L, 0L, 1L), (2L, 5L, 6L))
+    val isl = EventAnalytics.intervalIslands(
+        iv.toDF("k", "s", "e"), "k", "s", "e")
+      .orderBy("k", "island_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(isl === Seq(
+      (1L, 0L, 25L, 3L), (1L, 30L, 30L, 1L),
+      (2L, 0L, 1L, 1L), (2L, 5L, 6L, 1L)))
+  }
 }

@@ -315,4 +315,46 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(lp.map(_._1).toSet === Set(1L, 2L))
   }
+
+  test("adamicAdar: 4-cycle hand graph — diagonals score 2/ln2, edges never appear") {
+    // square 1-2-3-4-1: non-adjacent pairs (1,3) and (2,4), each with
+    // both off-corners (deg 2) as common neighbors
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val out = Graph.adamicAdar(e.toDF("s", "t"), col("s"), col("t"),
+        minCommon = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val aa = math.floor(2.0 / math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert(out === Set((1L, 3L, 2L, aa), (2L, 4L, 2L, aa)))
+  }
+
+  test("adamicAdar: minCommon filters; duplicate/self-loop edges collapse first") {
+    // path 1-2-3: (1,3) has ONE common neighbor — present at
+    // minCommon=1, gone at 2; noise edges must not change the score
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 1L), (2L, 2L))
+    val one = Graph.adamicAdar(e.toDF("s", "t"), col("s"), col("t"),
+        minCommon = 1)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val aa = math.floor(1.0 / math.log(2.0) * 1e6 + 0.5) / 1e6
+    assert(one === Set((1L, 3L, 1L, aa)))
+    assert(Graph.adamicAdar(e.toDF("s", "t"), col("s"), col("t"),
+      minCommon = 2).count() === 0L)
+  }
+
+  test("adamicAdar: maxCenterDegree excludes hubs from centering, not from scoring") {
+    // hub h=10 over leaves 1..4, plus 1-2: capped at 3 the hub cannot
+    // center, so the only wedges run through leaves 1 and 2 — both of
+    // whose pairs are existing edges — leaving nothing; uncapped, the
+    // hub yields all 6 leaf pairs minus the (1,2) edge
+    val e = (1L to 4L).map(i => (10L, i)) :+ (1L, 2L)
+    val capped = Graph.adamicAdar(e.toDF("s", "t"), col("s"), col("t"),
+      minCommon = 1, maxCenterDegree = 3)
+    assert(capped.count() === 0L)
+    val full = Graph.adamicAdar(e.toDF("s", "t"), col("s"), col("t"),
+        minCommon = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(full.map(r => (r._1, r._2)).toSet ===
+      Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val aaHub = math.floor(1.0 / math.log(4.0) * 1e6 + 0.5) / 1e6
+    assert(full.forall(_._4 === aaHub))
+  }
 }

@@ -424,4 +424,33 @@ class PlanRegressionSpec extends SparkSpec {
         s"$name repeats its event-scale sort ($eventSorts):\n$p")
     }
   }
+
+  test("q188 CDC merge: no window over the changelog; partial max below every exchange") {
+    val p = plan("q188_cdc_merge")
+    assert(!p.contains("Window"),
+      s"latest-wins must aggregate, never window-sort the changelog:\n$p")
+    assert(p.contains("partial_max"),
+      s"the struct max must collapse map-side:\n$p")
+  }
+
+  test("q189 position attribution: ONE event-scale hash exchange feeds segment + path windows") {
+    val p = plan("q189_attribution_position")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // hash(user) serves the running segment count AND the (user, seg)
+    // windows (subset clustering — sort only); + the bounded channel
+    // rollup exchange
+    assert(hashExchanges <= 2,
+      s"attribution must not re-shuffle events per window family, " +
+        s"got $hashExchanges:\n$p")
+  }
+
+  test("q190 Adamic-Adar: equality wedge join only — no cartesian, no broadcast NL join") {
+    val p = plan("q190_adamic_adar")
+    assert(!p.contains("CartesianProduct"),
+      s"the wedge join must stay an equality join:\n$p")
+    // linkEdges' 1-row count broadcast is the ONLY nested-loop shape
+    // allowed; the wedge self-join itself must key on the center
+    assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"),
+      s"the wedge join lost its equality key:\n$p")
+  }
 }

@@ -159,4 +159,128 @@ object Round11Props extends Properties("Round11Ops") {
       }.toSet
       (got == want: Prop) :| s"got=$got want=$want"
     }
+
+  // ---- positionAttribution ≡ brute 40/20/40 ------------------------ //
+
+  private val attribGen = for {
+    n <- Gen.choose(1, 50)
+    evs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.oneOf("A", "B", "P")
+      ts <- Gen.choose(0L, 30L)        // collisions exercise the tie law
+      v <- Gen.choose(0, 50).map(_.toDouble)
+    } yield (k, t, ts, v))
+  } yield evs.zipWithIndex.map { case ((k, t, ts, v), i) =>
+    (k, i.toLong, t, ts, v) }
+
+  property("positionAttribution equals the brute 40/20/40 with path reset") =
+    Prop.forAll(attribGen) { evs =>
+      import spark.implicits._
+      val got = EventAnalytics.positionAttribution(
+          evs.toDF("user_id", "event_id", "event_type", "ts_us", "value"),
+          "user_id", "ts_us", "event_type", conversionType = "P",
+          valueCol = "value", tie = "event_id")
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+      val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      def add(ch: String, c: Double, rev: Double): Unit = {
+        val (c0, r0) = acc.getOrElse(ch, (0.0, 0.0))
+        acc(ch) = (c0 + c, r0 + rev)
+      }
+      evs.groupBy(_._1).foreach { case (_, es) =>
+        // order by (ts, side, id); split into paths ENDING at each P
+        val sorted = es.sortBy(e => (e._4, if (e._3 == "P") 1 else 0, e._2))
+        var path = List.empty[(String, Double)] // (channel, —) in order
+        sorted.foreach { e =>
+          if (e._3 == "P") {
+            val n = path.length
+            if (n == 0) add("(none)", 1.0, e._5)
+            else path.reverse.zipWithIndex.foreach { case ((ch, _), p) =>
+              val c =
+                if (n == 1) 1.0 else if (n == 2) 0.5
+                else if (p == 0 || p == n - 1) 0.4
+                else 0.2 / (n - 2)
+              add(ch, c, c * e._5)
+            }
+            path = Nil
+          } else path = (e._3, e._5) :: path
+        }
+      }
+      val ok = got.keySet == acc.keySet && got.forall { case (ch, (c, r)) =>
+        math.abs(c - acc(ch)._1) < 2e-6 && math.abs(r - acc(ch)._2) < 2e-2
+      }
+      (ok: Prop) :| s"got=$got want=$acc"
+    }
+
+  // ---- timeDecayAttribution ≡ brute dyadic decay ------------------- //
+
+  property("timeDecayAttribution equals the brute dyadic half-life rule") =
+    Prop.forAll(attribGen) { evs =>
+      import spark.implicits._
+      val hl = 5L
+      val got = EventAnalytics.timeDecayAttribution(
+          evs.toDF("user_id", "event_id", "event_type", "ts_us", "value"),
+          "user_id", "ts_us", "event_type", conversionType = "P",
+          valueCol = "value", tie = "event_id", halfLifeUs = hl)
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+      val acc = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      def add(ch: String, c: Double, rev: Double): Unit = {
+        val (c0, r0) = acc.getOrElse(ch, (0.0, 0.0))
+        acc(ch) = (c0 + c, r0 + rev)
+      }
+      evs.groupBy(_._1).foreach { case (_, es) =>
+        val sorted = es.sortBy(e => (e._4, if (e._3 == "P") 1 else 0, e._2))
+        var path = List.empty[(String, Long)] // (channel, ts)
+        sorted.foreach { e =>
+          if (e._3 == "P") {
+            if (path.isEmpty) add("(none)", 1.0, e._5)
+            else {
+              val ws = path.map { case (ch, t) =>
+                ch -> (1L << (40 - math.min((e._4 - t) / hl, 40L)).toInt) }
+              val total = ws.map(_._2).sum.toDouble
+              ws.foreach { case (ch, w) =>
+                val c = w.toDouble / total
+                add(ch, c, c * e._5)
+              }
+            }
+            path = Nil
+          } else path = (e._3, e._4) :: path
+        }
+      }
+      val ok = got.keySet == acc.keySet && got.forall { case (ch, (c, r)) =>
+        math.abs(c - acc(ch)._1) < 2e-6 && math.abs(r - acc(ch)._2) < 2e-2
+      }
+      (ok: Prop) :| s"got=$got want=$acc"
+    }
+
+  // ---- intervalIslands ≡ brute merge (all-integer, exact) ---------- //
+
+  private val ivGen = for {
+    n <- Gen.choose(1, 40)
+    ivs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0L, 60L)
+      w <- Gen.choose(0L, 15L)
+    } yield (k, s, s + w))
+  } yield ivs
+
+  property("intervalIslands equals the brute sweep merge") =
+    Prop.forAll(ivGen) { ivs =>
+      import spark.implicits._
+      val got = EventAnalytics.intervalIslands(
+          ivs.toDF("k", "s", "e"), "k", "s", "e")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = ivs.groupBy(_._1).flatMap { case (k, xs) =>
+        xs.sortBy(x => (x._2, x._3))
+          .foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((s0, e0, n) :: rest, (_, s, e)) if s <= e0 =>
+              (s0, math.max(e0, e), n + 1) :: rest
+            case (acc, (_, s, e)) => (s, e, 1L) :: acc
+          }.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
 }

@@ -187,6 +187,158 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulIntervalUnion over 3 in-order batches == batch islands minus open tails") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStreams.{Island, IntervalRow}
+
+    // q187's interval source: debounce bursts of the real events table
+    val eps = 21600000000L
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev.withColumn("ts_us",
+      graft.functions.GraftFunctions.epochMicros(ev.schema("ts").dataType, col("ts")))
+    val bursts = graft.operators.EventAnalytics
+      .debounce(evUs, "user_id", "ts_us", "event_type", "event_id", eps)
+      .select(col("user_id"), col("ts_first").as("s"), col("ts_last").as("e"))
+
+    val batchIslands = graft.operators.EventAnalytics
+      .intervalIslands(bursts, "user_id", "s", "e")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => Island(r._1, r._2, r._3, r._4)).toSet
+    // each key's LAST island is still open in the stream's state
+    val openTails = batchIslands.groupBy(_.user_id)
+      .values.map(_.maxBy(_.island_start)).toSet
+
+    // global (s, e) order gives the per-key start order the contract asks
+    val all = bursts.as[IntervalRow].collect().sortBy(r => (r.s, r.e))
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    val input = MemoryStream[IntervalRow]
+    val q = EventStreams.statefulIntervalUnion(input.toDS())
+      .writeStream.format("memory").queryName("iu_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      val got = spark.table("iu_out").as[Island].collect().toSet
+      assert(got === (batchIslands -- openTails),
+        s"streamed ${got.size} vs batch-closed ${(batchIslands -- openTails).size}")
+      assert(got.nonEmpty, "parity corpus must actually close islands")
+    } finally q.stop()
+  }
+
+  test("statefulLastTouch over 3 in-order batches == batch attribution EXACTLY") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.EventStreams.{LtConv, LtEvent}
+
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev.withColumn("ts_us",
+      graft.functions.GraftFunctions.epochMicros(ev.schema("ts").dataType, col("ts")))
+    val batch = graft.operators.EventAnalytics.lastTouchAttribution(
+        evUs.select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), col("value")),
+        "user_id", "ts_us", "event_type", conversionType = "purchase",
+        valueCol = "value", tie = "event_id")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+    val all = evUs.select(col("user_id"), col("ts_us"),
+        col("event_id").as("tie"), col("event_type"), col("value"))
+      .as[LtEvent].collect().sortBy(e => (e.ts_us, e.tie))
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    val input = MemoryStream[LtEvent]
+    val q = EventStreams.statefulLastTouch(input.toDS(), "purchase")
+      .writeStream.format("memory").queryName("lt_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      // every conversion resolves on arrival — NO open tail, so the
+      // rollup of the emitted stream equals the batch operator exactly
+      val got = spark.table("lt_out").as[LtConv].collect()
+        .groupBy(_.channel.getOrElse("(none)"))
+        .map { case (ch, rows) =>
+          ch -> (rows.length.toLong, rows.flatMap(_.value).sum) }
+      assert(got.keySet === batch.keySet)
+      got.foreach { case (ch, (n, rev)) =>
+        assert(n === batch(ch)._1, s"$ch count")
+        assert(math.abs(rev - batch(ch)._2) < 0.006,
+          s"$ch revenue $rev vs ${batch(ch)._2}")
+      }
+    } finally q.stop()
+  }
+
+  test("statefulCdc over SHUFFLED batches == batch applyChangelog (order independence)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.{CdcChange, CdcCurrent}
+
+    val rnd = new scala.util.Random(7)
+    val log = (0 until 300).map { i =>
+      CdcChange(rnd.nextInt(15).toLong, rnd.nextInt(40).toLong * 10,
+        i.toLong, Some(s"v$i"), if (rnd.nextInt(4) == 0) "D" else "U")
+    }
+    // batch truth via the associative operator itself (spec-pinned
+    // against a plain fold in CdcSpec)
+    val empty = Seq.empty[(Long, Long, Long, Option[String])]
+      .toDF("k", "ts", "tid", "v")
+    val batch = graft.operators.Cdc.applyChangelog(empty,
+        log.toDF("k", "ts", "tid", "v", "op"),
+        Seq("k"), Seq("ts", "tid"), "op")
+      .as[(Long, Long, Long, Option[String])].collect().toSet
+
+    // SHUFFLED batches: latest-wins is a max, so the twin must not
+    // care about arrival order at all
+    val shuffled = rnd.shuffle(log)
+    val batches = shuffled.grouped(100).toSeq
+    val input = MemoryStream[CdcChange]
+    val q = EventStreams.statefulCdc(input.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b.toIndexedSeq); q.processAllAvailable() }
+      // final state per key = its emission with the highest (ts, tid)
+      val finals = spark.table("cdc_out").as[CdcCurrent].collect()
+        .groupBy(_.k).values.map(_.maxBy(c => (c.ts, c.tid)))
+      val got = finals.filter(_.alive).map(c => (c.k, c.ts, c.tid, c.v)).toSet
+      assert(got === batch, s"streamed ${got.size} vs batch ${batch.size}")
+      assert(got.nonEmpty && finals.exists(!_.alive),
+        "corpus must exercise both live and deleted keys")
+    } finally q.stop()
+  }
+
+  test("statefulCdc refuses an unknown op code loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.CdcChange
+    val input = MemoryStream[CdcChange]
+    val q = EventStreams.statefulCdc(input.toDS())
+      .writeStream.format("memory").queryName("cdc_bad")
+      .outputMode("append").start()
+    try {
+      input.addData(CdcChange(1L, 0L, 0L, Some("x"), "upsert"))
+      val boom = intercept[Exception] { q.processAllAvailable() }
+      assert(Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString.contains("unknown op code"))
+    } finally q.stop()
+  }
+
+  test("statefulIntervalUnion refuses a negative-width interval loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams.IntervalRow
+    val input = MemoryStream[IntervalRow]
+    val q = EventStreams.statefulIntervalUnion(input.toDS())
+      .writeStream.format("memory").queryName("iu_bad")
+      .outputMode("append").start()
+    try {
+      input.addData(IntervalRow(1L, 10L, 5L))
+      val boom = intercept[Exception] { q.processAllAvailable() }
+      assert(Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString.contains("negative-width"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the bound, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -6132,7 +6132,8 @@ object Queries {
       SELECT channel,
         floor(sum(credit) * 1000000 + 0.5) / 1000000 AS credit,
         floor(sum(credit * conv_value) * 100 + 0.5) / 100 AS revenue
-      FROM c GROUP BY 1 ORDER BY 1"""))
+      FROM c GROUP BY 1 ORDER BY 1"""),
+    bench = true)
 
   /** H+ graph: Adamic–Adar link prediction over the q96 synthetic link
     * graph ([[Graph.adamicAdar]], cn ≥ 2, center cap 1000 — non-binding
@@ -6210,6 +6211,45 @@ object Queries {
         floor(sum(credit * conv_value) * 100 + 0.5) / 100 AS revenue
       FROM c GROUP BY 1 ORDER BY 1"""))
 
+  /** E+ experiment analysis: two-sample Kolmogorov–Smirnov over
+    * purchase VALUES between q133's hash variants
+    * ([[EventAnalytics.twoSampleKs]], cent grid) — the
+    * distribution-shift companion to q133's conversion-rate z. The
+    * max and argmax select on the exact integer numerator
+    * |c₀n₁ − c₁n₀| (ties → smallest tick); the cumulative window runs
+    * over the bounded cent-tick table, never events. */
+  private val q192 = Q("q192_ks_value_drift",
+    (s, d) => EventAnalytics.twoSampleKs(
+      eventsUs(s, d).filter(col("event_type") === "purchase"),
+      group = pmod(polyHash(col("user_id").cast("string")), lit(2)),
+      value = col("value"), scale = 100L),
+    Some(s"""WITH e AS (SELECT
+        ${sqlPolyHash("CAST(user_id AS VARCHAR)")} % 2 AS g,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      cells AS (SELECT x,
+          count(CASE WHEN g = 0 THEN 1 END) AS a0,
+          count(CASE WHEN g = 1 THEN 1 END) AS a1
+        FROM e GROUP BY x),
+      tot AS (SELECT sum(a0) AS n0, sum(a1) AS n1 FROM cells),
+      cum AS (SELECT x,
+          sum(a0) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c0,
+          sum(a1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS c1
+        FROM cells),
+      sc AS (SELECT x, abs(c0::HUGEINT * n1 - c1::HUGEINT * n0) AS num,
+          n0, n1
+        FROM cum CROSS JOIN tot),
+      best AS (SELECT * FROM sc ORDER BY num DESC, x ASC LIMIT 1)
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        num::DOUBLE AS d_num, x AS at_tick,
+        floor(num::DOUBLE / nullif((n0::HUGEINT * n1)::DOUBLE, 0.0)
+          * 1000000 + 0.5) / 1000000 AS ks,
+        floor(num::DOUBLE / nullif((n0::HUGEINT * n1)::DOUBLE, 0.0)
+          * sqrt((n0::HUGEINT * n1)::DOUBLE / (n0 + n1)::DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS lambda
+      FROM best"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6225,7 +6265,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191,
+    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -888,6 +888,84 @@ object EventAnalytics {
       .transform(rollupCredits(typeCol))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between groups 0 and 1 —
+    * the nonparametric "did the whole DISTRIBUTION shift" companion to
+    * [[abTestSummary]]'s rate z-score (a treatment that moves spend
+    * shape without moving the mean is invisible to a t/z test and
+    * obvious to KS). D = max_x |F̂₀(x) − F̂₁(x)| computed EXACTLY:
+    * values quantize to an integer grid (`scale` ticks — the corpus's
+    * own cent resolution by default, so quantization is lossless
+    * there), per-tick counts cumulate to integer CDFs, and the max and
+    * its argmax select on the INTEGER cross-product numerator
+    * |c₀·n₁ − c₁·n₀| (ties → smallest tick) — engine float noise
+    * cannot flip the selection. Products run in decimal, so counts up
+    * to 1e19 cannot overflow (ANSI would refuse louder still); the
+    * published D and the Kolmogorov λ = D·√(n₀n₁/(n₀+n₁)) are fixed
+    * IEEE op sequences on identical operands, r(6)-masked like q133.
+    *
+    * Scale shape: one map-side-combining aggregation events → per-tick
+    * cells; the cumulative window and the argmax reduce run on the
+    * BOUNDED tick table (value-range-sized, never event-sized) — the
+    * q129 "window over the cell table" discipline. The tick table is
+    * barriered (two consumers: cumsums + totals). NULL values and
+    * NULL groups drop (no observation); a group id outside {0, 1}
+    * refuses loudly in-plan.
+    *
+    * Returns ONE row: (n0, n1, d_num, at_tick, ks, lambda) — d_num =
+    * the exact integer numerator at the argmax tick, ks = D, NULL if
+    * either sample is empty. */
+  def twoSampleKs(df: DataFrame, group: Column, value: Column,
+                  scale: Long = 100L,
+                  reliableCheckpoint: Boolean = false): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val r = graft.functions.GraftFunctions.r _
+    val g = group.cast("long")
+    val ticks = df
+      .filter(value.isNotNull && g.isNotNull)
+      .filter(coalesce(assert_true(g.isin(0L, 1L),
+        concat(lit("twoSampleKs: group must be 0 or 1, got "),
+          g.cast("string"))), lit(true)))
+      .select(g.as("_g"),
+        floor(value * scale + lit(0.5)).cast("long").as("_x"))
+    val cells = OpUtils.barrier(ticks.groupBy(col("_x"))
+      .agg(sum(when(col("_g") === 0L, 1L).otherwise(0L)).as("_a0"),
+        sum(when(col("_g") === 1L, 1L).otherwise(0L)).as("_a1")),
+      reliableCheckpoint)
+    val tot = cells.agg(sum(col("_a0")).as("_n0"), sum(col("_a1")).as("_n1"))
+    val w = Window.orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dec = "decimal(19,0)"
+    val best = cells
+      .withColumn("_c0", sum(col("_a0")).over(w))
+      .withColumn("_c1", sum(col("_a1")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        abs(col("_c0").cast(dec) * col("_n1").cast(dec)
+          - col("_c1").cast(dec) * col("_n0").cast(dec)).as("_num"),
+        col("_x"), col("_n0"), col("_n1"))
+      .agg(max(struct(col("_num"), (-col("_x")).as("_nx"),
+        col("_n0"), col("_n1"))).as("_m"))
+      // d_num is integer-exact internally (the selection basis); it
+      // PUBLISHES as double — exact to 2^53, and the driver compare
+      // treats decimals and hugeints differently across engines
+      .select(col("_m._n0").as("n0"), col("_m._n1").as("n1"),
+        col("_m._num").cast("double").as("d_num"),
+        (-col("_m._nx")).as("at_tick"))
+      // empty input → no verdict row (never an all-NULL placeholder)
+      .filter(col("at_tick").isNotNull)
+    best.select(col("n0"), col("n1"), col("d_num"), col("at_tick"),
+      r(when(col("n0") > 0 && col("n1") > 0,
+        col("d_num").cast("double")
+          / (col("n0").cast(dec) * col("n1").cast(dec)).cast("double")), 6)
+        .as("ks"),
+      r(when(col("n0") > 0 && col("n1") > 0,
+        col("d_num").cast("double")
+          / (col("n0").cast(dec) * col("n1").cast(dec)).cast("double")
+          * sqrt((col("n0").cast(dec) * col("n1").cast(dec)).cast("double")
+            / (col("n0") + col("n1")).cast("double"))), 6)
+        .as("lambda"))
+  }
+
   /** Shared path tagging for the multi-touch attribution family:
     * side flag, path segment (running conversion count — a path is
     * everything since the previous conversion), and the segment's

@@ -504,6 +504,38 @@ class EventAnalyticsSpec extends SparkSpec {
       ("b", r6(8.0 / 9 + w40 / (w40 + 1)), r2(8.0 / 9 * 100 + w40 / (w40 + 1) * 50))))
   }
 
+  test("twoSampleKs: hand CDFs, smallest-tick tie, empty-group NULL, loud bad group") {
+    // g0 = {1,2,3}, g1 = {2,3,4} → |F0−F1| = 1/3 at ticks 100/200/300
+    // (tie → smallest tick 100); ks = 1/3, λ = (1/3)·√(9/6)
+    val df = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0),
+      (1L, 2.0), (1L, 3.0), (1L, 4.0)).toDF("g", "v")
+    val out = EventAnalytics.twoSampleKs(df, col("g"), col("v"))
+      .as[(Long, Long, Double, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out === Seq((3L, 3L, 3.0, 100L,
+      r6(3.0 / 9), r6(3.0 / 9 * math.sqrt(9.0 / 6)))))
+
+    // one group empty → counts real, ks/λ NULL (no comparison exists)
+    val one = EventAnalytics.twoSampleKs(
+        Seq((0L, 1.0), (0L, 2.0)).toDF("g", "v"), col("g"), col("v"))
+      .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    // every numerator is 0 → the tie law lands on the SMALLEST tick
+    assert(one === Seq((2L, 0L, 0.0, 100L, None, None)))
+
+    // NULL values and NULL groups drop silently; group 2 refuses loudly
+    assert(EventAnalytics.twoSampleKs(
+      Seq((Some(0L), Some(1.0)), (Some(1L), Some(2.0)),
+        (None, Some(9.0)), (Some(0L), None)).toDF("g", "v"),
+      col("g"), col("v")).count() === 1L)
+    val boom = intercept[Exception] {
+      EventAnalytics.twoSampleKs(
+        Seq((2L, 1.0)).toDF("g", "v"), col("g"), col("v")).count()
+    }
+    assert(Iterator.iterate(boom: Throwable)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString.contains("group must be 0 or 1"))
+  }
+
   test("intervalIslands: the island table intervalUnion rolls up") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 30L),

@@ -453,4 +453,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("hashpartitioning") || p.contains("BroadcastHashJoin"),
       s"the wedge join lost its equality key:\n$p")
   }
+
+  test("q192 KS: the global window sees only the barriered tick table, never events") {
+    val p = plan("q192_ks_value_drift")
+    // the tick-cell aggregation is BARRIERED (two consumers: cumsums +
+    // totals), so the final plan's leaves are the materialized cell
+    // table — zero event-scale hash exchanges may remain above it
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"everything above the barrier is bounded — no hash shuffle belongs here:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the tick table must be barriered below the window:\n$p")
+    assert(p.contains("Window") && p.contains("Exchange SinglePartition"),
+      s"the cumulative window must run single-partition over cells:\n$p")
+    assert(!p.toLowerCase.contains("parquet"),
+      s"no event scan may appear above the barrier:\n$p")
+  }
 }

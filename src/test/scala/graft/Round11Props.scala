@@ -256,6 +256,43 @@ object Round11Props extends Properties("Round11Ops") {
       (ok: Prop) :| s"got=$got want=$acc"
     }
 
+  // ---- twoSampleKs ≡ brute exact-CDF scan -------------------------- //
+
+  private val ksGen = for {
+    n <- Gen.choose(2, 60)
+    xs <- Gen.listOfN(n, for {
+      g <- Gen.choose(0L, 1L)
+      v <- Gen.choose(0, 80).map(_ / 4.0)   // collisions + both groups
+    } yield (g, v))
+  } yield xs
+
+  property("twoSampleKs equals the brute integer-CDF max (tie → smallest tick)") =
+    Prop.forAll(ksGen) { xs =>
+      import spark.implicits._
+      val got = EventAnalytics.twoSampleKs(
+          xs.toDF("g", "v"), col("g"), col("v"))
+        .as[(Long, Long, Double, Long, Option[Double], Option[Double])]
+        .collect().toSeq
+
+      val ticks = xs.map { case (g, v) =>
+        (g, math.floor(v * 100 + 0.5).toLong) }
+      val n0 = ticks.count(_._1 == 0L).toLong
+      val n1 = ticks.count(_._1 == 1L).toLong
+      val grid = ticks.map(_._2).distinct.sorted
+      val want = grid.map { x =>
+        val c0 = ticks.count(t => t._1 == 0L && t._2 <= x).toLong
+        val c1 = ticks.count(t => t._1 == 1L && t._2 <= x).toLong
+        (math.abs(c0 * n1 - c1 * n0), x)
+      }.maxBy { case (num, x) => (num, -x) }
+      val ok = got.length == 1 && {
+        val (gn0, gn1, gnum, gx, gks, _) = got.head
+        gn0 == n0 && gn1 == n1 && gnum == want._1.toDouble && gx == want._2 &&
+          (if (n0 == 0 || n1 == 0) gks.isEmpty
+           else math.abs(gks.get - want._1.toDouble / (n0 * n1)) < 2e-6)
+      }
+      (ok: Prop) :| s"got=$got want=$want n0=$n0 n1=$n1"
+    }
+
   // ---- intervalIslands ≡ brute merge (all-integer, exact) ---------- //
 
   private val ivGen = for {

@@ -6250,6 +6250,85 @@ object Queries {
       FROM best"""),
     bench = true)
 
+  /** H4+/D+: pairwise KS drift matrix over document LENGTH by source
+    * ([[CorpusQuality.ksMatrix]], integer grid — n_chars is already
+    * integral) — the CDF-shape companion to q164's token-mix JS
+    * matrix: a source whose length distribution shifts changed its
+    * generating process even if its vocabulary did not. Integer-exact
+    * max/argmax per pair; everything past the (source, tick) cell
+    * aggregation is bounded. */
+  private val q193 = Q("q193_ks_source_matrix",
+    (s, d) => CorpusQuality.ksMatrix(t(s, d, "documents"),
+        group = col("source"), value = col("n_chars"), scale = 1L)
+      .orderBy(col("g_a"), col("g_b")),
+    Some("""WITH cells AS (SELECT source AS g,
+        CAST(floor(n_chars * 1 + 0.5) AS BIGINT) AS x, count(*) AS c
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1, 2),
+      grid AS (SELECT DISTINCT x FROM cells),
+      tots AS (SELECT g, sum(c) AS n FROM cells GROUP BY g),
+      dense AS (SELECT t.g, gr.x, t.n,
+          sum(coalesce(c.c, 0)) OVER (PARTITION BY t.g ORDER BY gr.x
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM grid gr CROSS JOIN tots t
+        LEFT JOIN cells c ON c.g = t.g AND c.x = gr.x),
+      pr AS (SELECT a.g AS g_a, b.g AS g_b, a.n AS n_a, b.n AS n_b,
+          abs(a.cum::HUGEINT * b.n - b.cum::HUGEINT * a.n) AS num, a.x
+        FROM dense a JOIN dense b ON a.x = b.x AND a.g < b.g),
+      best AS (SELECT * FROM pr
+        QUALIFY row_number() OVER (PARTITION BY g_a, g_b
+          ORDER BY num DESC, x ASC) = 1)
+      SELECT g_a, g_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        num::DOUBLE AS d_num, x AS at_tick,
+        floor(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE * 1000000 + 0.5)
+          / 1000000 AS ks
+      FROM best ORDER BY g_a, g_b"""))
+
+  /** E+ experiment analysis: Mann–Whitney U over purchase values
+    * between q133's hash variants ([[EventAnalytics.mannWhitneyU]]) —
+    * the rank-based location test closing the drift suite (q133 rate
+    * z, q192 KS shape, this). Doubled midranks keep every rank sum an
+    * exact integer on the shared tick-cell substrate; U, AUC, and the
+    * tie-corrected z replay bit-for-bit. */
+  private val q194 = Q("q194_mannwhitney_value",
+    (s, d) => EventAnalytics.mannWhitneyU(
+      eventsUs(s, d).filter(col("event_type") === "purchase"),
+      group = pmod(polyHash(col("user_id").cast("string")), lit(2)),
+      value = col("value"), scale = 100L),
+    Some(s"""WITH e AS (SELECT
+        ${sqlPolyHash("CAST(user_id AS VARCHAR)")} % 2 AS g,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      cells AS (SELECT x,
+          count(CASE WHEN g = 0 THEN 1 END) AS a0,
+          count(CASE WHEN g = 1 THEN 1 END) AS a1
+        FROM e GROUP BY x),
+      cc AS (SELECT *, a0 + a1 AS t,
+          coalesce(sum(a0 + a1) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM cells),
+      agg AS (SELECT sum(a0) AS n0, sum(a1) AS n1,
+          sum(a0::HUGEINT * (below::HUGEINT * 2 + t + 1)) AS r0x2,
+          sum(t::HUGEINT * t * t - t) AS tcorr
+        FROM cc),
+      fin AS (SELECT n0, n1, tcorr,
+          r0x2 - n0::HUGEINT * (n0 + 1) AS u0x2,
+          n0::HUGEINT * n1 AS nn, n0 + n1 AS nt
+        FROM agg)
+      SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        u0x2::DOUBLE / 2.0 AS u0,
+        CASE WHEN nn > 0 THEN
+          floor(u0x2::DOUBLE / 2.0 / nn::DOUBLE * 1000000 + 0.5) / 1000000
+        END AS auc,
+        CASE WHEN nn > 0 AND nt > 1 THEN
+          floor((u0x2::DOUBLE - nn::DOUBLE) / 2.0
+            / nullif(sqrt(nn::DOUBLE / 12.0 * ((nt + 1)::DOUBLE
+                - tcorr::DOUBLE / (nt::HUGEINT * (nt - 1))::DOUBLE)), 0.0)
+            * 1000000 + 0.5) / 1000000
+        END AS z
+      FROM fin WHERE n0 IS NOT NULL"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6265,7 +6344,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192,
+    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -303,6 +303,73 @@ object CorpusQuality {
     * masked by the oracle's r(·) rounding like every ln-based metric.
     *
     * Returns (src, n_terms, slope, intercept). */
+  /** Pairwise two-sample Kolmogorov–Smirnov matrix between groups —
+    * the CDF-shape companion to [[jsDivergence]]'s token-mix matrix
+    * (JS sees WHAT the sources say, KS over a numeric column sees how
+    * its DISTRIBUTION shifted — length drift, score drift). Same
+    * exactness discipline as
+    * [[graft.operators.EventAnalytics.twoSampleKs]]: values quantize
+    * to an integer grid, each group's CDF cumulates as integers over
+    * the GLOBAL tick grid (a pair's max over the superset grid equals
+    * its max over the union of own ticks — CDF differences are
+    * constant between change points), and every pair's max/argmax
+    * selects on the integer numerator |c_a·n_b − c_b·n_a| (ties →
+    * smallest tick).
+    *
+    * Scale shape: the corpus collapses map-side to (group, tick)
+    * cells; the dense grid (groups × distinct ticks), the per-group
+    * cumulative windows, the pair join, and the per-pair argmax all
+    * run over that BOUNDED table. The cell table is barriered (grid,
+    * totals, and the dense join all read it). NULL groups and values
+    * drop.
+    *
+    * Returns one row per unordered pair (g_a < g_b): (g_a, g_b, n_a,
+    * n_b, d_num, at_tick, ks) — ks r(6), NULL when a side is empty
+    * (it cannot be: groups come from observed rows). */
+  def ksMatrix(df: DataFrame, group: Column, value: Column,
+               scale: Long = 1L,
+               reliableCheckpoint: Boolean = false): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val cells = graft.operators.OpUtils.barrier(
+      df.filter(group.isNotNull && value.isNotNull)
+        .select(group.as("_g"),
+          floor(value * scale + lit(0.5)).cast("long").as("_x"))
+        .groupBy(col("_g"), col("_x")).agg(count(lit(1)).as("_c")),
+      reliableCheckpoint)
+    val grid = cells.select(col("_x")).distinct()
+    val tots = cells.groupBy(col("_g")).agg(sum(col("_c")).as("_n"))
+    // dense per-group CDF over the global grid: groups × ticks rows,
+    // all bounded — the corpus never reappears past the cells agg
+    // barriered: BOTH sides of the pair self-join read it
+    val dense = graft.operators.OpUtils.barrier(
+      grid.crossJoin(tots.select(col("_g")))
+        .join(cells, Seq("_g", "_x"), "left")
+        .withColumn("_cum", sum(coalesce(col("_c"), lit(0L)))
+          .over(Window.partitionBy(col("_g")).orderBy(col("_x"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(tots, "_g"),
+      reliableCheckpoint)
+    val dec = "decimal(19,0)"
+    dense.as("a")
+      .join(dense.as("b"),
+        col("a._x") === col("b._x") && col("a._g") < col("b._g"))
+      .select(col("a._g").as("g_a"), col("b._g").as("g_b"),
+        col("a._n").as("n_a"), col("b._n").as("n_b"),
+        abs(col("a._cum").cast(dec) * col("b._n").cast(dec)
+          - col("b._cum").cast(dec) * col("a._n").cast(dec)).as("_num"),
+        col("a._x").as("_x"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(max(struct(col("_num"), (-col("_x")).as("_nx"),
+        col("n_a"), col("n_b"))).as("_m"))
+      .select(col("g_a"), col("g_b"),
+        col("_m.n_a").as("n_a"), col("_m.n_b").as("n_b"),
+        col("_m._num").cast("double").as("d_num"),
+        (-col("_m._nx")).as("at_tick"),
+        r(col("_m._num").cast("double")
+          / (col("_m.n_a").cast(dec) * col("_m.n_b").cast(dec))
+            .cast("double"), 6).as("ks"))
+  }
+
   def zipfFit(df: DataFrame, group: Column, text: Column,
               topN: Int = 100): DataFrame = {
     require(topN >= 2, s"a line needs at least 2 points: topN=$topN")

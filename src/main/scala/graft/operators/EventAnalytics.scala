@@ -966,6 +966,82 @@ object EventAnalytics {
         .as("lambda"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) between groups 0
+    * and 1 — the rank-based location-shift member of the drift suite
+    * ([[abTestSummary]] rate z / [[twoSampleKs]] shape D / this):
+    * robust to outliers and any monotone transform of the value. ALL
+    * rank arithmetic is integer-exact on the same per-tick cell
+    * substrate as KS: with C(<x) the cross-group count below tick x
+    * and t(x) the tie count at x, the DOUBLED midrank 2·C+t+1 is an
+    * integer, so 2·R₀ = Σ c₀(x)·(2C+t+1) and 2·U₀ = 2R₀ − n₀(n₀+1)
+    * accumulate exactly in decimals; U₀ (which counts group-0-wins
+    * pairs + half the ties) and the AUC/common-language effect
+    * U₀/(n₀n₁) are exact halves divided once. The tie-corrected
+    * normal z uses Σ(t³−t) — also an exact decimal sum — and is a
+    * fixed IEEE op sequence, r(6)-masked; NULL when a group is empty
+    * or every value ties (σ = 0).
+    *
+    * Same scale shape as [[twoSampleKs]]: one map-side-combining
+    * aggregation to bounded tick cells (barriered — cumsums + totals),
+    * the cumulative window and 1-row reduce over cells only. Same
+    * loud group-domain refusal.
+    *
+    * Returns ONE row: (n0, n1, u0, auc, z). */
+  def mannWhitneyU(df: DataFrame, group: Column, value: Column,
+                   scale: Long = 100L,
+                   reliableCheckpoint: Boolean = false): DataFrame = {
+    require(scale > 0, s"scale must be positive: $scale")
+    val r = graft.functions.GraftFunctions.r _
+    val g = group.cast("long")
+    val dec = "decimal(38,0)"
+    val cells = OpUtils.barrier(df
+      .filter(value.isNotNull && g.isNotNull)
+      .filter(coalesce(assert_true(g.isin(0L, 1L),
+        concat(lit("mannWhitneyU: group must be 0 or 1, got "),
+          g.cast("string"))), lit(true)))
+      .select(g.as("_g"),
+        floor(value * scale + lit(0.5)).cast("long").as("_x"))
+      .groupBy(col("_x"))
+      .agg(sum(when(col("_g") === 0L, 1L).otherwise(0L)).as("_a0"),
+        sum(when(col("_g") === 1L, 1L).otherwise(0L)).as("_a1")),
+      reliableCheckpoint)
+    val w = Window.orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("_t", col("_a0") + col("_a1"))
+      .withColumn("_below", coalesce(sum(col("_t")).over(w), lit(0L)))
+      .agg(
+        sum(col("_a0")).as("n0"), sum(col("_a1")).as("n1"),
+        // 2·R0 = Σ c0·(2·C(<x) + t + 1) — integer-exact
+        sum(col("_a0").cast(dec)
+          * (col("_below").cast(dec) * 2 + col("_t").cast(dec) + 1))
+          .as("_r0x2"),
+        // tie correction Σ(t³ − t)
+        sum(col("_t").cast(dec) * col("_t").cast(dec) * col("_t").cast(dec)
+          - col("_t").cast(dec)).as("_tcorr"))
+    agg
+      .withColumn("_u0x2", col("_r0x2")
+        - col("n0").cast(dec) * (col("n0").cast(dec) + 1))
+      .withColumn("_nn", col("n0").cast(dec) * col("n1").cast(dec))
+      .withColumn("_nt", col("n0") + col("n1"))
+      .select(col("n0"), col("n1"),
+        (col("_u0x2").cast("double") / 2.0).as("u0"),
+        r(when(col("_nn") > 0,
+          col("_u0x2").cast("double") / 2.0 / col("_nn").cast("double")), 6)
+          .as("auc"),
+        r(when(col("_nn") > 0 && col("_nt") > 1, {
+          // σ² = n0·n1/12 · (N+1 − Σ(t³−t)/(N(N−1))); all-tied ⇒ 0 ⇒ NULL
+          val sigma2 = (col("_nn").cast("double") / 12.0) *
+            ((col("_nt") + 1).cast("double") -
+              col("_tcorr").cast("double") /
+                (col("_nt").cast(dec) * (col("_nt").cast(dec) - 1))
+                  .cast("double"))
+          ((col("_u0x2").cast("double") - col("_nn").cast("double")) / 2.0) /
+            nullif(sqrt(sigma2), lit(0.0))
+        }), 6).as("z"))
+      .filter(col("n0").isNotNull)
+  }
+
   /** Shared path tagging for the multi-touch attribution family:
     * side flag, path segment (running conversion count — a path is
     * everything since the previous conversion), and the segment's

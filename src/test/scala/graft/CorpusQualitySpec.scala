@@ -231,6 +231,42 @@ class CorpusQualitySpec extends SparkSpec {
     assert(CorpusQuality.heapsFit(df, col("doc_id"), col("text")).count() == 0L)
   }
 
+  test("ksMatrix: every pair equals twoSampleKs on that pair alone, on real documents") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, sf("sf0.001"), "documents")
+    val matrix = CorpusQuality.ksMatrix(docs, col("source"), col("n_chars"))
+      .as[(String, String, Long, Long, Double, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    val srcs = docs.select("source").distinct().as[String].collect().sorted
+    assert(matrix.length === srcs.length * (srcs.length - 1) / 2,
+      s"matrix must cover every unordered source pair")
+    matrix.foreach { case (a, b, na, nb, num, tick, ks) =>
+      val pair = graft.operators.EventAnalytics.twoSampleKs(
+          docs.filter(col("source").isin(a, b))
+            .withColumn("g", when(col("source") === a, 0L).otherwise(1L)),
+          col("g"), col("n_chars"), scale = 1L)
+        .as[(Long, Long, Double, Long, Double, Double)].collect().head
+      assert((pair._1, pair._2, pair._3, pair._4, pair._5) ===
+        ((na, nb, num, tick, ks)), s"pair ($a,$b) diverged from twoSampleKs")
+    }
+  }
+
+  test("ksMatrix: hand case — identical groups score 0, disjoint score 1") {
+    import spark.implicits._
+    val df = (Seq.tabulate(4)(i => ("a", (i + 1).toDouble)) ++
+      Seq.tabulate(4)(i => ("b", (i + 1).toDouble)) ++
+      Seq.tabulate(4)(i => ("c", (i + 100).toDouble)))
+      .toDF("g", "v")
+    val out = CorpusQuality.ksMatrix(df, col("g"), col("v"), scale = 1L)
+      .orderBy("g_a", "g_b")
+      .as[(String, String, Long, Long, Double, Long, Double)]
+      .collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._7)) ===
+      Seq(("a", "b", 0.0), ("a", "c", 1.0), ("b", "c", 1.0)))
+    // identical groups: num 0 everywhere, tie law → the smallest tick
+    assert(out.head._6 === 1L)
+  }
+
   test("zipfFit: rank ties break by token asc; topN cuts the tail") {
     // x:3 y:3 z:3 w:1 -> ranks x=1,y=2,z=3 (tie by token), w=4; topN=3
     // drops w, so the fit sees only the flat head: slope exactly 0

@@ -536,6 +536,34 @@ class EventAnalyticsSpec extends SparkSpec {
       .flatMap(t => Option(t.getMessage)).mkString.contains("group must be 0 or 1"))
   }
 
+  test("mannWhitneyU: hand midranks with ties, tie-corrected z, degenerate NULLs") {
+    // g0 = {1,2,2}, g1 = {2,3}: sorted ranks 1,(2,3,4→3),5 → R0 = 7,
+    // U0 = 7 − 6 = 1 (pairwise: one full tie pair = 2·0.5);
+    // AUC = 1/6; tcorr = 3³−3 = 24, σ² = 6/12·(6 − 24/20) = 2.4
+    val df = Seq((0L, 0.01), (0L, 0.02), (0L, 0.02),
+      (1L, 0.02), (1L, 0.03)).toDF("g", "v")
+    val out = EventAnalytics.mannWhitneyU(df, col("g"), col("v"))
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out === Seq((3L, 2L, 1.0, r6(1.0 / 6),
+      r6((1.0 - 3.0) / math.sqrt(2.4)))))
+
+    // every value tied → σ = 0 → z NULL, AUC exactly ½
+    val tied = EventAnalytics.mannWhitneyU(
+        Seq((0L, 5.0), (1L, 5.0), (1L, 5.0)).toDF("g", "v"),
+        col("g"), col("v"))
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(tied === Seq((1L, 2L, 1.0, Some(0.5), None)))
+
+    // one group empty → U0 = 0, AUC/z NULL
+    val one = EventAnalytics.mannWhitneyU(
+        Seq((0L, 1.0), (0L, 2.0)).toDF("g", "v"), col("g"), col("v"))
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(one === Seq((2L, 0L, 0.0, None, None)))
+  }
+
   test("intervalIslands: the island table intervalUnion rolls up") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 30L),

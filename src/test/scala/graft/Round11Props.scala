@@ -293,6 +293,33 @@ object Round11Props extends Properties("Round11Ops") {
       (ok: Prop) :| s"got=$got want=$want n0=$n0 n1=$n1"
     }
 
+  // ---- mannWhitneyU ≡ brute pair counting -------------------------- //
+
+  property("mannWhitneyU equals brute pair counting (wins + half-ties)") =
+    Prop.forAll(ksGen) { xs =>
+      import spark.implicits._
+      val got = EventAnalytics.mannWhitneyU(
+          xs.toDF("g", "v"), col("g"), col("v"))
+        .as[(Long, Long, Double, Option[Double], Option[Double])]
+        .collect().toSeq
+
+      val ticks = xs.map { case (g, v) =>
+        (g, math.floor(v * 100 + 0.5).toLong) }
+      val g0 = ticks.filter(_._1 == 0L).map(_._2)
+      val g1 = ticks.filter(_._1 == 1L).map(_._2)
+      // U0 in halves, exactly: 2·U0 = 2·wins + ties
+      val u0x2 = (for (a <- g0; b <- g1) yield
+        if (a > b) 2L else if (a == b) 1L else 0L).sum
+      val ok = got.length == 1 && {
+        val (n0, n1, u0, auc, _) = got.head
+        n0 == g0.length.toLong && n1 == g1.length.toLong &&
+          u0 == u0x2.toDouble / 2 &&
+          (if (g0.isEmpty || g1.isEmpty) auc.isEmpty
+           else math.abs(auc.get - u0x2.toDouble / 2 / (g0.length.toLong * g1.length)) < 2e-6)
+      }
+      (ok: Prop) :| s"got=$got u0x2=$u0x2 n0=${g0.length} n1=${g1.length}"
+    }
+
   // ---- intervalIslands ≡ brute merge (all-integer, exact) ---------- //
 
   private val ivGen = for {

@@ -6329,6 +6329,44 @@ object Queries {
         END AS z
       FROM fin WHERE n0 IS NOT NULL"""))
 
+  /** E+ experiment analysis: χ² independence of event-type MIX vs
+    * q133's hash variants ([[EventAnalytics.chiSquareIndependence]])
+    * — the categorical member of the drift suite (a treatment that
+    * shifts clicks→errors moves no conversion rate and no value
+    * distribution, but lights this up). Expected counts are one
+    * division of exact decimal products; Cramér's V rides along. */
+  private val q195 = Q("q195_chi2_type_mix",
+    (s, d) => EventAnalytics.chiSquareIndependence(
+      eventsUs(s, d),
+      group = pmod(polyHash(col("user_id").cast("string")), lit(2)),
+      cat = col("event_type")),
+    Some(s"""WITH e AS (SELECT
+        ${sqlPolyHash("CAST(user_id AS VARCHAR)")} % 2 AS g,
+        event_type AS k
+      FROM events WHERE event_type IS NOT NULL),
+      cells AS (SELECT k,
+          count(CASE WHEN g = 0 THEN 1 END) AS o0,
+          count(CASE WHEN g = 1 THEN 1 END) AS o1
+        FROM e GROUP BY k),
+      tot AS (SELECT sum(o0) AS n0, sum(o1) AS n1, count(*) AS r FROM cells),
+      cl AS (SELECT o0 + o1 AS rt, o0, o1, n0, n1, r
+        FROM cells CROSS JOIN tot),
+      t2 AS (SELECT n0, n1, r, sum(
+          (o0::DOUBLE - (rt::HUGEINT * n0)::DOUBLE / (n0 + n1)::DOUBLE)
+            * (o0::DOUBLE - (rt::HUGEINT * n0)::DOUBLE / (n0 + n1)::DOUBLE)
+            / ((rt::HUGEINT * n0)::DOUBLE / (n0 + n1)::DOUBLE)
+          + (o1::DOUBLE - (rt::HUGEINT * n1)::DOUBLE / (n0 + n1)::DOUBLE)
+            * (o1::DOUBLE - (rt::HUGEINT * n1)::DOUBLE / (n0 + n1)::DOUBLE)
+            / ((rt::HUGEINT * n1)::DOUBLE / (n0 + n1)::DOUBLE)) AS chi2
+        FROM cl GROUP BY 1, 2, 3)
+      SELECT CAST(n0 + n1 AS BIGINT) AS n, CAST(r - 1 AS BIGINT) AS dof,
+        CASE WHEN n0 > 0 AND n1 > 0 THEN
+          floor(chi2 * 1000000 + 0.5) / 1000000 END AS chi2,
+        CASE WHEN n0 > 0 AND n1 > 0 THEN
+          floor(sqrt(chi2 / (n0 + n1)::DOUBLE) * 1000000 + 0.5) / 1000000
+        END AS cramers_v
+      FROM t2"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6344,7 +6382,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194,
+    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -916,21 +916,38 @@ object EventAnalytics {
     * either sample is empty. */
   def twoSampleKs(df: DataFrame, group: Column, value: Column,
                   scale: Long = 100L,
-                  reliableCheckpoint: Boolean = false): DataFrame = {
+                  reliableCheckpoint: Boolean = false): DataFrame =
+    ksFromCells(drift2Cells(df, group, value, scale, "twoSampleKs"),
+      reliableCheckpoint)
+
+  /** The shared events → per-tick-cell reduction of the drift suite:
+    * (_x, _a0, _a1) counts on the integer value grid. This cell table
+    * is the suite's SUFFICIENT STATISTIC — counts are additive, so
+    * [[graft.streaming.StreamingDrift]] maintains exactly this table
+    * incrementally and derives KS/U through the same `…FromCells`
+    * cores the batch operators use (parity by construction). */
+  private[graft] def drift2Cells(df: DataFrame, group: Column,
+                                 value: Column, scale: Long,
+                                 op: String): DataFrame = {
     require(scale > 0, s"scale must be positive: $scale")
-    val r = graft.functions.GraftFunctions.r _
     val g = group.cast("long")
-    val ticks = df
-      .filter(value.isNotNull && g.isNotNull)
+    df.filter(value.isNotNull && g.isNotNull)
       .filter(coalesce(assert_true(g.isin(0L, 1L),
-        concat(lit("twoSampleKs: group must be 0 or 1, got "),
+        concat(lit(s"$op: group must be 0 or 1, got "),
           g.cast("string"))), lit(true)))
       .select(g.as("_g"),
         floor(value * scale + lit(0.5)).cast("long").as("_x"))
-    val cells = OpUtils.barrier(ticks.groupBy(col("_x"))
+      .groupBy(col("_x"))
       .agg(sum(when(col("_g") === 0L, 1L).otherwise(0L)).as("_a0"),
-        sum(when(col("_g") === 1L, 1L).otherwise(0L)).as("_a1")),
-      reliableCheckpoint)
+        sum(when(col("_g") === 1L, 1L).otherwise(0L)).as("_a1"))
+  }
+
+  /** [[twoSampleKs]]'s core over an existing `(_x, _a0, _a1)` cell
+    * table (barriered here — totals + cumsums both read it). */
+  private[graft] def ksFromCells(cells0: DataFrame,
+                                 reliableCheckpoint: Boolean = false): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val cells = OpUtils.barrier(cells0, reliableCheckpoint)
     val tot = cells.agg(sum(col("_a0")).as("_n0"), sum(col("_a1")).as("_n1"))
     val w = Window.orderBy(col("_x"))
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -989,22 +1006,18 @@ object EventAnalytics {
     * Returns ONE row: (n0, n1, u0, auc, z). */
   def mannWhitneyU(df: DataFrame, group: Column, value: Column,
                    scale: Long = 100L,
-                   reliableCheckpoint: Boolean = false): DataFrame = {
-    require(scale > 0, s"scale must be positive: $scale")
-    val r = graft.functions.GraftFunctions.r _
-    val g = group.cast("long")
-    val dec = "decimal(38,0)"
-    val cells = OpUtils.barrier(df
-      .filter(value.isNotNull && g.isNotNull)
-      .filter(coalesce(assert_true(g.isin(0L, 1L),
-        concat(lit("mannWhitneyU: group must be 0 or 1, got "),
-          g.cast("string"))), lit(true)))
-      .select(g.as("_g"),
-        floor(value * scale + lit(0.5)).cast("long").as("_x"))
-      .groupBy(col("_x"))
-      .agg(sum(when(col("_g") === 0L, 1L).otherwise(0L)).as("_a0"),
-        sum(when(col("_g") === 1L, 1L).otherwise(0L)).as("_a1")),
+                   reliableCheckpoint: Boolean = false): DataFrame =
+    mannWhitneyUFromCells(
+      drift2Cells(df, group, value, scale, "mannWhitneyU"),
       reliableCheckpoint)
+
+  /** [[mannWhitneyU]]'s core over an existing `(_x, _a0, _a1)` cell
+    * table. */
+  private[graft] def mannWhitneyUFromCells(cells0: DataFrame,
+                                           reliableCheckpoint: Boolean = false): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val cells = OpUtils.barrier(cells0, reliableCheckpoint)
     val w = Window.orderBy(col("_x"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val agg = cells
@@ -1040,6 +1053,64 @@ object EventAnalytics {
             nullif(sqrt(sigma2), lit(0.0))
         }), 6).as("z"))
       .filter(col("n0").isNotNull)
+  }
+
+  /** χ² test of independence between a binary group and a categorical
+    * column — the CATEGORICAL member of the drift suite ([[abTestSummary]]
+    * rate z / [[twoSampleKs]] shape / [[mannWhitneyU]] location / this:
+    * "did the treatment change the MIX of event types"). Expected
+    * counts E = row·col/N are ONE division of exact decimal products;
+    * each cell's (O−E)²/E is a fixed IEEE op sequence (squares spelled
+    * x·x, never pow); only the Σ over the BOUNDED cell set carries
+    * float order, masked by r(·). Cramér's V = √(χ²/N) rides along
+    * (min(r−1, c−1) = 1 for a binary group). An empty column margin
+    * ⇒ χ² NULL (E = 0 is not a statistic); NULL categories and groups
+    * drop; group ∉ {0, 1} refuses loudly.
+    *
+    * Scale shape: one map-side-combining aggregation to |categories|
+    * cells (barriered — totals + the per-cell pass both read it);
+    * everything after is bounded.
+    *
+    * Returns ONE row: (n, dof, chi2, cramers_v). */
+  def chiSquareIndependence(df: DataFrame, group: Column, cat: Column,
+                            reliableCheckpoint: Boolean = false): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val g = group.cast("long")
+    val dec = "decimal(19,0)"
+    val cells = OpUtils.barrier(df
+      .filter(cat.isNotNull && g.isNotNull)
+      .filter(coalesce(assert_true(g.isin(0L, 1L),
+        concat(lit("chiSquareIndependence: group must be 0 or 1, got "),
+          g.cast("string"))), lit(true)))
+      .groupBy(cat.as("_k"))
+      .agg(sum(when(g === 0L, 1L).otherwise(0L)).as("_o0"),
+        sum(when(g === 1L, 1L).otherwise(0L)).as("_o1")),
+      reliableCheckpoint)
+    val tot = cells.agg(sum(col("_o0")).as("_n0"), sum(col("_o1")).as("_n1"),
+      count(lit(1)).as("_r"))
+    def term(o: Column, colTot: Column, rowTot: Column, n: Column): Column = {
+      val e = (rowTot.cast(dec) * colTot.cast(dec)).cast("double") /
+        n.cast("double")
+      // ANSI throws on ÷0 even for doubles — an empty margin makes THIS
+      // cell NULL, the null propagates through the cell sum, and the
+      // all-NULL aggregate is the operator's NULL verdict
+      when(e =!= 0.0, (o.cast("double") - e) * (o.cast("double") - e) / e)
+    }
+    cells.crossJoin(broadcast(tot))
+      .select(col("_n0"), col("_n1"), col("_r"),
+        (col("_o0") + col("_o1")).as("_rt"), col("_o0"), col("_o1"))
+      .select(col("_n0"), col("_n1"), col("_r"),
+        (term(col("_o0"), col("_n0"), col("_rt"), col("_n0") + col("_n1")) +
+          term(col("_o1"), col("_n1"), col("_rt"), col("_n0") + col("_n1")))
+          .as("_cell"))
+      .groupBy(col("_n0"), col("_n1"), col("_r"))
+      .agg(sum(col("_cell")).as("_chi2"))
+      .select((col("_n0") + col("_n1")).as("n"),
+        (col("_r") - 1).as("dof"),
+        r(when(col("_n0") > 0 && col("_n1") > 0, col("_chi2")), 6).as("chi2"),
+        r(when(col("_n0") > 0 && col("_n1") > 0,
+          sqrt(col("_chi2") / (col("_n0") + col("_n1")).cast("double"))), 6)
+          .as("cramers_v"))
   }
 
   /** Shared path tagging for the multi-touch attribution family:

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.EventAnalytics
+
+/** Incremental distribution-drift monitor — the streaming twin of the
+  * [[EventAnalytics.twoSampleKs]] / [[EventAnalytics.mannWhitneyU]]
+  * pair. Both batch tests reduce the corpus to the per-tick cell table
+  * `(_x, _a0, _a1)` before any statistics, and cell COUNTS are purely
+  * additive — so that table is the sufficient state: each micro-batch
+  * persists its own cell DELTA, and the readers sum committed deltas
+  * and derive KS / U through the SAME `…FromCells` cores the batch
+  * operators use. Parity is by construction (Σ per-batch cells ≡ the
+  * one-shot cells over the union corpus), and the spec pins it anyway.
+  *
+  * At-least-once replay: additive counts are NOT idempotent under
+  * re-append, so each batch's delta lands in its OWN
+  * `ingest_batch=<id>` directory with `SaveMode.Overwrite` (a replay
+  * REWRITES the identical delta, never doubles it), the commit marker
+  * publishes LAST, and readers sum only committed batches — the
+  * [[StreamProtocol]] snapshot discipline with per-batch directories
+  * instead of a chain. Run-identity + config-fingerprint guards as in
+  * every other persistent-state stream (`scale` shapes the grid and
+  * is pinned; resuming with a different scale would mix incompatible
+  * tick bases).
+  *
+  * Scale: per-batch work is one map-side-combining aggregation of the
+  * batch to its bounded delta (ticks touched by THIS batch); state
+  * grows with batches × touched ticks, readers aggregate it back to
+  * one bounded cell table — the corpus is never re-read. */
+object StreamingDrift {
+
+  final case class Config(scale: Long)
+
+  private def fingerprint(cfg: Config): String = s"scale=${cfg.scale}"
+
+  /** Persisted delta schema (+ the `ingest_batch` partition column at
+    * read time) — fixed so empty and first reads are typed. */
+  val CellsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_x",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_a0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_a1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ingest_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  private def emptyCells(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CellsSchema)
+      .select(col("_x"), col("_a0"), col("_a1"))
+
+  /** The accumulated cell table — committed deltas summed. The
+    * `isin(committed)` filter (not `<= max`) is load-bearing here:
+    * a batch that wrote files but crashed before its marker must not
+    * leak PARTIAL counts into an additive sum (the engagement stream
+    * tolerates that with `distinct()`; sums cannot). */
+  def cells(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = StreamProtocol.committedIds(fs, p, "_batch_")
+    if (committed.isEmpty) emptyCells(spark)
+    else
+      spark.read.schema(CellsSchema).option("basePath", dir).parquet(
+          committed.map(b => s"$dir/ingest_batch=$b"): _*)
+        .groupBy(col("_x"))
+        .agg(sum(col("_a0")).as("_a0"), sum(col("_a1")).as("_a1"))
+  }
+
+  /** Running KS verdict — identical output to
+    * [[EventAnalytics.twoSampleKs]] over all rows ingested so far
+    * (shared core). */
+  def ks(spark: SparkSession, dir: String): DataFrame =
+    EventAnalytics.ksFromCells(cells(spark, dir))
+
+  /** Running Mann–Whitney U — identical output to
+    * [[EventAnalytics.mannWhitneyU]] over all rows ingested so far. */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame =
+    EventAnalytics.mannWhitneyUFromCells(cells(spark, dir))
+
+  /** `df` must carry the group (0/1) and value columns; NULLs drop and
+    * out-of-domain groups refuse loudly — the batch operators' laws,
+    * enforced by the shared cell reduction. */
+  def start(df: DataFrame, groupCol: String, valueCol: String,
+            dir: String, checkpoint: String, cfg: Config): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dirPath = new Path(dir)
+        val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val (done, _) = StreamProtocol.replayGuardsWithCommitted(
+          fs, dirPath, checkpoint, fingerprint(cfg), batchId, "_batch_",
+          "StreamingDrift")
+        if (!done) {
+          EventAnalytics.drift2Cells(batch, col(groupCol), col(valueCol),
+              cfg.scale, "StreamingDrift")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/ingest_batch=$batchId")
+          StreamProtocol.commit(fs, dirPath, "_batch_", batchId)
+        }
+        ()
+      }
+      .start()
+}

@@ -564,6 +564,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(one === Seq((2L, 0L, 0.0, None, None)))
   }
 
+  test("chiSquareIndependence: hand 2x2, empty-margin NULL, single-category zero") {
+    // O = [[10,20],[30,40]] → χ² = 4(1/12+1/18+1/28+1/42) = 200/252
+    val rows = Seq.fill(10)((0L, "A")) ++ Seq.fill(20)((1L, "A")) ++
+      Seq.fill(30)((0L, "B")) ++ Seq.fill(40)((1L, "B"))
+    val out = EventAnalytics.chiSquareIndependence(
+        rows.toDF("g", "k"), col("g"), col("k"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val chi2 = 200.0 / 252
+    assert(out.map(t => (t._1, t._2)) === Seq((100L, 1L)))
+    assert(math.abs(out.head._3 - r6(chi2)) < 2e-6)
+    assert(math.abs(out.head._4 - r6(math.sqrt(chi2 / 100))) < 2e-6)
+
+    // one column margin empty → χ²/V NULL (E = 0 is not a statistic)
+    val one = EventAnalytics.chiSquareIndependence(
+        Seq((0L, "A"), (0L, "B")).toDF("g", "k"), col("g"), col("k"))
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(one === Seq((2L, 1L, None, None)))
+
+    // a single category: O ≡ E → χ² exactly 0, dof 0
+    val single = EventAnalytics.chiSquareIndependence(
+        Seq((0L, "A"), (1L, "A"), (1L, "A")).toDF("g", "k"),
+        col("g"), col("k"))
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(single === Seq((3L, 0L, 0.0, 0.0)))
+  }
+
   test("intervalIslands: the island table intervalUnion rolls up") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 30L),

@@ -320,6 +320,49 @@ object Round11Props extends Properties("Round11Ops") {
       (ok: Prop) :| s"got=$got u0x2=$u0x2 n0=${g0.length} n1=${g1.length}"
     }
 
+  // ---- chiSquareIndependence ≡ brute contingency ------------------- //
+
+  private val chiGen = for {
+    n <- Gen.choose(2, 60)
+    xs <- Gen.listOfN(n, for {
+      g <- Gen.choose(0L, 1L)
+      k <- Gen.oneOf("A", "B", "C")
+    } yield (g, k))
+  } yield xs
+
+  property("chiSquareIndependence equals the brute contingency formula") =
+    Prop.forAll(chiGen) { xs =>
+      import spark.implicits._
+      val got = EventAnalytics.chiSquareIndependence(
+          xs.toDF("g", "k"), col("g"), col("k"))
+        .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+
+      val n0 = xs.count(_._1 == 0L).toLong
+      val n1 = xs.count(_._1 == 1L).toLong
+      val n = n0 + n1
+      val cats = xs.map(_._2).distinct
+      val chi2 =
+        if (n0 == 0 || n1 == 0) None
+        else Some(cats.map { k =>
+          val o0 = xs.count(x => x._1 == 0L && x._2 == k).toDouble
+          val o1 = xs.count(x => x._1 == 1L && x._2 == k).toDouble
+          val rt = o0 + o1
+          val e0 = rt * n0 / n; val e1 = rt * n1 / n
+          (o0 - e0) * (o0 - e0) / e0 + (o1 - e1) * (o1 - e1) / e1
+        }.sum)
+      val ok = got.length == 1 && {
+        val (gn, gdof, gchi, gv) = got.head
+        gn == n && gdof == cats.length.toLong - 1 &&
+          (chi2 match {
+            case None => gchi.isEmpty && gv.isEmpty
+            case Some(c) =>
+              math.abs(gchi.get - c) < 2e-6 &&
+                math.abs(gv.get - math.sqrt(c / n)) < 2e-6
+          })
+      }
+      (ok: Prop) :| s"got=$got want=$chi2"
+    }
+
   // ---- intervalIslands ≡ brute merge (all-integer, exact) ---------- //
 
   private val ivGen = for {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+import graft.streaming.StreamingDrift
+
+/** Incremental drift monitor: after N micro-batches the summed cell
+  * deltas must yield EXACTLY the batch KS and Mann–Whitney rows over
+  * the full input — cell counts are additive, the derivations share
+  * the batch `…FromCells` cores, so parity is by construction and
+  * this spec pins it. Plus the additive-state crash law: a partial
+  * uncommitted delta must be INVISIBLE (sums, unlike the engagement
+  * stream's distinct pairs, cannot tolerate partial batches), and a
+  * restart overwrites it exactly-once. */
+class StreamingDriftSpec extends SparkSpec {
+
+  private def slurp(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("cells after 3 micro-batches == batch KS and Mann-Whitney, exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // q192's input: purchase values split by hash variant
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .filter(col("event_type") === "purchase")
+      .select(pmod(graft.functions.GraftFunctions.polyHash(
+        col("user_id").cast("string")), lit(2)).as("g"), col("value"))
+    val rows = ev.as[(Long, Double)].collect().sortBy(identity)
+    assert(rows.length > 100)
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdrift_").toString
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamingDrift.start(
+      input.toDS().toDF("g", "value"), groupCol = "g", valueCol = "value",
+      dir = s"$base/cells", checkpoint = s"$base/ckpt",
+      cfg = StreamingDrift.Config(scale = 100L))
+    try {
+      // mid-stream incrementality: after batch 0 the monitor equals
+      // the batch tests over batch 0's rows alone
+      input.addData(thirds.head.toSeq: _*)
+      q.processAllAvailable()
+      val firstDf = thirds.head.toSeq.toDF("g", "value")
+      assert(slurp(StreamingDrift.ks(spark, s"$base/cells")) ===
+        slurp(EventAnalytics.twoSampleKs(firstDf, col("g"), col("value"))))
+
+      thirds.tail.foreach { part =>
+        input.addData(part.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val allDf = rows.toSeq.toDF("g", "value")
+      assert(slurp(StreamingDrift.ks(spark, s"$base/cells")) ===
+        slurp(EventAnalytics.twoSampleKs(allDf, col("g"), col("value"))))
+      assert(slurp(StreamingDrift.mannWhitneyU(spark, s"$base/cells")) ===
+        slurp(EventAnalytics.mannWhitneyU(allDf, col("g"), col("value"))))
+    } finally q.stop()
+  }
+
+  test("a partial uncommitted delta is invisible; restart overwrites it exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdrift_crash_").toString
+    val dir = s"$base/cells"
+    val cfg = StreamingDrift.Config(scale = 100L)
+    val input = MemoryStream[(Long, Double)]
+    def startStream() = StreamingDrift.start(
+      input.toDS().toDF("g", "value"), "g", "value",
+      dir, s"$base/ckpt", cfg)
+
+    val b0 = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0))
+    val b1 = Seq((0L, 3.0), (1L, 1.0), (1L, 1.0))
+
+    val q1 = startStream()
+    try { input.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
+
+    // crash window: a batch-1 attempt wrote PART of its delta (here: a
+    // wrong, partial cell table) and died before its marker — an
+    // additive reader summing it would be silently wrong forever
+    Seq((100L, 7L, 7L)).toDF("_x", "_a0", "_a1")
+      .write.mode("overwrite").parquet(s"$dir/ingest_batch=1")
+    val committedOnly = slurp(EventAnalytics.twoSampleKs(
+      b0.toDF("g", "value"), col("g"), col("value")))
+    assert(slurp(StreamingDrift.ks(spark, dir)) === committedOnly,
+      "uncommitted partial delta leaked into the additive sum")
+
+    // restart from the same checkpoint: batch 1 re-runs, OVERWRITES the
+    // poisoned directory with the true delta, and commits
+    val q2 = startStream()
+    try { input.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
+    assert(slurp(StreamingDrift.ks(spark, dir)) ===
+      slurp(EventAnalytics.twoSampleKs((b0 ++ b1).toDF("g", "value"),
+        col("g"), col("value"))))
+    assert(slurp(StreamingDrift.mannWhitneyU(spark, dir)) ===
+      slurp(EventAnalytics.mannWhitneyU((b0 ++ b1).toDF("g", "value"),
+        col("g"), col("value"))))
+  }
+}

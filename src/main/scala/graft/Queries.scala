@@ -6367,6 +6367,43 @@ object Queries {
         END AS cramers_v
       FROM t2"""))
 
+  /** E+ time-series: CUSUM changepoint over daily purchase value
+    * ([[EventAnalytics.cusumChangepoint]], cohort day grid) — WHEN the
+    * metric shifted, the temporal completion of the drift suite. The
+    * split day maximizes the integer cross-product |S_k·C_N − S_N·C_k|
+    * (earliest-day ties), so the locator hash-replays; deviation and
+    * the before/after means are single exact divisions. */
+  private val q196 = Q("q196_value_changepoint",
+    (s, d) => EventAnalytics.cusumChangepoint(
+      eventsUs(s, d).filter(col("event_type") === "purchase"),
+      ts = "ts_us", valueCol = "value",
+      epoch0Us = CohortEpoch0Us, dayUs = 86400000000L, scale = 100L),
+    Some(s"""WITH e AS (SELECT
+        (epoch_us(ts) - $CohortEpoch0Us) // 86400000000 AS d,
+        CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL),
+      days AS (SELECT d, count(*) AS c, sum(v) AS s FROM e GROUP BY d),
+      tot AS (SELECT sum(c) AS cn, sum(s) AS sn, count(*) AS nd FROM days),
+      pre AS (SELECT d,
+          sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS ck,
+          sum(s) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS sk
+        FROM days),
+      sc AS (SELECT pre.*, cn, sn, nd,
+          abs(sk::HUGEINT * cn - sn::HUGEINT * ck) AS num
+        FROM pre CROSS JOIN tot),
+      best AS (SELECT * FROM sc ORDER BY num DESC, d ASC LIMIT 1)
+      SELECT CAST(nd AS BIGINT) AS n_days, CAST(cn AS BIGINT) AS n,
+        d AS day_star,
+        floor(num::DOUBLE / (cn::HUGEINT * 100)::DOUBLE * 1000000 + 0.5)
+          / 1000000 AS dev,
+        floor(sk::DOUBLE / (ck::HUGEINT * 100)::DOUBLE * 1000000 + 0.5)
+          / 1000000 AS mean_before,
+        CASE WHEN cn > ck THEN
+          floor((sn - sk)::DOUBLE / ((cn - ck)::HUGEINT * 100)::DOUBLE
+            * 1000000 + 0.5) / 1000000 END AS mean_after
+      FROM best"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6382,7 +6419,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195,
+    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

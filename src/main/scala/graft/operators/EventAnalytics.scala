@@ -1113,6 +1113,74 @@ object EventAnalytics {
           .as("cramers_v"))
   }
 
+  /** CUSUM-style changepoint locator over a daily value series — WHEN
+    * did the metric shift (the drift suite tells you THAT it shifted;
+    * q142's PSI tells you where in value space; this tells you where
+    * in TIME). The statistic is the classic cumulative-sum deviation:
+    * the day k maximizing |S_k·C_N − S_N·C_k| — the prefix value sum's
+    * distance from its homogeneous expectation, cross-multiplied into
+    * an INTEGER so the argmax (tie → earliest day) is exact; values
+    * quantize to `scale` ticks like the whole suite, daily sums are
+    * exact decimal products. Published beside the split day: the
+    * deviation D = max|S_k − S_N·C_k/C_N| in value units (one exact
+    * division), and the before/after means (one exact division each,
+    * NULL after a last-day split — no after-population exists). All
+    * r(6).
+    *
+    * Scale shape: one map-side-combining aggregation to the bounded
+    * day table (barriered — totals + prefix window both read it);
+    * everything after is day-bounded. NULL timestamps/values drop.
+    *
+    * Returns ONE row: (n_days, n, day_star, dev, mean_before,
+    * mean_after) — or no row for an empty input. */
+  def cusumChangepoint(df: DataFrame, ts: String, valueCol: String,
+                       epoch0Us: Long, dayUs: Long, scale: Long = 100L,
+                       reliableCheckpoint: Boolean = false): DataFrame = {
+    require(dayUs > 0, s"dayUs must be positive (µs): $dayUs")
+    require(scale > 0, s"scale must be positive: $scale")
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val day = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, dayUs)
+    val days = OpUtils.barrier(df
+      .filter(col(ts).isNotNull && col(valueCol).isNotNull)
+      .select(day.as("_d"),
+        floor(col(valueCol) * scale + lit(0.5)).cast("long").as("_v"))
+      .groupBy(col("_d"))
+      .agg(count(lit(1)).as("_c"), sum(col("_v")).as("_s")),
+      reliableCheckpoint)
+    val tot = days.agg(sum(col("_c")).as("_cn"), sum(col("_s")).as("_sn"),
+      count(lit(1)).as("_nd"))
+    val w = Window.orderBy(col("_d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    days
+      .withColumn("_ck", sum(col("_c")).over(w))
+      .withColumn("_sk", sum(col("_s")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("_cn"), col("_sn"), col("_nd"), col("_ck"), col("_sk"),
+        abs(col("_sk").cast(dec) * col("_cn").cast(dec)
+          - col("_sn").cast(dec) * col("_ck").cast(dec)).as("_num"),
+        col("_d"))
+      .agg(max(struct(col("_num"), (-col("_d")).as("_nd2"),
+        col("_cn"), col("_sn"), col("_nd"), col("_ck"), col("_sk"))).as("_m"))
+      .select(col("_m._nd").as("n_days"), col("_m._cn").as("n"),
+        (-col("_m._nd2")).as("day_star"),
+        col("_m._num").as("_num"), col("_m._ck").as("_ck"),
+        col("_m._sk").as("_sk"), col("_m._cn").as("_cn"),
+        col("_m._sn").as("_sn"))
+      .filter(col("day_star").isNotNull)
+      .select(col("n_days"), col("n"), col("day_star"),
+        // D in VALUE units: num/(C_N · scale) — exact integer operands
+        r(col("_num").cast("double")
+          / (col("_cn").cast(dec) * scale).cast("double"), 6).as("dev"),
+        r(col("_sk").cast("double")
+          / (col("_ck").cast(dec) * scale).cast("double"), 6)
+          .as("mean_before"),
+        r(when(col("_cn") > col("_ck"),
+          (col("_sn") - col("_sk")).cast("double")
+            / ((col("_cn") - col("_ck")).cast(dec) * scale).cast("double")),
+          6).as("mean_after"))
+  }
+
   /** Shared path tagging for the multi-touch attribution family:
     * side flag, path segment (running conversion count — a path is
     * everything since the previous conversion), and the segment's

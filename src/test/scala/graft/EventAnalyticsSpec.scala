@@ -591,6 +591,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(single === Seq((3L, 0L, 0.0, 0.0)))
   }
 
+  test("cusumChangepoint: hand split, uniform tie → earliest day, last-day NULL after-mean") {
+    // day 0: 1.0, 1.0 | day 1: 1.0 | day 2: 5.0, 5.0 → the level shifts
+    // after day 1 (S_N = 1300¢, C_N = 5): num_k = |S_k·C_N − S_N·C_k|
+    // = 1600, 2400, 0 → day 1; dev = 2400/500 = 4.8, means 1.0 / 5.0
+    val D2 = 86400000000L
+    def at(day: Long) = day * D2 + 5
+    val df = Seq((at(0), 1.0), (at(0), 1.0), (at(1), 1.0),
+      (at(2), 5.0), (at(2), 5.0)).toDF("ts_us", "value")
+    val out = EventAnalytics.cusumChangepoint(df, "ts_us", "value",
+        epoch0Us = 0L, dayUs = D2)
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(out === Seq((3L, 5L, 1L, 4.8, 1.0, Some(5.0))))
+
+    // homogeneous series: every deviation 0 → earliest day, after-mean
+    // exists; single-day series: split at the last day → NULL after
+    val flat = Seq((at(0), 2.0), (at(1), 2.0), (at(2), 2.0))
+      .toDF("ts_us", "value")
+    val f = EventAnalytics.cusumChangepoint(flat, "ts_us", "value", 0L, D2)
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert((f._3, f._4, f._5, f._6) === ((0L, 0.0, 2.0, Some(2.0))))
+    val single = EventAnalytics.cusumChangepoint(
+        Seq((at(0), 3.0)).toDF("ts_us", "value"), "ts_us", "value", 0L, D2)
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().head
+    assert((single._3, single._4, single._6) === ((0L, 0.0, None)))
+    // empty input → no verdict row
+    assert(EventAnalytics.cusumChangepoint(
+      Seq.empty[(Long, Double)].toDF("ts_us", "value"),
+      "ts_us", "value", 0L, D2).count() === 0L)
+  }
+
   test("intervalIslands: the island table intervalUnion rolls up") {
     val iv = Seq(
       (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 25L), (1L, 30L, 30L),

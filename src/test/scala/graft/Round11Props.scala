@@ -363,6 +363,48 @@ object Round11Props extends Properties("Round11Ops") {
       (ok: Prop) :| s"got=$got want=$chi2"
     }
 
+  // ---- cusumChangepoint ≡ brute prefix argmax ---------------------- //
+
+  private val cpGen = for {
+    n <- Gen.choose(1, 50)
+    xs <- Gen.listOfN(n, for {
+      d <- Gen.choose(0L, 8L)
+      v <- Gen.choose(0, 40).map(_ / 4.0)
+    } yield (d, v))
+  } yield xs
+
+  property("cusumChangepoint equals the brute integer prefix-deviation argmax") =
+    Prop.forAll(cpGen) { xs =>
+      import spark.implicits._
+      val D = 86400000000L
+      val got = EventAnalytics.cusumChangepoint(
+          xs.map { case (d, v) => (d * D + 7, v) }.toDF("ts_us", "value"),
+          "ts_us", "value", epoch0Us = 0L, dayUs = D)
+        .as[(Long, Long, Long, Double, Double, Option[Double])]
+        .collect().toSeq
+
+      val cents = xs.map { case (d, v) =>
+        (d, math.floor(v * 100 + 0.5).toLong) }
+      val byDay = cents.groupBy(_._1).map { case (d, vs) =>
+        (d, vs.length.toLong, vs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      val cn = byDay.map(_._2).sum; val sn = byDay.map(_._3).sum
+      val prefixes = byDay.scanLeft((0L, 0L, 0L)) {
+        case ((_, ck, sk), (d, c, s)) => (d, ck + c, sk + s) }.tail
+      val (dStar, ckS, skS) = prefixes
+        .maxBy { case (d, ck, sk) =>
+          ((BigInt(sk) * cn - BigInt(sn) * ck).abs, -d) }
+      val num = (BigInt(skS) * cn - BigInt(sn) * ckS).abs
+      val ok = got.length == 1 && {
+        val (nd, n, ds, dev, mb, ma) = got.head
+        nd == byDay.length.toLong && n == cn && ds == dStar &&
+          math.abs(dev - num.toDouble / (cn * 100.0)) < 2e-6 &&
+          math.abs(mb - skS.toDouble / (ckS * 100.0)) < 2e-6 &&
+          (if (cn == ckS) ma.isEmpty
+           else math.abs(ma.get - (sn - skS).toDouble / ((cn - ckS) * 100.0)) < 2e-6)
+      }
+      (ok: Prop) :| s"got=$got want=(d=$dStar num=$num cn=$cn)"
+    }
+
   // ---- intervalIslands ≡ brute merge (all-integer, exact) ---------- //
 
   private val ivGen = for {

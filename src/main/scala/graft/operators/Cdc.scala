@@ -49,8 +49,10 @@ object Cdc {
                      key: Seq[String], seq: Seq[String],
                      opCol: String): DataFrame = {
     val cols = snapshot.columns.toSeq
-    require((key ++ seq).forall(cols.contains),
-      s"snapshot must carry key+seq columns: ${cols.mkString(",")}")
+    val missing = (key ++ seq).filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"snapshot must carry the key+seq columns; missing " +
+        s"${missing.mkString(",")} from (${cols.mkString(",")})")
     val payload = cols.filterNot(c => key.contains(c))
     val guarded = changes.filter(coalesce(
       assert_true(col(opCol).isin("U", "D"),

@@ -1135,19 +1135,35 @@ object EventAnalytics {
     * mean_after) — or no row for an empty input. */
   def cusumChangepoint(df: DataFrame, ts: String, valueCol: String,
                        epoch0Us: Long, dayUs: Long, scale: Long = 100L,
-                       reliableCheckpoint: Boolean = false): DataFrame = {
+                       reliableCheckpoint: Boolean = false): DataFrame =
+    cusumFromDays(dayCells(df, ts, valueCol, epoch0Us, dayUs, scale),
+      scale, reliableCheckpoint)
+
+  /** The daily `(_d, _c, _s)` (count, tick-sum) reduction —
+    * [[cusumChangepoint]]'s sufficient statistic, additive like the
+    * drift pair's tick cells, so
+    * [[graft.streaming.StreamingDrift]] maintains it incrementally
+    * and derives the changepoint through [[cusumFromDays]]. */
+  private[graft] def dayCells(df: DataFrame, ts: String, valueCol: String,
+                              epoch0Us: Long, dayUs: Long,
+                              scale: Long): DataFrame = {
     require(dayUs > 0, s"dayUs must be positive (µs): $dayUs")
     require(scale > 0, s"scale must be positive: $scale")
-    val r = graft.functions.GraftFunctions.r _
-    val dec = "decimal(38,0)"
     val day = graft.functions.GraftFunctions.longDiv(col(ts) - epoch0Us, dayUs)
-    val days = OpUtils.barrier(df
-      .filter(col(ts).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(ts).isNotNull && col(valueCol).isNotNull)
       .select(day.as("_d"),
         floor(col(valueCol) * scale + lit(0.5)).cast("long").as("_v"))
       .groupBy(col("_d"))
-      .agg(count(lit(1)).as("_c"), sum(col("_v")).as("_s")),
-      reliableCheckpoint)
+      .agg(count(lit(1)).as("_c"), sum(col("_v")).as("_s"))
+  }
+
+  /** [[cusumChangepoint]]'s core over an existing `(_d, _c, _s)` day
+    * table (barriered here — totals + prefix window both read it). */
+  private[graft] def cusumFromDays(days0: DataFrame, scale: Long,
+                                   reliableCheckpoint: Boolean = false): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val days = OpUtils.barrier(days0, reliableCheckpoint)
     val tot = days.agg(sum(col("_c")).as("_cn"), sum(col("_s")).as("_sn"),
       count(lit(1)).as("_nd"))
     val w = Window.orderBy(col("_d"))

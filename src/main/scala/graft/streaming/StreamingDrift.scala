@@ -84,6 +84,76 @@ object StreamingDrift {
   def mannWhitneyU(spark: SparkSession, dir: String): DataFrame =
     EventAnalytics.mannWhitneyUFromCells(cells(spark, dir))
 
+  // ------------------------------------------------------------------
+  // the DAILY twin: incremental CUSUM changepoint
+  // ------------------------------------------------------------------
+
+  /** All three values shape the persisted day grid / tick basis and
+    * are pinned in the stream-config fingerprint. */
+  final case class DailyConfig(epoch0Us: Long, dayUs: Long, scale: Long)
+
+  private def fingerprintDaily(cfg: DailyConfig): String =
+    s"epoch0Us=${cfg.epoch0Us};dayUs=${cfg.dayUs};scale=${cfg.scale}"
+
+  val DayCellsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_d",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_c",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_s",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ingest_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Accumulated daily (count, tick-sum) table — same committed-delta
+    * sum discipline as [[cells]]. */
+  def dayCells(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = StreamProtocol.committedIds(fs, p, "_batch_")
+    if (committed.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DayCellsSchema)
+        .select(col("_d"), col("_c"), col("_s"))
+    else
+      spark.read.schema(DayCellsSchema).option("basePath", dir).parquet(
+          committed.map(b => s"$dir/ingest_batch=$b"): _*)
+        .groupBy(col("_d"))
+        .agg(sum(col("_c")).as("_c"), sum(col("_s")).as("_s"))
+  }
+
+  /** Running changepoint verdict — identical output to
+    * [[EventAnalytics.cusumChangepoint]] over all rows ingested so
+    * far (shared core); re-locates the split on every read, which is
+    * the point: the monitor's answer may MOVE as evidence accrues. */
+  def changepoint(spark: SparkSession, dir: String,
+                  cfg: DailyConfig): DataFrame =
+    EventAnalytics.cusumFromDays(dayCells(spark, dir), cfg.scale)
+
+  def startDaily(df: DataFrame, tsCol: String, valueCol: String,
+                 dir: String, checkpoint: String,
+                 cfg: DailyConfig): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dirPath = new Path(dir)
+        val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val (done, _) = StreamProtocol.replayGuardsWithCommitted(
+          fs, dirPath, checkpoint, fingerprintDaily(cfg), batchId, "_batch_",
+          "StreamingDrift.daily")
+        if (!done) {
+          EventAnalytics.dayCells(batch, tsCol, valueCol,
+              cfg.epoch0Us, cfg.dayUs, cfg.scale)
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/ingest_batch=$batchId")
+          StreamProtocol.commit(fs, dirPath, "_batch_", batchId)
+        }
+        ()
+      }
+      .start()
+
   /** `df` must carry the group (0/1) and value columns; NULLs drop and
     * out-of-domain groups refuse loudly — the batch operators' laws,
     * enforced by the shared cell reduction. */

@@ -59,6 +59,43 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("daily cells after 3 micro-batches == batch cusumChangepoint, exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val Epoch0 = 1704067200000000L
+    val DayUs = 86400000000L
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev.filter(col("event_type") === "purchase")
+      .select(graft.functions.GraftFunctions.epochMicros(
+        ev.schema("ts").dataType, col("ts")).as("ts_us"), col("value"))
+    val rows = evUs.as[(Long, Double)].collect().sortBy(identity)
+    assert(rows.length > 100)
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdrift_cp_").toString
+    val cfg = StreamingDrift.DailyConfig(Epoch0, DayUs, 100L)
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamingDrift.startDaily(
+      input.toDS().toDF("ts_us", "value"), "ts_us", "value",
+      s"$base/days", s"$base/ckpt", cfg)
+    try {
+      // mid-stream: the monitor's verdict equals the batch locator
+      // over the prefix alone — and may legitimately MOVE later
+      input.addData(thirds.head.toSeq: _*)
+      q.processAllAvailable()
+      assert(slurp(StreamingDrift.changepoint(spark, s"$base/days", cfg)) ===
+        slurp(EventAnalytics.cusumChangepoint(
+          thirds.head.toSeq.toDF("ts_us", "value"), "ts_us", "value",
+          Epoch0, DayUs)))
+      thirds.tail.foreach { p => input.addData(p.toSeq: _*); q.processAllAvailable() }
+      assert(slurp(StreamingDrift.changepoint(spark, s"$base/days", cfg)) ===
+        slurp(EventAnalytics.cusumChangepoint(
+          rows.toSeq.toDF("ts_us", "value"), "ts_us", "value",
+          Epoch0, DayUs)))
+    } finally q.stop()
+  }
+
   test("a partial uncommitted delta is invisible; restart overwrites it exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1073,19 +1073,33 @@ object EventAnalytics {
     *
     * Returns ONE row: (n, dof, chi2, cramers_v). */
   def chiSquareIndependence(df: DataFrame, group: Column, cat: Column,
-                            reliableCheckpoint: Boolean = false): DataFrame = {
-    val r = graft.functions.GraftFunctions.r _
+                            reliableCheckpoint: Boolean = false): DataFrame =
+    chiSquareFromCells(catCells(df, group, cat), reliableCheckpoint)
+
+  /** The per-category `(_k, _o0, _o1)` count reduction —
+    * [[chiSquareIndependence]]'s sufficient statistic, additive like
+    * the rest of the drift suite's cells
+    * ([[graft.streaming.StreamingDrift]] maintains it incrementally
+    * through the same delta discipline). */
+  private[graft] def catCells(df: DataFrame, group: Column,
+                              cat: Column): DataFrame = {
     val g = group.cast("long")
-    val dec = "decimal(19,0)"
-    val cells = OpUtils.barrier(df
-      .filter(cat.isNotNull && g.isNotNull)
+    df.filter(cat.isNotNull && g.isNotNull)
       .filter(coalesce(assert_true(g.isin(0L, 1L),
         concat(lit("chiSquareIndependence: group must be 0 or 1, got "),
           g.cast("string"))), lit(true)))
       .groupBy(cat.as("_k"))
       .agg(sum(when(g === 0L, 1L).otherwise(0L)).as("_o0"),
-        sum(when(g === 1L, 1L).otherwise(0L)).as("_o1")),
-      reliableCheckpoint)
+        sum(when(g === 1L, 1L).otherwise(0L)).as("_o1"))
+  }
+
+  /** [[chiSquareIndependence]]'s core over an existing
+    * `(_k, _o0, _o1)` cell table. */
+  private[graft] def chiSquareFromCells(cells0: DataFrame,
+                                        reliableCheckpoint: Boolean = false): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(19,0)"
+    val cells = OpUtils.barrier(cells0, reliableCheckpoint)
     val tot = cells.agg(sum(col("_o0")).as("_n0"), sum(col("_o1")).as("_n1"),
       count(lit(1)).as("_r"))
     def term(o: Column, colTot: Column, rowTot: Column, n: Column): Column = {

@@ -85,6 +85,69 @@ object StreamingDrift {
     EventAnalytics.mannWhitneyUFromCells(cells(spark, dir))
 
   // ------------------------------------------------------------------
+  // the CATEGORICAL twin: incremental χ² independence
+  // ------------------------------------------------------------------
+
+  val CatCellsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_o0",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_o1",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ingest_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Accumulated per-category count table — same committed-delta sum
+    * discipline as [[cells]]. Categories persist as STRING (injective
+    * for the engine's string/long categories, same convention as the
+    * engagement stream's key). */
+  def catCells(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = StreamProtocol.committedIds(fs, p, "_batch_")
+    if (committed.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CatCellsSchema)
+        .select(col("_k"), col("_o0"), col("_o1"))
+    else
+      spark.read.schema(CatCellsSchema).option("basePath", dir).parquet(
+          committed.map(b => s"$dir/ingest_batch=$b"): _*)
+        .groupBy(col("_k"))
+        .agg(sum(col("_o0")).as("_o0"), sum(col("_o1")).as("_o1"))
+  }
+
+  /** Running χ² verdict — identical output to
+    * [[EventAnalytics.chiSquareIndependence]] over all rows ingested
+    * so far (shared core). */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame =
+    EventAnalytics.chiSquareFromCells(catCells(spark, dir))
+
+  def startCategorical(df: DataFrame, groupCol: String, catCol: String,
+                       dir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dirPath = new Path(dir)
+        val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+        // no state-shaping knobs: the categorical grid IS the data's
+        val (done, _) = StreamProtocol.replayGuardsWithCommitted(
+          fs, dirPath, checkpoint, "categorical=v1", batchId, "_batch_",
+          "StreamingDrift.categorical")
+        if (!done) {
+          EventAnalytics.catCells(batch, col(groupCol),
+              col(catCol).cast("string"))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/ingest_batch=$batchId")
+          StreamProtocol.commit(fs, dirPath, "_batch_", batchId)
+        }
+        ()
+      }
+      .start()
+
+  // ------------------------------------------------------------------
   // the DAILY twin: incremental CUSUM changepoint
   // ------------------------------------------------------------------
 

@@ -96,6 +96,28 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("categorical cells after 3 micro-batches == batch chi-square, exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .select(pmod(graft.functions.GraftFunctions.polyHash(
+        col("user_id").cast("string")), lit(2)).as("g"), col("event_type"))
+    val rows = ev.as[(Long, String)].collect().sortBy(identity)
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdrift_chi_").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDrift.startCategorical(
+      input.toDS().toDF("g", "k"), "g", "k", s"$base/cats", s"$base/ckpt")
+    try {
+      thirds.foreach { p => input.addData(p.toSeq: _*); q.processAllAvailable() }
+      assert(slurp(StreamingDrift.chiSquare(spark, s"$base/cats")) ===
+        slurp(EventAnalytics.chiSquareIndependence(
+          rows.toSeq.toDF("g", "k"), col("g"), col("k"))))
+    } finally q.stop()
+  }
+
   test("a partial uncommitted delta is invisible; restart overwrites it exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -6404,6 +6404,38 @@ object Queries {
             * 1000000 + 0.5) / 1000000 END AS mean_after
       FROM best"""))
 
+  /** H2+/multimodal: cross-document FRAME-level duplication census
+    * ([[Multimodal.frameDupStats]] over q66's sampled frames) — the
+    * video-dedup shape: re-encoded copies share frame digests even
+    * when containers differ, and the digest census finds them with
+    * equality joins, never pairwise payload comparison. The corpus's
+    * exact-duplicate documents (the q30 fixture family) light up with
+    * shared_frac 1.0. All integer until one r(6) division. */
+  private val q197 = Q("q197_frame_dup_census",
+    (s, d) => Multimodal.frameDupStats(
+        Multimodal.frameSample(
+          Multimodal.withPayload(
+            t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+            .filter(length(col("payload")) === length(col("text"))),
+          frameBytes = 256, everyN = 4))
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, text FROM documents
+        WHERE octet_length(encode(text)) = length(text)),
+      f AS (SELECT doc_id, text, length(text) AS n FROM d WHERE length(text) > 0),
+      idx AS (SELECT doc_id, text,
+          unnest(range(0, (n + 255) // 256, 4)) AS frame_idx FROM f),
+      fx AS (SELECT doc_id,
+          md5(substring(text, CAST(frame_idx*256 + 1 AS INT), 256)) AS h
+        FROM idx),
+      census AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM fx GROUP BY h),
+      agg AS (SELECT doc_id, count(*) AS n_frames,
+          sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_shared
+        FROM fx JOIN census USING (h) GROUP BY doc_id)
+      SELECT doc_id, n_frames, CAST(n_shared AS BIGINT) AS n_shared,
+        floor(n_shared::DOUBLE / n_frames::DOUBLE * 1000000 + 0.5)
+          / 1000000 AS shared_frac
+      FROM agg ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6419,7 +6451,7 @@ object Queries {
     q128, q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
+    q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

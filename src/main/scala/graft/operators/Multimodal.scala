@@ -186,6 +186,41 @@ object Multimodal {
       .drop("_nf")
   }
 
+  /** Cross-document frame-level duplication stats — the video/image
+    * dedup shape at FRAME granularity: a clip re-encoded into two
+    * documents shares frame digests even when the containers differ,
+    * and a corpus-wide digest census finds it without ever comparing
+    * payloads pairwise. Per document: sampled-frame count, how many
+    * of its frames also occur in ≥ `minDocs` OTHER documents (digest
+    * seen in > that many distinct docs), and the shared fraction —
+    * the per-doc gate a curation pipeline thresholds on.
+    *
+    * Exactness: everything is digest-equality counting — no floats
+    * until the final fraction (one division, r(6)). Scale shape: one
+    * hash aggregation per digest (distinct-doc count collapses in
+    * Spark's two-level distinct aggregate), an equality join back on
+    * the digest (the frame table arrives hash-partitioned on it), and
+    * the per-doc rollup. Zero-length frames cannot exist (the sampler
+    * emits none for empty payloads); NULL digests (NULL payload rows)
+    * drop.
+    *
+    * Input: a [[frameSample]]-shaped table. Returns (doc_id,
+    * n_frames, n_shared, shared_frac) per document. */
+  def frameDupStats(frames: DataFrame, minDocs: Int = 1): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1: $minDocs")
+    val ok = frames.filter(col("frame_md5").isNotNull)
+      .select(col("doc_id"), col("frame_md5"))
+    val census = ok.groupBy(col("frame_md5"))
+      .agg(countDistinct(col("doc_id")).as("_ndocs"))
+    ok.join(census, "frame_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("_ndocs") > minDocs, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_frames"), col("n_shared"),
+        r(col("n_shared").cast("double") / col("n_frames").cast("double"), 6)
+          .as("shared_frac"))
+  }
+
   /** Resized-payload schema produced by [[resize]]. `codec` records
     * which path handled each row: "imageio" (real decode → scale →
     * PNG re-encode) or "stride" (non-image byte-decimation fallback). */

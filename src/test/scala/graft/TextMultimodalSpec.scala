@@ -27,6 +27,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("H multimodal: frame dup census — exact copies share every frame, minDocs raises the bar") {
+    // docs 1 and 2 are byte-identical (every frame shared), doc 3 is
+    // unique except its FIRST frame, which it shares with 1 and 2
+    val common = "xy" * 128                    // one full 256-byte frame
+    val df = Multimodal.withPayload(Seq(
+      (1L, common + "aa" * 128), (2L, common + "aa" * 128),
+      (3L, common + "zz" * 128)).toDF("doc_id", "text"), "text")
+    val frames = Multimodal.frameSample(df, frameBytes = 256, everyN = 1)
+    val out = Multimodal.frameDupStats(frames)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 2L, 1.0),
+      (3L, 2L, 1L, 0.5)))
+    // minDocs = 2: a frame must appear in MORE than 2 docs to count —
+    // only the common first frame (3 docs) survives
+    val strict = Multimodal.frameDupStats(frames, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(strict === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 1L, 0.5)))
+  }
+
   test("H4 text stats: counts and ratios") {
     val df = Seq((1L, "the cat and the hat is a cat")).toDF("id", "text")
     val row = TextAnalysis.withTextStats(df, col("text")).collect().head

@@ -6436,6 +6436,76 @@ object Queries {
           / 1000000 AS shared_frac
       FROM agg ORDER BY doc_id"""))
 
+  /** H4+/F+: temperature-scaled source mixing shares
+    * ([[graft.operators.Sampling.temperatureShares]], α = 0.5,
+    * target 200 docs) — the multilingual α-sampling rule that DERIVES
+    * the shares q94/q119 consume: share ∝ n^α flattens the source
+    * distribution so small sources survive the mix; the per-source
+    * sampling rate caps at 1. Counts integer; pow + the Σw normalizer
+    * are the r(6)-masked float surface. */
+  private val q198 = Q("q198_mix_temperature",
+    (s, d) => graft.operators.Sampling.temperatureShares(
+        t(s, d, "documents"), stratum = col("source"),
+        alpha = 0.5, targetDocs = 200L)
+      .orderBy(col("stratum")),
+    Some("""WITH c AS (SELECT source AS stratum, count(*) AS n_docs
+        FROM documents WHERE source IS NOT NULL GROUP BY 1),
+      t AS (SELECT sum(pow(n_docs::DOUBLE, 0.5)) AS wsum FROM c)
+      SELECT stratum, n_docs,
+        floor(pow(n_docs::DOUBLE, 0.5) / wsum * 1000000 + 0.5)
+          / 1000000 AS share,
+        floor(least(1.0::DOUBLE, pow(n_docs::DOUBLE, 0.5) / wsum * 200
+          / n_docs::DOUBLE) * 1000000 + 0.5) / 1000000 AS sample_rate
+      FROM c CROSS JOIN t ORDER BY stratum"""))
+
+  /** H3+: label-relevance nDCG@5 of the exact ANN ranking
+    * ([[Similarity.labelNdcg]]) — the graded retrieval metric beside
+    * q181's recall@k: relevance = label agreement, IDCG re-weights
+    * the retrieved relevance ideally (Σ_{i≤n_rel} 1/log₂(i+1) from
+    * the rank column alone), no-relevant queries get NULL. Labels
+    * read from the RAW table (id+label only — the emb() guard would
+    * defeat the pruned scan, the q105 law). */
+  private val q199 = Q("q199_ann_label_ndcg",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.labelNdcg(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        t(s, d, "embeddings").select(col("vec_id"), col("label")),
+        k = 5).orderBy(col("q_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        WHERE vec_id < 20 AND embedding IS NOT NULL),
+      c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings
+        WHERE embedding IS NOT NULL),
+      p AS (SELECT q_id, c_id, ${sqlDot("qv", "cv")} AS dt,
+        sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("cv", "cv")}) AS nn
+      FROM q, c WHERE q_id <> c_id),
+      sc AS (SELECT q_id, c_id,
+        CASE WHEN nn = 0.0 THEN 0.0 ELSE dt / nn END AS cos FROM p),
+      rk AS (SELECT q_id, c_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        FROM sc),
+      lb AS (SELECT vec_id, label FROM embeddings),
+      j AS (SELECT rk.q_id, rk.rank,
+          CASE WHEN ql.label IS NOT NULL AND ql.label = cl.label
+            THEN 1 ELSE 0 END AS rel
+        FROM rk JOIN lb ql ON ql.vec_id = rk.q_id
+          JOIN lb cl ON cl.vec_id = rk.c_id
+        WHERE rk.rank <= 5),
+      n AS (SELECT *, sum(rel) OVER (PARTITION BY q_id) AS nrel FROM j),
+      a AS (SELECT q_id, count(*) AS n_ranked, max(nrel) AS n_rel,
+          sum(rel::DOUBLE / log2((rank + 1)::DOUBLE)) AS dcg,
+          sum(CASE WHEN rank <= nrel
+            THEN 1.0::DOUBLE / log2((rank + 1)::DOUBLE) END) AS idcg
+        FROM n GROUP BY q_id)
+      SELECT q_id, n_ranked, CAST(n_rel AS BIGINT) AS n_rel,
+        floor(dcg * 1000000 + 0.5) / 1000000 AS dcg,
+        CASE WHEN n_rel > 0 THEN floor(dcg / idcg * 1000000 + 0.5) / 1000000
+        END AS ndcg
+      FROM a ORDER BY q_id"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6452,6 +6522,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
+    q198, q199,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

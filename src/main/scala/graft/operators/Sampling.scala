@@ -210,6 +210,40 @@ object Sampling {
     * stratum key; skew bounded by the largest stratum — salt upstream
     * if one language dominates) and a per-row quota lookup folded into
     * a literal CASE. No joins, no driver state. */
+  /** Temperature-scaled mixing shares — the multilingual/multi-source
+    * α-sampling rule (share_i ∝ n_i^α): α = 1 reproduces natural
+    * proportions, α → 0 flattens toward uniform, the 0.3–0.7 band is
+    * the standard compromise that keeps low-resource sources from
+    * drowning ([[trainingMix]]/[[trainingMixTokens]] CONSUME shares;
+    * this op derives them from the corpus itself). Also emits the
+    * per-source sampling rate `share·target/n` (capped at 1 — an
+    * upweighted small source repeats epochs instead of minting rows
+    * here). Float surface: `pow` and the Σw normalizer, both masked
+    * by r(6) under the house ln/pow precedent; counts stay integer.
+    *
+    * Shape: one map-side count aggregation to |sources| rows; the
+    * normalizer is a 1-row broadcast. NULL strata drop. */
+  def temperatureShares(df: DataFrame, stratum: Column, alpha: Double,
+                        targetDocs: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1]: $alpha")
+    require(targetDocs > 0, s"targetDocs must be positive: $targetDocs")
+    val counts = OpUtils.barrier(
+      df.filter(stratum.isNotNull)
+        .groupBy(stratum.as("stratum"))
+        .agg(count(lit(1)).as("n_docs")),
+      reliable = false)
+    val wsum = counts
+      .agg(sum(pow(col("n_docs").cast("double"), alpha)).as("_wsum"))
+    val w = pow(col("n_docs").cast("double"), alpha) / col("_wsum")
+    counts.crossJoin(broadcast(wsum))
+      .select(col("stratum"), col("n_docs"),
+        r(w, 6).as("share"),
+        r(least(lit(1.0),
+          w * targetDocs / col("n_docs").cast("double")), 6)
+          .as("sample_rate"))
+  }
+
   def trainingMix(df: DataFrame, stratum: Column, rankBy: Column,
                   tieBreak: Column, budget: Long,
                   shares: Seq[(String, Double)],

@@ -363,6 +363,45 @@ object Similarity {
       .select(col(qId), col("rank"), col(cId), r(col("cos"), 4).as("cos"))
   }
 
+  /** Label-relevance nDCG@k of the exact search ranking — the GRADED
+    * retrieval-quality metric beside [[pqRecall]]'s set overlap: a
+    * ranking that buries its relevant hits at rank k scores lower
+    * than one that leads with them, which recall@k cannot see.
+    * Relevance is binary label agreement (query's label == candidate's
+    * label; NULL labels are never relevant). DCG = Σ rel/log₂(rank+1)
+    * over the retrieved list; IDCG re-weights the SAME retrieved
+    * relevance ideally — since rel ∈ {0,1}, that is Σ_{i≤n_rel}
+    * 1/log₂(i+1), computable from the rank column alone (no fold, no
+    * second ranking). A query with no relevant retrieval gets NULL
+    * nDCG (0/0 is not a score). Float surface: log₂ and two ≤k-term
+    * sums, r(6)-masked like every ln-based metric here.
+    *
+    * Shape: the [[bruteForceTopK]] ranking (Q·k rows) joins the label
+    * table twice by id; one window + one aggregation over Q·k rows.
+    *
+    * Returns (q_id, n_ranked, n_rel, dcg, ndcg) per query. */
+  def labelNdcg(queries: DataFrame, corpus: DataFrame, labels: DataFrame,
+                k: Int): DataFrame = {
+    val ranked = bruteForceTopK(queries, corpus, k)
+    val lq = labels.select(col("vec_id").as("q_id"), col("label").as("_ql"))
+    val lc = labels.select(col("vec_id").as("c_id"), col("label").as("_cl"))
+    val w = Window.partitionBy(col("q_id"))
+    ranked
+      .join(lq, "q_id").join(lc, "c_id")
+      .withColumn("_rel",
+        when(col("_ql").isNotNull && col("_ql") === col("_cl"), 1L)
+          .otherwise(0L))
+      .withColumn("_nrel", sum(col("_rel")).over(w))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_ranked"), max(col("_nrel")).as("n_rel"),
+        sum(col("_rel").cast("double") / log2(col("rank") + 1)).as("_dcg"),
+        sum(when(col("rank") <= col("_nrel"),
+          lit(1.0) / log2(col("rank") + 1))).as("_idcg"))
+      .select(col("q_id"), col("n_ranked"), col("n_rel"),
+        r(col("_dcg"), 6).as("dcg"),
+        r(when(col("n_rel") > 0, col("_dcg") / col("_idcg")), 6).as("ndcg"))
+  }
+
   /** Deterministic pseudo-random hyperplane component d of plane p:
     * integer-derived value in [-1, 1) with exact decimal construction —
     * identical in any engine. */

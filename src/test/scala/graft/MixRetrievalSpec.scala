@@ -101,6 +101,58 @@ class MixRetrievalSpec extends SparkSpec {
     assert(got.count(!_._3) == 11)
   }
 
+  test("temperatureShares: α-flattening, natural at α=1, rate caps at 1") {
+    import spark.implicits._
+    // 100 vs 25 docs at α=½: weights 10 vs 5 → shares 2/3, 1/3
+    val df = (Seq.fill(100)("a") ++ Seq.fill(25)("b")).toDF("src")
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val half = Sampling.temperatureShares(df, col("src"), 0.5, 50L)
+      .orderBy("stratum")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(half === Seq(
+      ("a", 100L, r6(2.0 / 3), r6(2.0 / 3 * 50 / 100)),
+      ("b", 25L, r6(1.0 / 3), r6(1.0 / 3 * 50 / 25))))
+    // α = 1 reproduces natural proportions
+    val nat = Sampling.temperatureShares(df, col("src"), 1.0, 50L)
+      .orderBy("stratum").as[(String, Long, Double, Double)].collect()
+    assert(nat.map(_._3).toSeq === Seq(0.8, 0.2))
+    // an upweighted tiny source caps its rate at 1 (repeat epochs,
+    // don't mint rows)
+    val capped = Sampling.temperatureShares(df, col("src"), 0.5, 1000L)
+      .orderBy("stratum").as[(String, Long, Double, Double)].collect()
+    assert(capped(1)._4 === 1.0)
+    // NULL strata drop
+    assert(Sampling.temperatureShares(
+      Seq(Some("a"), None).toDF("src"), col("src"), 0.5, 10L).count() === 1L)
+  }
+
+  test("labelNdcg: graded ranking quality, NULL for no-relevant, NULL labels never relevant") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    // ranking by cosine against q=(1,0): c1 (1,0) → rank 1, c2 (1,0.2)
+    // → rank 2, c3 (1,0.5) → rank 3; labels make ranks 2,3 relevant
+    val queries = Seq((10L, Seq(1.0f, 0.0f))).toDF("q_id", "q_vec")
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.2f)),
+      (3L, Seq(1.0f, 0.5f))).toDF("c_id", "c_vec")
+    val labels = Seq((10L, Some(7)), (1L, Some(1)), (2L, Some(7)),
+      (3L, Some(7))).toDF("vec_id", "label")
+    val out = Similarity.labelNdcg(queries, corpus, labels, k = 3)
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    val dcg = 1.0 / lg2(3) + 1.0 / lg2(4)
+    val idcg = 1.0 / lg2(2) + 1.0 / lg2(3)
+    assert(out === Seq((10L, 3L, 2L, r6(dcg), Some(r6(dcg / idcg)))))
+
+    // no relevant retrieval → NULL nDCG; a NULL candidate label is
+    // never relevant
+    val labels2 = Seq((10L, Some(9)), (1L, Option.empty[Int]),
+      (2L, Some(7)), (3L, Some(7))).toDF("vec_id", "label")
+    val none = Similarity.labelNdcg(queries, corpus, labels2, k = 3)
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(none === Seq((10L, 3L, 0L, 0.0, None)))
+  }
+
   test("trainingMix fills quotas with best-ranked rows, drops unlisted strata, underfills honestly") {
     val rows = (0 until 10).map(i => ("x", i.toLong, 100L + i)) ++
       (0 until 10).map(i => ("y", 100L + i, 200L + i)) ++

@@ -6506,6 +6506,63 @@ object Queries {
         END AS ndcg
       FROM a ORDER BY q_id"""))
 
+  /** D+/H4+: source-concentration GINI over docs and tokens — q145's
+    * HHI sibling on the same bounded grouping (Gini reads inequality
+    * of the whole Lorenz curve where HHI weights the head). The rank
+    * window runs over the SOURCE table (the q129 bounded-cell
+    * discipline — source count, never corpus rows; an unbounded-key
+    * Gini is a sort problem and belongs to the sketch path). Σi·x is
+    * an exact decimal (rank ties carry equal x, so any tie order
+    * yields the same sum); the closed form
+    * 2Σix/(nΣx) − (n+1)/n is a fixed IEEE op sequence, r(6). The
+    * grouped table feeds both metrics — localCheckpoint (the q145
+    * multi-consumer lesson). */
+  private val q200 = Q("q200_source_gini",
+    (s, d) => {
+      val g = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(size(graft.functions.GraftFunctions.tokens(col("text")))
+            .cast("long")).as("toks"))
+        .localCheckpoint(false)
+      def gini(x: String, metric: String): DataFrame = {
+        val dec = "decimal(38,0)"
+        val i = row_number().over(Window.orderBy(col(x)))
+        g.select(col(x).as("_x"), i.as("_i"))
+          .agg(count(lit(1)).as("_n"),
+            sum(col("_x")).as("_st"),
+            sum(col("_i").cast(dec) * col("_x").cast(dec)).as("_s1"))
+          .select(lit(metric).as("metric"), col("_n").as("n_sources"),
+            r(lit(2.0) * col("_s1").cast("double")
+              / (col("_n").cast("double") * col("_st").cast("double"))
+              - (col("_n") + 1).cast("double") / col("_n").cast("double"), 6)
+              .as("gini"))
+      }
+      gini("docs", "docs_by_source")
+        .unionByName(gini("toks", "tokens_by_source"))
+        .orderBy(col("metric"))
+    },
+    Some("""WITH g AS (SELECT source, count(*) AS docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source),
+      d1 AS (SELECT docs AS x, row_number() OVER (ORDER BY docs) AS i FROM g),
+      t1 AS (SELECT toks AS x, row_number() OVER (ORDER BY toks) AS i FROM g),
+      m1 AS (SELECT 'docs_by_source' AS metric,
+          count(*) AS n_sources,
+          floor((2.0 * sum(i::HUGEINT * x)::DOUBLE
+              / (count(*)::DOUBLE * sum(x)::DOUBLE)
+            - (count(*) + 1)::DOUBLE / count(*)::DOUBLE)
+            * 1000000 + 0.5) / 1000000 AS gini
+        FROM d1),
+      m2 AS (SELECT 'tokens_by_source',
+          count(*),
+          floor((2.0 * sum(i::HUGEINT * x)::DOUBLE
+              / (count(*)::DOUBLE * sum(x)::DOUBLE)
+            - (count(*) + 1)::DOUBLE / count(*)::DOUBLE)
+            * 1000000 + 0.5) / 1000000
+        FROM t1)
+      SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY metric"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6522,7 +6579,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199,
+    q198, q199, q200,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

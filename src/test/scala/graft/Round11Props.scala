@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.propBoolean
 
-import graft.operators.{Dedup, EventAnalytics}
+import graft.operators.{Dedup, EventAnalytics, Multimodal, Sampling, Similarity}
 
 /** Brute-force differentials for the round-11 operators: for ANY
   * random input, containment pairs, debounce bursts, and SCD2
@@ -403,6 +403,98 @@ object Round11Props extends Properties("Round11Ops") {
            else math.abs(ma.get - (sn - skS).toDouble / ((cn - ckS) * 100.0)) < 2e-6)
       }
       (ok: Prop) :| s"got=$got want=(d=$dStar num=$num cn=$cn)"
+    }
+
+  // ---- frameDupStats ≡ brute digest census ------------------------- //
+
+  private val frameGen = for {
+    n <- Gen.choose(1, 8)
+    docs <- Gen.listOfN(n, Gen.listOfN(3,
+      Gen.oneOf("AAAA", "BBBB", "CCCC", "DDDD")).map(_.mkString))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("frameDupStats equals the brute frame-digest census") =
+    Prop.forAll(frameGen) { docs =>
+      import spark.implicits._
+      val frames = Multimodal.frameSample(
+        Multimodal.withPayload(docs.toDF("doc_id", "text"), "text"),
+        frameBytes = 4, everyN = 1)
+      val got = Multimodal.frameDupStats(frames)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+      // brute: 4-char frames; a frame is shared iff its CONTENT occurs
+      // in more than one distinct doc
+      val cut = docs.map { case (id, t) => id -> t.grouped(4).toSeq }
+      val docsPerFrame = cut.flatMap { case (id, fs) => fs.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val want = cut.map { case (id, fs) =>
+        id -> (fs.size.toLong, fs.count(f => docsPerFrame(f) > 1).toLong)
+      }.toMap
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
+
+  // ---- labelNdcg ≡ brute DCG over a tie-free ranking ---------------- //
+
+  private val ndcgGen = for {
+    n <- Gen.choose(1, 8)
+    labels <- Gen.listOfN(n + 1, Gen.choose(0, 2))
+  } yield labels   // index 0 = the query's label
+
+  property("labelNdcg equals brute DCG/IDCG on a constructed tie-free ranking") =
+    Prop.forAll(ndcgGen) { labels =>
+      import spark.implicits._
+      val qLabel = labels.head
+      val cand = labels.tail.zipWithIndex.map { case (l, i) =>
+        // cosine against (1,0) strictly decreases with i → rank = i+1
+        (i.toLong + 100, Seq(1.0f, 0.1f * (i + 1)), l)
+      }
+      val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("q_id", "q_vec")
+      val corpus = cand.map(c => (c._1, c._2)).toDF("c_id", "c_vec")
+      val lab = ((1L, qLabel) +: cand.map(c => (c._1, c._3)))
+        .toDF("vec_id", "label")
+      val k = cand.length
+      val got = Similarity.labelNdcg(queries, corpus, lab, k)
+        .as[(Long, Long, Long, Double, Option[Double])].collect().head
+
+      def lg2(x: Double) = math.log(x) / math.log(2.0)
+      val rels = cand.zipWithIndex.map { case (c, i) =>
+        (i + 1, if (c._3 == qLabel) 1 else 0) }
+      val nrel = rels.map(_._2).sum
+      val dcg = rels.map { case (rk, rel) => rel / lg2(rk + 1.0) }.sum
+      val idcg = (1 to nrel).map(i => 1.0 / lg2(i + 1.0)).sum
+      val ok = got._1 == 1L && got._2 == k.toLong && got._3 == nrel.toLong &&
+        math.abs(got._4 - dcg) < 2e-6 &&
+        (if (nrel == 0) got._5.isEmpty
+         else math.abs(got._5.get - dcg / idcg) < 2e-6)
+      (ok: Prop) :| s"got=$got dcg=$dcg idcg=$idcg nrel=$nrel"
+    }
+
+  // ---- temperatureShares laws --------------------------------------- //
+
+  private val shareGen = for {
+    k <- Gen.choose(1, 6)
+    ns <- Gen.listOfN(k, Gen.choose(1, 200))
+  } yield ns.zipWithIndex.map { case (n, i) => (s"s$i", n) }
+
+  property("temperatureShares: shares sum to 1; α=1 is natural; brute n^α ratios") =
+    Prop.forAll(shareGen) { strata =>
+      import spark.implicits._
+      val rows = strata.flatMap { case (s, n) => Seq.fill(n)(s) }.toDF("src")
+      val half = Sampling.temperatureShares(rows, col("src"), 0.5, 100L)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val wsum = strata.map { case (_, n) => math.sqrt(n.toDouble) }.sum
+      val natural = Sampling.temperatureShares(rows, col("src"), 1.0, 100L)
+        .as[(String, Long, Double, Double)].collect()
+      val total = strata.map(_._2).sum.toDouble
+      val ok =
+        math.abs(half.values.map(_._2).sum - 1.0) < 1e-5 &&
+          strata.forall { case (s, n) =>
+            half(s)._1 == n.toLong &&
+              math.abs(half(s)._2 - math.sqrt(n.toDouble) / wsum) < 2e-6 } &&
+          natural.forall(r => math.abs(r._3 - r._2 / total) < 2e-6)
+      (ok: Prop) :| s"half=$half wsum=$wsum"
     }
 
   // ---- intervalIslands ≡ brute merge (all-integer, exact) ---------- //

@@ -7,7 +7,9 @@ only fire on NULLs / malformed JSON stay latent (round 8's hand-picked
 to a FULL gate over every oracle-twinned query). This script
 materializes a DIRTY copy of sf0.001 — null event values, malformed
 and empty props JSON, null/empty/whitespace-only document text,
-supplementary-plane (emoji) text, null document lang, null customer
+supplementary-plane (emoji) text, null document lang, null document
+SOURCE (every source-grouped operator must agree with DuckDB on the
+NULL group / null-drop law), null customer
 balances, null embedding vectors and labels (contract-non-null columns
 like ids and ts stay clean; RAGGED vectors stay out by design — the
 in-plan vectorDimGuard refuses them loudly, spec-tested) — runs
@@ -82,7 +84,8 @@ def build() -> dict:
            ELSE text END AS text,
       CASE WHEN doc_id % 53 = 0 THEN NULL
            WHEN doc_id % 61 = 0 THEN '' ELSE lang END AS lang,
-      source, n_chars FROM read_parquet('{SRC}/documents.parquet'))
+      CASE WHEN doc_id % 37 = 0 THEN NULL ELSE source END AS source,
+      n_chars FROM read_parquet('{SRC}/documents.parquet'))
       TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
     c = con.execute(f"""SELECT
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
@@ -106,13 +109,15 @@ def build() -> dict:
       (SELECT count(*) FROM read_parquet('{DST}/embeddings.parquet')
         WHERE embedding IS NULL),
       (SELECT count(*) FROM read_parquet('{DST}/embeddings.parquet')
-        WHERE label IS NULL)""").fetchall()[0]
+        WHERE label IS NULL),
+      (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
+        WHERE source IS NULL)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
               "empty_lang": c[6], "null_acctbal": c[7],
               "emoji_doc_text": c[8], "null_embedding": c[9],
-              "null_label": c[10]}
+              "null_label": c[10], "null_source": c[11]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

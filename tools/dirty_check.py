@@ -9,7 +9,9 @@ materializes a DIRTY copy of sf0.001 — null event values, malformed
 and empty props JSON, null/empty/whitespace-only document text,
 supplementary-plane (emoji) text, null document lang, null document
 SOURCE (every source-grouped operator must agree with DuckDB on the
-NULL group / null-drop law), null customer
+NULL group / null-drop law), NEGATIVE event values (refunds — the
+floor(x+0.5) rounding convention, cent quantization, and every
+integer-fold path must hold below zero on both engines), null customer
 balances, null embedding vectors and labels (contract-non-null columns
 like ids and ts stay clean; RAGGED vectors stay out by design — the
 in-plan vectorDimGuard refuses them loudly, spec-tested) — runs
@@ -62,7 +64,8 @@ def build() -> dict:
       c_mktsegment FROM read_parquet('{SRC}/customer.parquet'))
       TO '{DST}/customer.parquet' (FORMAT PARQUET)""")
     con.execute(f"""COPY (SELECT event_id, ts, user_id, event_type,
-      CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value,
+      CASE WHEN event_id % 23 = 0 THEN NULL
+           WHEN event_id % 29 = 0 THEN -value ELSE value END AS value,
       CASE WHEN event_id % 31 = 0 THEN '{{not json'
            WHEN event_id % 37 = 0 THEN '' ELSE props END AS props
       FROM read_parquet('{SRC}/events.parquet'))
@@ -111,13 +114,16 @@ def build() -> dict:
       (SELECT count(*) FROM read_parquet('{DST}/embeddings.parquet')
         WHERE label IS NULL),
       (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
-        WHERE source IS NULL)""").fetchall()[0]
+        WHERE source IS NULL),
+      (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
+        WHERE value < 0)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
               "empty_lang": c[6], "null_acctbal": c[7],
               "emoji_doc_text": c[8], "null_embedding": c[9],
-              "null_label": c[10], "null_source": c[11]}
+              "null_label": c[10], "null_source": c[11],
+              "negative_value": c[12]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

@@ -6563,6 +6563,39 @@ object Queries {
         FROM t1)
       SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY metric"""))
 
+  /** H4+: per-document token Shannon entropy
+    * ([[TextAnalysis.tokenEntropy]]) — the information-density
+    * quality signal beside q160/q163's repetition metrics:
+    * boilerplate and keyword-stuffed pages score low, natural prose
+    * high; norm_entropy = H/log₂(n_distinct) reads evenness
+    * independent of size (single-token docs → NULL, the 0/0 law).
+    * Word-count shape: one explode, (doc,token) cells collapse
+    * map-side, everything after doc-bounded. log₂ + the Σc·log₂c
+    * float sum are the r(6)-masked surface (the q199 log2 precedent). */
+  private val q201 = Q("q201_token_entropy",
+    (s, d) => TextAnalysis.tokenEntropy(
+        t(s, d, "documents"), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_distinct"),
+        r(col("entropy"), 6).as("entropy"),
+        r(col("norm_entropy"), 6).as("norm_entropy"))
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          count(*) AS n_distinct,
+          sum(c::DOUBLE * log2(c::DOUBLE)) AS sclc
+        FROM c GROUP BY 1)
+      SELECT doc_id, n_tokens, n_distinct,
+        floor((log2(n_tokens::DOUBLE) - sclc / n_tokens::DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS entropy,
+        CASE WHEN n_distinct > 1 THEN
+          floor((log2(n_tokens::DOUBLE) - sclc / n_tokens::DOUBLE)
+              / log2(n_distinct::DOUBLE) * 1000000 + 0.5) / 1000000
+        END AS norm_entropy
+      FROM a ORDER BY doc_id"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6579,7 +6612,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200,
+    q198, q199, q200, q201,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

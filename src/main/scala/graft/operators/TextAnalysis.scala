@@ -400,6 +400,55 @@ object TextAnalysis {
       .filter(col("pct_rank") <= keepFrac)
   }
 
+  /** Per-document token Shannon entropy — the information-density
+    * quality signal web-corpus filters use beside length/repetition:
+    * boilerplate, keyword-stuffed, and template-generated pages score
+    * far below natural prose of the same length (low entropy ⇒ a few
+    * tokens dominate), while the NORMALIZED entropy
+    * H / log₂(n_distinct) reads how evenly a document spreads over
+    * its own vocabulary independent of size (1.0 = every distinct
+    * token equally often).
+    *
+    * H is computed in the one-aggregation form
+    * {{{ H = log₂(n) − (Σ c·log₂(c)) / n }}}
+    * over per-token counts c (algebraically equal to −Σ p·log₂p but
+    * needing no second pass for p). Laws: a single-token document has
+    * H = 0 and a NULL norm_entropy (log₂(1) = 0 — the 0/0 is NULLed,
+    * never 0); NULL text produces no row (explode of the NULL token
+    * array, matching the oracle's unnest).
+    *
+    * Scale: the word-count shape. Explode pipelines behind the scan;
+    * because every token of a document lives in ONE input row (hence
+    * one partition), the (doc, token) partial aggregation collapses
+    * map-side and the first shuffle carries ~one row per distinct
+    * (doc, token); the per-doc reduce then aggregates doc-bounded
+    * cells. No collects, no windows, no skew beyond the largest
+    * single document. */
+  def tokenEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val counts = df
+      .select(id.as("_id"), explode(tokens(text)).as("_tok"))
+      .groupBy(col("_id"), col("_tok"))
+      .agg(count(lit(1)).as("_c"))
+    counts
+      .groupBy(col("_id"))
+      .agg(sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("_c").cast("double") * log2(col("_c").cast("double")))
+          .as("_sclc"))
+      .withColumn("entropy",
+        log2(col("n_tokens").cast("double"))
+          - col("_sclc") / col("n_tokens").cast("double"))
+      // nullif carries the single-token law: log2(1) = 0 and the
+      // unguarded division would raise ANSI ÷0 (or emit NaN), where
+      // the defined value of "evenness over a 1-element vocabulary"
+      // is no value at all
+      .withColumn("norm_entropy",
+        col("entropy") / nullif(log2(col("n_distinct").cast("double")),
+          lit(0.0)))
+      .select(col("_id").as("id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"), col("norm_entropy"))
+  }
+
   /** Token co-occurrence PMI over the corpus: for every pair of terms
     * that co-occur (both present, once each counted) in at least
     * `minPairDocs` documents,

@@ -58,6 +58,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(row.getAs[Double]("ttr") === 6.0 / 8.0)
   }
 
+  test("H4 entropy: hand-computed H, evenness laws, NULL text drops") {
+    val docs = Seq(
+      (1L, "a a b b"),        // H = 2 − (2·1+2·1)/4 = 1; norm = 1/log2(2) = 1
+      (2L, "a b c d"),        // uniform distinct: H = 2, norm = 2/log2(4) = 1
+      (3L, "a a a a"),        // single token type: H = 0, norm NULL (0/0 law)
+      (4L, "a a a b"),        // H = 2 − 3·log2(3)/4 ≈ 0.811278; norm = H
+      (5L, null.asInstanceOf[String])) // NULL text → no row
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs, col("doc_id"), col("text"))
+      .orderBy("id")
+      .select("id", "n_tokens", "n_distinct", "entropy", "norm_entropy")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(out.map(r => (r._2, r._3)) ===
+      Seq((4L, 2L), (4L, 4L), (4L, 1L), (4L, 2L)))
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(near(out(0)._4, 1.0) && out(0)._5.exists(near(_, 1.0)))
+    assert(near(out(1)._4, 2.0) && out(1)._5.exists(near(_, 1.0)))
+    assert(out(2)._4 === 0.0 && out(2)._5.isEmpty)
+    val h4 = 2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0
+    assert(near(out(3)._4, h4) && out(3)._5.exists(near(_, h4)))
+  }
+
   test("H4 repetition: duplicate 2-gram fraction; short docs score 0") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),     // 4 bigrams, 1 distinct → 0.75

@@ -6596,6 +6596,103 @@ object Queries {
       FROM a ORDER BY doc_id"""),
     bench = true)
 
+  /** E+: hour-of-day × day-of-week seasonality profile
+    * ([[EventAnalytics.seasonalityProfile]]) — the traffic heatmap
+    * with per-cell Pearson residuals (O−E)/√E against the q195-style
+    * margins-product expectation: which (dow, hour) cells the margins
+    * can't explain. Keys derive by exact integer floor-div from
+    * epoch-µs (UTC, dow 0 = Monday) — never engine date functions,
+    * whose week conventions disagree. One count aggregation to ≤ 168
+    * cells; margins reaggregate the bounded, barriered cell table. */
+  private val q202 = Q("q202_seasonality_profile",
+    (s, d) => EventAnalytics.seasonalityProfile(eventsUs(s, d), col("ts_us"))
+      .orderBy(col("dow"), col("hour")),
+    Some("""WITH e AS (SELECT epoch_us(ts) AS us FROM events
+        WHERE ts IS NOT NULL),
+      c AS (SELECT ((us // 86400000000) + 3) % 7 AS dow,
+          (us // 3600000000) % 24 AS hour, count(*) AS n
+        FROM e GROUP BY 1, 2),
+      m AS (SELECT *, sum(n) OVER (PARTITION BY dow) AS rt,
+          sum(n) OVER (PARTITION BY hour) AS ct,
+          sum(n) OVER () AS tot FROM c)
+      SELECT dow, hour, n,
+        floor((rt::HUGEINT * ct)::DOUBLE / tot::DOUBLE
+          * 1000000 + 0.5) / 1000000 AS expected,
+        floor((n::DOUBLE - (rt::HUGEINT * ct)::DOUBLE / tot::DOUBLE)
+            / sqrt((rt::HUGEINT * ct)::DOUBLE / tot::DOUBLE)
+          * 1000000 + 0.5) / 1000000 AS resid
+      FROM m ORDER BY dow, hour"""))
+
+  /** E+/D+: hash-replayed Poisson-bootstrap CI for the A/B mean-value
+    * uplift ([[EventAnalytics.bootstrapUplift]], R = 200, α = 2.5%) —
+    * the inference member of the statistical suite: q148 says whether
+    * B converts more, q194's Mann-Whitney says the distributions
+    * differ, this bounds HOW MUCH the per-purchase mean differs.
+    * Every resample weight is the Poisson(1) inverse-CDF of an
+    * int64-exact mixer over (polyHash(event_id), replicate) on the
+    * [0, 1e9+7) grid — integer thresholds, integer mixing, so DuckDB
+    * replays the identical 200 resamples and the CI hash-matches.
+    * One corpus pass; the replicate explode collapses map-side to
+    * ≤ R+2 cells per partition. */
+  private val q203 = Q("q203_bootstrap_uplift",
+    (s, d) => EventAnalytics.bootstrapUplift(
+      t(s, d, "events")
+        .filter(col("value").isNotNull && col("event_type") === "purchase"),
+      key = col("event_id"),
+      variant = pmod(polyHash(col("user_id").cast("string")), lit(2L)),
+      valueCents = floor(col("value") * 100 + lit(0.5)).cast("long"),
+      replicates = 200),
+    Some(s"""WITH b AS (SELECT
+          ${sqlPolyHash("CAST(event_id AS VARCHAR)")} AS h0,
+          ${sqlPolyHash("CAST(user_id AS VARCHAR)")} % 2 AS v,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+      x AS (SELECT h0, v, c, t.r FROM b CROSS JOIN range(-1, 200) t(r)),
+      z AS (SELECT v, c, r,
+          CASE WHEN r < 0 THEN 1 ELSE
+            CASE WHEN zz < 367879443 THEN 0 WHEN zz < 735758887 THEN 1
+              WHEN zz < 919698609 THEN 2 WHEN zz < 981011849 THEN 3
+              WHEN zz < 996340160 THEN 4 ELSE 5 END END AS w
+        FROM (SELECT *, (y * y + h0) % 1000000007 AS zz
+          FROM (SELECT *, (x0 * x0 + r) % 1000000007 AS y
+            FROM (SELECT *, (h0 + r * 2654435761) % 1000000007 AS x0
+              FROM x)))),
+      g AS (SELECT r,
+          sum(CASE WHEN v = 0 THEN w END) AS swa,
+          sum(CASE WHEN v = 0 THEN w * c END) AS swxa,
+          sum(CASE WHEN v = 1 THEN w END) AS swb,
+          sum(CASE WHEN v = 1 THEN w * c END) AS swxb
+        FROM z GROUP BY r),
+      pt AS (SELECT CAST(swa AS BIGINT) AS n_a, CAST(swb AS BIGINT) AS n_b,
+          swxa::DOUBLE / swa::DOUBLE / 100.0 AS ma,
+          swxb::DOUBLE / swb::DOUBLE / 100.0 AS mb,
+          swxb::DOUBLE / swb::DOUBLE / 100.0
+            - swxa::DOUBLE / swa::DOUBLE / 100.0 AS pt
+        FROM g WHERE r = -1),
+      u AS (SELECT r, swxb::DOUBLE / swb::DOUBLE / 100.0
+            - swxa::DOUBLE / swa::DOUBLE / 100.0 AS u
+        FROM g WHERE r >= 0 AND swa > 0 AND swb > 0),
+      rk AS (SELECT u, r, row_number() OVER (ORDER BY u, r) AS rk,
+          count(*) OVER () AS cnt FROM u),
+      ci AS (SELECT max(cnt) AS n_reps,
+          max(CASE WHEN rk = greatest(1, (cnt * 25) // 1000)
+            THEN u END) AS lo,
+          max(CASE WHEN rk = cnt + 1 - greatest(1, (cnt * 25) // 1000)
+            THEN u END) AS hi,
+          sum(CASE WHEN u <= 0 THEN 1 ELSE 0 END) AS nneg
+        FROM rk)
+      SELECT n_a, n_b,
+        floor(ma * 1000000 + 0.5) / 1000000 AS mean_a,
+        floor(mb * 1000000 + 0.5) / 1000000 AS mean_b,
+        floor(pt * 1000000 + 0.5) / 1000000 AS uplift,
+        n_reps,
+        floor(lo * 1000000 + 0.5) / 1000000 AS ci_lo,
+        floor(hi * 1000000 + 0.5) / 1000000 AS ci_hi,
+        floor(nneg::DOUBLE / n_reps::DOUBLE * 1000000 + 0.5) / 1000000
+          AS neg_frac
+      FROM pt CROSS JOIN ci"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6612,7 +6709,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201,
+    q198, q199, q200, q201, q202, q203,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1127,6 +1127,180 @@ object EventAnalytics {
           .as("cramers_v"))
   }
 
+  /** Hour-of-day × day-of-week traffic profile with independence
+    * residuals — the seasonality heatmap behind load forecasting and
+    * traffic-anomaly review: `n` is the cell's observed event count,
+    * `expected` its count under dow⊥hour independence
+    * (rowTot·colTot/N, the same margins-product expectation q195's
+    * χ² sums over), and `resid` the Pearson residual (O−E)/√E — the
+    * per-cell standardized surprise (|resid| ≳ 3 marks a cell the
+    * margins can't explain: the Friday-evening spike, the
+    * Monday-3am bot window).
+    *
+    * Both keys derive from epoch-µs by exact integer floor-div —
+    * UTC, dow 0 = Monday (epoch day 0 was a Thursday, hence the +3)
+    * — never via engine date functions, whose week conventions
+    * disagree. One map-side count aggregation to ≤ 7×24 cells;
+    * margins come from reaggregating that bounded table and join
+    * back broadcast. Cells with zero events don't appear (their
+    * residual over a real margin is −√E, but an absent dow or hour
+    * has no defined margin — emitting only observed cells keeps the
+    * law uniform). E > 0 for every emitted cell, so √E never ÷0. */
+  def seasonalityProfile(df: DataFrame, tsUs: Column,
+                         reliableCheckpoint: Boolean = false): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(19,0)"
+    val day = graft.functions.GraftFunctions.longDiv(tsUs, 86400000000L)
+    // four consumers of the cell table (cells + both margins + N) —
+    // barrier, or the corpus aggregation replans once per consumer
+    val cells = OpUtils.barrier(
+      df.filter(tsUs.isNotNull)
+        .groupBy(((day + 3) % 7).as("dow"),
+          (graft.functions.GraftFunctions.longDiv(tsUs, 3600000000L) % 24)
+            .as("hour"))
+        .agg(count(lit(1)).as("n")),
+      reliableCheckpoint)
+    val rowTot = cells.groupBy(col("dow")).agg(sum(col("n")).as("_rt"))
+    val colTot = cells.groupBy(col("hour")).agg(sum(col("n")).as("_ct"))
+    val tot = cells.agg(sum(col("n")).as("_tot"))
+    val e = (col("_rt").cast(dec) * col("_ct").cast(dec)).cast("double") /
+      col("_tot").cast("double")
+    cells
+      .join(broadcast(rowTot), "dow")
+      .join(broadcast(colTot), "hour")
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        r(e, 6).as("expected"),
+        r((col("n").cast("double") - e) / sqrt(e), 6).as("resid"))
+  }
+
+  /** Integer Poisson(1) inverse-CDF thresholds on the [0, 1e9+7) hash
+    * grid: P(X ≤ k)·(1e9+7) floored, k = 0..4 (the ≥5 tail carries
+    * 0.37% and is capped at 5). Integer comparisons replay bit-equal
+    * on any engine — the float CDF literals would not. */
+  private val PoissonThresh = Seq(
+    367879443L, 735758887L, 919698609L, 981011849L, 996340160L)
+  private val HashP = 1000000007L
+
+  /** The bootstrap's per-(row, replicate) mixer: two modular squaring
+    * rounds over the row's 31-polynomial hash and the replicate index.
+    * Every intermediate stays under (1e9+7)² < 2⁶³, so the whole chain
+    * is exact int64 on both engines — the replay property the CI
+    * depends on. NOT a cryptographic hash; two squarings give the
+    * avalanche a percentile CI needs, nothing more. */
+  private def bootstrapMix(h0: Column, rep: Column): Column = {
+    val x = pmod(h0 + rep * lit(2654435761L), lit(HashP))
+    val y = pmod(x * x + rep, lit(HashP))
+    pmod(y * y + h0, lit(HashP))
+  }
+
+  /** Hash-replayed Poisson-bootstrap confidence interval for the A/B
+    * mean-value uplift — the inference companion to the drift suite:
+    * q148-style funnels say WHETHER B converts more, Mann-Whitney says
+    * the distributions differ; this says HOW MUCH the per-event mean
+    * differs, with uncertainty. Poisson(1) resampling (the standard
+    * streaming/distributed approximation to multinomial bootstrap —
+    * each row enters replicate r with weight ~Poisson(1)) makes every
+    * replicate a SINGLE weighted aggregation instead of a resample
+    * materialization.
+    *
+    * Determinism: the weight of row i in replicate r is the Poisson
+    * inverse-CDF of an integer mixer over (polyHash(key_i), r) — all
+    * int64-exact, so any engine replays the identical resample and the
+    * CI is hash-comparable, not merely statistically close.
+    *
+    * Per replicate: uplift_r = (Σw·c|B / Σw|B − Σw·c|A / Σw|A)/100
+    * over integer cents c (sums as decimals: integer-exact in any
+    * shuffle order; each mean is ONE double division). Replicate −1
+    * carries weight 1 everywhere — the point estimate falls out of
+    * the same single aggregation. The CI is the (⌊α‰·n⌋)-th /
+    * (n+1−⌊α‰·n⌋)-th order statistic of the replicate uplifts (ties
+    * broken by replicate id — total order, engine-reproducible);
+    * `neg_frac` is the bootstrap tail mass at or below zero. A
+    * replicate that resamples one side empty (possible only on tiny
+    * groups) is dropped from the order statistics; `n_reps` reports
+    * the effective count.
+    *
+    * Scale: ONE corpus pass. The replicate explode is a pipelined
+    * per-row ×(R+1) multiplier (R+1 integer mixes per row — no string
+    * hashing in the loop; the polyHash runs once per row); the
+    * groupBy(rep) partial aggregation collapses each partition to
+    * ≤ R+2 cells, so the shuffle carries O(R·partitions) rows and
+    * everything after is R-bounded. No collects, no event-cardinality
+    * state. */
+  def bootstrapUplift(df: DataFrame, key: Column, variant: Column,
+                      valueCents: Column, replicates: Int = 200,
+                      alphaPermille: Int = 25,
+                      reliableCheckpoint: Boolean = false): DataFrame = {
+    require(replicates >= 2, s"need at least 2 replicates: $replicates")
+    require(alphaPermille > 0 && alphaPermille < 500,
+      s"alphaPermille must be in (0, 500): $alphaPermille")
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val v = variant.cast("long")
+    val base = df
+      .filter(key.isNotNull && v.isNotNull && valueCents.isNotNull)
+      .filter(coalesce(assert_true(v.isin(0L, 1L),
+        concat(lit("bootstrapUplift: variant must be 0 or 1, got "),
+          v.cast("string"))), lit(true)))
+      .select(
+        graft.functions.GraftFunctions.polyHash(key.cast("string")).as("_h0"),
+        v.as("_v"), valueCents.cast("long").as("_c"))
+    val z = bootstrapMix(col("_h0"), col("_rep"))
+    val w = when(col("_rep") < 0L, lit(1L)).otherwise(
+      PoissonThresh.zipWithIndex.foldRight(lit(5L): Column) {
+        case ((t, k), tail) => when(z < t, lit(k.toLong)).otherwise(tail)
+      })
+    val cells = base
+      .withColumn("_rep",
+        explode(sequence(lit(-1L), lit(replicates.toLong - 1L))))
+      .withColumn("_w", w)
+      .groupBy(col("_rep"))
+      .agg(
+        sum(when(col("_v") === 0L, col("_w")).cast(dec)).as("_swa"),
+        sum(when(col("_v") === 0L, col("_w") * col("_c")).cast(dec))
+          .as("_swxa"),
+        sum(when(col("_v") === 1L, col("_w")).cast(dec)).as("_swb"),
+        sum(when(col("_v") === 1L, col("_w") * col("_c")).cast(dec))
+          .as("_swxb"))
+    val barriered = OpUtils.barrier(cells, reliableCheckpoint)
+    def meanOf(swx: Column, sw: Column): Column =
+      swx.cast("double") / sw.cast("double") / lit(100.0)
+    val uplift = meanOf(col("_swxb"), col("_swb")) -
+      meanOf(col("_swxa"), col("_swa"))
+    val point = barriered.filter(col("_rep") === -1L)
+      .select(col("_swa").cast("long").as("n_a"),
+        col("_swb").cast("long").as("n_b"),
+        meanOf(col("_swxa"), col("_swa")).as("_ma"),
+        meanOf(col("_swxb"), col("_swb")).as("_mb"),
+        uplift.as("_pt"))
+    val reps = barriered
+      .filter(col("_rep") >= 0L && col("_swa") > 0 && col("_swb") > 0)
+      .select(col("_rep"), uplift.as("_u"))
+    // R-bounded: the global rank window and count run over ≤ R rows
+    val ranked = reps
+      .withColumn("_rk",
+        row_number().over(Window.orderBy(col("_u"), col("_rep"))))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy()))
+    val ci = ranked
+      .agg(max(col("_cnt")).as("n_reps"),
+        max(when(col("_rk") === greatest(lit(1L),
+          graft.functions.GraftFunctions.longDiv(
+            col("_cnt") * alphaPermille, 1000L)), col("_u"))).as("_lo"),
+        max(when(col("_rk") === col("_cnt") + 1L - greatest(lit(1L),
+          graft.functions.GraftFunctions.longDiv(
+            col("_cnt") * alphaPermille, 1000L)), col("_u"))).as("_hi"),
+        sum(when(col("_u") <= 0.0, 1L).otherwise(0L)).as("_nneg"))
+    point.crossJoin(ci)
+      .select(col("n_a"), col("n_b"),
+        r(col("_ma"), 6).as("mean_a"), r(col("_mb"), 6).as("mean_b"),
+        r(col("_pt"), 6).as("uplift"),
+        col("n_reps"),
+        r(col("_lo"), 6).as("ci_lo"), r(col("_hi"), 6).as("ci_hi"),
+        r(col("_nneg").cast("double") / col("n_reps").cast("double"), 6)
+          .as("neg_frac"))
+  }
+
   /** CUSUM-style changepoint locator over a daily value series — WHEN
     * did the metric shift (the drift suite tells you THAT it shifted;
     * q142's PSI tells you where in value space; this tells you where

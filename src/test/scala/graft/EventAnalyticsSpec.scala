@@ -636,4 +636,92 @@ class EventAnalyticsSpec extends SparkSpec {
       (1L, 0L, 25L, 3L), (1L, 30L, 30L, 1L),
       (2L, 0L, 1L, 1L), (2L, 5L, 6L, 1L)))
   }
+
+  test("seasonalityProfile: hand 2x2 residuals, dow anchor, NULL ts dropped") {
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    // epoch day 4 = Monday (dow 0), day 5 = Tuesday (dow 1)
+    def ts(day: Long, hour: Long, off: Long) =
+      day * dayUs + hour * hourUs + off
+    val rows = Seq(
+      ts(4, 0, 1), ts(4, 0, 2), ts(4, 0, 3), // Mon h0 ×3
+      ts(4, 1, 1),                           // Mon h1 ×1
+      ts(5, 0, 1),                           // Tue h0 ×1
+      ts(5, 1, 1))                           // Tue h1 ×1
+      .map(t => Option(t)) :+ Option.empty[Long]
+    val df = rows.toDF("ts_us")
+    val out = EventAnalytics.seasonalityProfile(df, col("ts_us"))
+      .orderBy("dow", "hour")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // margins: rt(Mon)=4 rt(Tue)=2, ct(h0)=4 ct(h1)=2, N=6
+    assert(out === Seq(
+      (0L, 0L, 3L, 2.666667, 0.204124),
+      (0L, 1L, 1L, 1.333333, -0.288675),
+      (1L, 0L, 1L, 1.333333, -0.288675),
+      (1L, 1L, 1L, 0.666667, 0.408248)))
+    // epoch day 0 was a Thursday → dow 3
+    val thu = EventAnalytics.seasonalityProfile(
+      Seq(100L).toDF("ts_us"), col("ts_us"))
+      .select("dow", "hour").as[(Long, Long)].collect().head
+    assert(thu === ((3L, 0L)))
+  }
+
+  test("bootstrapUplift: brute-force mixer replay, CI order statistics, laws") {
+    val P = 1000000007L
+    def ph(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    def mix(h0: Long, r: Long) = {
+      val x = Math.floorMod(h0 + r * 2654435761L, P)
+      val y = Math.floorMod(x * x + r, P)
+      Math.floorMod(y * y + h0, P)
+    }
+    def w(h0: Long, r: Long) = {
+      val z = mix(h0, r)
+      if (z < 367879443L) 0L else if (z < 735758887L) 1L
+      else if (z < 919698609L) 2L else if (z < 981011849L) 3L
+      else if (z < 996340160L) 4L else 5L
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // 40 rows, variant = key % 2, cents = 7k − 50 (some negative)
+    val rows = (1L to 40L).map(k => (k, k % 2, k * 7 - 50))
+    val df = rows.toDF("k", "v", "c")
+    val R = 50
+    val out = EventAnalytics.bootstrapUplift(df, col("k"), col("v"),
+      col("c"), replicates = R, alphaPermille = 100).collect().head
+    def mean(rep: Long, v: Long): Option[Double] = {
+      val sel = rows.filter(_._2 == v)
+      def wt(k: Long) = if (rep < 0) 1L else w(ph(k.toString), rep)
+      val sw = sel.map(t => wt(t._1)).sum
+      val swx = sel.map(t => wt(t._1) * t._3).sum
+      if (sw > 0) Some(swx.toDouble / sw.toDouble / 100.0) else None
+    }
+    assert(out.getAs[Long]("n_a") === 20L && out.getAs[Long]("n_b") === 20L)
+    assert(out.getAs[Double]("mean_a") === r6(mean(-1, 0).get))
+    assert(out.getAs[Double]("mean_b") === r6(mean(-1, 1).get))
+    assert(out.getAs[Double]("uplift") ===
+      r6(mean(-1, 1).get - mean(-1, 0).get))
+    val ups = (0L until R.toLong).flatMap(rep =>
+      for (mb <- mean(rep, 1); ma <- mean(rep, 0)) yield (mb - ma, rep))
+      .sortBy(identity).map(_._1)
+    val cnt = ups.size
+    val lo = math.max(1, cnt * 100 / 1000)
+    assert(out.getAs[Long]("n_reps") === cnt.toLong)
+    assert(out.getAs[Double]("ci_lo") === r6(ups(lo - 1)))
+    assert(out.getAs[Double]("ci_hi") === r6(ups(cnt - lo)))
+    assert(out.getAs[Double]("neg_frac") ===
+      r6(ups.count(_ <= 0.0).toDouble / cnt))
+    // one-sided data: no effective replicates → NULL CI, point half kept
+    val oneSide = EventAnalytics.bootstrapUplift(
+      rows.filter(_._2 == 0L).toDF("k", "v", "c"),
+      col("k"), col("v"), col("c"), replicates = 10).collect().head
+    assert(oneSide.getAs[Long]("n_a") === 20L)
+    assert(oneSide.isNullAt(oneSide.fieldIndex("n_b")))
+    assert(oneSide.isNullAt(oneSide.fieldIndex("n_reps")))
+    // a variant outside {0,1} dies loudly
+    val bad = intercept[Exception] {
+      EventAnalytics.bootstrapUplift(
+        Seq((1L, 2L, 5L)).toDF("k", "v", "c"),
+        col("k"), col("v"), col("c"), replicates = 5).collect()
+    }
+    assert(bad.getMessage != null)
+  }
 }

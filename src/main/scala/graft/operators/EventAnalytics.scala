@@ -1147,31 +1147,44 @@ object EventAnalytics {
     * has no defined margin — emitting only observed cells keeps the
     * law uniform). E > 0 for every emitted cell, so √E never ÷0. */
   def seasonalityProfile(df: DataFrame, tsUs: Column,
-                         reliableCheckpoint: Boolean = false): DataFrame = {
+                         reliableCheckpoint: Boolean = false): DataFrame =
+    seasonalityFromCells(seasonCells(df, tsUs), reliableCheckpoint)
+
+  /** The per-(dow, hour) count reduction — [[seasonalityProfile]]'s
+    * sufficient statistic, additive like the rest of the drift-suite
+    * cells ([[graft.streaming.StreamingDrift]] maintains it
+    * incrementally through the same delta discipline). */
+  private[graft] def seasonCells(df: DataFrame, tsUs: Column): DataFrame = {
+    val day = graft.functions.GraftFunctions.longDiv(tsUs, 86400000000L)
+    df.filter(tsUs.isNotNull)
+      .groupBy(((day + 3) % 7).as("_dw"),
+        (graft.functions.GraftFunctions.longDiv(tsUs, 3600000000L) % 24)
+          .as("_hr"))
+      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** [[seasonalityProfile]]'s core over an existing `(_dw, _hr, _n)`
+    * cell table. */
+  private[graft] def seasonalityFromCells(cells0: DataFrame,
+                                          reliableCheckpoint: Boolean = false): DataFrame = {
     val r = graft.functions.GraftFunctions.r _
     val dec = "decimal(19,0)"
-    val day = graft.functions.GraftFunctions.longDiv(tsUs, 86400000000L)
     // four consumers of the cell table (cells + both margins + N) —
-    // barrier, or the corpus aggregation replans once per consumer
-    val cells = OpUtils.barrier(
-      df.filter(tsUs.isNotNull)
-        .groupBy(((day + 3) % 7).as("dow"),
-          (graft.functions.GraftFunctions.longDiv(tsUs, 3600000000L) % 24)
-            .as("hour"))
-        .agg(count(lit(1)).as("n")),
-      reliableCheckpoint)
-    val rowTot = cells.groupBy(col("dow")).agg(sum(col("n")).as("_rt"))
-    val colTot = cells.groupBy(col("hour")).agg(sum(col("n")).as("_ct"))
-    val tot = cells.agg(sum(col("n")).as("_tot"))
+    // barrier, or the upstream aggregation replans once per consumer
+    val cells = OpUtils.barrier(cells0, reliableCheckpoint)
+    val rowTot = cells.groupBy(col("_dw")).agg(sum(col("_n")).as("_rt"))
+    val colTot = cells.groupBy(col("_hr")).agg(sum(col("_n")).as("_ct"))
+    val tot = cells.agg(sum(col("_n")).as("_tot"))
     val e = (col("_rt").cast(dec) * col("_ct").cast(dec)).cast("double") /
       col("_tot").cast("double")
     cells
-      .join(broadcast(rowTot), "dow")
-      .join(broadcast(colTot), "hour")
+      .join(broadcast(rowTot), "_dw")
+      .join(broadcast(colTot), "_hr")
       .crossJoin(broadcast(tot))
-      .select(col("dow"), col("hour"), col("n"),
+      .select(col("_dw").as("dow"), col("_hr").as("hour"),
+        col("_n").as("n"),
         r(e, 6).as("expected"),
-        r((col("n").cast("double") - e) / sqrt(e), 6).as("resid"))
+        r((col("_n").cast("double") - e) / sqrt(e), 6).as("resid"))
   }
 
   /** Integer Poisson(1) inverse-CDF thresholds on the [0, 1e9+7) hash

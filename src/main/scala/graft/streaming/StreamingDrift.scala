@@ -148,6 +148,73 @@ object StreamingDrift {
       .start()
 
   // ------------------------------------------------------------------
+  // the SEASONALITY twin: incremental (dow, hour) traffic residuals
+  // ------------------------------------------------------------------
+
+  val SeasonCellsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_dw",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_hr",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_n",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ingest_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Accumulated (dow, hour) count table — same committed-delta sum
+    * discipline as [[cells]]. Bounded at 7×24 cells regardless of
+    * ingest volume. */
+  def seasonCells(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = StreamProtocol.committedIds(fs, p, "_batch_")
+    if (committed.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        SeasonCellsSchema)
+        .select(col("_dw"), col("_hr"), col("_n"))
+    else
+      spark.read.schema(SeasonCellsSchema).option("basePath", dir).parquet(
+          committed.map(b => s"$dir/ingest_batch=$b"): _*)
+        .groupBy(col("_dw"), col("_hr"))
+        .agg(sum(col("_n")).as("_n"))
+  }
+
+  /** Running seasonality profile — identical output to
+    * [[EventAnalytics.seasonalityProfile]] over all rows ingested so
+    * far (shared core); residuals re-derive against the CURRENT
+    * margins on every read, so a cell's surprise legitimately moves
+    * as the week fills in. */
+  def seasonality(spark: SparkSession, dir: String): DataFrame =
+    EventAnalytics.seasonalityFromCells(seasonCells(spark, dir))
+
+  /** `df` must carry an epoch-µs long column `tsUsCol`; NULLs drop —
+    * the batch operator's law, enforced by the shared cell
+    * reduction. The dow/hour grid is fixed (UTC, dow 0 = Monday), so
+    * the fingerprint carries only a version tag. */
+  def startSeasonality(df: DataFrame, tsUsCol: String,
+                       dir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dirPath = new Path(dir)
+        val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val (done, _) = StreamProtocol.replayGuardsWithCommitted(
+          fs, dirPath, checkpoint, "seasonality=v1", batchId, "_batch_",
+          "StreamingDrift.seasonality")
+        if (!done) {
+          EventAnalytics.seasonCells(batch, col(tsUsCol))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/ingest_batch=$batchId")
+          StreamProtocol.commit(fs, dirPath, "_batch_", batchId)
+        }
+        ()
+      }
+      .start()
+
+  // ------------------------------------------------------------------
   // the DAILY twin: incremental CUSUM changepoint
   // ------------------------------------------------------------------
 

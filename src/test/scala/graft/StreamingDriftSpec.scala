@@ -118,6 +118,36 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("season cells after 3 micro-batches == batch seasonalityProfile, exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+    val evUs = ev.select(graft.functions.GraftFunctions.epochMicros(
+      ev.schema("ts").dataType, col("ts")).as("ts_us"))
+    val rows = evUs.as[Long].collect().sorted
+    assert(rows.length > 100)
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdrift_sea_").toString
+    val input = MemoryStream[Long]
+    val q = StreamingDrift.startSeasonality(
+      input.toDS().toDF("ts_us"), "ts_us", s"$base/season", s"$base/ckpt")
+    try {
+      // mid-stream: residuals re-derive against batch-0 margins alone
+      input.addData(thirds.head.toSeq: _*)
+      q.processAllAvailable()
+      assert(slurp(StreamingDrift.seasonality(spark, s"$base/season")) ===
+        slurp(EventAnalytics.seasonalityProfile(
+          thirds.head.toSeq.toDF("ts_us"), col("ts_us"))))
+
+      thirds.tail.foreach { p => input.addData(p.toSeq: _*); q.processAllAvailable() }
+      assert(slurp(StreamingDrift.seasonality(spark, s"$base/season")) ===
+        slurp(EventAnalytics.seasonalityProfile(
+          rows.toSeq.toDF("ts_us"), col("ts_us"))))
+    } finally q.stop()
+  }
+
   test("a partial uncommitted delta is invisible; restart overwrites it exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

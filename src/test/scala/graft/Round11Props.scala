@@ -524,4 +524,132 @@ object Round11Props extends Properties("Round11Ops") {
       }.toSet
       (got == want: Prop) :| s"got=$got want=$want"
     }
+
+  // ---- tokenEntropy ≡ brute −Σ p·log₂p ----------------------------- //
+
+  private val entGen = for {
+    nDocs <- Gen.choose(1, 8)
+    docs <- Gen.listOfN(nDocs, Gen.choose(1, 20).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("a", "b", "c", "d"))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+
+  property("tokenEntropy equals brute -Σ p·log2 p (tolerance: op-sequence)") =
+    Prop.forAll(entGen) { docs =>
+      import spark.implicits._
+      val got = graft.operators.TextAnalysis.tokenEntropy(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+        .select("id", "n_tokens", "n_distinct", "entropy", "norm_entropy")
+        .as[(Long, Long, Long, Double, Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      val lg2 = math.log(2.0)
+      val want = docs.map { case (id, t) =>
+        val toks = t.split(" ", -1)
+        val counts = toks.groupBy(identity).values.map(_.size).toSeq
+        val n = toks.length
+        val h = -counts.map(c =>
+          c.toDouble / n * (math.log(c.toDouble / n) / lg2)).sum
+        val norm = if (counts.size > 1)
+          Some(h / (math.log(counts.size.toDouble) / lg2)) else None
+        id -> (n.toLong, counts.size.toLong, h, norm)
+      }.toMap
+      val ok = got.keySet == want.keySet && got.forall { case (id, g) =>
+        val w = want(id)
+        g._1 == w._1 && g._2 == w._2 && math.abs(g._3 - w._3) < 1e-9 &&
+          ((g._4, w._4) match {
+            case (Some(a), Some(b)) => math.abs(a - b) < 1e-9
+            case (None, None) => true
+            case _ => false
+          })
+      }
+      (ok: Prop) :| s"got=$got want=$want"
+    }
+
+  // ---- seasonalityProfile ≡ brute contingency residuals ------------ //
+
+  private val seaGen = for {
+    n <- Gen.choose(1, 80)
+    pts <- Gen.listOfN(n, for {
+      day <- Gen.choose(0L, 20L)
+      hour <- Gen.choose(0L, 23L)
+      off <- Gen.choose(0L, 3599999999L)
+    } yield day * 86400000000L + hour * 3600000000L + off)
+  } yield pts
+
+  property("seasonalityProfile equals the brute margins-product residuals") =
+    Prop.forAll(seaGen) { pts =>
+      import spark.implicits._
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      val got = EventAnalytics.seasonalityProfile(
+          pts.toDF("ts_us"), col("ts_us"))
+        .as[(Long, Long, Long, Double, Double)].collect().toSet
+      val cells = pts.map(t =>
+          ((t / 86400000000L + 3) % 7, t / 3600000000L % 24))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val tot = cells.values.sum
+      val want = cells.map { case ((dw, hr), n) =>
+        val e = (rt(dw) * ct(hr)).toDouble / tot.toDouble
+        (dw, hr, n, r6(e), r6((n.toDouble - e) / math.sqrt(e)))
+      }.toSet
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
+
+  // ---- bootstrapUplift ≡ brute mixer replay ------------------------ //
+
+  private val bootGen = for {
+    n <- Gen.choose(2, 30)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 1000000L)
+      v <- Gen.choose(0L, 1L)
+      c <- Gen.choose(-500L, 500L)
+    } yield (k, v, c))
+  } yield rows.groupBy(_._1).map(_._2.head).toSeq // distinct keys
+
+  property("bootstrapUplift equals the brute Poisson-replay definition") =
+    Prop.forAll(bootGen) { rows =>
+      import spark.implicits._
+      val P = 1000000007L
+      val R = 20
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      def ph(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+      def wgt(h0: Long, r: Long) = {
+        val x = Math.floorMod(h0 + r * 2654435761L, P)
+        val y = Math.floorMod(x * x + r, P)
+        val z = Math.floorMod(y * y + h0, P)
+        if (z < 367879443L) 0L else if (z < 735758887L) 1L
+        else if (z < 919698609L) 2L else if (z < 981011849L) 3L
+        else if (z < 996340160L) 4L else 5L
+      }
+      val out = EventAnalytics.bootstrapUplift(
+        rows.toDF("k", "v", "c"), col("k"), col("v"), col("c"),
+        replicates = R, alphaPermille = 100).collect().head
+      def mean(rep: Long, v: Long): Option[Double] = {
+        val sel = rows.filter(_._2 == v)
+        def wt(k: Long) = if (rep < 0) 1L else wgt(ph(k.toString), rep)
+        val sw = sel.map(t => wt(t._1)).sum
+        val swx = sel.map(t => wt(t._1) * t._3).sum
+        if (sw > 0) Some(swx.toDouble / sw.toDouble / 100.0) else None
+      }
+      val ups = (0L until R.toLong).flatMap(rep =>
+        for (mb <- mean(rep, 1); ma <- mean(rep, 0)) yield (mb - ma, rep))
+        .sortBy(identity).map(_._1)
+      def og[T](c: String): Option[T] =
+        if (out.isNullAt(out.fieldIndex(c))) None
+        else Some(out.getAs[T](c))
+      val wantPt = for (mb <- mean(-1, 1); ma <- mean(-1, 0)) yield mb - ma
+      val ptOk = og[Double]("uplift") == wantPt.map(r6) &&
+        og[Double]("mean_a") == mean(-1, 0).map(r6) &&
+        og[Double]("mean_b") == mean(-1, 1).map(r6)
+      val ciOk = if (ups.isEmpty) og[Long]("n_reps").isEmpty else {
+        val cnt = ups.size
+        val lo = math.max(1, cnt * 100 / 1000)
+        og[Long]("n_reps").contains(cnt.toLong) &&
+          og[Double]("ci_lo").contains(r6(ups(lo - 1))) &&
+          og[Double]("ci_hi").contains(r6(ups(cnt - lo))) &&
+          og[Double]("neg_frac").contains(
+            r6(ups.count(_ <= 0.0).toDouble / cnt))
+      }
+      ((ptOk && ciOk): Prop) :| s"out=$out ups=$ups wantPt=$wantPt"
+    }
 }

@@ -6693,6 +6693,84 @@ object Queries {
       FROM pt CROSS JOIN ci"""),
     bench = true)
 
+  /** E+/D+: per-type Spearman rank correlation of value against time
+    * ([[EventAnalytics.spearman]]) — the monotone-trend member beside
+    * q46's Pearson: is the metric creeping up, immune to outliers and
+    * units. Doubled average ranks keep every sufficient statistic an
+    * exact decimal; ρ is one fixed IEEE sequence; a constant series
+    * (zero denominator) is NULL. Rank stats are sort problems — two
+    * in-group sorts on one exchange, one aggregation after. */
+  private val q204 = Q("q204_spearman_trend",
+    (s, d) => EventAnalytics.spearman(
+        eventsUs(s, d), col("event_type"), col("value"), col("ts_us"))
+      .select(col("group").as("event_type"), col("n"), col("rho"))
+      .orderBy(col("event_type")),
+    Some("""WITH b AS (SELECT event_type AS g, value AS x,
+          epoch_us(ts) AS y FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL),
+      rk AS (SELECT g,
+          2 * rank() OVER (PARTITION BY g ORDER BY x)
+            + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+          2 * rank() OVER (PARTITION BY g ORDER BY y)
+            + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+        FROM b),
+      a AS (SELECT g, count(*) AS n,
+          sum(rx) AS sx, sum(ry) AS sy,
+          sum(rx::HUGEINT * ry) AS sxy,
+          sum(rx::HUGEINT * rx) AS sxx,
+          sum(ry::HUGEINT * ry) AS syy
+        FROM rk GROUP BY g)
+      SELECT g AS event_type, n,
+        CASE WHEN sqrt(greatest(0.0,
+              n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+            * sqrt(greatest(0.0,
+              n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) <> 0.0
+          THEN floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+            / (sqrt(greatest(0.0,
+                n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+              * sqrt(greatest(0.0,
+                n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))
+            * 1000000 + 0.5) / 1000000
+        END AS rho
+      FROM a ORDER BY event_type"""),
+    bench = true)
+
+  /** D+/E+: Benford first-digit census over positive purchase cents
+    * ([[EventAnalytics.benfordDigits]]) — the fabricated-data screen:
+    * per-digit observed vs log₁₀(1+1/d) expected plus the χ²
+    * statistic. Digits extract exactly (first character of the
+    * integer rendering, never float log10); the full 1–9 grid always
+    * emits (a missing digit is evidence, not an absent row). One
+    * count aggregation to ≤ 9 barriered cells. */
+  private val q205 = Q("q205_benford_digits",
+    (s, d) => EventAnalytics.benfordDigits(
+        t(s, d, "events")
+          .filter(col("value").isNotNull && col("event_type") === "purchase"),
+        floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .orderBy(col("digit")),
+    Some(s"""WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL AND event_type = 'purchase'),
+      o AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d,
+          count(*) AS o FROM c WHERE c > 0 GROUP BY 1),
+      t AS (SELECT sum(o) AS tot FROM o),
+      g AS (SELECT dg.d AS digit,
+          (CASE dg.d ${EventAnalytics.BenfordP.map { case (dd, p) =>
+            s"WHEN $dd THEN $p" }.mkString(" ")} END)::DOUBLE AS p
+        FROM range(1, 10) dg(d))
+      SELECT digit, coalesce(o.o, 0) AS n,
+        floor(p * 1000000 + 0.5) / 1000000 AS expected_frac,
+        CASE WHEN tot > 0 THEN floor(coalesce(o.o, 0)::DOUBLE / tot::DOUBLE
+          * 1000000 + 0.5) / 1000000 END AS obs_frac,
+        floor((coalesce(o.o, 0)::DOUBLE - tot::DOUBLE * p)
+            * (coalesce(o.o, 0)::DOUBLE - tot::DOUBLE * p)
+            / (tot::DOUBLE * p) * 1000000 + 0.5) / 1000000 AS chi2_term,
+        floor(sum((coalesce(o.o, 0)::DOUBLE - tot::DOUBLE * p)
+            * (coalesce(o.o, 0)::DOUBLE - tot::DOUBLE * p)
+            / (tot::DOUBLE * p)) OVER ()
+          * 1000000 + 0.5) / 1000000 AS chi2
+      FROM g LEFT JOIN o ON g.digit = o.d CROSS JOIN t
+      ORDER BY digit"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6709,7 +6787,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203,
+    q198, q199, q200, q201, q202, q203, q204, q205,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1314,6 +1314,108 @@ object EventAnalytics {
           .as("neg_frac"))
   }
 
+  /** Per-group Spearman rank correlation of `y` against `x` — the
+    * monotone-trend member of the statistical suite (Pearson q46 reads
+    * LINEAR association; Spearman reads any monotone drift, immune to
+    * outliers and units — "is the purchase value creeping up over
+    * time" regardless of the value distribution's shape).
+    *
+    * Ties get average (fractional) ranks, carried as DOUBLED ranks
+    * `2·rank + |ties| − 1` so every rank is an INTEGER — Spearman is
+    * affine-invariant, so ρ is unchanged, and all five sufficient
+    * statistics (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact decimals
+    * in any shuffle order. ρ itself is then ONE fixed IEEE sequence
+    * (n·Σxy − ΣxΣy)/(√(n·Σx²−Σx²)·√(n·Σy²−Σy²)) — the variance
+    * products are clamped at 0 before the sqrt (an exactly-constant
+    * series hits 0; past 2^53 the rounded cross-products could dip an
+    * ulp below) and a zero denominator yields NULL (no monotone
+    * association is DEFINED on a constant series).
+    *
+    * Scale: rank-based statistics are sort problems — the two rank
+    * windows share one exchange on the group key and pay one sort per
+    * ordering inside each group; the aggregation after is one pass.
+    * Exactness ceiling: n·Σx² stays inside decimal(38) up to ~10⁹
+    * rows per group; beyond that, rank correlation belongs to the
+    * sketch path (sampled ranks), not this operator. */
+  def spearman(df: DataFrame, group: Column, x: Column,
+               y: Column): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(group.as("_g"), x.as("_x"), y.as("_y"))
+    def dblRank(c: String): Column =
+      (rank().over(Window.partitionBy(col("_g")).orderBy(col(c))) * 2L
+        + count(lit(1)).over(Window.partitionBy(col("_g"), col(c))) - 1L)
+        .cast("long")
+    val agg = base
+      .withColumn("_rx", dblRank("_x"))
+      .withColumn("_ry", dblRank("_y"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_rx").cast(dec)).as("_sx"),
+        sum(col("_ry").cast(dec)).as("_sy"),
+        sum(col("_rx").cast(dec) * col("_ry").cast(dec)).as("_sxy"),
+        sum(col("_rx").cast(dec) * col("_rx").cast(dec)).as("_sxx"),
+        sum(col("_ry").cast(dec) * col("_ry").cast(dec)).as("_syy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nd * d("_sxy") - d("_sx") * d("_sy")
+    val den = sqrt(greatest(lit(0.0), nd * d("_sxx") - d("_sx") * d("_sx"))) *
+      sqrt(greatest(lit(0.0), nd * d("_syy") - d("_sy") * d("_sy")))
+    agg.select(col("_g").as("group"), col("n"),
+      r(when(den =!= 0.0, num / den), 6).as("rho"))
+  }
+
+  /** Benford first-digit probabilities log₁₀(1 + 1/d), d = 1..9 —
+    * single source for the operator's literals and the SQL twin. */
+  val BenfordP: Seq[(Long, Double)] =
+    (1L to 9L).map(d => d -> math.log10(1.0 + 1.0 / d))
+
+  /** Benford's-law first-digit census over positive integer cents —
+    * the classic fabricated-data / anomaly screen: naturally-occurring
+    * multi-scale amounts follow P(d) = log₁₀(1+1/d); manual entry,
+    * capped pricing, and synthetic padding show up as per-digit
+    * residuals and a large χ². Digits extract EXACTLY (first character
+    * of the integer's decimal rendering — no float log10 of the value,
+    * whose boundary cells would flip between engines).
+    *
+    * Always emits the full 9-digit grid: a digit the corpus never
+    * produces is evidence (o = 0 against n·p expected), not an absent
+    * row. On an EMPTY corpus the expectations and χ² are NULL (no
+    * rows ⇒ no law to test), with the grid still present at n = 0.
+    *
+    * Scale: one map-side count aggregation to ≤ 9 cells (barriered —
+    * the grid join and the total both read it); everything after is
+    * 9-row arithmetic. */
+  def benfordDigits(df: DataFrame, valueCents: Column,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val obs = OpUtils.barrier(
+      df.filter(valueCents.isNotNull && valueCents > 0)
+        .select(substring(valueCents.cast("string"), 1, 1).cast("long")
+          .as("_d"))
+        .groupBy(col("_d")).agg(count(lit(1)).as("_o")),
+      reliableCheckpoint)
+    val grid = df.sparkSession.range(1, 10)
+      .select(col("id").as("digit"),
+        BenfordP.foldRight(lit(Double.NaN): Column) { case ((d, p), tail) =>
+          when(col("id") === d, lit(p)).otherwise(tail)
+        }.as("_p"))
+    val tot = obs.agg(sum(col("_o")).as("_tot"))
+    val e = col("_tot").cast("double") * col("_p")
+    val o = coalesce(col("_o"), lit(0L)).cast("double")
+    val term = (o - e) * (o - e) / e
+    grid.join(obs, col("digit") === col("_d"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("_o"), lit(0L)).as("n"),
+        r(col("_p"), 6).as("expected_frac"),
+        r(when(col("_tot") > 0, o / col("_tot").cast("double")), 6)
+          .as("obs_frac"),
+        r(term, 6).as("chi2_term"),
+        r(sum(term).over(Window.partitionBy()), 6).as("chi2"))
+  }
+
   /** CUSUM-style changepoint locator over a daily value series — WHEN
     * did the metric shift (the drift suite tells you THAT it shifted;
     * q142's PSI tells you where in value space; this tells you where

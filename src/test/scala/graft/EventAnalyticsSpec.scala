@@ -724,4 +724,56 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     assert(bad.getMessage != null)
   }
+
+  test("spearman: monotone ±1, hand tie case, constant-series NULL, null drop") {
+    val df = Seq(
+      ("up", 1.0, 10L), ("up", 2.0, 20L), ("up", 3.0, 30L),
+      ("dn", 1.0, 30L), ("dn", 2.0, 20L), ("dn", 3.0, 10L),
+      ("t", 1.0, 10L), ("t", 1.0, 20L), ("t", 2.0, 30L),
+      ("c", 5.0, 10L), ("c", 5.0, 20L),
+      ("nn", 1.0, 10L))
+      .toDF("g", "x", "y")
+      .unionByName(Seq(("nn", Option.empty[Double], Option(20L)),
+        ("nn", Option(2.0), Option.empty[Long]))
+        .toDF("g", "x", "y"))
+    val out = EventAnalytics.spearman(df, col("g"), col("x"), col("y"))
+      .orderBy("group")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    // "t": doubled ranks rx=(3,3,6) ry=(2,4,6) → ρ = 18/(√18·√24) ≈ 0.866025
+    assert(out === Seq(
+      ("c", 2L, None),            // constant x: zero variance → NULL
+      ("dn", 3L, Some(-1.0)),
+      ("nn", 1L, None),           // null x/y rows dropped; n=1 constant-ish
+      ("t", 3L, Some(0.866025)),
+      ("up", 3L, Some(1.0))))
+  }
+
+  test("benfordDigits: hand census, full grid, sign filter, empty-corpus NULLs") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cents = Seq(1L, 12L, 150L, 2L, 30L, 0L, -5L)
+    val out = EventAnalytics.benfordDigits(
+      cents.toDF("c"), col("c")).orderBy("digit")
+      .as[(Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    // positive cents digits: 1,1,1,2,3 → tot 5
+    assert(out.map(r => (r._1, r._2)) ===
+      Seq((1L, 3L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 0L),
+        (6L, 0L), (7L, 0L), (8L, 0L), (9L, 0L)))
+    val p = EventAnalytics.BenfordP.toMap
+    assert(out.head._3 === r6(p(1L)) && out.head._4 === Some(r6(3.0 / 5.0)))
+    def term(d: Long, o: Long) = {
+      val e = 5.0 * p(d); (o.toDouble - e) * (o.toDouble - e) / e
+    }
+    assert(out.head._5 === Some(r6(term(1L, 3L))))
+    val chi2 = (1L to 9L).map(d =>
+      term(d, Map(1L -> 3L, 2L -> 1L, 3L -> 1L).getOrElse(d, 0L))).sum
+    assert(out.head._6.exists(v => math.abs(v - chi2) < 2e-6))
+    // empty corpus: grid present, law NULL
+    val empty = EventAnalytics.benfordDigits(
+      Seq(-1L).toDF("c"), col("c")).orderBy("digit")
+      .as[(Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(empty.size === 9 && empty.forall(r =>
+      r._2 === 0L && r._4.isEmpty && r._5.isEmpty && r._6.isEmpty))
+  }
 }

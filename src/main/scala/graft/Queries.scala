@@ -6771,6 +6771,87 @@ object Queries {
       FROM g LEFT JOIN o ON g.digit = o.d CROSS JOIN t
       ORDER BY digit"""))
 
+  /** H4+: per-source keyness ([[TextAnalysis.sourceKeyness]],
+    * minCount 5, top 10) — q182's G² formula pointed at (source,
+    * token) cells: each source's most OVERREPRESENTED tokens vs the
+    * rest of the corpus, direction decided by the exact integer
+    * cross-product (never the float expectation). Word-count shape
+    * into a vocab×sources-bounded barriered cell table; the rank
+    * window runs over that table, ordered by ROUNDED llr. */
+  private val q206 = Q("q206_source_keyness",
+    (s, d) => TextAnalysis.sourceKeyness(
+        t(s, d, "documents"), col("source"), col("text"),
+        minCount = 5L, topN = 10)
+      .orderBy(col("source"), col("rank")),
+    Some("""WITH ct AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      c AS (SELECT g, w, count(*) AS c FROM ct GROUP BY 1, 2),
+      cg AS (SELECT g, sum(c) AS cg FROM c GROUP BY g),
+      cw AS (SELECT w, sum(c) AS cw FROM c GROUP BY w),
+      t AS (SELECT sum(c) AS nt FROM c),
+      j AS (SELECT c.g, c.w, c.c,
+          cg.cg::DOUBLE AS gd, cw.cw::DOUBLE AS wd, nt::DOUBLE AS nn,
+          c.c::DOUBLE AS o11
+        FROM c JOIN cg ON c.g IS NOT DISTINCT FROM cg.g
+          JOIN cw USING (w) CROSS JOIN t
+        WHERE c.c >= 5 AND c.c::HUGEINT * nt > cg.cg::HUGEINT * cw.cw),
+      ll AS (SELECT g, w, c, 2.0 * (
+          (CASE WHEN o11 > 0.0
+            THEN o11 * ln(o11 / (gd * wd / nn)) ELSE 0.0 END)
+          + (CASE WHEN gd - o11 > 0.0
+            THEN (gd - o11) * ln((gd - o11) / (gd * (nn - wd) / nn))
+            ELSE 0.0 END)
+          + (CASE WHEN wd - o11 > 0.0
+            THEN (wd - o11) * ln((wd - o11) / ((nn - gd) * wd / nn))
+            ELSE 0.0 END)
+          + (CASE WHEN nn - gd - wd + o11 > 0.0
+            THEN (nn - gd - wd + o11)
+              * ln((nn - gd - wd + o11) / ((nn - gd) * (nn - wd) / nn))
+            ELSE 0.0 END)) AS llr
+        FROM j),
+      rk AS (SELECT g AS source, w AS token, c AS n,
+          floor(llr * 10000 + 0.5) / 10000.0 AS llr,
+          row_number() OVER (PARTITION BY g
+            ORDER BY floor(llr * 10000 + 0.5) / 10000.0 DESC, w) AS rank
+        FROM ll)
+      SELECT source, token, n, llr, rank FROM rk
+      WHERE rank <= 10 ORDER BY source, rank"""),
+    bench = true)
+
+  /** E+: per-type inter-event burstiness
+    * ([[EventAnalytics.burstiness]]) — the Goh–Barabási
+    * (σ−μ)/(σ+μ) over pooled per-user gap series: bot metronomes
+    * → −1, Poisson traffic → 0, notification storms → +1. Integer µs
+    * gaps, exact decimal Σ/Σ², portable variance; < 2 gaps → NULL. */
+  private val q207 = Q("q207_burstiness",
+    (s, d) => EventAnalytics.burstiness(
+        eventsUs(s, d), col("event_type"), col("user_id"),
+        col("ts_us"), col("event_id"))
+      .select(col("group").as("event_type"), col("n_gaps"),
+        col("mean_gap_us"), col("sd_gap_us"), col("burstiness"))
+      .orderBy(col("event_type")),
+    Some("""WITH e AS (SELECT event_type AS g, user_id, event_id,
+          epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
+      l AS (SELECT g, us - lag(us) OVER
+          (PARTITION BY g, user_id ORDER BY us, event_id) AS gap FROM e),
+      a AS (SELECT g, count(*) AS n_gaps, sum(gap) AS sx,
+          sum(gap::HUGEINT * gap) AS sxx
+        FROM l WHERE gap IS NOT NULL GROUP BY g),
+      m AS (SELECT g, n_gaps,
+          sx::DOUBLE / n_gaps::DOUBLE AS mu,
+          sqrt(greatest(0.0,
+            (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n_gaps::DOUBLE)
+              / nullif(n_gaps::DOUBLE - 1.0, 0.0))) AS sd
+        FROM a)
+      SELECT g AS event_type, n_gaps,
+        floor(mu * 1000000 + 0.5) / 1000000 AS mean_gap_us,
+        CASE WHEN n_gaps >= 2
+          THEN floor(sd * 1000000 + 0.5) / 1000000 END AS sd_gap_us,
+        CASE WHEN n_gaps >= 2 AND sd + mu <> 0.0
+          THEN floor((sd - mu) / (sd + mu) * 1000000 + 0.5) / 1000000
+        END AS burstiness
+      FROM m ORDER BY event_type"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6787,7 +6868,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205,
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

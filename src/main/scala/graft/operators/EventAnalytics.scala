@@ -1314,6 +1314,51 @@ object EventAnalytics {
           .as("neg_frac"))
   }
 
+  /** Per-group inter-event burstiness — the Goh–Barabási coefficient
+    * B = (σ − μ)/(σ + μ) over the pooled per-key gap series: −1 for a
+    * metronome (σ = 0), → 0 for a Poisson process (σ ≈ μ), → 1 for
+    * heavy-tailed bursts. The timing-shape companion to the rate
+    * metrics (DAU counts activity volume; this reads its TEXTURE —
+    * bot metronomes and notification-storm bursts separate cleanly).
+    *
+    * Gaps are integer µs deltas between a key's consecutive events
+    * (`lag` inside one (key-partitioned) window — ties on ts break by
+    * `tie`, zero gaps are real and kept). Σgap and Σgap² accumulate as
+    * exact decimals; μ, the portable variance
+    * (Σx² − (Σx)²/n)/(n − 1), σ = √max(0, var), and B are one fixed
+    * IEEE sequence. Laws: a group with < 2 gaps has no dispersion —
+    * NULL B; σ + μ = 0 (all gaps zero) is NULL too (shape of a
+    * zero-length process is undefined), never 0/0.
+    *
+    * Scale: one hash exchange on the key for the lag window; the
+    * group aggregation reuses nothing event-cardinality — partial
+    * aggregation collapses map-side to one cell per group. */
+  def burstiness(df: DataFrame, group: Column, key: Column, tsUs: Column,
+                 tie: Column): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(group, key).orderBy(tsUs, tie)
+    val gaps = df.filter(tsUs.isNotNull)
+      .select(group.as("_g"),
+        (tsUs - lag(tsUs, 1).over(w)).as("_gap"))
+      .filter(col("_gap").isNotNull)
+    val agg = gaps.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_gap").cast(dec)).as("_sx"),
+        sum(col("_gap").cast(dec) * col("_gap").cast(dec)).as("_sxx"))
+    val nd = col("n_gaps").cast("double")
+    val sx = col("_sx").cast("double"); val sxx = col("_sxx").cast("double")
+    val mu = sx / nd
+    // nullif carries the single-gap law AND preempts the ÷0
+    val vr = (sxx - sx * sx / nd) / nullif(nd - lit(1.0), lit(0.0))
+    val sd = sqrt(greatest(lit(0.0), vr))
+    agg.select(col("_g").as("group"), col("n_gaps"),
+      r(mu, 6).as("mean_gap_us"),
+      r(when(col("n_gaps") >= 2, sd), 6).as("sd_gap_us"),
+      r(when(col("n_gaps") >= 2 && (sd + mu) =!= 0.0,
+        (sd - mu) / (sd + mu)), 6).as("burstiness"))
+  }
+
   /** Per-group Spearman rank correlation of `y` against `x` — the
     * monotone-trend member of the statistical suite (Pearson q46 reads
     * LINEAR association; Spearman reads any monotone drift, immune to

@@ -449,6 +449,67 @@ object TextAnalysis {
         col("entropy"), col("norm_entropy"))
   }
 
+  /** Per-source keyness: the top `topN` OVERREPRESENTED tokens of each
+    * source by Dunning log-likelihood against the rest of the corpus —
+    * the corpus-comparison signal curation uses to characterize a
+    * source ("what is this crawl actually full of") and to catch
+    * template/boilerplate floods before they dominate a mix.
+    * [[bigramLlr]] scores word PAIRS within the corpus; this scores
+    * (source, token) cells against the source and token margins with
+    * the same 4-term G² formula and the same double-first op sequence.
+    *
+    * Direction: keyness keeps only cells where the token is
+    * overrepresented in the source — decided by the exact integer
+    * cross-product o₁₁·N > c(source)·c(token) (decimal, never the
+    * float expectation, whose boundary cells would flip between
+    * engines). Rank order inside a source is (ROUNDED llr desc,
+    * token) — rounding before ranking keeps rank boundaries off the
+    * float noise floor.
+    *
+    * Scale: word-count shape into a vocabulary×sources-bounded cell
+    * table (barriered — both margins and N reread it); the rank
+    * window partitions by source over that bounded table, never over
+    * corpus rows. */
+  def sourceKeyness(df: DataFrame, group: Column, text: Column,
+                    minCount: Long = 5L, topN: Int = 10,
+                    reliableCheckpoint: Boolean = false): DataFrame = {
+    require(minCount >= 1 && topN >= 1,
+      s"need minCount, topN >= 1: $minCount/$topN")
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val cells = OpUtils.barrier(
+      df.select(group.as("_g"), explode(tokens(text)).as("_w"))
+        .groupBy(col("_g"), col("_w")).agg(count(lit(1)).as("_c")),
+      reliableCheckpoint)
+    val gTot = cells.groupBy(col("_g")).agg(sum(col("_c")).as("_cg"))
+    val wTot = cells.groupBy(col("_w")).agg(sum(col("_c")).as("_cw"))
+    val tot = cells.agg(sum(col("_c")).as("_nt"))
+    def term(o: Column, e: Column): Column =
+      when(o > 0.0, o * log(o / e)).otherwise(lit(0.0))
+    val nn = col("_nt").cast("double")
+    val gd = col("_cg").cast("double"); val wd = col("_cw").cast("double")
+    val o11 = col("_c").cast("double")
+    val llr = lit(2.0) * (
+      term(o11, gd * wd / nn) +
+      term(gd - o11, gd * (nn - wd) / nn) +
+      term(wd - o11, (nn - gd) * wd / nn) +
+      term(nn - gd - wd + o11, (nn - gd) * (nn - wd) / nn))
+    val scored = cells
+      .join(gTot, cells("_g") <=> gTot("_g")).drop(gTot("_g"))
+      .join(wTot, Seq("_w"))
+      .crossJoin(broadcast(tot))
+      .filter(col("_c") >= minCount)
+      .filter(col("_c").cast(dec) * col("_nt").cast(dec) >
+        col("_cg").cast(dec) * col("_cw").cast(dec))
+      .select(col("_g").as("source"), col("_w").as("token"), col("_c").as("n"),
+        r(llr, 4).as("llr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("llr").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topN)
+  }
+
   /** Token co-occurrence PMI over the corpus: for every pair of terms
     * that co-occur (both present, once each counted) in at least
     * `minPairDocs` documents,

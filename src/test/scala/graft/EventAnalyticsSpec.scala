@@ -725,6 +725,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("burstiness: metronome -1, hand bursty case, single-gap NULL, pooling") {
+    // type "m": user 1 metronome gaps {10,10,10}; type "b": user 2
+    // gaps {0,0,30} (tie at same ts breaks by event_id → two 0 gaps);
+    // type "s": user 3 has 2 events → 1 gap → NULL B; pooling: type
+    // "m" also gets user 4's gap {10} → 4 equal gaps, still -1
+    val ev = Seq(
+      (1L, 1L, "m", 0L), (1L, 2L, "m", 10L), (1L, 3L, "m", 20L), (1L, 4L, "m", 30L),
+      (4L, 10L, "m", 100L), (4L, 11L, "m", 110L),
+      (2L, 5L, "b", 0L), (2L, 6L, "b", 0L), (2L, 7L, "b", 0L), (2L, 8L, "b", 30L),
+      (3L, 9L, "s", 0L), (3L, 12L, "s", 7L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = EventAnalytics.burstiness(ev, col("event_type"),
+        col("user_id"), col("ts_us"), col("event_id"))
+      .orderBy("group")
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    // b: gaps {0,0,30}: μ=10, σ=√300≈17.320508 → B≈0.267949
+    assert(out(0)._1 === "b" && out(0)._2 === 3L && out(0)._3 === 10.0)
+    assert(out(0)._5 === Some(0.267949))
+    // m: 4 equal gaps → σ=0 → B = -1 exactly
+    assert(out(1) === (("m", 4L, 10.0, Some(0.0), Some(-1.0))))
+    // s: single gap → NULL σ and B
+    assert(out(2) === (("s", 1L, 7.0, None, None)))
+  }
+
   test("spearman: monotone ±1, hand tie case, constant-series NULL, null drop") {
     val df = Seq(
       ("up", 1.0, 10L), ("up", 2.0, 20L), ("up", 3.0, 30L),

@@ -81,6 +81,35 @@ class TextMultimodalSpec extends SparkSpec {
     assert(near(out(3)._4, h4) && out(3)._5.exists(near(_, h4)))
   }
 
+  test("H4 keyness: overrepresentation direction, minCount, rank order, NULL source") {
+    // source A: 6 "spam" + 2 "the"; source B: 2 "spam" + 6 "the";
+    // NULL source: 4 "odd" — its own group
+    val docs = Seq(
+      (1L, Some("a"), "spam spam spam spam spam spam the the"),
+      (2L, Some("b"), "spam spam the the the the the the"),
+      (3L, Option.empty[String], "odd odd odd odd"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.sourceKeyness(
+        docs, col("source"), col("text"), minCount = 2L, topN = 5)
+      .orderBy(asc_nulls_last("source"), col("rank"))
+      .select("source", "token", "n", "rank")
+      .as[(Option[String], String, Long, Long)].collect().toSeq
+    // corpus: spam=8 the=8 odd=4, N=20; cg(a)=8 cg(b)=8 cg(null)=4
+    // a: spam 6/8 vs 8/20 → over; the 2 under. b: the 6 over; spam under.
+    // null: odd 4·20 > 4·4 → over.
+    assert(out === Seq(
+      (Some("a"), "spam", 6L, 1L),
+      (Some("b"), "the", 6L, 1L),
+      (None, "odd", 4L, 1L)))
+    // minCount excludes a 1-occurrence token even when overrepresented
+    val rare = graft.operators.TextAnalysis.sourceKeyness(
+        Seq((1L, "a", "rare x x x x"), (2L, "b", "x x x x x")).toDF(
+          "doc_id", "source", "text"),
+        col("source"), col("text"), minCount = 2L, topN = 5)
+      .select("token").as[String].collect().toSeq
+    assert(!rare.contains("rare"))
+  }
+
   test("H4 repetition: duplicate 2-gram fraction; short docs score 0") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),     // 4 bigrams, 1 distinct → 0.75

@@ -468,4 +468,32 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("parquet"),
       s"no event scan may appear above the barrier:\n$p")
   }
+
+  test("q201 entropy: the word-count shape costs exactly two hash exchanges") {
+    val p = plan("q201_token_entropy")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges === 2,
+      s"(doc, token) cells then doc cells — two bounded shuffles, got $hashExchanges:\n$p")
+  }
+
+  test("q203 bootstrap: one exchange above the barrier, no parquet above it") {
+    val p = plan("q203_bootstrap_uplift")
+    // the corpus pass lives BELOW the localCheckpoint barrier; above it
+    // only the R-bounded replicate table shuffles (rank window + agg)
+    assert(!p.toLowerCase.contains("parquet"),
+      s"the corpus must be read once, below the barrier:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 1,
+      s"only the R-bounded CI derivation may shuffle above the barrier, got $hashExchanges:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the replicate cell table must be barriered:\n$p")
+  }
+
+  test("q206 keyness: margins and ranks read the barriered cells, never the corpus") {
+    val p = plan("q206_source_keyness")
+    assert(!p.toLowerCase.contains("parquet"),
+      s"no consumer may re-scan the corpus above the barrier:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the (source, token) cell table must be barriered:\n$p")
+  }
 }

@@ -1433,15 +1433,27 @@ object EventAnalytics {
     * the grid join and the total both read it); everything after is
     * 9-row arithmetic. */
   def benfordDigits(df: DataFrame, valueCents: Column,
-                    reliableCheckpoint: Boolean = false): DataFrame = {
+                    reliableCheckpoint: Boolean = false): DataFrame =
+    benfordFromCells(digitCells(df, valueCents), reliableCheckpoint)
+
+  /** The per-first-digit count reduction — [[benfordDigits]]'s
+    * sufficient statistic, additive like the rest of the drift-suite
+    * cells ([[graft.streaming.StreamingDrift]] maintains it
+    * incrementally through the same delta discipline). */
+  private[graft] def digitCells(df: DataFrame,
+                                valueCents: Column): DataFrame =
+    df.filter(valueCents.isNotNull && valueCents > 0)
+      .select(substring(valueCents.cast("string"), 1, 1).cast("long")
+        .as("_d"))
+      .groupBy(col("_d")).agg(count(lit(1)).as("_o"))
+
+  /** [[benfordDigits]]'s core over an existing `(_d, _o)` cell
+    * table. */
+  private[graft] def benfordFromCells(cells: DataFrame,
+                                      reliableCheckpoint: Boolean = false): DataFrame = {
     val r = graft.functions.GraftFunctions.r _
-    val obs = OpUtils.barrier(
-      df.filter(valueCents.isNotNull && valueCents > 0)
-        .select(substring(valueCents.cast("string"), 1, 1).cast("long")
-          .as("_d"))
-        .groupBy(col("_d")).agg(count(lit(1)).as("_o")),
-      reliableCheckpoint)
-    val grid = df.sparkSession.range(1, 10)
+    val obs = OpUtils.barrier(cells, reliableCheckpoint)
+    val grid = cells.sparkSession.range(1, 10)
       .select(col("id").as("digit"),
         BenfordP.foldRight(lit(Double.NaN): Column) { case ((d, p), tail) =>
           when(col("id") === d, lit(p)).otherwise(tail)

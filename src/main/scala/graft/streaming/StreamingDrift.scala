@@ -215,6 +215,68 @@ object StreamingDrift {
       .start()
 
   // ------------------------------------------------------------------
+  // the BENFORD twin: incremental first-digit census
+  // ------------------------------------------------------------------
+
+  val DigitCellsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_d",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_o",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ingest_batch",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Accumulated first-digit count table — same committed-delta sum
+    * discipline as [[cells]]. Bounded at 9 cells. */
+  def digitCells(spark: SparkSession, dir: String): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed = StreamProtocol.committedIds(fs, p, "_batch_")
+    if (committed.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        DigitCellsSchema)
+        .select(col("_d"), col("_o"))
+    else
+      spark.read.schema(DigitCellsSchema).option("basePath", dir).parquet(
+          committed.map(b => s"$dir/ingest_batch=$b"): _*)
+        .groupBy(col("_d"))
+        .agg(sum(col("_o")).as("_o"))
+  }
+
+  /** Running Benford census — identical output to
+    * [[EventAnalytics.benfordDigits]] over all rows ingested so far
+    * (shared core). */
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    EventAnalytics.benfordFromCells(digitCells(spark, dir))
+
+  /** `df` must carry a long integer-cent column `centsCol`;
+    * non-positive and NULL cents drop — the batch operator's law,
+    * enforced by the shared cell reduction. The digit grid is fixed,
+    * so the fingerprint carries only a version tag. */
+  def startBenford(df: DataFrame, centsCol: String,
+                   dir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dirPath = new Path(dir)
+        val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val (done, _) = StreamProtocol.replayGuardsWithCommitted(
+          fs, dirPath, checkpoint, "benford=v1", batchId, "_batch_",
+          "StreamingDrift.benford")
+        if (!done) {
+          EventAnalytics.digitCells(batch, col(centsCol))
+            .write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/ingest_batch=$batchId")
+          StreamProtocol.commit(fs, dirPath, "_batch_", batchId)
+        }
+        ()
+      }
+      .start()
+
+  // ------------------------------------------------------------------
   // the DAILY twin: incremental CUSUM changepoint
   // ------------------------------------------------------------------
 

@@ -148,6 +148,28 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("digit cells after 3 micro-batches == batch benfordDigits, exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val ev = graft.sources.Tables.load(spark, sf("sf0.001"), "events")
+      .filter(col("value").isNotNull)
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+    val rows = ev.as[Long].collect().sorted
+    assert(rows.length > 100)
+    val thirds = rows.grouped((rows.length + 2) / 3).toSeq
+
+    val base = java.nio.file.Files.createTempDirectory("graft_sdrift_bf_").toString
+    val input = MemoryStream[Long]
+    val q = StreamingDrift.startBenford(
+      input.toDS().toDF("c"), "c", s"$base/digits", s"$base/ckpt")
+    try {
+      thirds.foreach { p => input.addData(p.toSeq: _*); q.processAllAvailable() }
+      assert(slurp(StreamingDrift.benford(spark, s"$base/digits")) ===
+        slurp(EventAnalytics.benfordDigits(rows.toSeq.toDF("c"), col("c"))))
+    } finally q.stop()
+  }
+
   test("a partial uncommitted delta is invisible; restart overwrites it exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

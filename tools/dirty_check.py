@@ -12,7 +12,9 @@ SOURCE (every source-grouped operator must agree with DuckDB on the
 NULL group / null-drop law), NEGATIVE event values (refunds — the
 floor(x+0.5) rounding convention, cent quantization, and every
 integer-fold path must hold below zero on both engines), null customer
-balances, null embedding vectors and labels (contract-non-null columns
+balances, null embedding vectors and labels, EXTREME event values
+(×1e6 — inside every operator's asserted envelope, stressing the
+long/decimal cent paths) (contract-non-null columns
 like ids and ts stay clean; RAGGED vectors stay out by design — the
 in-plan vectorDimGuard refuses them loudly, spec-tested) — runs
 graft.Verify on ALL queries against it, and compares every dumped
@@ -63,9 +65,16 @@ def build() -> dict:
       CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
       c_mktsegment FROM read_parquet('{SRC}/customer.parquet'))
       TO '{DST}/customer.parquet' (FORMAT PARQUET)""")
+    # extreme magnitudes (x1e6, ~3.3e10 cents) stay INSIDE the dyadic
+    # EWMA's asserted envelope (Long.MaxValue >> frameRows=8 ~ 3.6e16)
+    # — dirt beyond an operator's contract is refused loudly by design,
+    # not parity-tested — while stressing every long/decimal cent path,
+    # the KS tick grid, winsorize bounds, and the bootstrap's weighted
+    # sums three orders of magnitude past normal traffic
     con.execute(f"""COPY (SELECT event_id, ts, user_id, event_type,
       CASE WHEN event_id % 23 = 0 THEN NULL
-           WHEN event_id % 29 = 0 THEN -value ELSE value END AS value,
+           WHEN event_id % 29 = 0 THEN -value
+           WHEN event_id % 53 = 0 THEN value * 1000000 ELSE value END AS value,
       CASE WHEN event_id % 31 = 0 THEN '{{not json'
            WHEN event_id % 37 = 0 THEN '' ELSE props END AS props
       FROM read_parquet('{SRC}/events.parquet'))
@@ -116,14 +125,16 @@ def build() -> dict:
       (SELECT count(*) FROM read_parquet('{DST}/documents.parquet')
         WHERE source IS NULL),
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
-        WHERE value < 0)""").fetchall()[0]
+        WHERE value < 0),
+      (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
+        WHERE value >= 1000000)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
               "empty_lang": c[6], "null_acctbal": c[7],
               "emoji_doc_text": c[8], "null_embedding": c[9],
               "null_label": c[10], "null_source": c[11],
-              "negative_value": c[12]}
+              "negative_value": c[12], "extreme_value": c[13]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

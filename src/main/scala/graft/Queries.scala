@@ -6852,6 +6852,48 @@ object Queries {
         END AS burstiness
       FROM m ORDER BY event_type"""))
 
+  /** H3+: per-label coherence margin
+    * ([[graft.operators.Clustering.labelCoherenceMargin]]) — the
+    * centroid silhouette: own-centroid cosine vs the best rival
+    * centroid per point, aggregated to mean margin and confusable
+    * mass per label — the label-quality gate before training on weak
+    * labels (q166 says which label centroids are close; this counts
+    * the points that closeness confuses). Centroids are exact
+    * quantized-long sum vectors collected as driver literals (the
+    * kMeans tiny-metadata contract), so scoring is a narrow per-row
+    * projection — k fused graft_dot cosines, no join. */
+  private val q208 = Q("q208_label_coherence",
+    (s, d) => graft.operators.Clustering.labelCoherenceMargin(
+        emb(s, d), col("embedding"), col("label"))
+      .orderBy(col("label")),
+    Some(s"""WITH e AS (SELECT vec_id, embedding AS v,
+          CAST(label AS BIGINT) AS l
+        FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      comp AS (SELECT l, t.d,
+          sum(CAST(floor(v[t.d]::DOUBLE * 10000 + 0.5) AS BIGINT)) AS s
+        FROM e CROSS JOIN range(1, 65) t(d) GROUP BY l, t.d),
+      cent AS (SELECT l AS m, list(s::DOUBLE ORDER BY d) AS c
+        FROM comp GROUP BY l),
+      pc AS (SELECT e.vec_id, e.l, cent.m,
+          CASE WHEN sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("c", "c")})
+              = 0.0 THEN 0.0
+            ELSE ${sqlDot("v", "c")} /
+              (sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("c", "c")}))
+          END AS cos
+        FROM e CROSS JOIN cent),
+      p AS (SELECT vec_id, l,
+          max(CASE WHEN m = l THEN cos END) AS a,
+          max(CASE WHEN m <> l THEN cos END) AS b
+        FROM pc GROUP BY vec_id, l)
+      SELECT l AS label, count(*) AS n,
+        floor(avg(a) * 1000000 + 0.5) / 1000000 AS mean_own_cos,
+        floor(avg(b) * 1000000 + 0.5) / 1000000 AS mean_best_other,
+        floor(avg(a - b) * 1000000 + 0.5) / 1000000 AS mean_margin,
+        floor(sum(CASE WHEN a - b <= 0 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE * 1000000 + 0.5) / 1000000 AS confused_frac
+      FROM p GROUP BY l ORDER BY label"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6868,7 +6910,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

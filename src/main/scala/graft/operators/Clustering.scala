@@ -124,6 +124,77 @@ object Clustering {
           .as("cos"))
   }
 
+  /** Per-label coherence margin — the centroid silhouette for a
+    * labeled embedding corpus: for every point, own-centroid cosine
+    * `a` vs the BEST other-label centroid cosine `b`; per label the
+    * mean affinities, the mean margin a − b, and the fraction of
+    * points a rival centroid claims (margin ≤ 0 — the confusable
+    * mass). High margin = the label names a real region; a label
+    * whose confused_frac is large is noise or a duplicate of its
+    * rival — the label-QUALITY gate before training on weak labels
+    * (q166's centroid matrix says which labels are close; this says
+    * how many POINTS that closeness actually confuses).
+    *
+    * Determinism: centroids are the [[groupCentroidCosine]]-style
+    * quantized-long SUM vectors (order-independent-exact; cosine is
+    * scale-invariant so the sum stands in for the mean, and the own
+    * centroid includes the point itself — the standard simplified
+    * silhouette). The k·dim sums collect to driver literals (the
+    * [[kMeans]] tiny-metadata contract), so scoring is a NARROW
+    * per-row projection: k fused `graft_dot` cosines and two
+    * when-chains — no join, no corpus shuffle; the only exchanges are
+    * the (label, dim) cell aggregation and the final label-bounded
+    * groupBy. The margin SIGN test (≤ 0) compares two identically-
+    * derived doubles — engine-exact; the means are r(6)-masked float
+    * sums like every mean in the engine.
+    *
+    * Needs ≥ 2 labels (a margin against no rival is undefined —
+    * loud). NULL labels/vectors drop (the family law). */
+  def labelCoherenceMargin(df: DataFrame, vec: Column, label: Column,
+                           scale: Double = 10000.0): DataFrame = {
+    val r = graft.functions.GraftFunctions.r _
+    val base = df.filter(label.isNotNull && vec.isNotNull)
+      .select(label.cast("long").as("_l"), vec.as("_v"))
+    val comps = base
+      .select(col("_l"), posexplode(col("_v")).as(Seq("_d", "_x")))
+      .groupBy(col("_l"), col("_d"))
+      .agg(sum(floor(col("_x") * scale + lit(0.5)).cast("long")).as("_s"))
+      .collect()
+    val cents: Map[Long, Seq[Double]] = comps.groupBy(_.getLong(0)).map {
+      case (l, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val arr = new Array[Double](dim)
+        rows.foreach(r0 => arr(r0.getInt(1)) = r0.getLong(2).toDouble)
+        l -> arr.toSeq
+    }
+    require(cents.size >= 2,
+      s"labelCoherenceMargin needs >= 2 labels, got ${cents.size}")
+    val labels = cents.keys.toSeq.sorted
+    val cos: Map[Long, Column] = labels.map(l =>
+      l -> graft.functions.GraftFunctions.cosine(
+        col("_v"), typedLit(cents(l)))).toMap
+    def ownOf(sel: Long => Column): Column =
+      labels.foldRight(lit(null).cast("double")) { (l, tail) =>
+        when(col("_l") === l, sel(l)).otherwise(tail)
+      }
+    val a = ownOf(cos)
+    // greatest() requires >= 2 args — a 2-label corpus has ONE rival
+    def best(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head else greatest(cs: _*)
+    val b = ownOf(l => best(labels.filterNot(_ == l).map(cos)))
+    base
+      .withColumn("_a", a).withColumn("_b", b)
+      .groupBy(col("_l"))
+      .agg(count(lit(1)).as("n"),
+        r(avg(col("_a")), 6).as("mean_own_cos"),
+        r(avg(col("_b")), 6).as("mean_best_other"),
+        r(avg(col("_a") - col("_b")), 6).as("mean_margin"),
+        r(sum(when(col("_a") - col("_b") <= 0.0, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("confused_frac"))
+      .withColumnRenamed("_l", "label")
+  }
+
   def kMeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
              seed: String, dim: Int, scale: Long = 10000L): DataFrame = {
     val xq = buildXq(df, id, vec, dim, scale)

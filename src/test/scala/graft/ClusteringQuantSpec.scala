@@ -147,4 +147,42 @@ class ClusteringQuantSpec extends SparkSpec {
     }
     assert(msgs(e3).exists(_.contains("NULL id")), e3.toString)
   }
+
+  test("labelCoherenceMargin: hand 2-D fixture, traitor point, laws") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // label 0: two clean axis-x points + one traitor on axis-y;
+    // label 1: two clean axis-y points. Centroid sums (scale 1e4):
+    // L0 = (20000, 10000), L1 = (0, 20000).
+    val df = Seq(
+      (Option(0), Some(Seq(1.0f, 0.0f))),
+      (Option(0), Some(Seq(1.0f, 0.0f))),
+      (Option(0), Some(Seq(0.0f, 1.0f))),   // traitor
+      (Option(1), Some(Seq(0.0f, 1.0f))),
+      (Option(1), Some(Seq(0.0f, 1.0f))),
+      (Option.empty[Int], Some(Seq(9.0f, 9.0f))),  // NULL label drops
+      (Option(1), Option.empty[Seq[Float]]))        // NULL vec drops
+      .toDF("label", "embedding")
+    val out = graft.operators.Clustering.labelCoherenceMargin(
+        df, col("embedding"), col("label"))
+      .orderBy("label")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    val cleanA = 20000.0 / math.sqrt(20000.0 * 20000.0 + 10000.0 * 10000.0)
+    val traitorA = 10000.0 / math.sqrt(20000.0 * 20000.0 + 10000.0 * 10000.0)
+    assert(out.size === 2)
+    // label 0: n=3, one confusable point (traitor: own 0.447 < rival 1.0)
+    assert(out(0)._1 === 0L && out(0)._2 === 3L)
+    assert(out(0)._3 === r6((2 * cleanA + traitorA) / 3.0))
+    assert(out(0)._6 === r6(1.0 / 3.0))
+    // label 1: both points sit ON the centroid ray → a = 1, rival 0.447
+    assert(out(1)._1 === 1L && out(1)._2 === 2L)
+    assert(out(1)._3 === 1.0 && out(1)._4 === r6(traitorA))
+    assert(out(1)._6 === 0.0)
+    // single label: loud refusal
+    val one = Seq((0, Seq(1.0f, 0.0f))).toDF("label", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Clustering.labelCoherenceMargin(
+        one, col("embedding"), col("label"))
+    }
+    assert(e.getMessage.contains(">= 2 labels"), e.getMessage)
+  }
 }

@@ -652,4 +652,101 @@ object Round11Props extends Properties("Round11Ops") {
       }
       ((ptOk && ciOk): Prop) :| s"out=$out ups=$ups wantPt=$wantPt"
     }
+
+  // ---- sourceKeyness ≡ brute G² with integer direction ------------- //
+
+  private val keyGen = for {
+    nDocs <- Gen.choose(2, 10)
+    docs <- Gen.listOfN(nDocs, for {
+      src <- Gen.oneOf(Some("a"), Some("b"), None)
+      toks <- Gen.choose(1, 15).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("x", "y", "z", "w")))
+    } yield (src, toks.mkString(" ")))
+  } yield docs.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+
+  property("sourceKeyness equals the brute G2-ranked definition") =
+    Prop.forAll(keyGen) { docs =>
+      import spark.implicits._
+      val (minC, topN) = (2L, 3)
+      val got = graft.operators.TextAnalysis.sourceKeyness(
+          docs.toDF("doc_id", "source", "text"),
+          col("source"), col("text"), minCount = minC, topN = topN)
+        .select("source", "token", "n", "llr", "rank")
+        .as[(Option[String], String, Long, Double, Long)].collect().toSet
+      def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      val cells = docs.flatMap { case (_, s, t) =>
+        t.split(" ", -1).map(w => (s, w)) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cg = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val cw = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      val nt = cells.values.sum
+      def term(o: Double, e: Double) = if (o > 0.0) o * math.log(o / e) else 0.0
+      val scored = cells.toSeq.collect {
+        case ((s, w), c) if c >= minC && c * nt > cg(s) * cw(w) =>
+          val (nn, gd, wd, o11) =
+            (nt.toDouble, cg(s).toDouble, cw(w).toDouble, c.toDouble)
+          val llr = 2.0 * (term(o11, gd * wd / nn) +
+            term(gd - o11, gd * (nn - wd) / nn) +
+            term(wd - o11, (nn - gd) * wd / nn) +
+            term(nn - gd - wd + o11, (nn - gd) * (nn - wd) / nn))
+          (s, w, c, r4(llr))
+      }
+      val want = scored.groupBy(_._1).values.flatMap { grp =>
+        grp.sortBy(x => (-x._4, x._2)).zipWithIndex
+          .take(topN)
+          .map { case ((s, w, c, l), i) => (s, w, c, l, i.toLong + 1) }
+      }.toSet
+      (got == want: Prop) :| s"got=$got want=$want"
+    }
+
+  // ---- labelCoherenceMargin ≡ brute centroid silhouette ------------ //
+
+  private val cohGen = for {
+    n <- Gen.choose(0, 12)
+    extra <- Gen.listOfN(n, for {
+      l <- Gen.choose(0L, 2L)
+      v <- Gen.listOfN(3, Gen.choose(-10, 10).map(_ / 10.0f))
+    } yield (l, v))
+  } yield Seq((0L, List(1.0f, 0.2f, -0.3f)), (1L, List(-0.5f, 0.9f, 0.1f))) ++
+    extra.map { case (l, v) => (l, v.toList) }
+
+  property("labelCoherenceMargin equals the brute silhouette replay") =
+    Prop.forAll(cohGen) { pts =>
+      import spark.implicits._
+      val got = graft.operators.Clustering.labelCoherenceMargin(
+          pts.toDF("label", "embedding"), col("embedding"), col("label"))
+        .select("label", "n", "mean_own_cos", "mean_best_other",
+          "mean_margin", "confused_frac")
+        .as[(Long, Long, Double, Double, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      def q(x: Float) = math.floor(x.toDouble * 10000.0 + 0.5)
+      val cents = pts.groupBy(_._1).view.mapValues { rows =>
+        (0 until 3).map(d => rows.map(r => q(r._2(d))).sum).toArray
+      }.toMap
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        (0 until 3).foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      def cos(v: Seq[Float], c: Array[Double]) = {
+        val vd = v.map(_.toDouble)
+        val n = math.sqrt(dot(vd, vd)) * math.sqrt(dot(c.toSeq, c.toSeq))
+        if (n == 0.0) 0.0 else dot(vd, c.toSeq) / n
+      }
+      val labels = cents.keys.toSeq.sorted
+      val perPoint = pts.map { case (l, v) =>
+        val a = cos(v, cents(l))
+        val b = labels.filterNot(_ == l).map(m => cos(v, cents(m))).max
+        (l, a, b)
+      }
+      val ok = perPoint.groupBy(_._1).forall { case (l, rows) =>
+        val g = got(l)
+        val near = (x: Double, y: Double) => math.abs(x - y) < 2e-6
+        g._2 == rows.size.toLong &&
+          near(g._3, rows.map(_._2).sum / rows.size) &&
+          near(g._4, rows.map(_._3).sum / rows.size) &&
+          near(g._5, rows.map(r => r._2 - r._3).sum / rows.size) &&
+          g._6 == math.floor(
+            rows.count(r => r._2 - r._3 <= 0.0).toDouble / rows.size
+              * 1e6 + 0.5) / 1e6
+      }
+      (ok: Prop) :| s"got=$got perPoint=$perPoint"
+    }
 }

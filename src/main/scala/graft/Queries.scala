@@ -6609,8 +6609,8 @@ object Queries {
       .orderBy(col("dow"), col("hour")),
     Some("""WITH e AS (SELECT epoch_us(ts) AS us FROM events
         WHERE ts IS NOT NULL),
-      c AS (SELECT ((us // 86400000000) + 3) % 7 AS dow,
-          (us // 3600000000) % 24 AS hour, count(*) AS n
+      c AS (SELECT ((((us // 86400000000) + 3) % 7) + 7) % 7 AS dow,
+          (((us // 3600000000) % 24) + 24) % 24 AS hour, count(*) AS n
         FROM e GROUP BY 1, 2),
       m AS (SELECT *, sum(n) OVER (PARTITION BY dow) AS rt,
           sum(n) OVER (PARTITION BY hour) AS ct,
@@ -6650,12 +6650,13 @@ object Queries {
       x AS (SELECT h0, v, c, t.r FROM b CROSS JOIN range(-1, 200) t(r)),
       z AS (SELECT v, c, r,
           CASE WHEN r < 0 THEN 1 ELSE
-            CASE WHEN zz < 367879443 THEN 0 WHEN zz < 735758887 THEN 1
-              WHEN zz < 919698609 THEN 2 WHEN zz < 981011849 THEN 3
-              WHEN zz < 996340160 THEN 4 ELSE 5 END END AS w
-        FROM (SELECT *, (y * y + h0) % 1000000007 AS zz
-          FROM (SELECT *, (x0 * x0 + r) % 1000000007 AS y
-            FROM (SELECT *, (h0 + r * 2654435761) % 1000000007 AS x0
+            CASE ${EventAnalytics.PoissonThresh.zipWithIndex.map {
+              case (tt, k) => s"WHEN zz < $tt THEN $k" }.mkString(" ")}
+              ELSE 5 END END AS w
+        FROM (SELECT *, (y * y + h0) % ${EventAnalytics.HashP} AS zz
+          FROM (SELECT *, (x0 * x0 + r) % ${EventAnalytics.HashP} AS y
+            FROM (SELECT *, (h0 + r * ${EventAnalytics.BootstrapMixMul})
+                % ${EventAnalytics.HashP} AS x0
               FROM x)))),
       g AS (SELECT r,
           sum(CASE WHEN v = 0 THEN w END) AS swa,

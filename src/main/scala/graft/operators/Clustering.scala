@@ -151,10 +151,19 @@ object Clustering {
     * Needs ≥ 2 labels (a margin against no rival is undefined —
     * loud). NULL labels/vectors drop (the family law). */
   def labelCoherenceMargin(df: DataFrame, vec: Column, label: Column,
-                           scale: Double = 10000.0): DataFrame = {
+                           scale: Double = 10000.0,
+                           reliableCheckpoint: Boolean = false): DataFrame = {
     val r = graft.functions.GraftFunctions.r _
-    val base = df.filter(label.isNotNull && vec.isNotNull)
-      .select(label.cast("long").as("_l"), vec.as("_v"))
+    // barrier BEFORE the centroid collect (the buildXq contract): the
+    // collect pass and the scoring pass must read the SAME rows — an
+    // unbarriered source re-read between the two jobs (refreshed
+    // view, appended directory, non-deterministic sample) would score
+    // points against stale centroids with no error. Also halves the
+    // corpus reads.
+    val base = OpUtils.barrier(
+      df.filter(label.isNotNull && vec.isNotNull)
+        .select(label.cast("long").as("_l"), vec.as("_v")),
+      reliableCheckpoint)
     val comps = base
       .select(col("_l"), posexplode(col("_v")).as(Seq("_d", "_x")))
       .groupBy(col("_l"), col("_d"))

@@ -1155,11 +1155,18 @@ object EventAnalytics {
     * cells ([[graft.streaming.StreamingDrift]] maintains it
     * incrementally through the same delta discipline). */
   private[graft] def seasonCells(df: DataFrame, tsUs: Column): DataFrame = {
-    val day = graft.functions.GraftFunctions.longDiv(tsUs, 86400000000L)
+    // FLOOR division, not SQL div: div truncates toward zero, so a
+    // pre-epoch timestamp (ts < 0) would land on the wrong day and a
+    // NEGATIVE hour (Spark % keeps the dividend's sign, and DuckDB's
+    // bare % does too) — subtract the pmod first (the epochMicros
+    // idiom: the difference is exactly divisible, so div ≡ floor),
+    // and take pmod for the cyclic keys so both engines agree on
+    // [0,7)/[0,24) whatever the sign
+    def floorDiv(a: Column, b: Long): Column =
+      graft.functions.GraftFunctions.longDiv(a - pmod(a, lit(b)), b)
     df.filter(tsUs.isNotNull)
-      .groupBy(((day + 3) % 7).as("_dw"),
-        (graft.functions.GraftFunctions.longDiv(tsUs, 3600000000L) % 24)
-          .as("_hr"))
+      .groupBy(pmod(floorDiv(tsUs, 86400000000L) + 3, lit(7L)).as("_dw"),
+        pmod(floorDiv(tsUs, 3600000000L), lit(24L)).as("_hr"))
       .agg(count(lit(1)).as("_n"))
   }
 
@@ -1191,9 +1198,14 @@ object EventAnalytics {
     * grid: P(X ≤ k)·(1e9+7) floored, k = 0..4 (the ≥5 tail carries
     * 0.37% and is capped at 5). Integer comparisons replay bit-equal
     * on any engine — the float CDF literals would not. */
-  private val PoissonThresh = Seq(
+  val PoissonThresh: Seq[Long] = Seq(
     367879443L, 735758887L, 919698609L, 981011849L, 996340160L)
-  private val HashP = 1000000007L
+  val HashP: Long = 1000000007L
+
+  /** The bootstrap mixer's replicate multiplier (2³²·φ−¹ rounded —
+    * the golden-ratio increment). Single-sourced into the SQL twin
+    * like [[BenfordP]]. */
+  val BootstrapMixMul: Long = 2654435761L
 
   /** The bootstrap's per-(row, replicate) mixer: two modular squaring
     * rounds over the row's 31-polynomial hash and the replicate index.
@@ -1202,7 +1214,7 @@ object EventAnalytics {
     * depends on. NOT a cryptographic hash; two squarings give the
     * avalanche a percentile CI needs, nothing more. */
   private def bootstrapMix(h0: Column, rep: Column): Column = {
-    val x = pmod(h0 + rep * lit(2654435761L), lit(HashP))
+    val x = pmod(h0 + rep * lit(BootstrapMixMul), lit(HashP))
     val y = pmod(x * x + rep, lit(HashP))
     pmod(y * y + h0, lit(HashP))
   }

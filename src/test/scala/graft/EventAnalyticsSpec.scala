@@ -659,11 +659,13 @@ class EventAnalyticsSpec extends SparkSpec {
       (0L, 1L, 1L, 1.333333, -0.288675),
       (1L, 0L, 1L, 1.333333, -0.288675),
       (1L, 1L, 1L, 0.666667, 0.408248)))
-    // epoch day 0 was a Thursday → dow 3
-    val thu = EventAnalytics.seasonalityProfile(
-      Seq(100L).toDF("ts_us"), col("ts_us"))
-      .select("dow", "hour").as[(Long, Long)].collect().head
-    assert(thu === ((3L, 0L)))
+    // epoch day 0 was a Thursday → dow 3; a PRE-epoch instant must
+    // FLOOR to the previous day and wrap the cyclic keys (ts = −1 µs
+    // is Wednesday 23h — truncating div would call it Thursday 0h)
+    val edge = EventAnalytics.seasonalityProfile(
+      Seq(100L, -1L).toDF("ts_us"), col("ts_us"))
+      .orderBy("dow").select("dow", "hour").as[(Long, Long)].collect().toSeq
+    assert(edge === Seq((2L, 23L), (3L, 0L)))
   }
 
   test("bootstrapUplift: brute-force mixer replay, CI order statistics, laws") {

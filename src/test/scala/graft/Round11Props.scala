@@ -569,7 +569,8 @@ object Round11Props extends Properties("Round11Ops") {
   private val seaGen = for {
     n <- Gen.choose(1, 80)
     pts <- Gen.listOfN(n, for {
-      day <- Gen.choose(0L, 20L)
+      day <- Gen.choose(-10L, 20L)   // pre-epoch days included: the
+                                     // floor-div/pmod law must hold
       hour <- Gen.choose(0L, 23L)
       off <- Gen.choose(0L, 3599999999L)
     } yield day * 86400000000L + hour * 3600000000L + off)
@@ -582,8 +583,9 @@ object Round11Props extends Properties("Round11Ops") {
       val got = EventAnalytics.seasonalityProfile(
           pts.toDF("ts_us"), col("ts_us"))
         .as[(Long, Long, Long, Double, Double)].collect().toSet
-      val cells = pts.map(t =>
-          ((t / 86400000000L + 3) % 7, t / 3600000000L % 24))
+      val cells = pts.map(t => (
+          Math.floorMod(Math.floorDiv(t, 86400000000L) + 3, 7L),
+          Math.floorMod(Math.floorDiv(t, 3600000000L), 24L)))
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
       val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap

@@ -6772,6 +6772,23 @@ object Queries {
       FROM g LEFT JOIN o ON g.digit = o.d CROSS JOIN t
       ORDER BY digit"""))
 
+  /** SQL fragment: the 4-term Dunning G² over columns named
+    * `o11`/`gd`/`wd`/`nn` — mirrors [[TextAnalysis.sourceKeyness]]'s
+    * (and q182's) double-first term sequence exactly. */
+  private val sqlG2: String = """2.0 * (
+          (CASE WHEN o11 > 0.0
+            THEN o11 * ln(o11 / (gd * wd / nn)) ELSE 0.0 END)
+          + (CASE WHEN gd - o11 > 0.0
+            THEN (gd - o11) * ln((gd - o11) / (gd * (nn - wd) / nn))
+            ELSE 0.0 END)
+          + (CASE WHEN wd - o11 > 0.0
+            THEN (wd - o11) * ln((wd - o11) / ((nn - gd) * wd / nn))
+            ELSE 0.0 END)
+          + (CASE WHEN nn - gd - wd + o11 > 0.0
+            THEN (nn - gd - wd + o11)
+              * ln((nn - gd - wd + o11) / ((nn - gd) * (nn - wd) / nn))
+            ELSE 0.0 END))"""
+
   /** H4+: per-source keyness ([[TextAnalysis.sourceKeyness]],
     * minCount 5, top 10) — q182's G² formula pointed at (source,
     * token) cells: each source's most OVERREPRESENTED tokens vs the
@@ -6784,7 +6801,7 @@ object Queries {
         t(s, d, "documents"), col("source"), col("text"),
         minCount = 5L, topN = 10)
       .orderBy(col("source"), col("rank")),
-    Some("""WITH ct AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w
+    Some(s"""WITH ct AS (SELECT source AS g, unnest(string_split(text, ' ')) AS w
         FROM documents),
       c AS (SELECT g, w, count(*) AS c FROM ct GROUP BY 1, 2),
       cg AS (SELECT g, sum(c) AS cg FROM c GROUP BY g),
@@ -6796,19 +6813,7 @@ object Queries {
         FROM c JOIN cg ON c.g IS NOT DISTINCT FROM cg.g
           JOIN cw USING (w) CROSS JOIN t
         WHERE c.c >= 5 AND c.c::HUGEINT * nt > cg.cg::HUGEINT * cw.cw),
-      ll AS (SELECT g, w, c, 2.0 * (
-          (CASE WHEN o11 > 0.0
-            THEN o11 * ln(o11 / (gd * wd / nn)) ELSE 0.0 END)
-          + (CASE WHEN gd - o11 > 0.0
-            THEN (gd - o11) * ln((gd - o11) / (gd * (nn - wd) / nn))
-            ELSE 0.0 END)
-          + (CASE WHEN wd - o11 > 0.0
-            THEN (wd - o11) * ln((wd - o11) / ((nn - gd) * wd / nn))
-            ELSE 0.0 END)
-          + (CASE WHEN nn - gd - wd + o11 > 0.0
-            THEN (nn - gd - wd + o11)
-              * ln((nn - gd - wd + o11) / ((nn - gd) * (nn - wd) / nn))
-            ELSE 0.0 END)) AS llr
+      ll AS (SELECT g, w, c, $sqlG2 AS llr
         FROM j),
       rk AS (SELECT g AS source, w AS token, c AS n,
           floor(llr * 10000 + 0.5) / 10000.0 AS llr,
@@ -6895,6 +6900,50 @@ object Queries {
       FROM p GROUP BY l ORDER BY label"""),
     bench = true)
 
+  /** H3+/H4+ composition: semantic cluster naming — q108's portable
+    * k-means assigns every document's embedding to a cluster
+    * (doc_id ≡ vec_id in the testdata), then q206's keyness names
+    * each cluster by its most overrepresented tokens. The standard
+    * "cluster the corpus, label the clusters" topic-discovery
+    * pipeline, end to end in one plan; the oracle replays the FULL
+    * unrolled k-means chain AND the G² ranking. Documents whose
+    * embedding is NULL drop at the join (both engines). */
+  private val q209 = Q("q209_cluster_keywords",
+    (s, d) => {
+      val assign = Clustering.kMeans(
+        emb(s, d).filter(col("embedding").isNotNull),
+        col("vec_id"), col("embedding"), k = 4, iters = 2,
+        seed = "km6", dim = 64)
+      val docs = t(s, d, "documents").join(
+        assign.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"))
+      TextAnalysis.sourceKeyness(docs, col("cluster_id"), col("text"),
+          minCount = 5L, topN = 5)
+        .select(col("source").as("cluster_id"), col("token"), col("n"),
+          col("llr"), col("rank"))
+        .orderBy(col("cluster_id"), col("rank"))
+    },
+    Some(s"""WITH $kmeansOracleCte,
+      dtok AS (SELECT a3.cid AS g, unnest(string_split(d.text, ' ')) AS w
+        FROM documents d JOIN a3 ON d.doc_id = a3.vec_id),
+      kc AS (SELECT g, w, count(*) AS c FROM dtok GROUP BY 1, 2),
+      kg AS (SELECT g, sum(c) AS cg FROM kc GROUP BY g),
+      kw AS (SELECT w, sum(c) AS cw FROM kc GROUP BY w),
+      kt AS (SELECT sum(c) AS nt FROM kc),
+      j AS (SELECT kc.g, kc.w, kc.c,
+          kg.cg::DOUBLE AS gd, kw.cw::DOUBLE AS wd, nt::DOUBLE AS nn,
+          kc.c::DOUBLE AS o11
+        FROM kc JOIN kg USING (g) JOIN kw USING (w) CROSS JOIN kt
+        WHERE kc.c >= 5 AND kc.c::HUGEINT * nt > kg.cg::HUGEINT * kw.cw),
+      kll AS (SELECT g, w, c, $sqlG2 AS llr FROM j),
+      krk AS (SELECT g AS cluster_id, w AS token, c AS n,
+          floor(llr * 10000 + 0.5) / 10000.0 AS llr,
+          row_number() OVER (PARTITION BY g
+            ORDER BY floor(llr * 10000 + 0.5) / 10000.0 DESC, w) AS rank
+        FROM kll)
+      SELECT cluster_id, token, n, llr, rank FROM krk
+      WHERE rank <= 5 ORDER BY cluster_id, rank"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -6911,7 +6960,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208,
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -373,6 +373,63 @@ object Sampling {
     * would bias the kept prefix toward low ids — exactly the at-scale
     * regime this sampler targets. Hash collisions at 10^9 granularity
     * are vanishingly rare, so the draw stays uniform. */
+  /** Cross-stratum quantile normalization — map every score onto the
+    * POOLED score distribution at its in-stratum percentile:
+    * `normalized = Q_pooled((rank_s − 1)/(n_s − 1))` with linear
+    * interpolation between pooled order statistics. The score
+    * calibrator heterogeneous quality scores need before one global
+    * threshold can mix them — each stratum's own distribution
+    * (shifted, stretched, however shaped) maps onto the common scale,
+    * so "keep normalized ≥ x" cuts every stratum at the same RELATIVE
+    * quality ([[graft.operators.TextAnalysis.quantileGate]] keeps a
+    * per-stratum fraction; this produces the comparable SCORE).
+    *
+    * Determinism: in-stratum p uses min-rank over the raw score (ties
+    * share p — the classic convention) and an explicit
+    * (rank−1)/(n−1) with a NULL law for singleton strata (engine
+    * `percent_rank` conventions disagree at n = 1); the pooled lookup
+    * joins on the INTEGER index floor(p·(N−1)) — tied pooled values
+    * make any tie order equivalent (equal values interpolate to
+    * themselves); the interpolation q_lo + frac·(q_hi − q_lo) is one
+    * fixed IEEE sequence, r(6)-masked at the query layer.
+    *
+    * Scale: exact global order statistics are a SORT problem — the
+    * pooled row_number window is the honest cost (the q126 quantile
+    * sketch is the 100 TB approximation path). The input is barriered
+    * (three consumers: ranks, the pooled index, N). */
+  def quantileNormalize(df: DataFrame, id: Column, stratum: Column,
+                        score: Column,
+                        reliableCheckpoint: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = OpUtils.barrier(
+      df.filter(score.isNotNull)
+        .select(id.as("_id"), stratum.as("_g"),
+          score.cast("double").as("_x")),
+      reliableCheckpoint)
+    val pooled = base.select(col("_x").as("_q"))
+      .withColumn("_idx", row_number().over(Window.orderBy(col("_q"))) - 1)
+    val n = base.agg(count(lit(1)).as("_n"))
+    val p = (rank().over(Window.partitionBy(col("_g")).orderBy(col("_x")))
+      - 1).cast("double") /
+      nullif((count(lit(1)).over(Window.partitionBy(col("_g"))) - 1)
+        .cast("double"), lit(0.0))
+    val ranked = base.withColumn("_p", p)
+      .crossJoin(broadcast(n))
+      .withColumn("_pos", col("_p") * (col("_n") - 1).cast("double"))
+      .withColumn("_lo", floor(col("_pos")).cast("long"))
+      .withColumn("_hi", least(col("_lo") + 1, col("_n") - 1))
+      .withColumn("_frac", col("_pos") - col("_lo").cast("double"))
+    ranked
+      .join(pooled.select(col("_idx").as("_lo"), col("_q").as("_qlo")),
+        Seq("_lo"), "left")
+      .join(pooled.select(col("_idx").as("_hi"), col("_q").as("_qhi")),
+        Seq("_hi"), "left")
+      .select(col("_id").as("id"), col("_g").as("stratum"),
+        col("_x").as("score"), col("_p").as("pct"),
+        (col("_qlo") + col("_frac") * (col("_qhi") - col("_qlo")))
+          .as("normalized"))
+  }
+
   def stratumSample(df: DataFrame, stratum: Column, key: Column, n: Int,
                     seed: String, rankCol: String = "smp_rank"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

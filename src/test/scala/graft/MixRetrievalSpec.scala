@@ -172,4 +172,29 @@ class MixRetrievalSpec extends SparkSpec {
       .as[(String, Long, Long, Int)].collect()
     assert(under.length == 10 && under.forall(_._1 == "y"))
   }
+
+  test("quantileNormalize: pooled interpolation, edges, singleton NULL, null drop") {
+    // pooled sorted: [10, 15, 20, 30, 100, 200], N = 6
+    val df = Seq(
+      (1L, Some("a"), Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Some("a"), Some(30L)),
+      (4L, Some("b"), Some(100L)), (5L, Some("b"), Some(200L)),
+      (6L, Some("c"), Some(15L)),                  // singleton stratum
+      (7L, Some("a"), Option.empty[Long]))         // NULL score drops
+      .toDF("doc_id", "source", "n_chars")
+    val out = graft.operators.Sampling.quantileNormalize(
+        df, col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("id")
+      .as[(Long, Option[String], Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // a/20: p = 0.5 → pos 2.5 → halfway between pooled idx 2 (20)
+    // and 3 (30) = 25; stratum extremes land on the pooled extremes
+    assert(out(0)._5 === Some(10.0))
+    assert(out(1)._4 === Some(0.5) && out(1)._5 === Some(25.0))
+    assert(out(2)._5 === Some(200.0))
+    assert(out(3)._5 === Some(10.0) && out(4)._5 === Some(200.0))
+    // singleton stratum: (rank−1)/(n−1) is 0/0 → NULL, never 0
+    assert(out(5)._4.isEmpty && out(5)._5.isEmpty)
+  }
 }

@@ -751,4 +751,51 @@ object Round11Props extends Properties("Round11Ops") {
       }
       (ok: Prop) :| s"got=$got perPoint=$perPoint"
     }
+
+  // ---- quantileNormalize ≡ brute pooled interpolation --------------- //
+
+  private val qnGen = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b", "c")
+      x <- Gen.choose(0L, 30L)   // narrow range → plenty of ties
+    } yield (g, x))
+  } yield rows.zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
+
+  property("quantileNormalize equals the brute pooled-percentile map") =
+    Prop.forAll(qnGen) { rows =>
+      import spark.implicits._
+      val got = graft.operators.Sampling.quantileNormalize(
+          rows.toDF("id", "g", "x"), col("id"), col("g"), col("x"))
+        .select("id", "pct", "normalized")
+        .as[(Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val pooled = rows.map(_._3.toDouble).sorted
+      val nTot = pooled.size
+      val want = rows.groupBy(_._2).values.flatMap { grp =>
+        val xs = grp.map(_._3.toDouble)
+        grp.map { case (id, _, x) =>
+          val p =
+            if (grp.size == 1) None
+            else Some(xs.count(_ < x.toDouble).toDouble / (grp.size - 1))
+          val norm = p.map { pp =>
+            val pos = pp * (nTot - 1).toDouble
+            val lo = math.floor(pos).toInt
+            val hi = math.min(lo + 1, nTot - 1)
+            val frac = pos - lo.toDouble
+            pooled(lo) + frac * (pooled(hi) - pooled(lo))
+          }
+          id -> ((p, norm))
+        }
+      }.toMap
+      def near(a: Option[Double], b: Option[Double]) = (a, b) match {
+        case (Some(x), Some(y)) => math.abs(x - y) < 1e-9
+        case (None, None) => true
+        case _ => false
+      }
+      val ok = got.keySet == want.keySet && got.forall { case (id, g) =>
+        near(g._1, want(id)._1) && near(g._2, want(id)._2)
+      }
+      (ok: Prop) :| s"got=$got want=$want"
+    }
 }

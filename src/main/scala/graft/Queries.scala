@@ -6986,6 +6986,61 @@ object Queries {
         LEFT JOIN pool ph ON pos.hi = ph.idx
       ORDER BY doc_id"""))
 
+  /** E+/D+: trailing-window daily rate anomaly
+    * ([[EventAnalytics.dailyRateAnomaly]], k = 7) — each day's count
+    * and value sum z-scored against the PRIOR week's mean/σ: the
+    * live ops-monitoring member beside q196's retrospective
+    * changepoint. The day grid densifies (a zero-traffic day is the
+    * signal, not an absent row); first-k and σ = 0 baselines → NULL.
+    * Shares q196's day-cell substrate, so the streaming daily
+    * monitor's persisted state serves both readers. */
+  private val q211 = Q("q211_daily_rate_anomaly",
+    (s, d) => EventAnalytics.dailyRateAnomaly(
+        eventsUs(s, d).filter(col("event_type") === "purchase"),
+        ts = "ts_us", valueCol = "value",
+        epoch0Us = CohortEpoch0Us, dayUs = 86400000000L, scale = 100L,
+        k = 7)
+      .orderBy(col("day")),
+    Some(s"""WITH e AS (SELECT
+          (epoch_us(ts) - $CohortEpoch0Us) // 86400000000 AS d,
+          CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      days AS (SELECT d, count(*) AS c, sum(v) AS s FROM e GROUP BY d),
+      b AS (SELECT min(d) AS lo, max(d) AS hi FROM days),
+      grid AS (SELECT unnest(range(lo, hi + 1)) AS d FROM b),
+      dense AS (SELECT grid.d AS d, coalesce(days.c, 0) AS c,
+          coalesce(days.s, 0) AS s
+        FROM grid LEFT JOIN days ON grid.d = days.d),
+      w AS (SELECT d, c, s,
+          count(*) OVER win AS nw,
+          sum(c) OVER win AS sc, sum(c::HUGEINT * c) OVER win AS scc,
+          sum(s) OVER win AS ss, sum(s::HUGEINT * s) OVER win AS sss
+        FROM dense
+        WINDOW win AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      m AS (SELECT *,
+          sc::DOUBLE / nullif(nw::DOUBLE, 0.0) AS mc,
+          sqrt(greatest(0.0,
+            (scc::DOUBLE - sc::DOUBLE * sc::DOUBLE
+                / nullif(nw::DOUBLE, 0.0))
+              / nullif(nw::DOUBLE - 1.0, 0.0))) AS sdc,
+          ss::DOUBLE / nullif(nw::DOUBLE, 0.0) AS ms,
+          sqrt(greatest(0.0,
+            (sss::DOUBLE - ss::DOUBLE * ss::DOUBLE
+                / nullif(nw::DOUBLE, 0.0))
+              / nullif(nw::DOUBLE - 1.0, 0.0))) AS sds
+        FROM w)
+      SELECT d AS day, c AS n_events,
+        floor(s::DOUBLE / 100.0 * 1000000 + 0.5) / 1000000 AS value_sum,
+        CASE WHEN nw = 7 AND sdc <> 0.0
+          THEN floor((c::DOUBLE - mc) / sdc * 1000000 + 0.5) / 1000000
+        END AS z_count,
+        CASE WHEN nw = 7 AND sds <> 0.0
+          THEN floor((s::DOUBLE - ms) / sds * 1000000 + 0.5) / 1000000
+        END AS z_value
+      FROM m ORDER BY day"""))
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -7002,7 +7057,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210,
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

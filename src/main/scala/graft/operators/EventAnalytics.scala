@@ -1529,6 +1529,73 @@ object EventAnalytics {
       .agg(count(lit(1)).as("_c"), sum(col("_v")).as("_s"))
   }
 
+  /** Trailing-window daily rate anomaly — each day's event count and
+    * value sum as a z-score against the PRIOR `k` days' mean/σ: the
+    * ops-monitoring question ("is today's traffic off its own recent
+    * baseline") beside q196's retrospective changepoint (WHERE did
+    * the level shift) — the changepoint re-reads all history; this
+    * scores every day against a fixed-width local baseline, so a
+    * one-day outage or spike lights up even in a drifting series.
+    *
+    * The day grid DENSIFIES over [min, max]: a zero-traffic day is
+    * itself the anomaly signal, not an absent row (and a sparse
+    * "prior k observed days" window would silently stretch over
+    * gaps). Counts and tick-sums aggregate as exact decimals; μ, the
+    * portable variance, σ, and z are one fixed IEEE sequence with
+    * NULL-safe denominators. Laws: the first `k` days (incomplete
+    * baseline) and σ = 0 baselines → NULL z, never ±∞/0/0.
+    *
+    * Shares [[dayCells]] with the changepoint — the streaming
+    * monitor's persisted day state serves both readers
+    * ([[graft.streaming.StreamingDrift.rateAnomaly]]). Everything
+    * after the one map-side day aggregation is day-bounded; the
+    * global order window is safe BECAUSE its input is the bounded,
+    * barriered day table (the q192 argument). */
+  def dailyRateAnomaly(df: DataFrame, ts: String, valueCol: String,
+                       epoch0Us: Long, dayUs: Long, scale: Long,
+                       k: Int = 7,
+                       reliableCheckpoint: Boolean = false): DataFrame =
+    rateAnomalyFromDays(
+      dayCells(df, ts, valueCol, epoch0Us, dayUs, scale), k, scale,
+      reliableCheckpoint)
+
+  /** [[dailyRateAnomaly]]'s core over an existing `(_d, _c, _s)` day
+    * table. */
+  private[graft] def rateAnomalyFromDays(days0: DataFrame, k: Int,
+                                         scale: Long,
+                                         reliableCheckpoint: Boolean = false): DataFrame = {
+    require(k >= 2, s"baseline needs k >= 2 days: $k")
+    val r = graft.functions.GraftFunctions.r _
+    val dec = "decimal(38,0)"
+    val days = OpUtils.barrier(days0, reliableCheckpoint)
+    val dense = days.agg(min(col("_d")).as("_lo"), max(col("_d")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("_d"))
+      .join(days, Seq("_d"), "left")
+      .select(col("_d"), coalesce(col("_c"), lit(0L)).as("_c"),
+        coalesce(col("_s"), lit(0L)).as("_s"))
+    val w = Window.orderBy(col("_d")).rowsBetween(-k, -1)
+    def z(x: Column, sc: Column, scc: Column, n: Column): Column = {
+      val nd = n.cast("double")
+      val mean = sc.cast("double") / nullif(nd, lit(0.0))
+      val vr = (scc.cast("double") - sc.cast("double") * sc.cast("double")
+        / nullif(nd, lit(0.0))) / nullif(nd - 1.0, lit(0.0))
+      val sd = sqrt(greatest(lit(0.0), vr))
+      when(n === k && sd =!= 0.0, (x.cast("double") - mean) / sd)
+    }
+    dense
+      .withColumn("_nw", count(lit(1)).over(w))
+      .withColumn("_sc", sum(col("_c").cast(dec)).over(w))
+      .withColumn("_scc",
+        sum(col("_c").cast(dec) * col("_c").cast(dec)).over(w))
+      .withColumn("_ss", sum(col("_s").cast(dec)).over(w))
+      .withColumn("_sss",
+        sum(col("_s").cast(dec) * col("_s").cast(dec)).over(w))
+      .select(col("_d").as("day"), col("_c").as("n_events"),
+        r(col("_s").cast("double") / lit(scale.toDouble), 6).as("value_sum"),
+        r(z(col("_c"), col("_sc"), col("_scc"), col("_nw")), 6).as("z_count"),
+        r(z(col("_s"), col("_ss"), col("_sss"), col("_nw")), 6).as("z_value"))
+  }
+
   /** [[cusumChangepoint]]'s core over an existing `(_d, _c, _s)` day
     * table (barriered here — totals + prefix window both read it). */
   private[graft] def cusumFromDays(days0: DataFrame, scale: Long,

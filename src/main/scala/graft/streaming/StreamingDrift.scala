@@ -250,6 +250,14 @@ object StreamingDrift {
                   cfg: DailyConfig): DataFrame =
     EventAnalytics.cusumFromDays(dayCells(spark, dir), cfg.scale)
 
+  /** Running daily rate anomaly — identical output to
+    * [[EventAnalytics.dailyRateAnomaly]] over all rows ingested so
+    * far (shared core over the SAME day-cell state the changepoint
+    * reads — one persisted table, two verdicts). */
+  def rateAnomaly(spark: SparkSession, dir: String, cfg: DailyConfig,
+                  k: Int = 7): DataFrame =
+    EventAnalytics.rateAnomalyFromDays(dayCells(spark, dir), k, cfg.scale)
+
   def startDaily(df: DataFrame, tsCol: String, valueCol: String,
                  dir: String, checkpoint: String,
                  cfg: DailyConfig): StreamingQuery =

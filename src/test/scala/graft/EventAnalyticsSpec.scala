@@ -727,6 +727,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(bad.getMessage != null)
   }
 
+  test("rateAnomalyFromDays: densified gaps, hand z-scores, first-k and σ=0 NULLs") {
+    // day cells (d, count, tick-sum) with a GAP at d3 — the densified
+    // zero day must both score (it IS the anomaly) and enter later
+    // baselines; k = 2, scale = 10
+    val days = Seq(
+      (0L, 10L, 100L), (1L, 10L, 100L), (2L, 16L, 40L), (4L, 2L, 20L))
+      .toDF("_d", "_c", "_s")
+    val out = EventAnalytics.rateAnomalyFromDays(days, k = 2, scale = 10L)
+      .orderBy("day")
+      .as[(Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq(
+      (0L, 10L, 10.0), (1L, 10L, 10.0), (2L, 16L, 4.0),
+      (3L, 0L, 0.0), (4L, 2L, 2.0)))
+    assert(out(0)._4.isEmpty && out(1)._4.isEmpty)  // incomplete baseline
+    assert(out(2)._4.isEmpty && out(2)._5.isEmpty)  // σ = 0 baseline
+    // d3 vs prior {10,16}: mean 13, σ = √18 → z = −13/√18 ≈ −3.064129
+    assert(out(3)._4 === Some(-3.064129))
+    // d3 value vs prior {100,40}: mean 70, σ = √1800 → ≈ −1.649916
+    assert(out(3)._5 === Some(-1.649916))
+    // d4 vs prior {16,0}: mean 8, σ = √128 → (2−8)/√128 ≈ −0.53033
+    assert(out(4)._4 === Some(-0.53033))
+    // d4 value vs prior {40,0}: mean 20 → z exactly 0
+    assert(out(4)._5 === Some(0.0))
+  }
+
   test("burstiness: metronome -1, hand bursty case, single-gap NULL, pooling") {
     // type "m": user 1 metronome gaps {10,10,10}; type "b": user 2
     // gaps {0,0,30} (tie at same ts breaks by event_id → two 0 gaps);

@@ -93,6 +93,11 @@ class StreamingDriftSpec extends SparkSpec {
         slurp(EventAnalytics.cusumChangepoint(
           rows.toSeq.toDF("ts_us", "value"), "ts_us", "value",
           Epoch0, DayUs)))
+      // the SAME persisted day cells serve the rate-anomaly reader
+      assert(slurp(StreamingDrift.rateAnomaly(spark, s"$base/days", cfg)) ===
+        slurp(EventAnalytics.dailyRateAnomaly(
+          rows.toSeq.toDF("ts_us", "value"), "ts_us", "value",
+          Epoch0, DayUs, scale = 100L)))
     } finally q.stop()
   }
 

@@ -6942,7 +6942,8 @@ object Queries {
             ORDER BY floor(llr * 10000 + 0.5) / 10000.0 DESC, w) AS rank
         FROM kll)
       SELECT cluster_id, token, n, llr, rank FROM krk
-      WHERE rank <= 5 ORDER BY cluster_id, rank"""))
+      WHERE rank <= 5 ORDER BY cluster_id, rank"""),
+    bench = true)
 
   /** H4+/D+: cross-source quantile normalization
     * ([[graft.operators.Sampling.quantileNormalize]]) — map each
@@ -7039,7 +7040,8 @@ object Queries {
         CASE WHEN nw = 7 AND sds <> 0.0
           THEN floor((s::DOUBLE - ms) / sds * 1000000 + 0.5) / 1000000
         END AS z_value
-      FROM m ORDER BY day"""))
+      FROM m ORDER BY day"""),
+    bench = true)
 
   // ---------------------------------------------------------------- //
   // registry                                                          //

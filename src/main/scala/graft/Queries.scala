@@ -6609,9 +6609,13 @@ object Queries {
       .orderBy(col("dow"), col("hour")),
     Some("""WITH e AS (SELECT epoch_us(ts) AS us FROM events
         WHERE ts IS NOT NULL),
-      c AS (SELECT ((((us // 86400000000) + 3) % 7) + 7) % 7 AS dow,
-          (((us // 3600000000) % 24) + 24) % 24 AS hour, count(*) AS n
-        FROM e GROUP BY 1, 2),
+      f AS (SELECT (us - ((us % 86400000000) + 86400000000) % 86400000000)
+            // 86400000000 AS dd,
+          (us - ((us % 3600000000) + 3600000000) % 3600000000)
+            // 3600000000 AS hh FROM e),
+      c AS (SELECT (((dd + 3) % 7) + 7) % 7 AS dow,
+          ((hh % 24) + 24) % 24 AS hour, count(*) AS n
+        FROM f GROUP BY 1, 2),
       m AS (SELECT *, sum(n) OVER (PARTITION BY dow) AS rt,
           sum(n) OVER (PARTITION BY hour) AS ct,
           sum(n) OVER () AS tot FROM c)
@@ -6870,7 +6874,7 @@ object Queries {
     * projection — k fused graft_dot cosines, no join. */
   private val q208 = Q("q208_label_coherence",
     (s, d) => graft.operators.Clustering.labelCoherenceMargin(
-        emb(s, d), col("embedding"), col("label"))
+        emb(s, d), col("embedding"), col("label"), dim = EmbeddingDim)
       .orderBy(col("label")),
     Some(s"""WITH e AS (SELECT vec_id, embedding AS v,
           CAST(label AS BIGINT) AS l

@@ -90,7 +90,15 @@ object GraftFunctions {
     * and the DuckDB oracle. Half-way cases round toward +infinity. */
   def r(c: Column, d: Int): Column = {
     val k = math.pow(10.0, d)
-    floor(c * lit(k) + lit(0.5)) / lit(k)
+    val v = c * lit(k) + lit(0.5)
+    // Spark's floor(double) returns LONG and SATURATES at ±2^63−1;
+    // DuckDB's floor stays DOUBLE — so a scaled value past the long
+    // range (|x| ≥ ~9.2e12 at d=6: pre-epoch µs gaps, ×1e6 dirt sums)
+    // silently clamps on one engine only. Past 2^53 every double is
+    // already integral — floor is the identity on BOTH engines — so
+    // route that regime around the long cast (9e18 keeps the branch
+    // strictly below the clamp while staying far above 2^53)
+    when(abs(v) >= lit(9.0e18), v / lit(k)).otherwise(floor(v) / lit(k))
   }
 
   /** Universal-hash family over an already-hashed long token:

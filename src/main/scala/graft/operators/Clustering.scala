@@ -149,8 +149,17 @@ object Clustering {
     * sums like every mean in the engine.
     *
     * Needs ≥ 2 labels (a margin against no rival is undefined —
-    * loud). NULL labels/vectors drop (the family law). */
+    * loud). NULL labels/vectors drop (the family law); a RAGGED
+    * vector is refused in-plan by [[GraftFunctions.vectorDimGuard]]
+    * (the buildXq/kMeans dim contract — without it the native dot
+    * folds to the shorter length and each label's centroid dim would
+    * be inferred from whatever that label happened to contain, a
+    * silently wrong margin). NULL ELEMENTS inside a kept vector
+    * contribute 0 to the centroid cell sums (coalesced — an all-NULL
+    * (label, dim) cell is a 0 component, not a driver NPE), matching
+    * the native dot/norm fold's null-as-0.0 law on the scoring side. */
   def labelCoherenceMargin(df: DataFrame, vec: Column, label: Column,
+                           dim: Int,
                            scale: Double = 10000.0,
                            reliableCheckpoint: Boolean = false): DataFrame = {
     val r = graft.functions.GraftFunctions.r _
@@ -162,16 +171,18 @@ object Clustering {
     // corpus reads.
     val base = OpUtils.barrier(
       df.filter(label.isNotNull && vec.isNotNull)
+        .filter(graft.functions.GraftFunctions.vectorDimGuard(vec, dim))
         .select(label.cast("long").as("_l"), vec.as("_v")),
       reliableCheckpoint)
     val comps = base
       .select(col("_l"), posexplode(col("_v")).as(Seq("_d", "_x")))
       .groupBy(col("_l"), col("_d"))
-      .agg(sum(floor(col("_x") * scale + lit(0.5)).cast("long")).as("_s"))
+      .agg(coalesce(
+        sum(floor(col("_x") * scale + lit(0.5)).cast("long")), lit(0L))
+        .as("_s"))
       .collect()
     val cents: Map[Long, Seq[Double]] = comps.groupBy(_.getLong(0)).map {
       case (l, rows) =>
-        val dim = rows.map(_.getInt(1)).max + 1
         val arr = new Array[Double](dim)
         rows.foreach(r0 => arr(r0.getInt(1)) = r0.getLong(2).toDouble)
         l -> arr.toSeq

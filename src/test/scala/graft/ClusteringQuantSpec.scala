@@ -163,7 +163,7 @@ class ClusteringQuantSpec extends SparkSpec {
       (Option(1), Option.empty[Seq[Float]]))        // NULL vec drops
       .toDF("label", "embedding")
     val out = graft.operators.Clustering.labelCoherenceMargin(
-        df, col("embedding"), col("label"))
+        df, col("embedding"), col("label"), dim = 2)
       .orderBy("label")
       .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
     val cleanA = 20000.0 / math.sqrt(20000.0 * 20000.0 + 10000.0 * 10000.0)
@@ -181,8 +181,42 @@ class ClusteringQuantSpec extends SparkSpec {
     val one = Seq((0, Seq(1.0f, 0.0f))).toDF("label", "embedding")
     val e = intercept[IllegalArgumentException] {
       graft.operators.Clustering.labelCoherenceMargin(
-        one, col("embedding"), col("label"))
+        one, col("embedding"), col("label"), dim = 2)
     }
     assert(e.getMessage.contains(">= 2 labels"), e.getMessage)
+  }
+
+  test("labelCoherenceMargin: ragged vectors refuse loudly; all-NULL " +
+      "(label, dim) cells coalesce to 0 (no driver NPE)") {
+    def msgs(t: Throwable): Seq[String] = Option(t).toSeq
+      .flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // ragged: the in-plan vectorDimGuard kills the query (without it
+    // the native dot would fold to the short length and this label's
+    // centroid dim would be inferred from its own max index)
+    val ragged = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 2.0f))).toDF("label", "embedding")
+    val e = intercept[Exception] {
+      graft.operators.Clustering.labelCoherenceMargin(
+        ragged, col("embedding"), col("label"), dim = 2).collect()
+    }
+    assert(msgs(e).exists(_.contains("dimension guard")), e.toString)
+    // an all-NULL element position for one label: the centroid cell
+    // sums to SQL NULL — must land as component 0.0 (the native fold's
+    // null-as-0.0 law), never a Row.getLong NPE on the driver
+    val nullEl = Seq(
+      (0L, Seq(Option(1.0f), Option.empty[Float])),
+      (0L, Seq(Option(1.0f), Option.empty[Float])),
+      (1L, Seq(Option(0.0f), Option(1.0f))))
+      .toDF("label", "embedding")
+    val out = graft.operators.Clustering.labelCoherenceMargin(
+        nullEl, col("embedding"), col("label"), dim = 2)
+      .orderBy("label")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(out.size === 2)
+    // label-0 centroid = (20000, 0); each point reads (1, null→0) in
+    // the native fold → own cos exactly 1.0, rival cos 0.0
+    assert(out(0)._1 === 0L && out(0)._2 === 2L)
+    assert(out(0)._3 === 1.0 && out(0)._4 === 0.0 && out(0)._6 === 0.0)
   }
 }

@@ -778,6 +778,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(2) === (("s", 1L, 7.0, None, None)))
   }
 
+  test("burstiness: pre-epoch µs gaps past the long-floor clamp round " +
+      "like DuckDB (r's >= 2^53 identity branch, no Long.MaxValue wall)") {
+    // one 60-year pre-epoch event: gap ≈ 1.89e15 µs, so μ·1e6 ≈ 9.5e20
+    // overflows floor(double)'s LONG range — the old r() clamped every
+    // such mean to Long.MaxValue/1e6 = 9223372036854.775; past 2^53
+    // floor must be the identity (DuckDB's double floor), so the mean
+    // is the plain double μ
+    val preEpoch = -1893456000000000L // ~1910, well before epoch 0
+    val ev = Seq(
+      (1L, 1L, "x", preEpoch), (1L, 2L, "x", 0L), (1L, 3L, "x", 10L))
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val out = EventAnalytics.burstiness(ev, col("event_type"),
+        col("user_id"), col("ts_us"), col("event_id"))
+      .as[(String, Long, Double, Option[Double], Option[Double])]
+      .collect().head
+    // replay r's identity branch exactly: (μ·1e6 + 0.5)/1e6 in IEEE
+    // doubles (the *1e6 then /1e6 round-trip may move an ulp — the
+    // law is engine parity, not algebraic identity)
+    val mu = (1.893456e15 + 10.0) / 2.0
+    val expected = (mu * 1e6 + 0.5) / 1e6
+    assert(out._2 === 2L)
+    assert(out._3 === expected, s"mean_gap_us must not clamp: ${out._3}")
+    assert(out._3 !== 9.223372036854776e12)
+  }
+
   test("spearman: monotone ±1, hand tie case, constant-series NULL, null drop") {
     val df = Seq(
       ("up", 1.0, 10L), ("up", 2.0, 20L), ("up", 3.0, 30L),

@@ -716,7 +716,8 @@ object Round11Props extends Properties("Round11Ops") {
     Prop.forAll(cohGen) { pts =>
       import spark.implicits._
       val got = graft.operators.Clustering.labelCoherenceMargin(
-          pts.toDF("label", "embedding"), col("embedding"), col("label"))
+          pts.toDF("label", "embedding"), col("embedding"), col("label"),
+          dim = 3)
         .select("label", "n", "mean_own_cos", "mean_best_other",
           "mean_margin", "confused_frac")
         .as[(Long, Long, Double, Double, Double, Double)].collect()

@@ -14,8 +14,11 @@ floor(x+0.5) rounding convention, cent quantization, and every
 integer-fold path must hold below zero on both engines), null customer
 balances, null embedding vectors and labels, EXTREME event values
 (×1e6 — inside every operator's asserted envelope, stressing the
-long/decimal cent paths) (contract-non-null columns
-like ids and ts stay clean; RAGGED vectors stay out by design — the
+long/decimal cent paths), PRE-EPOCH timestamps (−60 years → negative
+epoch-µs: the floor-vs-truncate division divergence class — every
+epoch0-anchored day/week key truncates on BOTH engines, seasonCells
+floors on both; mixing the two only surfaces below zero)
+(contract-non-null columns like ids stay clean; ts stays non-null; RAGGED vectors stay out by design — the
 in-plan vectorDimGuard refuses them loudly, spec-tested) — runs
 graft.Verify on ALL queries against it, and compares every dumped
 result to its DuckDB oracle on the same dirty corpus.
@@ -71,7 +74,16 @@ def build() -> dict:
     # not parity-tested — while stressing every long/decimal cent path,
     # the KS tick grid, winsorize bounds, and the bootstrap's weighted
     # sums three orders of magnitude past normal traffic
-    con.execute(f"""COPY (SELECT event_id, ts, user_id, event_type,
+    # pre-epoch timestamps (−60 years → negative epoch-µs): the one
+    # dirt class where truncating division (DuckDB // and Spark's div,
+    # used by every epoch0-anchored day/week key — both truncate, so
+    # they agree) and TRUE floor division (seasonCells' pmod-subtract
+    # idiom, mirrored in the q202 twin) give different buckets — a
+    # floor on one engine against a trunc on the other only fires at
+    # negative ts, which the clean fixtures never produce
+    con.execute(f"""COPY (SELECT event_id,
+      CASE WHEN event_id % 71 = 0 THEN ts - INTERVAL 60 YEAR
+           ELSE ts END AS ts, user_id, event_type,
       CASE WHEN event_id % 23 = 0 THEN NULL
            WHEN event_id % 29 = 0 THEN -value
            WHEN event_id % 53 = 0 THEN value * 1000000 ELSE value END AS value,
@@ -127,14 +139,18 @@ def build() -> dict:
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
         WHERE value < 0),
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
-        WHERE value >= 1000000)""").fetchall()[0]
+        WHERE event_id % 53 = 0 AND event_id % 23 <> 0
+          AND event_id % 29 <> 0),
+      (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
+        WHERE epoch_us(ts) < 0)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
               "empty_lang": c[6], "null_acctbal": c[7],
               "emoji_doc_text": c[8], "null_embedding": c[9],
               "null_label": c[10], "null_source": c[11],
-              "negative_value": c[12], "extreme_value": c[13]}
+              "negative_value": c[12], "extreme_value": c[13],
+              "pre_epoch_ts": c[14]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

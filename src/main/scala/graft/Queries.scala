@@ -1644,25 +1644,55 @@ object Queries {
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""),
     bench = true)
 
-  /** H3: IVF ANN (k-means coarse quantizer, 2-probe) — rows-only: the
-    * quantizer's float centroids are not SQL-reproducible. Quality IS
-    * driver-visible though: per-query `recall` and query-set
-    * `mean_recall` vs the in-plan brute-force twin ride every output
-    * row, and a mean below 0.3 fails the query loudly (`assert_true`)
-    * instead of silently degrading. (Measured at sf0.01: mean 0.42
-    * for 16 lists / 2 probes — the gate has ~40% headroom while still
-    * catching a mis-sized quantizer.) */
+  /** H3: IVF ANN on the INTEGER coarse quantizer
+    * ([[Similarity.ivfTopKQuant]], 16 lists × 2 probes, exact
+    * quantized-L2 scoring over the probed lists' members) — round 12
+    * rebases the IVF flagship from the float-centroid spark.ml
+    * quantizer onto q179/q180's integer k-means core, so coarse
+    * k-means, list filing, probe selection, and the (dist², id) rank
+    * ALL hash-replay in SQL: the full oracle row where the float
+    * variant could only gate recall in-plan. That float variant
+    * ([[Similarity.ivfTopKWithRecall]] with its `assert_true` recall
+    * gate) stays in the library, spec-pinned (ApproxRecallSpec) —
+    * the in-plan-gate PATTERN is its contract; the driver-checked
+    * IVF is this one. No PQ compression in the scoring (that is
+    * q180's trade), so recall loss comes only from unprobed lists. */
   private val q38 = Q("q38_similarity_ivf_topk",
     (s, d) => {
-      val emb = Queries.emb(s, d)
-      Similarity.ivfTopKWithRecall(
-        emb.filter(col("vec_id") < 20)
+      val e = emb(s, d)
+      Similarity.ivfTopKQuant(
+        e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-        emb.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
-        k = 5, nLists = 16, nProbe = 2, minMeanRecall = 0.3)
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 5, nLists = 16, nProbe = 2, dim = 64, iters = 2,
+        seed = "ivf12")
         .orderBy(col("q_id"), col("rank"))
     },
-    None)
+    Some {
+      val dxx = sqlDot("x.v", "x.v"); val dxc = sqlDot("x.v", "c.c")
+      val dcc = sqlDot("c.c", "c.c")
+      s"""WITH ${sqlKmeansChain("co", 1, 64, 16, "ivf12-coarse")},
+      docl AS (SELECT x.vec_id AS c_id, c.cid AS list_id
+        FROM xqco x CROSS JOIN cbco c
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY ($dxx - 2.0 * $dxc + $dcc), c.cid) = 1),
+      qpr AS (SELECT x.vec_id AS q_id, c.cid AS list_id
+        FROM xqco x CROSS JOIN cbco c WHERE x.vec_id < 20
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY ($dxx - 2.0 * $dxc + $dcc), c.cid) <= 2),
+      pairs AS (SELECT q.q_id, d.c_id FROM docl d JOIN qpr q USING (list_id)
+        WHERE q.q_id <> d.c_id),
+      sc AS (SELECT p.q_id, p.c_id,
+          (${sqlDot("q.v", "q.v")} - 2.0 * ${sqlDot("q.v", "c.v")}
+            + ${sqlDot("c.v", "c.v")}) AS d2
+        FROM pairs p JOIN xqco q ON q.vec_id = p.q_id
+          JOIN xqco c ON c.vec_id = p.c_id),
+      rk AS (SELECT q_id, c_id, d2,
+        row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS rank
+        FROM sc)
+      SELECT q_id, rank, c_id, CAST(d2 AS BIGINT) AS dist2
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+    })
 
   /** Composite curation pipeline — the operators composed the way a
     * training-data pipeline actually chains them: exact-dedup keepers →
@@ -2471,8 +2501,8 @@ object Queries {
     Some("""SELECT doc_id, lang, source, n_chars FROM documents
       WHERE lang = 'en' ORDER BY doc_id"""))
 
-  /** D+ sketches with an IN-PLAN accuracy gate (the q38-recall-gate
-    * pattern): HyperLogLog distinct counts and a t-digest-style
+  /** D+ sketches with an IN-PLAN accuracy gate (the
+    * `Similarity.ivfTopKWithRecall` assert-gate pattern): HyperLogLog distinct counts and a t-digest-style
     * quantile sketch computed alongside their exact twins, exposed as
     * bounded-error BOOLEANS — the oracle pins the exact values and
     * asserts the sketch error bound held, so a silently degraded
@@ -3345,8 +3375,8 @@ object Queries {
   /** H3+: brute-force ANN in QUANTIZED space
     * ([[Similarity.int8BruteForceTopK]], 5 queries × top-10) with the
     * exact cosine of every surviving pair alongside — per-pair
-    * quantization error as a driver-visible artifact (q38's recall
-    * pattern applied to quantization). The quantized ranking runs on
+    * quantization error as a driver-visible artifact (the
+    * `ivfTopKWithRecall` recall pattern applied to quantization). The quantized ranking runs on
     * integral doubles, so rank order is bit-portable by construction,
     * not merely by shared op sequence. */
   private val q112 = Q("q112_similarity_quantized_topk",
@@ -5719,8 +5749,8 @@ object Queries {
     * make every distance exact and the m-term ADC sums
     * order-independent, so the WHOLE pipeline — 8 unrolled k-means,
     * rounding, encoding, LUT, ranking — hash-replays in SQL: the
-    * oracle-checked PQ, where q38's float-centroid IVF stays
-    * rows-only. */
+    * oracle-checked PQ (since r12, q38's IVF rides the same integer
+    * core and is oracle-checked too). */
   private val q179 = Q("q179_pq_adc_topk",
     (s, d) => {
       val e = emb(s, d)
@@ -5743,8 +5773,8 @@ object Queries {
     * codebooks) — the composed billion-vector shape: the ADC scan
     * runs only over the probed lists' members. Integral coarse
     * centroids, list filing, probe cut, and the ADC rank all replay
-    * in SQL — the oracle-checked IVF, where q38's float-centroid
-    * variant stays rows-only. */
+    * in SQL — the oracle-checked IVF+PQ composition (q38 checks the
+    * same coarse substrate with exact scoring since r12). */
   private val q180 = Q("q180_ivfpq_topk",
     (s, d) => {
       val e = emb(s, d)
@@ -5785,7 +5815,8 @@ object Queries {
   /** H3+: PQ recall@10 against the exact quantized-L2 ground truth
     * ([[Similarity.pqRecall]]) — the ANN evaluation table itself
     * hash-replayed (both rankings integer-exact with lexicographic
-    * ties), not just gated in-plan like q38's float-centroid IVF.
+    * ties), not just gated in-plan like the float-centroid
+    * `ivfTopKWithRecall` (the pre-r12 q38).
     * Ground truth is the brute cross product by definition — an
     * evaluation op over a query sample, never a serving path. */
   private val q181 = Q("q181_pq_recall",
@@ -7047,6 +7078,58 @@ object Queries {
       FROM m ORDER BY day"""),
     bench = true)
 
+  /** H3+: quant-IVF recall@10 against the exact quantized-L2 ground
+    * truth ([[Similarity.ivfRecall]] — q38's index, q181's
+    * evaluation): the published honesty artifact the float IVF could
+    * only enforce as an in-plan assert, now a hash-replayed TABLE
+    * (both rankings integer-exact, lexicographic ties). Ground truth
+    * is the brute cross product by definition — an evaluation op
+    * over a query sample, never a serving path. */
+  private val q212 = Q("q212_ivf_recall",
+    (s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfRecall(
+        e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+        k = 10, nLists = 16, nProbe = 2, dim = 64, iters = 2,
+        seed = "ivf12")
+        .orderBy(col("q_id"))
+    },
+    Some {
+      val dxx = sqlDot("x.v", "x.v"); val dxc = sqlDot("x.v", "c.c")
+      val dcc = sqlDot("c.c", "c.c")
+      s"""WITH ${sqlKmeansChain("co", 1, 64, 16, "ivf12-coarse")},
+      docl AS (SELECT x.vec_id AS c_id, c.cid AS list_id
+        FROM xqco x CROSS JOIN cbco c
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY ($dxx - 2.0 * $dxc + $dcc), c.cid) = 1),
+      qpr AS (SELECT x.vec_id AS q_id, c.cid AS list_id
+        FROM xqco x CROSS JOIN cbco c WHERE x.vec_id < 20
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id
+          ORDER BY ($dxx - 2.0 * $dxc + $dcc), c.cid) <= 2),
+      apx AS (SELECT p.q_id, p.c_id,
+          (${sqlDot("q.v", "q.v")} - 2.0 * ${sqlDot("q.v", "c.v")}
+            + ${sqlDot("c.v", "c.v")}) AS d2
+        FROM (SELECT q.q_id, d.c_id FROM docl d JOIN qpr q USING (list_id)
+          WHERE q.q_id <> d.c_id) p
+          JOIN xqco q ON q.vec_id = p.q_id
+          JOIN xqco c ON c.vec_id = p.c_id
+        QUALIFY row_number() OVER (PARTITION BY p.q_id
+          ORDER BY d2, p.c_id) <= 10),
+      ex AS (SELECT x.vec_id AS q_id, c.vec_id AS c_id
+        FROM xqco x JOIN xqco c ON x.vec_id <> c.vec_id
+        WHERE x.vec_id < 20
+        QUALIFY row_number() OVER (PARTITION BY x.vec_id ORDER BY
+          (${sqlDot("x.v", "x.v")} - 2.0 * ${sqlDot("x.v", "c.v")}
+            + ${sqlDot("c.v", "c.v")}), c.vec_id) <= 10)
+      SELECT e.q_id,
+        CAST(count(a.c_id) AS BIGINT) AS n_hit,
+        floor(count(a.c_id) / 10.0 * 1000000 + 0.5) / 1000000.0 AS recall
+      FROM ex e LEFT JOIN apx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+      GROUP BY e.q_id ORDER BY e.q_id"""
+    })
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -7063,7 +7146,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -110,9 +110,9 @@ object Similarity {
     *  4. ADC: codes ⋈ LUT on (s, code) — every (query, doc) pair
     *     accumulates exactly m INTEGER-valued terms, so the sum is
     *     order-independent-exact and the per-query (dist, id) rank
-    *     replays bit-for-bit in SQL (the ORACLE-CHECKED PQ — q38's
-    *     IVF stays rows-only precisely because its float centroids
-    *     cannot).
+    *     replays bit-for-bit in SQL (the ORACLE-CHECKED PQ — the
+    *     float-centroid [[ivfTopKWithRecall]] cannot replay and is
+    *     gated in-plan instead).
     *
     * Shape at 100 TB: ADC is the LINEAR-SCAN side of PQ — the scan
     * runs over m-byte codes instead of 4·dim-byte vectors (the
@@ -164,6 +164,34 @@ object Similarity {
     val corp = corpus.filter(col("c_vec").isNotNull)
     val qs = queries.filter(col("q_vec").isNotNull)
     val dim = m * subDim
+    val (docLists, probes) =
+      quantCoarseLists(corp, qs, nLists, nProbe, iters, seed, dim, scale)
+
+    val cbs = pqCodebooks(corp, m, subDim, codebookK, iters, seed, scale)
+    val pairs = docLists.join(broadcast(probes), Seq("list_id"))
+      .select(col("q_id"), col("c_id"))
+    rankAdc(
+      pairs
+        .join(pqCodes(corp, cbs, subDim, scale), Seq("c_id"))
+        .join(broadcast(pqLut(qs, cbs, subDim, scale)),
+          Seq("q_id", "s", "code")),
+      k)
+  }
+
+  /** The integer-exact IVF substrate shared by [[ivfPqTopK]] and
+    * [[ivfTopKQuant]]: a full-dimension quantized k-means
+    * ([[Clustering.kMeansCentroids]], centroids rounded half-up to
+    * INTEGERS) files every corpus vector under its nearest list and
+    * gives every query its `nProbe` nearest lists — all argmins over
+    * centroid LITERALS (narrow projections, no join), all ties
+    * lexicographic on the list id, so filing and probing hash-replay
+    * in SQL. Driver traffic = nLists·dim longs (the kMeans
+    * tiny-metadata contract). Returns (docLists: (c_id, list_id),
+    * probes: (q_id, list_id)). */
+  private def quantCoarseLists(corp: DataFrame, qs: DataFrame,
+                               nLists: Int, nProbe: Int, iters: Int,
+                               seed: String, dim: Int, scale: Double)
+      : (DataFrame, DataFrame) = {
     val coarse = Clustering.kMeansCentroids(
       corp.select(col("c_id"), col("c_vec")),
       col("c_id"), col("c_vec"), nLists, iters, s"$seed-coarse", dim)
@@ -181,16 +209,57 @@ object Similarity {
     val probes = qs.select(col("q_id"),
       explode(transform(slice(coarseCands(col("q_vec")), 1, nProbe),
         s => s.getField("_cid"))).as("list_id"))
+    (docLists, probes)
+  }
 
-    val cbs = pqCodebooks(corp, m, subDim, codebookK, iters, seed, scale)
-    val pairs = docLists.join(broadcast(probes), Seq("list_id"))
-      .select(col("q_id"), col("c_id"))
-    rankAdc(
-      pairs
-        .join(pqCodes(corp, cbs, subDim, scale), Seq("c_id"))
-        .join(broadcast(pqLut(qs, cbs, subDim, scale)),
-          Seq("q_id", "s", "code")),
-      k)
+  /** IVF ANN with EXACT quantized-L2 scoring over the probed lists —
+    * the [[ivfTopK]] semantics rebuilt on the integer coarse
+    * quantizer ([[quantCoarseLists]], the [[ivfPqTopK]] substrate):
+    * coarse k-means, list filing, probe selection, and the final
+    * (dist², id)-lexicographic rank are ALL integer-exact, so the
+    * whole pipeline hash-replays in SQL — the oracle-checked IVF,
+    * where the float-centroid [[ivfTopKWithRecall]] can only be
+    * gated in-plan. Scoring joins the probed candidates back to
+    * their full quantized vectors (no PQ compression loss; the
+    * memory trade is [[ivfPqTopK]]'s job), so recall loss comes
+    * ONLY from unprobed lists — the pure IVF trade.
+    *
+    * Shape at 100 TB: the candidate join carries (q_id, c_id) pairs
+    * for probed lists only (~nProbe/nLists of the corpus per query);
+    * the query side broadcasts (queries are the small side by
+    * contract); distance is one fused dot-product chain per pair; the
+    * per-query cut rides the bounded-heap top-k. NULL vectors drop;
+    * self-matches are excluded.
+    *
+    * Returns (q_id, rank, c_id, dist2) — dist2 the exact quantized
+    * L2², a LONG. */
+  def ivfTopKQuant(queries: DataFrame, corpus: DataFrame, k: Int,
+                   nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
+                   iters: Int = 2, seed: String = "ivf",
+                   scale: Double = 10000.0): DataFrame = {
+    require(nLists >= 2 && nProbe >= 1 && nProbe <= nLists,
+      s"need 2 <= nLists and 1 <= nProbe <= nLists: $nLists/$nProbe")
+    val corp = corpus.filter(col("c_vec").isNotNull)
+    val qs = queries.filter(col("q_vec").isNotNull)
+    val (docLists, probes) =
+      quantCoarseLists(corp, qs, nLists, nProbe, iters, seed, dim, scale)
+    val qv = (v: Column) => transform(v,
+      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+    val scored = docLists.join(broadcast(probes), Seq("list_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .join(corp.select(col("c_id"), qv(col("c_vec")).as("_cq")), Seq("c_id"))
+      .join(broadcast(qs.select(col("q_id"), qv(col("q_vec")).as("_qq"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotProduct(col("_qq"), col("_qq"))
+          - lit(2.0) * dotProduct(col("_qq"), col("_cq"))
+          + dotProduct(col("_cq"), col("_cq"))).cast("long").as("dist2"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("dist2"), col("c_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("dist2"))
   }
 
   /** Recall@k of the PQ/ADC ranking against the EXACT quantized-L2
@@ -213,9 +282,38 @@ object Similarity {
   def pqRecall(queries: DataFrame, corpus: DataFrame, k: Int,
                m: Int = 8, subDim: Int = 8, codebookK: Int = 16,
                iters: Int = 2, seed: String = "pq",
-               scale: Double = 10000.0): DataFrame = {
-    val approx = pqTopK(queries, corpus, k, m, subDim, codebookK,
-      iters, seed, scale)
+               scale: Double = 10000.0): DataFrame =
+    recallVsExactL2(
+      pqTopK(queries, corpus, k, m, subDim, codebookK, iters, seed, scale),
+      queries, corpus, k, scale)
+
+  /** Recall@k of the quant-IVF ranking ([[ivfTopKQuant]] — q38's
+    * core) against the same exact quantized-L2 ground truth
+    * [[pqRecall]] measures PQ with: per query, the fraction of the
+    * true top-k that survives probing only `nProbe` of `nLists`
+    * lists. Both rankings are integer-exact with lexicographic ties,
+    * so this recall TABLE hash-replays too — the published honesty
+    * artifact the float IVF could only enforce as an in-plan
+    * assert. Same evaluation-op caveat as [[pqRecall]]: ground truth
+    * is the definitionally-linear brute scan, run on a query SAMPLE. */
+  def ivfRecall(queries: DataFrame, corpus: DataFrame, k: Int,
+                nLists: Int = 8, nProbe: Int = 2, dim: Int = 64,
+                iters: Int = 2, seed: String = "ivf",
+                scale: Double = 10000.0): DataFrame =
+    recallVsExactL2(
+      ivfTopKQuant(queries, corpus, k, nLists, nProbe, dim, iters, seed,
+        scale),
+      queries, corpus, k, scale)
+
+  /** The shared evaluation core of [[pqRecall]] and [[ivfRecall]]:
+    * per-query overlap of an approximate (q_id, c_id) ranking with
+    * the EXACT quantized-L2 top-k (self-excluded, (dist², id)
+    * lexicographic — the definitionally-linear brute scan). Anchored
+    * on the exact side, so a query the approx index strands entirely
+    * still emits its row with recall 0. */
+  private def recallVsExactL2(approx: DataFrame, queries: DataFrame,
+                              corpus: DataFrame, k: Int,
+                              scale: Double): DataFrame = {
     val qs = queries.filter(col("q_vec").isNotNull)
     val corp = corpus.filter(col("c_vec").isNotNull)
     val qv = (v: Column) => transform(v,

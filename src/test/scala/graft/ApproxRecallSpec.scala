@@ -186,6 +186,62 @@ class ApproxRecallSpec extends SparkSpec {
     assert(prunedPairs.subsetOf(fullPairs))
   }
 
+  test("quant IVF (q38 core): nProbe = nLists is exactly the brute " +
+      "quantized-L2 ranking; pruning only removes candidates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def lcg(x: Long) = x * 6364136223846793005L + 1442695040888963407L
+    val docs = (1L to 80L).map { i =>
+      (i, Iterator.iterate(lcg(i))(lcg).take(16)
+        .map(h => (math.floorMod(h, 2000) - 1000) / 1000.0f).toSeq)
+    }
+    val c = docs.toDF("c_id", "c_vec")
+    val q = docs.take(5).toDF("q_id", "q_vec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("rank").cast("long"), col("c_id"),
+          col("dist2"))
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    // the brute quantized-L2² ranking computed directly (the
+    // library's bruteForceTopK ranks by COSINE — different metric)
+    def qz(v: Seq[Float]) = v.map(x => math.floor(x * 10000.0 + 0.5))
+    def d2(a: Seq[Float], b: Seq[Float]): Long =
+      qz(a).zip(qz(b)).map { case (x, y) => (x - y) * (x - y) }.sum.toLong
+    val bruteAll: Map[Long, Seq[(Long, Long)]] = docs.take(5).map {
+      case (qid, qv) =>
+        qid -> docs.filter(_._1 != qid)
+          .map { case (cid, cv) => (cid, d2(qv, cv)) }
+          .sortBy(t => (t._2, t._1))
+    }.toMap
+    // probing every list = no pruning = the exact quantized ranking
+    val all = rows(Similarity.ivfTopKQuant(q, c, k = 3, nLists = 4,
+      nProbe = 4, dim = 16, iters = 2, seed = "qivf"))
+    val want = bruteAll.toSeq.flatMap { case (qid, cands) =>
+      cands.take(3).zipWithIndex.map { case ((cid, d), r) =>
+        (qid, (r + 1).toLong, cid, d) }
+    }.sorted
+    assert(all === want, "probing every list must be the exact ranking")
+    // real pruning: every surviving (q, c, dist2) pair must appear in
+    // the full exact ordering with the SAME distance (pruning removes
+    // candidates, never invents or rescores them)
+    val pruned = rows(Similarity.ivfTopKQuant(q, c, k = 3, nLists = 4,
+        nProbe = 1, dim = 16, iters = 2, seed = "qivf"))
+      .map(r => (r._1, r._3, r._4)).toSet
+    val full = bruteAll.toSeq.flatMap { case (qid, cands) =>
+      cands.map { case (cid, d) => (qid, cid, d) } }.toSet
+    assert(pruned.subsetOf(full))
+    // the recall evaluation: probing every list = the exact ranking =
+    // recall exactly 1.0 for every query; fewer probes only lose
+    val rec = Similarity.ivfRecall(q, c, k = 3, nLists = 4, nProbe = 4,
+        dim = 16, iters = 2, seed = "qivf")
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(rec.size === 5 && rec.forall(r => r._2 === 3L && r._3 === 1.0),
+      rec.toString)
+    val recPruned = Similarity.ivfRecall(q, c, k = 3, nLists = 4,
+        nProbe = 1, dim = 16, iters = 2, seed = "qivf")
+      .as[(Long, Long, Double)].collect()
+    assert(recPruned.forall(_._3 <= 1.0) && recPruned.length === 5)
+  }
+
   test("PQ rerank with candK = n-1 is exactly the brute quantized-L2 ranking") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

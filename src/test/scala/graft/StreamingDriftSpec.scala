@@ -175,43 +175,116 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("a partial uncommitted delta is invisible; restart overwrites it exactly-once") {
+  test("ALL monitors: a partial uncommitted delta is invisible; restart " +
+      "overwrites it exactly-once (one law, the whole monitor list)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.streaming.StreamingQuery
 
-    val base = java.nio.file.Files.createTempDirectory("graft_sdrift_crash_").toString
-    val dir = s"$base/cells"
+    // the monitors share ONE delta discipline (StreamingDrift.monitor/
+    // readCells), so the crash-window law is pinned UNIFORMLY: every
+    // verdict reader must (a) ignore a poisoned, uncommitted batch-1
+    // delta directory and (b) see it overwritten exactly-once on
+    // restart. Each harness maps the common (g, value) feed onto its
+    // monitor's input columns, poisons with a WRONG row in its own
+    // cell schema, and names its batch oracle.
     val cfg = StreamingDrift.Config(scale = 100L)
-    val input = MemoryStream[(Long, Double)]
-    def startStream() = StreamingDrift.start(
-      input.toDS().toDF("g", "value"), "g", "value",
-      dir, s"$base/ckpt", cfg)
+    val dailyCfg = StreamingDrift.DailyConfig(0L, 86400000000L, 100L)
+    // value → a fake epoch-µs spread across hours/days (3.7e9 µs ≈ 1h)
+    def tsUs(c: Column): Column = (c * 3.7e9).cast("long")
+    def toCat(df: DataFrame): DataFrame =
+      df.select(col("g"), floor(col("value")).cast("long")
+        .cast("string").as("k"))
+    def toSeason(df: DataFrame): DataFrame =
+      df.select(tsUs(col("value")).as("ts_us"))
+    def toCents(df: DataFrame): DataFrame =
+      df.select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+    def toDaily(df: DataFrame): DataFrame =
+      df.select(tsUs(col("value")).as("ts_us"), col("value"))
 
-    val b0 = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0))
-    val b1 = Seq((0L, 3.0), (1L, 1.0), (1L, 1.0))
+    final case class H(
+        name: String,
+        start: (DataFrame, String, String) => StreamingQuery,
+        poison: DataFrame,
+        verdict: String => DataFrame,
+        oracle: DataFrame => DataFrame)
 
-    val q1 = startStream()
-    try { input.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
+    val harnesses = Seq(
+      H("ks",
+        (df, dir, ck) => StreamingDrift.start(df, "g", "value", dir, ck, cfg),
+        Seq((100L, 7L, 7L)).toDF("_x", "_a0", "_a1"),
+        dir => StreamingDrift.ks(spark, dir),
+        df => EventAnalytics.twoSampleKs(df, col("g"), col("value"))),
+      H("mannwhitney",
+        (df, dir, ck) => StreamingDrift.start(df, "g", "value", dir, ck, cfg),
+        Seq((100L, 7L, 7L)).toDF("_x", "_a0", "_a1"),
+        dir => StreamingDrift.mannWhitneyU(spark, dir),
+        df => EventAnalytics.mannWhitneyU(df, col("g"), col("value"))),
+      H("chisquare",
+        (df, dir, ck) =>
+          StreamingDrift.startCategorical(toCat(df), "g", "k", dir, ck),
+        Seq(("zz", 7L, 7L)).toDF("_k", "_o0", "_o1"),
+        dir => StreamingDrift.chiSquare(spark, dir),
+        df => EventAnalytics.chiSquareIndependence(
+          toCat(df), col("g"), col("k"))),
+      H("seasonality",
+        (df, dir, ck) =>
+          StreamingDrift.startSeasonality(toSeason(df), "ts_us", dir, ck),
+        Seq((3L, 3L, 7L)).toDF("_dw", "_hr", "_n"),
+        dir => StreamingDrift.seasonality(spark, dir),
+        df => EventAnalytics.seasonalityProfile(toSeason(df), col("ts_us"))),
+      H("benford",
+        (df, dir, ck) => StreamingDrift.startBenford(toCents(df), "c", dir, ck),
+        Seq((9L, 7L)).toDF("_d", "_o"),
+        dir => StreamingDrift.benford(spark, dir),
+        df => EventAnalytics.benfordDigits(toCents(df), col("c"))),
+      H("changepoint",
+        (df, dir, ck) => StreamingDrift.startDaily(toDaily(df), "ts_us",
+          "value", dir, ck, dailyCfg),
+        Seq((5L, 7L, 7L)).toDF("_d", "_c", "_s"),
+        dir => StreamingDrift.changepoint(spark, dir, dailyCfg),
+        df => EventAnalytics.cusumChangepoint(toDaily(df), "ts_us", "value",
+          dailyCfg.epoch0Us, dailyCfg.dayUs, dailyCfg.scale)),
+      H("rate_anomaly",
+        (df, dir, ck) => StreamingDrift.startDaily(toDaily(df), "ts_us",
+          "value", dir, ck, dailyCfg),
+        Seq((5L, 7L, 7L)).toDF("_d", "_c", "_s"),
+        dir => StreamingDrift.rateAnomaly(spark, dir, dailyCfg),
+        df => EventAnalytics.dailyRateAnomaly(toDaily(df), "ts_us", "value",
+          dailyCfg.epoch0Us, dailyCfg.dayUs, dailyCfg.scale)))
 
-    // crash window: a batch-1 attempt wrote PART of its delta (here: a
-    // wrong, partial cell table) and died before its marker — an
-    // additive reader summing it would be silently wrong forever
-    Seq((100L, 7L, 7L)).toDF("_x", "_a0", "_a1")
-      .write.mode("overwrite").parquet(s"$dir/ingest_batch=1")
-    val committedOnly = slurp(EventAnalytics.twoSampleKs(
-      b0.toDF("g", "value"), col("g"), col("value")))
-    assert(slurp(StreamingDrift.ks(spark, dir)) === committedOnly,
-      "uncommitted partial delta leaked into the additive sum")
+    // values spread across digits, days, and hours so every monitor's
+    // cell table is non-degenerate
+    val b0 = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0),
+      (0L, 13.0), (1L, 123.0), (0L, 47.0))
+    val b1 = Seq((0L, 3.0), (1L, 1.0), (1L, 21.0))
 
-    // restart from the same checkpoint: batch 1 re-runs, OVERWRITES the
-    // poisoned directory with the true delta, and commits
-    val q2 = startStream()
-    try { input.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
-    assert(slurp(StreamingDrift.ks(spark, dir)) ===
-      slurp(EventAnalytics.twoSampleKs((b0 ++ b1).toDF("g", "value"),
-        col("g"), col("value"))))
-    assert(slurp(StreamingDrift.mannWhitneyU(spark, dir)) ===
-      slurp(EventAnalytics.mannWhitneyU((b0 ++ b1).toDF("g", "value"),
-        col("g"), col("value"))))
+    harnesses.foreach { h =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_sdrift_crash_${h.name}_").toString
+      val dir = s"$base/cells"
+      val input = MemoryStream[(Long, Double)]
+      def startStream() =
+        h.start(input.toDS().toDF("g", "value"), dir, s"$base/ckpt")
+
+      val q1 = startStream()
+      try { input.addData(b0: _*); q1.processAllAvailable() } finally q1.stop()
+
+      // crash window: a batch-1 attempt wrote PART of its delta (a
+      // wrong, partial cell table) and died before its marker — an
+      // additive reader summing it would be silently wrong forever
+      h.poison.write.mode("overwrite").parquet(s"$dir/ingest_batch=1")
+      assert(slurp(h.verdict(dir)) === slurp(h.oracle(b0.toDF("g", "value"))),
+        s"${h.name}: uncommitted partial delta leaked into the additive sum")
+
+      // restart from the same checkpoint: batch 1 re-runs, OVERWRITES
+      // the poisoned directory with the true delta, and commits
+      val q2 = startStream()
+      try { input.addData(b1: _*); q2.processAllAvailable() } finally q2.stop()
+      assert(slurp(h.verdict(dir)) ===
+        slurp(h.oracle((b0 ++ b1).toDF("g", "value"))),
+        s"${h.name}: restart must overwrite the poisoned delta exactly-once")
+    }
   }
 }

@@ -5632,7 +5632,8 @@ object Queries {
       SELECT user_id, event_type, min(t) AS ts_first, max(t) AS ts_last,
         count(*)::BIGINT AS n_collapsed
       FROM b GROUP BY user_id, event_type, burst
-      ORDER BY user_id, event_type, ts_first"""))
+      ORDER BY user_id, event_type, ts_first"""),
+    bench = true)
 
   /** E+: SCD2 interval compression ([[EventAnalytics.scd2Intervals]]
     * over each user's event-type stream) — the slowly-changing-
@@ -5659,7 +5660,8 @@ object Queries {
       SELECT user_id, event_type, valid_from,
         lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
         n_events
-      FROM iv ORDER BY user_id, valid_from"""))
+      FROM iv ORDER BY user_id, valid_from"""),
+    bench = true)
 
   /** Generated oracle for q179: per subspace, the unrolled quantized
     * k-means (the [[kmeansOracleCte]] pattern at dim=subDim, k=16,
@@ -6007,7 +6009,8 @@ object Queries {
         ON a.c_custkey < b.c_custkey
         AND abs(length(a.c_name) - length(b.c_name)) <= 1
       WHERE levenshtein(a.c_name, b.c_name) <= 1
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""),
+    bench = true)
 
   /** H3+: PQ candidates + exact re-rank
     * ([[Similarity.pqRerankTopK]], candK = 25 → k = 5) — the
@@ -6314,7 +6317,8 @@ object Queries {
         num::DOUBLE AS d_num, x AS at_tick,
         floor(num::DOUBLE / (n_a::HUGEINT * n_b)::DOUBLE * 1000000 + 0.5)
           / 1000000 AS ks
-      FROM best ORDER BY g_a, g_b"""))
+      FROM best ORDER BY g_a, g_b"""),
+    bench = true)
 
   /** E+ experiment analysis: Mann–Whitney U over purchase values
     * between q133's hash variants ([[EventAnalytics.mannWhitneyU]]) —
@@ -7020,7 +7024,8 @@ object Queries {
           AS normalized
       FROM pos LEFT JOIN pool pl ON pos.lo = pl.idx
         LEFT JOIN pool ph ON pos.hi = ph.idx
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   /** E+/D+: trailing-window daily rate anomaly
     * ([[EventAnalytics.dailyRateAnomaly]], k = 7) — each day's count

@@ -281,6 +281,12 @@ object Dedup {
     * deliberately RARE keys; the full side shuffles once on the gram;
     * candidates dedup to unordered pairs before the verify join
     * (levenshtein runs once per candidate, never per gram match).
+    * `q` is the selectivity lever: candidate count ≈ Σ df over each
+    * string's k·q+1 rarest grams, so on STRUCTURED corpora where even
+    * rare short grams are hot (serial-numbered names: every 2-gram is
+    * shared by thousands) raise q until the rarest grams are actually
+    * rare — q185 measured 16.1M candidates at q = 2 vs 3.8M at q = 4
+    * on 15k near-identical customer names, same (lossless) answer.
     * Degenerate corpora (everything near-identical → even the rare
     * grams are hot) fail fast via the signature-side block guard.
     * Strings too short to own k·q + 1 padded grams would evade the

@@ -496,4 +496,16 @@ class PlanRegressionSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"),
       s"the (source, token) cell table must be barriered:\n$p")
   }
+
+  test("q38 quant IVF: equality joins only (probes broadcast), native dot, " +
+      "no cross product") {
+    val p = plan("q38_similarity_ivf_topk")
+    assert(p.contains("graft_dot"), s"native dot product missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe/query sides must broadcast onto the candidates:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the IVF serving path must never plan a cross product (that is " +
+        s"q212's evaluation-side brute scan, not this query):\n$p")
+  }
 }

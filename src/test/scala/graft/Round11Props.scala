@@ -83,17 +83,19 @@ object Round11Props extends Properties("Round11Ops") {
   }
 
   property("editDistancePairs finds EXACTLY the all-pairs levenshtein matches") =
-    Prop.forAll(strGen) { rows =>
+    // q is a pure selectivity lever (r12 tunes q185 to 4 on the hot-gram
+    // corpus) — losslessness must hold for EVERY gram size
+    Prop.forAll(strGen, Gen.oneOf(2, 3, 4)) { (rows, q) =>
       import spark.implicits._
       val k = 1
       val got = Dedup.editDistancePairs(
-          rows.toDF("id", "s"), col("id"), col("s"), maxDist = k, q = 2)
+          rows.toDF("id", "s"), col("id"), col("s"), maxDist = k, q = q)
         .as[(Long, Long, Long)].collect().toSet
       val want = (for {
         (a, sa) <- rows; (b, sb) <- rows if a < b
         d = lev(sa, sb) if d <= k
       } yield (a, b, d.toLong)).toSet
-      (got == want: Prop) :| s"got=$got want=$want"
+      (got == want: Prop) :| s"q=$q got=$got want=$want"
     }
 
   // ---- debounce ≡ brute trailing-gap chains ------------------------ //

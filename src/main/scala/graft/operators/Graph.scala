@@ -435,7 +435,7 @@ object Graph {
     * the family's null-edge law for free: least/greatest IGNORE nulls,
     * so a (NULL, x) pair canonicalizes to (x, x) and dies on the
     * self-loop filter — the edge drops, no NULL vertex is minted. */
-  private def canonicalEdges(edges: DataFrame, src: Column, dst: Column): DataFrame =
+  private[graft] def canonicalEdges(edges: DataFrame, src: Column, dst: Column): DataFrame =
     edges
       .select(least(src, dst).cast("long").as("a"),
         greatest(src, dst).cast("long").as("b"))
@@ -447,6 +447,27 @@ object Graph {
     e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
 
+  /** [[degreeHistogram]]'s core over an ALREADY-canonical `(a, b)`
+    * edge set — shared with the incremental twin
+    * ([[graft.streaming.StreamingGraph]] maintains the canonical set
+    * as persisted state and derives through this same core). */
+  private[graft] def histogramFromCanonical(e: DataFrame): DataFrame =
+    degrees(e)
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("deg"))
+
+  /** [[powerLawAlpha]]'s core over an ALREADY-canonical edge set. */
+  private[graft] def alphaFromCanonical(e: DataFrame, dMin: Int): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1: $dMin")
+    degrees(e)
+      .filter(col("deg") >= dMin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log(col("deg").cast("double") / (dMin - 0.5))).as("_s"))
+      .filter(col("n_tail") > 0)
+      .select(col("n_tail"), lit(dMin).as("d_min"),
+        (lit(1.0) + col("n_tail").cast("double") / col("_s")).as("alpha"))
+  }
+
   /** Undirected degree HISTOGRAM — the first thing anyone plots about
     * a graph, and the drift watcher for derived link graphs (a
     * crawl/citation graph whose histogram suddenly grows a hub spike
@@ -455,9 +476,7 @@ object Graph {
     * exact at any scale, no float anywhere. Returns
     * (deg, n_vertices), deg ascending. */
   def degreeHistogram(edges: DataFrame, src: Column, dst: Column): DataFrame =
-    degrees(canonicalEdges(edges, src, dst))
-      .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
-      .orderBy(col("deg"))
+    histogramFromCanonical(canonicalEdges(edges, src, dst))
 
   /** Power-law tail exponent of the degree distribution — the
     * continuous maximum-likelihood estimator (Clauset, Shalizi &
@@ -480,16 +499,8 @@ object Graph {
     *
     * Returns ONE row (n_tail, d_min, alpha) or none. */
   def powerLawAlpha(edges: DataFrame, src: Column, dst: Column,
-                    dMin: Int = 2): DataFrame = {
-    require(dMin >= 1, s"dMin must be >= 1: $dMin")
-    degrees(canonicalEdges(edges, src, dst))
-      .filter(col("deg") >= dMin)
-      .agg(count(lit(1)).as("n_tail"),
-        sum(log(col("deg").cast("double") / (dMin - 0.5))).as("_s"))
-      .filter(col("n_tail") > 0)
-      .select(col("n_tail"), lit(dMin).as("d_min"),
-        (lit(1.0) + col("n_tail").cast("double") / col("_s")).as("alpha"))
-  }
+                    dMin: Int = 2): DataFrame =
+    alphaFromCanonical(canonicalEdges(edges, src, dst), dMin)
 
   /** Adamic–Adar link prediction (Adamic & Adar 2003): score every
     * NON-adjacent vertex pair by Σ 1/ln(deg(w)) over their common

@@ -7141,6 +7141,49 @@ object Queries {
       GROUP BY e.q_id ORDER BY e.q_id"""
     })
 
+  /** H4+/D+: quantile normalization on the TICK-CELL scale path
+    * ([[graft.operators.Sampling.quantileNormalizeBinned]], scale = 1
+    * over the integer n_chars) — q210 names this twin as its
+    * billion-row path; r12 makes it code: pooled CDF and per-stratum
+    * ranks from BOUNDED tick-cell tables (the windows order CELLS,
+    * never the corpus), inverse-CDF lookup as ONE binned range join
+    * of each row's pooled index against the cells' cumulative
+    * ranges. On integer scores the grid is lossless, so the oracle
+    * is the exact DEFINITION — q210's own SQL verbatim — and the
+    * hash match itself proves the scale path exact-on-grid (the
+    * q185 ground-truth-oracle pattern). */
+  private val q213 = Q("q213_quantile_normalize_binned",
+    (s, d) => graft.operators.Sampling.quantileNormalizeBinned(
+        t(s, d, "documents"), col("doc_id"), col("source"),
+        col("n_chars"), scale = 1L)
+      .select(col("id").as("doc_id"), col("stratum").as("source"),
+        col("score"), r(col("pct"), 6).as("pct"),
+        r(col("normalized"), 6).as("normalized"))
+      .orderBy(col("doc_id")),
+    Some("""WITH b AS (SELECT doc_id, source AS g, n_chars::DOUBLE AS x
+        FROM documents WHERE n_chars IS NOT NULL),
+      pool AS (SELECT x AS q, row_number() OVER (ORDER BY x) - 1 AS idx
+        FROM b),
+      t AS (SELECT count(*) AS n FROM b),
+      rk AS (SELECT doc_id, g, x,
+          (rank() OVER (PARTITION BY g ORDER BY x) - 1)::DOUBLE
+            / nullif((count(*) OVER (PARTITION BY g) - 1)::DOUBLE, 0.0) AS p
+        FROM b),
+      pos AS (SELECT doc_id, g, x, p,
+          CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) AS lo,
+          least(CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) + 1, n - 1)
+            AS hi,
+          p * (n - 1)::DOUBLE - floor(p * (n - 1)::DOUBLE) AS frac
+        FROM rk CROSS JOIN t)
+      SELECT doc_id, g AS source, x AS score,
+        floor(p * 1000000 + 0.5) / 1000000 AS pct,
+        floor((pl.q + frac * (ph.q - pl.q)) * 1000000 + 0.5) / 1000000
+          AS normalized
+      FROM pos LEFT JOIN pool pl ON pos.lo = pl.idx
+        LEFT JOIN pool ph ON pos.hi = ph.idx
+      ORDER BY doc_id"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -7157,7 +7200,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212,
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

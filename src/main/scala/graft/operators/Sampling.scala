@@ -430,6 +430,114 @@ object Sampling {
           .as("normalized"))
   }
 
+  /** The SCALE PATH of [[quantileNormalize]] — the twin that operator's
+    * contract names instead of a global sort: scores quantize to a
+    * FIXED integer tick grid (`floor(x·scale + 0.5)`), the pooled CDF
+    * and every per-stratum rank derive from BOUNDED tick-cell tables,
+    * and the inverse-CDF lookup is one binned range join
+    * ([[RangeJoin.pointInInterval]]) of each row's pooled index against
+    * the cells' cumulative ranges — no row-cardinality window
+    * anywhere. Exact ON THE GRID: for scores already multiples of
+    * 1/scale (integer counts at scale = 1, cent amounts at 100) the
+    * output EQUALS [[quantileNormalize]] row for row — same min-rank
+    * percentile (a tick cell's cum-below IS the rank() − 1 of its
+    * members), same consecutive-order-statistic interpolation (within
+    * a cell both bracketing positions hold the tick's value; across a
+    * boundary the lead tick supplies the upper value) — which is how
+    * q213's oracle can be the exact DEFINITION, no grid mechanics.
+    * Off-grid scores lose only sub-tick resolution (ties at tick
+    * granularity) — the stated trade.
+    *
+    * Shape at 100 TB: two map-side-combining cell aggregations
+    * (strata × ticks; pooled ticks — the windows ordering them run
+    * over the BOUNDED cell tables, never the corpus), one equality
+    * join row → (stratum, tick) cell, one broadcast 1-row N, one
+    * binned range join against the bounded pooled cells. A hot tick
+    * holding h rows spans h/indexBinWidth bins — size `indexBinWidth`
+    * so the hottest expected tick stays under
+    * [[RangeJoin.MaxBinsPerInterval]] (the loud guard names the fix).
+    * Laws as the exact twin: NULL scores drop; a singleton stratum
+    * has no defined percentile — NULL pct/normalized, row kept. */
+  def quantileNormalizeBinned(df: DataFrame, id: Column, stratum: Column,
+                              score: Column, scale: Long = 100L,
+                              indexBinWidth: Double = 4096.0,
+                              reliableCheckpoint: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale >= 1L, s"scale must be >= 1: $scale")
+    val base = OpUtils.barrier(
+      df.filter(score.isNotNull)
+        .select(id.as("_id"), stratum.as("_g"),
+          score.cast("double").as("_x"))
+        .withColumn("_t", floor(col("_x") * scale + lit(0.5)).cast("long")),
+      reliableCheckpoint)
+    // bounded (stratum, tick) cells; cum-below over the CELL table.
+    // Barriered: both the rank join and the singleton-stratum branch
+    // read it (the q206 multiple-consumer lesson)
+    val wg = Window.partitionBy(col("_g")).orderBy(col("_t"))
+    val gCum = OpUtils.barrier(
+      base.groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_n"))
+        .withColumn("_below", coalesce(sum(col("_n")).over(
+          wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_ng",
+          sum(col("_n")).over(Window.partitionBy(col("_g"))))
+        .drop("_n"),
+      reliable = false)
+    // bounded pooled tick cells: [cum, cum + n) index ranges + the
+    // lead tick (the upper interpolation value at a cell boundary);
+    // barriered — the range join's bin explode is its only consumer
+    // but the window chain above it must not replan per AQE stage
+    val wp = Window.orderBy(col("_t"))
+    val cells = OpUtils.barrier(
+      base.groupBy(col("_t")).agg(count(lit(1)).as("_cn"))
+        .withColumn("_ccum", coalesce(sum(col("_cn")).over(
+          wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_cnext", lead(col("_t"), 1).over(wp))
+        .withColumnRenamed("_t", "_ct"),
+      reliable = false)
+    val n = base.agg(count(lit(1)).as("_N"))
+    // singleton strata have no defined percentile (the exact twin's
+    // law); their stratum LIST is bounded and broadcastable, so the
+    // two output branches split on it WITHOUT duplicating the
+    // corpus-scale rank chain (which would otherwise be evaluated
+    // once per union side)
+    // NULL-SAFE stratum equality: the exact twin groups NULL strata
+    // via window partitions (NULLs form a group); a plain equality
+    // join would silently DROP the whole NULL-stratum population —
+    // the dirty corpus's null-source docs caught exactly that
+    val multiStrata = gCum.filter(col("_ng") > 1)
+      .withColumnRenamed("_g", "_cg").withColumnRenamed("_t", "_ctk")
+    val ranked = base
+      .join(multiStrata,
+        col("_g") <=> col("_cg") && col("_t") === col("_ctk"))
+      .drop("_cg", "_ctk")
+      .crossJoin(broadcast(n))
+      .withColumn("_p", col("_below").cast("double") /
+        (col("_ng") - 1).cast("double"))
+      .withColumn("_pos", col("_p") * (col("_N") - 1).cast("double"))
+      .withColumn("_lo", floor(col("_pos")).cast("long"))
+      .withColumn("_frac", col("_pos") - col("_lo").cast("double"))
+    val hit = RangeJoin.pointInInterval(
+      ranked, col("_lo").cast("double"),
+      cells, col("_ccum").cast("double"),
+      (col("_ccum") + col("_cn")).cast("double"), indexBinWidth)
+    val vlo = col("_ct").cast("double") / scale.toDouble
+    val vhi = when(col("_lo") + 1 < col("_ccum") + col("_cn"), col("_ct"))
+      .otherwise(coalesce(col("_cnext"), col("_ct")))
+      .cast("double") / scale.toDouble
+    val scored = hit.select(col("_id").as("id"), col("_g").as("stratum"),
+      col("_x").as("score"), col("_p").as("pct"),
+      (vlo + col("_frac") * (vhi - vlo)).as("normalized"))
+    val singleStrata = gCum.filter(col("_ng") === 1)
+      .select(col("_g").as("_sg")).distinct()
+    val singletons = base
+      .join(broadcast(singleStrata), col("_g") <=> col("_sg"))
+      .select(col("_id").as("id"), col("_g").as("stratum"),
+        col("_x").as("score"),
+        lit(null).cast("double").as("pct"),
+        lit(null).cast("double").as("normalized"))
+    scored.unionByName(singletons)
+  }
+
   def stratumSample(df: DataFrame, stratum: Column, key: Column, n: Int,
                     seed: String, rankCol: String = "smp_rank"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

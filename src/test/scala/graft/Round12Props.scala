@@ -42,4 +42,36 @@ object Round12Props extends Properties("Round12Ops") {
       (java.lang.Double.compare(got, want) == 0: Prop) :|
         s"x=$x d=$d got=$got want=$want"
     }
+
+  // ---- binned quantile normalization ≡ exact, on the grid ----------- //
+
+  private val qnGen = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      // NULL strata included: the exact twin's window partitions group
+      // NULLs, so the binned path's stratum joins must be null-safe
+      g <- Gen.oneOf(Option("a"), Option("b"), Option("c"),
+        Option.empty[String])
+      x <- Gen.choose(0L, 30L)   // narrow range → plenty of tick ties
+    } yield (g, x))
+  } yield rows.zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
+
+  property("quantileNormalizeBinned(scale=1) EQUALS the exact operator " +
+      "on integer scores") =
+    Prop.forAll(qnGen) { rows =>
+      import spark.implicits._
+      def slurp(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "stratum", "score", "pct", "normalized")
+        .as[(Long, Option[String], Double, Option[Double], Option[Double])]
+        .collect().toSet
+      val df = rows.toDF("id", "g", "x")
+      val exact = slurp(graft.operators.Sampling.quantileNormalize(
+        df, col("id"), col("g"), col("x")))
+      val binned = slurp(graft.operators.Sampling.quantileNormalizeBinned(
+        df, col("id"), col("g"), col("x"), scale = 1L))
+      // bit-equal, not approximately: on a lossless grid the two paths
+      // execute the SAME IEEE sequence (min-rank percentile, pooled
+      // consecutive-order-statistic interpolation)
+      (binned == exact: Prop) :| s"binned=$binned exact=$exact"
+    }
 }

@@ -90,16 +90,25 @@ object GraftFunctions {
     * and the DuckDB oracle. Half-way cases round toward +infinity. */
   def r(c: Column, d: Int): Column = {
     val k = math.pow(10.0, d)
-    val v = c * lit(k) + lit(0.5)
-    // Spark's floor(double) returns LONG and SATURATES at ±2^63−1;
-    // DuckDB's floor stays DOUBLE — so a scaled value past the long
-    // range (|x| ≥ ~9.2e12 at d=6: pre-epoch µs gaps, ×1e6 dirt sums)
-    // silently clamps on one engine only. Past 2^53 every double is
-    // already integral — floor is the identity on BOTH engines — so
-    // route that regime around the long cast (9e18 keeps the branch
-    // strictly below the clamp while staying far above 2^53)
-    when(abs(v) >= lit(9.0e18), v / lit(k)).otherwise(floor(v) / lit(k))
+    floorSafe(c * lit(k) + lit(0.5)) / lit(k)
   }
+
+  /** Saturation-safe floor, returning DOUBLE: Spark's `floor(double)`
+    * returns LONG and SATURATES at ±2^63−1, while DuckDB's floor stays
+    * DOUBLE — so any floor-based rounding/quantization whose scaled
+    * operand can pass the long range (pre-epoch µs gaps, ×1e6 dirt
+    * sums, extreme quality scores) silently clamps on one engine only
+    * (the r11→r12 `r()` bug class). Past 2^53 every double is already
+    * integral — floor is the identity on BOTH engines — so that regime
+    * routes AROUND the long cast (9e18 keeps the branch strictly below
+    * the clamp while staying far above 2^53; for |v| < 9e18 the
+    * long→double round trip is exact because floor(v) is an integral
+    * double in long range). EVERY floor-quantize path with unbounded
+    * input magnitude must go through here ([[r]] and
+    * [[graft.operators.Sampling.quantileNormalizeBinned]]'s tick grid
+    * do), or extreme values silently merge into one saturated cell. */
+  def floorSafe(v: Column): Column =
+    when(abs(v) >= lit(9.0e18), v).otherwise(floor(v).cast("double"))
 
   /** Universal-hash family over an already-hashed long token:
     * h_i(t) = (a_i * t + b_i) mod p, with a_i/b_i derived from the seed

@@ -432,7 +432,10 @@ object Sampling {
 
   /** The SCALE PATH of [[quantileNormalize]] — the twin that operator's
     * contract names instead of a global sort: scores quantize to a
-    * FIXED integer tick grid (`floor(x·scale + 0.5)`), the pooled CDF
+    * FIXED integer tick grid (`floor(x·scale + 0.5)`,
+    * saturation-guarded via [[graft.functions.GraftFunctions.floorSafe]]
+    * so extreme magnitudes keep distinct ticks instead of clamping
+    * into one), the pooled CDF
     * and every per-stratum rank derive from BOUNDED tick-cell tables,
     * and the inverse-CDF lookup is one binned range join
     * ([[RangeJoin.pointInInterval]]) of each row's pooled index against
@@ -468,7 +471,13 @@ object Sampling {
       df.filter(score.isNotNull)
         .select(id.as("_id"), stratum.as("_g"),
           score.cast("double").as("_x"))
-        .withColumn("_t", floor(col("_x") * scale + lit(0.5)).cast("long")),
+        // saturation-safe tick: bare floor(·).cast(long) would clamp
+        // |x·scale| ≥ ~9.2e18 to ONE saturated tick, silently merging
+        // extreme scores and breaking the equals-exact-on-grid
+        // contract (the r() bug class); past 2^53 the double IS its
+        // own tick, so the grid degrades to double granularity there
+        // instead of collapsing
+        .withColumn("_t", floorSafe(col("_x") * scale + lit(0.5))),
       reliableCheckpoint)
     // bounded (stratum, tick) cells; cum-below over the CELL table.
     // Barriered: both the rank join and the singleton-stratum branch

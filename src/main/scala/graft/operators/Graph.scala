@@ -183,8 +183,18 @@ object Graph {
     * Output is ONE row: `n_edges, n_wedges, n_triangles,
     * clustering_coeff`. */
   def triangleStats(edges: DataFrame, src: Column, dst: Column,
-                    reliableCheckpoint: Boolean = false): DataFrame = {
-    val (u, deg, closed) = closedWedges(edges, src, dst, reliableCheckpoint)
+                    reliableCheckpoint: Boolean = false): DataFrame =
+    trianglesFromCanonical(canonicalEdges(edges, src, dst), reliableCheckpoint)
+
+  /** [[triangleStats]]'s core over an ALREADY-canonical `(a, b)` edge
+    * set — shared with the incremental twin
+    * ([[graft.streaming.StreamingGraph.triangleStats]] derives the
+    * running triangle census from its persisted canonical edge state
+    * through this same core, so batch/stream parity is by
+    * construction — the histogram/alpha core pattern). */
+  private[graft] def trianglesFromCanonical(
+      e: DataFrame, reliable: Boolean = false): DataFrame = {
+    val (u, deg, closed) = closedWedgesFromCanonical(e, reliable)
     val triangles = closed.agg(count(lit(1)).as("n_triangles"))
     val edgeCount = u.agg(count(lit(1)).as("n_edges"))
     // all-integer: deg*(deg-1) is even, so summing the halved LONG
@@ -247,9 +257,16 @@ object Graph {
     * ordering's span, 3-6 in practice); `maxRounds` fails LOUDLY
     * rather than returning a half-peeled "core". */
   def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
-            maxRounds: Int = 50, reliableCheckpoint: Boolean = false): DataFrame = {
+            maxRounds: Int = 50, reliableCheckpoint: Boolean = false): DataFrame =
+    kcoreFromCanonical(canonicalEdges(edges, src, dst), k, maxRounds,
+      reliableCheckpoint)
+
+  /** [[kCore]]'s peel over an ALREADY-canonical edge set — shared with
+    * the incremental twin ([[graft.streaming.StreamingGraph.kCore]]). */
+  private[graft] def kcoreFromCanonical(e: DataFrame, k: Int,
+      maxRounds: Int = 50, reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    var u = OpUtils.barrier(canonicalEdges(edges, src, dst), reliableCheckpoint)
+    var u = OpUtils.barrier(e, reliable)
     var nEdges = u.count()
     var round = 0
     var converged = nEdges == 0L
@@ -258,7 +275,7 @@ object Graph {
       val pruned = OpUtils.barrier(
         u.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
           .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-          .select(col("a"), col("b")), reliableCheckpoint)
+          .select(col("a"), col("b")), reliable)
       val n = pruned.count()
       converged = n == nEdges
       u = pruned; nEdges = n; round += 1
@@ -278,6 +295,10 @@ object Graph {
     * self-join's per-key fan-out at O(√m) on any graph. */
   private def closedWedges(edges: DataFrame, src: Column, dst: Column,
                            reliable: Boolean)
+      : (DataFrame, DataFrame, DataFrame) =
+    closedWedgesFromCanonical(canonicalEdges(edges, src, dst), reliable)
+
+  private def closedWedgesFromCanonical(canon: DataFrame, reliable: Boolean)
       : (DataFrame, DataFrame, DataFrame) = {
     // the canonical edge set feeds FOUR consumers (degrees, both sides
     // of the wedge self-join via the orientation, the closing semi-join,
@@ -285,7 +306,7 @@ object Graph {
     // distinct from the source (probed: a 237-operator plan collapses
     // to ExistingRDD leaves). Same for the oriented table (both wedge
     // sides) and the vertex-sized degree table (three consumers).
-    val u = OpUtils.barrier(canonicalEdges(edges, src, dst), reliable)
+    val u = OpUtils.barrier(canon, reliable)
     val deg = OpUtils.barrier(degrees(u), reliable)
     // orient by (deg, id): lo = the endpoint that sorts first
     val withDeg = u

@@ -17,11 +17,12 @@ import graft.operators.Graph
   * dropped, parallel edges collapsed — [[Graph.canonicalEdges]], the
   * family's one canonicalization site) before any counting, so that
   * edge set IS the sufficient state: this stream maintains it
-  * incrementally and the readers derive the histogram and the CSN
-  * tail exponent through the SAME shared cores
-  * ([[Graph.histogramFromCanonical]] / [[Graph.alphaFromCanonical]])
-  * the batch operators use — parity is by construction, and the spec
-  * pins it anyway.
+  * incrementally and the readers derive the histogram, the CSN tail
+  * exponent, the triangle census, and the k-core peel through the
+  * SAME shared cores ([[Graph.histogramFromCanonical]] /
+  * [[Graph.alphaFromCanonical]] / [[Graph.trianglesFromCanonical]] /
+  * [[Graph.kcoreFromCanonical]]) the batch operators use — parity is
+  * by construction, and the spec pins it anyway.
   *
   * Per micro-batch:
   *  1. the batch's edges canonicalize (batch-local dedup rides along);
@@ -99,6 +100,23 @@ object StreamingGraph {
   def powerLawAlpha(spark: SparkSession, dir: String,
                     dMin: Int = 2): DataFrame =
     Graph.alphaFromCanonical(edges(spark, dir), dMin)
+
+  /** Running triangle census — identical output to
+    * [[Graph.triangleStats]] over all edges ingested so far (shared
+    * compact-forward core): the mutual-citation/ring drift signal
+    * without a full-corpus recount. The state IS the core's input —
+    * no extra derivation state to maintain. */
+  def triangleStats(spark: SparkSession, dir: String): DataFrame =
+    Graph.trianglesFromCanonical(edges(spark, dir))
+
+  /** Running k-core decomposition — identical output to [[Graph.kCore]]
+    * over all edges ingested so far (shared peel). The peel's rounds
+    * run over the INGESTED canonical set (monotonically shrinking
+    * per-round barriers, same loop discipline as batch), never the
+    * raw link stream. */
+  def kCore(spark: SparkSession, dir: String, k: Int,
+            maxRounds: Int = 50): DataFrame =
+    Graph.kcoreFromCanonical(edges(spark, dir), k, maxRounds)
 
   /** `df` must carry the two endpoint columns; NULL endpoints drop
     * (the batch family's null-edge law, enforced by the shared

@@ -64,6 +64,15 @@ class StreamingGraphSpec extends SparkSpec {
       assert(slurp(StreamingGraph.powerLawAlpha(spark, dir, dMin = 2)) ===
         slurp(Graph.powerLawAlpha(allDf, col("src"), col("dst"), dMin = 2)))
 
+      // the canonical edge set is sufficient state for the WHOLE batch
+      // graph family, not just the degree pair: the triangle census
+      // and the k-core peel derive through the same extracted cores
+      // and must match the batch operators row for row
+      assert(slurp(StreamingGraph.triangleStats(spark, dir)) ===
+        slurp(Graph.triangleStats(allDf, col("src"), col("dst"))))
+      assert(slurp(StreamingGraph.kCore(spark, dir, k = 3)) ===
+        slurp(Graph.kCore(allDf, col("src"), col("dst"), k = 3)))
+
       // state growth law: the persisted rows (pre-distinct) must not
       // exceed the DISTINCT canonical edge count — the anti-join
       // keeps re-emitted edges out of state, however many batches

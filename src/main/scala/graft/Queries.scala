@@ -1877,7 +1877,8 @@ object Queries {
     Some("""SELECT event_type, (epoch_us(ts) // 1800000000 - k) * 1800000000 AS w_start,
       count(*) AS n, floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value
       FROM events, (SELECT unnest(range(0, 2)) AS k)
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2"""),
+    bench = true)
 
   /** Multimodal decode path, HASH-CHECKED: the partition-batched
     * decoder runs for real (`javax.imageio` dispatch, stub fallback for
@@ -1961,7 +1962,8 @@ object Queries {
       FROM d)
       SELECT user_id, min(ts_us) AS s_start_us, max(ts_us) + ${SessionGapUs} AS s_end_us,
         count(*) AS n
-      FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"""))
+      FROM s GROUP BY user_id, sid ORDER BY user_id, s_start_us"""),
+    bench = true)
 
   // ---------------------------------------------------------------- //
   // F: ML train/eval (no SQL twin — rows-only checks)                 //
@@ -2473,7 +2475,8 @@ object Queries {
       ranked AS (SELECT *, row_number()
         OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
       SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 3
-      ORDER BY doc_id, term"""))
+      ORDER BY doc_id, term"""),
+    bench = true)
 
   /** A1/A2 layout round-trip: documents written partitioned by `lang`
     * (`Sinks.writeParquet` — the 100 TB layout move: partition by the
@@ -2894,7 +2897,8 @@ object Queries {
         CAST(coalesce(deg.od, 0.0) AS BIGINT) AS out_deg,
         floor(pp3.rank * 100000000 + 0.5) / 100000000.0 AS rank
       FROM v JOIN pp3 ON v.id = pp3.id LEFT JOIN deg ON v.id = deg.src
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""),
+    bench = true)
 
   /** H1+/H4 composite: INCREMENTAL curation — the plan shape crawl
     * refreshes actually need: v1's gate results are a materialized
@@ -6203,7 +6207,8 @@ object Queries {
       FROM sc
       WHERE NOT EXISTS (SELECT 1 FROM canon
         WHERE canon.a = sc.id_a AND canon.b = sc.id_b)
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""),
+    bench = true)
 
   /** E+ attribution, the time-decay rule
     * ([[EventAnalytics.timeDecayAttribution]], half-life 1 day):

@@ -782,8 +782,17 @@ object Queries {
     Some(s"""WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
       FROM events),
+      -- the trailing flag-DESC key makes the cumulative sum TIE-STABLE
+      -- under duplicate (ts, event_id) rows (replayed-producer dirt):
+      -- the opener (flag 1) sorts first within its tie group, so a
+      -- replica always joins its opener's session. Spark evaluates the
+      -- lag and the running sum in ONE window pass (positionally
+      -- consistent); independent SQL window passes may re-order ties
+      -- between passes and split the session without this key.
       s AS (SELECT *, CAST(sum(CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END)
-        OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        OVER (PARTITION BY user_id ORDER BY ts_us, event_id,
+          CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM d)
       SELECT user_id, session_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
         count(*) AS n_rows, (max(ts_us) - min(ts_us)) // ${WindowWidthUs} AS n_windows
@@ -849,9 +858,12 @@ object Queries {
       del AS (SELECT *,
           ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS delta
         FROM e),
+      -- flag-DESC: tie-stable session ids under duplicate rows (q10)
       ses AS (SELECT *,
           CAST(sum(CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            OVER (PARTITION BY user_id, event_type ORDER BY ts_us, event_id,
+              CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM del),
       win AS (SELECT *,
           (ts_us - min(ts_us) OVER (PARTITION BY user_id, event_type, session_id)) // ${WindowWidthUs} AS window_id
@@ -1101,10 +1113,15 @@ object Queries {
   /** Shared oracle for q69/q85 — the two decontamination paths have an
     * identical output contract (the hashed variant is a lossless prune
     * + the exact pass), so ONE SQL twin checks both. */
+  // n_overlap is the DISTINCT-shingle intersection per (doc, eval)
+  // pair — set semantics, so the base documents dedupe exact replays
+  // (a replayed row adds no evidence; mirrors the operator's
+  // countDistinct)
   private val decontamOracleSql: String =
     s"""WITH sh AS (SELECT doc_id, ${sqlShingles("tk")} AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)),
-      ev AS (SELECT doc_id FROM documents
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk
+          FROM (SELECT DISTINCT doc_id, text FROM documents))),
+      ev AS (SELECT DISTINCT doc_id FROM documents
         WHERE ${sqlPolyHash("CAST(doc_id AS VARCHAR) || '#graft-sample'")} % 10000 < 1000)
       SELECT c.doc_id AS doc_id, e.doc_id AS eval_id,
         len(list_intersect(c.s, se.s))::BIGINT AS n_overlap
@@ -1957,8 +1974,11 @@ object Queries {
     Some(s"""WITH d AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS delta
       FROM events),
+      -- flag-DESC: tie-stable session ids under duplicate rows (q10)
       s AS (SELECT *, CAST(sum(CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END)
-        OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        OVER (PARTITION BY user_id ORDER BY ts_us, event_id,
+          CASE WHEN delta > ${SessionGapUs} THEN 1 ELSE 0 END DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
       FROM d)
       SELECT user_id, min(ts_us) AS s_start_us, max(ts_us) + ${SessionGapUs} AS s_end_us,
         count(*) AS n
@@ -2128,12 +2148,17 @@ object Queries {
         t(s, d, "documents"), col("doc_id"), col("text"),
         n = 5, minDocs = 2L, minSpanTokens = 8)
       .orderBy(col("doc_id"), col("start_pos")),
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      ng AS (SELECT doc_id, p, array_to_string(t[p:p+4], ' ') AS g
+    // rid = per-row identity: df counts stored rows (a replayed row
+    // counts again — q103's law) while the span table is per DOC (the
+    // operator dedupes (doc, pos) in-plan, so one span row per island
+    // however many times the row was replayed)
+    Some("""WITH tk AS MATERIALIZED (SELECT row_number() OVER () AS rid,
+          doc_id, string_split(text, ' ') AS t FROM documents),
+      ng AS (SELECT rid, doc_id, p, array_to_string(t[p:p+4], ' ') AS g
              FROM tk, unnest(range(1, len(t) - 3)) AS u(p)),
-      fr AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+      fr AS (SELECT g FROM (SELECT DISTINCT rid, g FROM ng)
              GROUP BY g HAVING count(*) >= 2),
-      sh AS (SELECT ng.doc_id, ng.p FROM ng JOIN fr USING (g)),
+      sh AS (SELECT DISTINCT ng.doc_id, ng.p FROM ng JOIN fr USING (g)),
       isl AS (SELECT doc_id, p,
           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM sh),
       runs AS (SELECT doc_id, min(p) AS sp, max(p) - min(p) + 5 AS st,
@@ -2141,7 +2166,7 @@ object Queries {
       SELECT r.doc_id, CAST(r.sp - 1 AS BIGINT) AS start_pos,
         CAST(r.st AS BIGINT) AS span_tokens, CAST(r.ngr AS BIGINT) AS n_grams,
         array_to_string(t.t[r.sp : r.sp + r.st - 1], ' ') AS span_text
-      FROM runs r JOIN tk t USING (doc_id)
+      FROM runs r JOIN (SELECT DISTINCT doc_id, t FROM tk) t USING (doc_id)
       WHERE r.st >= 8 ORDER BY doc_id, start_pos"""),
     bench = true)
 
@@ -2340,12 +2365,16 @@ object Queries {
         t(s, d, "documents"), col("doc_id"), col("text"),
         n = 5, minDocs = 2L, minSpanTokens = 8)
       .orderBy(col("doc_id")),
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      ng AS (SELECT doc_id, p, array_to_string(t[p:p+4], ' ') AS g
+    // rid = per-row identity (q103's law: df counts stored rows, spans
+    // are per DOC — the operator enforces unique (doc, pos) with an
+    // in-plan distinct — reconstruction is per row)
+    Some("""WITH tk AS MATERIALIZED (SELECT row_number() OVER () AS rid,
+          doc_id, string_split(text, ' ') AS t FROM documents),
+      ng AS (SELECT rid, doc_id, p, array_to_string(t[p:p+4], ' ') AS g
              FROM tk, unnest(range(1, len(t) - 3)) AS u(p)),
-      fr AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+      fr AS (SELECT g FROM (SELECT DISTINCT rid, g FROM ng)
              GROUP BY g HAVING count(*) >= 2),
-      sh AS (SELECT ng.doc_id, ng.p FROM ng JOIN fr USING (g)),
+      sh AS (SELECT DISTINCT ng.doc_id, ng.p FROM ng JOIN fr USING (g)),
       isl AS (SELECT doc_id, p,
           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM sh),
       runs AS (SELECT doc_id, min(p) AS sp, max(p) - min(p) + 5 AS st
@@ -2353,18 +2382,18 @@ object Queries {
       cov AS (SELECT DISTINCT r.doc_id, v.q
           FROM runs r, unnest(range(r.sp, r.sp + r.st)) AS v(q)
           WHERE r.st >= 8),
-      tok AS (SELECT doc_id, w.q, t[w.q] AS tok
+      tok AS (SELECT rid, doc_id, w.q, t[w.q] AS tok
           FROM tk, unnest(range(1, len(t) + 1)) AS w(q)),
-      kept AS (SELECT tok.doc_id, tok.q, tok.tok FROM tok ANTI JOIN cov
+      kept AS (SELECT tok.rid, tok.q, tok.tok FROM tok ANTI JOIN cov
           ON tok.doc_id = cov.doc_id AND tok.q = cov.q),
-      agg AS (SELECT doc_id, count(*) AS n_after,
+      agg AS (SELECT rid, count(*) AS n_after,
           string_agg(tok, ' ' ORDER BY q) AS text_clean FROM kept
-          GROUP BY doc_id)
+          GROUP BY rid)
       SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
         (len(t.t) - coalesce(a.n_after, 0))::BIGINT AS n_removed,
         CASE WHEN t.t IS NULL THEN NULL
           ELSE coalesce(a.text_clean, '') END AS text_clean
-      FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
+      FROM tk t LEFT JOIN agg a USING (rid) ORDER BY t.doc_id"""),
     bench = true)   // round-10 rotation: never-benched heavy
 
   private val q82 = Q("q82_ml_cross_validation",
@@ -2580,8 +2609,9 @@ object Queries {
       .orderBy(col("score").desc, col("doc_id")),
     Some("""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk
         FROM documents),
-      dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM docs),
-      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      dl0 AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM docs),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl0),
+      dl AS (SELECT DISTINCT doc_id, dl FROM dl0),
       tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
         FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
         WHERE tok IN ('spark', 'window', 'hash') GROUP BY doc_id, tok),
@@ -2821,10 +2851,15 @@ object Queries {
       cnt AS (SELECT count(*)::DOUBLE AS n FROM tk WHERE tok IS NOT NULL),
       post AS (SELECT doc_id, unnest(tok) AS term FROM tk),
       dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
-      pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+      -- pairs generate WITHIN each row (the operator's per-row pair
+      -- generator): a doc_id self-join would fan duplicate-id rows
+      -- 2x2 while every other count stays per-row
+      pairs AS (SELECT tok[i] AS term_a, tok[j] AS term_b,
           count(*) AS df_ab
-        FROM post a JOIN post b
-          ON a.doc_id = b.doc_id AND a.term < b.term
+        FROM tk,
+          unnest(range(1, len(tok) + 1)) AS u(i),
+          unnest(range(1, len(tok) + 1)) AS v(j)
+        WHERE tok[i] < tok[j]
         GROUP BY 1, 2 HAVING count(*) >= 50)
       SELECT term_a, term_b, df_ab,
         floor(ln(df_ab * n / (da.df * db.df)) * 10000 + 0.5) / 10000.0
@@ -2876,10 +2911,17 @@ object Queries {
         .orderBy(col("doc_id"))
     },
     Some(s"""$linkGraphCte,
-      sc AS (SELECT count(*)::DOUBLE AS ns FROM v WHERE id % 20 = 0),
-      tele AS (SELECT id,
-          CASE WHEN id % 20 = 0 THEN 1.0 / ns ELSE 0.0 END AS tele
-        FROM v CROSS JOIN sc),
+      -- seeds are every 20th DOCUMENT (distinct ids), not every 20th
+      -- vertex: once duplicate-doc dirt grows the vertex universe past
+      -- the doc-id range (n_docs = row count), dst-only vertices like
+      -- 500 would otherwise become phantom seeds the Spark side never
+      -- had
+      sd AS (SELECT DISTINCT doc_id AS id FROM documents
+        WHERE doc_id % 20 = 0),
+      sc AS (SELECT count(*)::DOUBLE AS ns FROM sd JOIN v USING (id)),
+      tele AS (SELECT v.id,
+          CASE WHEN sd.id IS NOT NULL THEN 1.0 / ns ELSE 0.0 END AS tele
+        FROM v CROSS JOIN sc LEFT JOIN sd ON v.id = sd.id),
       pp0 AS (SELECT id, tele AS rank FROM tele),
       pm1 AS (SELECT e.dst AS id, sum(p.rank / deg.od) AS m
         FROM e JOIN deg USING (src) JOIN pp0 p ON e.src = p.id GROUP BY e.dst),
@@ -2946,11 +2988,18 @@ object Queries {
         .withColumn("kept", col("quality_score") >= 0.3)
         .select(col("doc_id"), col("status"),
           r(col("quality_score"), 4).as("quality_score"), col("kept"))
+        // snapshots are KEYED by id (snapshotDiff's documented
+        // precondition): a replayed duplicate row fans the
+        // prior/fresh x diff joins out into identical copies — the
+        // output-sized distinct restores one row per id (exact
+        // replicas only; conflicting-content duplicate ids remain the
+        // caller's contract violation, as documented on snapshotDiff)
+        .distinct()
         .orderBy(col("doc_id"))
     },
-    Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS ho
+    Some("""WITH o AS (SELECT DISTINCT doc_id AS id, md5(text) AS ho
         FROM documents WHERE ((doc_id % 10) + 10) % 10 <> 3),
-      n AS (SELECT doc_id AS id,
+      n AS (SELECT DISTINCT doc_id AS id,
           md5(CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN text || ' r6' ELSE text END) AS hn,
           CASE WHEN ((doc_id % 13) + 13) % 13 = 0 THEN text || ' r6' ELSE text END AS text2
         FROM documents WHERE ((doc_id % 10) + 10) % 10 <> 7),
@@ -2984,24 +3033,31 @@ object Queries {
         t(s, d, "documents"), col("doc_id"), col("text"),
         n = 3, minDocs = 5L)
       .orderBy(col("doc_id")),
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      ng AS (SELECT doc_id, p, array_to_string(t[p:p+2], ' ') AS g
+    // rid keys each stored ROW: df counts rows (the operator's per-row
+    // law — a replayed duplicate row counts again), covered positions
+    // are per DOC (dup-insensitive DISTINCT), and the reconstruction
+    // is per row — a doc_id-keyed agg would interleave a replica's
+    // tokens into one garbled text_clean
+    Some("""WITH tk AS MATERIALIZED (SELECT row_number() OVER () AS rid,
+          doc_id, string_split(text, ' ') AS t FROM documents),
+      ng AS (SELECT rid, doc_id, p, array_to_string(t[p:p+2], ' ') AS g
              FROM tk, unnest(range(1, len(t) - 1)) AS u(p)),
-      fr AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM ng)
+      fr AS (SELECT g FROM (SELECT DISTINCT rid, g FROM ng)
              GROUP BY g HAVING count(*) >= 5),
       cov AS (SELECT DISTINCT s.doc_id, v.q
               FROM (SELECT ng.doc_id, ng.p FROM ng JOIN fr USING (g)) s,
               unnest(range(s.p, s.p + 3)) AS v(q)),
-      tok AS (SELECT doc_id, w.q, t[w.q] AS tok FROM tk, unnest(range(1, len(t) + 1)) AS w(q)),
-      kept AS (SELECT tok.doc_id, tok.q, tok.tok FROM tok ANTI JOIN cov
+      tok AS (SELECT rid, doc_id, w.q, t[w.q] AS tok
+              FROM tk, unnest(range(1, len(t) + 1)) AS w(q)),
+      kept AS (SELECT tok.rid, tok.q, tok.tok FROM tok ANTI JOIN cov
                ON tok.doc_id = cov.doc_id AND tok.q = cov.q),
-      agg AS (SELECT doc_id, count(*) AS n_after,
-              string_agg(tok, ' ' ORDER BY q) AS text_clean FROM kept GROUP BY doc_id)
+      agg AS (SELECT rid, count(*) AS n_after,
+              string_agg(tok, ' ' ORDER BY q) AS text_clean FROM kept GROUP BY rid)
       SELECT t.doc_id, len(t.t)::BIGINT AS n_tokens,
         (len(t.t) - coalesce(a.n_after, 0))::BIGINT AS n_removed,
         CASE WHEN t.t IS NULL THEN NULL
           ELSE coalesce(a.text_clean, '') END AS text_clean
-      FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""),
+      FROM tk t LEFT JOIN agg a USING (rid) ORDER BY t.doc_id"""),
     bench = true)
 
   /** H4+: epoch-seeded deterministic shuffle + sharding
@@ -3220,13 +3276,17 @@ object Queries {
     c$i AS (SELECT w1, w2, count(*) AS c FROM p$i GROUP BY w1, w2),
     m$i AS (SELECT w1, w2, c FROM c$i ORDER BY c DESC, w1, w2 LIMIT 1)"""
 
+  // `t.* REPLACE` carries every column of the previous stage through
+  // the rewrite (q121 threads source + the raw length alongside tk),
+  // so per-ROW identity survives the chain — re-joining `documents` by
+  // doc_id at the end would fan out under duplicate-id dirt
   private def bpeRewriteCte(i: Int): String =
-    s"""t$i AS (SELECT doc_id,
+    s"""t$i AS (SELECT t.* REPLACE (
       list_reduce(list_prepend([]::VARCHAR[], list_transform(tk, x -> [x])),
         (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m$i.w1 AND x[1] = m$i.w2
           THEN list_concat(acc[1:len(acc)-1], [m$i.w1 || ' ' || m$i.w2])
-          ELSE list_concat(acc, x) END) AS tk
-      FROM t${i - 1} CROSS JOIN m$i)"""
+          ELSE list_concat(acc, x) END) AS tk)
+      FROM t${i - 1} t CROSS JOIN m$i)"""
 
   /** H2/H3+: portable quantized k-means ([[Clustering.kMeans]], k=4,
     * 2 Lloyd iterations, seeded init) — the semantic-clustering /
@@ -3313,8 +3373,9 @@ object Queries {
     },
     Some(s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS tk
         FROM documents),
-      dl AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM docs),
-      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      dl0 AS (SELECT doc_id, len(tk)::DOUBLE AS dl FROM docs),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl0),
+      dl AS (SELECT DISTINCT doc_id, dl FROM dl0),
       tf AS (SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
         FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)
         WHERE tok IN ('spark', 'window', 'hash') GROUP BY doc_id, tok),
@@ -3693,18 +3754,17 @@ object Queries {
           sum(col("_n1")).as("symbols_bpe"))
         .orderBy(col("source"))
     },
-    Some(s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS tk
+    Some(s"""WITH t0 AS (SELECT doc_id, source,
+            len(string_split(text, ' ')) AS n_raw,
+            string_split(text, ' ') AS tk
           FROM documents),
         ${bpeCountCte(1)}, ${bpeRewriteCte(1)},
         ${bpeCountCte(2)}, ${bpeRewriteCte(2)},
         ${bpeCountCte(3)}, ${bpeRewriteCte(3)}
-        SELECT d.source,
-          CAST(sum(len(t0.tk)) AS BIGINT) AS tokens_raw,
-          CAST(sum(len(t3.tk)) AS BIGINT) AS symbols_bpe
-        FROM documents d
-        JOIN t0 ON d.doc_id = t0.doc_id
-        JOIN t3 ON d.doc_id = t3.doc_id
-        GROUP BY d.source ORDER BY d.source"""),
+        SELECT source,
+          CAST(sum(n_raw) AS BIGINT) AS tokens_raw,
+          CAST(sum(len(tk)) AS BIGINT) AS symbols_bpe
+        FROM t3 GROUP BY source ORDER BY source"""),
     bench = true)
 
   /** H3+: hard-negative mining ([[Similarity.hardNegatives]], 10
@@ -4212,8 +4272,10 @@ object Queries {
         FROM events),
       d AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
           ORDER BY ts_us, event_id) AS delta FROM e),
+      -- flag-DESC: tie-stable session ids under duplicate rows (q10)
       s AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id,
+              CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END DESC
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM d),
       p AS (SELECT user_id, sid,
           string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
@@ -4238,8 +4300,10 @@ object Queries {
         FROM events),
       dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
           ORDER BY ts_us, event_id) AS delta FROM e),
+      -- flag-DESC: tie-stable session ids under duplicate rows (q10)
       ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id,
+              CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END DESC
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
       pk AS (SELECT user_id,
         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv,
@@ -4510,7 +4574,12 @@ object Queries {
     (s, d) => graft.operators.Graph.kCore(
         linkEdges(s, d), col("src"), col("dst"), k = 4)
       .orderBy(col("id")),
-    Some(kCoreOracle(k = 4, rounds = 5)),
+    // the unroll depth is the oracle's analog of kCore's maxRounds: it
+    // must be >= the corpus's actual peel depth or the oracle returns a
+    // half-peeled set and the gate fails VISIBLY (measured: sf0.01
+    // converges in 3 rounds, the 16-class dirty corpus in 12 — 24 is a
+    // 2x margin; converged extra rounds are no-ops, ~0.2 ms each)
+    Some(kCoreOracle(k = 4, rounds = 24)),
     bench = true)
 
   /** E+ path mining: within-session first-order transition matrix
@@ -4525,8 +4594,10 @@ object Queries {
         FROM events),
       dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
           ORDER BY ts_us, event_id) AS delta FROM e),
+      -- flag-DESC: tie-stable session ids under duplicate rows (q10)
       ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id,
+              CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END DESC
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
       tr AS (SELECT lag(event_type) OVER (PARTITION BY user_id, sid
             ORDER BY ts_us, event_id) AS prev_type,
@@ -4580,8 +4651,10 @@ object Queries {
         FROM events),
       dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
           ORDER BY ts_us, event_id) AS delta FROM e),
+      -- flag-DESC: tie-stable session ids under duplicate rows (q10)
       ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id,
+              CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END DESC
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
       items AS (SELECT DISTINCT user_id, sid, event_type AS item FROM ss),
       nb AS (SELECT count(*)::BIGINT AS n_baskets
@@ -4641,8 +4714,10 @@ object Queries {
         epoch_us(ts) AS ts_us FROM events),
       dd AS (SELECT *, ts_us - lag(ts_us) OVER (PARTITION BY user_id
           ORDER BY ts_us, event_id) AS delta FROM e),
+      -- flag-DESC: tie-stable session ids under duplicate rows (q10)
       ss AS (SELECT *, CAST(sum(CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id,
+              CASE WHEN delta > $SessionGapUs THEN 1 ELSE 0 END DESC
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM dd),
       entry AS (SELECT user_id, sid, event_type AS entry FROM (
           SELECT *, row_number() OVER (PARTITION BY user_id, sid
@@ -5021,10 +5096,11 @@ object Queries {
             / nullif(nc, 0)::DOUBLE) AS frac
         FROM rk WHERE rn = 1)
       SELECT t.doc_id, top.gram AS top_gram,
-        CASE WHEN t.text IS NULL THEN NULL
+        CASE WHEN t.tnull THEN NULL
           ELSE floor(coalesce(top.frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
         END AS top_gram_frac
-      FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+      FROM (SELECT DISTINCT doc_id, text IS NULL AS tnull FROM t) t
+      LEFT JOIN top ON t.doc_id = top.doc_id
       ORDER BY t.doc_id"""),
     bench = true)
 
@@ -5049,10 +5125,11 @@ object Queries {
             / nullif(nc, 0)::DOUBLE) AS frac
         FROM c GROUP BY doc_id, nc)
       SELECT t.doc_id,
-        CASE WHEN t.text IS NULL THEN NULL
+        CASE WHEN t.tnull THEN NULL
           ELSE floor(coalesce(d2.frac, 0.0) * 1000000.0 + 0.5) / 1000000.0
         END AS dup_ngram_frac
-      FROM t LEFT JOIN d2 ON t.doc_id = d2.doc_id
+      FROM (SELECT DISTINCT doc_id, text IS NULL AS tnull FROM t) t
+      LEFT JOIN d2 ON t.doc_id = d2.doc_id
       ORDER BY t.doc_id"""))
 
   /** H4+: Gopher duplicate-line signals over a derived line structure
@@ -5631,8 +5708,10 @@ object Queries {
             OR t - lag(t) OVER w > 21600000000 THEN 1 ELSE 0 END AS opens
         FROM e WINDOW w AS (PARTITION BY user_id, event_type
           ORDER BY t, event_id)),
+      -- opens-DESC: tie-stable burst ids under duplicate rows (q10)
       b AS (SELECT *, sum(opens) OVER (PARTITION BY user_id, event_type
-          ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS burst FROM g)
+          ORDER BY t, event_id, opens DESC
+          ROWS UNBOUNDED PRECEDING) AS burst FROM g)
       SELECT user_id, event_type, min(t) AS ts_first, max(t) AS ts_last,
         count(*)::BIGINT AS n_collapsed
       FROM b GROUP BY user_id, event_type, burst
@@ -5656,8 +5735,10 @@ object Queries {
             OR event_type IS DISTINCT FROM lag(event_type) OVER w
             THEN 1 ELSE 0 END AS opens
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      -- opens-DESC: tie-stable version ids under duplicate rows (q10)
       v AS (SELECT *, sum(opens) OVER (PARTITION BY user_id
-          ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM g),
+          ORDER BY t, event_id, opens DESC
+          ROWS UNBOUNDED PRECEDING) AS ver FROM g),
       iv AS (SELECT user_id, ver, max(event_type) AS event_type,
           min(t) AS valid_from, count(*)::BIGINT AS n_events
         FROM v GROUP BY user_id, ver)
@@ -6082,8 +6163,10 @@ object Queries {
             OR t - lag(t) OVER w > 21600000000 THEN 1 ELSE 0 END AS opens
         FROM e WINDOW w AS (PARTITION BY user_id, event_type
           ORDER BY t, event_id)),
+      -- opens-DESC: tie-stable burst ids under duplicate rows (q10)
       b AS (SELECT *, sum(opens) OVER (PARTITION BY user_id, event_type
-          ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS burst FROM g),
+          ORDER BY t, event_id, opens DESC
+          ROWS UNBOUNDED PRECEDING) AS burst FROM g),
       iv AS (SELECT user_id, min(t) AS s0, max(t) AS e0
         FROM b GROUP BY user_id, event_type, burst),
       m AS (SELECT user_id, s0, e0, max(e0) OVER (PARTITION BY user_id
@@ -6091,8 +6174,9 @@ object Queries {
             AND 1 PRECEDING) AS pmax FROM iv),
       o AS (SELECT *, CASE WHEN pmax IS NULL OR s0 > pmax
           THEN 1 ELSE 0 END AS op FROM m),
+      -- op-DESC: tie-stable island ids under tied (s0, e0) intervals (q10)
       il AS (SELECT *, sum(op) OVER (PARTITION BY user_id
-          ORDER BY s0, e0 ROWS UNBOUNDED PRECEDING) AS isl FROM o),
+          ORDER BY s0, e0, op DESC ROWS UNBOUNDED PRECEDING) AS isl FROM o),
       gi AS (SELECT user_id, isl, count(*) AS n, min(s0) AS s, max(e0) AS e
         FROM il GROUP BY 1, 2)
       SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,

@@ -467,8 +467,11 @@ object Dedup {
     * eval-set document — the benchmark-leakage guard run before
     * training. Inverted-index shape, NOT all-pairs: both sides explode
     * to (doc, shingle) postings and equality-join on the shingle;
-    * shingles are distinct per document on both sides, so the per-pair
-    * match count IS the intersection size. The eval side is benchmarks
+    * `n_overlap` is the DISTINCT-shingle intersection of the pair
+    * (set semantics: a replayed duplicate row of either document adds
+    * no evidence — without the distinct, a replica would double every
+    * match count and push sub-threshold pairs over `minOverlap`, the
+    * dup-key dirt class). The eval side is benchmarks
     * (thousands of docs) against a corpus of billions — AQE broadcasts
     * the exploded eval postings from runtime stats while the corpus
     * side streams; at 100 TB, bucket the join on a 64-bit hash of the
@@ -493,7 +496,7 @@ object Dedup {
     c.join(e, "shingle")
       .filter(if (excludeSameId) col("c_id") =!= col("e_id") else lit(true))
       .groupBy(col("c_id"), col("e_id"))
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(countDistinct(col("shingle")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
       .select(col("c_id").as("doc_id"), col("e_id").as("eval_id"),
         col("n_overlap"))

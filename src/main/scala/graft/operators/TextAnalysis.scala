@@ -570,7 +570,11 @@ object TextAnalysis {
     * boilerplate scrub (the n-gram-granular cousin of C4's repeated-line
     * removal and the exact-substring dedup of Lee et al. 2022): any
     * token covered by an n-gram that occurs in at least `minDocs`
-    * DISTINCT documents is removed, and each document's text is
+    * document ROWS (distinct per row; with unique ids, rows ≡
+    * documents — a replayed duplicate row counts again, by design:
+    * dedupe upstream with the exact pass if replays are possible,
+    * since distinct-id counting would shuffle the full (doc, gram)
+    * posting table) is removed, and each document's text is
     * reconstructed from the surviving tokens in original order.
     * Headers, footers, license blurbs, and templated spans that repeat
     * across the corpus vanish from every document at once — per-doc
@@ -1040,9 +1044,14 @@ object TextAnalysis {
     require(n >= 2, s"n must be >= 2 (a 1-gram span chain is every word), got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val docs = df.select(id.as("doc_id"), tokens(text).as("_tk"))
-    // grams in >= minDocs DISTINCT docs; shingles() is distinct-per-doc
-    // so the plain count IS the document frequency (within-doc
-    // repetition is q75's self-repetition signal, not duplication)
+    // grams in >= minDocs document ROWS; shingles() is distinct-per-row
+    // so the plain count IS the document frequency over stored rows
+    // (within-doc repetition is q75's self-repetition signal, not
+    // duplication). A replayed duplicate row counts again — by design:
+    // an exact replay IS duplication, precisely what a shared-span
+    // scrub should see (run q30's exact dedup first to opt out);
+    // counting DISTINCT ids instead would shuffle the full (doc, gram)
+    // posting table where this shuffles vocab-sized partial counts
     val fr = OpUtils.barrier(
       docs.select(explode(shingles(col("_tk"), n)).as("ng"))
         .groupBy(col("ng")).agg(count(lit(1)).as("df"))
@@ -1053,8 +1062,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("p.pos").as("pos"), col("p.ng").as("ng"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val runs = posting.join(fr, Seq("ng"), "left_semi")
-      // island grouping: start positions are unique per doc, so
-      // pos − row_number is constant exactly along a consecutive chain
+      // the island trick below REQUIRES unique start positions per doc
+      // — a replayed duplicate row re-emits every (doc, pos) posting
+      // and would fragment runs at each duplicated position. Positions
+      // are structural per DOCUMENT (a replica adds no new spans), so
+      // enforce the invariant here: the distinct runs over the
+      // frequent-only sliver (post-semi-join), never the full posting
+      // table
+      .distinct()
+      // island grouping: start positions are unique per doc (enforced
+      // above), so pos − row_number is constant exactly along a
+      // consecutive chain
       .withColumn("_grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("_grp"))
       .agg(sort_array(collect_list(struct(col("pos"), col("ng")))).as("_run"))

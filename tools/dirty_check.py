@@ -17,7 +17,11 @@ balances, null embedding vectors and labels, EXTREME event values
 long/decimal cent paths), PRE-EPOCH timestamps (−60 years → negative
 epoch-µs: the floor-vs-truncate division divergence class — every
 epoch0-anchored day/week key truncates on BOTH engines, seasonCells
-floors on both; mixing the two only surfaces below zero)
+floors on both; mixing the two only surfaces below zero), and
+EXACT-DUPLICATE KEY REPLAYS (a replayed upstream producer re-emits
+whole event/document rows, so ids stop being unique — every dedup /
+first-by-id / rank-tiebreak-by-id law must treat the replica
+identically on both engines)
 (contract-non-null columns like ids stay clean; ts stays non-null; RAGGED vectors stay out by design — the
 in-plan vectorDimGuard refuses them loudly, spec-tested) — runs
 graft.Verify on ALL queries against it, and compares every dumped
@@ -81,7 +85,14 @@ def build() -> dict:
     # idiom, mirrored in the q202 twin) give different buckets — a
     # floor on one engine against a trunc on the other only fires at
     # negative ts, which the clean fixtures never produce
-    con.execute(f"""COPY (SELECT event_id,
+    # exact-duplicate KEY replays (event_id % 73 / doc_id % 79): a
+    # replayed upstream producer re-emits the SAME row — ids stop being
+    # unique, which the clean fixtures (and the other 15 classes, which
+    # only mutate values in place) never exercise. Every dedup/
+    # first-by-id/rank-by-id law must collapse or carry the replay
+    # IDENTICALLY on both engines; the replica copies the already-
+    # dirtied row (a producer replays its dirty payload verbatim)
+    con.execute(f"""COPY (WITH d AS (SELECT event_id,
       CASE WHEN event_id % 71 = 0 THEN ts - INTERVAL 60 YEAR
            ELSE ts END AS ts, user_id, event_type,
       CASE WHEN event_id % 23 = 0 THEN NULL
@@ -90,6 +101,8 @@ def build() -> dict:
       CASE WHEN event_id % 31 = 0 THEN '{{not json'
            WHEN event_id % 37 = 0 THEN '' ELSE props END AS props
       FROM read_parquet('{SRC}/events.parquet'))
+      SELECT * FROM d
+      UNION ALL SELECT * FROM d WHERE event_id % 73 = 0)
       TO '{DST}/events.parquet' (FORMAT PARQUET)""")
     # text dirt beyond NULL: the empty document and the whitespace-only
     # document — the two shapes a web scrape actually produces (both
@@ -100,7 +113,7 @@ def build() -> dict:
     # polyHashDeclarative caveat) — prepending them to real text proves
     # the native expression and every DuckDB oracle agree outside the
     # BMP, across tokenize/shingle/hash/BM25/stat paths, mechanically
-    con.execute(f"""COPY (SELECT doc_id,
+    con.execute(f"""COPY (WITH d AS (SELECT doc_id,
       CASE WHEN doc_id % 41 = 0 THEN NULL
            WHEN doc_id % 47 = 0 THEN ''
            WHEN doc_id % 59 = 0 THEN '  '
@@ -110,6 +123,8 @@ def build() -> dict:
            WHEN doc_id % 61 = 0 THEN '' ELSE lang END AS lang,
       CASE WHEN doc_id % 37 = 0 THEN NULL ELSE source END AS source,
       n_chars FROM read_parquet('{SRC}/documents.parquet'))
+      SELECT * FROM d
+      UNION ALL SELECT * FROM d WHERE doc_id % 79 = 0)
       TO '{DST}/documents.parquet' (FORMAT PARQUET)""")
     c = con.execute(f"""SELECT
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
@@ -142,7 +157,11 @@ def build() -> dict:
         WHERE event_id % 53 = 0 AND event_id % 23 <> 0
           AND event_id % 29 <> 0),
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
-        WHERE epoch_us(ts) < 0)""").fetchall()[0]
+        WHERE epoch_us(ts) < 0),
+      (SELECT count(*) - count(DISTINCT event_id)
+        FROM read_parquet('{DST}/events.parquet')),
+      (SELECT count(*) - count(DISTINCT doc_id)
+        FROM read_parquet('{DST}/documents.parquet'))""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
@@ -150,7 +169,8 @@ def build() -> dict:
               "emoji_doc_text": c[8], "null_embedding": c[9],
               "null_label": c[10], "null_source": c[11],
               "negative_value": c[12], "extreme_value": c[13],
-              "pre_epoch_ts": c[14]}
+              "pre_epoch_ts": c[14], "dup_event_rows": c[15],
+              "dup_doc_rows": c[16]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

@@ -7273,6 +7273,57 @@ object Queries {
       ORDER BY doc_id"""),
     bench = true)
 
+  /** H4+/D+: the binned normalizer OFF the grid — q213 proves the
+    * scale path on integer scores (where it equals q210 bit for bit);
+    * this runs it at scale = 4 on `events.value`, a genuinely
+    * off-grid double column, and the oracle is the REDUCTION LAW
+    * Round13Props pins: binned(s) on ANY scores ≡ the exact operator
+    * on the pre-quantized scores floorSafe(x·s + 0.5)/s. The SQL
+    * quantizes first (saturation branch mirrored — DuckDB floor stays
+    * DOUBLE, so the CASE only routes identically) and then runs
+    * q210's exact chain verbatim on the quantized values, while Spark
+    * runs the tick-cell plan on the raw column — a hash match proves
+    * the off-grid semantics end-to-end at the gate, not just in the
+    * property. `score` stays the RAW value on both sides (the
+    * operator's contract); NULL values drop; singleton strata keep
+    * their rows with NULL pct/normalized (the family law). */
+  private val q214 = Q("q214_quantile_normalize_offgrid",
+    (s, d) => graft.operators.Sampling.quantileNormalizeBinned(
+        t(s, d, "events"), col("event_id"), col("event_type"),
+        col("value"), scale = 4L)
+      .select(col("id").as("event_id"), col("stratum").as("event_type"),
+        r(col("score"), 6).as("score"), r(col("pct"), 6).as("pct"),
+        r(col("normalized"), 6).as("normalized"))
+      .orderBy(col("event_id")),
+    Some("""WITH b AS (SELECT event_id AS id, event_type AS g,
+          value::DOUBLE AS score0,
+          CASE WHEN abs(value::DOUBLE * 4 + 0.5) >= 9e18
+               THEN (value::DOUBLE * 4 + 0.5) / 4
+               ELSE floor(value::DOUBLE * 4 + 0.5) / 4 END AS x
+        FROM events WHERE value IS NOT NULL),
+      pool AS (SELECT x AS q, row_number() OVER (ORDER BY x) - 1 AS idx
+        FROM b),
+      t AS (SELECT count(*) AS n FROM b),
+      rk AS (SELECT id, g, score0, x,
+          (rank() OVER (PARTITION BY g ORDER BY x) - 1)::DOUBLE
+            / nullif((count(*) OVER (PARTITION BY g) - 1)::DOUBLE, 0.0) AS p
+        FROM b),
+      pos AS (SELECT id, g, score0, p,
+          CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) AS lo,
+          least(CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) + 1, n - 1)
+            AS hi,
+          p * (n - 1)::DOUBLE - floor(p * (n - 1)::DOUBLE) AS frac
+        FROM rk CROSS JOIN t)
+      SELECT id AS event_id, g AS event_type,
+        floor(score0 * 1000000 + 0.5) / 1000000 AS score,
+        floor(p * 1000000 + 0.5) / 1000000 AS pct,
+        floor((pl.q + frac * (ph.q - pl.q)) * 1000000 + 0.5) / 1000000
+          AS normalized
+      FROM pos LEFT JOIN pool pl ON pos.lo = pl.idx
+        LEFT JOIN pool ph ON pos.hi = ph.idx
+      ORDER BY event_id"""),
+    bench = true)
+
   // ---------------------------------------------------------------- //
   // registry                                                          //
   // ---------------------------------------------------------------- //
@@ -7289,7 +7340,7 @@ object Queries {
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
     q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213,
+    q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214,
     q70, q71, q72, q73, q74, q82, q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -222,9 +222,19 @@ object Graph {
     * ranked; the cut is a TakeOrderedAndProject over the vertex-sized
     * coefficient table. */
   def localClustering(edges: DataFrame, src: Column, dst: Column, k: Int,
-                      reliableCheckpoint: Boolean = false): DataFrame = {
+                      reliableCheckpoint: Boolean = false): DataFrame =
+    localClusteringFromCanonical(canonicalEdges(edges, src, dst), k,
+      reliableCheckpoint)
+
+  /** [[localClustering]]'s core over an ALREADY-canonical edge set —
+    * shared with the incremental twin
+    * ([[graft.streaming.StreamingGraph.localClustering]]), completing
+    * the family: every batch graph reader now has a FromCanonical
+    * core, so the persisted canonical edge state serves all of them. */
+  private[graft] def localClusteringFromCanonical(e: DataFrame, k: Int,
+      reliable: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val (_, deg, closed) = closedWedges(edges, src, dst, reliableCheckpoint)
+    val (_, deg, closed) = closedWedgesFromCanonical(e, reliable)
     val perVertex = closed
       .select(explode(array(col("v"), col("a"), col("b"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))

@@ -118,6 +118,13 @@ object StreamingGraph {
             maxRounds: Int = 50): DataFrame =
     Graph.kcoreFromCanonical(edges(spark, dir), k, maxRounds)
 
+  /** Running per-vertex local clustering top-k — identical output to
+    * [[Graph.localClustering]] over all edges ingested so far (shared
+    * compact-forward core). With this the WHOLE batch graph family
+    * derives from the one canonical edge state. */
+  def localClustering(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Graph.localClusteringFromCanonical(edges(spark, dir), k)
+
   /** `df` must carry the two endpoint columns; NULL endpoints drop
     * (the batch family's null-edge law, enforced by the shared
     * canonicalization). */

@@ -72,6 +72,8 @@ class StreamingGraphSpec extends SparkSpec {
         slurp(Graph.triangleStats(allDf, col("src"), col("dst"))))
       assert(slurp(StreamingGraph.kCore(spark, dir, k = 3)) ===
         slurp(Graph.kCore(allDf, col("src"), col("dst"), k = 3)))
+      assert(slurp(StreamingGraph.localClustering(spark, dir, k = 5)) ===
+        slurp(Graph.localClustering(allDf, col("src"), col("dst"), k = 5)))
 
       // state growth law: the persisted rows (pre-distinct) must not
       // exceed the DISTINCT canonical edge count — the anti-join

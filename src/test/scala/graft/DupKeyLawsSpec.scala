@@ -41,6 +41,27 @@ class DupKeyLawsSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 2L, 2L)))
   }
 
+  test("debounce: a replayed burst-opener joins its own burst (the " +
+      "opener-first tie law the oracles mirror with flag DESC)") {
+    import spark.implicits._
+    // user 1 / type a: events at t=0 and t=100 (gap > eps=50 opens a
+    // burst), with the t=100 OPENER replayed verbatim. The replica
+    // ties with the opener on (ts, tie) and must land in the opener's
+    // burst — never a burst of its own (the cross-pass split the
+    // dirty gate caught in DuckDB), so the output is exactly two
+    // bursts with the replay counted
+    val ev = Seq((1L, "a", 0L, 10L), (1L, "a", 100L, 11L),
+        (1L, "a", 100L, 11L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val got = graft.operators.EventAnalytics.debounce(
+        ev, key = "user_id", ts = "ts_us", typeCol = "event_type",
+        tie = "event_id", epsUs = 50L)
+      .orderBy(col("ts_first"))
+      .select("ts_first", "ts_last", "n_collapsed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 0L, 1L), (100L, 100L, 2L)))
+  }
+
   test("sharedSpans: a replayed row cannot fragment the island grouping") {
     import spark.implicits._
     val doc = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens, 6 5-grams

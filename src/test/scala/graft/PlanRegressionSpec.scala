@@ -497,6 +497,19 @@ class PlanRegressionSpec extends SparkSpec {
       s"the (source, token) cell table must be barriered:\n$p")
   }
 
+  test("q214 binned normalize: ZERO windows in the executed plan — both " +
+      "cell-table window chains live behind barriers") {
+    val p = plan("q214_quantile_normalize_offgrid")
+    // the operator's whole point (PLANS.md r12/r13): no row-cardinality
+    // window or sort anywhere — the per-stratum rank and pooled CDF
+    // windows run over BOUNDED tick-cell tables that are barriered, so
+    // the executed corpus-side plan must contain no Window at all
+    assert(!p.contains("Window"),
+      s"a Window above the barrier means a corpus-scale rank/sort leaked back in:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the tick-cell tables must be barriered:\n$p")
+  }
+
   test("q38 quant IVF: equality joins only (probes broadcast), native dot, " +
       "no cross product") {
     val p = plan("q38_similarity_ivf_topk")

@@ -60,9 +60,13 @@ object Round13Props extends Properties("Round13Ops") {
   // satisfies): scale 1 across ~25 decades incl. both sides of the
   // long-saturation boundary (t/1 = t); finer grids at magnitudes
   // where |t| < 2^53 so t/s keeps distinct ticks distinct.
-  private val anyGen: Gen[(Long, List[(Long, Option[String], Double)])] = {
+  private val anyGen: Gen[(Long, List[(Long, Option[String], Option[Double])])] = {
+    // ~1 in 8 scores NULL: both paths share the drop-NULL-scores law,
+    // so NULL rows must vanish identically from both outputs
     def rows(n: Int, xGen: Gen[Double]) = Gen.listOfN(n, for {
-      g <- stratumGen; x <- xGen
+      g <- stratumGen
+      x <- Gen.frequency(7 -> xGen.map(Option(_)),
+        1 -> Gen.const(Option.empty[Double]))
     } yield (g, x)).map(_.zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) })
     val wide = for {
       m <- Gen.choose(-1.0, 1.0); e <- Gen.choose(-3, 21)
@@ -90,7 +94,7 @@ object Round13Props extends Properties("Round13Ops") {
       val raw = rowsList.toDF("id", "g", "x")
       val binned = slurp(graft.operators.Sampling.quantileNormalizeBinned(
         raw, col("id"), col("g"), col("x"), scale = s))
-      val pre = rowsList.map { case (i, g, x) => (i, g, quantize(x, s)) }
+      val pre = rowsList.map { case (i, g, x) => (i, g, x.map(quantize(_, s))) }
         .toDF("id", "g", "x")
       val exactOnQuantized = slurp(graft.operators.Sampling.quantileNormalize(
         pre, col("id"), col("g"), col("x")))

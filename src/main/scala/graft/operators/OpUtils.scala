@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Shared plumbing for the operator modules (single-sourced — these
   * were previously duplicated between Dedup and Similarity). */
-private[operators] object OpUtils {
+private[graft] object OpUtils {
 
   /** Materialization barrier after an expensive per-row derivation: a
     * round-robin repartition to the session's shuffle parallelism.

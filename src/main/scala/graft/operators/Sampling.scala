@@ -465,26 +465,52 @@ object Sampling {
                               score: Column, scale: Long = 100L,
                               indexBinWidth: Double = 4096.0,
                               reliableCheckpoint: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(scale >= 1L, s"scale must be >= 1: $scale")
     val base = OpUtils.barrier(
-      df.filter(score.isNotNull)
-        .select(id.as("_id"), stratum.as("_g"),
-          score.cast("double").as("_x"))
-        // saturation-safe tick: bare floor(·).cast(long) would clamp
-        // |x·scale| ≥ ~9.2e18 to ONE saturated tick, silently merging
-        // extreme scores and breaking the equals-exact-on-grid
-        // contract (the r() bug class); past 2^53 the double IS its
-        // own tick, so the grid degrades to double granularity there
-        // instead of collapsing
-        .withColumn("_t", floorSafe(col("_x") * scale + lit(0.5))),
-      reliableCheckpoint)
-    // bounded (stratum, tick) cells; cum-below over the CELL table.
-    // Barriered: both the rank join and the singleton-stratum branch
-    // read it (the q206 multiple-consumer lesson)
+      tickedRows(df, id, stratum, score, scale), reliableCheckpoint)
+    normalizeAgainstCells(base,
+      base.groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_n")),
+      scale, indexBinWidth)
+  }
+
+  /** The (id, stratum, score, tick) projection both the batch operator
+    * and the streaming reader score through — ONE tick-quantization
+    * site. Saturation-safe tick: bare floor(·).cast(long) would clamp
+    * |x·scale| ≥ ~9.2e18 to ONE saturated tick, silently merging
+    * extreme scores and breaking the equals-exact-on-grid contract
+    * (the r() bug class); past 2^53 the double IS its own tick, so the
+    * grid degrades to double granularity there instead of collapsing. */
+  private[graft] def tickedRows(df: DataFrame, id: Column, stratum: Column,
+                                score: Column, scale: Long): DataFrame =
+    df.filter(score.isNotNull)
+      .select(id.as("_id"), stratum.as("_g"),
+        score.cast("double").as("_x"))
+      .withColumn("_t", floorSafe(col("_x") * scale + lit(0.5)))
+
+  /** [[quantileNormalizeBinned]]'s derivation over an ALREADY-built
+    * (stratum, tick, count) cell table — shared with the incremental
+    * twin ([[graft.streaming.StreamingQuantile.normalize]] scores rows
+    * against its persisted running cells through this same core, the
+    * StreamingGraph/StreamingDrift FromCells pattern). `rows` must be
+    * the [[tickedRows]] projection and MATERIALIZATION-BARRIERED by
+    * the caller (two consumers below: the rank join and the singleton
+    * branch); `gCells` is (_g, _t, _n) with one row per (stratum,
+    * tick). The pooled CDF and N derive FROM the cells (sums of exact
+    * longs — identical values to a direct corpus pass, one corpus
+    * aggregation cheaper). Rows whose (stratum, tick) has no cell are
+    * not rankable and DROP — the batch path never produces any (its
+    * cells come from the same rows); a streaming caller scoring
+    * out-of-corpus rows accepts that contract. */
+  private[graft] def normalizeAgainstCells(rows: DataFrame, gCells: DataFrame,
+                                           scale: Long,
+                                           indexBinWidth: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bounded cell table, THREE consumers (rank cum-sums, pooled CDF,
+    // N) — barrier it (the q206 multiple-consumer lesson)
+    val cellsB = OpUtils.barrier(gCells, reliable = false)
     val wg = Window.partitionBy(col("_g")).orderBy(col("_t"))
     val gCum = OpUtils.barrier(
-      base.groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_n"))
+      cellsB
         .withColumn("_below", coalesce(sum(col("_n")).over(
           wg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("_ng",
@@ -497,13 +523,14 @@ object Sampling {
     // but the window chain above it must not replan per AQE stage
     val wp = Window.orderBy(col("_t"))
     val cells = OpUtils.barrier(
-      base.groupBy(col("_t")).agg(count(lit(1)).as("_cn"))
+      cellsB.groupBy(col("_t")).agg(sum(col("_n")).as("_cn"))
         .withColumn("_ccum", coalesce(sum(col("_cn")).over(
           wp.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("_cnext", lead(col("_t"), 1).over(wp))
         .withColumnRenamed("_t", "_ct"),
       reliable = false)
-    val n = base.agg(count(lit(1)).as("_N"))
+    val n = cellsB.agg(sum(col("_n")).as("_N"))
+    val base = rows
     // singleton strata have no defined percentile (the exact twin's
     // law); their stratum LIST is bounded and broadcastable, so the
     // two output branches split on it WITHOUT duplicating the

@@ -56,9 +56,9 @@ object StreamingDrift {
     * engagement stream tolerates that with `distinct()`; sums
     * cannot). An empty state dir yields an empty, correctly-TYPED
     * frame so first reads and empty derivations work. */
-  private def readCells(spark: SparkSession, dir: String,
-                        schema: StructType, keys: Seq[String],
-                        sums: Seq[String]): DataFrame = {
+  private[streaming] def readCells(spark: SparkSession, dir: String,
+                                   schema: StructType, keys: Seq[String],
+                                   sums: Seq[String]): DataFrame = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val committed = StreamProtocol.committedIds(fs, p, "_batch_")
@@ -80,9 +80,9 @@ object StreamingDrift {
     * already-committed skip), then the batch's cell reduction
     * OVERWRITES its own delta directory and the marker publishes
     * last. */
-  private def monitor(df: DataFrame, dir: String, checkpoint: String,
-                      configFingerprint: String, label: String)
-                     (reduce: DataFrame => DataFrame): StreamingQuery =
+  private[streaming] def monitor(df: DataFrame, dir: String, checkpoint: String,
+                                 configFingerprint: String, label: String)
+                                (reduce: DataFrame => DataFrame): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

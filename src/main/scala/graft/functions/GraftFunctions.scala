@@ -108,7 +108,16 @@ object GraftFunctions {
     * [[graft.operators.Sampling.quantileNormalizeBinned]]'s tick grid
     * do), or extreme values silently merge into one saturated cell. */
   def floorSafe(v: Column): Column =
-    when(abs(v) >= lit(9.0e18), v).otherwise(floor(v).cast("double"))
+    when(abs(v) >= lit(FloorSafeBound), v).otherwise(floor(v).cast("double"))
+
+  /** The [[floorSafe]] regime boundary — the ONE definition the
+    * operator, the q214 oracle SQL (interpolated, not re-typed), and
+    * Round13Props' model all share, so the three can't silently drift
+    * apart if the boundary ever moves. Any replacement must stay
+    * strictly below 2^63−1 (the long-saturation clamp being routed
+    * around) and far above 2^53 (where floor is already the identity
+    * on doubles, making the pass-through branch exact). */
+  val FloorSafeBound: Double = 9.0e18
 
   /** Universal-hash family over an already-hashed long token:
     * h_i(t) = (a_i * t + b_i) mod p, with a_i/b_i derived from the seed

@@ -75,8 +75,13 @@ object StreamingQuantile {
   def normalize(spark: SparkSession, dir: String, df: DataFrame,
                 id: Column, stratum: Column, score: Column,
                 cfg: Config = Config()): DataFrame = {
+    // the persisted cells key strata as STRING (start() casts on
+    // ingest) — cast here too, or a non-string caller column would
+    // ride implicit coercion into the null-safe cell join (integer 1
+    // vs '1' can silently misalign) and the output stratum type would
+    // differ from the ingested key
     val rows = graft.operators.OpUtils.barrier(
-      Sampling.tickedRows(df, id, stratum, score, cfg.scale),
+      Sampling.tickedRows(df, id, stratum.cast("string"), score, cfg.scale),
       reliable = false)
     Sampling.normalizeAgainstCells(rows, cells(spark, dir),
       cfg.scale, cfg.indexBinWidth)

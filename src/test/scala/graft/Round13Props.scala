@@ -48,7 +48,8 @@ object Round13Props extends Properties("Round13Ops") {
     * regime split the Spark side actually executes). */
   private def quantize(x: Double, s: Long): Double = {
     val v = x * s + 0.5
-    (if (math.abs(v) >= 9.0e18) v else math.floor(v)) / s
+    (if (math.abs(v) >= graft.functions.GraftFunctions.FloorSafeBound) v
+     else math.floor(v)) / s
   }
 
   private val stratumGen: Gen[Option[String]] =

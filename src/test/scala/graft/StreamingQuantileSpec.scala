@@ -78,4 +78,40 @@ class StreamingQuantileSpec extends SparkSpec {
         "a ghost (uncommitted) delta leaked into the cell sums")
     } finally q.stop()
   }
+
+  test("a non-string stratum column is keyed as STRING — the persisted " +
+      "cell key type — on both ingest and scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // integer strata: pre-fix, normalize() passed the raw int column
+    // into the null-safe join against the string `_g` cells (implicit
+    // coercion territory) and emitted an int stratum; both sides must
+    // instead behave as if the caller had cast to string
+    val rows: Seq[(Long, Option[Int], Option[Double])] =
+      (1L to 60L).map { i =>
+        val g = if (i % 7 == 0) Option.empty[Int] else Option((i % 3).toInt)
+        val x = if (i % 11 == 0) Option.empty[Double] else Option(i / 4.0)
+        (i, g, x)
+      }
+
+    val cfg = StreamingQuantile.Config(scale = 4L)
+    val base = java.nio.file.Files.createTempDirectory("graft_squant_i_").toString
+    val dir = s"$base/cells"
+    val input = MemoryStream[(Long, Option[Int], Option[Double])]
+    val q = StreamingQuantile.start(
+      input.toDS().toDF("id", "g", "x"), "g", "x",
+      dir, s"$base/ckpt", cfg)
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val out = StreamingQuantile.normalize(spark, dir,
+        rows.toDF("id", "g", "x"), col("id"), col("g"), col("x"), cfg)
+      assert(out.schema("stratum").dataType ===
+        org.apache.spark.sql.types.StringType)
+      assert(slurp(out) === slurp(Sampling.quantileNormalizeBinned(
+        rows.toDF("id", "g", "x"),
+        col("id"), col("g").cast("string"), col("x"), scale = 4L)))
+    } finally q.stop()
+  }
 }

@@ -7287,19 +7287,24 @@ object Queries {
     * property. `score` stays the RAW value on both sides (the
     * operator's contract); NULL values drop; singleton strata keep
     * their rows with NULL pct/normalized (the family law). */
+  private val Q214Scale = 4L
   private val q214 = Q("q214_quantile_normalize_offgrid",
     (s, d) => graft.operators.Sampling.quantileNormalizeBinned(
         t(s, d, "events"), col("event_id"), col("event_type"),
-        col("value"), scale = 4L)
+        col("value"), scale = Q214Scale)
       .select(col("id").as("event_id"), col("stratum").as("event_type"),
         r(col("score"), 6).as("score"), r(col("pct"), 6).as("pct"),
         r(col("normalized"), 6).as("normalized"))
       .orderBy(col("event_id")),
-    Some("""WITH b AS (SELECT event_id AS id, event_type AS g,
+    // scale and the floorSafe boundary are INTERPOLATED from the one
+    // Scala definition each (Q214Scale, GraftFunctions.FloorSafeBound)
+    // — re-typing either literal here is how the oracle drifts out of
+    // sync with the operator it checks
+    Some(s"""WITH b AS (SELECT event_id AS id, event_type AS g,
           value::DOUBLE AS score0,
-          CASE WHEN abs(value::DOUBLE * 4 + 0.5) >= 9e18
-               THEN (value::DOUBLE * 4 + 0.5) / 4
-               ELSE floor(value::DOUBLE * 4 + 0.5) / 4 END AS x
+          CASE WHEN abs(value::DOUBLE * $Q214Scale + 0.5) >= $FloorSafeBound
+               THEN (value::DOUBLE * $Q214Scale + 0.5) / $Q214Scale
+               ELSE floor(value::DOUBLE * $Q214Scale + 0.5) / $Q214Scale END AS x
         FROM events WHERE value IS NOT NULL),
       pool AS (SELECT x AS q, row_number() OVER (ORDER BY x) - 1 AS idx
         FROM b),

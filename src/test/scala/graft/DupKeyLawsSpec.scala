@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Similarity, TextAnalysis}
 
 /** The duplicate-key (replayed-producer) laws the 16th dirt class
   * pins at the oracle gate, asserted directly on the operators with
@@ -17,7 +17,19 @@ import graft.operators.{Dedup, TextAnalysis}
   *    in-plan, so a replayed row cannot fragment the island grouping
   *    (whose invariant is unique start positions per doc); df still
   *    counts stored rows — a full replay makes the doc self-shared,
-  *    which IS the semantics (an exact replay is duplication). */
+  *    which IS the semantics (an exact replay is duplication).
+  *
+  * Round 14 adds the EMBEDDING replica laws (18th dirt class):
+  *
+  *  - the id-keyed trained/evaluated ANN family ([[Clustering.kMeans]]
+  *    and the quantized [[Similarity]] operators) is exact-replica
+  *    IDEMPOTENT — a replayed (id, vector) row re-weights no centroid,
+  *    occupies no extra top-k slot, and fans out no recall join —
+  *    while a CONFLICTING duplicate (same id, different vector)
+  *    refuses loudly (no version column can resolve it);
+  *  - the id-LESS [[Clustering.labelCoherenceMargin]] stays per-row
+  *    count-weighted (a replica IS another point), the round-13
+  *    event-family law. */
 class DupKeyLawsSpec extends SparkSpec {
 
   test("decontaminate: a replayed eval row adds no overlap evidence") {
@@ -76,5 +88,71 @@ class DupKeyLawsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(spans.toSeq === Seq((1L, 0L, 10L, 6L)),
       s"expected one unfragmented full-text span, got ${spans.toSeq}")
+  }
+
+  // ---- round-14 laws: the embedding replica class (18th dirt) ---- //
+
+  private def vecs: Seq[(Long, Seq[Double])] = Seq(
+    (1L, Seq(0.1, 0.2, 0.3, 0.4)), (2L, Seq(0.9, 0.8, 0.7, 0.6)),
+    (3L, Seq(0.2, 0.1, 0.4, 0.3)), (4L, Seq(0.8, 0.9, 0.6, 0.7)),
+    (5L, Seq(0.5, 0.5, 0.5, 0.5)), (6L, Seq(0.0, 1.0, 0.0, 1.0)))
+
+  test("kMeans: an exact (id, vector) replay is idempotent — no " +
+      "centroid re-weighting, one output row per distinct id") {
+    import spark.implicits._
+    val once = vecs.toDF("vec_id", "embedding")
+    val replayed = once.unionAll(
+      once.filter(col("vec_id") === 2L || col("vec_id") === 5L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.kMeans(df, col("vec_id"), col("embedding"),
+          k = 2, iters = 2, seed = "dup14", dim = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(run(replayed) === run(once),
+      "a replayed embedding row re-weighted a centroid or re-emitted")
+  }
+
+  test("kMeans: a duplicate id with a CONFLICTING vector refuses loudly") {
+    import spark.implicits._
+    val conflicted = (vecs :+ ((2L, Seq(0.0, 0.0, 0.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Clustering.kMeans(conflicted, col("vec_id"), col("embedding"),
+        k = 2, iters = 1, seed = "dup14", dim = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("CONFLICTING")),
+      s"expected the loud conflicting-vector refusal, got: $e")
+  }
+
+  test("ivfTopKQuant: a replayed corpus row is idempotent — it cannot " +
+      "occupy two top-k slots or shift the coarse centroids") {
+    import spark.implicits._
+    val corp = vecs.toDF("c_id", "c_vec")
+    val corpReplayed = corp.unionAll(corp.filter(col("c_id") === 3L))
+    val qs = vecs.take(2).toDF("q_id", "q_vec")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKQuant(qs, c, k = 3, nLists = 2, nProbe = 2,
+          dim = 4, iters = 1, seed = "dup14")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(corpReplayed) === run(corp),
+      "a replayed candidate row changed the IVF ranking")
+  }
+
+  test("labelCoherenceMargin: NO id column, so a replayed row is a " +
+      "real point — per-row count-weighting (n counts physical rows)") {
+    import spark.implicits._
+    val labeled = Seq(
+      (Seq(0.1, 0.2, 0.3, 0.4), 0L), (Seq(0.2, 0.1, 0.4, 0.3), 0L),
+      (Seq(0.9, 0.8, 0.7, 0.6), 1L), (Seq(0.8, 0.9, 0.6, 0.7), 1L))
+      .toDF("embedding", "label")
+    val replayed = labeled.unionAll(labeled.filter(col("label") === 0L).limit(1))
+    val n = Clustering.labelCoherenceMargin(
+        replayed, col("embedding"), col("label"), dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(n === Map(0L -> 3L, 1L -> 2L),
+      s"per-row weighting must count the replica as a point, got $n")
   }
 }

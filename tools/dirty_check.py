@@ -19,9 +19,13 @@ epoch-µs: the floor-vs-truncate division divergence class — every
 epoch0-anchored day/week key truncates on BOTH engines, seasonCells
 floors on both; mixing the two only surfaces below zero), and
 EXACT-DUPLICATE KEY REPLAYS (a replayed upstream producer re-emits
-whole event/document rows, so ids stop being unique — every dedup /
-first-by-id / rank-tiebreak-by-id law must treat the replica
-identically on both engines)
+whole event/document/EMBEDDING rows, so ids stop being unique — every
+dedup / first-by-id / rank-tiebreak-by-id law, and the ANN/clustering
+family's count-weighted centroid and recall math, must treat the
+replica identically on both engines), and VALUE-CONFLICT REPLAYS (an
+at-least-once producer re-emits the same event key with a MUTATED
+value/ts — every last-write-wins / interval / per-id-uniqueness law
+must resolve the conflicting twin identically on both engines)
 (contract-non-null columns like ids stay clean; ts stays non-null; RAGGED vectors stay out by design — the
 in-plan vectorDimGuard refuses them loudly, spec-tested) — runs
 graft.Verify on ALL queries against it, and compares every dumped
@@ -63,10 +67,18 @@ def build() -> dict:
     # deliberately NOT generated: the in-plan vectorDimGuard refuses
     # them loudly by contract (spec-tested), so a ragged row would
     # crash every embedding query rather than test a parity law.
-    con.execute(f"""COPY (SELECT vec_id,
+    # + exact-duplicate KEY replays (vec_id % 37): the r13 events/docs
+    # replica classes never fed the ANN/clustering/centroid family
+    # duplicate vectors, and centroid sums, bucket joins, and recall
+    # ground truths are exactly the count-weighted math the events
+    # replicas broke 16 queries with. The replica copies the already-
+    # dirtied row verbatim (a producer replays its dirty payload)
+    con.execute(f"""COPY (WITH d AS (SELECT vec_id,
       CASE WHEN vec_id % 29 = 0 THEN NULL ELSE embedding END AS embedding,
       CASE WHEN vec_id % 43 = 0 THEN NULL ELSE label END AS label
       FROM read_parquet('{SRC}/embeddings.parquet'))
+      SELECT * FROM d
+      UNION ALL SELECT * FROM d WHERE vec_id % 37 = 0)
       TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
     con.execute(f"""COPY (SELECT c_custkey, c_name, c_nationkey,
       CASE WHEN c_custkey % 17 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
@@ -92,6 +104,14 @@ def build() -> dict:
     # first-by-id/rank-by-id law must collapse or carry the replay
     # IDENTICALLY on both engines; the replica copies the already-
     # dirtied row (a producer replays its dirty payload verbatim)
+    # + VALUE-CONFLICT replays (event_id % 83): the harder at-least-once
+    # producer failure — the SAME key re-appended with a DIFFERENT
+    # value/ts (value+1, ts+1s), which verbatim replicas cannot
+    # exercise. Every last-write-wins / interval / per-id-uniqueness
+    # assumption (CDC merge, SCD2, debounce, snapshot diff, any
+    # first-by-id) must resolve the mutated twin identically on both
+    # engines. The conflict twin mutates the already-dirtied row, so a
+    # NULL value stays NULL (NULL+1) — the conflict is then ts-only
     con.execute(f"""COPY (WITH d AS (SELECT event_id,
       CASE WHEN event_id % 71 = 0 THEN ts - INTERVAL 60 YEAR
            ELSE ts END AS ts, user_id, event_type,
@@ -102,7 +122,9 @@ def build() -> dict:
            WHEN event_id % 37 = 0 THEN '' ELSE props END AS props
       FROM read_parquet('{SRC}/events.parquet'))
       SELECT * FROM d
-      UNION ALL SELECT * FROM d WHERE event_id % 73 = 0)
+      UNION ALL SELECT * FROM d WHERE event_id % 73 = 0
+      UNION ALL SELECT event_id, ts + INTERVAL 1 SECOND, user_id,
+        event_type, value + 1, props FROM d WHERE event_id % 83 = 0)
       TO '{DST}/events.parquet' (FORMAT PARQUET)""")
     # text dirt beyond NULL: the empty document and the whitespace-only
     # document — the two shapes a web scrape actually produces (both
@@ -158,10 +180,14 @@ def build() -> dict:
           AND event_id % 29 <> 0),
       (SELECT count(*) FROM read_parquet('{DST}/events.parquet')
         WHERE epoch_us(ts) < 0),
-      (SELECT count(*) - count(DISTINCT event_id)
-        FROM read_parquet('{DST}/events.parquet')),
+      (SELECT count(DISTINCT event_id)
+        FROM read_parquet('{DST}/events.parquet') WHERE event_id % 73 = 0),
       (SELECT count(*) - count(DISTINCT doc_id)
-        FROM read_parquet('{DST}/documents.parquet'))""").fetchall()[0]
+        FROM read_parquet('{DST}/documents.parquet')),
+      (SELECT count(*) - count(DISTINCT vec_id)
+        FROM read_parquet('{DST}/embeddings.parquet')),
+      (SELECT count(DISTINCT event_id)
+        FROM read_parquet('{DST}/events.parquet') WHERE event_id % 83 = 0)""").fetchall()[0]
     counts = {"null_event_values": c[0], "bad_props_json": c[1],
               "empty_props": c[2], "null_doc_text": c[3],
               "empty_doc_text": c[4], "blank_doc_text": c[5],
@@ -170,7 +196,8 @@ def build() -> dict:
               "null_label": c[10], "null_source": c[11],
               "negative_value": c[12], "extreme_value": c[13],
               "pre_epoch_ts": c[14], "dup_event_rows": c[15],
-              "dup_doc_rows": c[16]}
+              "dup_doc_rows": c[16], "dup_embedding_rows": c[17],
+              "conflict_rows": c[18]}
     print(f"dirty corpus at {DST} {counts}")
     return counts
 

@@ -87,11 +87,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOne(n: String): Unit = { Queries.queries(n)(spark, sfDir).count(); () }
-    val (base, failed) = timeAll(Queries.benchNames, runOne)
+    // SPARK_GRAFT_BENCH_ONLY (comma-separated substrings) narrows the
+    // timed set — LOCAL ITERATION ONLY, the driver never sets it (the
+    // same subset seam Verify's optional 3rd arg provides)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(subs) =>
+        val ss = subs.split(",").toSeq
+        Queries.benchNames.filter(n => ss.exists(n.contains))
+      case None => Queries.benchNames
+    }
+    val (base, failed) = timeAll(names, runOne)
     // re-time the skew pair with more samples (interleaved with each
     // other) and MERGE the sample sets: the pair's min/median over all
     // 3+5 samples, so the reported separation is the measured one
-    val extraNames = ExtraPassNames.filter(Queries.benchNames.contains)
+    val extraNames = ExtraPassNames.filter(names.contains)
     val samples =
       if (extraNames.isEmpty || failed.exists(extraNames.contains)) base
       else {

@@ -236,11 +236,13 @@ object Clustering {
     * unrolled replay covers both. */
   private[operators] def kMeansCentroids(
       df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
-      seed: String, dim: Int, scale: Long = 10000L): Seq[(Int, Seq[Double])] =
-    lloydLoop(buildXq(df, id, vec, dim, scale), k, iters, seed)
+      seed: String, dim: Int, scale: Long = 10000L,
+      assumeUnique: Boolean = false): Seq[(Int, Seq[Double])] =
+    lloydLoop(buildXq(df, id, vec, dim, scale, assumeUnique), k, iters, seed)
 
   private def buildXq(df: DataFrame, id: Column, vec: Column,
-                      dim: Int, scale: Long): DataFrame = {
+                      dim: Int, scale: Long,
+                      assumeUnique: Boolean = false): DataFrame = {
     // quantize once; integral doubles make every downstream sum exact.
     // x·x is per-row constant across iterations — compute it behind the
     // same barrier. `dim` is ENFORCED in-plan: a ragged vector would
@@ -271,13 +273,26 @@ object Clustering {
     // and refuses loudly — resolve upstream (e.g. the CDC merge) —
     // detected as min ≠ max of the quantized vector's hash (collision
     // risk 2^-64 per id, the xxhash64 tie-break precedent above).
-    OpUtils.materialize(
-      df.select(
+    //
+    // `assumeUnique = true` is the caller's CONTRACT that ids are
+    // already distinct (Similarity's trained-index entry points dedup
+    // and checkpoint both sides ONCE via the same law before slicing
+    // subspaces) — it skips this aggregation, removing a redundant
+    // corpus exchange per codebook training (r14 bench: the PQ family
+    // paid it 9× per query). The dedup groupBy (or the pre-deduped,
+    // already-spread checkpoint input) is the parallelism spread, so
+    // no extra repartition is needed in either mode; the lazy
+    // localCheckpoint stores the quantized rows so the per-iteration
+    // consumers never re-evaluate the transform.
+    val quant = df.select(
         id.as("_id"),
         transform(vec, x =>
           floor(x.cast("double") * lit(scale.toDouble) + lit(0.5)).cast("double"))
           .as("_xq"))
-        .filter(coalesce(assert_true(rowOk, rowMsg), lit(true)))
+      .filter(coalesce(assert_true(rowOk, rowMsg), lit(true)))
+    val deduped =
+      if (assumeUnique) quant
+      else quant
         .groupBy(col("_id"))
         .agg(first(col("_xq")).as("_xq"),
           min(xxhash64(col("_xq"))).as("_h1"),
@@ -289,8 +304,117 @@ object Clustering {
             "(e.g. CDC merge / latest-version filter) upstream")),
           lit(true)))
         .select(col("_id"), col("_xq"))
-        .withColumn("_xx", dotProduct(col("_xq"), col("_xq"))))
+    deduped.withColumn("_xx", dotProduct(col("_xq"), col("_xq")))
       .localCheckpoint(false) // consumed once per iteration + final pass
+  }
+
+  /** ALL `slices` per-slice Lloyd loops fused into ONE driver loop —
+    * the PQ-codebook shape ([[Similarity]] trains m independent
+    * codebooks over contiguous `sliceLen` sub-vectors of the same
+    * corpus): instead of m sequential loops of (seed pass + `iters`
+    * update passes) each, the slices ride ONE exploded (slice, subvec)
+    * table, the seed pass is one bounded-heap top-k per slice (the
+    * TopKRewrite plans the row_number ≤ k window as TopKPerGroup), and
+    * each update pass is one job whose (slice, cid, pos) integral sums
+    * cover every codebook — 3 jobs total instead of 3·m (r14 bench:
+    * the PQ family's dominant cost). Per-slice arithmetic is UNCHANGED:
+    * the same quantization, the same portable seed key (the in-plan
+    * seed string `seedPrefix ∥ slice` concatenates to exactly the
+    * per-slice literal the sequential loop hashes), the same
+    * integral-double sums (associative-exact in any order), the same
+    * empty-cluster fallback — so the returned codebooks are
+    * bit-identical to `slices` separate [[kMeansCentroids]] calls and
+    * the unrolled per-subspace SQL oracles still replay them.
+    *
+    * Input contract (the [[Similarity]] prepKeyed contract): ids
+    * deduped upstream; NULL ids and ragged vectors refuse loudly with
+    * the kMeans family messages. Returns codebooks slice-ascending. */
+  private[operators] def kMeansCentroidsFused(
+      df: DataFrame, id: Column, vec: Column, k: Int, iters: Int,
+      seedPrefix: String, slices: Int, sliceLen: Int,
+      scale: Long = 10000L): Seq[Seq[(Int, Seq[Double])]] = {
+    require(k >= 1 && iters >= 1,
+      s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    require(slices >= 1 && sliceLen >= 1,
+      s"need slices, sliceLen >= 1: $slices/$sliceLen")
+    val sliceCols = (0 until slices).map { s =>
+      transform(slice(vec, s * sliceLen + 1, sliceLen), x =>
+        floor(x.cast("double") * lit(scale.toDouble) + lit(0.5)).cast("double"))
+    }
+    val rowOk =
+      when(col("_id").isNull || col("_xq").isNull, lit(false))
+        .otherwise(size(col("_xq")) === sliceLen)
+    val rowMsg =
+      when(col("_id").isNull,
+        lit("Clustering.kMeans: NULL id — ids must be non-null (they " +
+          "key the deterministic seeding and the output rows)"))
+      .when(col("_xq").isNull,
+        lit("Clustering.kMeans: NULL vector — filter or impute " +
+          "upstream; a NULL row cannot be assigned to any cluster"))
+      .otherwise(lit(s"Clustering.kMeans: vector length must equal dim=$sliceLen"))
+    val xqm = df
+      .select(id.as("_id"), posexplode(array(sliceCols: _*)).as(Seq("_s", "_xq")))
+      .filter(coalesce(assert_true(rowOk, rowMsg), lit(true)))
+      .withColumn("_xx", dotProduct(col("_xq"), col("_xq")))
+      .localCheckpoint(false) // consumed once per pass, like buildXq
+    // seed pass: per slice the k smallest (portable hash, id, vec-hash)
+    // — the exact lloydLoop key with the slice index concatenated into
+    // the seed string in-plan; rank order 1..k IS the cid order the
+    // sequential limit(k) + zipWithIndex produced
+    val seedRows = xqm
+      .withColumn("_h",
+        pmod(polyHash(concat(lit(seedPrefix), col("_s").cast("string"),
+          col("_id").cast("string"), lit("#graft-kmeans"))), lit(10000L)))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_s"))
+          .orderBy(col("_h"), col("_id"), xxhash64(col("_xq")))))
+      .filter(col("_rn") <= k)
+      .select(col("_s"), col("_rn"), col("_xq"))
+      .collect()
+    require(seedRows.nonEmpty,
+      "Clustering.kMeans: input is empty (0 rows after upstream " +
+        "filters) — nothing to cluster")
+    val cents: Array[Seq[(Int, Seq[Double])]] =
+      Array.tabulate(slices) { s =>
+        seedRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+          .zipWithIndex.map { case (row, i) => (i, row.getSeq[Double](2)) }
+          .toSeq
+      }
+
+    for (_ <- 1 to iters) {
+      // per-row argmin against the row's OWN slice's centroids: one
+      // when-chain over the slice index, each branch the lloydLoop
+      // (dist², cid)-lexicographic struct min over centroid literals
+      val bests = (0 until slices).map { s =>
+        val distStructs = cents(s).map { case (cid, cv) =>
+          val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
+          struct(
+            (col("_xx") - lit(2.0) * dotProduct(col("_xq"), typedLit(cv)) + lit(cc))
+              .as("_dist2"),
+            lit(cid).as("_cid"))
+        }
+        array_sort(array(distStructs: _*)).getItem(0)
+      }
+      val best = bests.init.zipWithIndex.foldRight(bests.last) {
+        case ((b, s), tail) => when(col("_s") === s, b).otherwise(tail)
+      }
+      val updated = xqm
+        .withColumn("_cid", best.getField("_cid"))
+        .select(col("_s"), col("_cid"), posexplode(col("_xq")).as(Seq("_pos", "_v")))
+        .groupBy(col("_s"), col("_cid"), col("_pos"))
+        .agg(sum(col("_v")).as("_sm"), count(lit(1)).as("_n"))
+        .groupBy(col("_s"), col("_cid"))
+        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_sm"), col("_n")))),
+          t => t.getField("_sm") / t.getField("_n").cast("double")).as("_cvec"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+        .toMap
+      for (s <- 0 until slices)
+        cents(s) = cents(s).map { case (cid, old) =>
+          (cid, updated.getOrElse((s, cid), old)) }
+    }
+    cents.toSeq
   }
 
   private def lloydLoop(xq: DataFrame, k: Int, iters: Int,

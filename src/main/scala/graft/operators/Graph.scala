@@ -429,34 +429,51 @@ object Graph {
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(false)
+    // SPARSE iterations (r14): a zero score contributes nothing to the
+    // next contribution join and exactly 0.0 to the L1 sum (x + 0.0 is
+    // exact in IEEE), so the per-round dense re-anchoring join against
+    // the vertex set the old shape paid twice per iteration — plus its
+    // repartition barrier — computes identical values and is gone; the
+    // vertex set is only needed once, to densify the OUTPUT (vertices
+    // with no in-edges carry auth 0, no out-edges hub 0). The
+    // normalization divides the checkpointed aggregate by its own
+    // 1-row broadcast sum — one barrier per half-iteration, none of
+    // them vertex-joined.
+    def l1Normalize(scores: DataFrame, c: String): DataFrame = {
+      val s = scores.localCheckpoint(false)
+      s.crossJoin(broadcast(s.agg(sum(col(c)).as("_s"))))
+        .select(col("id"), (col(c) / col("_s")).as(c))
+    }
+    // iteration 1, auth half: hub starts uniformly 1.0 over the vertex
+    // set, so Σ_{u→v} hub(u) is exactly the in-degree as a double (a
+    // sum of 1.0s IS the count below 2^53) — the hub join is an
+    // identity and is skipped
+    var auth = l1Normalize(
+      e.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).cast("double").as("auth")),
+      "auth")
+    var hub = l1Normalize(
+      e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
+      "hub")
+    for (_ <- 2 to iterations) {
+      auth = l1Normalize(
+        e.join(hub.select(col("id").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
+        "auth")
+      hub = l1Normalize(
+        e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
+        "hub")
+    }
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(false)
-    def l1Normalize(scores: DataFrame, c: String): DataFrame = {
-      val s = OpUtils.materialize(scores)
-      s.crossJoin(broadcast(s.agg(sum(col(c)).as("_s"))))
-        .select(col("id"), (col(c) / col("_s")).as(c))
-        .localCheckpoint(false)
-    }
-    var hub = verts.select(col("id"), lit(1.0).as("hub")).localCheckpoint(false)
-    var auth: DataFrame = null
-    for (_ <- 1 to iterations) {
-      auth = l1Normalize(
-        verts.join(
-          e.join(hub.select(col("id").as("src"), col("hub")), "src")
-            .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
-          Seq("id"), "left")
-          .select(col("id"), coalesce(col("auth"), lit(0.0)).as("auth")),
-        "auth")
-      hub = l1Normalize(
-        verts.join(
-          e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
-            .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
-          Seq("id"), "left")
-          .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
-        "hub")
-    }
-    hub.join(auth, Seq("id"))
+    verts
+      .join(hub, Seq("id"), "left")
+      .join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
   }
 
   /** Canonical undirected simple edges: (min, max) endpoint order,

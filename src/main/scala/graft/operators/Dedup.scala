@@ -277,16 +277,22 @@ object Dedup {
     * from the definition, no gram mechanics at all: a lossy filter
     * could not hash-match it.
     *
-    * Shape at 100 TB: the signature side is (k·q + 1)·n postings on
-    * deliberately RARE keys; the full side shuffles once on the gram;
-    * candidates dedup to unordered pairs before the verify join
-    * (levenshtein runs once per candidate, never per gram match).
-    * `q` is the selectivity lever: candidate count ≈ Σ df over each
-    * string's k·q+1 rarest grams, so on STRUCTURED corpora where even
-    * rare short grams are hot (serial-numbered names: every 2-gram is
-    * shared by thousands) raise q until the rarest grams are actually
-    * rare — q185 measured 16.1M candidates at q = 2 vs 3.8M at q = 4
-    * on 15k near-identical customer names, same (lossless) answer.
+    * Shape at 100 TB: the candidate join is SIGNATURE ⋈ SIGNATURE —
+    * (k·q + 1)·n postings on deliberately RARE keys on BOTH sides,
+    * lossless by the prefix-filter theorem (both signatures are the
+    * k·q+1 smallest grams under ONE global total order — see the
+    * candidate-join comment); the full posting table exists only to
+    * rank grams by document frequency. Candidates dedup to unordered
+    * pairs before the verify join (levenshtein runs once per
+    * candidate, never per gram match).
+    * `q` is the selectivity lever: candidates ≈ signature collisions
+    * on each string's k·q+1 rarest grams, so on STRUCTURED corpora
+    * where even rare short grams are hot (serial-numbered names:
+    * every 2-gram is shared by thousands) raise q until the rarest
+    * grams are actually rare — q185 measured 16.1M candidates at
+    * q = 2 vs 3.8M at q = 4 under the old signature ⋈ full-posting
+    * join on 15k near-identical customer names, same (lossless)
+    * answer; the r14 prefix-filter join cuts below that again.
     * Degenerate corpora (everything near-identical → even the rare
     * grams are hot) fail fast via the signature-side block guard.
     * Strings too short to own k·q + 1 padded grams would evade the
@@ -318,7 +324,7 @@ object Dedup {
             s"i -> substring(_p, i, $q)))")).as("g")),
       reliable = false)
     val dfreq = posting.groupBy(col("g")).agg(count(lit(1)).as("_df"))
-    val sig = guardBlocks(
+    val sig = OpUtils.barrier(guardBlocks(
       posting.join(dfreq, Seq("g"))
         .withColumn("_rn", row_number().over(
           org.apache.spark.sql.expressions.Window
@@ -326,9 +332,31 @@ object Dedup {
         .filter(col("_rn") <= sigSize)
         .select(col("g").as("bk"), col("_id").as("_sid")),
       maxBlock, "editDistancePairs")
-      .select(col("bk").as("g"), col("_sid"))
+      .select(col("bk").as("g"), col("_sid")), reliable = false)
+    // candidate join: SIGNATURE ⋈ SIGNATURE, not signature ⋈ full
+    // postings (r14) — the standard prefix-filter strengthening
+    // (Chaudhuri et al. 2006; Xiao et al. 2008 §3): both signatures
+    // are each string's k·q+1 SMALLEST grams under the same global
+    // total order (df, then gram), and two gram sets within the
+    // k·q-type edit bound must collide inside those prefixes. Proof:
+    // suppose sig(A) ∩ sig(B) = ∅ with both full-sized, and wlog
+    // max(sig(A)) ≤ max(sig(B)) in the order. Every gram of sig(A)
+    // that B owns would sort into sig(B) (it precedes sig(B)'s max),
+    // so sig(A) ∩ B = ∅ — all k·q+1 grams of sig(A) are in A∖B,
+    // contradicting |A∖B| ≤ k·q. An UNDERSIZED signature is the whole
+    // gram set (array_distinct can collapse a repetitive string below
+    // k·q+1 types), and the same argument runs one-sided: a full
+    // sig(B) disjoint from A = sig(A) forces |B∖A| ≥ k·q+1 — exactly
+    // the cases the old signature ⋈ full-posting join covered (both
+    // undersized reduces to A ∩ B = ∅ under ≤ k edits, unreachable at
+    // maxDist = 1 where the 2(q−1) distinct pad-boundary grams alone
+    // fill the signature). Candidates drop from Σ_sig df(g) to
+    // signature-signature collisions on the deliberately-rare grams —
+    // q185 measured the old join emitting 3.8M pre-distinct rows, one
+    // 4.0 s job of its 6.5 s total. The barrier above keeps the
+    // df-rank chain computed once under the self-join's two consumers.
     val cand = sig
-      .join(posting.select(col("g"), col("_id").as("_fid")), Seq("g"))
+      .join(sig.select(col("g"), col("_sid").as("_fid")), Seq("g"))
       .filter(col("_sid") =!= col("_fid"))
       .select(least(col("_sid"), col("_fid")).as("id_a"),
         greatest(col("_sid"), col("_fid")).as("id_b"))

@@ -88,10 +88,14 @@ object Graph {
     // Out-degree fused onto the edge table ONCE, partitioned on src,
     // pinned: the big side of every round's join never moves again.
     // deg feeds ed, srcIds AND the final out_deg join — pinned, or the
-    // output-time join replans the edge-scale aggregation from the scan
+    // output-time join replans the edge-scale aggregation from the scan.
+    // No explicit repartition after the join (r14): the join's own
+    // exchange already leaves ed hash-partitioned on src (AQE-sized),
+    // so the old `repartition(src)` re-shuffled the edge table into an
+    // identical layout — one whole edge-sized exchange for nothing.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("out_deg"))
       .localCheckpoint(false)
-    val ed = e.join(deg, "src").repartition(col("src")).localCheckpoint(false)
+    val ed = e.join(deg, "src").localCheckpoint(false)
 
     val verts = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -374,23 +378,29 @@ object Graph {
     val und = u.select(col("a").as("u"), col("b").as("v"))
       .unionAll(u.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("v")).localCheckpoint(false) // pinned on the join key
-    val verts = und.select(col("u").as("id")).distinct().localCheckpoint(false)
-    var labels = verts.select(col("id"), col("id").as("label"))
-      .localCheckpoint(false)
+    if (rounds == 0)
+      return und.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("label"))
+    // ROUND 1 is a degenerate window (r14): labels start as the
+    // identity, so every neighbor carries a distinct label with count
+    // 1 and the (count desc, label) pick IS the minimum neighbor id —
+    // one map-side-combinable aggregation replaces the label join +
+    // per-vertex window. Every round's pick covers EVERY vertex (verts
+    // is und's u-side: each has ≥ 1 neighbor), so the old defensive
+    // left-join + coalesce back onto the previous labels — whose
+    // fallback arm could never fire — is gone too: the pick IS the
+    // next label table.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("u")).orderBy(col("c").desc, col("lab"))
-    for (_ <- 1 to rounds) {
-      val pick = und
+    var labels = und.groupBy(col("u").as("id")).agg(min(col("v")).as("label"))
+      .localCheckpoint(false)
+    for (_ <- 2 to rounds) {
+      labels = und
         .join(labels.select(col("id").as("v"), col("label").as("lab")), "v")
         .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
-        .select(col("u").as("id"), col("lab"))
-      // defensive left+coalesce only: verts IS und's u-side, so every
-      // vertex has ≥1 neighbor and pick always matches — the fallback
-      // arm cannot fire on any input that reaches here
-      labels = labels.join(pick, Seq("id"), "left")
-        .select(col("id"), coalesce(col("lab"), col("label")).as("label"))
+        .select(col("u").as("id"), col("lab").as("label"))
         .localCheckpoint(false)
     }
     labels

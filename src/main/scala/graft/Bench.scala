@@ -90,12 +90,23 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY (comma-separated substrings) narrows the
     // timed set — LOCAL ITERATION ONLY, the driver never sets it (the
     // same subset seam Verify's optional 3rd arg provides)
-    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    val names = benchOnly match {
       case Some(subs) =>
         val ss = subs.split(",").toSeq
         Queries.benchNames.filter(n => ss.exists(n.contains))
       case None => Queries.benchNames
     }
+    // a stray SPARK_GRAFT_BENCH_ONLY must never masquerade as a full
+    // run: shout on stderr AND stamp a "subset" marker into both JSON
+    // lines (r15, ADVICE) — absent on the default (driver) path
+    if (benchOnly.isDefined)
+      System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY=${benchOnly.get} — " +
+          s"timing a ${names.size}/${Queries.benchNames.size}-query " +
+          "SUBSET; this is NOT a headline result")
+    val subsetField =
+      if (benchOnly.isDefined) s""","subset":true""" else ""
     val (base, failed) = timeAll(names, runOne)
     // re-time the skew pair with more samples (interleaved with each
     // other) and MERGE the sample sets: the pair's min/median over all
@@ -125,7 +136,7 @@ object Bench {
     val total = results.map(_._2.min).filter(_ >= 0).sum
     val totalMed = results.map(_._2.med).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"detail","value":${r3(total)},"unit":"sec","queries":${obj(_.min)},"queries_med":${obj(_.med)},"failed":$fs,"sf":"${js(sfDir)}"}"""
+      s"""{"metric":"detail","value":${r3(total)},"unit":"sec","queries":${obj(_.min)},"queries_med":${obj(_.med)},"failed":$fs,"sf":"${js(sfDir)}"$subsetField}"""
 
     // The driver captures only the LAST ~2000 chars of stdout and
     // parses a JSON line out of that tail; round 7's single 4.5k-char
@@ -150,7 +161,7 @@ object Bench {
           .mkString("{", ",", "}")
         s""","queries":$m"""
       } else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"n_queries":${results.size}$q,"failed":$fs,"sf":"${js(sfDir)}","detail":"${js(detailPath)}"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_med":${r3(totalMed)},"n_queries":${results.size}$q,"failed":$fs,"sf":"${js(sfDir)}"$subsetField,"detail":"${js(detailPath)}"}"""
     }
     // lazy ladder: stop serializing at the first rung that fits (the
     // dp=0 rung always fits in practice; if even it overflows — an

@@ -356,110 +356,109 @@ object Clustering {
       .select(id.as("_id"), posexplode(array(sliceCols: _*)).as(Seq("_s", "_xq")))
       .filter(coalesce(assert_true(rowOk, rowMsg), lit(true)))
       .withColumn("_xx", dotProduct(col("_xq"), col("_xq")))
-      .localCheckpoint(false) // consumed once per pass, like buildXq
-    // seed pass: per slice the k smallest (portable hash, id, vec-hash)
-    // — the exact lloydLoop key with the slice index concatenated into
-    // the seed string in-plan; rank order 1..k IS the cid order the
-    // sequential limit(k) + zipWithIndex produced
-    val seedRows = xqm
-      .withColumn("_h",
-        pmod(polyHash(concat(lit(seedPrefix), col("_s").cast("string"),
-          col("_id").cast("string"), lit("#graft-kmeans"))), lit(10000L)))
+      .localCheckpoint(false) // shared by the seed pass + every update pass
+    lloydCentsInPlan(xqm,
+      concat(lit(seedPrefix), col("_s").cast("string"),
+        col("_id").cast("string"), lit("#graft-kmeans")),
+      k, iters, slices).toSeq
+  }
+
+  /** The Lloyd loop as ONE Spark action (r15): seeds, every update
+    * pass, and the empty-cluster fallback are chained lazily through
+    * tiny (slice, cid, cvec) frames — the driver collects ONLY the
+    * final centroids, instead of one blocking collect per pass with a
+    * freshly planned k·dim-literal assignment chain each time (r14's
+    * remaining PQ cost: ~3 driver round-trips + literal-churn codegen
+    * per training). Each intermediate frame is pinned with a lazy
+    * `localCheckpoint`, so both of its consumers (the broadcast
+    * assignment side and the fallback join's left side) share ONE
+    * computed RDD — evaluation stays linear in `iters`, never
+    * re-expanding the lineage.
+    *
+    * Per-slice arithmetic is UNCHANGED from the sequential loop:
+    *  - seeds: per slice the k smallest (portable hash, id, vec-hash)
+    *    rows, cid = rank − 1 — the exact key and order the collected
+    *    zipWithIndex produced;
+    *  - assignment: lexicographic (dist², cid) struct min where
+    *    dist² = x·x − 2·x·c + c·c; c·c is `graft_dot(c, c)` — the
+    *    SAME sequential multiply-add fold the driver's
+    *    `foldLeft(0.0)((a,v) => a + v*v)` ran, so every distance is
+    *    bit-identical whether c arrives as a literal or a column (the
+    *    argmin is order-independent: (dist², cid) is a total order,
+    *    so the collect_list order into the codebook array is
+    *    irrelevant);
+    *  - update: the same (slice, cid, pos) integral sums and exact
+    *    per-coordinate division; empty clusters keep their previous
+    *    centroid via the left-join coalesce.
+    * The returned codebooks are therefore bit-identical to the
+    * sequential collect-per-pass loop and the unrolled SQL oracles
+    * still replay them. */
+  private def lloydCentsInPlan(xqm: DataFrame, seedKey: Column, k: Int,
+                               iters: Int, slices: Int)
+      : Array[Seq[(Int, Seq[Double])]] = {
+    val seeds = xqm
+      .withColumn("_h", pmod(polyHash(seedKey), lit(10000L)))
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("_s"))
           .orderBy(col("_h"), col("_id"), xxhash64(col("_xq")))))
       .filter(col("_rn") <= k)
-      .select(col("_s"), col("_rn"), col("_xq"))
-      .collect()
-    require(seedRows.nonEmpty,
-      "Clustering.kMeans: input is empty (0 rows after upstream " +
-        "filters) — nothing to cluster")
-    val cents: Array[Seq[(Int, Seq[Double])]] =
-      Array.tabulate(slices) { s =>
-        seedRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
-          .zipWithIndex.map { case (row, i) => (i, row.getSeq[Double](2)) }
-          .toSeq
-      }
-
+      .select(col("_s"), (col("_rn") - 1).cast("int").as("_cid"),
+        col("_xq").as("_cvec"))
+    var cents = seeds.localCheckpoint(false)
     for (_ <- 1 to iters) {
-      // per-row argmin against the row's OWN slice's centroids: one
-      // when-chain over the slice index, each branch the lloydLoop
-      // (dist², cid)-lexicographic struct min over centroid literals
-      val bests = (0 until slices).map { s =>
-        val distStructs = cents(s).map { case (cid, cv) =>
-          val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
-          struct(
-            (col("_xx") - lit(2.0) * dotProduct(col("_xq"), typedLit(cv)) + lit(cc))
-              .as("_dist2"),
-            lit(cid).as("_cid"))
-        }
-        array_sort(array(distStructs: _*)).getItem(0)
-      }
-      val best = bests.init.zipWithIndex.foldRight(bests.last) {
-        case ((b, s), tail) => when(col("_s") === s, b).otherwise(tail)
-      }
-      val updated = xqm
-        .withColumn("_cid", best.getField("_cid"))
+      // per-slice codebook array, broadcast onto the corpus rows; the
+      // per-row argmin is the same (dist², cid) struct min as the
+      // literal form, over the row's OWN slice's centroids
+      val cb = cents.groupBy(col("_s"))
+        .agg(collect_list(struct(col("_cid"), col("_cvec"))).as("_cb"))
+      val best = array_sort(transform(col("_cb"), c =>
+        struct(
+          (col("_xx")
+            - lit(2.0) * dotProduct(col("_xq"), c.getField("_cvec"))
+            + dotProduct(c.getField("_cvec"), c.getField("_cvec")))
+            .as("_dist2"),
+          c.getField("_cid").as("_cid"))))
+        .getItem(0).getField("_cid")
+      val updated = xqm.join(broadcast(cb), Seq("_s"))
+        .withColumn("_cid", best)
         .select(col("_s"), col("_cid"), posexplode(col("_xq")).as(Seq("_pos", "_v")))
         .groupBy(col("_s"), col("_cid"), col("_pos"))
         .agg(sum(col("_v")).as("_sm"), count(lit(1)).as("_n"))
         .groupBy(col("_s"), col("_cid"))
         .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_sm"), col("_n")))),
-          t => t.getField("_sm") / t.getField("_n").cast("double")).as("_cvec"))
-        .collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
-        .toMap
-      for (s <- 0 until slices)
-        cents(s) = cents(s).map { case (cid, old) =>
-          (cid, updated.getOrElse((s, cid), old)) }
+          t => t.getField("_sm") / t.getField("_n").cast("double")).as("_uvec"))
+      cents = cents.join(updated, Seq("_s", "_cid"), "left")
+        .select(col("_s"), col("_cid"),
+          coalesce(col("_uvec"), col("_cvec")).as("_cvec"))
+        .localCheckpoint(false)
     }
-    cents.toSeq
+    val rows = cents.collect()
+    require(rows.nonEmpty,
+      "Clustering.kMeans: input is empty (0 rows after upstream " +
+        "filters) — nothing to cluster")
+    Array.tabulate(slices) { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(r => (r.getInt(1), r.getSeq[Double](2))).toSeq
+    }
   }
 
   private def lloydLoop(xq: DataFrame, k: Int, iters: Int,
                         seed: String): Seq[(Int, Seq[Double])] = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
-    // seed: k smallest (portable hash, id tie-break) → cluster ids 0..k-1
-    // (_h, _id) is the portable sort key the SQL oracle replays; the
-    // vector-hash third key only disambiguates DUPLICATE ids (two rows
-    // sharing (_h, _id) would otherwise seed nondeterministically run
-    // to run) — with unique ids, the contract, it never engages, so
-    // oracle parity is untouched
-    var centroids: Seq[(Int, Seq[Double])] = xq
-      .withColumn("_h",
-        pmod(polyHash(concat(lit(seed), col("_id").cast("string"),
-          lit("#graft-kmeans"))), lit(10000L)))
-      .orderBy(col("_h"), col("_id"), xxhash64(col("_xq")))
-      .limit(k)
-      .select(col("_xq"))
-      .collect()
-      .zipWithIndex
-      .map { case (row, i) => (i, row.getSeq[Double](0)) }
-      .toSeq
-    // empty input would otherwise crash far away (array() of zero
-    // assignment structs fails analysis with a misleading type error)
-    require(centroids.nonEmpty,
-      "Clustering.kMeans: input is empty (0 rows after upstream " +
-        "filters) — nothing to cluster")
-
-    for (_ <- 1 to iters) {
-      // new centroid = per-dimension mean of integral coords: the sums
-      // are integer-valued doubles (order-independent-exact), the
-      // division a single exact IEEE op. Shuffle carries k·dim partials.
-      val updated = assigned(xq, centroids)
-        .select(col("_cid"), posexplode(col("_xq")).as(Seq("_pos", "_v")))
-        .groupBy(col("_cid"), col("_pos"))
-        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
-        .groupBy(col("_cid"))
-        .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_s"), col("_n")))),
-          s => s.getField("_s") / s.getField("_n").cast("double")).as("_cvec"))
-        .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-        .toMap
-      centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
-    }
-    centroids
+    // the slices = 1 instance of the fused in-plan loop (ONE Spark
+    // action for seeds + every update — r15): the seed key is the
+    // portable (hash, id, vec-hash) order the SQL oracle replays — a
+    // single-slice window rank ≤ k IS the old global orderBy+limit(k),
+    // and cid = rank − 1 the old zipWithIndex. The vector-hash third
+    // key only disambiguates DUPLICATE ids (two rows sharing (_h, _id)
+    // would otherwise seed nondeterministically run to run) — with
+    // unique ids, the contract, it never engages, so oracle parity is
+    // untouched. Update rule, integral-exact sums, and empty-cluster
+    // fallback all live in [[lloydCentsInPlan]].
+    lloydCentsInPlan(xq.withColumn("_s", lit(0)),
+      concat(lit(seed), col("_id").cast("string"), lit("#graft-kmeans")),
+      k, iters, slices = 1).head
   }
 
   // narrow argmin: k distances per row from centroid LITERALS, best =

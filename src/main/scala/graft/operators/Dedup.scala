@@ -238,15 +238,24 @@ object Dedup {
         .select(col("_id"), polyHash(col("sh")).as("h"))
         .distinct(),
       reliableCheckpoint)
+    // the kept postings carry their document frequency (r15): a
+    // SINGLETON hash (df = 1) can never produce a cross-document pair
+    // — its one self-match dies on the id_a ≠ id_b filter — but it
+    // DOES count toward the containment denominator (_n_kept). So the
+    // denominator side keeps every df ≤ maxDf posting while BOTH
+    // self-join inputs drop to 2 ≤ df ≤ maxDf (guide §3: shrink the
+    // join's inputs; on a typical corpus most distinct shingles are
+    // singletons). Pair counts are unchanged: any shared hash has
+    // df ≥ 2 by definition.
     val dfKeep = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
-      .select(col("h"))
     val kept = OpUtils.barrier(
-      posting.join(dfKeep, Seq("h"), "left_semi"), reliableCheckpoint)
+      posting.join(dfKeep, Seq("h")), reliableCheckpoint)
     val sizes = kept.groupBy(col("_id")).agg(count(lit(1)).as("_n_kept"))
-    val a = kept.select(col("h"), col("_id").as("id_a"))
-    val b = kept.select(col("h"), col("_id").as("id_b"))
+    val paired = kept.filter(col("_df") >= 2L)
+    val a = paired.select(col("h"), col("_id").as("id_a"))
+    val b = paired.select(col("h"), col("_id").as("id_b"))
     a.join(b, Seq("h"))
       .filter(col("id_a") =!= col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -317,9 +326,16 @@ object Dedup {
             s"${sigSize} signature grams the lossless prefilter needs " +
             s"(raise q, lower maxDist, or filter short strings upstream)"))),
         lit(true)))
+    // the signature rows carry the string LENGTH (one int per posting
+    // row — r15): |len(a) − len(b)| ≤ maxDist is a necessary edit-
+    // distance condition, so applying it ON THE CANDIDATE JOIN OUTPUT
+    // (before the pair-dedup exchange and the two verify joins) drops
+    // never-verifiable pairs at the earliest possible point — guide §3
+    // (shrink the join's fan-in); the later exact levenshtein verify
+    // is untouched, so the output is exact either way
     val posting = OpUtils.barrier(
       s0.withColumn("_p", concat(lit(pad), col("_s"), lit(pad)))
-        .select(col("_id"), explode(expr(
+        .select(col("_id"), length(col("_s")).as("_len"), explode(expr(
           s"array_distinct(transform(sequence(1, length(_p) - ${q - 1}), " +
             s"i -> substring(_p, i, $q)))")).as("g")),
       reliable = false)
@@ -330,9 +346,9 @@ object Dedup {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("_id")).orderBy(col("_df"), col("g"))))
         .filter(col("_rn") <= sigSize)
-        .select(col("g").as("bk"), col("_id").as("_sid")),
+        .select(col("g").as("bk"), col("_id").as("_sid"), col("_len")),
       maxBlock, "editDistancePairs")
-      .select(col("bk").as("g"), col("_sid")), reliable = false)
+      .select(col("bk").as("g"), col("_sid"), col("_len")), reliable = false)
     // candidate join: SIGNATURE ⋈ SIGNATURE, not signature ⋈ full
     // postings (r14) — the standard prefix-filter strengthening
     // (Chaudhuri et al. 2006; Xiao et al. 2008 §3): both signatures
@@ -355,16 +371,23 @@ object Dedup {
     // q185 measured the old join emitting 3.8M pre-distinct rows, one
     // 4.0 s job of its 6.5 s total. The barrier above keeps the
     // df-rank chain computed once under the self-join's two consumers.
+    // `<` instead of `=!=` + least/greatest (r15): the symmetric
+    // self-join emitted every unordered pair TWICE (once per
+    // orientation) and canonicalized after — joining strictly
+    // id-ascending emits each (min, max) pair once per shared
+    // signature gram, HALVING the join output feeding the pair-dedup
+    // exchange; the pair set is identical by symmetry of the collision
+    // relation.
     val cand = sig
-      .join(sig.select(col("g"), col("_sid").as("_fid")), Seq("g"))
-      .filter(col("_sid") =!= col("_fid"))
-      .select(least(col("_sid"), col("_fid")).as("id_a"),
-        greatest(col("_sid"), col("_fid")).as("id_b"))
+      .join(sig.select(col("g"), col("_sid").as("_fid"),
+        col("_len").as("_flen")), Seq("g"))
+      .filter(col("_sid") < col("_fid") &&
+        abs(col("_len") - col("_flen")) <= maxDist)
+      .select(col("_sid").as("id_a"), col("_fid").as("id_b"))
       .distinct()
     cand
       .join(s0.select(col("_id").as("id_a"), col("_s").as("_sa")), Seq("id_a"))
       .join(s0.select(col("_id").as("id_b"), col("_s").as("_sb")), Seq("id_b"))
-      .filter(abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("_sa"), col("_sb")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))

@@ -93,6 +93,14 @@ object Graph {
     // exchange already leaves ed hash-partitioned on src (AQE-sized),
     // so the old `repartition(src)` re-shuffled the edge table into an
     // identical layout — one whole edge-sized exchange for nothing.
+    // Caveat (r15): this holds when e ⋈ deg plans as a shuffle join.
+    // If stats put the vertex-sized deg under the broadcast threshold,
+    // the join is broadcast-hash and ed checkpoints in e's SCAN layout
+    // instead — harmless exactly when it happens (deg fitting the
+    // broadcast threshold means the graph is small enough that the
+    // per-round joins broadcast too), while at 100 TB deg is
+    // vertex-scale, the join is forced sort-merge, and the pinned
+    // src layout claim stands.
     val deg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("out_deg"))
       .localCheckpoint(false)
     val ed = e.join(deg, "src").localCheckpoint(false)
@@ -357,12 +365,14 @@ object Graph {
     * bipartite-ish structures can oscillate rather than converge, so a
     * fixed budget is also the semantics, not an approximation of one.
     *
-    * Per-round plan: ONE edge-sized equality join (labels onto the
-    * bidirectional edge list), one edge-sized (vertex, label) count
-    * aggregation (map-side combinable), one vertex-sized window for
-    * the argmax, one vertex-sized left join back. Each round's label
-    * table is barriered — without it round i's plan would re-inline
-    * rounds 1..i−1 under every consumer (the pageRank lesson).
+    * Per-round plan (rounds ≥ 2; round 1 collapses to one min()
+    * aggregation — see the body): ONE edge-sized equality join (labels
+    * onto the bidirectional edge list), one edge-sized (vertex, label)
+    * count aggregation (map-side combinable), and one vertex-sized
+    * window for the argmax — the window's pick IS the next label
+    * table (no join back). Each round's label table is barriered —
+    * without it round i's plan would re-inline rounds 1..i−1 under
+    * every consumer (the pageRank lesson).
     * A vertex whose only edges were self-loops is erased WITH them by
     * the canonicalization (the [[triangleStats]]/[[kCore]] law) — it
     * is absent from the output entirely, not self-labeled; join the

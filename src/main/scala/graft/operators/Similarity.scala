@@ -104,7 +104,13 @@ object Similarity {
       .select(col(id), col(vec))
 
   /** [[dedupKeyed]] + an EAGER local checkpoint — the prep every
-    * trained-index entry point runs ONCE per side. The trained family
+    * trained-index entry point runs ONCE per side. NOTE the API
+    * consequence for every public caller (pqTopK / ivfPqTopK /
+    * ivfTopKQuant / pqRecall / ivfRecall / pqRerankTopK): building
+    * their DataFrame runs Spark jobs — and fires the
+    * conflicting-vector assert — at CONSTRUCTION time, not at the
+    * first action (the training collects were always eager; the
+    * checkpoint joins them). The trained family
     * consumes each side many times (m codebook trainings + the coarse
     * quantizer + codes/LUT/rerank/ground-truth passes); without the
     * barrier every consumer replans the scan + dedup exchange from
@@ -282,12 +288,13 @@ object Similarity {
       .map { case (cid, c) => (cid, c.map(x => math.floor(x + 0.5))) }
     val qv = (v: Column) => transform(v,
       x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
-    def coarseCands(vec: Column): Column = {
-      val sub = qv(vec)
-      val cands = distCols(sub, coarse).zipWithIndex.map {
-        case (d, cid) => struct(d.as("_d"), lit(cid).as("_cid")) }
-      array_sort(array(cands: _*))
-    }
+    // one nested literal for the coarse centroids too (coarse cids are
+    // dense 0..nLists−1 and cid-ascending — position = cid, exactly
+    // the old zipWithIndex pairing); same narrow no-join shape, ~1/k
+    // the plan text
+    val coarseLit = typedLit(coarse.sortBy(_._1).map(_._2))
+    def coarseCands(vec: Column): Column =
+      array_sort(candStructs(qv(vec), coarseLit))
     val docLists = corp.select(col("c_id"),
       coarseCands(col("c_vec")).getItem(0).getField("_cid").as("list_id"))
     val probes = qs.select(col("q_id"),
@@ -491,13 +498,14 @@ object Similarity {
 
   /** Per-subspace integer PQ codebooks: Lloyd on the quantized slices
     * (the shared q108 core), final centroids rounded half-up. The m
-    * trainings are mutually independent and each is a short chain of
-    * driver-blocking jobs over the SAME checkpointed corpus — they run
-    * concurrently on [[trainPool]] (wall-clock ≈ one training instead
-    * of m; every loop's arithmetic is unchanged, so the codebooks are
-    * bit-identical to the sequential run). `assumeUnique`: the entry
-    * points dedup + checkpoint the corpus once (the [[prepKeyed]]
-    * contract), so the per-subspace dedup exchange is skipped. */
+    * per-subspace trainings are FUSED into one exploded-slice loop
+    * that runs as a single Spark action
+    * ([[Clustering.kMeansCentroidsFused]] — every slice's arithmetic
+    * is unchanged, so the codebooks are bit-identical to m sequential
+    * loops). Concurrency with OTHER trainings (the coarse quantizer)
+    * lives in [[pqCodebooksAsync]]/[[ivfPqTopK]], not here. The input
+    * arrives pre-deduped and checkpointed (the [[prepKeyed]]
+    * contract), so no per-training dedup exchange runs. */
   private def pqCodebooksAsync(corp: DataFrame, m: Int, subDim: Int,
                                codebookK: Int, iters: Int, seed: String,
                                scale: Double)
@@ -526,36 +534,59 @@ object Similarity {
     transform(slice(vec, s * subDim + 1, subDim),
       x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
 
-  /** dist²(sub, c) for every codeword, cid-ascending — c·c folded on
-    * the driver with the engines' sequential product order. */
-  private def distCols(sub: Column,
-                       cb: Seq[(Int, Seq[Double])]): Seq[Column] =
-    cb.sortBy(_._1).map { case (_, cv) =>
-      val cc = cv.foldLeft(0.0)((a, v) => a + v * v)
-      dotProduct(sub, sub) - lit(2.0) * dotProduct(sub, typedLit(cv)) + lit(cc)
-    }
+  /** The whole codebook family as ONE nested array literal, indexed
+    * `[slice][cid]` (cids are dense 0..k−1 by the seeding contract, so
+    * the position IS the cid) — r15: the per-codeword expression trees
+    * (m·k dotProduct calls against per-codeword `typedLit`s) made the
+    * PQ plans ~150 KB of literals, re-planned and re-codegen'd on
+    * every pass (q179 profile: ~0.9 s driver gap before the final
+    * job). One `typedLit` node carries the same doubles as plain data. */
+  private def cbLit(cbs: Seq[Seq[(Int, Seq[Double])]]): Column =
+    typedLit(cbs.map(_.sortBy(_._1).map(_._2)))
 
-  /** (c_id, s, code): ONE projection emits all m argmins, posexplode
-    * keys them by subspace; code = lexicographic (dist², cid) min. */
+  /** dist²(sub, cv) with the SAME op sequence as the old per-codeword
+    * literal form: x·x − 2·x·c + c·c, every dot the sequential
+    * `graft_dot` fold — c·c through `graft_dot(cv, cv)` runs the
+    * identical multiply-add order the driver's
+    * `foldLeft(0.0)((a,v) => a + v*v)` did, so every distance (and
+    * therefore every code, LUT entry, and rank) is bit-identical. */
+  private def distTo(sub: Column, cv: Column): Column =
+    dotProduct(sub, sub) - lit(2.0) * dotProduct(sub, cv) +
+      dotProduct(cv, cv)
+
+  /** (dist², cid) candidate structs for a row's sub-vector against one
+    * slice's codebook array — the shared argmin/LUT kernel; the
+    * lexicographic struct sort is order-independent, so the array
+    * layout of the literal cannot affect any pick. */
+  private def candStructs(sub: Column, cb: Column): Column =
+    transform(cb, (cv, i) =>
+      struct(distTo(sub, cv).as("_d"), i.as("_cid")))
+
+  /** (c_id, s, code): the m sub-vectors posexplode once, each row
+    * argmins against ITS slice's codebook from the single literal;
+    * code = lexicographic (dist², cid) min. */
   private def pqCodes(corp: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]],
                       subDim: Int, scale: Double): DataFrame =
     corp.select(col("c_id"),
-      posexplode(array(cbs.indices.map { s =>
-        val sub = quantSub(col("c_vec"), s, subDim, scale)
-        val cands = distCols(sub, cbs(s)).zipWithIndex.map {
-          case (d, cid) => struct(d.as("_d"), lit(cid).as("_cid")) }
-        array_sort(array(cands: _*)).getItem(0).getField("_cid")
-      }: _*)).as(Seq("s", "code")))
+        posexplode(array(cbs.indices.map { s =>
+          quantSub(col("c_vec"), s, subDim, scale)
+        }: _*)).as(Seq("s", "sub")))
+      .select(col("c_id"), col("s"),
+        array_sort(candStructs(col("sub"), element_at(cbLit(cbs), col("s") + 1)))
+          .getItem(0).getField("_cid").as("code"))
 
-  /** (q_id, s, code, d2): the Q·m·k asymmetric-distance lookup table. */
+  /** (q_id, s, code, d2): the Q·m·k asymmetric-distance lookup table —
+    * the code is the codeword's position (= cid), exactly the old
+    * cid-ascending posexplode order. */
   private def pqLut(qs: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]],
                     subDim: Int, scale: Double): DataFrame =
     qs.select(col("q_id"),
         posexplode(array(cbs.indices.map { s =>
-          array(distCols(quantSub(col("q_vec"), s, subDim, scale), cbs(s)): _*)
-        }: _*)).as(Seq("s", "darr")))
+          quantSub(col("q_vec"), s, subDim, scale)
+        }: _*)).as(Seq("s", "sub")))
       .select(col("q_id"), col("s"),
-        posexplode(col("darr")).as(Seq("code", "d2")))
+        posexplode(transform(element_at(cbLit(cbs), col("s") + 1),
+          cv => distTo(col("sub"), cv))).as(Seq("code", "d2")))
 
   /** Σ over the m joined lookup terms → per-query (dist, id) rank cut.
     * The terms are integer-valued doubles, so the sum is

@@ -122,10 +122,17 @@ object Similarity {
     * coalesces the small dedup shuffle to very few partitions, and the
     * checkpoint would pin that width for every downstream
     * compute-heavy stage (the PQ encode ran near-single-task on it —
-    * the OpUtils.materialize reason-1 law). */
+    * the OpUtils.materialize reason-1 law). `spread = false` (r15) is
+    * for the QUERY side only — small by the family contract (it
+    * broadcasts into every join): spreading ~20 rows over the session
+    * parallelism pinned 32 near-empty partitions under every
+    * query-side consumer stage, one extra exchange plus a fleet of
+    * no-op tasks per pass; the corpus side keeps the spread. */
   private def prepKeyed(df: DataFrame, id: String, vec: String,
-                        op: String): DataFrame =
-    materialize(dedupKeyed(df, id, vec, op)).localCheckpoint()
+                        op: String, spread: Boolean = true): DataFrame = {
+    val deduped = dedupKeyed(df, id, vec, op)
+    (if (spread) materialize(deduped) else deduped).localCheckpoint()
+  }
 
   /** The execution context for concurrent codebook/coarse trainings:
     * each Lloyd loop is a short chain of tiny driver-blocking Spark
@@ -246,7 +253,7 @@ object Similarity {
     val corp = prepKeyed(corpus.filter(col("c_vec").isNotNull),
       "c_id", "c_vec", "ivfPqTopK")
     val qs = prepKeyed(queries.filter(col("q_vec").isNotNull),
-      "q_id", "q_vec", "ivfPqTopK")
+      "q_id", "q_vec", "ivfPqTopK", spread = false)
     val dim = m * subDim
     // the m codebook trainings and the coarse-quantizer training are
     // mutually independent Lloyd loops over the SAME checkpointed
@@ -293,12 +300,19 @@ object Similarity {
     // the old zipWithIndex pairing); same narrow no-join shape, ~1/k
     // the plan text
     val coarseLit = typedLit(coarse.sortBy(_._1).map(_._2))
-    def coarseCands(vec: Column): Column =
-      array_sort(candStructs(qv(vec), coarseLit))
-    val docLists = corp.select(col("c_id"),
-      coarseCands(col("c_vec")).getItem(0).getField("_cid").as("list_id"))
-    val probes = qs.select(col("q_id"),
-      explode(transform(slice(coarseCands(col("q_vec")), 1, nProbe),
+    // the quantized vector and its self-dot are their own projection:
+    // their nLists uses in the argmin keep CollapseProject from
+    // inlining (and so re-evaluating) the interpreted quantize
+    // transform and the self-dot per centroid
+    def withSub(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), qv(col(vec)).as("_sub"))
+        .withColumn("_xx", dotProduct(col("_sub"), col("_sub")))
+    def coarseCands: Column =
+      array_sort(candStructs(col("_sub"), col("_xx"), coarseLit))
+    val docLists = withSub(corp, "c_id", "c_vec").select(col("c_id"),
+      coarseCands.getItem(0).getField("_cid").as("list_id"))
+    val probes = withSub(qs, "q_id", "q_vec").select(col("q_id"),
+      explode(transform(slice(coarseCands, 1, nProbe),
         s => s.getField("_cid"))).as("list_id"))
     (docLists, probes)
   }
@@ -333,7 +347,7 @@ object Similarity {
     val corp = prepKeyed(corpus.filter(col("c_vec").isNotNull),
       "c_id", "c_vec", "ivfTopKQuant")
     val qs = prepKeyed(queries.filter(col("q_vec").isNotNull),
-      "q_id", "q_vec", "ivfTopKQuant")
+      "q_id", "q_vec", "ivfTopKQuant", spread = false)
     ivfTopKQuantPrepped(qs, corp, k, nLists, nProbe, dim, iters, seed,
       scale)
   }
@@ -346,17 +360,11 @@ object Similarity {
                                   scale: Double): DataFrame = {
     val (docLists, probes) =
       quantCoarseLists(corp, qs, nLists, nProbe, iters, seed, dim, scale)
-    val qv = (v: Column) => transform(v,
-      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
     val scored = docLists.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col("c_id"))
-      .join(corp.select(col("c_id"), qv(col("c_vec")).as("_cq")), Seq("c_id"))
-      .join(broadcast(qs.select(col("q_id"), qv(col("q_vec")).as("_qq"))),
-        Seq("q_id"))
-      .select(col("q_id"), col("c_id"),
-        (dotProduct(col("_qq"), col("_qq"))
-          - lit(2.0) * dotProduct(col("_qq"), col("_cq"))
-          + dotProduct(col("_cq"), col("_cq"))).cast("long").as("dist2"))
+      .join(quantSide(corp, "c_id", "c_vec", scale), Seq("c_id"))
+      .join(broadcast(quantSide(qs, "q_id", "q_vec", scale)), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), exactD2.cast("long").as("dist2"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -389,7 +397,7 @@ object Similarity {
     val corp = prepKeyed(corpus.filter(col("c_vec").isNotNull),
       "c_id", "c_vec", "pqRecall")
     val qs = prepKeyed(queries.filter(col("q_vec").isNotNull),
-      "q_id", "q_vec", "pqRecall")
+      "q_id", "q_vec", "pqRecall", spread = false)
     recallVsExactL2(
       pqTopKPrepped(qs, corp, k, m, subDim, codebookK, iters, seed, scale),
       qs, corp, k, scale)
@@ -411,7 +419,7 @@ object Similarity {
     val corp = prepKeyed(corpus.filter(col("c_vec").isNotNull),
       "c_id", "c_vec", "ivfRecall")
     val qs = prepKeyed(queries.filter(col("q_vec").isNotNull),
-      "q_id", "q_vec", "ivfRecall")
+      "q_id", "q_vec", "ivfRecall", spread = false)
     recallVsExactL2(
       ivfTopKQuantPrepped(qs, corp, k, nLists, nProbe, dim, iters, seed,
         scale),
@@ -432,15 +440,10 @@ object Similarity {
     // top-k slots and fan out the overlap join): both sides arrive
     // PRE-DEDUPED and checkpointed from the public entry points, so
     // the prep runs once per side, not once per stage
-    val qv = (v: Column) => transform(v,
-      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
-    val exact = qs.select(col("q_id"), qv(col("q_vec")).as("_qq"))
-      .crossJoin(corp.select(col("c_id"), qv(col("c_vec")).as("_cq")))
+    val exact = quantSide(qs, "q_id", "q_vec", scale)
+      .crossJoin(quantSide(corp, "c_id", "c_vec", scale))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        (dotProduct(col("_qq"), col("_qq"))
-          - lit(2.0) * dotProduct(col("_qq"), col("_cq"))
-          + dotProduct(col("_cq"), col("_cq"))).as("_d2"))
+      .select(col("q_id"), col("c_id"), exactD2.as("_d2"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("_d2"), col("c_id"))))
       .filter(col("rank") <= k)
@@ -477,18 +480,13 @@ object Similarity {
     val corp = prepKeyed(corpus.filter(col("c_vec").isNotNull),
       "c_id", "c_vec", "pqRerankTopK")
     val qs = prepKeyed(queries.filter(col("q_vec").isNotNull),
-      "q_id", "q_vec", "pqRerankTopK")
+      "q_id", "q_vec", "pqRerankTopK", spread = false)
     val cand = pqTopKPrepped(qs, corp, candK, m, subDim, codebookK,
       iters, seed, scale).select(col("q_id"), col("c_id"))
-    val qv = (v: Column) => transform(v,
-      x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
     cand
-      .join(qs.select(col("q_id"), qv(col("q_vec")).as("_qq")), Seq("q_id"))
-      .join(corp.select(col("c_id"), qv(col("c_vec")).as("_cq")), Seq("c_id"))
-      .select(col("q_id"), col("c_id"),
-        (dotProduct(col("_qq"), col("_qq"))
-          - lit(2.0) * dotProduct(col("_qq"), col("_cq"))
-          + dotProduct(col("_cq"), col("_cq"))).as("_d2"))
+      .join(quantSide(qs, "q_id", "q_vec", scale), Seq("q_id"))
+      .join(quantSide(corp, "c_id", "c_vec", scale), Seq("c_id"))
+      .select(col("q_id"), col("c_id"), exactD2.as("_d2"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("_d2"), col("c_id"))))
       .filter(col("rank") <= k)
@@ -534,6 +532,29 @@ object Similarity {
     transform(slice(vec, s * subDim + 1, subDim),
       x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
 
+  /** One side of an exact quantized-L2 join: (id, quantized vector,
+    * its self-dot), computed ONCE per row on the pre-join side — the
+    * old inline form re-ran `graft_dot(v, v)` per candidate PAIR (and
+    * the interpreted quantize transform risked the same via projection
+    * collapse). Same `graft_dot` fold on the same integral values, so
+    * every downstream distance is bit-identical. Column names derive
+    * from the id prefix ("q"/"c") so two sides can join. */
+  private def quantSide(df: DataFrame, id: String, vec: String,
+                        scale: Double): DataFrame = {
+    val p = id.take(1)
+    df.select(col(id), transform(col(vec),
+        x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+        .as(s"_${p}q"))
+      .withColumn(s"_${p}q2", dotProduct(col(s"_${p}q"), col(s"_${p}q")))
+  }
+
+  /** x·x − 2·x·c + c·c over [[quantSide]] columns — the identical op
+    * sequence (and therefore bit-identical LONG-castable distance) as
+    * the old inline three-dot form. */
+  private def exactD2: Column =
+    col("_qq2") - lit(2.0) * dotProduct(col("_qq"), col("_cq")) +
+      col("_cq2")
+
   /** The whole codebook family as ONE nested array literal, indexed
     * `[slice][cid]` (cids are dense 0..k−1 by the seeding contract, so
     * the position IS the cid) — r15: the per-codeword expression trees
@@ -549,30 +570,37 @@ object Similarity {
     * `graft_dot` fold — c·c through `graft_dot(cv, cv)` runs the
     * identical multiply-add order the driver's
     * `foldLeft(0.0)((a,v) => a + v*v)` did, so every distance (and
-    * therefore every code, LUT entry, and rank) is bit-identical. */
-  private def distTo(sub: Column, cv: Column): Column =
-    dotProduct(sub, sub) - lit(2.0) * dotProduct(sub, cv) +
-      dotProduct(cv, cv)
+    * therefore every code, LUT entry, and rank) is bit-identical.
+    * `xx` arrives PRECOMPUTED (one self-dot per row instead of one
+    * per codeword — the old literal form re-ran `graft_dot(sub, sub)`
+    * k times per row; the value, and hence every distance, is
+    * unchanged). */
+  private def distTo(sub: Column, xx: Column, cv: Column): Column =
+    xx - lit(2.0) * dotProduct(sub, cv) + dotProduct(cv, cv)
 
   /** (dist², cid) candidate structs for a row's sub-vector against one
     * slice's codebook array — the shared argmin/LUT kernel; the
     * lexicographic struct sort is order-independent, so the array
     * layout of the literal cannot affect any pick. */
-  private def candStructs(sub: Column, cb: Column): Column =
+  private def candStructs(sub: Column, xx: Column, cb: Column): Column =
     transform(cb, (cv, i) =>
-      struct(distTo(sub, cv).as("_d"), i.as("_cid")))
+      struct(distTo(sub, xx, cv).as("_d"), i.as("_cid")))
 
   /** (c_id, s, code): the m sub-vectors posexplode once, each row
     * argmins against ITS slice's codebook from the single literal;
-    * code = lexicographic (dist², cid) min. */
+    * code = lexicographic (dist², cid) min. The self-dot `_xx` is a
+    * separate projection: its 2k uses in the argmin keep
+    * CollapseProject from inlining (and so re-evaluating) it. */
   private def pqCodes(corp: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]],
                       subDim: Int, scale: Double): DataFrame =
     corp.select(col("c_id"),
         posexplode(array(cbs.indices.map { s =>
           quantSub(col("c_vec"), s, subDim, scale)
         }: _*)).as(Seq("s", "sub")))
+      .withColumn("_xx", dotProduct(col("sub"), col("sub")))
       .select(col("c_id"), col("s"),
-        array_sort(candStructs(col("sub"), element_at(cbLit(cbs), col("s") + 1)))
+        array_sort(candStructs(col("sub"), col("_xx"),
+          element_at(cbLit(cbs), col("s") + 1)))
           .getItem(0).getField("_cid").as("code"))
 
   /** (q_id, s, code, d2): the Q·m·k asymmetric-distance lookup table —
@@ -584,9 +612,10 @@ object Similarity {
         posexplode(array(cbs.indices.map { s =>
           quantSub(col("q_vec"), s, subDim, scale)
         }: _*)).as(Seq("s", "sub")))
+      .withColumn("_xx", dotProduct(col("sub"), col("sub")))
       .select(col("q_id"), col("s"),
         posexplode(transform(element_at(cbLit(cbs), col("s") + 1),
-          cv => distTo(col("sub"), cv))).as(Seq("code", "d2")))
+          cv => distTo(col("sub"), col("_xx"), cv))).as(Seq("code", "d2")))
 
   /** Σ over the m joined lookup terms → per-query (dist, id) rank cut.
     * The terms are integer-valued doubles, so the sum is
